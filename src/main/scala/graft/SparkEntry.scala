@@ -1,13 +1,236 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Winds
+import graft.operators.{Aggregates, Joins, Validation}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark (DataFrame API) implementation with ANSI SQL
+  * the driver runs in DuckDB over the same parquet tables; column names and
+  * types are aligned on both sides (the driver sorts columns by name and
+  * hash-compares values). Floating aggregates are ROUND()ed identically on
+  * both sides for hash stability (SURVEY.md §7 watch-list #3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-schema revenue rollup: broadcast dims, single fact shuffle.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q09RevenueByRegion(spark, "/root/testdata/sf0.001")
+
+  // ---- weather-core analogs (SURVEY.md §2.2-2.7) over driver testdata ----
+
+  /** A1/F2/S5: daily aggregate over the event stream table. */
+  def q01DailyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(avg(col("value")), 6).as("avg_value"), count(lit(1)).as("n"))
+
+  /** A2/F3: monthly multi-metric aggregate. */
+  def q02MonthlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(month(col("ts")).as("m"))
+      .agg(
+        round(avg(col("value")), 6).as("avg_value"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count(lit(1)).as("n"))
+
+  /** A3: deterministic mode (smallest value wins ties) per month. */
+  def q03Mode(spark: SparkSession, dir: String): DataFrame =
+    Aggregates.deterministicMode(
+      Tables.events(spark, dir),
+      month(col("ts")), col("event_type"), "m", "mode_event_type")
+
+  /** A5/A6: exact dedup of the documents corpus, keep-first semantics. */
+  def q04DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+
+  /** A4: exact medians in one aggregate job (imputation source). */
+  def q05Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(median(col("l_quantity")), 6).as("med_qty"),
+      round(median(col("l_extendedprice")), 6).as("med_price"),
+      round(median(col("l_discount")), 6).as("med_disc"))
+
+  /** F4: Beaufort bucketing as a codegen'd when-chain (no UDF). */
+  def q06Beaufort(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("wind_strength", Winds.windStrength(col("value")))
+      .groupBy(col("wind_strength"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+
+  /** V1-V5: the whole data-quality gate as ONE aggregate pass. */
+  def q07Validation(spark: SparkSession, dir: String): DataFrame =
+    Validation.report(
+      Tables.events(spark, dir),
+      Seq(
+        Validation.NotNull("value"),
+        Validation.NotNull("user_id"),
+        Validation.NonNegative("value"),
+        Validation.Outlier("value", 0.0, 500.0)))
+
+  /** J1: the reference's left fan-out join — daily aggregate joined back
+    * onto distinct (day, event_type) detail rows.
+    */
+  def q08FanoutJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dailyAgg = ev
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(avg(col("value")), 6).as("avg_value"))
+    val detail = ev.select(to_date(col("ts")).as("d"), col("event_type")).distinct()
+    Joins.fanoutLeft(dailyAgg, detail, "d")
+  }
+
+  /** Star-schema join: fact ⋈ 4 broadcast dims, revenue per region. */
+  def q09RevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Joins.starJoin(li, Seq(
+        o -> (col("l_orderkey") === col("o_orderkey")),
+        c -> (col("o_custkey") === col("c_custkey")),
+        n -> (col("c_nationkey") === col("n_nationkey")),
+        r -> (col("n_regionkey") === col("r_regionkey"))))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Window top-k per group with total-order tie-break. */
+  def q10TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Left-semi join: customers that have at least one order. */
+  def q11SemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join: customers with no orders. */
+  def q12AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Rollup (grouping-sets family) over flag × status. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Exact distinct-count per group. */
+  def q14DistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_daily_agg" -> (q01DailyAgg _),
+    "q02_monthly_agg" -> (q02MonthlyAgg _),
+    "q03_mode" -> (q03Mode _),
+    "q04_dedup_exact" -> (q04DedupExact _),
+    "q05_median" -> (q05Median _),
+    "q06_beaufort" -> (q06Beaufort _),
+    "q07_validation" -> (q07Validation _),
+    "q08_fanout_join" -> (q08FanoutJoin _),
+    "q09_revenue_by_region" -> (q09RevenueByRegion _),
+    "q10_topk_window" -> (q10TopkWindow _),
+    "q11_semi_join" -> (q11SemiJoin _),
+    "q12_anti_join" -> (q12AntiJoin _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_distinct_users" -> (q14DistinctUsers _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_daily_agg" ->
+      """SELECT CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q02_monthly_agg" ->
+      """SELECT CAST(MONTH(ts) AS INTEGER) AS m, ROUND(AVG(value), 6) AS avg_value,
+        |       ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q03_mode" ->
+      """WITH c AS (
+        |  SELECT CAST(MONTH(ts) AS INTEGER) AS m, event_type, COUNT(*) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT m, event_type, cnt, MAX(cnt) OVER (PARTITION BY m) AS mx FROM c)
+        |SELECT m, MIN(event_type) AS mode_event_type FROM r WHERE cnt = mx GROUP BY m""".stripMargin,
+    "q04_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "q05_median" ->
+      """SELECT ROUND(MEDIAN(l_quantity), 6) AS med_qty,
+        |       ROUND(MEDIAN(l_extendedprice), 6) AS med_price,
+        |       ROUND(MEDIAN(l_discount), 6) AS med_disc
+        |FROM lineitem""".stripMargin,
+    "q06_beaufort" ->
+      s"""SELECT ${Winds.windStrengthSql("value")} AS wind_strength,
+         |       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "q07_validation" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(CASE WHEN value IS NULL THEN 1 END) AS notnull_value,
+        |       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS notnull_user_id,
+        |       COUNT(CASE WHEN value < 0 THEN 1 END) AS nonneg_value,
+        |       COUNT(CASE WHEN NOT (value BETWEEN 0.0 AND 500.0) THEN 1 END) AS outlier_value
+        |FROM events""".stripMargin,
+    "q08_fanout_join" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS avg_value
+        |  FROM events GROUP BY 1),
+        |detail AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events)
+        |SELECT daily.d AS d, daily.avg_value AS avg_value, detail.event_type AS event_type
+        |FROM daily LEFT JOIN detail ON daily.d = detail.d""".stripMargin,
+    "q09_revenue_by_region" ->
+      """SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q10_topk_window" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |       CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 5""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
 }

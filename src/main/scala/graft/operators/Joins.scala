@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3) + time-ordered composites (as-of,
+  * sessionize).
+  *
+  * Scale posture: dimension joins broadcast the small side (Catalyst's
+  * `autoBroadcastJoinThreshold` picks this up automatically; `broadcast()`
+  * hints are added where the small side is known small by construction, so
+  * the plan survives stale/absent stats on a real cluster). Fact-fact joins
+  * are left to sort-merge + AQE skew handling.
+  */
+object Joins {
+
+  /** J1: the reference's left fan-out join (ETL.py:109-113) — daily
+    * aggregates joined back onto distinct per-row keys; output granularity
+    * is the finer right side, all aggregate rows preserved.
+    * The aggregate side is small by construction (one row per group key) →
+    * broadcast-right works at any fact-table scale when the key domain is
+    * bounded (dates); for unbounded keys drop the hint and let AQE decide.
+    */
+  def fanoutLeft(agg: DataFrame, detail: DataFrame, key: String): DataFrame =
+    agg.join(detail, Seq(key), "left")
+
+  /** Star-schema chain join: fact joined through dims; every dim side is
+    * broadcast (they are tiny relative to the fact at every SF).
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, cond)) => acc.join(broadcast(dim), cond) }
+
+  /** Backward as-of join, composed from built-ins (preference order (a) of
+    * the custom-operator ladder): for each left event, the most recent
+    * right event with rightTs <= leftTs, per key.
+    *
+    * Implementation: union both sides, one window sort per key, running
+    * `max(rightTs)` — a single shuffle on the key, no range cross-join.
+    * This is the scalable shape: state per key is O(1), unlike an
+    * interval-join expansion.
+    */
+  def asOfBackward(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   isRight: Column, asOfName: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(asOfName, max(when(isRight, col(tsCol))).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap from the
+    * previous event of the same key exceeds `gapSeconds`. One shuffle on
+    * the key; session ids are per-key dense ranks (key-local, so no global
+    * sequence bottleneck).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prevTs.isNull ||
+        (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

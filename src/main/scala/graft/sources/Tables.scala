@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan layer (SURVEY.md §2.1).
+  *
+  * The driver testdata contract (TESTDATA.md) is partitioned parquet — the
+  * primary source (S5). Explicit-schema CSV (S3) exists for the
+  * weather-shaped ingest path (reference ETL.py:54); schema inference is
+  * deliberately avoided: at 100 TB an inference pass is a full extra scan
+  * and is non-deterministic across samples.
+  */
+object Tables {
+
+  /** Parquet scan for a driver testdata table. Column pruning and predicate
+    * pushdown happen automatically because every downstream operator is
+    * declarative (check `.explain`: PushedFilters / ReadSchema).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (TESTDATA.md), which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long
+    * (legacy flag) and truncate to a microsecond TimestampType — exactly
+    * what DuckDB does internally (its TIMESTAMP is µs), so oracle parity
+    * holds. Integer `div` (not double /) — ns epoch values exceed 2^53.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Schema of the Kaggle `weatherHistory.csv` consumed by the reference
+    * (ETL.py:54; column list per FIXTURES.md §B). `Formatted Date` stays
+    * StringType at scan time — parsing with coerce-to-null semantics
+    * (ETL.py:57) is an explicit transform (graft.etl.WeatherETL.parsed).
+    */
+  val weatherCsvSchema: StructType = StructType(Seq(
+    StructField("Formatted Date", StringType),
+    StructField("Summary", StringType),
+    StructField("Precip Type", StringType),
+    StructField("Temperature (C)", DoubleType),
+    StructField("Apparent Temperature (C)", DoubleType),
+    StructField("Humidity", DoubleType),
+    StructField("Wind Speed (km/h)", DoubleType),
+    StructField("Wind Bearing (degrees)", DoubleType),
+    StructField("Visibility (km)", DoubleType),
+    StructField("Loud Cover", DoubleType),
+    StructField("Pressure (millibars)", DoubleType),
+    StructField("Daily Summary", StringType),
+  ))
+
+  /** CSV scan with the explicit weather schema (S3). */
+  def weatherCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(weatherCsvSchema).option("header", "true").csv(path)
+}
