@@ -141,6 +141,55 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  // ---- [ext] LLM-pipeline + time-ordered operators (SURVEY.md §2.8) ----
+
+  /** JSON property extraction (`events.props` is a JSON string). */
+  def q15JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)
+        ))).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k").cast("long")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        count(lit(1)).as("n"))
+
+  /** Per-language token statistics over the documents corpus. */
+  def q16TokenStats(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tokenStatsByLang(Tables.documents(spark, dir))
+
+  /** Per-document quality features (LLM-corpus filtering vector). */
+  def q17DocQuality(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.docQuality(Tables.documents(spark, dir))
+
+  /** Content fingerprint (SHA-256 dedup key). */
+  def q18Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.fingerprints(Tables.documents(spark, dir))
+
+  /** Language-ID heuristic distribution — rows-only (our own classifier,
+    * no oracle form).
+    */
+  def q19LangId(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.langIdDist(Tables.documents(spark, dir))
+
+  /** Tumbling 1h event-time window (batch twin of the streaming agg). */
+  def q20Tumbling(spark: SparkSession, dir: String): DataFrame =
+    operators.TimeOps.tumblingHourly(Tables.events(spark, dir))
+
+  /** Sliding 1h/30m event-time window. */
+  def q21Sliding(spark: SparkSession, dir: String): DataFrame =
+    operators.TimeOps.slidingHourly(Tables.events(spark, dir))
+
+  /** Backward as-of join (error -> latest prior signup per user). */
+  def q22AsOf(spark: SparkSession, dir: String): DataFrame =
+    operators.TimeOps.errorAsOfSignup(Tables.events(spark, dir))
+
+  /** Gap-based sessionization (30 min inactivity). */
+  def q23Sessions(spark: SparkSession, dir: String): DataFrame =
+    operators.TimeOps.userSessions(Tables.events(spark, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -157,6 +206,15 @@ object SparkEntry {
     "q12_anti_join" -> (q12AntiJoin _),
     "q13_rollup" -> (q13Rollup _),
     "q14_distinct_users" -> (q14DistinctUsers _),
+    "q15_json_extract" -> (q15JsonExtract _),
+    "q16_token_stats" -> (q16TokenStats _),
+    "q17_doc_quality" -> (q17DocQuality _),
+    "q18_fingerprint" -> (q18Fingerprint _),
+    "q19_lang_id" -> (q19LangId _),
+    "q20_tumbling_window" -> (q20Tumbling _),
+    "q21_sliding_window" -> (q21Sliding _),
+    "q22_asof_join" -> (q22AsOf _),
+    "q23_sessionize" -> (q23Sessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,5 +290,74 @@ object SparkEntry {
     "q14_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_token_stats" ->
+      """WITH d AS (
+        |  SELECT lang, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_toks
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       ROUND(AVG(n_toks), 6) AS avg_tokens
+        |FROM d GROUP BY lang""".stripMargin,
+    "q17_doc_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+        |       CASE WHEN len(toks) > 0 THEN
+        |         ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+        |       END AS avg_token_len,
+        |       CASE WHEN len(toks) > 0 THEN
+        |         ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS DOUBLE) / len(toks), 6)
+        |       END AS stopword_ratio
+        |FROM d""".stripMargin,
+    "q18_fingerprint" ->
+      "SELECT doc_id, sha256(text) AS fp FROM documents",
+    "q20_tumbling_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q21_sliding_window" ->
+      """WITH starts AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS ws FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes') FROM events)
+        |SELECT ws, COUNT(*) AS n FROM starts GROUP BY ws""".stripMargin,
+    "q22_asof_join" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('error', 'signup')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type,
+        |         MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS signup_ts
+        |  FROM u)
+        |SELECT event_id, user_id, epoch_us(signup_ts) AS signup_us
+        |FROM w WHERE event_type = 'error'""".stripMargin,
+    "q23_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events, epoch_us(MIN(ts)) AS start_us,
+        |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions ([ext], SURVEY.md §2.8).
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (split / filter / transform / aggregate) — no UDFs, so the
+  * whole text pipeline stays inside whole-stage codegen and distributes
+  * trivially (narrow, per-row).
+  */
+object Texts {
+
+  /** Whitespace tokenizer, empty tokens dropped (documents end with a
+    * trailing space — a naive split yields a phantom "" token).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Sum of token lengths (int) — building block for avg token length. */
+  def sumTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** Count of tokens found in `words` (multiplicity preserved). */
+  def wordHitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** A small fixed English stopword list (quality-scoring feature). */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "from", "it", "this", "that")
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deterministic, self-contained (no external model).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+  )
+
+  /** Language-ID heuristic: argmax of marker-lexicon hit counts, ties and
+    * zero-hit rows -> "und" (undetermined). Pure expression: a greatest()
+    * over per-language scores.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, wordHitCount(text, words))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first (alphabetical) language achieving the max — deterministic ties
+    scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
+      val hit = (s === best) && (best > 0)
+      Some(acc.fold(when(hit, lang))(_.when(hit, lang)))
+    }.get.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: full-content SHA-256 (exact-dup key that is
+    * shuffle-friendly at 100 TB — 32 bytes instead of the whole text).
+    */
+  def fingerprintSha(text: Column): Column = sha2(text, 256)
+
+  /** Token n-gram shingles: ["a","b","c"], n=2 -> ["a b", "b c"].
+    * Empty result if the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}
