@@ -190,6 +190,40 @@ object SparkEntry {
   def q23Sessions(spark: SparkSession, dir: String): DataFrame =
     operators.TimeOps.userSessions(Tables.events(spark, dir))
 
+  /** Brute-force cosine top-k vs one query vector (ANN baseline). */
+  def q24CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.topKvsQuery(Tables.embeddings(spark, dir), 0L, 10)
+
+  /** Exact all-pairs cosine, capped id range (recall oracle for LSH). */
+  def q25CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.allPairsCosineCapped(Tables.embeddings(spark, dir), 300L, 0.3)
+
+  /** Exact n-gram Jaccard near-dup pairs, capped + lang-blocked. */
+  def q26JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.jaccardPairsCapped(Tables.documents(spark, dir), 300L, 0.9)
+
+  /** MinHash+LSH near-dup pairs — rows-only (hash-family specific);
+    * recall vs q26 is asserted in the scalatest suite.
+    */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.minhashNearDups(Tables.documents(spark, dir))
+
+  /** SimHash fingerprints via the custom Catalyst expression — rows-only. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashFingerprints(Tables.documents(spark, dir))
+
+  /** LSH-bucketed approximate top-k for a probe set — rows-only. */
+  def q29AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.lshTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
+
+  /** HLL approximate distinct (sketch-based) — rows-only (Spark's HLL
+    * and DuckDB's approx_count_distinct are different sketches).
+    */
+  def q30ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -215,6 +249,13 @@ object SparkEntry {
     "q21_sliding_window" -> (q21Sliding _),
     "q22_asof_join" -> (q22AsOf _),
     "q23_sessionize" -> (q23Sessions _),
+    "q24_cosine_topk" -> (q24CosineTopK _),
+    "q25_cosine_pairs" -> (q25CosinePairs _),
+    "q26_jaccard_pairs" -> (q26JaccardPairs _),
+    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q28_simhash" -> (q28Simhash _),
+    "q29_ann_lsh" -> (q29AnnLsh _),
+    "q30_approx_distinct" -> (q30ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -359,5 +400,36 @@ object SparkEntry {
         |       COUNT(*) AS n_events, epoch_us(MIN(ts)) AS start_us,
         |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q24_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id, label,
+        |         ROUND(
+        |           list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), p -> p[1] * p[2]))
+        |           / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+        |              * sqrt(list_sum(list_transform((SELECT qv FROM q), x -> x * x)))), 6) AS cosine
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, label, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q25_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         ROUND(
+        |           list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+        |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+        |WHERE cosine >= 0.3""".stripMargin,
+    "q26_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(str_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
+        |WHERE jaccard >= 0.9""".stripMargin,
   )
 }

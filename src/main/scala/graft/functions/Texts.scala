@@ -71,7 +71,8 @@ object Texts {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) >= n,
+    if (n == 1) toks // 1-gram shingles ARE the tokens; skip the slice pipeline
+    else when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Texts}
+import graft.plans.SimHash64.simhash64
+
+/** Near-duplicate detection over the documents corpus ([ext], SURVEY.md
+  * §2.8): exact (see SparkEntry q04), n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * Scale design: the LSH paths never form the all-pairs cross join — the
+  * only shuffles are (a) explode-by-band + hash-partition on the band
+  * key, (b) the candidate-pair verification join. Candidate volume is
+  * controlled by the (bands, rows) resolution. The exact-Jaccard variant
+  * is intentionally capped — it exists as the correctness oracle for the
+  * LSH paths, not as the scale path.
+  */
+object Dedup {
+
+  private def withTokenSet(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      array_distinct(Texts.tokens(col("text"))).as("tok_set"))
+
+  /** Exact pairwise n-gram(=1) Jaccard over a bounded id range, blocked
+    * by lang. Quadratic by construction — the oracle for LSH recall.
+    */
+  def jaccardPairsCapped(documents: DataFrame, idCap: Long, minJaccard: Double): DataFrame = {
+    val d = withTokenSet(documents.filter(col("doc_id") < idCap))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("tok_set").as("ta"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("tok_set").as("tb"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(Hashes.jaccardSet(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup detection, anchor (star) pattern:
+    * shingle -> k-slot signature -> band keys -> per-bucket ANCHOR (min
+    * doc_id) -> verify each member only against its bucket anchors ->
+    * cluster assignment rep = min verified anchor.
+    *
+    * Why not all pairs within a bucket: on a dup-heavy corpus (exactly the
+    * corpus dedup targets) bucket sizes are large and a bucket self-join is
+    * O(bucket^2) — measured 230 s at sf0.1 vs ~2 s for this shape. The
+    * anchor pattern caps candidate pairs at docs x bands, and the output a
+    * dedup pipeline wants is the cluster assignment anyway (keep rep, drop
+    * member). Single-hop transitivity: every member links to its bucket's
+    * min id, so dup clusters that share any band bucket collapse to one rep.
+    *
+    * Returns (doc_id, rep_id, jaccard) for docs that verified against some
+    * anchor (rep_id < doc_id); docs absent from the output are their own
+    * representatives.
+    */
+  def minhashNearDups(documents: DataFrame, shingleN: Int = 1, k: Int = 64,
+                      bands: Int = 16, minJaccard: Double = 0.9): DataFrame = {
+    val rows = k / bands
+    val toks = documents.select(
+      col("doc_id"),
+      array_distinct(Texts.shingles(col("text"), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // PERF: explode the band INDEX first and derive each band key from the
+    // `sig` attribute. Building the key array in one expression
+    // (transform(seq, b -> hash(slice(sig,..)))) re-evaluates the whole
+    // minhash subtree per lambda invocation once CollapseProject inlines
+    // `sig` — interpreted higher-order funcs don't cache subexpressions
+    // (measured: 123 s vs ~2 s at sf0.1).
+    val banded = toks
+      .withColumn("sig", Hashes.minhashSignature(col("sh"), k))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey", xxhash64(slice(col("sig"), col("band") * rows + 1, lit(rows)), col("band")))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val anchors = banded.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val candidates = banded.join(anchors, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id"))
+      .distinct()
+    val verified = candidates
+      .join(toks.select(col("doc_id").as("anchor"), col("sh").as("ta")), Seq("anchor"))
+      .join(toks.select(col("doc_id"), col("sh").as("tb")), Seq("doc_id"))
+      .withColumn("jaccard", round(Hashes.jaccardSet(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= minJaccard)
+    verified.groupBy(col("doc_id"))
+      .agg(min(col("anchor")).as("rep_id"), max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Convenience: the deduplicated corpus (cluster representatives only). */
+  def minhashDedup(documents: DataFrame, minJaccard: Double = 0.9): DataFrame = {
+    val dups = minhashNearDups(documents, minJaccard = minJaccard).select("doc_id")
+    documents.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** SimHash fingerprints (custom Catalyst expression) + hamming-bucket
+    * near-dup pairs: candidates share at least one 16-bit quarter of the
+    * fingerprint (pigeonhole: hamming <= 3 guarantees a shared quarter).
+    */
+  def simhashFingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      simhash64(Texts.tokens(col("text"))).as("simhash"))
+
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // same explode-index-first shape as minhash: keep `simhash` an
+    // attribute so the custom expression evaluates once per row
+    val fp = simhashFingerprints(documents)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("q"))
+      .withColumn("qkey", expr("shiftright(simhash, q * 16) & 65535"))
+    val aSide = fp.select(col("q"), col("qkey"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val bSide = fp.select(col("q"), col("qkey"), col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    aSide.join(bSide, Seq("q", "qkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over the embeddings table ([ext], SURVEY.md §2.8).
+  *
+  * Three tiers, by scale:
+  *   - topKvsQuery: brute-force scan vs ONE query vector — linear, the
+  *     honest baseline; the query vector is a broadcast single row.
+  *   - allPairsCosineCapped: exact quadratic, bounded id range — the
+  *     recall oracle for the approximate paths, never the scale path.
+  *   - lshTopK: random-hyperplane LSH buckets + within-bucket exact
+  *     re-rank — the 100 TB shape (shuffle on bucket id, no cross join).
+  */
+object Similarity {
+
+  private def emb(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
+
+  /** Exact top-k nearest (cosine) to the vector of `queryVecId`.
+    * The one-row query side is broadcast; ordering ties broken by vec_id.
+    * Ordered on the ROUNDED score so the oracle's ordering agrees.
+    */
+  def topKvsQuery(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = emb(embeddings)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cosine"))
+  }
+
+  /** Exact all-pairs cosine over a bounded id range with a score floor. */
+  def allPairsCosineCapped(embeddings: DataFrame, idCap: Long, minCos: Double): DataFrame = {
+    val e = emb(embeddings).filter(col("vec_id") < idCap)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(Vectors.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane bucket id: sign bits of the dot
+    * product with `nPlanes` pseudo-random planes (values derived from a
+    * hash of (plane, dim) — no RNG state, reproducible across runs).
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val planes: Seq[Column] = (0 until nPlanes).map { p =>
+      array((0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+        lit((h % 1000) / 1000.0)
+      }: _*)
+    }
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(Vectors.dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k per probe vector: bucket everything with
+    * `nPlanes` hyperplanes, exact cosine re-rank only within the bucket.
+    * At scale: one shuffle on bucket id; bucket sizes are ~N/2^nPlanes.
+    */
+  def lshTopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int,
+              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val e = emb(embeddings).withColumn("bucket", hyperplaneBucket(col("v"), nPlanes, dim))
+    val probes = e.filter(col("vec_id").isin(probeVecIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rn"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.plans.SimHash64.simhash64
+import graft.functions.Texts
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 0L),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s", 0L), // near-dup of 0
+    (2L, "completely different content about spark engines", "en", "s", 0L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s", 0L) // exact dup of 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash LSH assigns dup cluster representatives") {
+    val reps = Dedup.minhashNearDups(docs, shingleN = 1, k = 64, bands = 16,
+        minJaccard = 0.75)
+      .select("doc_id", "rep_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(3L) === 0L) // exact dup always collapses to the anchor
+    assert(reps(1L) === 0L) // near-dup (jaccard 7/9) verified against anchor
+    assert(!reps.contains(2L)) // unrelated doc is its own representative
+    assert(!reps.contains(0L)) // the representative itself is not listed
+  }
+
+  test("minhashDedup keeps exactly the cluster representatives") {
+    val kept = Dedup.minhashDedup(docs, minJaccard = 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L))
+  }
+
+  test("simhash: identical docs collide, near-dups are close, distinct far") {
+    val fp = docs.select(col("doc_id"), simhash64(Texts.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(3L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(1L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) > 16)
+  }
+
+  test("simhashNearDups returns the dup pairs by hamming bucket") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  private lazy val vecs = {
+    val mk = (id: Long, base: Double) =>
+      (id, (0 until 64).map(i => (base + i * 0.01).toFloat).toArray, 0)
+    Seq(
+      mk(0L, 1.0),
+      mk(1L, 1.001), // nearly parallel to 0
+      (2L, (0 until 64).map(i => (if (i % 2 == 0) 1.0f else -1.0f)).toArray, 1)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("topKvsQuery ranks the nearly-parallel vector first") {
+    val top = Similarity.topKvsQuery(vecs, 0L, 2).collect()
+    assert(top(0).getLong(0) === 1L)
+    assert(top(0).getDouble(2) > 0.999)
+  }
+
+  test("lshTopK candidates agree with brute force within the bucket") {
+    val got = Similarity.lshTopK(vecs, Seq(0L), k = 2, nPlanes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topKvsQuery(vecs, 0L, 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(brute)) // LSH returns a subset (same bucket only)
+    assert(got.contains(1L))    // the near-parallel vector shares the bucket
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, TimeOps}
+
+class JoinsTimeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fanoutLeft keeps aggregate rows and fans out to detail granularity") {
+    val agg = Seq(("d1", 10.0), ("d2", 20.0)).toDF("d", "avg_v")
+    val detail = Seq(("d1", "a"), ("d1", "b")).toDF("d", "k")
+    val got = Joins.fanoutLeft(agg, detail, "d")
+    assert(got.count() === 3) // d1 fans out to 2, d2 survives with null k
+    assert(got.filter(col("d") === "d2" && col("k").isNull).count() === 1)
+  }
+
+  test("asOfBackward finds latest prior-or-equal right event per key") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 11:00:00", 2L, "error"),  // asof = 10:00
+      (1L, "2024-01-01 12:00:00", 3L, "signup"),
+      (1L, "2024-01-01 12:00:00", 4L, "error"),  // equal ts, later id -> 12:00
+      (2L, "2024-01-01 09:00:00", 5L, "error")   // no signup -> null
+    ).toDF("user_id", "ts_s", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Joins.asOfBackward(df, "user_id", "ts", "event_id",
+        col("event_type") === "signup", "asof")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), hour(col("asof")).as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(2L) === Some(10))
+    assert(got(4L) === Some(12))
+    assert(got(5L) === None)
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:30:00", 2L), // gap == 1800s -> same session
+      (1L, "2024-01-01 11:00:01", 3L), // gap 1801s -> new session
+      (2L, "2024-01-01 10:00:00", 4L)
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Joins.sessionize(df, "user_id", "ts", "event_id", 1800L)
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 2L)
+    assert(got(4L) === 1L) // sessions are per-key
+  }
+
+  test("tumbling and sliding windows cover each event the right number of times") {
+    val df = Seq(
+      (1L, "2024-01-01 10:10:00", 5.0, "a"),
+      (2L, "2024-01-01 10:50:00", 7.0, "a")
+    ).toDF("event_id", "ts_s", "value", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val tumb = TimeOps.tumblingHourly(df)
+    assert(tumb.agg(sum("n")).head().getLong(0) === 2L) // each event once
+    val slide = TimeOps.slidingHourly(df)
+    assert(slide.agg(sum("n")).head().getLong(0) === 4L) // each event twice
+  }
+}

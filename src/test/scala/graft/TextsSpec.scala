@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Texts
+
+class TextsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empty tokens from trailing/double spaces") {
+    val got = Seq("a b  c ").toDF("t")
+      .select(Texts.tokens(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("a", "b", "c"))
+  }
+
+  test("shingles produce n-grams; short docs yield empty array") {
+    val df = Seq("a b c d", "a").toDF("t")
+    val got = df.select(Texts.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq())
+  }
+
+  test("langId picks marker-lexicon argmax, und on no hits") {
+    val df = Seq(
+      "the cat is on the mat",
+      "el gato es un animal en la casa",
+      "xyzzy plugh").toDF("t")
+    val got = df.select(Texts.langId(col("t"))).collect().map(_.getString(0))
+    assert(got(0) === "en")
+    assert(got(1) === "es")
+    assert(got(2) === "und")
+  }
+
+  test("fingerprint is SHA-256 hex") {
+    val got = Seq("abc").toDF("t")
+      .select(Texts.fingerprintSha(col("t"))).head().getString(0)
+    assert(got === "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("wordHitCount preserves multiplicity") {
+    val got = Seq("the the a x").toDF("t")
+      .select(Texts.wordHitCount(col("t"), Seq("the", "a"))).head().getInt(0)
+    assert(got === 3)
+  }
+}
