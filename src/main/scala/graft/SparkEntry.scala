@@ -224,6 +224,26 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Multimodal payload metadata over binary columns (documents.text as
+    * the stand-in payload — the testdata ships no real media bytes).
+    */
+  def q31MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.withMediaMetadata(
+        Tables.documents(spark, dir).withColumn("payload", col("text").cast("binary")),
+        "payload")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").cast("long").as("n_bytes"),
+        col("media_meta.sha").as("sha"))
+
+  /** Multimodal stub decode (deterministic fake features + frame
+    * sampling) — rows-only: the decode is a stub by mandate.
+    */
+  def q32MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.withStubFeatures(
+        Tables.documents(spark, dir).withColumn("payload", col("text").cast("binary")),
+        "payload", dim = 8)
+      .select(col("doc_id"), col("features"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -256,6 +276,8 @@ object SparkEntry {
     "q28_simhash" -> (q28Simhash _),
     "q29_ann_lsh" -> (q29AnnLsh _),
     "q30_approx_distinct" -> (q30ApproxDistinct _),
+    "q31_media_meta" -> (q31MediaMeta _),
+    "q32_media_features" -> (q32MediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,5 +453,9 @@ object SparkEntry {
         |               / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
         |WHERE jaccard >= 0.9""".stripMargin,
+    "q31_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS sha
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing ([ext], SURVEY.md §2.8): media payloads are
+  * opaque `binary` columns + a typed metadata struct. The Spark-side
+  * contract (schema, partitioning, batch shape) is real; the actual
+  * image/audio DECODE step is a clearly-marked deterministic STUB — the
+  * codec libraries are not in this environment, and a real decoder would
+  * slot into the same expression/mapPartitions seam.
+  */
+object Multimodal {
+
+  /** Attach payload metadata: byte size, CRC-32, SHA-256. Pure codegen'd
+    * expressions — computing these at 100 TB is one narrow scan.
+    */
+  def withMediaMetadata(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      octet_length(col(binCol)).as("n_bytes"),
+      crc32(col(binCol)).as("crc"),
+      sha2(col(binCol), 256).as("sha")))
+
+  /** STUB decode: a deterministic fake "feature extraction" — the first
+    * `dim` bytes of the payload scaled to [0,1]. A real image decoder
+    * (JPEG -> pixels -> embedding) replaces exactly this expression (or a
+    * mapPartitions over the binary payloads for heavyweight codecs);
+    * schema and batch shape stay identical.
+    *
+    * The hex string is aliased to an attribute FIRST: referencing an
+    * expensive expression inside a `transform` lambda re-evaluates it per
+    * element after CollapseProject inlining (same trap as MinHashSig).
+    */
+  def withStubFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame =
+    df.withColumn("__hex", hex(substring(col(binCol), 1, dim)))
+      .withColumn("features",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => conv(substring(col("__hex"), i * 2 + 1, lit(2)), 16, 10)
+            .cast("double") / 255.0))
+      .drop("__hex")
+
+  /** STUB frame sampling for "video"-shaped payloads: every `stride`-th
+    * byte as one "frame" id. Real frame extraction replaces the
+    * expression; the explode/partitioning shape is what is being tested.
+    */
+  def sampledFrames(df: DataFrame, idCol: String, binCol: String, stride: Int = 64): DataFrame =
+    df.select(col(idCol),
+        explode(sequence(lit(0),
+          floor((octet_length(col(binCol)) - 1) / stride).cast("int"))).as("frame_no"))
+}
