@@ -123,10 +123,14 @@ object SparkEntry {
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
-  /** Left-anti join: customers with no orders. */
+  /** Left-anti join: customers with no urgent order (the predicate keeps
+    * the result non-empty on this data — every customer has SOME order).
+    */
   def q12AntiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Rollup (grouping-sets family) over flag × status. */
@@ -345,7 +349,9 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q12_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
         |       COUNT(*) AS n

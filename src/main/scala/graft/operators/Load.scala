@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink operators (SURVEY.md §2.1 S4/S6/S7/S9).
+  *
+  * The reference's sinks are CSV files (ETL.py:128-129) and SQLite
+  * appends through row-wise INSERTs (ETL.py:274-275). Here:
+  *   - engine-internal handoffs don't exist (one lazy plan);
+  *   - CSV sink kept for interchange;
+  *   - the relational table becomes a catalog-registered (partitioned)
+  *     parquet table — `saveAsTable` carries the DDL (schema-on-write);
+  *   - append mode is the `if_exists='append'` analog.
+  *
+  * 100 TB posture: always partition fact-shaped outputs by a
+  * low-cardinality time column so downstream reads prune partitions;
+  * never coalesce(1) outside tests.
+  */
+object Load {
+
+  /** S4: header CSV, overwrite (the reference's to_csv(index=False)). */
+  def csvSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S7: parquet append, optionally hive-style partitioned. */
+  def parquetAppend(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S6: named catalog table (CREATE TABLE IF NOT EXISTS + append). */
+  def appendToTable(df: DataFrame, table: String): Unit = {
+    val exists = df.sparkSession.catalog.tableExists(table)
+    df.write.mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Load
+
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df2 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+    .toDF("id", "v", "d")
+
+  test("csv sink round-trips with header") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/out"
+    Load.csvSink(df2, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() === 2)
+    assert(back.columns.toSeq === Seq("id", "v", "d"))
+  }
+
+  test("parquet append accumulates and partition pruning works") {
+    val dir = Files.createTempDirectory("graft-parq").toString + "/out"
+    Load.parquetAppend(df2, dir, Seq("d"))
+    Load.parquetAppend(df2.filter(col("id") === 1L), dir, Seq("d"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    // partition filter must prune to the one directory
+    val pruned = back.filter(col("d") === "2024-01-02")
+    assert(pruned.count() === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.inputFiles.length === 1)
+  }
+
+  test("appendToTable creates then appends to a catalog table") {
+    spark.sql("DROP TABLE IF EXISTS graft_load_spec")
+    Load.appendToTable(df2.drop("d"), "graft_load_spec")
+    Load.appendToTable(df2.drop("d"), "graft_load_spec")
+    assert(spark.table("graft_load_spec").count() === 4)
+    spark.sql("DROP TABLE IF EXISTS graft_load_spec")
+  }
+}
