@@ -248,6 +248,57 @@ object SparkEntry {
         "payload", dim = 8)
       .select(col("doc_id"), col("features"))
 
+  /** Set operators: error-but-never-purchase users via EXCEPT, plus
+    * INTERSECT of signup/purchase user sets (SURVEY.md §2.5).
+    */
+  def q33SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val exceptSet = users("error").except(users("purchase"))
+      .withColumn("which", lit("error_only"))
+    val intersectSet = users("signup").intersect(users("purchase"))
+      .withColumn("which", lit("signup_and_purchase"))
+    exceptSet.unionByName(intersectSet)
+  }
+
+  /** Global order-by + limit (total order, deterministic tie-break). */
+  def q34TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  /** CUBE over flag x status (full grouping-sets family with q13). */
+  def q35Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+
+  /** Scalar math functions in an aggregate (ln/sqrt/pow/abs/greatest). */
+  def q36MathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(sum(log(lit(1.0) + col("l_discount"))), 6).as("sum_log_disc"),
+      round(avg(sqrt(col("l_quantity"))), 6).as("avg_sqrt_qty"),
+      round(sum(pow(col("l_tax"), 2)), 6).as("sum_tax_sq"),
+      round(max(abs(col("l_discount") - lit(0.04))), 6).as("max_abs_ctr"))
+
+  /** Pivot: per-day event counts pivoted to one column per event type. */
+  def q37Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("signup", "purchase", "error", "click", "view")
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+  }
+
+  /** Exact interpolated percentiles (quartiles of extended price). */
+  def q38Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+      round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+      round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -282,6 +333,12 @@ object SparkEntry {
     "q30_approx_distinct" -> (q30ApproxDistinct _),
     "q31_media_meta" -> (q31MediaMeta _),
     "q32_media_features" -> (q32MediaFeatures _),
+    "q33_set_ops" -> (q33SetOps _),
+    "q34_top_orders" -> (q34TopOrders _),
+    "q35_cube" -> (q35Cube _),
+    "q36_math_funcs" -> (q36MathFuncs _),
+    "q37_pivot" -> (q37Pivot _),
+    "q38_percentiles" -> (q38Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -463,5 +520,41 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha
         |FROM documents""".stripMargin,
+    "q33_set_ops" ->
+      """SELECT user_id, 'error_only' AS which FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') a
+        |UNION ALL
+        |SELECT user_id, 'signup_and_purchase' AS which FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b""".stripMargin,
+    "q34_top_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q35_cube" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q36_math_funcs" ->
+      """SELECT ROUND(SUM(LN(1.0 + l_discount)), 6) AS sum_log_disc,
+        |       ROUND(AVG(SQRT(l_quantity)), 6) AS avg_sqrt_qty,
+        |       ROUND(SUM(POW(l_tax, 2)), 6) AS sum_tax_sq,
+        |       ROUND(MAX(ABS(l_discount - 0.04)), 6) AS max_abs_ctr
+        |FROM lineitem""".stripMargin,
+    "q37_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem""".stripMargin,
   )
 }
