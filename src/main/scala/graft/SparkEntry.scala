@@ -299,6 +299,22 @@ object SparkEntry {
       round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
       round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"))
 
+  /** Bucketed range join (no equi key): purchases within the 60 s
+    * preceding each error event, counted per error.
+    */
+  def q39RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val pairs = operators.Joins.rangeJoinBucketed(errors, "e_ts", purchases, "p_ts", 60L)
+    val counts = pairs.groupBy(col("e_id")).agg(count(lit(1)).as("n_recent_purchases"))
+    errors.join(counts, Seq("e_id"), "left")
+      .select(col("e_id").as("event_id"),
+        coalesce(col("n_recent_purchases"), lit(0L)).as("n_recent_purchases"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -339,6 +355,7 @@ object SparkEntry {
     "q36_math_funcs" -> (q36MathFuncs _),
     "q37_pivot" -> (q37Pivot _),
     "q38_percentiles" -> (q38Percentiles _),
+    "q39_range_join" -> (q39RangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,5 +573,12 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
         |FROM lineitem""".stripMargin,
+    "q39_range_join" ->
+      """SELECT e.event_id,
+        |       COALESCE(COUNT(p.event_id), 0) AS n_recent_purchases
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON epoch_us(p.ts) >= epoch_us(e.ts) - 60000000 AND epoch_us(p.ts) <= epoch_us(e.ts)
+        |GROUP BY e.event_id""".stripMargin,
   )
 }

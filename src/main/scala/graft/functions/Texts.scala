@@ -46,20 +46,44 @@ object Texts {
   )
 
   /** Language-ID heuristic: argmax of marker-lexicon hit counts, ties and
-    * zero-hit rows -> "und" (undetermined). Pure expression: a greatest()
-    * over per-language scores.
+    * zero-hit rows -> "und" (undetermined).
+    *
+    * Shaped to tokenize ONCE: a single `aggregate` fold over the token
+    * array accumulates all per-language counters into one struct, then the
+    * argmax is a cheap struct-field comparison. (The naive greatest-of-
+    * scores formulation re-evaluates the tokenization per score reference
+    * — the [[collapse-project inlining]] trap, see MinHashSig scaladoc.)
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      (lang, wordHitCount(text, words))
-    }
-    val best = greatest(scores.map(_._2): _*)
-    // first (alphabetical) language achieving the max — deterministic ties
-    scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
-      val hit = (s === best) && (best > 0)
+  /** Per-language marker-hit counters as ONE struct, built in a single
+    * fold over the token array (one tokenization, one pass).
+    */
+  def langScores(text: Column): Column = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val zero = struct(langs.map { case (l, _) => lit(0).as(l) }: _*)
+    aggregate(tokens(text), zero, (acc, t) =>
+      struct(langs.map { case (l, words) =>
+        (acc.getField(l) + when(t.isInCollection(words), 1).otherwise(0)).as(l)
+      }: _*))
+  }
+
+  /** Argmax over a langScores struct ATTRIBUTE. Keep the scores in their
+    * own projection (`.select(langScores(...).as("sc")).select(
+    * langIdFromScores(col("sc")))`): this function references the struct
+    * many times, and only a multi-referenced non-cheap alias survives
+    * CollapseProject un-inlined. A single-expression formulation
+    * re-evaluates the fold per reference (no CSE in interpreted HOFs).
+    */
+  def langIdFromScores(scores: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = greatest(langs.map(scores.getField): _*)
+    langs.foldLeft(Option.empty[Column]) { case (acc, lang) =>
+      val hit = (scores.getField(lang) === best) && (best > 0)
       Some(acc.fold(when(hit, lang))(_.when(hit, lang)))
     }.get.otherwise(lit("und"))
   }
+
+  /** One-shot convenience (fine for small frames / tests). */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 
   /** Document fingerprint: full-content SHA-256 (exact-dup key that is
     * shuffle-friendly at 100 TB — 32 bytes instead of the whole text).

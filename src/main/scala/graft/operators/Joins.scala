@@ -31,6 +31,22 @@ object Joins {
   def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
     dims.foldLeft(fact) { case (acc, (dim, cond)) => acc.join(broadcast(dim), cond) }
 
+  /** Skew-salted equi join: the skewed left side gets a deterministic
+    * salt (hash of a high-cardinality column mod `buckets`); the compact
+    * right side is replicated once per salt value. Result is identical to
+    * the plain join, but a hot key's rows spread over `buckets` reducers
+    * instead of one. (AQE's skew-join handles sort-merge skew
+    * automatically; explicit salting remains the tool for skewed
+    * AGGREGATIONS and for deterministic partition sizing.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 highCardCol: String, buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(xxhash64(col(highCardCol)), lit(buckets)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Backward as-of join, composed from built-ins (preference order (a) of
     * the custom-operator ladder): for each left event, the most recent
     * right event with rightTs <= leftTs, per key.
@@ -46,6 +62,36 @@ object Joins {
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(asOfName, max(when(isRight, col(tsCol))).over(w))
+  }
+
+  /** Bucketed range join: pairs (l, r) with r's timestamp in
+    * [l.ts - tolerance, l.ts] and NO equi key. The naive plan for a pure
+    * range predicate is a nested-loop cross join — O(n*m). Bucketing by
+    * `tolerance`-wide time buckets turns it into an equi join: the left
+    * side explodes into the (at most 2) buckets that can contain matches,
+    * the right side keeps its single bucket, and the exact range predicate
+    * filters the bucket-equal candidates. Shuffle is on the bucket key;
+    * candidate volume is matches + O(rows) — the 100 TB shape.
+    *
+    * Caller supplies frames with disjoint column names; returns the inner
+    * pairs.
+    */
+  def rangeJoinBucketed(left: DataFrame, leftTs: String,
+                        right: DataFrame, rightTs: String,
+                        toleranceSeconds: Long): DataFrame = {
+    val tolUs = toleranceSeconds * 1000000L
+    def bucketOf(us: Column): Column = floor(us / tolUs).cast("long")
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bucket",
+        explode(array(bucketOf(col("__lus")), bucketOf(col("__lus")) - 1)))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bucket", bucketOf(col("__rus")))
+    l.join(r,
+        l("__bucket") === r("__bucket") &&
+          col("__rus") >= col("__lus") - tolUs && col("__rus") <= col("__lus"))
+      .drop("__lus", "__rus", "__bucket")
   }
 
   /** Gap-based sessionization: a new session starts when the gap from the

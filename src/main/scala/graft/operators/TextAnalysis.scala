@@ -48,7 +48,8 @@ object TextAnalysis {
     */
   def langIdDist(documents: DataFrame): DataFrame =
     documents
-      .select(Texts.langId(col("text")).as("lang_pred"))
+      .select(Texts.langScores(col("text")).as("sc")) // own projection: fold once
+      .select(Texts.langIdFromScores(col("sc")).as("lang_pred"))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n"))
 

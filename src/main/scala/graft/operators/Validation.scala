@@ -52,6 +52,27 @@ object Validation {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Zero-extra-scan gate: attach the checks as `observe()` metrics so
+    * they are computed as a side effect of whatever action consumes the
+    * frame (e.g. the sink write) — at 100 TB the validation costs nothing
+    * beyond the write itself. Call `assertClean` AFTER the action.
+    */
+  def observed(df: DataFrame, checks: Seq[Check], name: String = "graft_checks"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c => count(when(c.violation, lit(1))).as(c.name))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Throws ValidationException if any observed check saw violations. */
+  def assertClean(obs: org.apache.spark.sql.Observation, checks: Seq[Check]): Unit = {
+    val m = obs.get
+    val failed = checks.filter(c => m(c.name).asInstanceOf[Long] > 0)
+    if (failed.nonEmpty)
+      throw ValidationException("validation failed — " +
+        failed.map(c => s"${c.name}: ${m(c.name)} violations").mkString("; "))
+  }
+
   /** Fail-stop gate: returns df if clean, else throws with samples. */
   def enforce(df: DataFrame, checks: Seq[Check], sampleN: Int = 5): DataFrame = {
     val row = report(df, checks).head()

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Validation}
+import graft.plans.GraftExtensions
+
+/** Specs for the scale-posture operators: bucketed range join, salted
+  * join, observe()-based validation, bucketed co-located joins,
+  * session_window vs composed sessionize parity, SQL function
+  * registration.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rangeJoinBucketed equals the naive range join") {
+    val l = Seq((1L, "2024-01-01 10:01:00"), (2L, "2024-01-01 11:00:00"))
+      .toDF("e_id", "ts_s").withColumn("e_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = Seq(
+      (10L, "2024-01-01 10:00:30"), // within 60s of e1
+      (11L, "2024-01-01 10:01:00"), // equal boundary -> match
+      (12L, "2024-01-01 10:00:00"), // exactly -60s boundary -> match
+      (13L, "2024-01-01 10:02:00"), // after e1 -> no
+      (14L, "2024-01-01 10:59:30")  // within 60s of e2
+    ).toDF("p_id", "ts_s").withColumn("p_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Joins.rangeJoinBucketed(l, "e_ts", r, "p_ts", 60L)
+      .select("e_id", "p_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.crossJoin(r)
+      .filter(unix_micros(col("p_ts")).between(
+        unix_micros(col("e_ts")) - 60000000L, unix_micros(col("e_ts"))))
+      .select("e_id", "p_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 14L)))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val fact = (1 to 100).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Joins.saltedJoin(fact, dim, "k", "v", 8).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("observe()-based validation gates on the sink action itself") {
+    val dir = Files.createTempDirectory("graft-obs").toString + "/out"
+    val dirty = Seq((10.0, 1.0), (99.0, 2.0)).toDF("t", "w")
+    val checks = Seq(Validation.InRange("t", -50, 50): Validation.Check)
+    val (observed, obs) = Validation.observed(dirty, checks)
+    observed.write.mode("overwrite").parquet(dir) // the ONLY scan
+    val e = intercept[Validation.ValidationException] {
+      Validation.assertClean(obs, checks)
+    }
+    assert(e.getMessage.contains("range_t: 1"))
+    // data still landed (observe is monitoring, not a filter) — caller
+    // decides whether to quarantine the written output
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    a.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), Seq("k"))
+    assert(joined.count() === 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+  }
+
+  test("built-in session_window agrees with composed sessionize") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:10:00", 2L),
+      (1L, "2024-01-01 12:00:00", 3L), // clear gap -> session 2
+      (2L, "2024-01-01 09:00:00", 4L)
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val builtIn = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val composed = Joins.sessionize(df, "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(builtIn === composed)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b')) AS h, minhash_sig(array('a','b'), 4) AS s")
+      .head()
+    assert(r.getLong(0) !== 0L)
+    assert(r.getSeq[Long](1).size === 4)
+    // same fingerprint via SQL and via the Column API
+    import graft.plans.SimHash64.simhash64
+    val viaCol = Seq(Seq("a", "b")).toDF("t").select(simhash64(col("t"))).head().getLong(0)
+    assert(r.getLong(0) === viaCol)
+  }
+}
