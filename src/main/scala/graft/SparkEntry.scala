@@ -315,6 +315,28 @@ object SparkEntry {
         coalesce(col("n_recent_purchases"), lit(0L)).as("n_recent_purchases"))
   }
 
+  /** Composite pipeline (the reference transform chain end-to-end on the
+    * events analog): daily agg -> Beaufort bucket of the daily mean ->
+    * fan-out join to per-(day, type) detail.
+    */
+  def q40WeatherPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(round(avg(col("value")), 6).as("avg_value"))
+      .withColumn("wind_strength", Winds.windStrength(col("avg_value")))
+    val detail = ev.select(to_date(col("ts")).as("d"), col("event_type")).distinct()
+    Joins.fanoutLeft(daily, detail, "d")
+      .select(col("d"), col("avg_value"), col("wind_strength"), col("event_type"))
+  }
+
+  /** Typed Aggregator UDAF: quantity-weighted mean price per flag. */
+  def q41WeightedMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(
+        functions.TypedAggs.weightedMeanUdaf(col("l_extendedprice"), col("l_quantity")),
+        6).as("wmean_price"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -356,6 +378,8 @@ object SparkEntry {
     "q37_pivot" -> (q37Pivot _),
     "q38_percentiles" -> (q38Percentiles _),
     "q39_range_join" -> (q39RangeJoin _),
+    "q40_weather_pipeline" -> (q40WeatherPipeline _),
+    "q41_weighted_mean" -> (q41WeightedMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -580,5 +604,19 @@ object SparkEntry {
         |LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON epoch_us(p.ts) >= epoch_us(e.ts) - 60000000 AND epoch_us(p.ts) <= epoch_us(e.ts)
         |GROUP BY e.event_id""".stripMargin,
+    "q40_weather_pipeline" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS avg_value
+         |  FROM events GROUP BY 1),
+         |buck AS (
+         |  SELECT d, avg_value, ${Winds.windStrengthSql("avg_value")} AS wind_strength
+         |  FROM daily),
+         |detail AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events)
+         |SELECT buck.d AS d, buck.avg_value, buck.wind_strength, detail.event_type
+         |FROM buck LEFT JOIN detail ON buck.d = detail.d""".stripMargin,
+    "q41_weighted_mean" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wmean_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -64,7 +64,17 @@ case class MinHashSig(child: Expression, k: Int)
 
 object MinHashSig {
   import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.functions._
 
   def minhashSig(tokens: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), k))
+
+  /** Jaccard ESTIMATE from two signatures: fraction of agreeing slots —
+    * the MinHash property the LSH banding relies on.
+    */
+  def minhash_sig_est(a: Column, b: Column, k: Int): Column =
+    aggregate(
+      zip_with(minhashSig(a, k), minhashSig(b, k),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
 }

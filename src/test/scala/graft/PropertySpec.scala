@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.functions.Winds
+import graft.operators.Validation
+
+/** Property tests (SURVEY.md §5.3), seeded-random style (the
+  * scalatest/scalacheck bridge isn't in the offline cache): totality and
+  * monotonicity of Beaufort bucketing, dedup idempotence, gate soundness.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val labels = Winds.beaufortScale.map(_._2) :+ Winds.beaufortTop
+
+  test("beaufort bucketing is total and monotone in speed") {
+    for (_ <- 1 to 10) {
+      val speeds = Seq.fill(25)(rnd.nextDouble() * 65.0 - 5.0).sorted
+      val idx = speeds.toDF("s").select(Winds.windStrength(col("s")))
+        .collect().map(r => labels.indexOf(r.getString(0))).toSeq
+      assert(idx.forall(_ >= 0), s"unmapped speed in $speeds")
+      assert(idx.zip(idx.tail).forall { case (a, b) => a <= b },
+        s"non-monotone buckets $idx for $speeds")
+    }
+  }
+
+  test("dropDuplicates is idempotent and matches Scala distinct") {
+    for (_ <- 1 to 10) {
+      val xs = List.fill(30)(rnd.nextInt(6))
+      val once = xs.toDF("x").dropDuplicates()
+      val twice = once.dropDuplicates()
+      assert(once.collect().map(_.getInt(0)).sorted.toSeq ===
+        twice.collect().map(_.getInt(0)).sorted.toSeq)
+      assert(once.count() === xs.distinct.size)
+    }
+  }
+
+  test("validation gate passes iff no violating row exists") {
+    val checks = Seq(Validation.InRange("t", 0, 10): Validation.Check)
+    for (_ <- 1 to 10) {
+      val ts = List.fill(10)(rnd.nextDouble() * 20.0 - 5.0)
+      val hasViolation = ts.exists(t => t < 0 || t > 10)
+      val threw =
+        try { Validation.enforce(ts.toDF("t"), checks); false }
+        catch { case _: Validation.ValidationException => true }
+      assert(threw === hasViolation, s"gate mismatch for $ts")
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    import graft.plans.MinHashSig.minhash_sig_est
+    for (trial <- 1 to 5) {
+      val common = Seq.tabulate(20)(i => s"c$i")
+      val aOnly = Seq.tabulate(trial * 4)(i => s"a$i")
+      val bOnly = Seq.tabulate(trial * 4)(i => s"b$i")
+      val exact = common.size.toDouble / (common.size + aOnly.size + bOnly.size)
+      val df = Seq((common ++ aOnly, common ++ bOnly)).toDF("a", "b")
+      val est = df.select(minhash_sig_est(col("a"), col("b"), 256)).head().getDouble(0)
+      assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
+    }
+  }
+}
