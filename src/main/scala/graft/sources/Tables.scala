@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,4 +69,32 @@ object Tables {
   /** CSV scan with the explicit weather schema (S3). */
   def weatherCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(weatherCsvSchema).option("header", "true").csv(path)
+
+  /** Typed core record at the ingest boundary (SURVEY.md §1 decision):
+    * compile-time field checks for the columns the pipeline actually
+    * consumes; everything downstream stays DataFrame.
+    */
+  final case class WeatherObservation(
+      formattedDate: String,
+      summary: String,
+      precipType: Option[String],
+      temperatureC: Option[Double],
+      humidity: Option[Double],
+      windSpeedKmh: Option[Double],
+      visibilityKm: Option[Double],
+      pressureMillibars: Option[Double])
+
+  def weatherTyped(spark: SparkSession, path: String): Dataset[WeatherObservation] = {
+    import spark.implicits._
+    weatherCsv(spark, path).select(
+      col("Formatted Date").as("formattedDate"),
+      col("Summary").as("summary"),
+      col("Precip Type").as("precipType"),
+      col("Temperature (C)").as("temperatureC"),
+      col("Humidity").as("humidity"),
+      col("Wind Speed (km/h)").as("windSpeedKmh"),
+      col("Visibility (km)").as("visibilityKm"),
+      col("Pressure (millibars)").as("pressureMillibars")
+    ).as[WeatherObservation]
+  }
 }

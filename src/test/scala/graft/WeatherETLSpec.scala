@@ -44,6 +44,18 @@ class WeatherETLSpec extends SparkSpec {
     assert(may.getAs[String]("mode_precip_type") === null) // all-null group
   }
 
+  test("typed ingest boundary maps nulls to Options") {
+    val ds = graft.sources.Tables.weatherTyped(spark, csv)
+    val rows = ds.collect()
+    assert(rows.length === 7) // raw rows, pre-dedup
+    val broken = rows.find(_.formattedDate == "not-a-timestamp").get
+    assert(broken.precipType === Some("rain"))
+    val nullTemp = rows.find(_.temperatureC.isEmpty)
+    assert(nullTemp.isDefined) // the imputation-target row
+    val may = rows.find(_.formattedDate.startsWith("2006-05-01")).get
+    assert(may.precipType === None)
+  }
+
   test("validation gate trips on out-of-range data") {
     import spark.implicits._
     val bad = Seq((60.0, 0.5, 3.0)).toDF("temperature_c", "humidity", "wind_speed_kmh")
