@@ -172,8 +172,8 @@ object SparkEntry {
   def q18Fingerprint(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.fingerprints(Tables.documents(spark, dir))
 
-  /** Language-ID heuristic distribution — rows-only (our own classifier,
-    * no oracle form).
+  /** Language-ID heuristic distribution (marker-lexicon argmax,
+    * alphabetical-first ties, 'und' on zero hits).
     */
   def q19LangId(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.langIdDist(Tables.documents(spark, dir))
@@ -246,7 +246,8 @@ object SparkEntry {
     operators.Multimodal.withStubFeatures(
         Tables.documents(spark, dir).withColumn("payload", col("text").cast("binary")),
         "payload", dim = 8)
-      .select(col("doc_id"), col("features"))
+      .select(col("doc_id"),
+        transform(col("features"), f => round(f, 6)).as("features"))
 
   /** Set operators: error-but-never-purchase users via EXCEPT, plus
     * INTERSECT of signup/purchase user sets (SURVEY.md §2.5).
@@ -337,6 +338,20 @@ object SparkEntry {
         functions.TypedAggs.weightedMeanUdaf(col("l_extendedprice"), col("l_quantity")),
         6).as("wmean_price"))
 
+  /** IVF ANN (k-means coarse quantizer + in-cell exact re-rank) —
+    * rows-only: cell assignment depends on the trained quantizer.
+    */
+  def q43IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.ivfTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
+
+  /** Two-phase exact distinct-count (skew-safe shape; same semantics and
+    * oracle as q14, different physical plan).
+    */
+  def q42TwoPhaseDistinct(spark: SparkSession, dir: String): DataFrame =
+    Aggregates.distinctCountTwoPhase(
+      Tables.events(spark, dir), col("event_type"), col("user_id"),
+      "event_type", "n_users")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -380,6 +395,8 @@ object SparkEntry {
     "q39_range_join" -> (q39RangeJoin _),
     "q40_weather_pipeline" -> (q40WeatherPipeline _),
     "q41_weighted_mean" -> (q41WeightedMean _),
+    "q42_two_phase_distinct" -> (q42TwoPhaseDistinct _),
+    "q43_ivf_ann" -> (q43IvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -557,6 +574,28 @@ object SparkEntry {
         |               / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
         |WHERE jaccard >= 0.9""".stripMargin,
+    "q19_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','es','en','un'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS fr
+        |  FROM t)
+        |SELECT CASE
+        |  WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+        |  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+        |  WHEN es >= fr AND es > 0 THEN 'es'
+        |  WHEN fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred, COUNT(*) AS n
+        |FROM s GROUP BY 1""".stripMargin,
+    "q32_media_features" ->
+      """SELECT doc_id,
+        |       list_transform(range(1, 9),
+        |         i -> round(ascii(substr(text, CAST(i AS INT), 1)) / 255.0, 6)) AS features
+        |FROM documents""".stripMargin,
     "q31_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha
@@ -618,5 +657,8 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wmean_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q42_two_phase_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

@@ -69,4 +69,16 @@ object Aggregates {
     */
   def imputeMedians(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.fill(medians(df, cols))
+
+  /** Scalable exact distinct-count: phase 1 dedups on (key, value) —
+    * partial-aggregated map-side, so a hot key's values spread across all
+    * reducers — phase 2 counts per key. Same result as `countDistinct`,
+    * which funnels each key's whole value set through one reducer's
+    * hash set; at 100 TB with skewed keys this shape is the difference
+    * between finishing and OOM.
+    */
+  def distinctCountTwoPhase(df: DataFrame, key: Column, value: Column,
+                            outKey: String, outCount: String): DataFrame =
+    df.select(key.as(outKey), value.as("__v")).distinct()
+      .groupBy(col(outKey)).agg(count(lit(1)).as(outCount))
 }

@@ -64,6 +64,57 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (MLlib, fixed seed) assigns every vector to one of `nlist` cells;
+    * each probe searches only its `nprobe` nearest cells, with exact
+    * cosine re-rank inside them. The scale path for ANN when hyperplane
+    * LSH recall is insufficient: candidate volume ~ N * nprobe / nlist.
+    * At 100 TB the quantizer trains on a sample (KMeans does this
+    * internally per partition aggregation); assignment is one broadcast
+    * of nlist centroids + a narrow map.
+    */
+  def ivfTopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int,
+              nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.select(col("fv")))
+    val assigned = model.transform(e).drop("fv")
+
+    // probes are few by contract: their vectors + nprobe nearest cells
+    // are computed driver-side (centroids are nlist x dim — tiny)
+    val centers = model.clusterCenters.map(_.toArray)
+    val probes = assigned.filter(col("vec_id").isin(probeVecIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probeCells = probes.flatMap { case (pid, pv) =>
+      centers.zipWithIndex
+        .map { case (c, ci) => (ci, l2Dist(pv, c)) }
+        .sortBy(_._2).take(nprobe)
+        .map { case (ci, _) => (pid, ci, pv) }
+    }.toSeq.toDF("probe_id", "cell", "qv")
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rn"))
+  }
+
+  private def l2Dist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   /** Approximate top-k per probe vector: bucket everything with
     * `nPlanes` hyperplanes, exact cosine re-rank only within the bucket.
     * At scale: one shuffle on bucket id; bucket sizes are ~N/2^nPlanes.

@@ -61,6 +61,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(0).getDouble(2) > 0.999)
   }
 
+  test("ivfTopK finds the nearly-parallel vector in the probe's cell") {
+    val got = Similarity.ivfTopK(vecs, Seq(0L), k = 2, nlist = 2, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L)) // near-parallel vector shares the k-means cell
+  }
+
   test("lshTopK candidates agree with brute force within the bucket") {
     val got = Similarity.lshTopK(vecs, Seq(0L), k = 2, nPlanes = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
