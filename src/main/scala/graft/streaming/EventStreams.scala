@@ -46,6 +46,68 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: the static side is a dimension
+    * lookup, re-read per micro-batch by Spark (so dim updates between
+    * batches are picked up); broadcast automatically when small.
+    */
+  def enrichedWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  final case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Open-session state for closedSessions (object-level: method-local
+    * case classes don't get stable Encoders).
+    */
+  final case class Open(n: Long, startUs: Long, endUs: Long)
+
+  /** Event-time session windows emitted ON CLOSE via
+    * flatMapGroupsWithState + event-time timeout: state per user is one
+    * open session (O(1)); a session is emitted when the watermark passes
+    * its gap timeout. The streaming twin of `Joins.sessionize`.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+                     gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    events
+      .withWatermark("ts", "10 minutes")
+      // the watermarked ts column must survive up to the stateful op —
+      // projecting it away fails the streaming plan check
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Open, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.startUs, s.endUs))
+          } else {
+            val gapUs = gapSeconds * 1000000L
+            var closed = List.empty[SessionOut]
+            var open = state.getOption
+            rows.map(_._3).toSeq.sorted.foreach { us =>
+              open match {
+                case Some(o) if us - o.endUs <= gapUs =>
+                  open = Some(o.copy(n = o.n + 1, endUs = us))
+                case Some(o) =>
+                  closed ::= SessionOut(uid, o.n, o.startUs, o.endUs)
+                  open = Some(Open(1L, us, us))
+                case None =>
+                  open = Some(Open(1L, us, us))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.endUs + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Custom stateful operator: per-user running (count, sum) via

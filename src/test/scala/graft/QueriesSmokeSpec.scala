@@ -1,0 +1,27 @@
+package graft
+
+/** Smoke guard: every registered query must run at sf0.001 and keep its
+  * oracle column names resolvable — catches accidental breakage of the
+  * driver contract between rounds (the driver only smoke-checks entry()).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without query impl: $orphans")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

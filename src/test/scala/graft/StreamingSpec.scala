@@ -48,6 +48,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with the dimension") {
+    val dir = streamDir()
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrichedWithDim(
+        EventStreams.readEventStream(spark, dir), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val tiers = spark.table("enriched").select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(tiers(1L) === "gold")
+      assert(tiers(3L) === "basic")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits sessions when the watermark closes them") {
+    val dir = streamDir()
+    val q = EventStreams.closedSessions(spark, EventStreams.readEventStream(spark, dir), 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past all first-batch sessions
+      Seq((99L, "2024-01-02 00:00:00", 9L, "a", 0.0, "{}"))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // extra batch so timeout fires after watermark update
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1: 10:10 then 10:50 — 40 min gap > 30 min threshold, so two
+      // sessions: {10:10} and {10:50 x2}; user 2: one single-event session
+      assert(got.contains((1L, 1L)))
+      assert(got.contains((1L, 2L)))
+      assert(got.contains((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     val dir = streamDir()
     val q = EventStreams.runningUserTotals(spark, EventStreams.readEventStream(spark, dir))
