@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * All-null/empty input array -> null signature.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,8 +34,33 @@ case class MinHashSig(child: Expression, k: Int)
         TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string> and k>0, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  /** Whole-stage codegen: a static call into the same tight loop —
+    * no per-row InternalRow boxing (which CodegenFallback would cost),
+    * and the surrounding operators stay in one codegen span.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.MinHashSig.compute($c, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.graft.ColumnBridge
+  import org.apache.spark.sql.functions._
+
+  /** Shared by interpreted eval and generated code (static call target). */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill[Long](k)(Long.MaxValue)
     var any = false
@@ -55,16 +80,6 @@ case class MinHashSig(child: Expression, k: Int)
     }
     if (!any) null else new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash_sig"
-}
-
-object MinHashSig {
-  import org.apache.spark.sql.graft.ColumnBridge
-  import org.apache.spark.sql.functions._
 
   def minhashSig(tokens: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), k))

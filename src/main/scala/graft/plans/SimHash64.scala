@@ -2,9 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * surrounding plan stays in codegen. Deterministic — no seed state.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -36,15 +35,34 @@ case class SimHash64(child: Expression)
           s"simhash64 requires array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  /** Whole-stage codegen via a static call into the per-row loop (no
+    * CodegenFallback row boxing; output is a primitive long).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Shared by interpreted eval and generated code. xxHash64 (seed 42)
+    * per token — the same family as Spark's built-in `xxhash64`.
+    */
+  def compute(arr: ArrayData): Long = {
     val counters = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i)
-        val h = hash64(t)
+        val h = hash64(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
@@ -59,24 +77,12 @@ case class SimHash64(child: Expression)
       if (counters(j) > 0) out |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  /** xxHash64 (seed 42) over the token bytes — same family Spark's
-    * built-in `xxhash64` uses, via the public XXH64 implementation.
-    */
   private def hash64(s: UTF8String): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       s, StringType, 42L)
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
-}
-
-object SimHash64 {
-  import org.apache.spark.sql.graft.ColumnBridge
 
   /** Column-API entry point (Spark 4 Column <-> Expression bridge). */
   def simhash64(tokens: Column): Column =
