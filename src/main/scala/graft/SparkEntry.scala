@@ -344,6 +344,12 @@ object SparkEntry {
   def q43IvfAnn(spark: SparkSession, dir: String): DataFrame =
     operators.Similarity.ivfTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
 
+  /** Embedding-cosine near-dup dedup (hyperplane buckets + anchor) —
+    * rows-only: bucket boundaries are plane-specific.
+    */
+  def q44EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.embeddingNearDups(Tables.embeddings(spark, dir), minCos = 0.9)
+
   /** Two-phase exact distinct-count (skew-safe shape; same semantics and
     * oracle as q14, different physical plan).
     */
@@ -397,6 +403,7 @@ object SparkEntry {
     "q41_weighted_mean" -> (q41WeightedMean _),
     "q42_two_phase_distinct" -> (q42TwoPhaseDistinct _),
     "q43_ivf_ann" -> (q43IvfAnn _),
+    "q44_embedding_dedup" -> (q44EmbeddingDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -94,6 +94,29 @@ object Dedup {
     documents.join(dups, Seq("doc_id"), "left_anti")
   }
 
+  /** Embedding-cosine near-dup detection, same anchor shape as minhash:
+    * random-hyperplane buckets (near-parallel vectors share sign
+    * patterns) -> per-bucket anchor -> exact-cosine verify member vs
+    * anchor -> rep assignment. Candidates are O(rows x 1), never pairs.
+    * Multi-probe-style recall comes from using FEW planes (big buckets)
+    * — tune (nPlanes, minCos) together.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.99,
+                        nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.Vectors
+    val e = embeddings.select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), nPlanes, dim))
+    val anchors = e.groupBy(col("bucket")).agg(min(col("vec_id")).as("anchor"))
+    val verified = e.join(anchors, Seq("bucket"))
+      .filter(col("vec_id") > col("anchor"))
+      .join(e.select(col("vec_id").as("anchor"), col("v").as("av")), Seq("anchor"))
+      .withColumn("cosine", round(Vectors.cosine(col("v"), col("av")), 6))
+      .filter(col("cosine") >= minCos)
+    verified.groupBy(col("vec_id"))
+      .agg(min(col("anchor")).as("rep_id"), max(col("cosine")).as("cosine"))
+  }
+
   /** SimHash fingerprints (custom Catalyst expression) + hamming-bucket
     * near-dup pairs: candidates share at least one 16-bit quarter of the
     * fingerprint (pigeonhole: hamming <= 3 guarantees a shared quarter).

@@ -61,6 +61,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(0).getDouble(2) > 0.999)
   }
 
+  test("embeddingNearDups collapses near-parallel vectors to the anchor") {
+    val reps = Dedup.embeddingNearDups(vecs, minCos = 0.99, nPlanes = 2)
+      .select("vec_id", "rep_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.get(1L) === Some(0L)) // near-parallel pair collapses
+    assert(!reps.contains(2L)) // orthogonal decoy survives
+  }
+
   test("ivfTopK finds the nearly-parallel vector in the probe's cell") {
     val got = Similarity.ivfTopK(vecs, Seq(0L), k = 2, nlist = 2, nprobe = 1)
       .select("vec_id").collect().map(_.getLong(0)).toSet
