@@ -358,6 +358,45 @@ object SparkEntry {
       Tables.events(spark, dir), col("event_type"), col("user_id"),
       "event_type", "n_users")
 
+  /** q19 oracle, generated from Texts.langMarkers so the lexicons can't
+    * drift between the Scala classifier and the SQL: per-language hit
+    * counts, then the alphabetical-first argmax (> 0) else 'und' —
+    * exactly Texts.langIdFromScores' when-chain.
+    */
+  private def langIdOracleSql: String = {
+    val langs = functions.Texts.langMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(toks, x -> x IN ($list))) AS $l"
+    }.mkString(",\n  ")
+    val cases = langs.zipWithIndex.map { case ((l, _), i) =>
+      val laterGe = langs.drop(i + 1).map { case (o, _) => s"$l >= $o AND " }.mkString
+      s"WHEN $laterGe$l > 0 THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scoreCols
+       |  FROM t)
+       |SELECT CASE
+       |  $cases
+       |  ELSE 'und' END AS lang_pred, COUNT(*) AS n
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
+  /** Explicit GROUPING SETS (the general grouping-sets form beyond
+    * rollup/cube): by flag, by status, and the grand total.
+    */
+  def q45GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM graft_li
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -404,6 +443,7 @@ object SparkEntry {
     "q42_two_phase_distinct" -> (q42TwoPhaseDistinct _),
     "q43_ivf_ann" -> (q43IvfAnn _),
     "q44_embedding_dedup" -> (q44EmbeddingDedup _),
+    "q45_grouping_sets" -> (q45GroupingSets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -581,23 +621,7 @@ object SparkEntry {
         |               / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
         |WHERE jaccard >= 0.9""".stripMargin,
-    "q19_lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','für','auf','ein'))) AS de,
-        |  len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS en,
-        |  len(list_filter(toks, x -> x IN ('el','la','los','las','de','que','y','es','en','un'))) AS es,
-        |  len(list_filter(toks, x -> x IN ('le','la','les','de','et','est','un','une','dans','pour'))) AS fr
-        |  FROM t)
-        |SELECT CASE
-        |  WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
-        |  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
-        |  WHEN es >= fr AND es > 0 THEN 'es'
-        |  WHEN fr > 0 THEN 'fr'
-        |  ELSE 'und' END AS lang_pred, COUNT(*) AS n
-        |FROM s GROUP BY 1""".stripMargin,
+    "q19_lang_id" -> langIdOracleSql,
     "q32_media_features" ->
       """SELECT doc_id,
         |       list_transform(range(1, 9),
@@ -667,5 +691,10 @@ object SparkEntry {
     "q42_two_phase_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q45_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
   )
 }
