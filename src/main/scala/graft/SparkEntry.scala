@@ -397,6 +397,16 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
   }
 
+  /** BPE-ish regex token counting per language (vs whitespace q16). */
+  def q46RegexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(functions.Texts.regexTokens(col("text"))).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        round(avg(col("n_toks")), 6).as("avg_tokens"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -444,6 +454,7 @@ object SparkEntry {
     "q43_ivf_ann" -> (q43IvfAnn _),
     "q44_embedding_dedup" -> (q44EmbeddingDedup _),
     "q45_grouping_sets" -> (q45GroupingSets _),
+    "q46_regex_tokens" -> (q46RegexTokens _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -696,5 +707,13 @@ object SparkEntry {
         |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q46_regex_tokens" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_toks
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |       ROUND(AVG(n_toks), 6) AS avg_tokens
+        |FROM d GROUP BY lang""".stripMargin,
   )
 }

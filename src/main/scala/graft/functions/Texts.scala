@@ -90,6 +90,23 @@ object Texts {
     */
   def fingerprintSha(text: Column): Column = sha2(text, 256)
 
+  /** BPE-ish sub-word tokenizer: lowercase, then words / digit runs /
+    * single punctuation marks as separate tokens — the shape an LLM-data
+    * token counter wants (whitespace counting undercounts code/punct-heavy
+    * text). Pure regex, codegen'd.
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Rolling-hash document fingerprint: minimum xxhash64 over the n-gram
+    * shingle stream (the winnowing/min-sampling idea collapsed to one
+    * value). Similar prefixes/windows -> likely-equal fingerprints; a
+    * compact near-dup blocking key where the full MinHash signature is
+    * overkill. Null for docs with fewer than n tokens.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+
   /** Token n-gram shingles: ["a","b","c"], n=2 -> ["a b", "b c"].
     * Empty result if the document has fewer than n tokens.
     */

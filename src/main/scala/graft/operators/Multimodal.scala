@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing ([ext], SURVEY.md §2.8): media payloads are
@@ -38,6 +38,14 @@ object Multimodal {
           i => conv(substring(col("__hex"), i * 2 + 1, lit(2)), 16, 10)
             .cast("double") / 255.0))
       .drop("__hex")
+
+  /** STUB resize: fix a feature vector to `n` dims — truncate long,
+    * zero-pad short (what an image-resize step does to the model-input
+    * shape; a real resampler replaces the expression).
+    */
+  def resizeFeatures(features: Column, n: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => coalesce(try_element_at(features, i + 1), lit(0.0))) // ANSI: element_at throws OOB
 
   /** STUB frame sampling for "video"-shaped payloads: every `stride`-th
     * byte as one "frame" id. Real frame extraction replaces the

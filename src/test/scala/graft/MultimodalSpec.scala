@@ -28,6 +28,14 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(3) - 108.0 / 255.0) < 1e-9)
   }
 
+  test("resize truncates long vectors and zero-pads short ones") {
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("features")
+    val shrunk = df.select(Multimodal.resizeFeatures(col("features"), 2)).head().getSeq[Double](0)
+    val grown = df.select(Multimodal.resizeFeatures(col("features"), 5)).head().getSeq[Double](0)
+    assert(shrunk === Seq(1.0, 2.0))
+    assert(grown === Seq(1.0, 2.0, 3.0, 0.0, 0.0))
+  }
+
   test("frame sampling yields one row per stride") {
     val frames = Multimodal.sampledFrames(media, "id", "payload", stride = 4)
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted

@@ -36,6 +36,21 @@ class TextsSpec extends SparkSpec {
     assert(got === "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
 
+  test("regexTokens splits words, digit runs, and punctuation") {
+    val got = Seq("Hello, world42! x").toDF("t")
+      .select(Texts.regexTokens(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("hello", ",", "world", "42", "!", "x"))
+  }
+
+  test("minShingleFingerprint: equal docs collide, short docs are null") {
+    val df = Seq("a b c d", "a b c d", "totally different words here", "a b").toDF("t")
+    val fps = df.select(Texts.minShingleFingerprint(col("t"), 3)).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    assert(fps(3) === None) // 2 tokens < shingle width 3
+  }
+
   test("wordHitCount preserves multiplicity") {
     val got = Seq("the the a x").toDF("t")
       .select(Texts.wordHitCount(col("t"), Seq("the", "a"))).head().getInt(0)
