@@ -57,10 +57,16 @@ object Dedup {
   def minhashNearDups(documents: DataFrame, shingleN: Int = 1, k: Int = 64,
                       bands: Int = 16, minJaccard: Double = 0.9): DataFrame = {
     val rows = k / bands
+    // repartition = an explicit exchange boundary: this frame is consumed
+    // three times (banding + both verification joins); identical subplans
+    // below an exchange are computed once and reused (ReuseExchange), so
+    // the tokenization doesn't run 3x. At scale this trades one narrow
+    // shuffle of (doc_id, shingles) for two recomputes.
     val toks = documents.select(
       col("doc_id"),
       array_distinct(Texts.shingles(col("text"), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
     // PERF: explode the band INDEX first and derive each band key from the
     // `sig` attribute. Building the key array in one expression
     // (transform(seq, b -> hash(slice(sig,..)))) re-evaluates the whole
