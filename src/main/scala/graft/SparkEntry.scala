@@ -407,6 +407,52 @@ object SparkEntry {
         sum(col("n_toks").cast("long")).as("n_tokens"),
         round(avg(col("n_toks")), 6).as("avg_tokens"))
 
+  /** Pricing-summary rollup (TPC-H Q1 shape): many aggregates incl.
+    * sample stddev/variance in one pass.
+    */
+  def q47PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(stddev_samp(col("l_discount")), 6).as("std_disc"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(lit(1)).as("n"))
+
+  /** Post-aggregation filter (HAVING). */
+  def q48Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 1000.0)
+
+  /** Conditional aggregation (CASE inside aggregates). */
+  def q49ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 100000.0, lit(1))).as("n_high"),
+        count(when(col("o_totalprice") <= 100000.0, lit(1))).as("n_low"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("sum_f_price"))
+
+  /** Correlated-subquery shape via a window: parts priced above their
+    * brand's average (no self-join, one shuffle on brand).
+    */
+  def q50AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(spark, dir)
+      .withColumn("brand_avg", avg(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(col("brand_avg"), 6).as("brand_avg"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -455,6 +501,10 @@ object SparkEntry {
     "q44_embedding_dedup" -> (q44EmbeddingDedup _),
     "q45_grouping_sets" -> (q45GroupingSets _),
     "q46_regex_tokens" -> (q46RegexTokens _),
+    "q47_pricing_summary" -> (q47PricingSummary _),
+    "q48_having" -> (q48Having _),
+    "q49_conditional_agg" -> (q49ConditionalAgg _),
+    "q50_above_brand_avg" -> (q50AboveBrandAvg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -715,5 +765,35 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |       ROUND(AVG(n_toks), 6) AS avg_tokens
         |FROM d GROUP BY lang""".stripMargin,
+    "q47_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |       ROUND(AVG(l_discount), 6) AS avg_disc,
+        |       ROUND(STDDEV_SAMP(l_discount), 6) AS std_disc,
+        |       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q48_having" ->
+      """SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey HAVING ROUND(SUM(l_quantity), 2) > 1000.0""".stripMargin,
+    "q49_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |       COUNT(CASE WHEN o_totalprice > 100000.0 THEN 1 END) AS n_high,
+        |       COUNT(CASE WHEN o_totalprice <= 100000.0 THEN 1 END) AS n_low,
+        |       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q50_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice, ROUND(brand_avg, 6) AS brand_avg
+        |FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |         AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+        |  FROM part) t
+        |WHERE p_retailprice > brand_avg""".stripMargin,
   )
 }
