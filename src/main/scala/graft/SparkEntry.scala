@@ -453,6 +453,43 @@ object SparkEntry {
         round(col("brand_avg"), 6).as("brand_avg"))
   }
 
+  /** EXISTS + date-range (TPC-H Q4 shape): order-priority counts for
+    * orders with at least one late lineitem, in a one-year window.
+    */
+  def q51ExistsDateRange(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li.filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** IN-subquery shape: lineitems of the 10 highest-value orders. */
+  def q52InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val topOrders = Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10).select(col("o_orderkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(topOrders), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+  }
+
+  /** Scalar-subquery shape: parts priced above the global average (the
+    * one-row aggregate is cross-joined / broadcast, not collected).
+    */
+  def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val globalAvg = p.agg(avg(col("p_retailprice")).as("global_avg"))
+    p.crossJoin(broadcast(globalAvg))
+      .filter(col("p_retailprice") > col("global_avg"))
+      .select(col("p_partkey"), col("p_retailprice"),
+        round(col("global_avg"), 6).as("global_avg"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -505,6 +542,9 @@ object SparkEntry {
     "q48_having" -> (q48Having _),
     "q49_conditional_agg" -> (q49ConditionalAgg _),
     "q50_above_brand_avg" -> (q50AboveBrandAvg _),
+    "q51_exists_daterange" -> (q51ExistsDateRange _),
+    "q52_in_subquery" -> (q52InSubquery _),
+    "q53_scalar_subquery" -> (q53ScalarSubquery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -795,5 +835,25 @@ object SparkEntry {
         |         AVG(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
         |  FROM part) t
         |WHERE p_retailprice > brand_avg""".stripMargin,
+    "q51_exists_daterange" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= TIMESTAMP '1995-06-01')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q52_in_subquery" ->
+      """SELECT l_orderkey, ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |GROUP BY l_orderkey""".stripMargin,
+    "q53_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice,
+        |       ROUND((SELECT AVG(p_retailprice) FROM part), 6) AS global_avg
+        |FROM part
+        |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)""".stripMargin,
   )
 }
