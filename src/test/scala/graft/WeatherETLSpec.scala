@@ -56,6 +56,19 @@ class WeatherETLSpec extends SparkSpec {
     assert(may.precipType === None)
   }
 
+  test("timestamp parse normalizes non-UTC offsets and nulls garbage") {
+    import spark.implicits._
+    val df = Seq(
+      "2006-04-01 02:00:00.000 +0200", // = midnight UTC
+      "2006-04-01 00:00:00.000 +0000",
+      "not a timestamp").toDF("Formatted Date")
+    val got = WeatherETL.parsed(df).select(org.apache.spark.sql.functions.col("ts"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getTimestamp(0).toInstant.toString)
+    assert(got(0) === "2006-04-01T00:00:00Z") // +0200 wall time -> UTC instant
+    assert(got(1) === "2006-04-01T00:00:00Z") // same instant
+    assert(got(2) === null)                   // coerce-to-null (ANSI-safe)
+  }
+
   test("validation gate trips on out-of-range data") {
     import spark.implicits._
     val bad = Seq((60.0, 0.5, 3.0)).toDF("temperature_c", "humidity", "wind_speed_kmh")
