@@ -490,6 +490,26 @@ object SparkEntry {
         round(col("global_avg"), 6).as("global_avg"))
   }
 
+  /** Decontamination: corpus minus a (stand-in) blocklist of eval docs. */
+  def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val blocklist = docs.filter(col("doc_id") < 50)
+    operators.Dedup.decontaminate(docs, blocklist)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Deterministic stratified sampling + split assignment — rows-only
+    * (hash-seed specific); fraction accuracy asserted in the spec.
+    */
+  def q55SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = operators.Sampling.stratified(
+      Tables.documents(spark, dir), "lang", "doc_id",
+      Map("es" -> 1.0, "de" -> 0.5, "zh" -> 0.25), defaultFraction = 0.1)
+    operators.Sampling.withSplit(sampled, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -545,6 +565,8 @@ object SparkEntry {
     "q51_exists_daterange" -> (q51ExistsDateRange _),
     "q52_in_subquery" -> (q52InSubquery _),
     "q53_scalar_subquery" -> (q53ScalarSubquery _),
+    "q54_decontaminate" -> (q54Decontaminate _),
+    "q55_sample_split" -> (q55SampleSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -855,5 +877,9 @@ object SparkEntry {
         |       ROUND((SELECT AVG(p_retailprice) FROM part), 6) AS global_avg
         |FROM part
         |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)""".stripMargin,
+    "q54_decontaminate" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE sha256(text) NOT IN (
+        |  SELECT sha256(text) FROM documents WHERE doc_id < 50)""".stripMargin,
   )
 }

@@ -100,6 +100,22 @@ object Dedup {
     documents.join(dups, Seq("doc_id"), "left_anti")
   }
 
+  /** Decontamination: drop corpus documents whose content fingerprint
+    * appears in a blocklist (e.g. eval-set documents) — THE standard
+    * training-data hygiene op. Anti join on the 32-byte SHA, so the
+    * shuffle never carries document text; blocklists are usually small
+    * enough to broadcast.
+    */
+  def decontaminate(corpus: DataFrame, blocklist: DataFrame,
+                    corpusText: String = "text", blockText: String = "text"): DataFrame = {
+    val blockedFps = blocklist
+      .select(sha2(col(blockText), 256).as("__fp")).distinct()
+    corpus
+      .withColumn("__fp", sha2(col(corpusText), 256))
+      .join(blockedFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Embedding-cosine near-dup detection, same anchor shape as minhash:
     * random-hyperplane buckets (near-parallel vectors share sign
     * patterns) -> per-bucket anchor -> exact-cosine verify member vs

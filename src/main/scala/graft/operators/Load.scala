@@ -28,6 +28,23 @@ object Load {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** JSON-lines sink/scan (interchange format; schema always explicit on
+    * read — inference is an extra full scan at 100 TB).
+    */
+  def jsonSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def jsonScan(spark: org.apache.spark.sql.SparkSession,
+               schema: org.apache.spark.sql.types.StructType, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC sink/scan (the other columnar format Spark ships codecs for). */
+  def orcSink(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def orcScan(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S6: named catalog table (CREATE TABLE IF NOT EXISTS + append). */
   def appendToTable(df: DataFrame, table: String): Unit = {
     val exists = df.sparkSession.catalog.tableExists(table)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipelines ([ext]): corpus
+  * downsampling and split assignment. Both are seed-deterministic and
+  * partition-parallel (per-row hash decisions — no shuffle, no
+  * coordination), which is what makes them usable at 100 TB: the same
+  * row always lands in the same sample/split regardless of cluster
+  * layout, because the decision hashes row CONTENT, not position.
+  */
+object Sampling {
+
+  /** Stratified downsampling: per-stratum keep-fractions, decided by a
+    * seeded hash of a stable id column (content-deterministic, unlike
+    * `DataFrame.sample`, whose result depends on partitioning).
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 fractions: Map[String, Double], defaultFraction: Double = 0.0,
+                 seed: Long = 42L): DataFrame = {
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, f).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
+  /** Deterministic train/val/test split assignment as a column. Weights
+    * are normalized; same id -> same split, always.
+    */
+  def withSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    val total = weights.map(_._2).sum
+    val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+    val (chain, _) = weights.foldLeft((Option.empty[org.apache.spark.sql.Column], 0.0)) {
+      case ((acc, cum), (name, w)) =>
+        val hi = cum + w / total
+        val cond = u < hi
+        (Some(acc.fold(when(cond, name))(_.when(cond, name))), hi)
+    }
+    df.withColumn("split", chain.get.otherwise(weights.last._1))
+  }
+}

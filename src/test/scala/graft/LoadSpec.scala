@@ -31,6 +31,20 @@ class LoadSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || pruned.inputFiles.length === 1)
   }
 
+  test("json and orc sinks round-trip") {
+    val base = Files.createTempDirectory("graft-fmt").toString
+    Load.jsonSink(df2, s"$base/j")
+    val jBack = Load.jsonScan(spark, df2.schema, s"$base/j")
+    assert(jBack.count() === 2)
+    assert(jBack.columns.sorted.toSeq === df2.columns.sorted.toSeq)
+    Load.orcSink(df2, s"$base/o")
+    val oBack = Load.orcScan(spark, s"$base/o")
+    assert(oBack.count() === 2)
+    // file formats read everything back nullable — compare names+types only
+    assert(oBack.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df2.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("appendToTable creates then appends to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS graft_load_spec")
     Load.appendToTable(df2.drop("d"), "graft_load_spec")

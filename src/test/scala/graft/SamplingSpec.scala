@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 2000L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de", s"doc content $i")).toDF("doc_id", "lang", "text")
+
+  test("stratified keeps roughly the per-stratum fraction, deterministically") {
+    val s1 = Sampling.stratified(corpus, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
+    val s2 = Sampling.stratified(corpus, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
+    assert(s1.collect().map(_.getLong(0)).toSet === s2.collect().map(_.getLong(0)).toSet)
+    val byLang = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 400 && byLang("en") < 600)   // ~500 of 1000
+    assert(byLang("de") > 50 && byLang("de") < 150)    // ~100 of 1000
+  }
+
+  test("withSplit assigns every row to exactly one split with ~weights") {
+    val split = Sampling.withSplit(corpus, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts.keySet === Set("train", "val", "test"))
+  }
+
+  test("decontaminate removes exactly the blocklisted contents") {
+    val block = corpus.filter(col("doc_id") < 10).select(col("text"))
+    val clean = Dedup.decontaminate(corpus, block)
+    assert(clean.count() === 1990L)
+    assert(clean.filter(col("doc_id") < 10).count() === 0L)
+  }
+}
