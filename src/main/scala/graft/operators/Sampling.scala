@@ -26,6 +26,18 @@ object Sampling {
     df.filter(u < frac)
   }
 
+  /** Weighted corpus mixing: downsample each source to its target
+    * fraction and union — the standard way training mixtures are built
+    * (e.g. 70% web, 20% code, 10% curated). Deterministic per id; pure
+    * narrow ops + union, no shuffle.
+    */
+  def mixCorpora(sources: Seq[(DataFrame, String, Double)], idCol: String,
+                 seed: Long = 42L): DataFrame =
+    sources.map { case (df, name, fraction) =>
+      val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
+      df.filter(u < fraction).withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+
   /** Deterministic train/val/test split assignment as a column. Weights
     * are normalized; same id -> same split, always.
     */

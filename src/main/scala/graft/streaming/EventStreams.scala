@@ -108,6 +108,23 @@ object EventStreams {
       }
   }
 
+  /** Production sink path: hourly aggregates written per micro-batch to
+    * partitioned parquet via foreachBatch (the pattern for sinks Spark
+    * has no native streaming writer for — here it also lets us
+    * repartition-by-partition-column before the write so each batch
+    * produces one file per hour instead of cores x hours).
+    */
+  def hourlyToParquet(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyByType(events)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("hour", date_format(col("ws"), "yyyy-MM-dd-HH"))
+          .repartition(col("hour"))
+          .write.mode("append").partitionBy("hour").parquet(outDir)
+      }
+      .start()
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Custom stateful operator: per-user running (count, sum) via

@@ -26,6 +26,16 @@ class SamplingSpec extends SparkSpec {
     assert(counts.keySet === Set("train", "val", "test"))
   }
 
+  test("mixCorpora unions weighted samples with source labels") {
+    val web = corpus.withColumn("text", concat(lit("web "), col("text")))
+    val code = corpus.withColumn("text", concat(lit("code "), col("text")))
+    val mixed = Sampling.mixCorpora(Seq((web, "web", 0.7), (code, "code", 0.1)), "doc_id")
+    val bySource = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("web") > 1200 && bySource("web") < 1600)  // ~1400 of 2000
+    assert(bySource("code") > 100 && bySource("code") < 300)  // ~200 of 2000
+  }
+
   test("decontaminate removes exactly the blocklisted contents") {
     val block = corpus.filter(col("doc_id") < 10).select(col("text"))
     val clean = Dedup.decontaminate(corpus, block)

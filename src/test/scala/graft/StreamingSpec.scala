@@ -87,6 +87,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands hour-partitioned parquet") {
+    val dir = streamDir()
+    val out = Files.createTempDirectory("graft-sink").toString + "/out"
+    val q = EventStreams.hourlyToParquet(EventStreams.readEventStream(spark, dir), out)
+    try {
+      q.processAllAvailable()
+      // watermark has not passed, so append-mode windows may be pending;
+      // push a far-future event to close them, then check the files
+      Seq((99L, "2024-01-02 00:00:00", 1L, "a", 0.0, "{}"))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val back = spark.read.parquet(out)
+      assert(back.columns.contains("hour")) // partition column round-trips
+      assert(back.agg(sum("n")).head().getLong(0) >= 4L) // all first-batch events
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     val dir = streamDir()
     val q = EventStreams.runningUserTotals(spark, EventStreams.readEventStream(spark, dir))
