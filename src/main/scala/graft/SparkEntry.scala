@@ -510,6 +510,42 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Two-level aggregation (TPC-H Q13 shape): distribution of
+    * orders-per-customer, including zero-order customers via left join.
+    */
+  def q56OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCustomer = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders")) // count skips null keys
+    perCustomer.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Date-arithmetic scalar functions: trunc, datediff, add, last_day. */
+  def q57DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        trunc(col("o_orderdate"), "month").as("month_start"))
+      .withColumn("days_into_month", datediff(col("d"), col("month_start")).cast("long"))
+      .withColumn("month_end", last_day(col("d")))
+      .groupBy(col("month_start"), col("month_end"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("days_into_month")), 6).as("avg_days_into_month"),
+        max(date_add(col("d"), 30)).as("max_d_plus_30"))
+
+  /** String scalar functions over part names. */
+  def q58StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(upper(substring(col("p_brand"), 1, 5)).as("brand_prefix"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(length(col("p_name"))).as("max_name_len"),
+        min(replace(col("p_name"), lit(" "), lit("_"))).as("min_snake_name"),
+        max(concat_ws("|", col("p_type"), col("p_brand"))).as("max_type_brand"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -567,6 +603,9 @@ object SparkEntry {
     "q53_scalar_subquery" -> (q53ScalarSubquery _),
     "q54_decontaminate" -> (q54Decontaminate _),
     "q55_sample_split" -> (q55SampleSplit _),
+    "q56_order_count_dist" -> (q56OrderCountDist _),
+    "q57_date_funcs" -> (q57DateFuncs _),
+    "q58_string_funcs" -> (q58StringFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -881,5 +920,27 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE sha256(text) NOT IN (
         |  SELECT sha256(text) FROM documents WHERE doc_id < 50)""".stripMargin,
+    "q56_order_count_dist" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY n_orders""".stripMargin,
+    "q57_date_funcs" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |  FROM orders)
+        |SELECT month_start, last_day(d) AS month_end, COUNT(*) AS n,
+        |       ROUND(AVG(datediff('day', month_start, d)), 6) AS avg_days_into_month,
+        |       MAX(d + 30) AS max_d_plus_30
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "q58_string_funcs" ->
+      """SELECT upper(substr(p_brand, 1, 5)) AS brand_prefix,
+        |       COUNT(*) AS n,
+        |       CAST(MAX(length(p_name)) AS INTEGER) AS max_name_len,
+        |       MIN(replace(p_name, ' ', '_')) AS min_snake_name,
+        |       MAX(concat_ws('|', p_type, p_brand)) AS max_type_brand
+        |FROM part GROUP BY 1""".stripMargin,
   )
 }
