@@ -546,6 +546,26 @@ object SparkEntry {
         min(replace(col("p_name"), lit(" "), lit("_"))).as("min_snake_name"),
         max(concat_ws("|", col("p_type"), col("p_brand"))).as("max_type_brand"))
 
+  /** MapType surface: JSON props as a map, exploded to key rows. */
+  def q59PropsMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sum_v"))
+
+  /** Array-function surface: sort, distinct, slice, position. */
+  def q60ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.Texts.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+        array_position(toks, "the").as("pos_the"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -606,6 +626,8 @@ object SparkEntry {
     "q56_order_count_dist" -> (q56OrderCountDist _),
     "q57_date_funcs" -> (q57DateFuncs _),
     "q58_string_funcs" -> (q58StringFuncs _),
+    "q59_props_map" -> (q59PropsMap _),
+    "q60_array_funcs" -> (q60ArrayFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -942,5 +964,18 @@ object SparkEntry {
         |       MIN(replace(p_name, ' ', '_')) AS min_snake_name,
         |       MAX(concat_ws('|', p_type, p_brand)) AS max_type_brand
         |FROM part GROUP BY 1""".stripMargin,
+    "q59_props_map" ->
+      """SELECT key, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v
+        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events) t
+        |GROUP BY key""".stripMargin,
+    "q60_array_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_sort(list_distinct(toks))[1:3] AS first3,
+        |       CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
+        |FROM d""".stripMargin,
   )
 }
