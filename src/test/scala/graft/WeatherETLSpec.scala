@@ -69,6 +69,17 @@ class WeatherETLSpec extends SparkSpec {
     assert(got(2) === null)                   // coerce-to-null (ANSI-safe)
   }
 
+  test("pipeline outputs land via the Load sinks and read back") {
+    val base = java.nio.file.Files.createTempDirectory("graft-etl-out").toString
+    graft.operators.Load.parquetAppend(daily, s"$base/daily_weather")
+    graft.operators.Load.parquetAppend(monthly.withColumn("m", col("month")),
+      s"$base/monthly_weather", partitionCols = Seq("m"))
+    assert(spark.read.parquet(s"$base/daily_weather").count() === 5)
+    val monthlyBack = spark.read.parquet(s"$base/monthly_weather")
+    assert(monthlyBack.count() === 2)
+    assert(monthlyBack.filter(col("m") === 4).count() === 1) // partition pruning path
+  }
+
   test("validation gate trips on out-of-range data") {
     import spark.implicits._
     val bad = Seq((60.0, 0.5, 3.0)).toDF("temperature_c", "humidity", "wind_speed_kmh")
