@@ -566,6 +566,10 @@ object SparkEntry {
         array_position(toks, "the").as("pos_the"))
   }
 
+  /** SimHash near-dup pairs via hamming-quarter buckets — rows-only. */
+  def q61SimhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -628,6 +632,7 @@ object SparkEntry {
     "q58_string_funcs" -> (q58StringFuncs _),
     "q59_props_map" -> (q59PropsMap _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
+    "q61_simhash_neardups" -> (q61SimhashNearDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
