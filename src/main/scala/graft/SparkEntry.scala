@@ -239,15 +239,18 @@ object SparkEntry {
         col("media_meta.n_bytes").cast("long").as("n_bytes"),
         col("media_meta.sha").as("sha"))
 
-  /** Multimodal stub decode (deterministic fake features + frame
-    * sampling) — rows-only: the decode is a stub by mandate.
+  /** Multimodal stub decode (deterministic fake byte-features). The
+    * vector is projected to one scalar column per dimension so the
+    * oracle can hash-compare it (the driver's comparator can't sort
+    * array cells); the DuckDB side re-derives each byte via
+    * hex(encode(text)) — bit-exact parity with the binary payload path.
     */
   def q32MediaFeatures(spark: SparkSession, dir: String): DataFrame =
     operators.Multimodal.withStubFeatures(
         Tables.documents(spark, dir).withColumn("payload", col("text").cast("binary")),
         "payload", dim = 8)
-      .select(col("doc_id"),
-        transform(col("features"), f => round(f, 6)).as("features"))
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
 
   /** Set operators: error-but-never-purchase users via EXCEPT, plus
     * INTERSECT of signup/purchase user sets (SURVEY.md §2.5).
@@ -345,10 +348,14 @@ object SparkEntry {
     operators.Similarity.ivfTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
 
   /** Embedding-cosine near-dup dedup (hyperplane buckets + anchor) —
-    * rows-only: bucket boundaries are plane-specific.
+    * rows-only: bucket boundaries are plane-specific. minCos 0.35 / 4
+    * planes because the synthetic embeddings' max pairwise cosine is
+    * ~0.51 — a 0.9 floor can never match and the operator would look
+    * vacuously green on 0 rows.
     */
   def q44EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.embeddingNearDups(Tables.embeddings(spark, dir), minCos = 0.9)
+    operators.Dedup.embeddingNearDups(Tables.embeddings(spark, dir),
+      minCos = 0.35, nPlanes = 4)
 
   /** Two-phase exact distinct-count (skew-safe shape; same semantics and
     * oracle as q14, different physical plan).
@@ -383,6 +390,17 @@ object SparkEntry {
        |  $cases
        |  ELSE 'und' END AS lang_pred, COUNT(*) AS n
        |FROM s GROUP BY 1""".stripMargin
+  }
+
+  /** q32 oracle: byte i of the UTF-8 payload via hex(encode(text)) —
+    * exactly what withStubFeatures computes from the binary column
+    * (character-based substr would diverge on multi-byte text).
+    */
+  private def mediaFeaturesOracleSql: String = {
+    val cols = (0 until 8).map(i =>
+      s"ROUND(('0x' || substr(hex(encode(text)), ${i * 2 + 1}, 2))::BIGINT / 255.0, 6) AS f$i")
+      .mkString(",\n  ")
+    s"SELECT doc_id,\n  $cols\nFROM documents"
   }
 
   /** Explicit GROUPING SETS (the general grouping-sets form beyond
@@ -498,14 +516,17 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
   }
 
-  /** Deterministic stratified sampling + split assignment — rows-only
-    * (hash-seed specific); fraction accuracy asserted in the spec.
+  /** Deterministic stratified sampling + split assignment, on the
+    * PORTABLE md5 hash (Sampling.portableUnit) — the DuckDB oracle
+    * re-derives the exact membership decisions, so this is a full
+    * hash-checked query, not rows-only.
     */
   def q55SampleSplit(spark: SparkSession, dir: String): DataFrame = {
-    val sampled = operators.Sampling.stratified(
+    val sampled = operators.Sampling.stratifiedPortable(
       Tables.documents(spark, dir), "lang", "doc_id",
       Map("es" -> 1.0, "de" -> 0.5, "zh" -> 0.25), defaultFraction = 0.1)
-    operators.Sampling.withSplit(sampled, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    operators.Sampling.withSplitPortable(sampled, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"))
   }
@@ -556,13 +577,17 @@ object SparkEntry {
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sum_v"))
 
-  /** Array-function surface: sort, distinct, slice, position. */
+  /** Array-function surface: sort, distinct, slice, position, join.
+    * The sliced array is flattened to a string (array_join) because the
+    * driver's comparator can't sort raw array cells; element order is
+    * still fully exercised by the string equality.
+    */
   def q60ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.functions.Texts.tokens(col("text"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        slice(sort_array(array_distinct(toks)), 1, 3).as("first3"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), " ").as("first3"),
         array_position(toks, "the").as("pos_the"))
   }
 
@@ -811,11 +836,7 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
         |WHERE jaccard >= 0.9""".stripMargin,
     "q19_lang_id" -> langIdOracleSql,
-    "q32_media_features" ->
-      """SELECT doc_id,
-        |       list_transform(range(1, 9),
-        |         i -> round(ascii(substr(text, CAST(i AS INT), 1)) / 255.0, 6)) AS features
-        |FROM documents""".stripMargin,
+    "q32_media_features" -> mediaFeaturesOracleSql,
     "q31_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS sha
@@ -979,8 +1000,23 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id,
-        |       list_sort(list_distinct(toks))[1:3] AS first3,
+        |       array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3,
         |       CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
         |FROM d""".stripMargin,
+    "q55_sample_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':sample'), 1, 8))::BIGINT / 4294967296.0 AS u1,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT / 4294967296.0 AS u2
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, u2 FROM s
+        |  WHERE u1 < CASE lang WHEN 'es' THEN 1.0 WHEN 'de' THEN 0.5
+        |                       WHEN 'zh' THEN 0.25 ELSE 0.1 END)
+        |SELECT lang,
+        |       CASE WHEN u2 < 0.8 THEN 'train'
+        |            WHEN u2 < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM f GROUP BY 1, 2""".stripMargin,
   )
 }

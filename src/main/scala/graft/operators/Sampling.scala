@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling operators for training-data pipelines ([ext]): corpus
@@ -37,6 +37,48 @@ object Sampling {
       val u = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0
       df.filter(u < fraction).withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Engine-portable uniform hash in [0,1): integer value of the first 8
+    * hex chars of md5(id || ':' || salt), over 16^8. Any engine with md5
+    * (DuckDB, Trino, BigQuery, ...) reproduces it bit-for-bit — which
+    * makes sampling/split membership AUDITABLE outside Spark: the same
+    * SQL predicate re-derives exactly which rows were kept. Slightly
+    * slower than xxhash64 (md5 + string round-trip) but still a pure
+    * narrow per-row expression — no shuffle, no state, scale-free.
+    */
+  def portableUnit(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0 // 16^8
+
+  /** [[stratified]], decided by the portable md5 hash instead of
+    * xxhash64 — use when the sample must be reproducible by other
+    * engines (e.g. a DuckDB/Trino audit of corpus membership).
+    */
+  def stratifiedPortable(df: DataFrame, stratumCol: String, idCol: String,
+                         fractions: Map[String, Double],
+                         defaultFraction: Double = 0.0): DataFrame = {
+    val u = portableUnit(col(idCol), "sample")
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, f).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
+  /** [[withSplit]] on the portable md5 hash (independent salt, so
+    * sampling and splitting decisions stay uncorrelated).
+    */
+  def withSplitPortable(df: DataFrame, idCol: String,
+                        weights: Seq[(String, Double)]): DataFrame = {
+    val total = weights.map(_._2).sum
+    val u = portableUnit(col(idCol), "split")
+    val (chain, _) = weights.foldLeft((Option.empty[Column], 0.0)) {
+      case ((acc, cum), (name, w)) =>
+        val hi = cum + w / total
+        val cond = u < hi
+        (Some(acc.fold(when(cond, name))(_.when(cond, name))), hi)
+    }
+    df.withColumn("split", chain.get.otherwise(weights.last._1))
+  }
 
   /** Deterministic train/val/test split assignment as a column. Weights
     * are normalized; same id -> same split, always.
