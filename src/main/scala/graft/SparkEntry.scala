@@ -107,14 +107,29 @@ object SparkEntry {
         count(lit(1)).as("n"))
   }
 
-  /** Window top-k per group with total-order tie-break. */
+  /** A line of `lineitem` for the typed top-k path (q10). */
+  final case class LineRank(l_returnflag: String, l_orderkey: Long,
+                            l_linenumber: Int, l_extendedprice: Double)
+
+  /** Top-k per group via the bounded TypedAggs.topK aggregator — NOT a
+    * window row_number(): the window form shuffles and sorts the whole
+    * table per group; this shape prunes to <=k rows map-side and the
+    * shuffle carries k rows per (partition, group). Oracle semantics
+    * are identical (total-order tie-break on orderkey, linenumber).
+    */
   def q10TopkWindow(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    import spark.implicits._
+    implicit val ord: Ordering[LineRank] =
+      Ordering.by(r => (-r.l_extendedprice, r.l_orderkey, r.l_linenumber))
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .as[LineRank]
+      .groupByKey(_.l_returnflag)
+      .agg(functions.TypedAggs.topK[LineRank](5).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.l_returnflag"), col("r.l_orderkey"), col("r.l_linenumber"),
+        col("r.l_extendedprice"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Left-semi join: customers that have at least one order. */

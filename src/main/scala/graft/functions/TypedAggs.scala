@@ -30,4 +30,31 @@ object TypedAggs {
   /** Column-API form: weighted_mean(value, weight). */
   def weightedMeanUdaf(value: Column, weight: Column): Column =
     udaf(weightedMean).apply(value, weight)
+
+  /** Bounded top-k as a typed Aggregator — the scalable form of
+    * "ORDER BY ... LIMIT k per group". A window row_number() sorts the
+    * ENTIRE group on one task (at 100 TB: the whole table shuffles and
+    * the biggest group becomes the straggler); this aggregator keeps a
+    * k-element sorted buffer per partition and the shuffle carries at
+    * most k rows per (partition, group) — partial aggregation does the
+    * pruning map-side, like any built-in agg.
+    *
+    * The buffer stays sorted (best first by `ord`); the common-case
+    * reduce — row worse than the current k-th — is a single compare.
+    */
+  def topK[T](k: Int)(implicit ord: Ordering[T],
+                      seqEnc: Encoder[Seq[T]]): Aggregator[T, Seq[T], Seq[T]] =
+    new Aggregator[T, Seq[T], Seq[T]] {
+      override def zero: Seq[T] = Vector.empty
+      override def reduce(b: Seq[T], a: T): Seq[T] =
+        if (b.length >= k && ord.compare(a, b.last) >= 0) b
+        else ((b :+ a).sorted(ord)).take(k)
+      override def merge(b1: Seq[T], b2: Seq[T]): Seq[T] =
+        if (b2.isEmpty) b1
+        else if (b1.isEmpty) b2
+        else (b1 ++ b2).sorted(ord).take(k)
+      override def finish(r: Seq[T]): Seq[T] = r
+      override def bufferEncoder: Encoder[Seq[T]] = seqEnc
+      override def outputEncoder: Encoder[Seq[T]] = seqEnc
+    }
 }

@@ -74,12 +74,15 @@ object Similarity {
     * of nlist centroids + a narrow map.
     */
   def ivfTopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int,
-              nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+              nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(42L)
+    // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
+    // give stable-enough cells (fixed seed keeps them deterministic),
+    // and each extra iteration is a full pass over the vectors
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(e.select(col("fv")))
     val assigned = model.transform(e).drop("fv")

@@ -23,8 +23,12 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("l_comment") && !scanLine.contains("l_shipdate"))
   }
 
-  test("q10 top-k uses rank-limit pushdown before the shuffle") {
-    assert(planOf("q10_topk_window").contains("WindowGroupLimit"))
+  test("q10 top-k prunes map-side: partial agg before the shuffle, no window sort") {
+    val p = planOf("q10_topk_window")
+    // bounded topK aggregator: partial + final ObjectHashAggregate around
+    // the exchange — the shuffle carries <=k rows per (partition, group)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Window("), "full window sort would shuffle the whole table")
   }
 
   test("q47 pushes the date filter into the parquet scan") {
