@@ -610,6 +610,157 @@ object SparkEntry {
   def q61SimhashNearDups(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
 
+  /** Window analytics: lag + running total per customer order history.
+    * The running sum accumulates in DECIMAL so the result is
+    * association-free (FP addition order differs between engines'
+    * window implementations); the final value is cast back to double.
+    */
+  def q62WindowLagCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("cum_price"),
+        row_number().over(w).cast("int").as("seq"))
+  }
+
+  /** NTILE quartile bucketing over a deterministic total order. */
+  def q63Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** UNPIVOT (melt): wide per-flag aggregates to (flag, metric, value)
+    * rows — the schema-normalization half of q37's pivot.
+    */
+  def q64Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+
+  /** Explode (unnest) surface: corpus-wide top-10 token frequencies. */
+  def q65TokenTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(functions.Texts.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(10)
+
+  /** Edit-distance (levenshtein) per brand — the fuzzy-matching scalar. */
+  def q66Levenshtein(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand"), levenshtein(col("p_name"), col("p_type")).as("d"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+        round(avg(col("d")), 6).as("avg_d"))
+
+  /** Bivariate statistics in one pass: correlation, covariance, linear
+    * regression slope/intercept of price on quantity per flag.
+    */
+  def q67StatsCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop_qp"),
+        round(stddev_pop(col("l_extendedprice")), 4).as("stddev_price"),
+        round(var_pop(col("l_quantity")), 6).as("var_qty"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope_pq"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_pq"))
+
+  /** Calendar densification: a generated month spine LEFT JOINed to the
+    * monthly order counts, zero-filled — gaps become explicit rows
+    * (sequence + explode is the distributed generate_series).
+    */
+  def q68MonthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val monthly = o.groupBy(trunc(col("o_orderdate"), "month").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"))
+    val spine = o.agg(
+        min(trunc(col("o_orderdate"), "month")).as("lo"),
+        max(trunc(col("o_orderdate"), "month")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month_start"))
+    spine.join(monthly, Seq("month_start"), "left")
+      .select(col("month_start"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  /** First/last event per user via min_by/max_by on a composite order
+    * key — one ordinary aggregation (map-side combinable), NOT a
+    * window + distinct, which would sort every user's history.
+    */
+  def q69FirstLast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+        count(lit(1)).as("n_events"))
+
+  /** Ordered string aggregation: nations per region as a sorted CSV. */
+  def q70StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+
+  /** Regex extraction: numeric brand id out of 'Brand#NN'. */
+  def q71RegexpExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+        col("p_partkey"))
+      .groupBy(col("brand_num"))
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("min_partkey"))
+
+  /** Relative-rank window functions: percent_rank + cume_dist, top-3
+    * rows per priority (computed over the full partition, then cut).
+    */
+  def q72PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        row_number().over(w).cast("int").as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Fixed-width histogram binning of the event values. */
+  def q73Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select((floor(col("value") / 50) * 50).cast("long").as("bin"), col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+
+  /** Keep-latest-version dedup: the newest event per user (the standard
+    * CDC/compaction shape — row_number desc = 1).
+    */
+  def q74LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -673,6 +824,19 @@ object SparkEntry {
     "q59_props_map" -> (q59PropsMap _),
     "q60_array_funcs" -> (q60ArrayFuncs _),
     "q61_simhash_neardups" -> (q61SimhashNearDups _),
+    "q62_window_lag_cumsum" -> (q62WindowLagCumsum _),
+    "q63_ntile" -> (q63Ntile _),
+    "q64_unpivot" -> (q64Unpivot _),
+    "q65_token_topk" -> (q65TokenTopk _),
+    "q66_levenshtein" -> (q66Levenshtein _),
+    "q67_stats_corr" -> (q67StatsCorr _),
+    "q68_month_spine" -> (q68MonthSpine _),
+    "q69_first_last" -> (q69FirstLast _),
+    "q70_string_agg" -> (q70StringAgg _),
+    "q71_regexp_extract" -> (q71RegexpExtract _),
+    "q72_percent_rank" -> (q72PercentRank _),
+    "q73_histogram" -> (q73Histogram _),
+    "q74_latest_per_key" -> (q74LatestPerKey _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1018,6 +1182,104 @@ object SparkEntry {
         |       array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3,
         |       CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
         |FROM d""".stripMargin,
+    "q62_window_lag_cumsum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       LAG(o_totalprice, 1) OVER w AS prev_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_price,
+        |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q63_ntile" ->
+      """SELECT CAST(quartile AS INTEGER) AS quartile, COUNT(*) AS n,
+        |       ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM (SELECT o_totalprice,
+        |             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |      FROM orders) t
+        |GROUP BY 1""".stripMargin,
+    "q64_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |         ROUND(AVG(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'avg_disc', avg_disc FROM a""".stripMargin,
+    "q65_token_topk" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    "q66_levenshtein" ->
+      """WITH d AS (SELECT p_brand, levenshtein(p_name, p_type) AS d FROM part)
+        |SELECT p_brand, COUNT(*) AS n,
+        |       CAST(MIN(d) AS INTEGER) AS min_d, CAST(MAX(d) AS INTEGER) AS max_d,
+        |       ROUND(AVG(d), 6) AS avg_d
+        |FROM d GROUP BY 1""".stripMargin,
+    "q67_stats_corr" ->
+      """SELECT l_returnflag,
+        |       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+        |       ROUND(STDDEV_POP(l_extendedprice), 4) AS stddev_price,
+        |       ROUND(VAR_POP(l_quantity), 6) AS var_qty,
+        |       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope_pq,
+        |       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept_pq
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q68_month_spine" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ms, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM m),
+        |s AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                                         INTERVAL '1 month')) AS DATE) AS month_start
+        |      FROM b)
+        |SELECT month_start, COALESCE(n, 0) AS n_orders
+        |FROM s LEFT JOIN m ON s.month_start = m.ms""".stripMargin,
+    "q69_first_last" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       COUNT(*) OVER w AS n_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q70_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n
+        |FROM nation GROUP BY 1""".stripMargin,
+    "q71_regexp_extract" ->
+      """SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) AS brand_num,
+        |       COUNT(*) AS n, MIN(p_partkey) AS min_partkey
+        |FROM part GROUP BY 1""".stripMargin,
+    "q72_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       ROUND(pr, 6) AS pr, ROUND(cd, 6) AS cd, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd,
+        |         ROW_NUMBER() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3""".stripMargin,
+    "q73_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) * 50 AS BIGINT) AS bin, COUNT(*) AS n,
+        |       ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q74_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,

@@ -3,8 +3,21 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Aggregates
 
+final case class TopKRec(g: String, v: Int)
+
 class AggregatesSpec extends SparkSpec {
   import spark.implicits._
+
+  test("topK aggregator keeps k best per group across partition merges") {
+    implicit val ord: Ordering[TopKRec] = Ordering.by(r => (-r.v, r.g))
+    val ds = spark.createDataset(
+      (1 to 100).map(i => TopKRec(if (i % 2 == 0) "a" else "b", i))).repartition(8)
+    val got = ds.groupByKey(_.g)
+      .agg(graft.functions.TypedAggs.topK[TopKRec](3).toColumn.name("top"))
+      .collect().toMap
+    assert(got("a").map(_.v) === Seq(100, 98, 96)) // best-first, pruned to k
+    assert(got("b").map(_.v) === Seq(99, 97, 95))
+  }
 
   test("deterministicMode picks most frequent, smallest value on ties") {
     val df = Seq(

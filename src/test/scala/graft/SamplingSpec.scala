@@ -36,6 +36,31 @@ class SamplingSpec extends SparkSpec {
     assert(bySource("code") > 100 && bySource("code") < 300)  // ~200 of 2000
   }
 
+  test("portableUnit is uniform-ish on [0,1) and salt-independent") {
+    val u = corpus.select(Sampling.portableUnit(col("doc_id"), "sample").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    assert(math.abs(u.sum / u.length - 0.5) < 0.02) // mean ~0.5
+    // different salts decorrelate: same ids, different member sets
+    val a = corpus.filter(Sampling.portableUnit(col("doc_id"), "sample") < 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val b = corpus.filter(Sampling.portableUnit(col("doc_id"), "split") < 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
+
+  test("stratifiedPortable + withSplitPortable keep fractions and are total") {
+    val s = Sampling.stratifiedPortable(corpus, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = s.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("de") > 50 && byLang("de") < 150)
+    val split = Sampling.withSplitPortable(corpus, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+  }
+
   test("decontaminate removes exactly the blocklisted contents") {
     val block = corpus.filter(col("doc_id") < 10).select(col("text"))
     val clean = Dedup.decontaminate(corpus, block)
