@@ -761,6 +761,57 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"))
   }
 
+  /** Word 3-gram (shingle) frequencies, corpus-wide top-10 — the same
+    * shingling the MinHash pipeline uses, surfaced as an operator
+    * (n-gram LM stats / contamination screens). Docs shorter than 3
+    * tokens contribute nothing (explicit filter: Spark's sequence()
+    * DESCENDS when start > stop, so the guard must precede it).
+    */
+  def q75Ngrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(functions.Texts.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(10)
+
+  /** TF-IDF: top-3 distinguishing terms per document. Document
+    * frequencies and the corpus size are aggregates joined back (the
+    * one-row count is broadcast, never collected); idf = ln(N/df).
+    */
+  def q76Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(functions.Texts.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+  }
+
+  /** PII-style scrubbing: mask digit runs, report how many characters
+    * were digits — pure codegen'd regex over the corpus (the shape of
+    * any large-scale redaction pass).
+    */
+  def q77Scrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("masked"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("n_digits"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -837,6 +888,9 @@ object SparkEntry {
     "q72_percent_rank" -> (q72PercentRank _),
     "q73_histogram" -> (q73Histogram _),
     "q74_latest_per_key" -> (q74LatestPerKey _),
+    "q75_ngrams" -> (q75Ngrams _),
+    "q76_tfidf" -> (q76Tfidf _),
+    "q77_scrub" -> (q77Scrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1280,6 +1334,39 @@ object SparkEntry {
         |           ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "q75_ngrams" ->
+      """WITH d AS (
+        |  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |  FROM d WHERE len(toks) >= 3)
+        |SELECT ngram, COUNT(*) AS n FROM g
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 10""".stripMargin,
+    "q76_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term,
+        |         ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |               ORDER BY tfidf DESC, term) AS rn
+        |      FROM s)
+        |SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
+    "q77_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS masked,
+        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |            AS INTEGER) AS n_digits
+        |FROM documents""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
