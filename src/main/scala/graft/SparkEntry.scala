@@ -812,6 +812,27 @@ object SparkEntry {
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
           .as("n_digits"))
 
+  /** Per-label embedding centroids as (label, dim, avg) rows — the
+    * element-wise vector mean that IVF/k-means training is built on.
+    * posexplode + groupBy(label, dim) is the scale shape: the shuffle
+    * key is (label, dim), so a 100 TB corpus aggregates per dimension
+    * in parallel instead of reducing whole vectors on one task.
+    */
+  def q78Centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("avg_x"), count(lit(1)).as("n"))
+
+  /** Exact interpolated percentiles PER GROUP (q38 is global). */
+  def q79GroupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -891,6 +912,8 @@ object SparkEntry {
     "q75_ngrams" -> (q75Ngrams _),
     "q76_tfidf" -> (q76Tfidf _),
     "q77_scrub" -> (q77Scrub _),
+    "q78_centroids" -> (q78Centroids _),
+    "q79_group_percentiles" -> (q79GroupPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1367,6 +1390,19 @@ object SparkEntry {
         |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
         |            AS INTEGER) AS n_digits
         |FROM documents""".stripMargin,
+    "q78_centroids" ->
+      """SELECT label, CAST(o - 1 AS INTEGER) AS dim,
+        |       ROUND(AVG(x), 6) AS avg_x, COUNT(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS o
+        |      FROM embeddings) t
+        |GROUP BY 1, 2""".stripMargin,
+    "q79_group_percentiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
