@@ -833,6 +833,60 @@ object SparkEntry {
         round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95"),
         round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"))
 
+  /** Portable 32-bit SimHash, fully oracle-checked: per-token hash =
+    * first 8 md5 hex chars (cross-engine, like Sampling.portableUnit);
+    * bit b of the fingerprint is the sign of the ±1 vote sum over the
+    * doc's DISTINCT tokens. Complements q28 (the fast custom-Expression
+    * SimHash64, rows-only because its hash family is engine-private) by
+    * proving the ALGORITHM against DuckDB. The bit explode (docs ×
+    * tokens × 32) is the verifiable shape, not the scale path — q28 is.
+    * 2^b via pow(2,b): exact in doubles for any single power of two.
+    */
+  def q80SimhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      // SQL-form shiftright: the Scala functions.shiftright overload only
+      // accepts a literal shift amount, not a per-row column
+      .withColumn("vote",
+        when(expr("shiftright(h, b)").bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b"))).otherwise(lit(0.0)))
+        .cast("long").as("simhash32"))
+
+  /** Conditional / null-handling scalar family: nullif, coalesce,
+    * greatest, least (the reference's imputation logic generalized).
+    */
+  def q81NullFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(0.01)).as("disc_floored"),
+        greatest(col("l_quantity"), lit(25.0)).as("qty_hi"),
+        least(col("l_tax"), col("l_discount")).as("tax_lo"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("disc_floored")), 6).as("avg_disc_floored"),
+        round(sum(col("qty_hi")), 2).as("sum_qty_hi"),
+        round(min(col("tax_lo")), 6).as("min_tax_lo"),
+        count(lit(1)).as("n"))
+
+  /** Bitwise-operator surface: and/or/xor/shift/bit_count over ids. */
+  def q82Bitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        (col("event_id").bitwiseAND(lit(255L))).as("lo_byte"),
+        bit_count(col("user_id")).as("pop"),
+        (shiftright(col("event_id"), 8).bitwiseXOR(col("user_id"))).as("x"))
+      .groupBy(col("lo_byte").bitwiseAND(lit(15L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pop").cast("long")).as("sum_pop"),
+        max(col("x")).as("max_x"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -914,6 +968,9 @@ object SparkEntry {
     "q77_scrub" -> (q77Scrub _),
     "q78_centroids" -> (q78Centroids _),
     "q79_group_percentiles" -> (q79GroupPercentiles _),
+    "q80_simhash_portable" -> (q80SimhashPortable _),
+    "q81_null_funcs" -> (q81NullFuncs _),
+    "q82_bitwise" -> (q82Bitwise _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1403,6 +1460,42 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
         |       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q80_simhash_portable" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        |bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN s > 0 THEN POW(2, b) ELSE 0 END) AS BIGINT) AS simhash32
+        |FROM votes GROUP BY 1""".stripMargin,
+    "q81_null_funcs" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         COALESCE(NULLIF(l_discount, 0.0), 0.01) AS disc_floored,
+        |         GREATEST(l_quantity, 25.0) AS qty_hi,
+        |         LEAST(l_tax, l_discount) AS tax_lo
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       ROUND(AVG(disc_floored), 6) AS avg_disc_floored,
+        |       ROUND(SUM(qty_hi), 2) AS sum_qty_hi,
+        |       ROUND(MIN(tax_lo), 6) AS min_tax_lo,
+        |       COUNT(*) AS n
+        |FROM t GROUP BY 1""".stripMargin,
+    "q82_bitwise" ->
+      """WITH t AS (
+        |  SELECT event_id & 255 AS lo_byte,
+        |         bit_count(user_id) AS pop,
+        |         xor(event_id >> 8, user_id) AS x
+        |  FROM events)
+        |SELECT lo_byte & 15 AS bucket, COUNT(*) AS n,
+        |       CAST(SUM(pop) AS BIGINT) AS sum_pop, MAX(x) AS max_x
+        |FROM t GROUP BY 1""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
