@@ -887,6 +887,50 @@ object SparkEntry {
         sum(col("pop").cast("long")).as("sum_pop"),
         max(col("x")).as("max_x"))
 
+  /** Corpus quality FILTER (the keep/drop decision, not just the q17
+    * feature vector): length, vocabulary-diversity, and stopword-ratio
+    * thresholds — the C4-style hygiene pass, per-language counts.
+    */
+  def q83QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.join(operators.TextAnalysis.docQuality(docs), Seq("doc_id"))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_uniq_tokens").cast("double") / col("n_tokens") >= 0.3 &&
+        col("stopword_ratio") <= 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), round(avg(col("n_tokens")), 6).as("avg_tokens"))
+  }
+
+  /** End-to-end corpus cleaning composite: exact dedup (keep-first) ->
+    * decontamination against a blocklist -> minimum-length quality gate
+    * -> per-(lang, source) accounting. The full hygiene pipeline as ONE
+    * lazy plan — no intermediate materialization.
+    */
+  def q84CleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = docs.join(reps, Seq("doc_id"), "left_semi")
+    val clean = operators.Dedup.decontaminate(deduped, docs.filter(col("doc_id") < 50))
+      .filter(functions.Texts.tokenCount(col("text")) >= 10)
+    clean.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 6).as("avg_chars"))
+  }
+
+  /** FULL OUTER join (the one join type q08-q12 don't cover): daily
+    * signup vs purchase counts, keeping days present on either side.
+    */
+  def q85FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(t: String, cn: String) = ev.filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as(cn))
+    daily("signup", "n_signup")
+      .join(daily("purchase", "n_purchase"), Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -971,6 +1015,9 @@ object SparkEntry {
     "q80_simhash_portable" -> (q80SimhashPortable _),
     "q81_null_funcs" -> (q81NullFuncs _),
     "q82_bitwise" -> (q82Bitwise _),
+    "q83_quality_filter" -> (q83QualityFilter _),
+    "q84_clean_pipeline" -> (q84CleanPipeline _),
+    "q85_full_outer" -> (q85FullOuter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1496,6 +1543,44 @@ object SparkEntry {
         |SELECT lo_byte & 15 AS bucket, COUNT(*) AS n,
         |       CAST(SUM(pop) AS BIGINT) AS sum_pop, MAX(x) AS max_x
         |FROM t GROUP BY 1""".stripMargin,
+    "q83_quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |         len(toks) AS n_tokens,
+        |         len(list_distinct(toks)) AS n_uniq,
+        |         CASE WHEN len(toks) > 0 THEN
+        |           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS DOUBLE) / len(toks), 6)
+        |         END AS stopword_ratio
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_kept, ROUND(AVG(n_tokens), 6) AS avg_tokens
+        |FROM q
+        |WHERE n_tokens >= 10
+        |  AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.3
+        |  AND stopword_ratio <= 0.5
+        |GROUP BY lang""".stripMargin,
+    "q84_clean_pipeline" ->
+      """WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT doc.* FROM documents doc JOIN reps USING (doc_id)),
+        |clean AS (
+        |  SELECT * FROM d
+        |  WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id < 50)
+        |    AND len(list_filter(str_split(text, ' '), x -> x <> '')) >= 10)
+        |SELECT lang, source, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM clean GROUP BY 1, 2""".stripMargin,
+    "q85_full_outer" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT d, COALESCE(n_signup, 0) AS n_signup,
+        |       COALESCE(n_purchase, 0) AS n_purchase
+        |FROM s FULL JOIN p USING (d)""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
