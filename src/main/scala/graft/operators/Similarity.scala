@@ -79,10 +79,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
-    // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
-    // give stable-enough cells (fixed seed keeps them deterministic),
-    // and each extra iteration is a full pass over the vectors
+    // a coarse quantizer doesn't need convergence — a few Lloyd
+    // iterations give stable-enough cells (fixed seed keeps them
+    // deterministic), and each extra iteration is a full pass over the
+    // vectors; random init skips k-means||'s additional init passes
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(e.select(col("fv")))
     val assigned = model.transform(e).drop("fv")
