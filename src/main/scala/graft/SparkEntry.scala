@@ -231,7 +231,10 @@ object SparkEntry {
   def q28Simhash(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhashFingerprints(Tables.documents(spark, dir))
 
-  /** LSH-bucketed approximate top-k for a probe set — rows-only. */
+  /** LSH-bucketed approximate top-k for a probe set — fully
+    * oracle-checked: the hyperplane constants are plain doubles, so the
+    * generated SQL (lshAnnOracleSql) re-derives identical buckets.
+    */
   def q29AnnLsh(spark: SparkSession, dir: String): DataFrame =
     operators.Similarity.lshTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
 
@@ -363,10 +366,11 @@ object SparkEntry {
     operators.Similarity.ivfTopK(Tables.embeddings(spark, dir), Seq(0L, 1L, 2L), 5)
 
   /** Embedding-cosine near-dup dedup (hyperplane buckets + anchor) —
-    * rows-only: bucket boundaries are plane-specific. minCos 0.35 / 4
-    * planes because the synthetic embeddings' max pairwise cosine is
-    * ~0.51 — a 0.9 floor can never match and the operator would look
-    * vacuously green on 0 rows.
+    * fully oracle-checked via the generated plane literals
+    * (embeddingDedupOracleSql). minCos 0.35 / 4 planes because the
+    * synthetic embeddings' max pairwise cosine is ~0.51 — a 0.9 floor
+    * can never match and the operator would look vacuously green on
+    * 0 rows.
     */
   def q44EmbeddingDedup(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.embeddingNearDups(Tables.embeddings(spark, dir),
@@ -417,6 +421,53 @@ object SparkEntry {
       .mkString(",\n  ")
     s"SELECT doc_id,\n  $cols\nFROM documents"
   }
+
+  // ---- generated LSH oracles: the hyperplane constants are plain
+  // doubles (Similarity.planeValues), so the bucket assignment — and
+  // therefore the whole LSH pipeline — re-derives in DuckDB with the
+  // same literals. Dot/norm folds are left-to-right in both engines
+  // (Spark aggregate/zip_with == DuckDB list_sum/list_transform), so
+  // the sign tests and cosines are bit-identical.
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  private def bucketSql(v: String, nPlanes: Int, dim: Int): String =
+    operators.Similarity.planeValues(nPlanes, dim).zipWithIndex.map { case (pv, i) =>
+      val plane = pv.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, plane)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+
+  /** q29 oracle: full LSH ANN re-derived in SQL — bucket via the
+    * generated plane literals, exact cosine re-rank within the bucket.
+    */
+  private def lshAnnOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v", 4, 64)} AS bucket FROM e),
+       |p AS (SELECT vec_id AS probe_id, v AS qv, bucket FROM b WHERE vec_id IN (0, 1, 2)),
+       |c AS (SELECT p.probe_id, x.vec_id, ${cosineSql("x.v", "p.qv")} AS cosine
+       |      FROM b x JOIN p USING (bucket) WHERE x.vec_id <> p.probe_id),
+       |r AS (SELECT probe_id, vec_id, cosine,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |          ORDER BY cosine DESC, vec_id) AS rn
+       |      FROM c)
+       |SELECT probe_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= 5""".stripMargin
+
+  /** q44 oracle: hyperplane-bucket anchor dedup re-derived in SQL. */
+  private def embeddingDedupOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v", 4, 64)} AS bucket FROM e),
+       |a AS (SELECT bucket, MIN(vec_id) AS anchor FROM b GROUP BY 1),
+       |cand AS (SELECT x.vec_id, a.anchor, x.v FROM b x JOIN a USING (bucket)
+       |         WHERE x.vec_id > a.anchor),
+       |ver AS (SELECT c.vec_id, c.anchor, ${cosineSql("c.v", "e2.v")} AS cosine
+       |        FROM cand c JOIN e e2 ON e2.vec_id = c.anchor)
+       |SELECT vec_id, MIN(anchor) AS rep_id, MAX(cosine) AS cosine
+       |FROM ver WHERE cosine >= 0.35 GROUP BY vec_id""".stripMargin
 
   /** Explicit GROUPING SETS (the general grouping-sets form beyond
     * rollup/cube): by flag, by status, and the grand total.
@@ -1196,6 +1247,8 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
         |WHERE jaccard >= 0.9""".stripMargin,
     "q19_lang_id" -> langIdOracleSql,
+    "q29_ann_lsh" -> lshAnnOracleSql,
+    "q44_embedding_dedup" -> embeddingDedupOracleSql,
     "q32_media_features" -> mediaFeaturesOracleSql,
     "q31_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -48,21 +48,27 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  /** Deterministic random-hyperplane bucket id: sign bits of the dot
-    * product with `nPlanes` pseudo-random planes (values derived from a
-    * hash of (plane, dim) — no RNG state, reproducible across runs).
+  /** The deterministic pseudo-random plane values behind
+    * [[hyperplaneBucket]] — plain doubles derived from a hash of
+    * (plane, dim), no RNG state. Exposed so oracle SQL can be GENERATED
+    * with the identical literals (the bucketing is then reproducible in
+    * any engine, which is what makes the LSH queries hash-checkable).
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    val planes: Seq[Column] = (0 until nPlanes).map { p =>
-      array((0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-        lit((h % 1000) / 1000.0)
-      }: _*)
+  def planeValues(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        (scala.util.hashing.MurmurHash3.productHash((p, d)) % 1000) / 1000.0
+      }
     }
-    planes.zipWithIndex.map { case (plane, i) =>
+
+  /** Deterministic random-hyperplane bucket id: sign bits of the dot
+    * product with `nPlanes` pseudo-random planes (see [[planeValues]]).
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    planeValues(nPlanes, dim).zipWithIndex.map { case (pv, i) =>
+      val plane = array(pv.map(lit): _*)
       when(Vectors.dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, fixed seed) assigns every vector to one of `nlist` cells;
