@@ -982,6 +982,40 @@ object SparkEntry {
         coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
   }
 
+  /** Exact DECIMAL money aggregation: sums accumulate in decimal (no FP
+    * association anywhere), converted to double only at the end — the
+    * correct shape for financial rollups at any parallelism.
+    */
+  def q86DecimalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p")).cast("double").as("sum_price"),
+        max(col("p")).cast("double").as("max_price"),
+        count(lit(1)).as("n"))
+
+  /** Inter-event gap statistics per user (lag on event time, exact
+    * integer microsecond arithmetic) — the session/cadence signal.
+    */
+  def q87EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        // exact long sum, ONE division, NO rounding: Spark's avg(long)
+        // accumulates in double (association-lossy at 1e10 µs
+        // magnitudes), and round-to-6dp at that magnitude is below the
+        // double ULP, where the engines' round() can land on adjacent
+        // representable values — the raw quotient of exact integers is
+        // the bit-deterministic form
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -1069,6 +1103,8 @@ object SparkEntry {
     "q83_quality_filter" -> (q83QualityFilter _),
     "q84_clean_pipeline" -> (q84CleanPipeline _),
     "q85_full_outer" -> (q85FullOuter _),
+    "q86_decimal_agg" -> (q86DecimalAgg _),
+    "q87_event_gaps" -> (q87EventGaps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1634,6 +1670,23 @@ object SparkEntry {
         |SELECT d, COALESCE(n_signup, 0) AS n_signup,
         |       COALESCE(n_purchase, 0) AS n_purchase
         |FROM s FULL JOIN p USING (d)""".stripMargin,
+    "q86_decimal_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q87_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+        |       MAX(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     "q55_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
