@@ -1016,6 +1016,49 @@ object SparkEntry {
         max(col("gap_us")).as("max_gap_us"))
   }
 
+  /** Fixed affine-permutation constants for the portable MinHash demo
+    * (q88): odd multipliers/offsets below 2^31 so a*h+b stays within
+    * signed 64-bit for 32-bit token hashes; prime modulus > 2^32.
+    */
+  private val minhashPerms: Seq[(Long, Long)] = Seq(
+    (1299721L, 15485863L), (2750161L, 32452843L), (4256233L, 49979687L),
+    (5800079L, 67867967L), (7368787L, 86028121L), (8960453L, 104395301L),
+    (10570841L, 122949823L), (12195257L, 141650939L))
+  private val minhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** Portable MinHash: 8-slot signature over the md5-derived 32-bit
+    * token hash with affine permutations (a*h + b) mod p — the DuckDB
+    * oracle re-derives every slot from the same literal constants
+    * (mirrors q80 for simhash). Proves the minhash ALGORITHM
+    * cross-engine; q27's MinHashSig expression remains the scale path.
+    */
+  def q88MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+  }
+
+  /** q88 oracle: identical permutation constants as SQL literals. */
+  private def minhashPortableOracleSql: String = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
+    }.mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok)
+       |SELECT doc_id,
+       |  $slots
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -1105,6 +1148,7 @@ object SparkEntry {
     "q85_full_outer" -> (q85FullOuter _),
     "q86_decimal_agg" -> (q86DecimalAgg _),
     "q87_event_gaps" -> (q87EventGaps _),
+    "q88_minhash_portable" -> (q88MinhashPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1284,6 +1328,7 @@ object SparkEntry {
         |WHERE jaccard >= 0.9""".stripMargin,
     "q19_lang_id" -> langIdOracleSql,
     "q29_ann_lsh" -> lshAnnOracleSql,
+    "q88_minhash_portable" -> minhashPortableOracleSql,
     "q44_embedding_dedup" -> embeddingDedupOracleSql,
     "q32_media_features" -> mediaFeaturesOracleSql,
     "q31_media_meta" ->
