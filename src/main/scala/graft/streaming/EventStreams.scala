@@ -53,6 +53,41 @@ object EventStreams {
   def enrichedWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-STREAM inner join with an event-time interval condition:
+    * errors matched to same-user purchases in the preceding `gapSeconds`.
+    * Both sides carry watermarks + the time-range predicate, so Spark
+    * can bound the join state (rows age out once the watermark passes
+    * the interval) — the streaming twin of `Joins.rangeJoinBucketed`.
+    */
+  def errorPurchaseIntervalJoin(events: DataFrame, gapSeconds: Long = 60L): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      .withWatermark("e_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr(s"interval $gapSeconds seconds") &&
+        col("p_ts") <= col("e_ts"))
+      .select(col("e_id"), col("p_id"), col("user_id"))
+  }
+
+  /** Native session windows (`session_window`): dynamic-gap event-time
+    * sessions as a first-class groupBy key — the built-in alternative
+    * to [[closedSessions]] when per-session aggregates suffice (state
+    * and merging handled by the engine, bounded by the watermark).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("end"),
+        col("n_events"))
+
   final case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
   /** Open-session state for closedSessions (object-level: method-local

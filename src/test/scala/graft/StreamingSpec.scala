@@ -37,6 +37,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches errors to recent purchases") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "purchase", 5.0, "{}"),
+      (2L, "2024-01-01 10:00:30", 7L, "error", 0.0, "{}"),    // purchase 30s before
+      (3L, "2024-01-01 10:10:00", 7L, "error", 0.0, "{}"),    // no purchase within 60s
+      (4L, "2024-01-01 10:00:30", 8L, "error", 0.0, "{}")     // other user: no match
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.errorPurchaseIntervalJoin(
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").select("e_id", "p_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("native session_window groups the gapped events into two sessions") {
+    val dir = streamDir()
+    val q = EventStreams.sessionWindowCounts(
+        EventStreams.readEventStream(spark, dir), gap = "30 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sw").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("sw").select("user_id", "n_events")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toList.sorted
+      // user 1: 10:10 + 10:50x2 with 30min gap -> one session of 1, one of 2
+      assert(sessions === List(1L -> 1L, 1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes the duplicate event") {
     val dir = streamDir()
     val q = EventStreams.dedupedWithinWatermark(EventStreams.readEventStream(spark, dir))
