@@ -37,6 +37,27 @@ object GraftExtensions {
         }
         MinHashSig(exprs.head, k)
       }),
+    // portable_unit(id, salt) — the cross-engine md5 hash in [0,1)
+    // behind sampling/split membership (Sampling.portableUnit). Built as
+    // an explicit catalyst tree: an injected function must return a
+    // RESOLVED Expression (a composed Column is an unresolved node tree
+    // that never re-enters analysis from here). The ScaleOpsSpec
+    // SQL-vs-Column test guards the two formulations against drift.
+    "portable_unit" -> (
+      info("portable_unit", "portable_unit(id, salt) - engine-portable uniform hash in [0,1)"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Divide, Literal, Md5, Substring}
+        import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
+        val salt = exprs(1).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(s"salt must be a literal string, got $other")
+        }
+        val hex = Md5(Cast(Concat(Seq(
+          Cast(exprs.head, StringType), Literal(":" + salt))), BinaryType))
+        Divide(
+          Cast(Conv(Substring(hex, Literal(1), Literal(8)), Literal(16), Literal(10)), DoubleType),
+          Literal(4294967296.0))
+      }),
   )
 
   /** Register into an existing session (tests / REPL convenience). */

@@ -104,4 +104,14 @@ class ScaleOpsSpec extends SparkSpec {
     val viaCol = Seq(Seq("a", "b")).toDF("t").select(simhash64(col("t"))).head().getLong(0)
     assert(r.getLong(0) === viaCol)
   }
+
+  test("portable_unit is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT portable_unit(42, 'sample') AS u").head().getDouble(0)
+    val viaCol = Seq(42L).toDF("id")
+      .select(graft.operators.Sampling.portableUnit(col("id"), "sample").as("u"))
+      .head().getDouble(0)
+    assert(viaSql === viaCol)
+    assert(viaSql >= 0.0 && viaSql < 1.0)
+  }
 }
