@@ -1059,6 +1059,85 @@ object SparkEntry {
        |FROM h GROUP BY doc_id""".stripMargin
   }
 
+  /** END-TO-END portable MinHash-LSH near-dup pairs, fully
+    * hash-checked: q88's portable signature, banded by raw slot-value
+    * structs (2 bands x 4 rows — equality needs no engine-private band
+    * hash), candidate pairs from the band equi-join, exact-Jaccard
+    * verification. Mirrors what the generated-plane oracles did for
+    * hyperplane LSH (q29/q44). Id-capped like q26 — the checked DEMO of
+    * the algorithm; q27's anchor-pattern MinHashSig is the scale path.
+    */
+  def q89MinhashLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
+    }
+    val sig = docs
+      .select(col("doc_id"), explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+    // struct field names are part of the type: both band branches must
+    // alias their slots to the same inner names for the union + join
+    def bandKey(cols: Seq[String]) =
+      struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+    val banded = sig.select(col("doc_id"), lit(0).as("band"),
+        bandKey(Seq("s0", "s1", "s2", "s3")).as("bk"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        bandKey(Seq("s4", "s5", "s6", "s7")).as("bk")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tsets = docs.select(col("doc_id"),
+      array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
+    cand
+      .join(tsets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+      .join(tsets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .withColumn("jaccard", round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** q89 oracle: the identical banded pipeline in SQL (slot constants
+    * from minhashPerms; band keys are raw value lists, list-equality
+    * joined; Jaccard via the q26 formula).
+    */
+  private def minhashLshPortableOracleSql: String = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
+    }.mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+       |  FROM documents WHERE doc_id < 300),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |  $slots
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, [s0, s1, s2, s3] AS bk FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, [s4, s5, s6, s7] AS bk FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |t AS (
+       |  SELECT doc_id, list_distinct(list_filter(str_split(text, ' '), x -> x <> '')) AS ts
+       |  FROM documents WHERE doc_id < 300),
+       |v AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN t ta ON ta.doc_id = c.doc_a
+       |  JOIN t tb ON tb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -1149,6 +1228,7 @@ object SparkEntry {
     "q86_decimal_agg" -> (q86DecimalAgg _),
     "q87_event_gaps" -> (q87EventGaps _),
     "q88_minhash_portable" -> (q88MinhashPortable _),
+    "q89_minhash_lsh_portable" -> (q89MinhashLshPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1329,6 +1409,7 @@ object SparkEntry {
     "q19_lang_id" -> langIdOracleSql,
     "q29_ann_lsh" -> lshAnnOracleSql,
     "q88_minhash_portable" -> minhashPortableOracleSql,
+    "q89_minhash_lsh_portable" -> minhashLshPortableOracleSql,
     "q44_embedding_dedup" -> embeddingDedupOracleSql,
     "q32_media_features" -> mediaFeaturesOracleSql,
     "q31_media_meta" ->
