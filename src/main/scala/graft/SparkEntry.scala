@@ -1138,6 +1138,21 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8""".stripMargin
   }
 
+  /** rank() vs dense_rank() with real ties (quantities repeat heavily):
+    * the output keys on the tied VALUE, not row ids, so it is
+    * deterministic without a total-order tie-break.
+    */
+  def q90RankDense(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"))
+      .filter(col("drnk") <= 2)
+      .groupBy(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -1229,6 +1244,7 @@ object SparkEntry {
     "q87_event_gaps" -> (q87EventGaps _),
     "q88_minhash_portable" -> (q88MinhashPortable _),
     "q89_minhash_lsh_portable" -> (q89MinhashLshPortable _),
+    "q90_rank_dense" -> (q90RankDense _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1410,6 +1426,16 @@ object SparkEntry {
     "q29_ann_lsh" -> lshAnnOracleSql,
     "q88_minhash_portable" -> minhashPortableOracleSql,
     "q89_minhash_lsh_portable" -> minhashLshPortableOracleSql,
+    "q90_rank_dense" ->
+      """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
+        |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)) t
+        |WHERE drnk <= 2
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q44_embedding_dedup" -> embeddingDedupOracleSql,
     "q32_media_features" -> mediaFeaturesOracleSql,
     "q31_media_meta" ->
