@@ -50,6 +50,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("topK aggregator equals sorted-take for random data and any k") {
+    implicit val ord: Ordering[TopKRec] = Ordering.by(r => (-r.v, r.g))
+    for (trial <- 1 to 5) {
+      val k = trial
+      val data = List.fill(60)(TopKRec(s"g${rnd.nextInt(3)}", rnd.nextInt(100)))
+      val got = spark.createDataset(data).repartition(7)
+        .groupByKey(_.g)
+        .agg(graft.functions.TypedAggs.topK[TopKRec](k).toColumn.name("top"))
+        .collect().toMap
+      val expect = data.groupBy(_.g).view.mapValues(_.sorted(ord).take(k)).toMap
+      assert(got.view.mapValues(_.toList).toMap === expect.toMap, s"k=$k")
+    }
+  }
+
+  test("portableUnit is in [0,1) for arbitrary ids incl. negatives") {
+    val ids = List.fill(50)(rnd.nextLong()) ++ List(0L, -1L, Long.MinValue, Long.MaxValue)
+    val us = ids.toDF("id")
+      .select(graft.operators.Sampling.portableUnit(col("id"), "x").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    // deterministic: same ids, same values
+    val us2 = ids.toDF("id")
+      .select(graft.operators.Sampling.portableUnit(col("id"), "x").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(us.toSeq === us2.toSeq)
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     import graft.plans.MinHashSig.minhash_sig_est
     for (trial <- 1 to 5) {
