@@ -39,6 +39,33 @@ object Multimodal {
             .cast("double") / 255.0))
       .drop("__hex")
 
+  /** The heavyweight-codec seam: per-partition typed decode via
+    * mapPartitions — where a real JNI/JavaCV/FFmpeg decoder slots in
+    * (the handle is created ONCE per partition, amortizing codec init
+    * across that partition's rows; per-row init is the classic
+    * mapPartitions-vs-map mistake). The STUB decode is the same
+    * deterministic byte-scaling as [[withStubFeatures]], and the spec
+    * asserts the two paths agree — swapping in a real decoder changes
+    * only the inner function, never the schema or partitioning.
+    */
+  def decodeViaMapPartitions(df: DataFrame, idCol: String, binCol: String,
+                             dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder handle would be constructed HERE, once per partition
+        it.map { case (id, bytes) =>
+          val feats = Array.tabulate(dim) { i =>
+            if (bytes != null && i < bytes.length) (bytes(i) & 0xff) / 255.0 else 0.0
+          }
+          (id, feats)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** STUB resize: fix a feature vector to `n` dims — truncate long,
     * zero-pad short (what an image-resize step does to the model-input
     * shape; a real resampler replaces the expression).

@@ -36,6 +36,18 @@ class MultimodalSpec extends SparkSpec {
     assert(grown === Seq(1.0, 2.0, 3.0, 0.0, 0.0))
   }
 
+  test("mapPartitions decode seam agrees with the expression stub") {
+    val viaExpr = Multimodal.withStubFeatures(media.filter(col("id") === 1L), "payload", dim = 4)
+      .select("features").head().getSeq[Double](0)
+    val viaPart = Multimodal.decodeViaMapPartitions(media, "id", "payload", dim = 4)
+      .filter(col("id") === 1L).select("features").head().getSeq[Double](0)
+    assert(viaPart === viaExpr)
+    // empty payload: zero-padded, not null/crash
+    val empty = Multimodal.decodeViaMapPartitions(media, "id", "payload", dim = 4)
+      .filter(col("id") === 2L).select("features").head().getSeq[Double](0)
+    assert(empty === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("frame sampling yields one row per stride") {
     val frames = Multimodal.sampledFrames(media, "id", "payload", stride = 4)
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted
