@@ -111,6 +111,10 @@ object SparkEntry {
   final case class LineRank(l_returnflag: String, l_orderkey: Long,
                             l_linenumber: Int, l_extendedprice: Double)
 
+  /** A row of `orders` for the typed top-k rank derivation (q72). */
+  final case class OrderRank(o_orderpriority: String, o_orderkey: Long,
+                             o_totalprice: Double)
+
   /** Top-k per group via the bounded TypedAggs.topK aggregator — NOT a
     * window row_number(): the window form shuffles and sorts the whole
     * table per group; this shape prunes to <=k rows map-side and the
@@ -657,7 +661,11 @@ object SparkEntry {
         array_position(toks, "the").as("pos_the"))
   }
 
-  /** SimHash near-dup pairs via hamming-quarter buckets — rows-only. */
+  /** SimHash near-dup cluster assignment via banded hamming buckets,
+    * anchor pattern (candidates O(docs x bands), never a bucket
+    * self-join) — rows-only (engine-private 64-bit hash family); the
+    * portable twin q91 hash-checks the identical pipeline shape.
+    */
   def q61SimhashNearDups(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
 
@@ -778,18 +786,39 @@ object SparkEntry {
       .groupBy(col("brand_num"))
       .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("min_partkey"))
 
-  /** Relative-rank window functions: percent_rank + cume_dist, top-3
-    * rows per priority (computed over the full partition, then cut).
+  /** Relative-rank window functions: percent_rank + cume_dist for the
+    * top-3 rows per priority.
+    *
+    * Scale shape: a window over a 5-value partition key would sort the
+    * whole table on 5 tasks; instead the rank comes from the bounded
+    * topK aggregator (map-side pruned to <=3 rows per partition-group)
+    * and pr/cd are DERIVED arithmetically from the per-priority counts
+    * (tiny aggregate, broadcast back). The order key (totalprice desc,
+    * orderkey) is a total order — no ties — so rank == row_number,
+    * pr = (rn-1)/(n-1), cd = rn/n, exactly the window definitions.
     */
   def q72PercentRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
+    import spark.implicits._
+    implicit val ord: Ordering[OrderRank] =
+      Ordering.by(r => (-r.o_totalprice, r.o_orderkey))
+    val orders = Tables.orders(spark, dir)
+    val counts = orders.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val top3 = orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[OrderRank]
+      .groupByKey(_.o_orderpriority)
+      .agg(functions.TypedAggs.topK[OrderRank](3).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.o_orderpriority"), col("r.o_orderkey"),
+        (col("pos") + 1).cast("int").as("rn"))
+    top3.join(broadcast(counts), Seq("o_orderpriority"))
       .select(col("o_orderpriority"), col("o_orderkey"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        row_number().over(w).cast("int").as("rn"))
-      .filter(col("rn") <= 3)
+        round(when(col("n") > 1,
+          (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("pr"),
+        round(col("rn").cast("double") / col("n").cast("double"), 6).as("cd"),
+        col("rn"))
   }
 
   /** Fixed-width histogram binning of the event values. */
@@ -1141,17 +1170,71 @@ object SparkEntry {
   /** rank() vs dense_rank() with real ties (quantities repeat heavily):
     * the output keys on the tied VALUE, not row ids, so it is
     * deterministic without a total-order tie-break.
+    *
+    * Scale shape: ranks over a 3-value partition key depend only on the
+    * VALUE, so the window runs over the tiny groupBy(flag, quantity)
+    * aggregate (distinct-pair cardinality, ~150 rows at any SF) instead
+    * of sorting the whole table on 3 tasks. rank = 1 + running count of
+    * strictly-better rows (derived from the per-value counts);
+    * dense_rank = row_number over the distinct values.
     */
   def q90RankDense(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"),
-        rank().over(w).cast("int").as("rnk"),
-        dense_rank().over(w).cast("int").as("drnk"))
-      .filter(col("drnk") <= 2)
-      .groupBy(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"))
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+    agg
+      .withColumn("drnk", row_number().over(w).cast("int"))
+      .withColumn("rnk",
+        (coalesce(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L).cast("int"))
+      .filter(col("drnk") <= 2)
+      .select(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"), col("n"))
   }
+
+  /** END-TO-END portable SimHash near-dup assignment, fully
+    * hash-checked: q80's portable 32-bit fingerprint -> 4 bands x
+    * 8 bits -> anchor pattern -> exact-hamming verify (<= 3, within the
+    * bands-1 pigeonhole bound). The DuckDB oracle re-derives the entire
+    * pipeline — fingerprints, banding, anchors, verification — proving
+    * the exact production shape of q61/[[operators.Dedup.fingerprintNearDups]]
+    * cross-engine over the FULL corpus (no id cap).
+    */
+  def q91SimhashLshPortable(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.fingerprintNearDups(
+      q80SimhashPortable(spark, dir).withColumnRenamed("simhash32", "simhash"),
+      bandBits = 8, bands = 4, maxHamming = 3)
+
+  private def simhashLshPortableOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |         SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM bits GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |              CAST(SUM(CASE WHEN s > 0 THEN POW(2, b) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM votes GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, q, (simhash >> CAST(q * 8 AS INTEGER)) & 255 AS qkey
+      |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS q FROM fp)),
+      |anchors AS (SELECT q, qkey, MIN(doc_id) AS anchor FROM banded GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.anchor, b.doc_id
+      |  FROM banded b JOIN anchors a USING (q, qkey)
+      |  WHERE b.doc_id > a.anchor),
+      |ver AS (
+      |  SELECT c.doc_id, c.anchor,
+      |         CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+      |  FROM cand c
+      |  JOIN fp fa ON fa.doc_id = c.anchor
+      |  JOIN fp fb ON fb.doc_id = c.doc_id)
+      |SELECT doc_id, MIN(anchor) AS rep_id, MIN(hamming) AS hamming
+      |FROM ver WHERE hamming <= 3 GROUP BY doc_id""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1245,6 +1328,7 @@ object SparkEntry {
     "q88_minhash_portable" -> (q88MinhashPortable _),
     "q89_minhash_lsh_portable" -> (q89MinhashLshPortable _),
     "q90_rank_dense" -> (q90RankDense _),
+    "q91_simhash_lsh_portable" -> (q91SimhashLshPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1426,6 +1510,7 @@ object SparkEntry {
     "q29_ann_lsh" -> lshAnnOracleSql,
     "q88_minhash_portable" -> minhashPortableOracleSql,
     "q89_minhash_lsh_portable" -> minhashLshPortableOracleSql,
+    "q91_simhash_lsh_portable" -> simhashLshPortableOracleSql,
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n

@@ -147,21 +147,61 @@ object Dedup {
     documents.select(col("doc_id"),
       simhash64(Texts.tokens(col("text"))).as("simhash"))
 
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // same explode-index-first shape as minhash: keep `simhash` an
-    // attribute so the custom expression evaluates once per row
-    val fp = simhashFingerprints(documents)
+  /** Generic banded-fingerprint near-dup assignment, anchor (star)
+    * pattern — the same shape as [[minhashNearDups]], applied to a
+    * bitwise fingerprint: band the hash into `bands` slices of
+    * `bandBits` bits, per-(band, key) ANCHOR = min doc_id, verify each
+    * member only against its bucket anchors by exact hamming distance,
+    * rep = min verified anchor.
+    *
+    * Why not all pairs within a bucket: a dup-heavy corpus concentrates
+    * docs into few buckets and a bucket self-join is O(bucket^2) on one
+    * task (the exact skew failure measured for minhash — 230 s vs ~2 s
+    * at sf0.1, see [[minhashNearDups]]). The anchor pattern caps
+    * candidates at docs x bands regardless of skew.
+    *
+    * Pigeonhole recall: hamming <= bands - 1 guarantees a shared band,
+    * so maxHamming <= bands - 1 has no band-level false negatives
+    * (member-vs-anchor assignment is still single-hop, like minhash).
+    *
+    * `fp` must have columns (doc_id, simhash). Returns
+    * (doc_id, rep_id, hamming) for docs assigned to an anchor; absent
+    * docs are their own representatives.
+    */
+  def fingerprintNearDups(fp: DataFrame, bandBits: Int, bands: Int,
+                          maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    // explicit exchange boundary: `keyed` feeds banding and both sides of
+    // the verification join; ReuseExchange computes the fingerprints once
+    val keyed = fp.select(col("doc_id"), col("simhash")).repartition(col("doc_id"))
+    val banded = keyed
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("q"))
-      .withColumn("qkey", expr("shiftright(simhash, q * 16) & 65535"))
-    val aSide = fp.select(col("q"), col("qkey"), col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val bSide = fp.select(col("q"), col("qkey"), col("doc_id").as("doc_b"), col("simhash").as("hb"))
-    aSide.join(bSide, Seq("q", "qkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
-      .dropDuplicates("doc_a", "doc_b")
+        explode(sequence(lit(0), lit(bands - 1))).as("q"))
+      // SQL-form shiftright: the Scala overload needs a literal shift
+      // amount, this one is per-row (q * bandBits)
+      .withColumn("qkey", expr(s"shiftright(simhash, q * $bandBits) & $mask"))
+      .select(col("doc_id"), col("q"), col("qkey"))
+    val anchors = banded.groupBy(col("q"), col("qkey"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val candidates = banded.join(anchors, Seq("q", "qkey"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id"))
+      .distinct()
+    candidates
+      .join(keyed.select(col("doc_id").as("anchor"), col("simhash").as("ha")), Seq("anchor"))
+      .join(keyed.select(col("doc_id"), col("simhash").as("hb")), Seq("doc_id"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("anchor")).as("rep_id"), min(col("hamming")).as("hamming"))
   }
+
+  /** SimHash near-dup cluster assignment over the 64-bit custom-
+    * Expression fingerprints: 4 bands x 16 bits (pigeonhole covers
+    * hamming <= 3), anchor pattern — see [[fingerprintNearDups]].
+    * Returns (doc_id, rep_id, hamming).
+    */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    fingerprintNearDups(simhashFingerprints(documents),
+      bandBits = 16, bands = 4, maxHamming = maxHamming)
 }

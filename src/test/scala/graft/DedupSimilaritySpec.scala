@@ -39,10 +39,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) > 16)
   }
 
-  test("simhashNearDups returns the dup pairs by hamming bucket") {
-    val pairs = Dedup.simhashNearDups(docs, maxHamming = 16)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 3L)))
+  test("simhashNearDups assigns dup cluster representatives (anchor pattern)") {
+    val reps = Dedup.simhashNearDups(docs, maxHamming = 16)
+      .select("doc_id", "rep_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(3L) === 0L) // exact dup: identical fingerprint, hamming 0
+    assert(reps.get(1L).forall(_ === 0L)) // near-dup collapses if within hamming bound
+    assert(!reps.contains(0L)) // the representative itself is not listed
+  }
+
+  test("fingerprintNearDups respects the hamming threshold") {
+    val fp = Seq(
+      (0L, 0L),                   // anchor
+      (1L, 1L),                   // hamming 1 from 0 — dup
+      (2L, 0xFF00FF00FF00FFL),    // far from everything
+      (3L, 3L)                    // hamming 2 from 0 — dup
+    ).toDF("doc_id", "simhash")
+    val out = Dedup.fingerprintNearDups(fp, bandBits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L) === (0L, 1))
+    assert(out(3L) === (0L, 2))
+    assert(!out.contains(2L))
+    assert(!out.contains(0L))
   }
 
   private lazy val vecs = {

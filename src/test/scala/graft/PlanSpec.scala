@@ -55,4 +55,62 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q61 simhash near-dups use the anchor pattern (no bucket self-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = SparkEntry.queries("q61_simhash_neardups")(spark, sf).queryExecution
+    // anchor pattern: every join has an Aggregate on one side (the
+    // bucket-anchor or the rep assignment) or joins candidates back to
+    // the per-doc fingerprints on doc_id — a banded-vs-banded self-join
+    // (the O(bucket^2) shape) would join two explode subtrees directly
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val explodeBothSides = joins.count { j =>
+      def hasExplode(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        pl.collectFirst { case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }.isDefined
+      hasExplode(j.left) && hasExplode(j.right) &&
+        j.left.collectFirst { case a: Aggregate => a }.isEmpty &&
+        j.right.collectFirst { case a: Aggregate => a }.isEmpty
+    }
+    assert(explodeBothSides === 0,
+      "banded-vs-banded self-join found — quadratic on skewed buckets")
+  }
+
+  test("q90 window runs over the pre-aggregated frame, not the raw scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("q90_rank_dense")(spark, sf).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "window input must be the groupBy(flag, quantity) aggregate")
+  }
+
+  test("q72 derives percent_rank without any window over the raw table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q72_percent_rank")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collectFirst { case w: LWindow => w }.isEmpty,
+      "q72 must use the topK aggregator + derived pr/cd, not a window sort")
+  }
+
+  test("no query windows a non-aggregated input by a tiny-cardinality key") {
+    // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
+    // <=10-cardinality column directly over the scan sorts the whole
+    // table on that many tasks. Post-aggregate windows are fine (input
+    // is already collapsed).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val tinyKeys = Set("l_returnflag", "l_linestatus", "o_orderpriority",
+      "o_orderstatus", "lang", "source", "event_type", "r_name")
+    for ((name, f) <- SparkEntry.queries) {
+      val plan = f(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).forall(tinyKeys) &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name: tiny-key window over a non-aggregated input")
+    }
+  }
 }
