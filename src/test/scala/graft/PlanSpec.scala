@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
       "banded-vs-banded self-join found — quadratic on skewed buckets")
   }
 
+  test("q76 tokenizes the corpus exactly once (df via window, no tf recompute)") {
+    val p = planOf("q76_tfidf")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      "tf subtree planned more than once — the df branch recomputes tokenization")
+  }
+
+  test("q89 portable minhash uses the anchor pattern (no banded self-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = SparkEntry.queries("q89_minhash_lsh_portable")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // every band-key join must have the anchor Aggregate on one side
+    val bandJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "bk")))
+    assert(bandJoins.forall(j =>
+      j.left.collectFirst { case a: Aggregate => a }.isDefined ||
+        j.right.collectFirst { case a: Aggregate => a }.isDefined))
+  }
+
   test("q90 window runs over the pre-aggregated frame, not the raw scan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val qe = SparkEntry.queries("q90_rank_dense")(spark, sf).queryExecution

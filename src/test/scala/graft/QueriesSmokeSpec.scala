@@ -24,4 +24,12 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q30 HLL estimate stays within the advertised tolerance") {
+    // the hash-checked column is the derived verdict; this pins the
+    // underlying estimate so a sketch regression can't hide behind it
+    val rows = SparkEntry.queries("q30_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "approx_count_distinct drifted > 5% from exact")
+  }
 }
