@@ -32,10 +32,21 @@ object Bench {
         name -> times.min
       } catch { case _: Throwable => name -> -1.0 }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the stdout line compact (the r3 line was
+    // long enough to get tail-truncated in the driver's log capture)
+    def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // machine-readable artifact: same JSON, immune to log truncation, so
+    // per-query timings can be diffed round-over-round
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")),
+      json + "\n")
     spark.stop()
   }
 }
