@@ -1256,6 +1256,106 @@ object SparkEntry {
       |SELECT doc_id, MIN(anchor) AS rep_id, MIN(hamming) AS hamming
       |FROM ver WHERE hamming <= 3 GROUP BY doc_id""".stripMargin
 
+  private def weatherBase(spark: SparkSession): DataFrame = {
+    val path = sources.WeatherFixture.ensure()
+    etl.WeatherETL.derived(etl.WeatherETL.cleaned(etl.WeatherETL.parsed(
+      Tables.weatherCsv(spark, path)))).filter(col("ts").isNotNull)
+  }
+
+  /** The §2.9 daily_weather output over the deterministic weather-CSV
+    * fixture, hash-checked: the FULL reference pipeline — tz-offset
+    * timestamp parse (F1), full-row dedup (A5), median imputation (F5),
+    * Beaufort bucket (F4), daily means (A1), fail-stop validation
+    * (V1-V5), fan-out enrichment join (J1) — re-derived by the DuckDB
+    * oracle from the same CSV bytes.
+    */
+  def q92WeatherDaily(spark: SparkSession, dir: String): DataFrame = {
+    val base = weatherBase(spark)
+    val daily = etl.WeatherETL.validatedDaily(etl.WeatherETL.dailyAgg(base))
+    etl.WeatherETL.enriched(daily, base)
+      .select(col("date"), col("formatted_date"), col("wind_strength"),
+        round(col("temperature_c"), 6).as("temperature_c"),
+        round(col("humidity"), 6).as("humidity"),
+        round(col("wind_speed_kmh"), 6).as("wind_speed_kmh"))
+  }
+
+  /** The §2.9 monthly_weather output over the same fixture: monthly
+    * means (A2) + deterministic min-tie-break mode of Precip Type (A3),
+    * validated (V6) — hash-checked against the oracle's re-derivation.
+    */
+  def q93WeatherMonthly(spark: SparkSession, dir: String): DataFrame =
+    etl.WeatherETL.validatedMonthly(etl.WeatherETL.monthlyAgg(weatherBase(spark)))
+      .select(col("month"),
+        round(col("avg_temperature_c"), 6).as("avg_temperature_c"),
+        round(col("avg_humidity"), 6).as("avg_humidity"),
+        round(col("avg_visibility_km"), 6).as("avg_visibility_km"),
+        round(col("avg_pressure_millibars"), 6).as("avg_pressure_millibars"),
+        col("mode_precip_type"))
+
+  /** Shared oracle CTEs replicating the weather pipeline head: typed
+    * CSV read, full-row dedup, median imputation, UTC normalization,
+    * date/month/Beaufort derivation. The Beaufort CASE is generated
+    * from the same Winds constants the Spark path uses.
+    */
+  private def weatherOracleCtes: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('${sources.WeatherFixture.Path}', header=true, all_varchar=true)),
+       |typed AS (
+       |  SELECT "Formatted Date" AS fdate, "Summary" AS summary, "Precip Type" AS precip,
+       |         TRY_CAST(NULLIF("Temperature (C)", '') AS DOUBLE) AS temp,
+       |         TRY_CAST(NULLIF("Apparent Temperature (C)", '') AS DOUBLE) AS apptemp,
+       |         TRY_CAST(NULLIF("Humidity", '') AS DOUBLE) AS hum,
+       |         TRY_CAST(NULLIF("Wind Speed (km/h)", '') AS DOUBLE) AS wind,
+       |         TRY_CAST(NULLIF("Wind Bearing (degrees)", '') AS DOUBLE) AS bearing,
+       |         TRY_CAST(NULLIF("Visibility (km)", '') AS DOUBLE) AS vis,
+       |         TRY_CAST(NULLIF("Loud Cover", '') AS DOUBLE) AS loud,
+       |         TRY_CAST(NULLIF("Pressure (millibars)", '') AS DOUBLE) AS press,
+       |         "Daily Summary" AS dsummary
+       |  FROM raw),
+       |ded AS (SELECT DISTINCT * FROM typed),
+       |med AS (SELECT quantile_cont(temp, 0.5) AS m_temp, quantile_cont(hum, 0.5) AS m_hum,
+       |               quantile_cont(wind, 0.5) AS m_wind, quantile_cont(vis, 0.5) AS m_vis,
+       |               quantile_cont(press, 0.5) AS m_press
+       |        FROM ded),
+       |imp AS (SELECT fdate, precip,
+       |               COALESCE(temp, m_temp) AS temp, COALESCE(hum, m_hum) AS hum,
+       |               COALESCE(wind, m_wind) AS wind, COALESCE(vis, m_vis) AS vis,
+       |               COALESCE(press, m_press) AS press
+       |        FROM ded CROSS JOIN med),
+       |base AS (
+       |  SELECT *, CAST(uts AS DATE) AS d, MONTH(uts) AS mth,
+       |         ${functions.Winds.windStrengthSql("wind")} AS wind_strength
+       |  FROM (SELECT *, timezone('UTC', try_strptime(fdate, '%Y-%m-%d %H:%M:%S.%g %z')) AS uts
+       |        FROM imp)
+       |  WHERE uts IS NOT NULL)""".stripMargin
+
+  private def weatherDailyOracleSql: String =
+    s"""$weatherOracleCtes,
+       |daily AS (SELECT d, AVG(temp) AS temperature_c, AVG(hum) AS humidity,
+       |                 AVG(wind) AS wind_speed_kmh
+       |          FROM base GROUP BY 1),
+       |detail AS (SELECT DISTINCT d, fdate AS formatted_date, wind_strength FROM base)
+       |SELECT d AS "date", formatted_date, wind_strength,
+       |       ROUND(temperature_c, 6) AS temperature_c, ROUND(humidity, 6) AS humidity,
+       |       ROUND(wind_speed_kmh, 6) AS wind_speed_kmh
+       |FROM daily LEFT JOIN detail USING (d)""".stripMargin
+
+  private def weatherMonthlyOracleSql: String =
+    s"""$weatherOracleCtes,
+       |mm AS (SELECT mth, AVG(temp) AS t, AVG(hum) AS h, AVG(vis) AS v, AVG(press) AS p
+       |       FROM base GROUP BY 1),
+       |pc AS (SELECT mth, precip, COUNT(*) AS c FROM base WHERE precip IS NOT NULL GROUP BY 1, 2),
+       |mode AS (SELECT mth, precip AS mode_precip_type FROM
+       |           (SELECT mth, precip,
+       |                   ROW_NUMBER() OVER (PARTITION BY mth ORDER BY c DESC, precip ASC) AS rn
+       |            FROM pc)
+       |         WHERE rn = 1)
+       |SELECT CAST(mm.mth AS INTEGER) AS month,
+       |       ROUND(t, 6) AS avg_temperature_c, ROUND(h, 6) AS avg_humidity,
+       |       ROUND(v, 6) AS avg_visibility_km, ROUND(p, 6) AS avg_pressure_millibars,
+       |       mode_precip_type
+       |FROM mm LEFT JOIN mode USING (mth)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -1349,6 +1449,8 @@ object SparkEntry {
     "q89_minhash_lsh_portable" -> (q89MinhashLshPortable _),
     "q90_rank_dense" -> (q90RankDense _),
     "q91_simhash_lsh_portable" -> (q91SimhashLshPortable _),
+    "q92_weather_daily" -> (q92WeatherDaily _),
+    "q93_weather_monthly" -> (q93WeatherMonthly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1535,6 +1637,8 @@ object SparkEntry {
     "q88_minhash_portable" -> minhashPortableOracleSql,
     "q89_minhash_lsh_portable" -> minhashLshPortableOracleSql,
     "q91_simhash_lsh_portable" -> simhashLshPortableOracleSql,
+    "q92_weather_daily" -> weatherDailyOracleSql,
+    "q93_weather_monthly" -> weatherMonthlyOracleSql,
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n
