@@ -429,8 +429,11 @@ object SparkEntry {
     * (character-based substr would diverge on multi-byte text).
     */
   private def mediaFeaturesOracleSql: String = {
+    // COALESCE(TRY_CAST(...), 0): documents shorter than 8 bytes produce
+    // '' from substr — a plain '0x'::BIGINT cast would error; the Spark
+    // side zero-pads identically (withStubFeatures coalesces to 0.0)
     val cols = (0 until 8).map(i =>
-      s"ROUND(('0x' || substr(hex(encode(text)), ${i * 2 + 1}, 2))::BIGINT / 255.0, 6) AS f$i")
+      s"ROUND(COALESCE(TRY_CAST('0x' || substr(hex(encode(text)), ${i * 2 + 1}, 2) AS BIGINT), 0) / 255.0, 6) AS f$i")
       .mkString(",\n  ")
     s"SELECT doc_id,\n  $cols\nFROM documents"
   }

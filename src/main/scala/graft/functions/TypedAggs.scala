@@ -43,7 +43,8 @@ object TypedAggs {
     * reduce — row worse than the current k-th — is a single compare.
     */
   def topK[T](k: Int)(implicit ord: Ordering[T],
-                      seqEnc: Encoder[Seq[T]]): Aggregator[T, Seq[T], Seq[T]] =
+                      seqEnc: Encoder[Seq[T]]): Aggregator[T, Seq[T], Seq[T]] = {
+    require(k > 0, s"topK needs k > 0, got $k")
     new Aggregator[T, Seq[T], Seq[T]] {
       override def zero: Seq[T] = Vector.empty
       override def reduce(b: Seq[T], a: T): Seq[T] =
@@ -57,4 +58,5 @@ object TypedAggs {
       override def bufferEncoder: Encoder[Seq[T]] = seqEnc
       override def outputEncoder: Encoder[Seq[T]] = seqEnc
     }
+  }
 }

@@ -30,13 +30,19 @@ object Multimodal {
     * The hex string is aliased to an attribute FIRST: referencing an
     * expensive expression inside a `transform` lambda re-evaluates it per
     * element after CollapseProject inlining (same trap as MinHashSig).
+    *
+    * Payloads shorter than `dim` (and null payloads) yield 0.0 for the
+    * missing byte positions — the same zero-padding contract as
+    * [[decodeViaMapPartitions]], so the two seams agree on every input.
     */
   def withStubFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame =
     df.withColumn("__hex", hex(substring(col(binCol), 1, dim)))
       .withColumn("features",
         transform(sequence(lit(0), lit(dim - 1)),
-          i => conv(substring(col("__hex"), i * 2 + 1, lit(2)), 16, 10)
-            .cast("double") / 255.0))
+          i => coalesce(
+            conv(substring(col("__hex"), i * 2 + 1, lit(2)), 16, 10)
+              .cast("double") / 255.0,
+            lit(0.0))))
       .drop("__hex")
 
   /** The heavyweight-codec seam: per-partition typed decode via

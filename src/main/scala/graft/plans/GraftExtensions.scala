@@ -26,10 +26,18 @@ object GraftExtensions {
   val functions: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] = Map(
     "simhash64" -> (
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"simhash64(tokens) expects exactly 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }),
     "minhash_sig" -> (
       info("minhash_sig", "minhash_sig(array<string>, k) - k-slot MinHash signature"),
       (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"minhash_sig(tokens, k) expects exactly 2 arguments, got ${exprs.length}")
         val k = exprs(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt
@@ -48,6 +56,9 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Divide, Literal, Md5, Substring}
         import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"portable_unit(id, salt) expects exactly 2 arguments, got ${exprs.length}")
         val salt = exprs(1).eval() match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
           case other => throw new IllegalArgumentException(s"salt must be a literal string, got $other")

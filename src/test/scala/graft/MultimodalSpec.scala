@@ -48,6 +48,23 @@ class MultimodalSpec extends SparkSpec {
     assert(empty === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("decode paths agree on payloads shorter than dim (zero-pad contract)") {
+    // "ab" = 2 bytes against dim 4: positions 2-3 must be 0.0 on BOTH seams
+    val short = Seq((1L, "ab"), (2L, "")).toDF("id", "payload_s")
+      .withColumn("payload", col("payload_s").cast("binary"))
+    for (id <- Seq(1L, 2L)) {
+      val viaExpr = Multimodal.withStubFeatures(short, "payload", dim = 4)
+        .filter(col("id") === id).select("features").head().getSeq[Double](0)
+      val viaPart = Multimodal.decodeViaMapPartitions(short, "id", "payload", dim = 4)
+        .filter(col("id") === id).select("features").head().getSeq[Double](0)
+      assert(viaExpr === viaPart, s"short-payload divergence for id=$id")
+      assert(viaExpr.length === 4 && !viaExpr.exists(_.isNaN))
+    }
+    val f1 = Multimodal.withStubFeatures(short, "payload", dim = 4)
+      .filter(col("id") === 1L).select("features").head().getSeq[Double](0)
+    assert(f1 === Seq('a'.toInt / 255.0, 'b'.toInt / 255.0, 0.0, 0.0))
+  }
+
   test("frame sampling yields one row per stride") {
     val frames = Multimodal.sampledFrames(media, "id", "payload", stride = 4)
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted
