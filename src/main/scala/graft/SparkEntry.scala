@@ -1295,6 +1295,53 @@ object SparkEntry {
         round(col("avg_pressure_millibars"), 6).as("avg_pressure_millibars"),
         col("mode_precip_type"))
 
+  /** Gopher/C4-style repetition quality signal: fraction of duplicate
+    * 3-gram shingles per document (high rep_ratio = boilerplate /
+    * degenerate text — a standard pretraining-corpus drop criterion).
+    * Pure narrow codegen'd expressions; docs under 3 tokens score 0.
+    */
+  def q94Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val sh = functions.Texts.shingles(col("text"), 3)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(sh).as("n_sh"),
+      size(array_distinct(sh)).as("uniq_sh"),
+      round(when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(lit(0.0)), 6).as("rep_ratio"))
+  }
+
+  /** Weighted corpus mixing on the portable hash (70% of the 'en' web
+    * slice + 50% of everything else), per-mixture accounting — the
+    * training-mixture construction step, fully auditable: the DuckDB
+    * oracle re-derives every membership decision from the same md5.
+    */
+  def q95MixPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Sampling.mixCorporaPortable(Seq(
+        (docs.filter(col("lang") === "en"), "web", 0.7),
+        (docs.filter(col("lang") =!= "en"), "other", 0.5)), "doc_id")
+      .groupBy(col("mix_source"), col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  /** Skew-salted join, proven equal to the plain join: lineitem salted
+    * by hash(l_partkey) mod 8, orders replicated 8x — the hot-key
+    * defense for when AQE skew handling is unavailable (aggregations,
+    * deterministic partition sizing). Oracle = the PLAIN join, so the
+    * hash-match IS the equivalence proof.
+    */
+  def q96SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey"), col("l_quantity"))
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    operators.Joins.saltedJoin(li, ords, "k", "l_partkey", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1454,6 +1501,9 @@ object SparkEntry {
     "q91_simhash_lsh_portable" -> (q91SimhashLshPortable _),
     "q92_weather_daily" -> (q92WeatherDaily _),
     "q93_weather_monthly" -> (q93WeatherMonthly _),
+    "q94_repetition" -> (q94Repetition _),
+    "q95_mix_portable" -> (q95MixPortable _),
+    "q96_salted_join" -> (q96SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1642,6 +1692,39 @@ object SparkEntry {
     "q91_simhash_lsh_portable" -> simhashLshPortableOracleSql,
     "q92_weather_daily" -> weatherDailyOracleSql,
     "q93_weather_monthly" -> weatherMonthlyOracleSql,
+    "q94_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           list_transform(range(1, len(toks) - 1),
+        |                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |         ELSE [] END AS sh
+        |  FROM t)
+        |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh,
+        |       CAST(len(list_distinct(sh)) AS INTEGER) AS uniq_sh,
+        |       ROUND(CASE WHEN len(sh) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |                  ELSE 0.0 END, 6) AS rep_ratio
+        |FROM s""".stripMargin,
+    "q95_mix_portable" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, 'web' AS mix_source FROM documents
+        |  WHERE lang = 'en'
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR || ':mix:web'), 1, 8))::BIGINT / 4294967296.0 < 0.7
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'other' AS mix_source FROM documents
+        |  WHERE lang <> 'en'
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR || ':mix:other'), 1, 8))::BIGINT / 4294967296.0 < 0.5)
+        |SELECT mix_source, lang, COUNT(*) AS n,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    "q96_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n

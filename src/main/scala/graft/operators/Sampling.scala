@@ -38,6 +38,18 @@ object Sampling {
       df.filter(u < fraction).withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
 
+  /** [[mixCorpora]] on the portable md5 hash (per-source salt, so each
+    * source's keep-decision is an independent uniform draw) — the
+    * auditable form: any md5-capable engine re-derives exactly which
+    * rows entered the mixture.
+    */
+  def mixCorporaPortable(sources: Seq[(DataFrame, String, Double)],
+                         idCol: String): DataFrame =
+    sources.map { case (df, name, fraction) =>
+      df.filter(portableUnit(col(idCol), s"mix:$name") < fraction)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+
   /** Engine-portable uniform hash in [0,1): integer value of the first 8
     * hex chars of md5(id || ':' || salt), over 16^8. Any engine with md5
     * (DuckDB, Trino, BigQuery, ...) reproduces it bit-for-bit — which

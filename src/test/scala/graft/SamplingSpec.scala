@@ -61,6 +61,24 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > 1500 && counts("train") < 1700)
   }
 
+  test("mixCorporaPortable honors per-source fractions, deterministic, tagged") {
+    val en = corpus.filter(col("lang") === "en")
+    val de = corpus.filter(col("lang") === "de")
+    val mix = Sampling.mixCorporaPortable(
+      Seq((en, "web", 0.7), (de, "curated", 1.0)), "doc_id")
+    val counts = mix.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEn = en.count().toDouble
+    assert(counts("web") > nEn * 0.6 && counts("web") < nEn * 0.8)
+    assert(counts("curated") === de.count()) // fraction 1.0 keeps everything
+    // deterministic: the same call reproduces the exact member set
+    val ids1 = mix.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixCorporaPortable(
+      Seq((en, "web", 0.7), (de, "curated", 1.0)), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("decontaminate removes exactly the blocklisted contents") {
     val block = corpus.filter(col("doc_id") < 10).select(col("text"))
     val clean = Dedup.decontaminate(corpus, block)
