@@ -115,6 +115,9 @@ object SparkEntry {
   final case class OrderRank(o_orderpriority: String, o_orderkey: Long,
                              o_totalprice: Double)
 
+  /** A (lang, doc_id) pair for the quota subsampling path (q98). */
+  final case class DocKey(lang: String, doc_id: Long)
+
   /** Top-k per group via the bounded TypedAggs.topK aggregator — NOT a
     * window row_number(): the window form shuffles and sorts the whole
     * table per group; this shape prunes to <=k rows map-side and the
@@ -1337,9 +1340,42 @@ object SparkEntry {
       .select(col("l_orderkey").as("k"), col("l_partkey"), col("l_quantity"))
     val ords = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-    operators.Joins.saltedJoin(li, ords, "k", "l_partkey", buckets = 8)
+    operators.Joins.saltedJoin(li, ords, "k", "l_partkey", buckets = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Approximate percentile (the 100 TB path — exact percentile needs a
+    * full per-group sort) paired with the exact value and a
+    * deterministic 2%-tolerance verdict, same pattern as q30: the
+    * sketch is exercised, the row stays fully hash-checkable.
+    */
+  def q97ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("exact_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        (abs(col("approx") - col("exact_p50")) / col("exact_p50") <= 0.02)
+          .as("within_tol"))
+
+  /** Quota subsampling: keep at most 40 docs per language (smallest
+    * doc_id first) — the cap-per-domain step of corpus curation. Uses
+    * the bounded topK aggregator, NOT a window: `lang` is a
+    * tiny-cardinality key, and a window would sort the whole corpus on
+    * a handful of tasks; the aggregator prunes to 40 rows map-side.
+    */
+  def q98QuotaPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ord: Ordering[DocKey] = Ordering.by(_.doc_id)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id")).as[DocKey]
+      .groupByKey(_.lang)
+      .agg(functions.TypedAggs.topK[DocKey](40).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.lang"), col("r.doc_id"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Shared oracle CTEs replicating the weather pipeline head: typed
@@ -1504,6 +1540,8 @@ object SparkEntry {
     "q94_repetition" -> (q94Repetition _),
     "q95_mix_portable" -> (q95MixPortable _),
     "q96_salted_join" -> (q96SaltedJoin _),
+    "q97_approx_percentile" -> (q97ApproxPercentile _),
+    "q98_quota_per_lang" -> (q98QuotaPerLang _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1725,6 +1763,16 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q97_approx_percentile" ->
+      """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |       TRUE AS within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q98_quota_per_lang" ->
+      """SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT lang, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 40""".stripMargin,
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n
