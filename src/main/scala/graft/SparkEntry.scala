@@ -1415,6 +1415,43 @@ object SparkEntry {
       .select(col("probe_id"), (col("hits") >= 2).as("recall_ok"))
   }
 
+  /** CDC keep-latest upsert (MERGE semantics) hash-checked: base =
+    * orders@v1, updates = every 10th order with a bumped price @v2;
+    * `Load.upsertLatest` merges to one row per key (max version) via a
+    * single max_by hash aggregate — no window, no join. Output is the
+    * per-priority account of the merged table.
+    */
+  def q100Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        lit(1).as("version"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("version", lit(2))
+    operators.Load.upsertLatest(base, updates, Seq("o_orderkey"), "version")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+        sum(col("version")).as("sum_version"))
+  }
+
+  /** Int8 scalar quantization of embeddings (the storage-compression
+    * step a 100 TB vector corpus needs: 4 bytes -> 1 byte per dim):
+    * per-vector min/max affine map to [0, 255]. Pure narrow codegen'd
+    * expressions; both engines evaluate the identical double arithmetic,
+    * so even the bucket boundaries hash-match. Output projects scalar
+    * columns (comparator can't sort array cells).
+    */
+  def q101Quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+      .select(Seq(col("vec_id"),
+        round(col("vmin"), 6).as("vmin_r"), round(col("vmax"), 6).as("vmax_r")) ++
+        (0 until 4).map(i =>
+          least(lit(255), floor((element_at(col("v"), i + 1) - col("vmin"))
+            / (col("vmax") - col("vmin")) * 255)).cast("int").as(s"q$i")): _*)
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1580,6 +1617,8 @@ object SparkEntry {
     "q97_approx_percentile" -> (q97ApproxPercentile _),
     "q98_quota_per_lang" -> (q98QuotaPerLang _),
     "q99_ivf_recall" -> (q99IvfRecall _),
+    "q100_upsert" -> (q100Upsert _),
+    "q101_quantize" -> (q101Quantize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1814,6 +1853,36 @@ object SparkEntry {
     "q99_ivf_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q100_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice, 1 AS version FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 100.0 AS o_totalprice,
+        |         2 AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |         max_by(o_orderpriority, version) AS o_orderpriority,
+        |         max_by(o_totalprice, version) AS o_totalprice,
+        |         MAX(version) AS version
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |       CAST(SUM(version) AS BIGINT) AS sum_version
+        |FROM merged GROUP BY 1""".stripMargin,
+    "q101_quantize" -> {
+      val qs = (0 until 4).map(i =>
+        s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
+        .mkString(",\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e)
+         |SELECT vec_id, ROUND(vmin, 6) AS vmin_r, ROUND(vmax, 6) AS vmax_r,
+         |  $qs
+         |FROM m""".stripMargin
+    },
     "q90_rank_dense" ->
       """SELECT l_returnflag, l_quantity, CAST(rnk AS INTEGER) AS rnk,
         |       CAST(drnk AS INTEGER) AS drnk, COUNT(*) AS n

@@ -51,4 +51,22 @@ object Load {
     df.write.mode(if (exists) SaveMode.Append else SaveMode.ErrorIfExists)
       .saveAsTable(table)
   }
+
+  /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
+    * key — the row with the highest `versionCol`. Single hash aggregate
+    * with map-side partials (`max_by` over a struct), NOT a window: a
+    * row_number-over-key formulation sorts every key group, while this
+    * shape shuffles one candidate row per (partition, key). Callers must
+    * guarantee `versionCol` is unique per key (ties would be
+    * non-deterministic — the usual CDC sequence/commit-ts contract).
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                   versionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = base.unionByName(updates)
+    val others = all.columns.filterNot(keyCols.contains).toSeq
+    all.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(versionCol)).as("__r"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
 }

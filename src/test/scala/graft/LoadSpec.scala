@@ -45,6 +45,20 @@ class LoadSpec extends SparkSpec {
       df2.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("upsertLatest keeps exactly the highest-version row per key") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "payload", "version")
+    val updates = Seq((2L, "B2", 2), (3L, "C2", 2), (3L, "C3", 3), (4L, "d", 1))
+      .toDF("k", "payload", "version")
+    val merged = Load.upsertLatest(base, updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(merged === Map(
+      1L -> ("a", 1),   // untouched base row survives
+      2L -> ("B2", 2),  // update wins
+      3L -> ("C3", 3),  // highest of multiple updates wins
+      4L -> ("d", 1)))  // insert-only key appears
+  }
+
   test("appendToTable creates then appends to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS graft_load_spec")
     Load.appendToTable(df2.drop("d"), "graft_load_spec")
