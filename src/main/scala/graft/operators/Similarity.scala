@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -17,6 +16,31 @@ import graft.functions.Vectors
   *     re-rank — the 100 TB shape (shuffle on bucket id, no cross join).
   */
 object Similarity {
+
+  /** A scored candidate row for the typed per-probe top-k path (the
+    * case class must be object-level for implicit Encoder resolution).
+    */
+  final case class ProbeScored(probe_id: Long, vec_id: Long, cosine: Double)
+
+  /** Bounded top-k per probe over (probe_id, vec_id, cosine) rows via
+    * the typed topK aggregator — NOT a window: `probe_id` cardinality is
+    * the (small) probe-set size, so a window would sort the ENTIRE
+    * candidate set on that many tasks; the aggregator prunes to k rows
+    * map-side and the shuffle carries k rows per (partition, probe).
+    * Ordering (cosine desc, vec_id) matches the window/oracle ordering.
+    */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[ProbeScored] = Ordering.by(h => (-h.cosine, h.vec_id))
+    scored.select(col("probe_id"), col("vec_id"), col("cosine")).as[ProbeScored]
+      .groupByKey(_.probe_id)
+      .agg(graft.functions.TypedAggs.topK[ProbeScored](k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.probe_id"), col("r.vec_id"), col("r.cosine"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
 
   private def emb(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
@@ -110,13 +134,10 @@ object Similarity {
         .map { case (ci, _) => (pid, ci, pv) }
     }.toSeq.toDF("probe_id", "cell", "qv")
 
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rn"))
+    topKPerProbe(
+      assigned.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)), k)
   }
 
   private def l2Dist(a: Array[Double], b: Array[Double]): Double = {
@@ -135,12 +156,9 @@ object Similarity {
     val e = emb(embeddings).withColumn("bucket", hyperplaneBucket(col("v"), nPlanes, dim))
     val probes = e.filter(col("vec_id").isin(probeVecIds: _*))
       .select(col("vec_id").as("probe_id"), col("v").as("qv"), col("bucket"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-    e.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rn"))
+    topKPerProbe(
+      e.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)), k)
   }
 }

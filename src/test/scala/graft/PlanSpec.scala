@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
       "q72 must use the topK aggregator + derived pr/cd, not a window sort")
   }
 
+  test("ANN top-k paths (q29, q43, q99) use the bounded aggregator, not a probe window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q29_ann_lsh", "q43_ivf_ann", "q99_ivf_recall")) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      assert(qe.optimizedPlan.collectFirst { case w: LWindow => w }.isEmpty,
+        s"$name: a window partitioned by probe_id sorts the whole candidate set " +
+          "on #probes tasks — use topKPerProbe")
+    }
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
