@@ -160,6 +160,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC compaction: each micro-batch of change rows is
+    * MERGEd into a keyed parquet table via `Load.upsertLatest` inside
+    * foreachBatch — the canonical keep-latest sink when the target store
+    * has no native MERGE. The batch is first compacted to one row per
+    * key (a batch can carry several versions of a key), then merged with
+    * the current table state and atomically swapped in. At scale the
+    * rewrite cost is bounded by partitioning the target table and
+    * merging only affected partitions; the single-table overwrite here
+    * is the simplest correct form.
+    */
+  def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
+                      versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val compacted = graft.operators.Load.upsertLatest(
+          batch, batch.limit(0), keyCols, versionCol)
+        val merged =
+          if (new java.io.File(tableDir).exists()) {
+            val current = spark.read.parquet(tableDir)
+            graft.operators.Load.upsertLatest(current, compacted, keyCols, versionCol)
+          } else compacted
+        // write-tmp-then-swap: the merged frame lazily READS tableDir, so
+        // an in-place overwrite would consume its own output mid-write
+        val tmp = tableDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+          f.delete(); ()
+        }
+        rmrf(new java.io.File(tableDir))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(tableDir))
+        ()
+      }
+      .start()
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Custom stateful operator: per-user running (count, sum) via

@@ -45,6 +45,21 @@ class LoadSpec extends SparkSpec {
       df2.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("partitioned parquet sink enables partition pruning on read") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-part").toString
+    val df = Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02"))
+      .toDF("v", "d")
+    Load.parquetAppend(df, s"$base/p", Seq("d"))
+    val read = spark.read.parquet(s"$base/p").filter(col("d") === "2024-01-02")
+    val plan = read.queryExecution.executedPlan.toString
+    // the filter must prune at the PARTITION level (directory skip), not
+    // as a row-level data filter after reading everything
+    assert(plan.contains("PartitionFilters: [isnotnull(d"), plan.take(500))
+    assert(read.count() === 2)
+    assert(read.select("v").collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+  }
+
   test("upsertLatest keeps exactly the highest-version row per key") {
     import spark.implicits._
     val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "payload", "version")

@@ -77,6 +77,30 @@ class PropertySpec extends SparkSpec {
     assert(us.toSeq === us2.toSeq)
   }
 
+  test("fingerprintNearDups finds EVERY pair within the pigeonhole bound") {
+    // pigeonhole: hamming <= bands-1 guarantees a shared band, and the
+    // anchor pattern assigns every non-minimal member of a dup set — so
+    // any doc with hamming <= maxHamming to a SMALLER id must be
+    // assigned (to that doc's anchor or a better one)
+    for (trial <- 1 to 5) {
+      val base = List.fill(20)(rnd.nextLong())
+      val planted = base.zipWithIndex.collect { case (h, i) if i % 3 == 0 =>
+        h ^ (1L << rnd.nextInt(64)) // hamming 1 from base(i) (or 0 if same bit twice)
+      }
+      val fps = (base ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val out = graft.operators.Dedup
+        .fingerprintNearDups(fps.toDF("doc_id", "simhash"), 16, 4, 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      // every doc with a smaller-id neighbor within the bound must appear
+      val mustAssign = fps.filter { case (id, h) =>
+        fps.exists { case (id2, h2) => id2 < id && java.lang.Long.bitCount(h ^ h2) <= 3 }
+      }.map(_._1).toSet
+      assert(mustAssign.subsetOf(out.keySet),
+        s"missed assignments: ${mustAssign -- out.keySet}")
+      assert(out.values.forall(_ <= 3))
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     import graft.plans.MinHashSig.minhash_sig_est
     for (trial <- 1 to 5) {

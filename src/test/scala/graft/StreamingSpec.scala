@@ -143,6 +143,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert merges change batches into a keep-latest table") {
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft-cdc-src").toString
+    val tableDir = Files.createTempDirectory("graft-cdc-tbl").toString + "/t"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("payload", StringType), StructField("version", LongType)))
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "payload", "version")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val changes = spark.readStream.schema(schema).parquet(srcDir)
+    val q = EventStreams.upsertToParquet(changes, tableDir, Seq("k"), "version")
+    try {
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(tableDir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after1 === Map(1L -> "a", 2L -> "b"))
+      // second change batch: update key 2, insert key 3 with TWO versions
+      // in the same batch (the batch itself must compact)
+      Seq((2L, "B2", 2L), (3L, "c1", 1L), (3L, "c2", 2L))
+        .toDF("k", "payload", "version")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(tableDir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(after2 === Map(
+        1L -> ("a", 1L),   // untouched key survives the merge
+        2L -> ("B2", 2L),  // cross-batch update wins
+        3L -> ("c2", 2L))) // within-batch compaction keeps the latest
+    } finally q.stop()
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     val dir = streamDir()
     val q = EventStreams.runningUserTotals(spark, EventStreams.readEventStream(spark, dir))
