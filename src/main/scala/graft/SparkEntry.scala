@@ -1452,6 +1452,35 @@ object SparkEntry {
           least(lit(255), floor((element_at(col("v"), i + 1) - col("vmin"))
             / (col("vmax") - col("vmin")) * 255)).cast("int").as(s"q$i")): _*)
 
+  /** Rollup with grouping_id: the bitmask that disambiguates "null
+    * because subtotal" from "null data" in multi-level aggregates
+    * (Spark's grouping_id == the GROUPING(a, b) bitmask in ANSI SQL).
+    */
+  def q102GroupingId(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+
+  /** Trailing 7-day average via a RANGE window frame (value-based, not
+    * row-based: gaps in the calendar shrink the frame instead of
+    * reaching back further). The window input is the tiny daily
+    * aggregate — bounded by the calendar — so the unpartitioned frame is
+    * safe at any SF.
+    */
+  def q103RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("rev"))
+    val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date")))
+      .withColumn("trail7", round(avg(col("rev")).over(w), 6))
+      .select(col("d"), col("rev"), col("trail7"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1619,6 +1648,8 @@ object SparkEntry {
     "q99_ivf_recall" -> (q99IvfRecall _),
     "q100_upsert" -> (q100Upsert _),
     "q101_quantize" -> (q101Quantize _),
+    "q102_grouping_id" -> (q102GroupingId _),
+    "q103_range_frame" -> (q103RangeFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1871,6 +1902,21 @@ object SparkEntry {
         |       ROUND(SUM(o_totalprice), 2) AS sum_price,
         |       CAST(SUM(version) AS BIGINT) AS sum_version
         |FROM merged GROUP BY 1""".stripMargin,
+    "q102_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q103_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS rev
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT d, rev, d - DATE '1970-01-01' AS dn FROM daily)
+        |SELECT d, rev,
+        |       ROUND(AVG(rev) OVER (ORDER BY dn
+        |                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS trail7
+        |FROM n""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
