@@ -160,43 +160,98 @@ object EventStreams {
       }
       .start()
 
+  /** Partition column of the upsert sink table: `pmod(hash(keys), n)`.
+    * Key-derived, so every version of a key lands in the same partition
+    * and a batch's merge footprint is exactly the partitions its keys
+    * hash into.
+    */
+  val upsertBucketCol = "__bucket"
+
   /** Streaming CDC compaction: each micro-batch of change rows is
     * MERGEd into a keyed parquet table via `Load.upsertLatest` inside
     * foreachBatch — the canonical keep-latest sink when the target store
-    * has no native MERGE. The batch is first compacted to one row per
-    * key (a batch can carry several versions of a key), then merged with
-    * the current table state and atomically swapped in. At scale the
-    * rewrite cost is bounded by partitioning the target table and
-    * merging only affected partitions; the single-table overwrite here
-    * is the simplest correct form.
+    * has no native MERGE. See [[mergeBatchIntoTable]] for the merge
+    * contract (bucket-partitioned table, touched-partitions-only
+    * rewrite, batchId exactly-once sidecar).
     */
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
-                      versionCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+                      versionCol: String, nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val compacted = graft.operators.Load.upsertLatest(
-          batch, batch.limit(0), keyCols, versionCol)
-        val merged =
-          if (new java.io.File(tableDir).exists()) {
-            val current = spark.read.parquet(tableDir)
-            graft.operators.Load.upsertLatest(current, compacted, keyCols, versionCol)
-          } else compacted
-        // write-tmp-then-swap: the merged frame lazily READS tableDir, so
-        // an in-place overwrite would consume its own output mid-write
-        val tmp = tableDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-          f.delete(); ()
-        }
-        rmrf(new java.io.File(tableDir))
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(tableDir))
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId)
       }
       .start()
+
+  /** One micro-batch MERGE into a bucket-partitioned keyed parquet table.
+    *
+    * Scale + filesystem posture (this is the production-shaped sink):
+    *   - all exists/delete/rename go through `org.apache.hadoop.fs
+    *     .FileSystem`, so the same code runs on HDFS/S3A, not just
+    *     `file://` — `java.io.File` would silently see nothing there;
+    *   - the table is hive-partitioned by [[upsertBucketCol]] =
+    *     `pmod(hash(keys), nBuckets)`; the merge reads ONLY the
+    *     partitions containing this batch's keys (partition pruning on
+    *     the `isin` filter) and rewrites only those, so per-batch I/O is
+    *     O(touched partitions), not O(table);
+    *   - the rewritten partitions are staged under `_staging_<batchId>`
+    *     inside the table dir (underscore prefix: invisible to Spark's
+    *     reader, same filesystem so rename is a metadata move on HDFS),
+    *     then swapped in dir-by-dir — the lazily-read current state is
+    *     never overwritten mid-read;
+    *   - exactly-once across foreachBatch REPLAYS: a `_commits/<batchId>`
+    *     marker is written after the swap; a replayed batchId returns
+    *     before touching data. A crash mid-swap replays the merge, which
+    *     keep-latest semantics make idempotent (same winners re-win).
+    */
+  def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
+                          versionCol: String, nBuckets: Int, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = batch.sparkSession
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(new Path(table, "_commits"), batchId.toString)
+    if (fs.exists(marker)) return // replayed batch: already merged
+
+    // compact the batch to one row per key, tagged with its bucket
+    val compacted = graft.operators.Load.upsertLatest(
+        batch, batch.limit(0), keyCols, versionCol)
+      .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    // bounded collect: at most nBuckets small ints
+    val touched = compacted.select(upsertBucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val partDirs = touched.map(b => new Path(table, s"$upsertBucketCol=$b"))
+      val havePartitions = fs.exists(table) &&
+        fs.globStatus(new Path(table, s"$upsertBucketCol=*")).nonEmpty
+      val merged =
+        if (havePartitions) {
+          val current = spark.read.parquet(tableDir)
+            .filter(col(upsertBucketCol).isin(touched.map(Integer.valueOf): _*))
+          graft.operators.Load.upsertLatest(current, compacted, keyCols, versionCol)
+        } else compacted
+      val staging = new Path(table, s"_staging_$batchId")
+      merged
+        .repartition(touched.length, col(upsertBucketCol)) // one file per bucket per merge
+        .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(staging.toString)
+      partDirs.foreach { dst =>
+        val src = new Path(staging, dst.getName)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(staging, true) // _SUCCESS + any untouched leftovers
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    ()
+  }
+
+  /** Read back the logical table the upsert sink maintains (the bucket
+    * column is sink plumbing, not payload).
+    */
+  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop(upsertBucketCol)
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

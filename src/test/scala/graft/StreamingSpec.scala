@@ -149,27 +149,50 @@ class StreamingSpec extends SparkSpec {
     val tableDir = Files.createTempDirectory("graft-cdc-tbl").toString + "/t"
     val schema = StructType(Seq(StructField("k", LongType),
       StructField("payload", StringType), StructField("version", LongType)))
+    // bucket of each key under the sink's partitioning, for the
+    // touched-partitions assertion below
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(pmod(hash(col("k")), lit(16))).head().getInt(0)
     Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "payload", "version")
       .coalesce(1).write.mode("append").parquet(srcDir)
     val changes = spark.readStream.schema(schema).parquet(srcDir)
     val q = EventStreams.upsertToParquet(changes, tableDir, Seq("k"), "version")
     try {
       q.processAllAvailable()
-      val after1 = spark.read.parquet(tableDir)
+      val after1 = EventStreams.readUpsertTable(spark, tableDir)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after1 === Map(1L -> "a", 2L -> "b"))
+      // snapshot key 1's partition dir: batch 2 must not rewrite it
+      assume(bucketOf(1L) !== bucketOf(2L)) // distinct buckets (holds for hash(1),hash(2) mod 16)
+      assume(bucketOf(1L) !== bucketOf(3L))
+      def listing(bucket: Int): Set[(String, Long)] = {
+        val d = new java.io.File(tableDir, s"${EventStreams.upsertBucketCol}=$bucket")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSet
+      }
+      val key1Before = listing(bucketOf(1L))
       // second change batch: update key 2, insert key 3 with TWO versions
       // in the same batch (the batch itself must compact)
       Seq((2L, "B2", 2L), (3L, "c1", 1L), (3L, "c2", 2L))
         .toDF("k", "payload", "version")
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
-      val after2 = spark.read.parquet(tableDir)
+      val after2 = EventStreams.readUpsertTable(spark, tableDir)
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       assert(after2 === Map(
         1L -> ("a", 1L),   // untouched key survives the merge
         2L -> ("B2", 2L),  // cross-batch update wins
         3L -> ("c2", 2L))) // within-batch compaction keeps the latest
+      // scale contract: batch 2 touched only key-2/key-3 buckets — key 1's
+      // partition files are byte-identical (same names, same mtimes)
+      assert(listing(bucketOf(1L)) === key1Before)
+      // exactly-once contract: replaying an already-committed batchId is a
+      // no-op even if the replayed frame carries a would-win version
+      val replay = Seq((2L, "EVIL", 9L)).toDF("k", "payload", "version")
+      EventStreams.mergeBatchIntoTable(replay, tableDir, Seq("k"), "version", 16, 1L)
+      val afterReplay = EventStreams.readUpsertTable(spark, tableDir)
+        .filter(col("k") === 2L).head()
+      assert(afterReplay.getString(1) === "B2" && afterReplay.getLong(2) === 2L)
     } finally q.stop()
   }
 
