@@ -19,27 +19,45 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Steady-state timing: one untimed run pays plan compilation + janino
-    // codegen (~0.3 s/query), then best-of-2 timed runs damps GC/scheduler
-    // noise. Queries run in name order for stable output.
+    // codegen (~0.3 s/query), then best-of-3 timed runs damps GC/scheduler
+    // noise (the r4 q09/q01/q60 "regressions" were exactly this noise —
+    // all three reverted with no code change). Queries run in name order
+    // for stable output.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up: compile + codegen + page cache
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
-      } catch { case _: Throwable => name -> -1.0 }
+        // canonicalized optimized-plan hash: exprIds normalized, so the
+        // hash is stable run-over-run and changes iff the PLAN changes —
+        // separates "code reshaped the plan" from scheduler noise when
+        // diffing BENCH_r{N}.json round-over-round. Typed-Aggregator
+        // nodes print object identity (`$$anon$1@1f2e3d`) and typed ops
+        // print lambda hidden-class addresses (`$$Lambda$2524/0x7f67...`)
+        // — normalize both, they change per JVM, not per plan.
+        val planStr = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized
+          .toString.replaceAll("@[0-9a-f]+", "@id")
+          .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+        val planHash = java.security.MessageDigest.getInstance("MD5")
+          .digest(planStr.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        name -> (times.min, planHash)
+      } catch { case _: Throwable => name -> (-1.0, "err") }
     }.toMap
     // 4-decimal rounding keeps the stdout line compact (the r3 line was
     // long enough to get tail-truncated in the driver's log capture)
     def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val plans = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, h)) => s"\"" + k + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).filter(_ > 0).sum else 0.0
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     println(json)
     // machine-readable artifact: same JSON, immune to log truncation, so
     // per-query timings can be diffed round-over-round
