@@ -1481,6 +1481,26 @@ object SparkEntry {
       .select(col("d"), col("rev"), col("trail7"))
   }
 
+  /** Bucketed-layout join (SURVEY §2.3 at 100 TB): customer and orders
+    * are first WRITTEN bucketed on the join key (`Load.bucketedTable`,
+    * same bucket count both sides), then joined as catalog tables — the
+    * executed join carries NO shuffle Exchange (PlanSpec asserts this),
+    * because each task zips bucket i of both layouts. The oracle is the
+    * plain join on the raw parquet: bucketing must not change a single
+    * row, only where the shuffle happens (at load, once, instead of per
+    * query).
+    */
+  def q104BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    operators.Load.bucketedTable(cust, "graft_bkt_customer", "c_custkey", 8)
+    operators.Load.bucketedTable(ord, "graft_bkt_orders", "c_custkey", 8)
+    operators.Joins.bucketedJoin(spark, "graft_bkt_customer", "graft_bkt_orders", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1650,6 +1670,7 @@ object SparkEntry {
     "q101_quantize" -> (q101Quantize _),
     "q102_grouping_id" -> (q102GroupingId _),
     "q103_range_frame" -> (q103RangeFrame _),
+    "q104_bucketed_join" -> (q104BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1917,6 +1938,10 @@ object SparkEntry {
         |       ROUND(AVG(rev) OVER (ORDER BY dn
         |                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS trail7
         |FROM n""".stripMargin,
+    "q104_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")

@@ -47,6 +47,20 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Join of two co-bucketed catalog tables (written via
+    * [[Load.bucketedTable]] with the SAME bucket count on the join
+    * key): the bucketing metadata satisfies both sides' distribution
+    * requirement, so the sort-merge join runs with NO ShuffleExchange —
+    * each task reads bucket i of both tables. The `merge` hint pins
+    * SMJ (at test SFs the right side is broadcast-small, which would
+    * hide the property being demonstrated; at fact⋈fact scale SMJ is
+    * what Catalyst picks anyway). PlanSpec asserts the executed plan is
+    * exchange-free and that the same join on unbucketed data shuffles.
+    */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+                   leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).hint("merge").join(spark.table(rightTable), Seq(key))
+
   /** Backward as-of join, composed from built-ins (preference order (a) of
     * the custom-operator ladder): for each left event, the most recent
     * right event with rightTs <= leftTs, per key.

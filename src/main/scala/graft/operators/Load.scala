@@ -52,6 +52,33 @@ object Load {
       .saveAsTable(table)
   }
 
+  /** Bucketed + sorted table layout — the classic 100 TB
+    * shuffle-elimination lever: rows hash-partition into `nBuckets`
+    * file groups BY KEY at write time (and sort within each bucket), so
+    * every later join or aggregation on `key` against an equally
+    * bucketed table plans with NO Exchange — the task for bucket i zips
+    * bucket i of both tables. The shuffle a fact⋈fact join would pay on
+    * every query is paid ONCE at load. Pair with [[Joins.bucketedJoin]];
+    * PlanSpec asserts the exchange-free plan.
+    */
+  def bucketedTable(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets managed tables across JVMs but their
+    // warehouse dirs persist — saveAsTable then fails LOCATION_ALREADY_
+    // EXISTS; clear a stale dir so the layout write is re-runnable
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
     * key — the row with the highest `versionCol`. Single hash aggregate
     * with map-side partials (`max_by` over a struct), NOT a window: a

@@ -122,6 +122,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed tables join with no shuffle exchange; unbucketed control shuffles") {
+    import org.apache.spark.sql.functions.col
+    // q104 writes graft_bkt_customer / graft_bkt_orders bucketed(8) on
+    // the join key as a side effect
+    SparkEntry.queries("q104_bucketed_join")(spark, sf).count()
+    val bucketed = operators.Joins.bucketedJoin(
+      spark, "graft_bkt_customer", "graft_bkt_orders", "c_custkey")
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange"),
+      "bucketed-on-key tables must satisfy the join distribution without a shuffle")
+    // control: identical join on the raw (unbucketed) parquet DOES pay
+    // a shuffle on both sides — the cost bucketing moved to load time
+    val cust = sources.Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val ord = sources.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val control = cust.hint("merge").join(ord, Seq("c_custkey"))
+    assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
