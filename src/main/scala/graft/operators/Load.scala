@@ -79,6 +79,22 @@ object Load {
       .saveAsTable(table)
   }
 
+  /** Sorted data layout: `sortWithinPartitions(key)` before the write
+    * clusters each output file by `key`, so parquet row-group min/max
+    * statistics become SELECTIVE — a pushed-down predicate on `key`
+    * skips every row group whose [min, max] excludes it. On an unsorted
+    * layout each row group spans nearly the whole key domain and the
+    * stats prune nothing. This is the cheap half of Z-ordering (exact
+    * for one key), and at 100 TB it is the difference between reading a
+    * few megabytes and scanning the table for a selective lookup.
+    * Intra-partition sort only — no shuffle is added to the write.
+    * LoadSpec counts matching row groups via the parquet footers.
+    */
+  def sortedLayout(df: DataFrame, path: String, key: String,
+                   writerOpts: Map[String, String] = Map.empty): Unit =
+    df.sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).options(writerOpts).parquet(path)
+
   /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
     * key — the row with the highest `versionCol`. Single hash aggregate
     * with map-side partials (`max_by` over a struct), NOT a window: a

@@ -74,6 +74,61 @@ class LoadSpec extends SparkSpec {
       4L -> ("d", 1)))  // insert-only key appears
   }
 
+  test("sorted layout makes row-group stats selective (fewer groups match a key probe)") {
+    // how many row groups a key-equality probe must read under each
+    // layout, straight from the parquet footers — the stats the reader's
+    // row-group skip consults
+    def matchingRowGroups(dir: String, key: String, v: Long): (Int, Int) = {
+      import scala.jdk.CollectionConverters._
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val perGroup = files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == key).get
+          val st = c.getStatistics
+            .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+          st.getMin <= v && v <= st.getMax
+        } finally reader.close()
+      }
+      (perGroup.count(identity), perGroup.length)
+    }
+    val base = Files.createTempDirectory("graft-layout").toString
+    // l_partkey is scattered in the natural (orderkey-ordered) layout —
+    // the realistic "selective lookup on a non-layout key" case
+    val rows = sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(2)
+    // small row groups so each file holds many (the skipping unit)
+    val opts = Map("parquet.block.size" -> "65536")
+    rows.write.mode("overwrite").options(opts).parquet(s"$base/natural")
+    Load.sortedLayout(rows, s"$base/sorted", "l_partkey", opts)
+    // probe a mid-domain key: in the natural layout nearly every row
+    // group's [min, max] spans it (a domain-edge key would not)
+    val probe = spark.read.parquet(s"$base/natural")
+      .agg(percentile_approx(col("l_partkey"), lit(0.5), lit(100))).head().getLong(0)
+    val (naturalHit, naturalAll) = matchingRowGroups(s"$base/natural", "l_partkey", probe)
+    val (sortedHit, sortedAll) = matchingRowGroups(s"$base/sorted", "l_partkey", probe)
+    assert(naturalAll > 4 && sortedAll > 4, "need several row groups for skipping to mean anything")
+    // unsorted: row groups span ~the whole key domain -> stats prune
+    // (almost) nothing
+    assert(naturalHit >= naturalAll / 2,
+      s"expected an unselective natural layout: $naturalHit/$naturalAll")
+    assert(naturalHit > sortedHit)
+    // sorted: the probe key lives in a couple of row groups per file
+    assert(sortedHit <= 2 * 2, s"sorted layout should localize the key: $sortedHit/$sortedAll")
+    // layout must never change query RESULTS
+    val a = spark.read.parquet(s"$base/natural").filter(col("l_partkey") === probe)
+      .agg(sum(col("l_quantity"))).head().getDouble(0)
+    val b = spark.read.parquet(s"$base/sorted").filter(col("l_partkey") === probe)
+      .agg(sum(col("l_quantity"))).head().getDouble(0)
+    assert(a === b)
+  }
+
   test("appendToTable creates then appends to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS graft_load_spec")
     Load.appendToTable(df2.drop("d"), "graft_load_spec")
