@@ -1501,6 +1501,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** Real image decode through the multimodal seam, hash-checked: tiny
+    * solid-color PNGs are generated ON THE DRIVER (deterministic — the
+    * testdata ships no image bytes, same fixture precedent as the
+    * weather CSV), decoded DISTRIBUTED by `Multimodal.decodeImages`
+    * (javax.imageio, real pixels), and the oracle is the closed-form
+    * expectation: PNG is lossless, so a solid-color image's dimensions
+    * and Rec.601 mean luminance are exact literals. Corrupt and null
+    * payloads must yield null columns, not task failures.
+    */
+  def q105ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      0L -> png(3, 2, 0xff0000),
+      1L -> png(4, 4, 0x808080),
+      2L -> "not an image".getBytes("UTF-8"),
+      3L -> null)
+    operators.Multimodal.decodeImages(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1671,6 +1700,7 @@ object SparkEntry {
     "q102_grouping_id" -> (q102GroupingId _),
     "q103_range_frame" -> (q103RangeFrame _),
     "q104_bucketed_join" -> (q104BucketedJoin _),
+    "q105_image_decode" -> (q105ImageDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1942,6 +1972,13 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
+    "q105_image_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(0.299 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(4 AS INTEGER), CAST(0.501961 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE))
+        |) t(doc_id, width, height, mean_luma)""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")

@@ -72,6 +72,51 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** REAL image decode through the same mapPartitions seam as the stub:
+    * `javax.imageio` is JDK-builtin (no external codec jars needed), so
+    * PNG/JPEG/GIF/BMP payloads decode to actual pixels here. Emits
+    * (id, width, height, mean_luma) with mean_luma the Rec.601 luminance
+    * averaged over all pixels, in [0, 1]. Undecodable or null payloads
+    * yield null columns — at 100 TB corrupt bytes are DATA, not
+    * exceptions; a task must not die on one bad file. Heavier codecs
+    * (video/audio) swap into the same seam with a per-partition handle,
+    * exactly as [[decodeViaMapPartitions]] documents.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) (id, Option.empty[Int], Option.empty[Int], Option.empty[Double])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(w), Some(h), Some(sum / (w.toLong * h * 255.0)))
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "mean_luma")
+  }
+
   /** STUB resize: fix a feature vector to `n` dims — truncate long,
     * zero-pad short (what an image-resize step does to the model-input
     * shape; a real resampler replaces the expression).

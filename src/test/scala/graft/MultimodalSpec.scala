@@ -65,6 +65,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 === Seq('a'.toInt / 255.0, 'b'.toInt / 255.0, 0.0, 0.0))
   }
 
+  test("decodeImages decodes real PNG bytes to pixel-accurate dims and luminance") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (0L, png(3, 2, 0xff0000)),              // solid red
+      (1L, png(4, 4, 0x808080)),              // solid gray 128
+      (2L, "not an image".getBytes("UTF-8")), // corrupt: null columns, no crash
+      (3L, null.asInstanceOf[Array[Byte]]))   // null payload
+      .toDF("id", "payload")
+    val r = Multimodal.decodeImages(rows, "id", "payload")
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)), Option(x.get(2)), Option(x.get(3)))).toMap
+    assert(r(0L)._1 === Some(3) && r(0L)._2 === Some(2))
+    // Rec.601 luma of pure red: 0.299 exactly (PNG is lossless)
+    assert(math.abs(r(0L)._3.get.asInstanceOf[Double] - 0.299) < 1e-12)
+    assert(r(1L)._1 === Some(4) && r(1L)._2 === Some(4))
+    assert(math.abs(r(1L)._3.get.asInstanceOf[Double] - 128.0 / 255.0) < 1e-9)
+    assert(r(2L) === ((None, None, None)))
+    assert(r(3L) === ((None, None, None)))
+  }
+
   test("frame sampling yields one row per stride") {
     val frames = Multimodal.sampledFrames(media, "id", "payload", stride = 4)
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted
