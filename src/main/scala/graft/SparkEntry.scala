@@ -1530,6 +1530,32 @@ object SparkEntry {
         round(col("mean_luma"), 6).as("mean_luma"))
   }
 
+  /** The `observe()` validation variant, hash-checked: the four checks
+    * ride a noop WRITE as query metrics (zero extra scan — the 100 TB
+    * posture: validation costs nothing beyond the sink action itself),
+    * then the collected metrics are projected as a one-row frame. The
+    * oracle recomputes the same conditional counts; equality proves the
+    * observe path and the aggregate-gate path (q07) compute identical
+    * semantics.
+    */
+  def q106ObserveValidation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import operators.Validation
+    val checks: Seq[Validation.Check] = Seq(
+      Validation.NotNull("l_shipdate"),
+      Validation.InRange("l_quantity", 1, 50),
+      Validation.NonNegative("l_extendedprice"),
+      Validation.Outlier("l_discount", 0.0, 0.08))
+    val (observedDf, obs) = Validation.observed(Tables.lineitem(spark, dir), checks)
+    observedDf.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    def g(n: String): Long = m(n).asInstanceOf[Long]
+    Seq((g("n_rows"), g("notnull_l_shipdate"), g("range_l_quantity"),
+        g("nonneg_l_extendedprice"), g("outlier_l_discount")))
+      .toDF("n_rows", "notnull_l_shipdate", "range_l_quantity",
+        "nonneg_l_extendedprice", "outlier_l_discount")
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1701,6 +1727,7 @@ object SparkEntry {
     "q103_range_frame" -> (q103RangeFrame _),
     "q104_bucketed_join" -> (q104BucketedJoin _),
     "q105_image_decode" -> (q105ImageDecode _),
+    "q106_observe_validation" -> (q106ObserveValidation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1979,6 +2006,14 @@ object SparkEntry {
         |  (CAST(2 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)),
         |  (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE))
         |) t(doc_id, width, height, mean_luma)""".stripMargin,
+    "q106_observe_validation" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS notnull_l_shipdate,
+        |  COUNT(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+        |             THEN 1 END) AS range_l_quantity,
+        |  COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) AS nonneg_l_extendedprice,
+        |  COUNT(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.08) THEN 1 END) AS outlier_l_discount
+        |FROM lineitem""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
