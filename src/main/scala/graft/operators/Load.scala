@@ -95,6 +95,44 @@ object Load {
     df.sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).options(writerOpts).parquet(path)
 
+  /** Z-order (Morton) layout over TWO keys: each key is min-max
+    * normalized to 16 bits (one tiny agg pass for the global bounds),
+    * the bits are interleaved into a 32-bit z-value by a pure codegen'd
+    * bitwise expression tree, and the data is range-partitioned + sorted
+    * by that z-value. Row groups then cover small RECTANGLES of the
+    * (a, b) key space instead of thin stripes, so min/max stats prune
+    * selective predicates on EITHER key — the property a single-key
+    * [[sortedLayout]] only has for its sort key. This is the standard
+    * lakehouse multi-dimensional clustering lever; at 100 TB it is the
+    * difference between a two-key lookup scanning the table and reading
+    * a few row groups. The range partitioning is an explicit, documented
+    * layout-time shuffle (paid once at write, like bucketing).
+    */
+  def zorderLayout(df: DataFrame, path: String, keyA: String, keyB: String,
+                   writerOpts: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val bounds = df.agg(
+      min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    def scale16(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+    val a16 = scale16(col(keyA), bounds.getDouble(0), bounds.getDouble(1))
+    val b16 = scale16(col(keyB), bounds.getDouble(2), bounds.getDouble(3))
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a16, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b16, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).options(writerOpts).parquet(path)
+  }
+
   /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
     * key — the row with the highest `versionCol`. Single hash aggregate
     * with map-side partials (`max_by` over a struct), NOT a window: a
