@@ -1556,6 +1556,49 @@ object SparkEntry {
         "nonneg_l_extendedprice", "outlier_l_discount")
   }
 
+  /** Last-observation-carried-forward gap fill (the standard time-series
+    * repair): a calendar spine left-joined onto daily revenue — days
+    * dropped by a deterministic filter become gaps — then
+    * `last(_, ignoreNulls)` over an ordered running frame carries the
+    * previous observed value forward. The window input is the
+    * calendar-bounded daily frame (tiny at any SF, same argument as
+    * q103); the oracle is DuckDB's `last_value(... IGNORE NULLS)`.
+    */
+  def q107LocfGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("rev"))
+      .filter(dayofmonth(col("d")) % 3 =!= 0) // deterministic gaps
+    val spine = daily
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), col("rev"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"),
+        col("rev").isNull.as("was_gap"))
+  }
+
+  /** Robust outlier scoring via median absolute deviation — the
+    * outlier detector that survives the outliers it hunts (stddev-based
+    * z-scores are dragged by the very tail they flag). Exact medians
+    * via two tiny scalar aggregates broadcast back over the daily
+    * frame; 1.4826 is the usual normal-consistency constant.
+    */
+  def q108MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value")), 4).as("rev"))
+    val med = daily.agg(percentile(col("rev"), lit(0.5)).as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(percentile(abs(col("rev") - col("med")), lit(0.5)).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("d"), col("rev"),
+        round((col("rev") - col("med")) / (col("mad") * 1.4826), 6).as("robust_z"),
+        (abs(col("rev") - col("med")) > col("mad") * 1.4826 * 3.0).as("is_outlier"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1728,6 +1771,8 @@ object SparkEntry {
     "q104_bucketed_join" -> (q104BucketedJoin _),
     "q105_image_decode" -> (q105ImageDecode _),
     "q106_observe_validation" -> (q106ObserveValidation _),
+    "q107_locf_gapfill" -> (q107LocfGapfill _),
+    "q108_mad_outliers" -> (q108MadOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2014,6 +2059,29 @@ object SparkEntry {
         |  COUNT(CASE WHEN l_extendedprice < 0 THEN 1 END) AS nonneg_l_extendedprice,
         |  COUNT(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.08) THEN 1 END) AS outlier_l_discount
         |FROM lineitem""".stripMargin,
+    "q107_locf_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS rev
+        |  FROM events GROUP BY 1),
+        |kept AS (SELECT * FROM daily WHERE EXTRACT(DAY FROM d) % 3 <> 0),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM kept),
+        |spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        |j AS (SELECT spine.d, kept.rev FROM spine LEFT JOIN kept ON spine.d = kept.d)
+        |SELECT d, rev,
+        |       last_value(rev IGNORE NULLS) OVER (ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled,
+        |       rev IS NULL AS was_gap
+        |FROM j""".stripMargin,
+    "q108_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS rev
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+        |md AS (SELECT quantile_cont(ABS(rev - med), 0.5) AS mad FROM daily CROSS JOIN m)
+        |SELECT d, rev,
+        |       ROUND((rev - med) / (mad * 1.4826), 6) AS robust_z,
+        |       ABS(rev - med) > mad * 1.4826 * 3.0 AS is_outlier
+        |FROM daily CROSS JOIN m CROSS JOIN md""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
