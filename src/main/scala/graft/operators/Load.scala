@@ -133,6 +133,41 @@ object Load {
       .write.mode(SaveMode.Overwrite).options(writerOpts).parquet(path)
   }
 
+  /** Small-file compaction for a parquet directory — the hygiene op
+    * every micro-batch sink needs: streaming appends accrete thousands
+    * of tiny files, and at 100 TB the listing/NameNode cost and
+    * per-file reader open overhead dominate scans long before data
+    * volume does. Rewrites the directory into ceil(totalBytes /
+    * targetBytes) files via write-staging-then-swap on the Hadoop
+    * FileSystem API (HDFS/S3A-safe, same discipline as the streaming
+    * upsert sink). Returns (filesBefore, filesAfter).
+    *
+    * Coalesce, not repartition: merging files needs no shuffle. For
+    * hive-partitioned dirs compact each partition dir independently so
+    * the partition column layout is preserved.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before <= nOut) return (before, before) // already compact enough
+    val staging = new Path(path.getParent, s".${path.getName}_compacting")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(path, true)
+    fs.rename(staging, path)
+    val after = fs.listStatus(path)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
     * key — the row with the highest `versionCol`. Single hash aggregate
     * with map-side partials (`max_by` over a struct), NOT a window: a

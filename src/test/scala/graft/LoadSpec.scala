@@ -155,6 +155,21 @@ class LoadSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compact merges a many-small-files directory without changing its rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val rows = sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_quantity"))
+    rows.repartition(37).write.mode("overwrite").parquet(dir) // a sink's worth of tiny files
+    val sumBefore = spark.read.parquet(dir).agg(sum("l_quantity")).head().getDouble(0)
+    val nBefore = spark.read.parquet(dir).count()
+    val (before, after) = Load.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(before === 37 && after === 1)
+    assert(spark.read.parquet(dir).count() === nBefore)
+    assert(spark.read.parquet(dir).agg(sum("l_quantity")).head().getDouble(0) === sumBefore)
+    // idempotent: already-compact dirs are left untouched
+    assert(Load.compact(spark, dir) === ((1, 1)))
+  }
+
   test("appendToTable creates then appends to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS graft_load_spec")
     Load.appendToTable(df2.drop("d"), "graft_load_spec")
