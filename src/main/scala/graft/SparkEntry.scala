@@ -1599,6 +1599,69 @@ object SparkEntry {
         (abs(col("rev") - col("med")) > col("mad") * 1.4826 * 3.0).as("is_outlier"))
   }
 
+  /** Full dup-CLUSTER assignment: the portable capped exact-Jaccard
+    * pairs (q26's edge list) closed transitively by iterative min-label
+    * propagation — chains a~b~c collapse into one cluster even when a
+    * and c never directly matched. The oracle re-derives the closure
+    * with a recursive CTE; the Spark side is the distributed iterative
+    * operator (`Dedup.connectedComponents`) a 100 TB dedup would run
+    * over the q89 LSH edges.
+    */
+  def q109DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = operators.Dedup.jaccardPairsCapped(
+      Tables.documents(spark, dir), 300L, 0.9)
+    val cc = operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Fixed-size overlapping token chunking (the context-window prep
+    * step of a training pipeline): stride-24 windows of 32 tokens per
+    * document. Pure narrow ops — explode a chunk-index sequence, slice
+    * the token array — so chunking parallelizes per document with no
+    * shuffle at all; the md5 over the joined chunk text is the
+    * portable content hash.
+    */
+  def q110Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val stride = 24
+    val chunkSize = 32
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), functions.Texts.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+    toks
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / stride).cast("long"))).as("chunk_id"))
+      .withColumn("chunk", slice(col("t"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("chunk_len"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_hash"))
+  }
+
+  /** Shard-local sequence packing (concatenate-then-split, the GPT-style
+    * pretraining layout): within each (lang, shard) stream, docs are
+    * concatenated in doc_id order and split into 512-token windows;
+    * each doc reports the pack range it lands in. The shard key keeps
+    * the running-sum window's partition count proportional to the data
+    * (50 shards per lang) instead of a per-lang global sort — the
+    * distributed form of packing: shard-local streams, no global
+    * sequential bottleneck.
+    */
+  def q111SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 512
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        functions.Texts.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", col("doc_id") % 50)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / capacity).as("start_pack"),
+        floor((col("cum") - 1) / capacity).as("end_pack"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1773,6 +1836,9 @@ object SparkEntry {
     "q106_observe_validation" -> (q106ObserveValidation _),
     "q107_locf_gapfill" -> (q107LocfGapfill _),
     "q108_mad_outliers" -> (q108MadOutliers _),
+    "q109_dup_clusters" -> (q109DupClusters _),
+    "q110_chunking" -> (q110Chunking _),
+    "q111_seq_packing" -> (q111SeqPacking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2082,6 +2148,56 @@ object SparkEntry {
         |       ROUND((rev - med) / (mad * 1.4826), 6) AS robust_z,
         |       ABS(rev - med) > mad * 1.4826 * 3.0 AS is_outlier
         |FROM daily CROSS JOIN m CROSS JOIN md""".stripMargin,
+    "q109_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_filter(str_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang) t
+        |  WHERE jaccard >= 0.9),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM und),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+        |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT doc_id, cluster_id, cluster_size FROM cc JOIN sz USING (cluster_id)""".stripMargin,
+    "q110_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, n,
+        |             UNNEST(generate_series(0, CAST(FLOOR((n - 1) / 24) AS BIGINT))) AS chunk_id
+        |      FROM nz),
+        |s AS (SELECT doc_id, chunk_id,
+        |             tk[chunk_id * 24 + 1 : LEAST(chunk_id * 24 + 32, n)] AS chunk
+        |      FROM c)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS chunk_len,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
+    "q111_seq_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         doc_id % 50 AS shard
+        |  FROM documents),
+        |c AS (SELECT lang, shard, doc_id, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, shard, doc_id, n_tokens,
+        |       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS start_pack,
+        |       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS end_pack
+        |FROM c""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")

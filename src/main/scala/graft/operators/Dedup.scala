@@ -196,6 +196,55 @@ object Dedup {
       .agg(min(col("anchor")).as("rep_id"), min(col("hamming")).as("hamming"))
   }
 
+  /** Transitive closure of a near-dup edge list into full clusters via
+    * iterative min-label propagation: every node's label converges to
+    * the minimum id reachable from it. The single-hop anchor outputs
+    * ([[minhashNearDups]] etc.) assign each doc to a bucket-local rep;
+    * chains a~b~c where a and c never share a bucket still need the
+    * closure — THIS is the cluster id a dedup "keep one per cluster"
+    * decision wants.
+    *
+    * Scale shape: each round is one equi-join + partial-agg min (both
+    * map-side combinable), rounds ≈ cluster diameter — near-dup
+    * clusters are near-cliques (diameter 2-3), so convergence is fast
+    * regardless of corpus size, and the convergence check is a
+    * limit(1)-count, not a full count. `localCheckpoint` cuts the
+    * iterative lineage so plans don't grow per round. (For adversarial
+    * long-chain graphs the large-star/small-star variant gives
+    * O(log n) rounds; dup graphs don't need it.)
+    *
+    * Returns (node, cluster_id) for every node appearing in `edges`.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val sym = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+      .select(col("a").as("node"), least(col("a"), col("nmin")).as("lab"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("lab").as("blab")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
+        .select(col("a").as("node"), col("nlab"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
+        .filter(col("lab") =!= col("old"))
+        .limit(1).count() == 0L
+      labels = next
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— pathological chain graph; use a large-star/small-star variant")
+    labels.select(col("node"), col("lab").as("cluster_id"))
+  }
+
   /** SimHash near-dup cluster assignment over the 64-bit custom-
     * Expression fingerprints: 4 bands x 16 bits (pigeonhole covers
     * hamming <= 3), anchor pattern — see [[fingerprintNearDups]].

@@ -62,6 +62,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(0L))
   }
 
+  test("connectedComponents closes multi-hop chains into one cluster") {
+    // chain 5-3-8 (3 never meets 8 directly), separate pair 10-11,
+    // edges given in both orientations/orders to exercise symmetry
+    val edges = Seq((5L, 3L), (8L, 5L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
   private lazy val vecs = {
     val mk = (id: Long, base: Double) =>
       (id, (0 until 64).map(i => (base + i * 0.01).toFloat).toArray, 0)
