@@ -160,6 +160,30 @@ object EventStreams {
       }
       .start()
 
+  /** The reference's `@daily` batch recurrence, Spark-native: a
+    * streaming query with `Trigger.AvailableNow` drains exactly the
+    * backlog accumulated since the last run, commits its offsets to the
+    * checkpoint, and STOPS — incremental batch processing with
+    * streaming's exactly-once offset tracking, scheduled externally
+    * like any cron/batch job (ETL.py's schedule_interval='@daily',
+    * without re-reading data already processed). Re-invoking with the
+    * same checkpoint processes only files that arrived since.
+    *
+    * State posture at 100 TB: for state-heavy recurrences set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider so operator state lives on local disk, not executor heap
+    * (exercised in StreamingSpec).
+    */
+  def runAvailableNow(df: DataFrame, outDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Partition column of the upsert sink table: `pmod(hash(keys), n)`.
     * Key-derived, so every version of a key lands in the same partition
     * and a batch's merge footprint is exactly the partitions its keys
