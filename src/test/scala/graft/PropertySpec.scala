@@ -101,6 +101,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      // canonical label = min id of the component
+      nodes.groupBy(find).flatMap { case (_, c) => c.map(_ -> c.min) }
+    }
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 3
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).toSet
+      val expected = unionFind(nodes, edges)
+      val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     import graft.plans.MinHashSig.minhash_sig_est
     for (trial <- 1 to 5) {
