@@ -1193,6 +1193,43 @@ object SparkEntry {
        |FROM v WHERE jaccard >= 0.8 GROUP BY doc_id""".stripMargin
   }
 
+  /** q113 oracle: the cross-corpus banded join in SQL — same slot
+    * constants and band keys as q89's oracle, split at doc_id 250.
+    */
+  private def nearDupDecontamOracleSql: String = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
+    }.mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |  $slots
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, [s0, s1, s2, s3] AS bk FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, [s4, s5, s6, s7] AS bk FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+       |  FROM banded c JOIN banded e ON c.band = e.band AND c.bk = e.bk
+       |  WHERE c.doc_id >= 250 AND e.doc_id < 250),
+       |t AS (
+       |  SELECT doc_id, list_distinct(list_filter(str_split(text, ' '), x -> x <> '')) AS ts
+       |  FROM documents),
+       |v AS (
+       |  SELECT c.doc_id, c.eval_id,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN t ta ON ta.doc_id = c.eval_id
+       |  JOIN t tb ON tb.doc_id = c.doc_id)
+       |SELECT doc_id, MIN(eval_id) AS matched_eval_id, MAX(jaccard) AS jaccard
+       |FROM v WHERE jaccard >= 0.8 GROUP BY doc_id""".stripMargin
+  }
+
   /** rank() vs dense_rank() with real ties (quantities repeat heavily):
     * the output keys on the tied VALUE, not row ids, so it is
     * deterministic without a total-order tie-break.
@@ -1662,6 +1699,82 @@ object SparkEntry {
         floor((col("cum") - 1) / capacity).as("end_pack"))
   }
 
+  /** Top-p (nucleus) source truncation — the corpus-mixture curation
+    * step: per language, keep the sources that make up the first 95% of
+    * token mass (ranked by tokens desc, source asc for determinism).
+    * The windows run over the (lang, source) AGGREGATE — dozens of rows
+    * at any corpus size — so the tiny-key partition is safe (the
+    * PlanSpec sweep's post-aggregate exemption).
+    */
+  def q112TopPSources(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        functions.Texts.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("tokens"))
+    val running = Window.partitionBy(col("lang"))
+      .orderBy(col("tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("cum", sum(col("tokens")).over(running))
+      .withColumn("total", sum(col("tokens")).over(Window.partitionBy(col("lang"))))
+      .filter((col("cum") - col("tokens")).cast("double") < col("total") * 0.95)
+      .select(col("lang"), col("source"), col("tokens"),
+        round(col("tokens") / col("total"), 6).as("share"))
+  }
+
+  /** Near-dup DECONTAMINATION (cross-corpus): corpus docs (id >= 250)
+    * that are near-duplicates of any "eval set" doc (id < 250), found by
+    * the portable banded-MinHash join — never corpus × eval all-pairs;
+    * candidates only where a band bucket is shared, then exact-Jaccard
+    * verified. Exact-hash decontamination (q54) misses paraphrased/
+    * near-identical leakage; this is the standard fix, and the whole
+    * pipeline re-derives in DuckDB (md5 hash family).
+    *
+    * Bench note: the synthetic corpus is ~65% planted near-dups of the
+    * eval slice, so candidate volume here is dominated by TRUE matches
+    * (3104/4750 corpus docs flagged at sf0.1) — the verification work
+    * is the answer, not overhead; at realistic contamination rates the
+    * identical plan is bucket-sparse and cheap.
+    */
+  def q113NearDupDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
+    }
+    val sig = docs
+      .select(col("doc_id"), explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+    def bandKey(cols: Seq[String]) =
+      struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+    // materialize the banded signatures ONCE: the eval/corpus split
+    // filters otherwise push through the groupBy(doc_id) into the scan,
+    // making every branch recompute the full md5-signature subtree
+    // (4 scans → 1; measured 3.98 s → ~1 s at sf0.1)
+    val banded = sig.select(col("doc_id"), lit(0).as("band"),
+        bandKey(Seq("s0", "s1", "s2", "s3")).as("bk"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        bandKey(Seq("s4", "s5", "s6", "s7")).as("bk")))
+      .localCheckpoint()
+    val evalSide = banded.filter(col("doc_id") < 250)
+      .select(col("band"), col("bk"), col("doc_id").as("eval_id"))
+    val cand = banded.filter(col("doc_id") >= 250)
+      .join(evalSide, Seq("band", "bk"))
+      .select(col("doc_id"), col("eval_id"))
+      .distinct()
+    val tsets = docs.select(col("doc_id"),
+      array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
+    cand
+      .join(tsets.select(col("doc_id").as("eval_id"), col("ts").as("ta")), Seq("eval_id"))
+      .join(tsets, Seq("doc_id"))
+      .withColumn("jaccard", round(functions.Hashes.jaccardSet(col("ta"), col("ts")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("doc_id"))
+      .agg(min(col("eval_id")).as("matched_eval_id"), max(col("jaccard")).as("jaccard"))
+  }
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1839,6 +1952,8 @@ object SparkEntry {
     "q109_dup_clusters" -> (q109DupClusters _),
     "q110_chunking" -> (q110Chunking _),
     "q111_seq_packing" -> (q111SeqPacking _),
+    "q112_top_p_sources" -> (q112TopPSources _),
+    "q113_neardup_decontam" -> (q113NearDupDecontam _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2198,6 +2313,19 @@ object SparkEntry {
         |       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS start_pack,
         |       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS end_pack
         |FROM c""".stripMargin,
+    "q112_top_p_sources" ->
+      """WITH a AS (
+        |  SELECT lang, source,
+        |         CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, source, tokens,
+        |             SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             SUM(tokens) OVER (PARTITION BY lang) AS total
+        |      FROM a)
+        |SELECT lang, source, tokens, ROUND(tokens / total, 6) AS share
+        |FROM c WHERE CAST(cum - tokens AS DOUBLE) < total * 0.95""".stripMargin,
+    "q113_neardup_decontam" -> nearDupDecontamOracleSql,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
