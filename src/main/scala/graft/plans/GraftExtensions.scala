@@ -12,10 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => CollapseRound)
+  }
 }
 
 object GraftExtensions {
@@ -72,9 +74,14 @@ object GraftExtensions {
   )
 
   /** Register into an existing session (tests / REPL convenience). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, (i, builder)) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), i, builder)
     }
+    // runtime analog of injectOptimizerRule for already-built sessions
+    if (!spark.experimental.extraOptimizations.contains(CollapseRound))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CollapseRound
+  }
 }

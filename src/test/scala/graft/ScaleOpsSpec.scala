@@ -105,6 +105,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getLong(0) === viaCol)
   }
 
+  test("CollapseRound removes idempotent double-round towers from the plan") {
+    GraftExtensions.register(spark)
+    // parquet-backed input: a literal-backed LocalRelation would be
+    // constant-folded before the rule could be observed
+    val base = sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select((col("l_extendedprice") / 3.0).as("x"))
+    val df = base.select(
+      round(round(col("x"), 6), 6).as("r66"), // equal scales -> collapse
+      round(round(col("x"), 2), 6).as("r26"), // finer outer -> collapse
+      round(round(col("x"), 6), 2).as("r62")) // coarser outer -> must STAY
+    val rounds = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case r: org.apache.spark.sql.catalyst.expressions.Round => r })
+    assert(rounds.size === 4, s"expected r66->1, r26->1, r62->2 rounds, got $rounds")
+    // the collapsed columns compute exactly the single-round values
+    // (r62 is intentionally left out: coarser re-rounding is genuine
+    // double rounding, which is why the rule must not collapse it)
+    val viaSingle = base.select(round(col("x"), 6).as("a"), round(col("x"), 2).as("b"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val viaTower = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(viaTower.toSeq === viaSingle.toSeq)
+  }
+
   test("portable_unit is callable from SQL and matches the Column API") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT portable_unit(42, 'sample') AS u").head().getDouble(0)
