@@ -127,6 +127,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaTower.toSeq === viaSingle.toSeq)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // one hot key holding 10% of the left side — the declarative plan
+    // stays a plain equi join; AQE detects the oversized partition at
+    // the shuffle boundary and splits it (the runtime answer to skew
+    // that q96's explicit salting solves statically)
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(64).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution (count() would plan a
+      // separate aggregated query and leave this adaptive plan unrun)
+      val n = joined.collect().length
+      assert(n === 100032) // hot key 0: 100000 matches; the 32 odd keys in 1..63
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(plan.contains("skew=true"),
+        "AQE did not mark the join skewed:\n" + plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("portable_unit is callable from SQL and matches the Column API") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT portable_unit(42, 'sample') AS u").head().getDouble(0)
