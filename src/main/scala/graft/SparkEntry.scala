@@ -1775,6 +1775,20 @@ object SparkEntry {
       .agg(min(col("eval_id")).as("matched_eval_id"), max(col("jaccard")).as("jaccard"))
   }
 
+  /** Spark 4 VARIANT path for semi-structured data: `parse_json` into
+    * the binary variant encoding once, then typed `variant_get` paths —
+    * the schema-on-read shape for heterogeneous JSON at scale (vs q15's
+    * fixed-schema `from_json`): the variant parse doesn't re-run per
+    * extracted field and unknown fields cost nothing.
+    */
+  def q114Variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"), variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+
   /** Shared oracle CTEs replicating the weather pipeline head: typed
     * CSV read, full-row dedup, median imputation, UTC normalization,
     * date/month/Beaufort derivation. The Beaufort CASE is generated
@@ -1954,6 +1968,7 @@ object SparkEntry {
     "q111_seq_packing" -> (q111SeqPacking _),
     "q112_top_p_sources" -> (q112TopPSources _),
     "q113_neardup_decontam" -> (q113NearDupDecontam _),
+    "q114_variant" -> (q114Variant _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2326,6 +2341,13 @@ object SparkEntry {
         |SELECT lang, source, tokens, ROUND(tokens / total, 6) AS share
         |FROM c WHERE CAST(cum - tokens AS DOUBLE) < total * 0.95""".stripMargin,
     "q113_neardup_decontam" -> nearDupDecontamOracleSql,
+    "q114_variant" ->
+      """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
     "q101_quantize" -> {
       val qs = (0 until 4).map(i =>
         s"CAST(LEAST(255, FLOOR((v[${i + 1}] - vmin) / (vmax - vmin) * 255)) AS INTEGER) AS q$i")
