@@ -252,7 +252,7 @@ object EventStreams {
       val merged =
         if (havePartitions) {
           val current = spark.read.parquet(tableDir)
-            .filter(col(upsertBucketCol).isin(touched.map(Integer.valueOf): _*))
+            .filter(col(upsertBucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
           graft.operators.Load.upsertLatest(current, compacted, keyCols, versionCol)
         } else compacted
       val staging = new Path(table, s"_staging_$batchId")
