@@ -1153,11 +1153,32 @@ object SparkEntry {
       .agg(min(col("anchor")).as("rep_id"), max(col("jaccard")).as("jaccard"))
   }
 
+  /** Full-corpus dup-cluster closure over the PRODUCTION edge set: the
+    * q89 portable-LSH verified pairs (anchor pattern, O(docs × bands)
+    * candidates — no id cap anywhere) transitively closed by
+    * `Dedup.connectedComponents`. q109 proves the closure operator on
+    * the capped exact-Jaccard edges; this is the same closure at the
+    * scale shape a real dedup runs: LSH finds the edges, min-label
+    * propagation welds chained buckets into clusters, output is the
+    * per-doc cluster assignment a keep-one-per-cluster filter consumes.
+    * The oracle re-derives edges AND closure (recursive CTE) in DuckDB.
+    */
+  def q115LshClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q89MinhashLshPortable(spark, dir).select(col("doc_id"), col("rep_id"))
+    val cc = operators.Dedup.connectedComponents(edges, "doc_id", "rep_id")
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
     */
-  private def minhashLshPortableOracleSql: String = {
+  /** The q89 oracle's CTE chain through the verified pairs `v`, shared
+    * with the q115 closure oracle.
+    */
+  private def minhashLshOracleCtes: String = {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
     }.mkString(",\n  ")
@@ -1188,10 +1209,32 @@ object SparkEntry {
        |               / len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
        |  FROM cand c
        |  JOIN t ta ON ta.doc_id = c.anchor
-       |  JOIN t tb ON tb.doc_id = c.doc_id)
+       |  JOIN t tb ON tb.doc_id = c.doc_id)""".stripMargin
+  }
+
+  private def minhashLshPortableOracleSql: String =
+    s"""$minhashLshOracleCtes
        |SELECT doc_id, MIN(anchor) AS rep_id, MAX(jaccard) AS jaccard
        |FROM v WHERE jaccard >= 0.8 GROUP BY doc_id""".stripMargin
-  }
+
+  /** q115 oracle: the q89 min-anchor edge set closed with a recursive
+    * CTE (same closure semantics as q109's, over the LSH edges).
+    */
+  private def lshClustersOracleSql: String =
+    s"""${minhashLshOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_id, MIN(anchor) AS rep_id
+       |  FROM v WHERE jaccard >= 0.8 GROUP BY doc_id),
+       |und AS (SELECT doc_id AS a, rep_id AS b FROM edges
+       |        UNION ALL SELECT rep_id, doc_id FROM edges),
+       |nodes AS (SELECT DISTINCT a AS n FROM und),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+       |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+       |SELECT doc_id, cluster_id, cluster_size FROM cc JOIN sz USING (cluster_id)""".stripMargin
 
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
@@ -1969,6 +2012,7 @@ object SparkEntry {
     "q112_top_p_sources" -> (q112TopPSources _),
     "q113_neardup_decontam" -> (q113NearDupDecontam _),
     "q114_variant" -> (q114Variant _),
+    "q115_lsh_clusters" -> (q115LshClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2341,6 +2385,7 @@ object SparkEntry {
         |SELECT lang, source, tokens, ROUND(tokens / total, 6) AS share
         |FROM c WHERE CAST(cum - tokens AS DOUBLE) < total * 0.95""".stripMargin,
     "q113_neardup_decontam" -> nearDupDecontamOracleSql,
+    "q115_lsh_clusters" -> lshClustersOracleSql,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

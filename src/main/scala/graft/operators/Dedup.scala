@@ -218,7 +218,12 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
     val dir = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    // materialize the symmetrized edge list ONCE: it feeds every
+    // propagation round, and without the barrier each round re-runs the
+    // whole upstream edge-derivation pipeline (for LSH edges that is
+    // the full signature+banding+verify plan, per round)
     val sym = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.groupBy(col("a")).agg(min(col("b")).as("nmin"))
       .select(col("a").as("node"), least(col("a"), col("nmin")).as("lab"))
       .localCheckpoint()
