@@ -1171,6 +1171,31 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Dynamic partition pruning (SURVEY §2.3 at 100 TB): customer is
+    * first WRITTEN hive-partitioned on the join key
+    * (`Load.partitionedTable`), then joined against a selectively
+    * filtered broadcast dim — at RUNTIME Spark injects the dim's
+    * surviving join keys as a partition filter on the fact scan
+    * (`dynamicpruningexpression`, reusing the broadcast exchange), so
+    * only the matching partition directories are ever listed or opened.
+    * PlanSpec asserts the runtime-pruned scan and that the control scan
+    * reads every partition. The oracle is the plain join on the raw
+    * parquet: the layout must not change a single row, only how much of
+    * the fact table a selective dim filter forces the engine to read —
+    * at 100 TB this is the difference between scanning 5/25ths and
+    * 25/25ths of the table.
+    */
+  def q116DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    operators.Load.partitionedTable(cust, "graft_part_customer", "c_nationkey")
+    val nat = Tables.nation(spark, dir).filter(col("n_regionkey") === 2)
+    spark.table("graft_part_customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2013,6 +2038,7 @@ object SparkEntry {
     "q113_neardup_decontam" -> (q113NearDupDecontam _),
     "q114_variant" -> (q114Variant _),
     "q115_lsh_clusters" -> (q115LshClusters _),
+    "q116_dynamic_pruning" -> (q116DynamicPruning _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2386,6 +2412,11 @@ object SparkEntry {
         |FROM c WHERE CAST(cum - tokens AS DOUBLE) < total * 0.95""".stripMargin,
     "q113_neardup_decontam" -> nearDupDecontamOracleSql,
     "q115_lsh_clusters" -> lshClustersOracleSql,
+    "q116_dynamic_pruning" ->
+      """SELECT n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |GROUP BY 1""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

@@ -62,21 +62,44 @@ object Load {
     * PlanSpec asserts the exchange-free plan.
     */
   def bucketedTable(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // an in-memory catalog forgets managed tables across JVMs but their
-    // warehouse dirs persist — saveAsTable then fails LOCATION_ALREADY_
-    // EXISTS; clear a stale dir so the layout write is re-runnable
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-      table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndDir(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Hive-partitioned catalog table: one directory per distinct value of
+    * `partitionCol`. The 100 TB read-side lever this buys is PARTITION
+    * PRUNING — a predicate on the partition column (static, or injected
+    * at runtime by dynamic partition pruning from a join's build side)
+    * never opens the excluded directories at all, which is strictly
+    * stronger than row-group skipping: no footers, no file listings.
+    * Partition by LOW-cardinality keys only (date, region, bucket id) —
+    * a high-cardinality partition column shatters the table into
+    * millions of small files. Pair with [[graft.SparkEntry.q116DynamicPruning]];
+    * PlanSpec asserts the runtime-pruned scan.
+    */
+  def partitionedTable(df: DataFrame, table: String, partitionCol: String): Unit = {
+    dropTableAndDir(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .saveAsTable(table)
+  }
+
+  /** An in-memory catalog forgets managed tables across JVMs but their
+    * warehouse dirs persist — saveAsTable then fails LOCATION_ALREADY_
+    * EXISTS; clear a stale dir so layout writes are re-runnable.
+    */
+  private def dropTableAndDir(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Sorted data layout: `sortWithinPartitions(key)` before the write

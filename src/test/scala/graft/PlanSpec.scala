@@ -142,6 +142,21 @@ class PlanSpec extends SparkSpec {
     assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("partitioned fact scan is dynamically pruned by the dim filter at runtime") {
+    import org.apache.spark.sql.functions.col
+    // q116 writes graft_part_customer partitioned on c_nationkey as a
+    // side effect; force execution so the scan node is final
+    val df = SparkEntry.queries("q116_dynamic_pruning")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      "partitioned-scan ⋈ filtered-broadcast-dim must inject a runtime partition filter")
+    // control: the same scan with no join-side filter lists every partition
+    val control = spark.table("graft_part_customer").groupBy(col("c_nationkey")).count()
+    control.count()
+    assert(!control.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"))
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
