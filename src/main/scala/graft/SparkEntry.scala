@@ -1196,6 +1196,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
   }
 
+  /** Dense contiguous global index without a global sort bottleneck:
+    * `Sampling.denseGlobalIndex` range-partitions on the order key,
+    * sorts within partitions, and offsets per-partition indices by a
+    * one-Long-per-partition count — the distributed equivalent of
+    * `ROW_NUMBER() OVER (ORDER BY ...)` (which the oracle runs; the
+    * single-partition window is fine in DuckDB at oracle scale, and is
+    * exactly the bottleneck the operator exists to avoid at 100 TB).
+    */
+  def q117GlobalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    operators.Sampling.denseGlobalIndex(
+      ord, "idx", Seq(col("o_totalprice"), col("o_orderkey")), 8)
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2039,6 +2053,7 @@ object SparkEntry {
     "q114_variant" -> (q114Variant _),
     "q115_lsh_clusters" -> (q115LshClusters _),
     "q116_dynamic_pruning" -> (q116DynamicPruning _),
+    "q117_global_index" -> (q117GlobalIndex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2417,6 +2432,10 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 2
         |GROUP BY 1""".stripMargin,
+    "q117_global_index" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS idx
+        |FROM orders""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

@@ -92,6 +92,32 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
 
+  /** Dense contiguous global row index 0..n-1 in total `orderCols`
+    * order — WITHOUT the single-partition sort a global
+    * `row_number() OVER (ORDER BY ...)` window costs (one task holding
+    * 100 TB). Distributed shape: range-repartition on the order key
+    * (total order across partitions), sort within each partition, then
+    * `zipWithIndex` — one lightweight count job (one Long per
+    * partition back to the driver) to compute partition offsets,
+    * then a narrow per-partition assignment. This is how a training
+    * pipeline assigns stable contiguous sample ids for sharding and
+    * curriculum ordering. `orderCols` must be a total order (include a
+    * unique tiebreaker) or the index is nondeterministic across runs.
+    * Range-partition sampling in Spark SQL is seeded per-partition, so
+    * the two internal jobs see identical boundaries.
+    */
+  def denseGlobalIndex(df: DataFrame, idxName: String,
+                       orderCols: Seq[Column], nParts: Int): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(nParts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val indexed = parted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+      parted.schema.add(idxName, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Deterministic train/val/test split assignment as a column. Weights
     * are normalized; same id -> same split, always.
     */

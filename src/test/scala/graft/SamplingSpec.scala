@@ -26,6 +26,22 @@ class SamplingSpec extends SparkSpec {
     assert(counts.keySet === Set("train", "val", "test"))
   }
 
+  test("denseGlobalIndex is contiguous 0..n-1 in total order, stable across runs") {
+    val shuffled = corpus.repartition(7)   // destroy any incidental order
+    val idx = Sampling.denseGlobalIndex(
+      shuffled, "idx", Seq(col("lang"), col("doc_id")), 5)
+    val rows = idx.collect().sortBy(_.getAs[Long]("idx"))
+    assert(rows.map(_.getAs[Long]("idx")).toSeq === (0L until 2000L))
+    // index order must equal the (lang, doc_id) total order
+    val keys = rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq)
+    // stable: a second run assigns identical indices
+    val again = Sampling.denseGlobalIndex(
+      shuffled, "idx", Seq(col("lang"), col("doc_id")), 5)
+    assert(again.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("idx"))).toSet ===
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("idx"))).toSet)
+  }
+
   test("mixCorpora unions weighted samples with source labels") {
     val web = corpus.withColumn("text", concat(lit("web "), col("text")))
     val code = corpus.withColumn("text", concat(lit("code "), col("text")))
