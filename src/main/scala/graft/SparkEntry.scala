@@ -1824,8 +1824,14 @@ object SparkEntry {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
     }
-    val sig = docs
-      .select(col("doc_id"), explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
+    // tokenize ONCE: the distinct-token sets feed both the signature
+    // derivation and the exact-Jaccard verify join below (was two full
+    // tokenization scans of the corpus)
+    val tsets = docs.select(col("doc_id"),
+        array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
+      .localCheckpoint()
+    val sig = tsets
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(slots.head, slots.tail: _*)
@@ -1846,8 +1852,6 @@ object SparkEntry {
       .join(evalSide, Seq("band", "bk"))
       .select(col("doc_id"), col("eval_id"))
       .distinct()
-    val tsets = docs.select(col("doc_id"),
-      array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
     cand
       .join(tsets.select(col("doc_id").as("eval_id"), col("ts").as("ta")), Seq("eval_id"))
       .join(tsets, Seq("doc_id"))
