@@ -279,6 +279,56 @@ object EventStreams {
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  final case class UserTws(user_id: Long, n: Long, total: Double, max_value: Double)
+
+  /** Spark 4 `StatefulProcessor` behind [[runningUserTotalsTws]]: the
+    * arbitrary-state v2 API (SPIP: transformWithState). Differences from
+    * mapGroupsWithState that matter at scale: named state variables
+    * (value/list/map) with schema evolution, per-state TTL (state that
+    * expires without a hand-rolled timeout dance), timers, and a
+    * RocksDB-backed store REQUIRED — which is also the right provider at
+    * 100 TB (state spills to disk + changelog checkpointing, instead of
+    * a JVM-heap HashMap). State here is one O(1) record per user.
+    */
+  private class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTws] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserTws] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTws]("totals",
+        org.apache.spark.sql.Encoders.product[UserTws],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTws] = {
+      val prev = if (totals.exists()) totals.get() else UserTws(key, 0L, 0.0, Double.MinValue)
+      var n = prev.n
+      var tot = prev.total
+      var mx = prev.max_value
+      rows.foreach { case (_, v) => n += 1; tot += v; mx = math.max(mx, v) }
+      val next = UserTws(key, n, tot, mx)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running (count, sum, max) on the transformWithState API —
+    * the same semantics as [[runningUserTotals]] (StreamingSpec asserts
+    * parity), re-expressed on the v2 state API. Requires the RocksDB
+    * state store provider (enforced by Spark itself).
+    */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): Dataset[UserTws] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom stateful operator: per-user running (count, sum) via
     * mapGroupsWithState — the KeyValueGroupedDataset state API
     * (SURVEY.md §2.8 streaming row).

@@ -157,6 +157,52 @@ class PlanSpec extends SparkSpec {
     assert(!control.queryExecution.executedPlan.toString.contains("dynamicpruningexpression"))
   }
 
+  test("aggregation on the bucketed key also needs no exchange") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // the bucketed layout pays its shuffle ONCE at write; every join AND
+    // aggregation on the bucket key afterwards is exchange-free
+    val ord = sources.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    operators.Load.bucketedTable(ord, "graft_bkt_agg", "c_custkey", 8)
+    val agg = spark.table("graft_bkt_agg")
+      .groupBy(col("c_custkey")).agg(sum(col("o_totalprice")))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "groupBy on the bucketed key must satisfy its distribution from the layout")
+    // control: same aggregation over raw parquet shuffles
+    val control = ord.groupBy(col("c_custkey")).agg(sum(col("o_totalprice")))
+    assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // DPP's row-level sibling: when a selective dim filter feeds a
+    // SHUFFLE join, Catalyst builds a bloom filter over the surviving
+    // build keys and pushes might_contain onto the probe-side scan —
+    // at 100 TB most probe rows die before the exchange. Thresholds are
+    // sized for real tables; lower them to demonstrate at test scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = sources.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val dim = sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom-filter runtime filter, got:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole

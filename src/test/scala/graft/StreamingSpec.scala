@@ -272,4 +272,41 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(last.getAs[Double]("total") - 29.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("transformWithState totals match mapGroupsWithState across micro-batches") {
+    val dir = streamDir()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // the v2 state API requires the RocksDB provider
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.runningUserTotalsTws(spark, EventStreams.readEventStream(spark, dir))
+        .writeStream.outputMode("update").format("memory").queryName("running_tws").start()
+      try {
+        q.processAllAvailable()
+        Seq((9L, "2024-01-01 12:00:00", 1L, "a", 10.0, "{}"))
+          .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+          .withColumn("ts", to_timestamp(col("ts_s")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        // latest state per user equals the v1 (mapGroupsWithState) semantics
+        val u1 = spark.table("running_tws").filter(col("user_id") === 1L)
+          .orderBy(col("n").desc).head()
+        assert(u1.getAs[Long]("n") === 4L)
+        assert(math.abs(u1.getAs[Double]("total") - 29.0) < 1e-9)
+        assert(math.abs(u1.getAs[Double]("max_value") - 10.0) < 1e-9)
+        val u2 = spark.table("running_tws").filter(col("user_id") === 2L)
+          .orderBy(col("n").desc).head()
+        assert(u2.getAs[Long]("n") === 1L)
+        assert(math.abs(u2.getAs[Double]("max_value") - 1.0) < 1e-9)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
