@@ -1210,6 +1210,15 @@ object SparkEntry {
       ord, "idx", Seq(col("o_totalprice"), col("o_orderkey")), 8)
   }
 
+  /** Boilerplate (cross-doc repeated segment) scrub over the corpus:
+    * `TextAnalysis.repeatedSegmentScrub` — segment frequency via one
+    * hash aggregate, join-back, ordered reassembly. The scrubbed_hash
+    * column makes the oracle check the RECONSTRUCTED text, not just the
+    * counts.
+    */
+  def q118BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.repeatedSegmentScrub(Tables.documents(spark, dir))
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2058,6 +2067,7 @@ object SparkEntry {
     "q115_lsh_clusters" -> (q115LshClusters _),
     "q116_dynamic_pruning" -> (q116DynamicPruning _),
     "q117_global_index" -> (q117GlobalIndex _),
+    "q118_boilerplate_scrub" -> (q118BoilerplateScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2440,6 +2450,28 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice,
         |       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS idx
         |FROM orders""".stripMargin,
+    "q118_boilerplate_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, n,
+        |             UNNEST(generate_series(0, CAST(FLOOR((n - 1) / 16) AS BIGINT))) AS seg_id
+        |      FROM nz),
+        |s AS (SELECT doc_id, seg_id,
+        |             tk[seg_id * 16 + 1 : LEAST(seg_id * 16 + 16, n)] AS segment
+        |      FROM c),
+        |h AS (SELECT doc_id, seg_id, segment,
+        |             md5(array_to_string(segment, ' ')) AS hh FROM s),
+        |f AS (SELECT hh, COUNT(DISTINCT doc_id) AS ndocs FROM h GROUP BY 1),
+        |j AS (SELECT doc_id, seg_id, segment, ndocs FROM h JOIN f USING (hh))
+        |SELECT doc_id,
+        |       COUNT(*) AS n_segments,
+        |       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |       md5(COALESCE(array_to_string(
+        |         flatten(list(segment ORDER BY seg_id) FILTER (WHERE ndocs < 2)),
+        |         ' '), '')) AS scrubbed_hash
+        |FROM j GROUP BY 1""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

@@ -56,4 +56,47 @@ object TextAnalysis {
   /** Content fingerprints: exact-dup key (SHA-256). */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), Texts.fingerprintSha(col("text")).as("fp"))
+
+  /** Cross-document repeated-segment (boilerplate) scrub — the
+    * FineWeb/RefinedWeb-style curation step that removes nav bars,
+    * cookie banners, and license footers: a doc is split into
+    * fixed-size non-overlapping token segments, a segment whose content
+    * hash occurs in >= `minDocs` DISTINCT documents is boilerplate, and
+    * the doc is reassembled from its surviving segments in order.
+    *
+    * Scale shape: one tokenization pass, one hash aggregate on the
+    * segment hash (map-side partials collapse repeats early), one
+    * shuffle join back on the same hash, one ordered per-doc
+    * reassembly aggregate. Nothing is ever all-pairs, and the shuffle
+    * key (segment hash) is uniform by construction — no skew.
+    *
+    * Returns per doc: segment counts, boilerplate counts, and the md5
+    * of the scrubbed text (order-preserving reassembly via
+    * array_sort over (seg_id, segment) structs — collect_list drops
+    * the boilerplate rows nulled by the `when`).
+    */
+  def repeatedSegmentScrub(documents: DataFrame, segTokens: Int = 16,
+                           minDocs: Long = 2L): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+    val segs = toks
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") - 1) / segTokens).cast("long"))).as("seg_id"))
+      .withColumn("segment",
+        slice(col("t"), (col("seg_id") * segTokens + 1).cast("int"), lit(segTokens)))
+      .select(col("doc_id"), col("seg_id"), col("segment"),
+        md5(array_join(col("segment"), " ").cast("binary")).as("h"))
+    val freq = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
+    segs.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"),
+        md5(array_join(flatten(transform(
+            array_sort(collect_list(when(col("ndocs") < minDocs,
+              struct(col("seg_id"), col("segment"))))),
+            s => s.getField("segment"))), " ").cast("binary")).as("scrubbed_hash"))
+  }
 }

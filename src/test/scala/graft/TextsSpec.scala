@@ -12,6 +12,26 @@ class TextsSpec extends SparkSpec {
     assert(got === Seq("a", "b", "c"))
   }
 
+  test("repeatedSegmentScrub removes exactly the cross-doc repeated segments") {
+    import graft.operators.TextAnalysis
+    // 16-token boilerplate banner shared by docs 0 and 1; unique tails
+    val banner = (1 to 16).map(i => s"cookie$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$banner alpha beta gamma"),
+      (1L, s"$banner delta epsilon"),
+      (2L, "completely unrelated text")).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSegmentScrub(docs, segTokens = 16, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_segments") === 2L)
+    assert(out(0L).getAs[Long]("n_boilerplate") === 1L)
+    assert(out(2L).getAs[Long]("n_boilerplate") === 0L)
+    // scrubbed doc 0 reassembles to just its unique tail
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("scrubbed_hash") === expected)
+  }
+
   test("shingles produce n-grams; short docs yield empty array") {
     val df = Seq("a b c d", "a").toDF("t")
     val got = df.select(Texts.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
