@@ -1219,6 +1219,58 @@ object SparkEntry {
   def q118BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.repeatedSegmentScrub(Tables.documents(spark, dir))
 
+  /** Algebraic re-aggregation (the pre-aggregate / materialized-rollup
+    * pattern): monthly figures computed FROM the daily partial
+    * aggregates — sums and counts are algebraic, so the monthly rollup
+    * never revisits fact rows. The oracle aggregates the raw table
+    * directly; hash-equality proves the decomposition is exact (decimal
+    * arithmetic end-to-end — float re-aggregation would drift with
+    * association order). At 100 TB this is why you maintain daily
+    * pre-aggregates: month/quarter/year queries read O(days) rows, not
+    * O(facts).
+    */
+  def q119ReaggDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("d"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("d"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("c"))
+    daily
+      .groupBy(trunc(col("d"), "month").as("m"))
+      .agg(sum(col("s")).cast("double").as("sum_price"), sum(col("c")).as("n"))
+      .select(col("m"), col("sum_price"), col("n"),
+        round(col("sum_price") / col("n"), 6).as("avg_price"))
+  }
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg/hll_union_agg): per-day user sketches are
+    * UNIONED into monthly estimates — the re-aggregatable form of
+    * COUNT(DISTINCT), which is NOT algebraic and would otherwise force
+    * a full re-shuffle of raw user ids per rollup level. The output is
+    * a verdict frame: the merged estimate must equal the directly-built
+    * monthly sketch's estimate (merge consistency) and land within 5%
+    * of the exact count (accuracy); the oracle re-derives the exact
+    * count and asserts the two booleans. At 100 TB the sketch is a few
+    * KB per group vs gigabytes of distinct ids.
+    */
+  def q120HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val daily = ev.groupBy(col("d")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .groupBy(trunc(col("d"), "month").as("m"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = ev
+      .groupBy(trunc(col("d"), "month").as("m"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, Seq("m"))
+      .select(col("m"), col("exact_users"),
+        (col("est_merged") === col("est_direct")).as("merge_consistent"),
+        (abs(col("est_merged") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2068,6 +2120,8 @@ object SparkEntry {
     "q116_dynamic_pruning" -> (q116DynamicPruning _),
     "q117_global_index" -> (q117GlobalIndex _),
     "q118_boilerplate_scrub" -> (q118BoilerplateScrub _),
+    "q119_reagg_daily" -> (q119ReaggDaily _),
+    "q120_hll_merge" -> (q120HllMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2472,6 +2526,23 @@ object SparkEntry {
         |         flatten(list(segment ORDER BY seg_id) FILTER (WHERE ndocs < 2)),
         |         ' '), '')) AS scrubbed_hash
         |FROM j GROUP BY 1""".stripMargin,
+    "q119_reagg_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+        |         COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+        |       CAST(SUM(s) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(c) AS BIGINT) AS n,
+        |       ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS avg_price
+        |FROM daily GROUP BY 1""".stripMargin,
+    "q120_hll_merge" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS merge_consistent,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k
