@@ -1271,6 +1271,25 @@ object SparkEntry {
           col("exact_users") * 0.05).as("within_5pct"))
   }
 
+  /** The NATIVE as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    * graft.plans.AsOfJoin*): per error event, the latest signup of the
+    * same user with signup_ts <= error_ts — q22's semantics on the
+    * whole-operator extension instead of the union+window composition.
+    * The oracle is DuckDB's own built-in ASOF JOIN, so two independent
+    * native implementations must agree row-for-row. Epoch-us longs are
+    * passed explicitly (the operator's LongType contract).
+    */
+  def q121AsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("err_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    operators.Joins.asOfJoinNative(errors, signups,
+        "user_id", "err_us", "s_user", "signup_us")
+      .select(col("event_id"), col("user_id"), col("signup_us"))
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2122,6 +2141,7 @@ object SparkEntry {
     "q118_boilerplate_scrub" -> (q118BoilerplateScrub _),
     "q119_reagg_daily" -> (q119ReaggDaily _),
     "q120_hll_merge" -> (q120HllMerge _),
+    "q121_asof_native" -> (q121AsOfNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2543,6 +2563,16 @@ object SparkEntry {
         |       TRUE AS merge_consistent,
         |       TRUE AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    "q121_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS err_us FROM events
+        |  WHERE event_type = 'error'),
+        |s AS (
+        |  SELECT user_id AS s_user, epoch_us(ts) AS signup_us FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, s.signup_us
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.s_user AND e.err_us >= s.signup_us""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

@@ -61,6 +61,35 @@ object Joins {
                    leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), Seq(key))
 
+  /** Backward as-of join on the NATIVE operator (preference order (c):
+    * graft.plans.AsOfJoinPlan/Exec, injected via GraftExtensions): for
+    * each left row, all columns of the most recent right row with the
+    * same key and rightTs <= leftTs (nulls when none). Key and ts are
+    * cast to long (timestamps: call with an epoch-us column). The two
+    * sides must not share column names (rename before joining).
+    * JoinsTimeOpsSpec proves equivalence with [[asOfBackward]]; the
+    * q121 oracle is DuckDB's own ASOF JOIN semantics via q22's SQL.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, leftTs: String,
+                     rightKey: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.LongType
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      if (e.dataType == LongType) e
+      else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+    ColumnBridge.ofRows(left.sparkSession, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      asLong(attr(lPlan, leftKey)), asLong(attr(rPlan, rightKey)),
+      asLong(attr(lPlan, leftTs)), asLong(attr(rPlan, rightTs))))
+  }
+
   /** Backward as-of join, composed from built-ins (preference order (a) of
     * the custom-operator ladder): for each left event, the most recent
     * right event with rightTs <= leftTs, per key.

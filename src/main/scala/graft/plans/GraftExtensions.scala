@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => CollapseRound)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -83,5 +84,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(CollapseRound))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CollapseRound
+    // runtime analog of injectPlannerStrategy
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

@@ -14,6 +14,20 @@ class JoinsTimeOpsSpec extends SparkSpec {
     assert(got.filter(col("d") === "d2" && col("k").isNull).count() === 1)
   }
 
+  test("asOfJoinNative picks latest prior-or-equal right row, nulls when none") {
+    val errors = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 100L), (4L, 30L, 10L))
+      .toDF("event_id", "user_id", "err_us").repartition(5)
+    val signups = Seq((10L, 60L), (10L, 90L), (20L, 100L))
+      .toDF("s_user", "signup_us").repartition(3)
+    val got = Joins.asOfJoinNative(errors, signups, "user_id", "err_us", "s_user", "signup_us")
+      .select("event_id", "signup_us")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(90L))   // latest of 60, 90
+    assert(got(2L) === None)        // earliest signup is after err_us=50
+    assert(got(3L) === Some(100L))  // equal timestamps match (<=)
+    assert(got(4L) === None)        // key with no right rows at all
+  }
+
   test("asOfBackward finds latest prior-or-equal right event per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L, "signup"),

@@ -203,6 +203,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join plans two-pointer merge: no window, no union blowup") {
+    val df = SparkEntry.queries("q121_asof_native")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), "must plan through AsOfJoinExec")
+    assert(!p.contains("Window"), "native operator must not fall back to the window composition")
+    assert(!p.contains("Union"))
+    // exactly the SMJ-style cost: one hash exchange per side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole

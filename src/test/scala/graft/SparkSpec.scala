@@ -16,6 +16,9 @@ object SharedSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same engine surface as Verify/Bench: functions, optimizer rule,
+    // planner strategy
+    graft.plans.GraftExtensions.register(s)
     s
   }
 }
