@@ -1251,7 +1251,11 @@ object SparkEntry {
     * monthly sketch's estimate (merge consistency) and land within 5%
     * of the exact count (accuracy); the oracle re-derives the exact
     * count and asserts the two booleans. At 100 TB the sketch is a few
-    * KB per group vs gigabytes of distinct ids.
+    * KB per group vs gigabytes of distinct ids. Merge consistency is a
+    * 1%-tolerance check, not exact equality: DataSketches switches from
+    * the HIP estimator (stream-built) to the composite estimator after
+    * a union, so the two estimates agree exactly only while sketches
+    * are small — the tolerance form stays true as cardinality grows.
     */
   def q120HllMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -1266,7 +1270,8 @@ object SparkEntry {
         countDistinct(col("user_id")).as("exact_users"))
     merged.join(direct, Seq("m"))
       .select(col("m"), col("exact_users"),
-        (col("est_merged") === col("est_direct")).as("merge_consistent"),
+        (abs(col("est_merged") - col("est_direct")) <=
+          greatest(col("est_direct") * 0.01, lit(1.0))).as("merge_consistent"),
         (abs(col("est_merged") - col("exact_users")) <=
           col("exact_users") * 0.05).as("within_5pct"))
   }

@@ -108,14 +108,25 @@ object Sampling {
     */
   def denseGlobalIndex(df: DataFrame, idxName: String,
                        orderCols: Seq[Column], nParts: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
     val spark = df.sparkSession
     val parted = df.repartitionByRange(nParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val indexed = parted.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    val schema = parted.schema.add(idxName, org.apache.spark.sql.types.LongType, nullable = false)
+    // stay on InternalRow: toRdd + a projection appends the Long without
+    // the external-Row decode/encode round-trip (three materializations
+    // per row) that .rdd/createDataFrame would pay
+    val indexed = parted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val idxRow = new GenericInternalRow(1)
+      it.map { case (row, i) =>
+        idxRow.update(0, i)
+        proj(joined(row, idxRow)): InternalRow
+      }
     }
-    spark.createDataFrame(indexed,
-      parted.schema.add(idxName, org.apache.spark.sql.types.LongType, nullable = false))
+    org.apache.spark.sql.graft.ColumnBridge.ofInternalRows(spark, indexed, schema)
   }
 
   /** Deterministic train/val/test split assignment as a column. Weights

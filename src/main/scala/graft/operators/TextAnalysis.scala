@@ -88,6 +88,11 @@ object TextAnalysis {
         slice(col("t"), (col("seg_id") * segTokens + 1).cast("int"), lit(segTokens)))
       .select(col("doc_id"), col("seg_id"), col("segment"),
         md5(array_join(col("segment"), " ").cast("binary")).as("h"))
+      // materialize ONCE: segs feeds both the frequency aggregate and
+      // the join-back probe side, and the two subtrees differ (one has
+      // a partial agg) so exchange reuse cannot dedup them — without
+      // the barrier the text is tokenized and segmented twice
+      .localCheckpoint()
     val freq = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
     segs.join(freq, Seq("h"))
       .groupBy(col("doc_id"))

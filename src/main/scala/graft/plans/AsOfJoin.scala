@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -30,10 +30,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    union-row blowup, no window state, no spillable buffer at all.
   *
   * Keys and timestamps are LongType by contract (the public wrapper
-  * [[graft.operators.Joins.asOfJoinNative]] casts); nulls in key/ts are
-  * ordered first by the child sorts and compare as ordinary values, so
-  * rows are never dropped — but semantically callers should pre-filter
-  * null timestamps. Not codegen'd (a leaf-ish exotic operator off the
+  * [[graft.operators.Joins.asOfJoinNative]] casts). NULL key/ts rows
+  * never match (DuckDB ASOF semantics): null left rows emit with a null
+  * right side, null right rows are skipped — both arrive first in the
+  * NULLS FIRST child sort, so the non-null tail stays monotonic for the
+  * two-pointer scan. Not codegen'd (a leaf-ish exotic operator off the
   * hot agg/filter path; the scan/sort/exchange children still codegen).
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
@@ -76,6 +77,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  // and they stay clustered by the left key: advertise it (like a
+  // sort-merge join does) so a downstream groupBy/join on the key does
+  // not pay a redundant Exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
                                                  newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -104,28 +111,41 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      var matched: UnsafeRow = null
+      var matched: InternalRow = null
       var matchedKey = 0L
       lIter.map { lRow =>
         val kt = lKeyTs(lRow)
-        val k = kt.getLong(0)
-        val ts = kt.getLong(1)
-        // advance rights up to (k, ts]; remember the LAST right per key
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val rkt = rKeyTs(rBuf.head)
-          val rKey = rkt.getLong(0)
-          val rTs = rkt.getLong(1)
-          if (rKey < k || (rKey == k && rTs <= ts)) {
-            if (rKey == k) {
-              matched = rBuf.head.asInstanceOf[UnsafeRow].copy()
-              matchedKey = rKey
+        if (kt.isNullAt(0) || kt.isNullAt(1)) {
+          // NULL key/ts never matches; these sort first, so emitting
+          // without advancing rBuf keeps the non-null scan intact
+          joiner(joined(lRow, nullRight))
+        } else {
+          val k = kt.getLong(0)
+          val ts = kt.getLong(1)
+          // advance rights up to (k, ts]; remember the LAST right per key
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rkt = rKeyTs(rBuf.head)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
+              rBuf.next() // NULL right rows never match anything
+            } else {
+              val rKey = rkt.getLong(0)
+              val rTs = rkt.getLong(1)
+              if (rKey < k || (rKey == k && rTs <= ts)) {
+                if (rKey == k) {
+                  // InternalRow.copy, not an UnsafeRow cast: with the
+                  // sort elided (pre-sorted layout) the child may emit
+                  // non-UnsafeRow rows
+                  matched = rBuf.head.copy()
+                  matchedKey = rKey
+                }
+                rBuf.next()
+              } else advance = false
             }
-            rBuf.next()
-          } else advance = false
+          }
+          val r = if (matched != null && matchedKey == k) matched else nullRight
+          joiner(joined(lRow, r))
         }
-        val r = if (matched != null && matchedKey == k) matched else nullRight
-        joiner(joined(lRow, r))
       }
     }
   }

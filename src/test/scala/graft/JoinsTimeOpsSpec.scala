@@ -28,6 +28,36 @@ class JoinsTimeOpsSpec extends SparkSpec {
     assert(got(4L) === None)        // key with no right rows at all
   }
 
+  test("asOfJoinNative: NULL keys/timestamps never match, on either side") {
+    val errors = Seq(
+      (1L, Some(10L), Some(100L)),
+      (2L, Some(10L), None),        // null ts -> no match even though signups exist
+      (3L, None, Some(100L)))       // null key -> no match
+      .toDF("event_id", "user_id", "err_us")
+    val signups = Seq(
+      (Some(10L), Some(90L)),
+      (Some(10L), None),            // null ts right row must be skipped, not match
+      (None, Some(1L)))             // null key right row must be skipped
+      .toDF("s_user", "signup_us")
+    val got = Joins.asOfJoinNative(errors, signups, "user_id", "err_us", "s_user", "signup_us")
+      .select("event_id", "signup_us")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(90L))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+  }
+
+  test("asOfJoinNative output stays clustered: downstream groupBy adds no exchange") {
+    val errors = Seq((1L, 10L, 100L), (2L, 10L, 50L)).toDF("event_id", "user_id", "err_us")
+    val signups = Seq((10L, 60L)).toDF("s_user", "signup_us")
+    val agg = Joins.asOfJoinNative(errors, signups, "user_id", "err_us", "s_user", "signup_us")
+      .groupBy(col("user_id")).count()
+    val p = agg.queryExecution.executedPlan.toString
+    // exactly the join's own two input exchanges — outputPartitioning
+    // advertises the left clustering, so the aggregate reuses it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+  }
+
   test("asOfBackward finds latest prior-or-equal right event per key") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L, "signup"),
