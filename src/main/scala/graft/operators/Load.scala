@@ -61,12 +61,14 @@ object Load {
     * every query is paid ONCE at load. Pair with [[Joins.bucketedJoin]];
     * PlanSpec asserts the exchange-free plan.
     */
-  def bucketedTable(df: DataFrame, table: String, key: String, nBuckets: Int): Unit = {
+  def bucketedTable(df: DataFrame, table: String, key: String, nBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
     dropTableAndDir(df.sparkSession, table)
+    val sort = if (sortCols.nonEmpty) sortCols else Seq(key)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, key)
-      .sortBy(key)
+      .sortBy(sort.head, sort.tail: _*)
       .saveAsTable(table)
   }
 

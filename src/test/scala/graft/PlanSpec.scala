@@ -213,6 +213,38 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
+  test("native as-of join over bucketed-sorted layout plans with zero exchange") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // both sides written bucketed on the join key and sorted (key, ts):
+    // the as-of exec's ClusteredDistribution comes from the bucketing
+    // metadata — a 100 TB recurring as-of enrichment pays NO shuffle
+    val ev = sources.Tables.events(spark, sf)
+    operators.Load.bucketedTable(
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("err_us")),
+      "graft_bkt_errors", "user_id", 4, Seq("user_id", "err_us"))
+    operators.Load.bucketedTable(
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us")),
+      "graft_bkt_signups", "s_user", 4, Seq("s_user", "signup_us"))
+    val joinedBkt = operators.Joins.asOfJoinNative(
+      spark.table("graft_bkt_errors"), spark.table("graft_bkt_signups"),
+      "user_id", "err_us", "s_user", "signup_us")
+    val p = joinedBkt.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"))
+    assert(!p.contains("Exchange"),
+      "bucketed-on-key layouts must satisfy the as-of distribution without a shuffle")
+    // and the result matches the shuffled plan over the raw frames
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("err_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), unix_micros(col("ts")).as("signup_us"))
+    val control = operators.Joins.asOfJoinNative(
+      errors, signups, "user_id", "err_us", "s_user", "signup_us")
+    assert(joinedBkt.select("event_id", "signup_us").collect().toSet ===
+      control.select("event_id", "signup_us").collect().toSet)
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
