@@ -27,9 +27,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up: compile + codegen + page cache
+        var lastDf: org.apache.spark.sql.DataFrame = null
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          df.count()
+          lastDf = df
           (System.nanoTime() - t0) / 1e9
         }
         // canonicalized optimized-plan hash: exprIds normalized, so the
@@ -39,7 +42,10 @@ object Bench {
         // nodes print object identity (`$$anon$1@1f2e3d`) and typed ops
         // print lambda hidden-class addresses (`$$Lambda$2524/0x7f67...`)
         // — normalize both, they change per JVM, not per plan.
-        val planStr = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized
+        // hash the LAST timed run's plan — re-invoking fn here would pay
+        // a whole extra untimed execution for eager builders (q104's
+        // table writes, q106's observed noop write, q109's CC loop)
+        val planStr = lastDf.queryExecution.optimizedPlan.canonicalized
           .toString.replaceAll("@[0-9a-f]+", "@id")
           .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
         val planHash = java.security.MessageDigest.getInstance("MD5")

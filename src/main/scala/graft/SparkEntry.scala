@@ -1188,7 +1188,9 @@ object SparkEntry {
   def q116DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    operators.Load.partitionedTable(cust, "graft_part_customer", "c_nationkey")
+    operators.Load.ensureLayout(spark, "graft_part_customer", dir) {
+      operators.Load.partitionedTable(cust, "graft_part_customer", "c_nationkey")
+    }
     val nat = Tables.nation(spark, dir).filter(col("n_regionkey") === 2)
     spark.table("graft_part_customer")
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -1698,8 +1700,12 @@ object SparkEntry {
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
     val ord = Tables.orders(spark, dir)
       .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
-    operators.Load.bucketedTable(cust, "graft_bkt_customer", "c_custkey", 8)
-    operators.Load.bucketedTable(ord, "graft_bkt_orders", "c_custkey", 8)
+    operators.Load.ensureLayout(spark, "graft_bkt_customer", dir) {
+      operators.Load.bucketedTable(cust, "graft_bkt_customer", "c_custkey", 8)
+    }
+    operators.Load.ensureLayout(spark, "graft_bkt_orders", dir) {
+      operators.Load.bucketedTable(ord, "graft_bkt_orders", "c_custkey", 8)
+    }
     operators.Joins.bucketedJoin(spark, "graft_bkt_customer", "graft_bkt_orders", "c_custkey")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
@@ -1716,14 +1722,7 @@ object SparkEntry {
     */
   def q105ImageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
+    import operators.Multimodal.{solidPng => png}
     val rows: Seq[(Long, Array[Byte])] = Seq(
       0L -> png(3, 2, 0xff0000),
       1L -> png(4, 4, 0x808080),
@@ -1790,9 +1789,14 @@ object SparkEntry {
     * frame; 1.4826 is the usual normal-consistency constant.
     */
   def q108MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the daily aggregate ONCE: it feeds the median agg,
+    // the MAD agg, and the final projection — three evaluations of the
+    // events scan+aggregate subtree without the barrier (the q113
+    // multi-scan pattern)
     val daily = Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(round(sum(col("value")), 4).as("rev"))
+      .localCheckpoint()
     val med = daily.agg(percentile(col("rev"), lit(0.5)).as("med"))
     val withMed = daily.crossJoin(broadcast(med))
     val mad = withMed

@@ -215,6 +215,18 @@ object Dedup {
     *
     * Returns (node, cluster_id) for every node appearing in `edges`.
     */
+  /** Free a localCheckpoint's cached blocks once superseded — the loop
+    * below replaces its label frame every round, and without this the
+    * orphaned checkpoints accumulate in executor storage for the
+    * session lifetime (at real dedup scale, every round's label RDD is
+    * O(nodes)).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
     val dir = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -242,11 +254,13 @@ object Dedup {
         .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
         .filter(col("lab") =!= col("old"))
         .limit(1).count() == 0L
+      unpersistCheckpoint(labels) // next is materialized; the old round's blocks are dead
       labels = next
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— pathological chain graph; use a large-star/small-star variant")
+    unpersistCheckpoint(sym) // the result references only the final labels
     labels.select(col("node"), col("lab").as("cluster_id"))
   }
 

@@ -91,6 +91,24 @@ object Load {
       .saveAsTable(table)
   }
 
+  private val layoutWritten = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once guard for layout side effects: runs `write` only when
+    * this session has not already built `table` from the same `tag`
+    * (e.g. the source dir). Layout demos (q104's bucketed tables,
+    * q116's partitioned fact) call their writes through this so a
+    * repeated invocation — Bench times each query 4× — measures the
+    * QUERY, not a redundant rebuild of the layout whose whole premise
+    * is "pay the shuffle once at load".
+    */
+  def ensureLayout(spark: org.apache.spark.sql.SparkSession, table: String, tag: String)
+                  (write: => Unit): Unit = {
+    if (layoutWritten.get(table) != tag || !spark.catalog.tableExists(table)) {
+      write
+      layoutWritten.put(table, tag)
+    }
+  }
+
   /** An in-memory catalog forgets managed tables across JVMs but their
     * warehouse dirs persist — saveAsTable then fails LOCATION_ALREADY_
     * EXISTS; clear a stale dir so layout writes are re-runnable.
@@ -140,10 +158,17 @@ object Load {
     val bounds = df.agg(
       min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      // empty input or all-null key column: nothing to cluster on —
+      // write as-is instead of NPEing on the missing bounds
+      df.write.mode(SaveMode.Overwrite).options(writerOpts).parquet(path)
+      return
+    }
+    // null key values deliberately land in z-bucket 0 (sort first)
     def scale16(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L),
-        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+      else coalesce(least(lit(65535L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long")), lit(0L))
     val a16 = scale16(col(keyA), bounds.getDouble(0), bounds.getDouble(1))
     val b16 = scale16(col(keyB), bounds.getDouble(2), bounds.getDouble(3))
     val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
@@ -176,18 +201,29 @@ object Load {
     import org.apache.hadoop.fs.Path
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path.getParent, s".${path.getName}_compacting")
+    val retired = new Path(path.getParent, s".${path.getName}_retiring")
+    // crash recovery FIRST: a kill between the two swap renames below
+    // leaves the only live copy under `retired` — restore it; a kill
+    // after the second rename leaves a stale `retired` copy — drop it
+    if (fs.exists(retired)) {
+      if (!fs.exists(path)) fs.rename(retired, path)
+      else fs.delete(retired, true)
+    }
     val dataFiles = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles.length
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (before <= nOut) return (before, before) // already compact enough
-    val staging = new Path(path.getParent, s".${path.getName}_compacting")
     if (fs.exists(staging)) fs.delete(staging, true)
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(path, true)
+    // rename-rename-delete, never delete-then-rename: the live data is
+    // always recoverable (see the recovery branch above)
+    fs.rename(path, retired)
     fs.rename(staging, path)
+    fs.delete(retired, true)
     val after = fs.listStatus(path)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (before, after)

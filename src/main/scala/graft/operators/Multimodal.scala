@@ -72,6 +72,19 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
+  /** Deterministic solid-color PNG fixture (lossless, so decoded pixels
+    * are exact literals) — shared by the q105 oracle query and
+    * MultimodalSpec so the two always validate the same byte stream.
+    */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** REAL image decode through the same mapPartitions seam as the stub:
     * `javax.imageio` is JDK-builtin (no external codec jars needed), so
     * PNG/JPEG/GIF/BMP payloads decode to actual pixels here. Emits
@@ -92,8 +105,12 @@ object Multimodal {
           val img =
             if (bytes == null) null
             else
+              // NonFatal, not just IOException: malformed images also
+              // throw RuntimeExceptions (CMMException on corrupt ICC
+              // profiles, ArrayIndexOutOfBounds from truncated GIFs) —
+              // all of them are data, none may kill the task
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) (id, Option.empty[Int], Option.empty[Int], Option.empty[Double])
           else {
             val w = img.getWidth

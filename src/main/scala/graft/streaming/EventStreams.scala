@@ -242,19 +242,38 @@ object EventStreams {
     val compacted = graft.operators.Load.upsertLatest(
         batch, batch.limit(0), keyCols, versionCol)
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    // one-time migration: a table written by the pre-bucketed (flat)
+    // sink layout has root-level part files — fold the WHOLE flat table
+    // into this merge and retire those files after the swap, otherwise
+    // they would silently coexist with the __bucket=* dirs and make the
+    // directory unreadable (mixed depths). Checked every batch so a
+    // crash between swap and retire self-heals on replay.
+    val legacyFiles =
+      if (fs.exists(table))
+        fs.listStatus(table).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val toMerge =
+      if (legacyFiles.isEmpty) compacted
+      else {
+        val legacy = spark.read
+          .parquet(legacyFiles.map(_.getPath.toString).toIndexedSeq: _*)
+          .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+        graft.operators.Load.upsertLatest(legacy, compacted, keyCols, versionCol)
+      }
     // bounded collect: at most nBuckets small ints
-    val touched = compacted.select(upsertBucketCol).distinct()
+    val touched = toMerge.select(upsertBucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.nonEmpty) {
       val partDirs = touched.map(b => new Path(table, s"$upsertBucketCol=$b"))
-      val havePartitions = fs.exists(table) &&
-        fs.globStatus(new Path(table, s"$upsertBucketCol=*")).nonEmpty
+      // read ONLY the touched partition dirs, addressed explicitly with
+      // basePath (never a root listing — robust to stray root files)
+      val existingDirs = partDirs.filter(fs.exists).map(_.toString)
       val merged =
-        if (havePartitions) {
-          val current = spark.read.parquet(tableDir)
-            .filter(col(upsertBucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
-          graft.operators.Load.upsertLatest(current, compacted, keyCols, versionCol)
-        } else compacted
+        if (existingDirs.nonEmpty) {
+          val current = spark.read.option("basePath", tableDir)
+            .parquet(existingDirs.toIndexedSeq: _*)
+          graft.operators.Load.upsertLatest(current, toMerge, keyCols, versionCol)
+        } else toMerge
       val staging = new Path(table, s"_staging_$batchId")
       merged
         .repartition(touched.length, col(upsertBucketCol)) // one file per bucket per merge
@@ -265,6 +284,7 @@ object EventStreams {
         if (fs.exists(src)) fs.rename(src, dst)
       }
       fs.delete(staging, true) // _SUCCESS + any untouched leftovers
+      legacyFiles.foreach(f => fs.delete(f.getPath, false)) // retire the flat layout
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

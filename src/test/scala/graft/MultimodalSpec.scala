@@ -66,14 +66,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeImages decodes real PNG bytes to pixel-accurate dims and luminance") {
-    import java.awt.image.BufferedImage
-    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
+    import Multimodal.{solidPng => png}
     val rows = Seq(
       (0L, png(3, 2, 0xff0000)),              // solid red
       (1L, png(4, 4, 0x808080)),              // solid gray 128

@@ -196,6 +196,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink migrates a legacy flat-layout table into buckets on first merge") {
+    val tableDir = Files.createTempDirectory("graft-upsert-legacy").toString
+    // simulate the pre-bucketed sink: keyed rows as root-level part files
+    Seq((1L, "OLD1", 1L), (2L, "OLD2", 1L)).toDF("k", "payload", "version")
+      .coalesce(1).write.mode("overwrite").parquet(tableDir)
+    val batch = Seq((2L, "NEW2", 5L), (3L, "NEW3", 1L)).toDF("k", "payload", "version")
+    EventStreams.mergeBatchIntoTable(batch, tableDir, Seq("k"), "version", 8, 0L)
+    // flat files retired — the directory is pure bucket layout again
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootParquet = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(rootParquet.isEmpty, "legacy root-level part files must be folded into buckets")
+    // and no row was lost: untouched legacy key 1, upserted 2, new 3
+    val rows = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "OLD1", 2L -> "NEW2", 3L -> "NEW3"))
+  }
+
   test("AvailableNow runs drain only the backlog since the last checkpoint (@daily analog)") {
     val dir = streamDir() // 4 events
     val base = Files.createTempDirectory("graft-avnow").toString
