@@ -1297,6 +1297,43 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("signup_us"))
   }
 
+  /** Persistent IVF index probe (`Similarity.buildIvfIndex` /
+    * `queryIvfIndex`): the index is built ONCE (write-once guard; the
+    * cell-partitioned layout is the point — probes read only nprobe
+    * partition dirs) and the probe results get the q99-style
+    * hash-checked recall verdict against the in-plan exact top-5. Same
+    * contract as q99: per-probe recall >= 2/5 proves the pruned index
+    * probe finds real neighbors without scanning the corpus.
+    */
+  def q122IvfIndexRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val probeIds = Seq(0L, 1L, 2L)
+    val idxDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_idx_${math.abs(dir.hashCode)}").toString
+    operators.Similarity.ensureIvfIndex(emb, idxDir, nlist = 8)
+    val viaIndex = operators.Similarity
+      .queryIvfIndex(spark, idxDir, probeIds, 5, nprobe = 4)
+      .select(col("probe_id"), col("vec_id"))
+    val e = emb.select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+    implicit val ord: Ordering[ProbeHit] = Ordering.by(h => (-h.cosine, h.vec_id))
+    val exact = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(functions.Vectors.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .as[ProbeHit]
+      .groupByKey(_.probe_id)
+      .agg(functions.TypedAggs.topK[ProbeHit](5).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(explode(col("top")).as("r"))
+      .select(col("r.probe_id"), col("r.vec_id"), lit(1).as("__hit"))
+    viaIndex.join(exact, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), (col("hits") >= 2).as("recall_ok"))
+  }
+
   /** q89 oracle: the identical banded anchor pipeline in SQL (slot
     * constants from minhashPerms; band keys are raw value lists,
     * list-equality joined; Jaccard via the q26 formula).
@@ -2151,6 +2188,7 @@ object SparkEntry {
     "q119_reagg_daily" -> (q119ReaggDaily _),
     "q120_hll_merge" -> (q120HllMerge _),
     "q121_asof_native" -> (q121AsOfNative _),
+    "q122_ivf_index_recall" -> (q122IvfIndexRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2582,6 +2620,9 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, s.signup_us
         |FROM e ASOF LEFT JOIN s
         |  ON e.user_id = s.s_user AND e.err_us >= s.signup_us""".stripMargin,
+    "q122_ivf_index_recall" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q114_variant" ->
       """SELECT event_type, MIN(k) AS min_k, MAX(k) AS max_k,
         |       CAST(SUM(k) AS BIGINT) AS sum_k

@@ -147,6 +147,76 @@ object Similarity {
     math.sqrt(s)
   }
 
+  /** PERSISTENT IVF index — build once, probe many (the ANN serving
+    * shape; [[ivfTopK]] retrains per query, which is the exploratory
+    * shape). Writes `indexDir/centroids` (nlist tiny rows) and
+    * `indexDir/vectors` hive-partitioned by the assigned `cell`, so a
+    * probe that visits `nprobe` cells READS only those partition
+    * directories — static partition pruning turns probe cost from
+    * O(corpus) to O(corpus · nprobe / nlist) of I/O, the disk-layout
+    * analog of the in-memory inverted list. Same fixed-seed training as
+    * ivfTopK: identical data ⇒ identical cells (DedupSimilaritySpec
+    * asserts query-vs-ivfTopK equality and the pruned file set).
+    */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String,
+                    nlist: Int = 8, maxIter: Int = 5): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.select(col("fv")))
+    model.transform(e).drop("fv")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once guard per JVM (Bench invokes each query 4x; the index
+    * write is the expensive training pass the persistent layout exists
+    * to amortize).
+    */
+  def ensureIvfIndex(embeddings: DataFrame, indexDir: String,
+                     nlist: Int = 8, maxIter: Int = 5): Unit =
+    if (builtIndexes.putIfAbsent(indexDir, "built") == null)
+      buildIvfIndex(embeddings, indexDir, nlist, maxIter)
+
+  /** Probe the persistent index: centroids are read driver-side (tiny),
+    * the `nprobe` nearest cells per probe are chosen there, and the
+    * candidate scan touches ONLY those `cell=` partition dirs. The probe
+    * vectors themselves come from one bounded lookup (few ids by
+    * contract, same as ivfTopK).
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    probeVecIds: Seq[Long], k: Int, nprobe: Int = 2): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val probes = vectors.filter(col("vec_id").isin(probeVecIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeCellsLocal = probes.flatMap { case (pid, pv) =>
+      centers.map { case (ci, c) => (ci, l2Dist(pv, c)) }
+        .sortBy(_._2).take(nprobe)
+        .map { case (ci, _) => (pid, ci, pv.toSeq) }
+    }
+    import spark.implicits._
+    val probeCells = probeCellsLocal.toSeq.toDF("probe_id", "cell", "qv")
+    val cells = probeCellsLocal.map(_._2).distinct.sorted
+    // isin on the partition column -> only the probed cell dirs are read
+    val cand = vectors.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    topKPerProbe(
+      cand.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)), k)
+  }
+
   /** Approximate top-k per probe vector: bucket everything with
     * `nPlanes` hyperplanes, exact cosine re-rank only within the bucket.
     * At scale: one shuffle on bucket id; bucket sizes are ~N/2^nPlanes.
