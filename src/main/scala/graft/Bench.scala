@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -13,6 +14,11 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse: layout queries (q104/q116/...) saveAsTable
+      // by fixed names — a shared ./spark-warehouse lets a concurrent
+      // test/verify JVM clobber this process's table files mid-read
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen/parquet-reader classes load once here so the

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse (same rationale as Bench: fixed-name layout
+      // tables must not be shared across concurrent JVMs)
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -229,6 +229,29 @@ object Load {
     (before, after)
   }
 
+  /** SCD Type-2 dimension history from a CDC change log: every change
+    * record becomes one history row carrying its own version as
+    * `valid_from`, the NEXT change's version for the same key as
+    * `valid_to` (null while current), and an `is_current` flag — the
+    * standard warehouse shape for "what did this dimension row look
+    * like at version v" queries ([[upsertLatest]] is its keep-latest
+    * projection). One `lead` window partitioned by key, ordered by
+    * version: the shuffle carries the change LOG (not the dimension's
+    * cross product), and each per-key group is only that key's change
+    * history, so no straggler groups at 100 TB unless one key mutates
+    * pathologically often. Same contract as upsertLatest: `versionCol`
+    * must be unique per key.
+    */
+  def scdType2(changes: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** CDC-style upsert (MERGE keep-latest): base ∪ updates, one row per
     * key — the row with the highest `versionCol`. Single hash aggregate
     * with map-side partials (`max_by` over a struct), NOT a window: a

@@ -92,6 +92,41 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
 
+  /** One selected row of a weighted sample (object-level for implicit
+    * Encoder resolution in [[weightedTopKPortable]]).
+    */
+  final case class WeightedPick(stratum: String, id: Long, aes_key: Double)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * k rows per stratum: each row draws u = portableUnit(id, salt) and
+    * gets key = −ln(u) / w (an Exp(w) draw — the exponential form of
+    * A-ES's u^(1/w)); the k SMALLEST keys per stratum are an exact
+    * weighted sample without replacement. This is how a curation
+    * pipeline takes "20 docs per language, longer docs proportionally
+    * more likely" in ONE pass: the bounded topK aggregator prunes to k
+    * rows per partition map-side — no per-stratum window sort, no
+    * global shuffle of the corpus. Keys are rounded to 6 dp BEFORE
+    * ranking (ties broken by id) so selection and order are
+    * reproducible bit-for-bit in any md5+ln-capable engine.
+    */
+  def weightedTopKPortable(df: DataFrame, stratumCol: String, idCol: String,
+                           weightCol: String, k: Int, salt: String = "aes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[WeightedPick] = Ordering.by(r => (r.aes_key, r.id))
+    df.select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        round(-log(portableUnit(col(idCol), salt)) / col(weightCol).cast("double"), 6)
+          .as("aes_key"))
+      .as[WeightedPick]
+      .groupByKey(_.stratum)
+      .agg(graft.functions.TypedAggs.topK[WeightedPick](k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.stratum"), col("r.id"), col("r.aes_key"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Dense contiguous global row index 0..n-1 in total `orderCols`
     * order — WITHOUT the single-partition sort a global
     * `row_number() OVER (ORDER BY ...)` window costs (one task holding

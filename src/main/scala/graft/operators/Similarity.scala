@@ -94,6 +94,23 @@ object Similarity {
       when(Vectors.dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out[j] = dot(v, plane_j) / sqrt(outDim) over the deterministic
+    * [[planeValues]] matrix — a pure narrow codegen'd expression tree
+    * (no UDF, no shuffle). At 100 TB this is the ANN pre-filter lever:
+    * distances in the projected space cost outDim/dim of the full
+    * computation and JL bounds the pairwise-distance distortion, so a
+    * candidate set from the cheap space re-ranks exactly in the full
+    * space. Deterministic matrix ⇒ reproducible in any engine with the
+    * same literals (q128's recall verdict exploits this).
+    */
+  def randomProjection(v: Column, outDim: Int, dim: Int): Column = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array(planeValues(outDim, dim).map { pv =>
+      Vectors.dot(v, array(pv.map(lit): _*)) * scale
+    }: _*)
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, fixed seed) assigns every vector to one of `nlist` cells;
     * each probe searches only its `nprobe` nearest cells, with exact

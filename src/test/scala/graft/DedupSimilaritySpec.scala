@@ -125,6 +125,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex === direct)
   }
 
+  test("randomProjection is deterministic, right-sized, and keeps near-parallel pairs close") {
+    val proj = vecs.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("p", Similarity.randomProjection(col("v"), outDim = 16, dim = 64))
+    val rows = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    assert(rows.values.forall(_.length === 16))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // vec 0 and 1 are near-parallel in 64d; the projection must keep them so
+    assert(cos(rows(0L), rows(1L)) > 0.99)
+    // deterministic across evaluations (literal matrix, no RNG state)
+    val again = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    assert(rows.keys.forall(k => rows(k).sameElements(again(k))))
+  }
+
   test("lshTopK candidates agree with brute force within the bucket") {
     val got = Similarity.lshTopK(vecs, Seq(0L), k = 2, nPlanes = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet

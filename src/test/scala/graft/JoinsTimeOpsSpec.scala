@@ -104,4 +104,57 @@ class JoinsTimeOpsSpec extends SparkSpec {
     val slide = TimeOps.slidingHourly(df)
     assert(slide.agg(sum("n")).head().getLong(0) === 4L) // each event twice
   }
+
+  test("funnelStageTimes enforces strict ordering across stages") {
+    val df = Seq(
+      // u1: full ordered funnel
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // u2: purchase BEFORE the click -> stage 3 not reached
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 10:01:00"),
+      (2L, "click", "2024-01-01 10:02:00"),
+      // u3: click with no prior view -> stages 2 and 3 not reached
+      (3L, "click", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:01:00"),
+      // u4: click at the SAME instant as view -> strictly-after excludes it
+      (4L, "view", "2024-01-01 10:00:00"),
+      (4L, "click", "2024-01-01 10:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val t = TimeOps.funnelStageTimes(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => !r.isNullAt(i)).toSeq).toMap
+    assert(t(1L) === Seq(true, true, true))
+    assert(t(2L) === Seq(true, true, false))
+    assert(t(3L) === Seq(false, false, false))
+    assert(t(4L) === Seq(true, false, false))
+    val counts = TimeOps.funnelCounts(df, Seq("view", "click", "purchase")).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((3L, 2L, 1L)))
+  }
+
+  test("runningTotalDistributed equals the single-partition window running sum") {
+    val df = (1L to 500L).map(t => (t, (t % 7) - 3)).toDF("t", "d").repartition(9)
+    val got = TimeOps.runningTotalDistributed(df, "t", "d", 6, "cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var run = 0L
+    (1L to 500L).foreach { t =>
+      run += (t % 7) - 3
+      assert(got(t) === run, s"prefix sum diverges at t=$t")
+    }
+  }
+
+  test("maxConcurrencyPerDay counts overlapping sessions") {
+    // two users whose sessions overlap 10:00-10:05, one solo afternoon session
+    val df = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:05:00"),
+      (3L, 20L, "2024-01-01 10:03:00"), (4L, 20L, "2024-01-01 10:04:00"),
+      (5L, 30L, "2024-01-01 15:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = TimeOps.maxConcurrencyPerDay(df)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") === 2L)
+  }
 }

@@ -170,6 +170,25 @@ class LoadSpec extends SparkSpec {
     assert(Load.compact(spark, dir) === ((1, 1)))
   }
 
+  test("scdType2 chains validity intervals per key and flags the current row") {
+    val changes = Seq(
+      ("a", 1, 10.0), ("a", 3, 30.0), ("a", 7, 70.0), // key with 3 changes
+      ("b", 2, 20.0))                                 // single-change key
+      .toDF("k", "version", "price")
+    val hist = Load.scdType2(changes, Seq("k"), "version")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((if (r.isNullAt(4)) None else Some(r.getInt(4))), r.getBoolean(5))).toMap
+    assert(hist(("a", 1)) === ((Some(3), false)))
+    assert(hist(("a", 3)) === ((Some(7), false)))
+    assert(hist(("a", 7)) === ((None, true)))
+    assert(hist(("b", 2)) === ((None, true)))
+    // keep-latest projection agrees with upsertLatest semantics
+    val current = Load.scdType2(changes, Seq("k"), "version")
+      .filter(col("is_current")).select(col("k"), col("price"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(current === Map("a" -> 70.0, "b" -> 20.0))
+  }
+
   test("appendToTable creates then appends to a catalog table") {
     spark.sql("DROP TABLE IF EXISTS graft_load_spec")
     Load.appendToTable(df2.drop("d"), "graft_load_spec")

@@ -245,6 +245,40 @@ class PlanSpec extends SparkSpec {
       control.select("event_id", "signup_us").collect().toSet)
   }
 
+  test("q124 weighted sample prunes map-side: bounded aggregator, no per-stratum window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q124_weighted_sample")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collectFirst { case w: LWindow => w }.isEmpty,
+      "a row_number window per lang sorts the whole corpus on #langs tasks")
+    assert("ObjectHashAggregate".r.findAllIn(qe.executedPlan.toString).size >= 2,
+      "topK aggregator must plan partial + final")
+  }
+
+  test("q125 CMS estimate broadcasts the sketch (depth x width rows, never shuffled)") {
+    val p = planOf("q125_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q126 funnel is one pass over events: no joins, no per-stage rescans") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("q126_funnel")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collectFirst { case j: Join => j }.isEmpty,
+      "the join-per-stage funnel shape rescans and reshuffles the fact per step")
+    assert("events\\.parquet".r.findAllIn(qe.executedPlan.toString).size === 1,
+      "events must be scanned exactly once")
+  }
+
+  test("q127 concurrency sweep never plans a global single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q127_concurrency")(spark, sf).queryExecution
+    val globalWindows = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      "running concurrency must be the distributed prefix sum, not SUM() OVER (ORDER BY t)")
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole

@@ -95,6 +95,36 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("weightedTopKPortable takes exactly k per stratum, deterministically, ranked by key") {
+    val weighted = corpus.withColumn("w", col("doc_id") % 100 + 1)
+    val s1 = Sampling.weightedTopKPortable(weighted, "lang", "doc_id", "w", 25)
+    val rows = s1.collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.keySet === Set("en", "de"))
+    assert(byLang.values.forall(_.length === 25))
+    // within a stratum, rn follows (aes_key, id) ascending
+    byLang.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      val keys = sorted.map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(keys === keys.sorted)
+    }
+    // deterministic across runs
+    val s2 = Sampling.weightedTopKPortable(weighted, "lang", "doc_id", "w", 25)
+    assert(s2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      rows.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("weightedTopKPortable favors heavy rows: E[inclusion] tracks weight") {
+    // two weight classes, 100x apart, split WITHIN each lang stratum
+    // (lang follows doc_id parity, so key off doc_id/2's parity)
+    val weighted = corpus.withColumn("w",
+      when((col("doc_id") / 2).cast("long") % 2 === 0, 100.0).otherwise(1.0))
+    val picked = Sampling.weightedTopKPortable(weighted, "lang", "doc_id", "w", 50)
+      .collect().map(_.getLong(1))
+    val heavy = picked.count(i => (i / 2) % 2 == 0)
+    assert(heavy > 85, s"heavy rows picked $heavy of 100 — weighting not applied?")
+  }
+
   test("decontaminate removes exactly the blocklisted contents") {
     val block = corpus.filter(col("doc_id") < 10).select(col("text"))
     val clean = Dedup.decontaminate(corpus, block)

@@ -14,6 +14,10 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse (same rationale as Bench/Verify: fixed-name
+      // layout tables must not be shared across concurrent JVMs)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // same engine surface as Verify/Bench: functions, optimizer rule,
