@@ -208,7 +208,8 @@ object Dedup {
     * map-side combinable), rounds ≈ cluster diameter — near-dup
     * clusters are near-cliques (diameter 2-3), so convergence is fast
     * regardless of corpus size, and the convergence check is a
-    * limit(1)-count, not a full count. `localCheckpoint` cuts the
+    * limit(1)-count over a changed flag computed DURING propagation
+    * (no extra join, no full count). `localCheckpoint` cuts the
     * iterative lineage so plans don't grow per round. (For adversarial
     * long-chain graphs the large-star/small-star variant gives
     * O(log n) rounds; dup graphs don't need it.)
@@ -246,16 +247,18 @@ object Dedup {
         .join(labels.select(col("node").as("b"), col("lab").as("blab")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
         .select(col("a").as("node"), col("nlab"))
+      // the changed flag rides ALONG the propagation (nlab < lab), so
+      // convergence is a narrow filter-count over the checkpointed
+      // blocks — not the extra next⋈labels shuffle join per round this
+      // loop used to pay
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
-        .filter(col("lab") =!= col("old"))
-        .limit(1).count() == 0L
+      converged = next.filter(col("chg")).limit(1).count() == 0L
       unpersistCheckpoint(labels) // next is materialized; the old round's blocks are dead
-      labels = next
+      labels = next.drop("chg")
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
