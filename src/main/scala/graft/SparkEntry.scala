@@ -1123,6 +1123,12 @@ object SparkEntry {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
     }
+    // explode+groupBy signatures, NO checkpoint — deliberate asymmetry
+    // with q113: here every consumer sits in ONE plan, so ReuseExchange
+    // serves the sig aggregate to both band branches for free, and an
+    // eager checkpoint barrier measured SLOWER (0.57 s -> 0.83 s at
+    // sf0.1); q113's eval/corpus split filters defeat reuse, which is
+    // why it checkpoints and derives narrow array_min signatures instead
     val sig = docs
       .select(col("doc_id"), explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
@@ -1947,20 +1953,23 @@ object SparkEntry {
     */
   def q113NearDupDecontam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
-    }
-    // tokenize ONCE: the distinct-token sets feed both the signature
-    // derivation and the exact-Jaccard verify join below (was two full
-    // tokenization scans of the corpus)
+    // tokenize and md5-hash ONCE: the token sets feed the exact-Jaccard
+    // verify join and the hash arrays feed the signatures; the
+    // checkpoint is the projection barrier that stops CollapseProject
+    // re-inlining the md5 into every permutation slot (8x md5 per token)
     val tsets = docs.select(col("doc_id"),
         array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
+      .withColumn("th", transform(col("ts"),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
       .localCheckpoint()
-    val sig = tsets
-      .select(col("doc_id"), explode(col("ts")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
+    // signatures as pure NARROW array_min over the hash array — no
+    // explode blowup, no groupBy(doc_id) shuffle (the q89 explode+agg
+    // form shuffles tokens x docs rows; this shuffles nothing)
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("th"),
+        x => (lit(a) * x + lit(b)) % lit(minhashPrime))).as(s"s$i")
+    }
+    val sig = tsets.select(col("doc_id") +: slots: _*)
     def bandKey(cols: Seq[String]) =
       struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
     // materialize the banded signatures ONCE: the eval/corpus split

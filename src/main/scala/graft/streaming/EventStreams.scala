@@ -297,6 +297,82 @@ object EventStreams {
   def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir).drop(upsertBucketCol)
 
+  /** Streaming frequency sketch: each micro-batch's items fold into a
+    * persistent count-min sketch table ([[graft.operators.Sketches]]) —
+    * the sketch's MERGEABILITY is what makes it a streaming citizen:
+    * state is O(depth × width) rows no matter how long the stream runs,
+    * and the maintained table equals the sketch of the full history
+    * (StreamingSpec asserts batch parity). Heavy-hitter estimates over
+    * an unbounded stream for the cost of a tiny table.
+    */
+  def sketchToParquet(items: DataFrame, itemCol: String, tableDir: String,
+                      depth: Int = 4, width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeSketchBatch(batch.toDF(), itemCol, tableDir, depth, width, batchId)
+      }
+      .start()
+
+  /** One micro-batch fold into the sketch table. Unlike the upsert sink
+    * a sketch merge is NOT idempotent (counts add), so replay safety
+    * cannot ride on merge semantics: the applied-batch watermark lives
+    * INSIDE the versioned state dir (`current/_meta/max_batch`) and the
+    * whole dir is swapped via the retire→rename→delete sequence (all
+    * Hadoop FS API), so state and watermark commit atomically —
+    * a replayed batchId is a no-op, a crash at any point either replays
+    * cleanly or recovers the retired dir on the next batch.
+    */
+  def mergeSketchBatch(batch: DataFrame, itemCol: String, tableDir: String,
+                       depth: Int, width: Int, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = new Path(table, "current")
+    val retiring = new Path(table, "_retiring")
+    // crash recovery first (compact()'s discipline): between the two
+    // renames below the only live copy is `retiring` — restore it; after
+    // the second rename a stale `retiring` copy remains — drop it
+    if (fs.exists(retiring)) {
+      if (!fs.exists(current)) fs.rename(retiring, current)
+      else fs.delete(retiring, true)
+    }
+    val meta = new Path(current, "_meta/max_batch")
+    // foreachBatch replays are monotone: only the last uncommitted batch
+    // re-runs, so a single high-watermark file is the whole ledger
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val applied = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      if (batchId <= applied) return
+    }
+    val batchSketch = graft.operators.Sketches.countMinSketch(
+      batch.select(col(itemCol)), itemCol, depth, width)
+    val dataDir = new Path(current, "sketch")
+    val merged =
+      if (fs.exists(dataDir))
+        graft.operators.Sketches.mergeSketches(
+          Seq(spark.read.parquet(dataDir.toString), batchSketch))
+      else batchSketch
+    val staging = new Path(table, s"_staging_$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.coalesce(1) // depth x width rows — one file IS the right layout
+      .write.mode("overwrite").parquet(new Path(staging, "sketch").toString)
+    val out = fs.create(new Path(staging, "_meta/max_batch"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(current)) fs.rename(current, retiring)
+    fs.rename(staging, current)
+    fs.delete(retiring, true)
+    ()
+  }
+
+  /** The sketch the streaming sink maintains, as a [[graft.operators.Sketches]]
+    * frame (join with `cmsEstimate` for point estimates).
+    */
+  def readSketchTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(tableDir), "current/sketch").toString)
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   final case class UserTws(user_id: Long, n: Long, total: Double, max_value: Double)

@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for plan-reshape A/B runs: warms up once,
+  * then prints 5 timed executions (same session config as Bench). Usage:
+  * `sbt "runMain graft.tools.TimeOne q113_neardup_decontam [sfDir]"` —
+  * Bench times all 128 queries, which is too slow a feedback loop when
+  * iterating on one.
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-t1-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count()
+    val ts = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+    }
+    println(f"TIMES ${ts.map(t => f"$t%.3f").mkString(",")} min=${ts.min}%.3f")
+    spark.stop()
+  }
+}

@@ -328,4 +328,40 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming sketch sink: maintained CMS equals the batch sketch of the full history") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Sketches
+    val srcDir = Files.createTempDirectory("graft-cms-src").toString
+    val tableDir = Files.createTempDirectory("graft-cms-tbl").toString + "/t"
+    val schema = StructType(Seq(StructField("tok", StringType)))
+    val (depth, width) = (4, 32)
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("a", "a", "b", "c").toDF("tok")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = EventStreams.sketchToParquet(
+      spark.readStream.schema(schema).parquet(srcDir), "tok", tableDir, depth, width)
+    try {
+      q.processAllAvailable()
+      Seq("a", "c", "d").toDF("tok")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      // two folded micro-batches == one sketch over everything
+      val maintained = sketchMap(EventStreams.readSketchTable(spark, tableDir))
+      val full = sketchMap(Sketches.countMinSketch(
+        Seq("a", "a", "b", "c", "a", "c", "d").toDF("tok"), "tok", depth, width))
+      assert(maintained === full)
+      // estimates come straight off the maintained table
+      val est = Sketches.cmsEstimate(
+          EventStreams.readSketchTable(spark, tableDir),
+          Seq("a").toDF("tok"), "tok", depth, width)
+        .head().getLong(1)
+      assert(est >= 3L) // CMS never underestimates the 3 'a's
+      // replaying an applied batchId must not double-count
+      EventStreams.mergeSketchBatch(
+        Seq("a", "c", "d").toDF("tok"), "tok", tableDir, depth, width, 1L)
+      assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === full)
+    } finally q.stop()
+  }
 }
