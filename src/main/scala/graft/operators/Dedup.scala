@@ -209,8 +209,18 @@ object Dedup {
     * clusters are near-cliques (diameter 2-3), so convergence is fast
     * regardless of corpus size, and the convergence check is a
     * limit(1)-count over a changed flag computed DURING propagation
-    * (no extra join, no full count). `localCheckpoint` cuts the
-    * iterative lineage so plans don't grow per round. (For adversarial
+    * (no extra join, no full count). A checkpoint per round (local by
+    * default, reliable on request — see the `reliable` param) cuts the
+    * iterative lineage so plans don't grow per round. A super-node (one
+    * label joined by a huge share of edges) skews the per-round join's
+    * shuffle on `b`; the production answer is AQE's skew-join split,
+    * and the per-round checkpoint is what UNLOCKS it: both join inputs
+    * are checkpoint scans, so both children arrive through plain
+    * ENSURE_REQUIREMENTS exchanges — the only shape OptimizeSkewedJoin
+    * splits. (Un-checkpointed, the label side would flow in
+    * pre-partitioned through its own aggregate, no shuffle stage to
+    * split, and the super-node WOULD straggle — measured both ways on
+    * an adversarial star fixture, ScaleOpsSpec.) (For adversarial
     * long-chain graphs the large-star/small-star variant gives
     * O(log n) rounds; dup graphs don't need it.)
     *
@@ -220,26 +230,42 @@ object Dedup {
     * below replaces its label frame every round, and without this the
     * orphaned checkpoints accumulate in executor storage for the
     * session lifetime (at real dedup scale, every round's label RDD is
-    * O(nodes)).
+    * O(nodes)). Traverses to the plan's LEAVES: the frame handed in may
+    * wrap the checkpointed LogicalRDD in projections (`drop`/`select`
+    * over a checkpoint), and matching only the root silently no-ops —
+    * exactly the leak this helper exists to prevent.
     */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+    df.queryExecution.logical.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
 
+  /** @param reliable cut iterative lineage with RELIABLE `checkpoint()`
+    *   (files under `sparkContext.setCheckpointDir`) instead of
+    *   `localCheckpoint()`. localCheckpoint stores blocks only on
+    *   executors: losing one executor mid-iteration makes the whole
+    *   multi-round closure unrecoverable — fine at local[32], not for an
+    *   hours-long 100 TB corpus closure. The reliable path survives
+    *   executor loss (blocks re-read from the checkpoint store);
+    *   checkpoint files are reclaimed by the ContextCleaner once the
+    *   RDDs are unreferenced, or with the checkpoint dir.
+    */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    require(!reliable || edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs sparkContext.setCheckpointDir(...) — the checkpoint store " +
+        "an executor can be lost without losing")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val dir = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
     // materialize the symmetrized edge list ONCE: it feeds every
     // propagation round, and without the barrier each round re-runs the
     // whole upstream edge-derivation pipeline (for LSH edges that is
     // the full signature+banding+verify plan, per round)
-    val sym = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = sym.groupBy(col("a")).agg(min(col("b")).as("nmin"))
-      .select(col("a").as("node"), least(col("a"), col("nmin")).as("lab"))
-      .localCheckpoint()
+    val sym = cut(dir.unionByName(dir.select(col("b").as("a"), col("a").as("b"))))
+    var labels = cut(sym.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+      .select(col("a").as("node"), least(col("a"), col("nmin")).as("lab")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -251,11 +277,10 @@ object Dedup {
       // convergence is a narrow filter-count over the checkpointed
       // blocks — not the extra next⋈labels shuffle join per round this
       // loop used to pay
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val next = cut(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("nlab"), col("lab")) < col("lab")).as("chg")))
       converged = next.filter(col("chg")).limit(1).count() == 0L
       unpersistCheckpoint(labels) // next is materialized; the old round's blocks are dead
       labels = next.drop("chg")

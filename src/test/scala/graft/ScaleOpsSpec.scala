@@ -159,6 +159,93 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("closure super-node: propagation join skew-splits and clusters stay correct") {
+    // adversarial fixture: node 0 adjacent to a huge share of the corpus
+    // (viral boilerplate cluster) — after symmetrization one join key
+    // carries ~n edge rows while every other key carries one
+    val n = 40000L
+    val star = spark.range(1L, n).select(lit(0L).as("a"), col("id").as("b"))
+    // production posture: the label side is O(nodes) at 100 TB, so no
+    // broadcast; thresholds lowered so local-scale data crosses them
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // (a) the exact per-round propagation shape connectedComponents
+      // runs (CHECKPOINTED sym ⋈ labels on b, then min per a): AQE must
+      // split the skewed b=0 partition instead of stalling one task.
+      // The checkpoints are load-bearing: they erase the label side's
+      // aggregate partitioning, so both join children arrive through
+      // plain ENSURE_REQUIREMENTS exchanges — the only shape
+      // OptimizeSkewedJoin splits (verified: the same join without the
+      // checkpoints is NOT split, the labels side flows in
+      // pre-partitioned through its agg with no shuffle stage to cut)
+      val sym = star.unionByName(star.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val labels = sym.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+        .select(col("a").as("node"), least(col("a"), col("nmin")).as("lab"))
+        .localCheckpoint()
+      val round = sym
+        .join(labels.select(col("node").as("b"), col("lab").as("blab")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
+      assert(round.collect().length === n.toInt) // every node got a neighbor-min
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not skew-split the propagation join:\n" + plan.take(1200))
+      Seq(sym, labels).foreach(df =>
+        df.queryExecution.logical.collectLeaves().foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+          case _ => ()
+        })
+      // (b) end-to-end under the same confs: the closure converges and
+      // assigns every node to the super-node's cluster
+      val cc = graft.operators.Dedup.connectedComponents(star, "a", "b")
+      val clusters = cc.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+      assert(clusters === Seq(0L))
+      assert(cc.count() === n)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("connectedComponents reliable checkpoint: identical clusters, lineage cut") {
+    spark.sparkContext.setCheckpointDir(
+      Files.createTempDirectory("graft-cc-ckpt").toString)
+    // two chains + a triangle: multi-round convergence on both paths
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(graft.operators.Dedup.connectedComponents(edges, "a", "b"))
+    val rel = graft.operators.Dedup.connectedComponents(edges, "a", "b", reliable = true)
+    assert(asMap(rel) === local)
+    // lineage is cut: however many rounds ran, the result plan is a thin
+    // projection over ONE checkpointed leaf — not a tree growing per round
+    val nodes = rel.queryExecution.optimizedPlan.collect { case p => p }
+    assert(nodes.size <= 3, s"plan grew with rounds:\n${rel.queryExecution.optimizedPlan}")
+    assert(rel.queryExecution.optimizedPlan.collectLeaves().size === 1)
+  }
+
+  test("connectedComponents frees every superseded round's checkpoint blocks") {
+    // chain graph: min-label needs ~diameter rounds, so several
+    // checkpoints are created and must be retired as they are superseded
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b")
+    assert(cc.select("cluster_id").distinct().count() === 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned frame's own checkpoint may remain: the
+    // drop("chg") projection previously hid the LogicalRDD from the
+    // root-only unpersist match and leaked one O(nodes) RDD per round
+    assert(after - before <= 1,
+      s"superseded checkpoint blocks leaked: before=$before after=$after")
+  }
+
   test("portable_unit is callable from SQL and matches the Column API") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT portable_unit(42, 'sample') AS u").head().getDouble(0)
