@@ -1964,12 +1964,17 @@ object SparkEntry {
       .localCheckpoint()
     // signatures as pure NARROW array_min over the hash array — no
     // explode blowup, no groupBy(doc_id) shuffle (the q89 explode+agg
-    // form shuffles tokens x docs rows; this shuffles nothing)
+    // form shuffles tokens x docs rows; this shuffles nothing).
+    // Empty-token docs are dropped BEFORE signing (the q89 explode form
+    // drops them implicitly — explode of an empty array emits no rows);
+    // without this filter they'd produce all-null signature slots, and
+    // null struct fields compare EQUAL in the banded join, so every
+    // empty doc would band-match every other empty doc
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("th"),
         x => (lit(a) * x + lit(b)) % lit(minhashPrime))).as(s"s$i")
     }
-    val sig = tsets.select(col("doc_id") +: slots: _*)
+    val sig = tsets.filter(size(col("ts")) > 0).select(col("doc_id") +: slots: _*)
     def bandKey(cols: Seq[String]) =
       struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
     // materialize the banded signatures ONCE: the eval/corpus split

@@ -108,15 +108,28 @@ object Sampling {
     * global shuffle of the corpus. Keys are rounded to 6 dp BEFORE
     * ranking (ties broken by id) so selection and order are
     * reproducible bit-for-bit in any md5+ln-capable engine.
+    *
+    * CONTRACT: weights must be non-null and > 0 (enforced with
+    * `raise_error`, codegen'd — free on the valid path). A-ES keys are
+    * −ln(u)/w: w = 0 would yield +Inf (row silently never sampled),
+    * w < 0 a negative key ranking FIRST (selection silently inverts),
+    * null a null key (row silently dropped) — all three are caller
+    * bugs that must fail loudly, not skew the sample.
     */
   def weightedTopKPortable(df: DataFrame, stratumCol: String, idCol: String,
                            weightCol: String, k: Int, salt: String = "aes"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     implicit val ord: Ordering[WeightedPick] = Ordering.by(r => (r.aes_key, r.id))
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w.isNull || w <= 0.0,
+        raise_error(concat(lit("weightedTopKPortable: weight must be > 0, got "),
+          coalesce(w.cast("string"), lit("null")), lit(" at "), col(stratumCol).cast("string"),
+          lit("/"), col(idCol).cast("string"))))
+      .otherwise(w)
     df.select(col(stratumCol).cast("string").as("stratum"),
         col(idCol).cast("long").as("id"),
-        round(-log(portableUnit(col(idCol), salt)) / col(weightCol).cast("double"), 6)
+        round(-log(portableUnit(col(idCol), salt)) / checkedW, 6)
           .as("aes_key"))
       .as[WeightedPick]
       .groupByKey(_.stratum)

@@ -125,6 +125,28 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 85, s"heavy rows picked $heavy of 100 — weighting not applied?")
   }
 
+  test("weightedTopKPortable fails fast on null/zero/negative weights") {
+    // a zero weight means +Inf key (row silently never sampled), a
+    // negative weight a key that ranks FIRST (selection inverts), null a
+    // dropped row — all contract violations that must raise, not skew
+    for (bad <- Seq(lit(0.0), lit(-1.5), lit(null).cast("double"))) {
+      val weighted = corpus.withColumn("w",
+        when(col("doc_id") === 7, bad).otherwise(lit(1.0)))
+      val e = intercept[Exception] {
+        Sampling.weightedTopKPortable(weighted, "lang", "doc_id", "w", 5).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).map(c => Option(c.getMessage).getOrElse("")).mkString
+          .contains("weight must be > 0"), s"wrong error for $bad: $e")
+    }
+    // the guard costs nothing on the valid path: same selection as before
+    val weighted = corpus.withColumn("w", col("doc_id") % 100 + 1)
+    assert(Sampling.weightedTopKPortable(weighted, "lang", "doc_id", "w", 5)
+      .count() === 10L)
+  }
+
   test("decontaminate removes exactly the blocklisted contents") {
     val block = corpus.filter(col("doc_id") < 10).select(col("text"))
     val clean = Dedup.decontaminate(corpus, block)
