@@ -34,7 +34,11 @@ object Bench {
       try {
         fn(spark, sfDir).count() // warm-up: compile + codegen + page cache
         var lastDf: org.apache.spark.sql.DataFrame = null
-        val times = (1 to 3).map { _ =>
+        // the capped quadratic recall oracles (q25/q26) are the noisiest
+        // timings in the suite (one big nested-loop task — scheduler
+        // jitter dominates); best-of-5 instead of 3 pins their drift
+        val reps = if (name.startsWith("q25") || name.startsWith("q26")) 5 else 3
+        val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           df.count()

@@ -123,6 +123,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native as-of join matches a reference model on random frames " +
+      "(duplicate right timestamps, empty partitions, one-sided keys)") {
+    // r6 fallback-completeness property: 10 trials x 30 left rows = 300
+    // random cases over a SMALL (key, ts) domain, so duplicate right
+    // timestamps per key and keys existing on only one side are frequent;
+    // repartition counts exceed row counts, so empty partitions always
+    // exist on both sides of the zipPartitions merge
+    for (trial <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val lRows = Seq.tabulate(30)(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(8).toLong))
+      val rRows = Seq.tabulate(30)(i =>
+        (1000L + i, rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(8).toLong))
+      val left = lRows.toDF("event_id", "user_id", "err_us").repartition(37)
+      val right = rRows.toDF("r_id", "s_user", "signup_us").repartition(41)
+      val got = graft.operators.Joins.asOfJoinNative(
+          left, right, "user_id", "err_us", "s_user", "signup_us")
+        .select("event_id", "user_id", "err_us", "r_id", "signup_us")
+        .collect()
+      assert(got.length === 30, s"trial $trial: fan-out or row loss")
+      got.foreach { r =>
+        val (id, k, ts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        // reference model: the right rows of the same key at the max
+        // rts <= lts (payload among ties is any of that set — the
+        // window form pins only the timestamp too)
+        val cands = rRows.filter { case (_, rk, rts) => rk == k && rts <= ts }
+        if (cands.isEmpty) {
+          assert(r.isNullAt(3) && r.isNullAt(4), s"trial $trial id=$id: expected no match")
+        } else {
+          val best = cands.map(_._3).max
+          assert(!r.isNullAt(4) && r.getLong(4) === best,
+            s"trial $trial id=$id: got ts ${r.get(4)}, want $best")
+          val tieIds = cands.filter(_._3 == best).map(_._1).toSet
+          assert(tieIds.contains(r.getLong(3)),
+            s"trial $trial id=$id: matched r_id ${r.getLong(3)} not among ties $tieIds")
+        }
+      }
+      // and the matched TIMESTAMP agrees with the composed window form
+      // (asOfBackward over the unioned frames, right rows sorting first
+      // on ties via a negative tiebreak id — the q22 construction)
+      val unioned = lRows.map { case (id, k, ts) => (id, k, ts, false) }
+        .++(rRows.map { case (id, k, ts) => (-id, k, ts, true) })
+        .toDF("uid", "user_id", "us", "is_right")
+      val viaWindow = graft.operators.Joins.asOfBackward(
+          unioned, "user_id", "us", "uid", col("is_right"), "asof")
+        .filter(!col("is_right"))
+        .select("uid", "asof")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      got.foreach { r =>
+        val winTs = viaWindow(r.getLong(0))
+        val natTs = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        assert(natTs === winTs,
+          s"trial $trial id=${r.getLong(0)}: native $natTs vs window $winTs")
+      }
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     import graft.plans.MinHashSig.minhash_sig_est
     for (trial <- 1 to 5) {
