@@ -207,26 +207,41 @@ object EventStreams {
       }
       .start()
 
-  /** One micro-batch MERGE into a bucket-partitioned keyed parquet table.
+  /** One micro-batch MERGE into a keyed parquet table, committed through
+    * a MANIFEST — the object-store-safe commit protocol.
     *
-    * Scale + filesystem posture (this is the production-shaped sink):
-    *   - all exists/delete/rename go through `org.apache.hadoop.fs
-    *     .FileSystem`, so the same code runs on HDFS/S3A, not just
-    *     `file://` — `java.io.File` would silently see nothing there;
-    *   - the table is hive-partitioned by [[upsertBucketCol]] =
-    *     `pmod(hash(keys), nBuckets)`; the merge reads ONLY the
-    *     partitions containing this batch's keys (partition pruning on
-    *     the `isin` filter) and rewrites only those, so per-batch I/O is
-    *     O(touched partitions), not O(table);
-    *   - the rewritten partitions are staged under `_staging_<batchId>`
-    *     inside the table dir (underscore prefix: invisible to Spark's
-    *     reader, same filesystem so rename is a metadata move on HDFS),
-    *     then swapped in dir-by-dir — the lazily-read current state is
-    *     never overwritten mid-read;
-    *   - exactly-once across foreachBatch REPLAYS: a `_commits/<batchId>`
-    *     marker is written after the swap; a replayed batchId returns
-    *     before touching data. A crash mid-swap replays the merge, which
-    *     keep-latest semantics make idempotent (same winners re-win).
+    * Why not rename-swapping bucket directories: `fs.rename` is an
+    * atomic metadata move on HDFS but copy+delete (non-atomic, O(data))
+    * on S3-style stores, so a reader racing a dir swap can observe a
+    * half-swapped bucket. Here data files are NEVER moved or replaced:
+    *   - each merge writes its rewritten buckets as NEW part files under
+    *     an immutable generation dir `gen_<batchId>/__bucket=<b>/`;
+    *   - the COMMIT is one small file `_manifests/<batchId>.json` naming
+    *     every live data file of every bucket (written to a temp name,
+    *     then renamed — a single tiny-object move, which even on S3-like
+    *     semantics makes the manifest appear atomically, never
+    *     partially). Readers resolve the highest committed manifest and
+    *     read exactly the files it names: a read that interleaves
+    *     anywhere between staging and publish sees the PREVIOUS
+    *     consistent snapshot (StreamingSpec interleaves one to prove it);
+    *   - superseded files are garbage-collected only AFTER the commit,
+    *     and every merge re-sweeps anything unreferenced, so a crash
+    *     between publish and GC self-heals on the next batch.
+    *
+    * Scale posture is unchanged from the dir-swap design: the table is
+    * bucketed by [[upsertBucketCol]] = `pmod(hash(keys), nBuckets)`, a
+    * merge reads and rewrites ONLY the buckets containing this batch's
+    * keys, so per-batch I/O is O(touched buckets), not O(table).
+    *
+    * Exactly-once across foreachBatch replays: the manifest's batchId is
+    * the applied-batch watermark (foreachBatch replays only the last
+    * uncommitted batch, so one high-water mark is the whole ledger); a
+    * replayed batchId returns before touching data. A crash mid-merge
+    * leaves an uncommitted generation dir that the replay overwrites.
+    * Tables from the older layouts migrate transparently: root-level
+    * flat part files are folded into the first manifest commit, and
+    * pre-manifest `__bucket=*` dirs are adopted as the initial live set
+    * (their `_commits/<id>` markers still honored for replay).
     */
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long): Unit = {
@@ -235,19 +250,34 @@ object EventStreams {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(new Path(table, "_commits"), batchId.toString)
-    if (fs.exists(marker)) return // replayed batch: already merged
+    // legacy exactly-once marker (tables last written by the dir-swap sink)
+    if (fs.exists(new Path(new Path(table, "_commits"), batchId.toString))) return
+    val committed = latestManifest(fs, table)
+    if (committed.exists(_._1 >= batchId)) return // replayed batch: already merged
+
+    // live file set: the committed manifest, or (first manifest commit
+    // on an older table) the pre-manifest __bucket=* dirs adopted as-is
+    val live: Map[Int, Seq[String]] = committed.map(_._2).getOrElse {
+      if (!fs.exists(table)) Map.empty
+      else fs.listStatus(table)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$upsertBucketCol="))
+        .flatMap { d =>
+          val b = d.getPath.getName.stripPrefix(s"$upsertBucketCol=").toInt
+          val fls = fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => s"${d.getPath.getName}/${f.getPath.getName}").toSeq
+          if (fls.isEmpty) None else Some(b -> fls)
+        }.toMap
+    }
 
     // compact the batch to one row per key, tagged with its bucket
     val compacted = graft.operators.Load.upsertLatest(
         batch, batch.limit(0), keyCols, versionCol)
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-    // one-time migration: a table written by the pre-bucketed (flat)
-    // sink layout has root-level part files — fold the WHOLE flat table
-    // into this merge and retire those files after the swap, otherwise
-    // they would silently coexist with the __bucket=* dirs and make the
-    // directory unreadable (mixed depths). Checked every batch so a
-    // crash between swap and retire self-heals on replay.
+    // migration: a table written by the pre-bucketed (flat) sink layout
+    // has root-level part files — fold the WHOLE flat table into this
+    // merge; the files become unreferenced by the published manifest and
+    // the post-commit sweep retires them
     val legacyFiles =
       if (fs.exists(table))
         fs.listStatus(table).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -263,39 +293,162 @@ object EventStreams {
     // bounded collect: at most nBuckets small ints
     val touched = toMerge.select(upsertBucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (touched.nonEmpty) {
-      val partDirs = touched.map(b => new Path(table, s"$upsertBucketCol=$b"))
-      // read ONLY the touched partition dirs, addressed explicitly with
-      // basePath (never a root listing — robust to stray root files)
-      val existingDirs = partDirs.filter(fs.exists).map(_.toString)
-      val merged =
-        if (existingDirs.nonEmpty) {
-          val current = spark.read.option("basePath", tableDir)
-            .parquet(existingDirs.toIndexedSeq: _*)
-          graft.operators.Load.upsertLatest(current, toMerge, keyCols, versionCol)
-        } else toMerge
-      val staging = new Path(table, s"_staging_$batchId")
-      merged
-        .repartition(touched.length, col(upsertBucketCol)) // one file per bucket per merge
-        .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(staging.toString)
-      partDirs.foreach { dst =>
-        val src = new Path(staging, dst.getName)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
+    val newLive =
+      if (touched.isEmpty) live // empty batch: manifest advances the watermark only
+      else {
+        // current state of ONLY the touched buckets, by explicit file
+        // list from the manifest (never a directory listing); leaf-file
+        // reads carry no partition column, so the bucket is recomputed
+        // from the keys (deterministic)
+        val currentFiles = touched.toSeq.flatMap(live.get).flatten
+          .map(rel => new Path(table, rel).toString)
+        val merged =
+          if (currentFiles.isEmpty) toMerge
+          else {
+            val current = spark.read.parquet(currentFiles: _*)
+              .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+            graft.operators.Load.upsertLatest(current, toMerge, keyCols, versionCol)
+          }
+        val genName = s"gen_$batchId"
+        val genDir = new Path(table, genName)
+        merged
+          .repartition(touched.length, col(upsertBucketCol)) // one file per bucket per merge
+          .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(genDir.toString)
+        val rewritten = touched.flatMap { b =>
+          val d = new Path(genDir, s"$upsertBucketCol=$b")
+          if (!fs.exists(d)) None
+          else {
+            val fls = fs.listStatus(d)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+            if (fls.isEmpty) None else Some(b -> fls)
+          }
+        }.toMap
+        (live -- touched) ++ rewritten
       }
-      fs.delete(staging, true) // _SUCCESS + any untouched leftovers
-      legacyFiles.foreach(f => fs.delete(f.getPath, false)) // retire the flat layout
+    publishManifest(fs, table, batchId, nBuckets, newLive)
+    sweepUnreferenced(fs, table, newLive)
+  }
+
+  /** Read back the logical table the upsert sink maintains: exactly the
+    * files the latest committed manifest names (a consistent snapshot —
+    * an in-flight merge's staged generation is invisible until its
+    * manifest publishes). Falls back to a plain directory read for
+    * tables from the pre-manifest layouts.
+    */
+  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, table) match {
+      case Some((_, live)) if live.nonEmpty =>
+        spark.read.parquet(
+          live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+      case _ => spark.read.parquet(tableDir).drop(upsertBucketCol)
     }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
+  }
+
+  /** The live (bucket -> data files) map of the latest committed
+    * manifest — empty for pre-manifest tables. Exposed for inspection
+    * and tests (e.g. asserting a merge left untouched buckets'
+    * files byte-identical).
+    */
+  def tableManifest(spark: SparkSession, tableDir: String): Map[Int, Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, table).map(_._2).getOrElse(Map.empty)
+  }
+
+  private def manifestsDir(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_manifests")
+
+  /** Highest committed manifest: (batchId, bucket -> table-relative data
+    * file paths). The JSON is this sink's own writer format (no escapes
+    * needed — paths are `gen_<id>/__bucket=<b>/part-*.parquet`), parsed
+    * with two regexes rather than a JSON dependency.
+    */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, Seq[String]])] = {
+    val dir = manifestsDir(table)
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath).sortBy(_.getName)
+    names.lastOption.map { p =>
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+        .group(1).toLong
+      val buckets = """"(\d+)":\[([^\]]*)\]""".r.findAllMatchIn(s).map { m =>
+        val fls = if (m.group(2).isEmpty) Seq.empty[String]
+        else m.group(2).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+        m.group(1).toInt -> fls
+      }.toMap
+      (batchId, buckets)
+    }
+  }
+
+  /** Atomic commit point: the manifest is written under a temp name and
+    * renamed into place — one small-object move, so readers listing
+    * `_manifests/` see either the old set or the old set plus the whole
+    * new file, never a partial write. Manifests are tiny and kept (an
+    * audit trail of the table's commit history).
+    */
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              table: org.apache.hadoop.fs.Path, batchId: Long,
+                              nBuckets: Int, live: Map[Int, Seq[String]]): Unit = {
+    val body = live.toSeq.sortBy(_._1).map { case (b, fls) =>
+      "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets,"buckets":{""", ",", "}}")
+    val dir = manifestsDir(table)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json"))
     ()
   }
 
-  /** Read back the logical table the upsert sink maintains (the bucket
-    * column is sink plumbing, not payload).
+  /** Post-commit GC: delete every data file the live manifest does not
+    * reference — superseded generation files, folded-in legacy flat
+    * files, stray staging leftovers — then drop emptied dirs. Runs
+    * after EVERY commit over the whole table, so a crash between a
+    * publish and its sweep self-heals on the next batch.
     */
-  def readUpsertTable(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir).drop(upsertBucketCol)
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+                                table: org.apache.hadoop.fs.Path,
+                                live: Map[Int, Seq[String]]): Unit = {
+    val referenced = live.values.flatten.toSet
+    fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) {
+        fs.delete(st.getPath, false) // legacy flat layout: folded into this commit
+      } else if (st.isDirectory && name.startsWith("_staging_")) {
+        fs.delete(st.getPath, true) // dir-swap-era staging leftovers
+      } else if (st.isDirectory &&
+          (name.startsWith("gen_") || name.startsWith(s"$upsertBucketCol="))) {
+        val bucketDirs =
+          if (name.startsWith("gen_")) fs.listStatus(st.getPath).filter(_.isDirectory).toSeq
+          else Seq(st)
+        var liveFiles = 0
+        bucketDirs.foreach { bd =>
+          val relPrefix =
+            if (name.startsWith("gen_")) s"$name/${bd.getPath.getName}" else name
+          var bdLive = 0
+          fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
+            if (referenced.contains(s"$relPrefix/${f.getPath.getName}")) { bdLive += 1; liveFiles += 1 }
+            else fs.delete(f.getPath, false)
+          }
+          // recursive: checksum FS litter (.crc) hides from listStatus
+          if (bdLive == 0) fs.delete(bd.getPath, true)
+        }
+        // a generation with no referenced files left (incl. its _SUCCESS) goes entirely
+        if (name.startsWith("gen_") && liveFiles == 0) fs.delete(st.getPath, true)
+      }
+    }
+  }
 
   /** Streaming frequency sketch: each micro-batch's items fold into a
     * persistent count-min sketch table ([[graft.operators.Sketches]]) —
@@ -338,6 +491,14 @@ object EventStreams {
       if (!fs.exists(current)) fs.rename(retiring, current)
       else fs.delete(retiring, true)
     }
+    // self-heal sweep: a crash between staging and publish leaves a
+    // `_staging_<id>` dir that a replay under a DIFFERENT batchId would
+    // never clean (the per-batch overwrite only covers its own id) —
+    // single-writer sink, so any staging dir present at entry is dead
+    if (fs.exists(table))
+      fs.listStatus(table)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_"))
+        .foreach(s => fs.delete(s.getPath, true))
     val meta = new Path(current, "_meta/max_batch")
     // foreachBatch replays are monotone: only the last uncommitted batch
     // re-runs, so a single high-watermark file is the whole ledger

@@ -162,14 +162,13 @@ class StreamingSpec extends SparkSpec {
       val after1 = EventStreams.readUpsertTable(spark, tableDir)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after1 === Map(1L -> "a", 2L -> "b"))
-      // snapshot key 1's partition dir: batch 2 must not rewrite it
+      // snapshot key 1's live files via the manifest: batch 2 must not
+      // rewrite (or even move) them
       assume(bucketOf(1L) !== bucketOf(2L)) // distinct buckets (holds for hash(1),hash(2) mod 16)
       assume(bucketOf(1L) !== bucketOf(3L))
-      def listing(bucket: Int): Set[(String, Long)] = {
-        val d = new java.io.File(tableDir, s"${EventStreams.upsertBucketCol}=$bucket")
-        d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => f.getName -> f.lastModified()).toSet
-      }
+      def listing(bucket: Int): Set[(String, Long)] =
+        EventStreams.tableManifest(spark, tableDir).getOrElse(bucket, Nil)
+          .map(rel => rel -> new java.io.File(tableDir, rel).lastModified()).toSet
       val key1Before = listing(bucketOf(1L))
       // second change batch: update key 2, insert key 3 with TWO versions
       // in the same batch (the batch itself must compact)
@@ -213,6 +212,57 @@ class StreamingSpec extends SparkSpec {
     val rows = EventStreams.readUpsertTable(spark, tableDir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows === Map(1L -> "OLD1", 2L -> "NEW2", 3L -> "NEW3"))
+  }
+
+  test("upsert sink: a read between staging and publish sees the previous snapshot") {
+    val tableDir = Files.createTempDirectory("graft-upsert-iso").toString + "/t"
+    def state() = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 16, 0L)
+    assert(state() === Map(1L -> "a", 2L -> "b"))
+    // simulate a merge for batch 1 that crashed AFTER staging its
+    // generation dir but BEFORE publishing the manifest: would-win rows
+    // sit as real part files inside the table directory
+    Seq((1L, "STAGED", 9L)).toDF("k", "payload", "version")
+      .withColumn(EventStreams.upsertBucketCol,
+        pmod(hash(col("k")), lit(16)))
+      .write.partitionBy(EventStreams.upsertBucketCol)
+      .parquet(s"$tableDir/gen_1")
+    // the interleaved read resolves through the committed manifest: the
+    // staged-but-unpublished generation is invisible — old snapshot,
+    // fully consistent, no half-applied batch
+    assert(state() === Map(1L -> "a", 2L -> "b"))
+    // the replayed merge for batch 1 overwrites the partial generation
+    // and publishes; only now does the new state become visible
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "A2", 2L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 16, 1L)
+    assert(state() === Map(1L -> "A2", 2L -> "b")) // STAGED never surfaced
+  }
+
+  test("upsert sink: crash between publish and GC self-heals on the next merge") {
+    val tableDir = Files.createTempDirectory("graft-upsert-heal").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "a", 1L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 8, 0L)
+    // plant the debris a crash-between-publish-and-sweep leaves behind:
+    // an orphaned generation and a dir-swap-era staging dir
+    val orphanGen = new java.io.File(tableDir, s"gen_99/${EventStreams.upsertBucketCol}=0")
+    assert(orphanGen.mkdirs())
+    java.nio.file.Files.writeString(
+      orphanGen.toPath.resolve("part-junk.parquet"), "not parquet")
+    val staleStaging = new java.io.File(tableDir, "_staging_5")
+    assert(staleStaging.mkdirs())
+    EventStreams.mergeBatchIntoTable(
+      Seq((2L, "b", 1L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 8, 1L)
+    assert(!new java.io.File(tableDir, "gen_99").exists(), "orphan generation not swept")
+    assert(!staleStaging.exists(), "stale staging dir not swept")
+    assert(EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a", 2L -> "b"))
   }
 
   test("AvailableNow runs drain only the backlog since the last checkpoint (@daily analog)") {
@@ -363,5 +413,34 @@ class StreamingSpec extends SparkSpec {
         Seq("a", "c", "d").toDF("tok"), "tok", tableDir, depth, width, 1L)
       assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === full)
     } finally q.stop()
+  }
+
+  test("sketch sink: crash between the swap renames replays cleanly and sweeps staging") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Sketches
+    val tableDir = Files.createTempDirectory("graft-cms-crash").toString + "/t"
+    val (depth, width) = (4, 32)
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    EventStreams.mergeSketchBatch(
+      Seq("a", "a", "b").toDF("tok"), "tok", tableDir, depth, width, 0L)
+    // simulate batch 1 dying at the WORST point of its publish: staging
+    // fully written, `current` already renamed away — the only live copy
+    // of the committed state is `_retiring`
+    val staging = new java.io.File(tableDir, "_staging_1/sketch")
+    assert(staging.mkdirs())
+    java.nio.file.Files.writeString(staging.toPath.resolve("junk.parquet"), "junk")
+    assert(new java.io.File(tableDir, "current")
+      .renameTo(new java.io.File(tableDir, "_retiring")))
+    assert(!new java.io.File(tableDir, "current").exists())
+    // the replayed batch recovers the retired copy, sweeps the dead
+    // staging dir, and applies itself exactly once
+    EventStreams.mergeSketchBatch(
+      Seq("c").toDF("tok"), "tok", tableDir, depth, width, 1L)
+    val full = sketchMap(Sketches.countMinSketch(
+      Seq("a", "a", "b", "c").toDF("tok"), "tok", depth, width))
+    assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === full)
+    assert(!new java.io.File(tableDir, "_retiring").exists())
+    assert(!new java.io.File(tableDir, "_staging_1").exists())
   }
 }
