@@ -2199,6 +2199,56 @@ object SparkEntry {
       .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
   }
 
+  /** Fixed sink paths for the S4/S7 read-back oracles: content derives
+    * only from nation/region (constant tables at EVERY scale factor),
+    * so concurrent verify/bench JVMs write identical bytes — the
+    * WeatherFixture convention.
+    */
+  val csvSinkPath = "/tmp/graft_q129_csv_sink"
+  val appendSinkPath = "/tmp/graft_q130_append_sink"
+
+  /** S4 CSV sink, oracle-checked end-to-end: a deterministic frame
+    * (nation ⋈ region) is WRITTEN through `Load.csvSink`, then both
+    * engines read the same bytes back — Spark with an explicit schema,
+    * DuckDB via a read_csv glob over the part files — and hash-compare.
+    * Write-side surfaces were scalatest-only before (an oracle can't
+    * watch a write), but a write-then-read round trip IS diffable: the
+    * q92 fixture pattern with Spark as the producer.
+    */
+  def q129CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("int").as("nation_key"),
+      col("n_name").cast("string").as("nation_name"),
+      col("n_regionkey").cast("int").as("region_key"))
+    val r = Tables.region(spark, dir).select(
+      col("r_regionkey").cast("int").as("region_key"),
+      col("r_name").cast("string").as("region_name"))
+    operators.Load.csvSink(n.join(r, Seq("region_key")), csvSinkPath)
+    spark.read
+      .schema("region_key INT, nation_key INT, nation_name STRING, region_name STRING")
+      .option("header", "true").csv(csvSinkPath)
+  }
+
+  /** S7 partitioned parquet APPEND sink, oracle-checked end-to-end:
+    * clean target, two `Load.parquetAppend` passes accrete a
+    * hive-partitioned table (pass=1, pass=2), both engines read the
+    * same files back (DuckDB with hive_partitioning over the same
+    * dirs). The up-front clean makes every invocation idempotent — the
+    * bench reruns each query, and append would otherwise accrete.
+    */
+  def q130AppendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(appendSinkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val r = Tables.region(spark, dir).select(
+      col("r_regionkey").cast("int").as("region_key"),
+      col("r_name").cast("string").as("region_name"))
+    operators.Load.parquetAppend(r.withColumn("pass", lit(1)), appendSinkPath, Seq("pass"))
+    operators.Load.parquetAppend(r.withColumn("pass", lit(2)), appendSinkPath, Seq("pass"))
+    spark.read.parquet(appendSinkPath)
+      .select(col("region_key"), col("region_name"), col("pass").cast("int").as("pass"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2329,6 +2379,8 @@ object SparkEntry {
     "q126_funnel" -> (q126Funnel _),
     "q127_concurrency" -> (q127Concurrency _),
     "q128_rand_proj" -> (q128RandProj _),
+    "q129_csv_roundtrip" -> (q129CsvRoundtrip _),
+    "q130_append_roundtrip" -> (q130AppendRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3310,5 +3362,14 @@ object SparkEntry {
     "q128_rand_proj" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q129_csv_roundtrip" ->
+      s"""SELECT CAST(region_key AS INT) AS region_key,
+         |       CAST(nation_key AS INT) AS nation_key,
+         |       nation_name, region_name
+         |FROM read_csv('$csvSinkPath/*.csv', header=true, all_varchar=true)""".stripMargin,
+    "q130_append_roundtrip" ->
+      s"""SELECT CAST(region_key AS INT) AS region_key, region_name,
+         |       CAST(pass AS INT) AS pass
+         |FROM read_parquet('$appendSinkPath/*/*.parquet', hive_partitioning=true)""".stripMargin,
   )
 }
