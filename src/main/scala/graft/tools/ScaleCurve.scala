@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve evidence for the flagship dedup paths (round-6 task):
+  * q89 (full-corpus banded MinHash), q113 (cross-corpus
+  * decontamination), q115 (LSH closure), q109 (capped-edge closure) at
+  * 1x / 5x / 10x the sf0.1 documents corpus.
+  *
+  * The driver testdata stops at sf0.1, so larger corpora are derived
+  * from it: replica k rewrites every token with a `r<k>` suffix
+  * (`regexp_replace(text, "(\\w+)", "$1rk")`) and shifts doc_ids by
+  * k * 10^6. Suffixed replicas share NO tokens across replicas, so each
+  * replica reproduces the original's near-dup structure exactly and the
+  * scaled corpus is k independent copies — near-dup density constant in
+  * corpus size, the honest null hypothesis for a linearity test.
+  * (Naive replication without the suffix would make every doc match its
+  * own replicas: candidate volume quadratic in k by CONSTRUCTION — an
+  * artifact, not a measurement.) q113's eval set (doc_id < 250) stays
+  * the original slice: decontamination's real shape — fixed eval set,
+  * growing corpus.
+  *
+  * Usage: runMain graft.tools.ScaleCurve [outBase]
+  * Prints one markdown table row per (query, scale): best-of-3 seconds.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val outBase = args.headOption.getOrElse("/root/repo/target/scale")
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def ensureScaled(k: Int): String = {
+      val dir = s"$outBase/x$k"
+      val target = new java.io.File(s"$dir/documents.parquet")
+      if (!target.exists()) {
+        val base = spark.read.parquet(s"$src/documents.parquet")
+        val replicas = (0 until k).map { r =>
+          if (r == 0) base
+          else base.select(
+            (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"$$1r$r").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+        replicas.reduce(_ unionByName _)
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(target.toString)
+      }
+      dir
+    }
+
+    val queries = Seq("q89_minhash_lsh_portable", "q113_neardup_decontam",
+      "q115_lsh_clusters", "q109_dup_clusters")
+    println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
+    println("| --- | --- | --- | --- | --- | --- |")
+    val times = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (k <- Seq(1, 5, 10)) {
+      val dir = ensureScaled(k)
+      for (q <- queries) {
+        val fn = graft.SparkEntry.queries(q)
+        fn(spark, dir).count() // warm-up
+        times((q, k)) = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+    }
+    for (q <- queries) {
+      val t1 = times((q, 1)); val t5 = times((q, 5)); val t10 = times((q, 10))
+      println(f"| $q | $t1%.2f s | $t5%.2f s | $t10%.2f s | ${t5 / t1}%.1fx | ${t10 / t1}%.1fx |")
+    }
+    spark.stop()
+  }
+}
