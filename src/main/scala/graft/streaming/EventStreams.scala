@@ -199,11 +199,12 @@ object EventStreams {
     * rewrite, batchId exactly-once sidecar).
     */
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
-                      versionCol: String, nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+                      versionCol: String, nBuckets: Int = 16,
+                      retain: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId)
+        mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId, retain)
       }
       .start()
 
@@ -226,7 +227,9 @@ object EventStreams {
     *     consistent snapshot (StreamingSpec interleaves one to prove it);
     *   - superseded files are garbage-collected only AFTER the commit,
     *     and every merge re-sweeps anything unreferenced, so a crash
-    *     between publish and GC self-heals on the next batch.
+    *     between publish and GC self-heals on the next batch. `retain`
+    *     widens the GC to keep the newest N snapshots' files, making
+    *     [[readUpsertTableAt]] time travel possible.
     *
     * Scale posture is unchanged from the dir-swap design: the table is
     * bucketed by [[upsertBucketCol]] = `pmod(hash(keys), nBuckets)`, a
@@ -244,7 +247,8 @@ object EventStreams {
     * (their `_commits/<id>` markers still honored for replay).
     */
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
-                          versionCol: String, nBuckets: Int, batchId: Long): Unit = {
+                          versionCol: String, nBuckets: Int, batchId: Long,
+                          retain: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -327,7 +331,7 @@ object EventStreams {
         (live -- touched) ++ rewritten
       }
     publishManifest(fs, table, batchId, nBuckets, newLive)
-    sweepUnreferenced(fs, table, newLive)
+    sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
   /** Read back the logical table the upsert sink maintains: exactly the
@@ -348,6 +352,26 @@ object EventStreams {
     }
   }
 
+  /** TIME TRAVEL: the table as of the newest committed batchId <= the
+    * requested one. Manifests are retained forever (tiny), so the
+    * commit HISTORY is always known; the snapshot's DATA files are
+    * readable as long as the sink's `retain` window still covers them
+    * (retain = 1 keeps only the current snapshot's files; larger
+    * values trade storage for readable history — the standard
+    * lakehouse snapshot-retention dial).
+    */
+  def readUpsertTableAt(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = manifestList(fs, table).map(readManifest(fs, _))
+      .filter(_._1 <= batchId).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed snapshot at or before batch $batchId in $tableDir"))
+    spark.read.parquet(
+      snap._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+  }
+
   /** The live (bucket -> data files) map of the latest committed
     * manifest — empty for pre-manifest tables. Exposed for inspection
     * and tests (e.g. asserting a merge left untouched buckets'
@@ -363,32 +387,42 @@ object EventStreams {
   private def manifestsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
 
-  /** Highest committed manifest: (batchId, bucket -> table-relative data
-    * file paths). The JSON is this sink's own writer format (no escapes
+  /** Committed manifest files, oldest → newest (zero-padded names sort
+    * by batchId).
+    */
+  private def manifestList(fs: org.apache.hadoop.fs.FileSystem,
+                           table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = manifestsDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  /** Parse one manifest: (batchId, bucket -> table-relative data file
+    * paths). The JSON is this sink's own writer format (no escapes
     * needed — paths are `gen_<id>/__bucket=<b>/part-*.parquet`), parsed
     * with two regexes rather than a JSON dependency.
     */
-  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             table: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, Seq[String]])] = {
-    val dir = manifestsDir(table)
-    if (!fs.exists(dir)) return None
-    val names = fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-      .map(_.getPath).sortBy(_.getName)
-    names.lastOption.map { p =>
-      val in = fs.open(p)
-      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
-        .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
-        .group(1).toLong
-      val buckets = """"(\d+)":\[([^\]]*)\]""".r.findAllMatchIn(s).map { m =>
-        val fls = if (m.group(2).isEmpty) Seq.empty[String]
-        else m.group(2).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
-        m.group(1).toInt -> fls
-      }.toMap
-      (batchId, buckets)
-    }
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): (Long, Map[Int, Seq[String]]) = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+      .group(1).toLong
+    val buckets = """"(\d+)":\[([^\]]*)\]""".r.findAllMatchIn(s).map { m =>
+      val fls = if (m.group(2).isEmpty) Seq.empty[String]
+      else m.group(2).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+      m.group(1).toInt -> fls
+    }.toMap
+    (batchId, buckets)
   }
+
+  /** Highest committed manifest, if any. */
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, Seq[String]])] =
+    manifestList(fs, table).lastOption.map(readManifest(fs, _))
 
   /** Atomic commit point: the manifest is written under a temp name and
     * renamed into place — one small-object move, so readers listing
@@ -411,16 +445,25 @@ object EventStreams {
     ()
   }
 
-  /** Post-commit GC: delete every data file the live manifest does not
-    * reference — superseded generation files, folded-in legacy flat
+  /** Union of the data files referenced by the newest `retain`
+    * manifests — the retention set a sweep must preserve. retain = 1 is
+    * current-snapshot-only; larger values keep older snapshots readable
+    * via [[readUpsertTableAt]] (time travel).
+    */
+  private def retainedFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            table: org.apache.hadoop.fs.Path, retain: Int): Set[String] =
+    manifestList(fs, table).takeRight(math.max(1, retain))
+      .flatMap(p => readManifest(fs, p)._2.values.flatten).toSet
+
+  /** Post-commit GC: delete every data file the retained manifests do
+    * not reference — superseded generation files, folded-in legacy flat
     * files, stray staging leftovers — then drop emptied dirs. Runs
     * after EVERY commit over the whole table, so a crash between a
     * publish and its sweep self-heals on the next batch.
     */
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
                                 table: org.apache.hadoop.fs.Path,
-                                live: Map[Int, Seq[String]]): Unit = {
-    val referenced = live.values.flatten.toSet
+                                referenced: Set[String]): Unit = {
     fs.listStatus(table).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) {
@@ -467,14 +510,21 @@ object EventStreams {
       }
       .start()
 
-  /** One micro-batch fold into the sketch table. Unlike the upsert sink
-    * a sketch merge is NOT idempotent (counts add), so replay safety
-    * cannot ride on merge semantics: the applied-batch watermark lives
-    * INSIDE the versioned state dir (`current/_meta/max_batch`) and the
-    * whole dir is swapped via the retire→rename→delete sequence (all
-    * Hadoop FS API), so state and watermark commit atomically —
-    * a replayed batchId is a no-op, a crash at any point either replays
-    * cleanly or recovers the retired dir on the next batch.
+  /** One micro-batch fold into the sketch table, committed through the
+    * same MANIFEST protocol as [[mergeBatchIntoTable]]. Unlike the
+    * upsert sink a sketch merge is NOT idempotent (counts add), so
+    * replay safety cannot ride on merge semantics: here the manifest's
+    * batchId IS the applied-batch watermark, and because state and
+    * watermark live in the same atomically-published file, they commit
+    * together — a replayed batchId is a no-op, a crash before the
+    * publish leaves only an unreferenced generation that the replay
+    * overwrites and the next sweep collects. No rename of data ever
+    * happens (the previous protocol's retire→rename→delete of the
+    * `current` dir had a reader-visible hole between the renames on
+    * object stores); tables from that older layout migrate
+    * transparently (their `current/sketch` + `current/_meta/max_batch`
+    * are adopted as the initial state and swept after the first
+    * manifest commit).
     */
   def mergeSketchBatch(batch: DataFrame, itemCol: String, tableDir: String,
                        depth: Int, width: Int, batchId: Long): Unit = {
@@ -482,57 +532,66 @@ object EventStreams {
     val spark = batch.sparkSession
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = new Path(table, "current")
-    val retiring = new Path(table, "_retiring")
-    // crash recovery first (compact()'s discipline): between the two
-    // renames below the only live copy is `retiring` — restore it; after
-    // the second rename a stale `retiring` copy remains — drop it
-    if (fs.exists(retiring)) {
-      if (!fs.exists(current)) fs.rename(retiring, current)
-      else fs.delete(retiring, true)
+    val committed = latestManifest(fs, table)
+    if (committed.exists(_._1 >= batchId)) return // replayed batch: already folded
+    // legacy (pre-manifest) layout: the retire→rename protocol's state
+    // dir. Honor its watermark, adopt its sketch as the merge base.
+    val legacyCurrent = new Path(table, "current")
+    if (committed.isEmpty) {
+      val meta = new Path(legacyCurrent, "_meta/max_batch")
+      if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        val applied = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+        if (batchId <= applied) return
+      }
     }
-    // self-heal sweep: a crash between staging and publish leaves a
-    // `_staging_<id>` dir that a replay under a DIFFERENT batchId would
-    // never clean (the per-batch overwrite only covers its own id) —
-    // single-writer sink, so any staging dir present at entry is dead
-    if (fs.exists(table))
-      fs.listStatus(table)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_"))
-        .foreach(s => fs.delete(s.getPath, true))
-    val meta = new Path(current, "_meta/max_batch")
-    // foreachBatch replays are monotone: only the last uncommitted batch
-    // re-runs, so a single high-watermark file is the whole ledger
-    if (fs.exists(meta)) {
-      val in = fs.open(meta)
-      val applied = try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-      if (batchId <= applied) return
+    val liveFiles: Seq[String] = committed.map(_._2.values.flatten.toSeq).getOrElse {
+      val legacyData = new Path(legacyCurrent, "sketch")
+      if (fs.exists(legacyData))
+        fs.listStatus(legacyData)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"current/sketch/${f.getPath.getName}").toSeq
+      else Nil
     }
     val batchSketch = graft.operators.Sketches.countMinSketch(
       batch.select(col(itemCol)), itemCol, depth, width)
-    val dataDir = new Path(current, "sketch")
     val merged =
-      if (fs.exists(dataDir))
-        graft.operators.Sketches.mergeSketches(
-          Seq(spark.read.parquet(dataDir.toString), batchSketch))
-      else batchSketch
-    val staging = new Path(table, s"_staging_$batchId")
-    if (fs.exists(staging)) fs.delete(staging, true)
+      if (liveFiles.isEmpty) batchSketch
+      else graft.operators.Sketches.mergeSketches(Seq(
+        spark.read.parquet(liveFiles.map(r => new Path(table, r).toString): _*),
+        batchSketch))
+    val genName = s"gen_$batchId"
+    val genDir = new Path(table, genName)
     merged.coalesce(1) // depth x width rows — one file IS the right layout
-      .write.mode("overwrite").parquet(new Path(staging, "sketch").toString)
-    val out = fs.create(new Path(staging, "_meta/max_batch"), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(current)) fs.rename(current, retiring)
-    fs.rename(staging, current)
-    fs.delete(retiring, true)
-    ()
+      .write.mode("overwrite").parquet(new Path(genDir, "sketch").toString)
+    val newFiles = fs.listStatus(new Path(genDir, "sketch"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"$genName/sketch/${f.getPath.getName}").toSeq
+    publishManifest(fs, table, batchId, 1, Map(0 -> newFiles))
+    sweepUnreferenced(fs, table, newFiles.toSet)
+    // retire the legacy layout after the first manifest commit (its
+    // contents are folded into gen_<batchId> by now)
+    Seq(legacyCurrent, new Path(table, "_retiring")).foreach { p =>
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** The sketch the streaming sink maintains, as a [[graft.operators.Sketches]]
-    * frame (join with `cmsEstimate` for point estimates).
+    * frame (join with `cmsEstimate` for point estimates). Resolves the
+    * latest committed manifest (pre-manifest tables: the legacy
+    * `current/sketch` dir).
     */
-  def readSketchTable(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(tableDir), "current/sketch").toString)
+  def readSketchTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, table) match {
+      case Some((_, live)) if live.values.exists(_.nonEmpty) =>
+        spark.read.parquet(
+          live.values.flatten.map(r => new Path(table, r).toString).toSeq: _*)
+      case _ => spark.read.parquet(new Path(table, "current/sketch").toString)
+    }
+  }
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -415,8 +415,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sketch sink: crash between the swap renames replays cleanly and sweeps staging") {
-    import org.apache.spark.sql.types._
+  test("sketch sink: crash before the manifest publish replays cleanly, sweeps debris") {
     import graft.operators.Sketches
     val tableDir = Files.createTempDirectory("graft-cms-crash").toString + "/t"
     val (depth, width) = (4, 32)
@@ -424,23 +423,77 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     EventStreams.mergeSketchBatch(
       Seq("a", "a", "b").toDF("tok"), "tok", tableDir, depth, width, 0L)
-    // simulate batch 1 dying at the WORST point of its publish: staging
-    // fully written, `current` already renamed away — the only live copy
-    // of the committed state is `_retiring`
-    val staging = new java.io.File(tableDir, "_staging_1/sketch")
-    assert(staging.mkdirs())
-    java.nio.file.Files.writeString(staging.toPath.resolve("junk.parquet"), "junk")
-    assert(new java.io.File(tableDir, "current")
-      .renameTo(new java.io.File(tableDir, "_retiring")))
-    assert(!new java.io.File(tableDir, "current").exists())
-    // the replayed batch recovers the retired copy, sweeps the dead
-    // staging dir, and applies itself exactly once
+    val committed = sketchMap(EventStreams.readSketchTable(spark, tableDir))
+    // simulate batch 1 dying after writing its generation but before
+    // publishing its manifest — plus a dir-swap-era staging leftover
+    val partialGen = new java.io.File(tableDir, "gen_1/sketch")
+    assert(partialGen.mkdirs())
+    java.nio.file.Files.writeString(partialGen.toPath.resolve("junk.parquet"), "junk")
+    assert(new java.io.File(tableDir, "_staging_7").mkdirs())
+    // the unpublished generation is INVISIBLE: readers resolve manifests
+    assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === committed)
+    // the replayed batch overwrites the partial generation, publishes,
+    // and sweeps the debris — applied exactly once
     EventStreams.mergeSketchBatch(
       Seq("c").toDF("tok"), "tok", tableDir, depth, width, 1L)
     val full = sketchMap(Sketches.countMinSketch(
       Seq("a", "a", "b", "c").toDF("tok"), "tok", depth, width))
     assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === full)
-    assert(!new java.io.File(tableDir, "_retiring").exists())
-    assert(!new java.io.File(tableDir, "_staging_1").exists())
+    assert(!new java.io.File(tableDir, "_staging_7").exists())
+    assert(!new java.io.File(tableDir, "gen_1/sketch/junk.parquet").exists())
+    // a second replay of the committed batchId is a no-op
+    EventStreams.mergeSketchBatch(
+      Seq("zzz").toDF("tok"), "tok", tableDir, depth, width, 1L)
+    assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) === full)
+  }
+
+  test("sketch sink migrates a legacy current/-layout table on first manifest commit") {
+    import graft.operators.Sketches
+    val tableDir = Files.createTempDirectory("graft-cms-legacy").toString + "/t"
+    val (depth, width) = (4, 32)
+    def sketchMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hand-build the old retire/rename protocol's layout: state under
+    // current/sketch, applied-batch watermark under current/_meta
+    Sketches.countMinSketch(Seq("a", "a", "b").toDF("tok"), "tok", depth, width)
+      .coalesce(1).write.parquet(s"$tableDir/current/sketch")
+    val meta = new java.io.File(tableDir, "current/_meta")
+    assert(meta.mkdirs())
+    java.nio.file.Files.writeString(meta.toPath.resolve("max_batch"), "0")
+    // the legacy watermark is honored: replaying batch 0 is a no-op
+    EventStreams.mergeSketchBatch(
+      Seq("IGNORED").toDF("tok"), "tok", tableDir, depth, width, 0L)
+    assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) ===
+      sketchMap(Sketches.countMinSketch(Seq("a", "a", "b").toDF("tok"), "tok", depth, width)))
+    // the first real merge folds the legacy state and retires the layout
+    EventStreams.mergeSketchBatch(
+      Seq("c").toDF("tok"), "tok", tableDir, depth, width, 1L)
+    assert(sketchMap(EventStreams.readSketchTable(spark, tableDir)) ===
+      sketchMap(Sketches.countMinSketch(
+        Seq("a", "a", "b", "c").toDF("tok"), "tok", depth, width)))
+    assert(!new java.io.File(tableDir, "current").exists())
+  }
+
+  test("upsert sink time travel: retained snapshots read as-of a batchId") {
+    val tableDir = Files.createTempDirectory("graft-upsert-tt").toString + "/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 8, id, retain = 3)
+    merge(Seq((1L, "a1", 1L)), 0L)
+    merge(Seq((1L, "a2", 2L), (2L, "b1", 2L)), 1L)
+    merge(Seq((2L, "b2", 3L)), 2L)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asMap(EventStreams.readUpsertTable(spark, tableDir)) ===
+      Map(1L -> "a2", 2L -> "b2"))
+    assert(asMap(EventStreams.readUpsertTableAt(spark, tableDir, 1L)) ===
+      Map(1L -> "a2", 2L -> "b1"))
+    assert(asMap(EventStreams.readUpsertTableAt(spark, tableDir, 0L)) ===
+      Map(1L -> "a1"))
+    // asking for a snapshot older than the first commit fails loudly
+    intercept[IllegalArgumentException] {
+      EventStreams.readUpsertTableAt(spark, tableDir, -1L)
+    }
+    ()
   }
 }
