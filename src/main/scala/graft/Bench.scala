@@ -55,9 +55,13 @@ object Bench {
         // hash the LAST timed run's plan — re-invoking fn here would pay
         // a whole extra untimed execution for eager builders (q104's
         // table writes, q106's observed noop write, q109's CC loop)
+        // the per-process temp warehouse dir leaks into scan locations
+        // (q116's partitioned table) — normalize it or the hash flips
+        // every run with no plan change
         val planStr = lastDf.queryExecution.optimizedPlan.canonicalized
           .toString.replaceAll("@[0-9a-f]+", "@id")
           .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+          .replaceAll("graft-bench-wh[0-9a-zA-Z]*", "graft-bench-wh")
         val planHash = java.security.MessageDigest.getInstance("MD5")
           .digest(planStr.getBytes("UTF-8"))
           .take(4).map(b => f"$b%02x").mkString
