@@ -2249,6 +2249,28 @@ object SparkEntry {
       .select(col("region_key"), col("region_name"), col("pass").cast("int").as("pass"))
   }
 
+  val tableSinkPath = "/tmp/graft_q131_table"
+
+  /** S6 DDL/named-table sink, oracle-checked end-to-end: `saveAsTable`
+    * with an explicit LOCATION registers a catalog table whose files
+    * live at a fixed path — the schema-on-write DDL path (CREATE TABLE
+    * + INSERT in one), read back through the CATALOG (`spark.table`,
+    * not a path read) while DuckDB reads the same files. Completes the
+    * S4/S7/S6 trio: every sink surface is now hash-checked, none
+    * scalatest-only.
+    */
+  def q131TableRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tableSinkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_q131")
+    if (fs.exists(p)) fs.delete(p, true)
+    Tables.region(spark, dir).select(
+        col("r_regionkey").cast("int").as("region_key"),
+        col("r_name").cast("string").as("region_name"))
+      .write.option("path", tableSinkPath).saveAsTable("graft_q131")
+    spark.table("graft_q131")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2381,6 +2403,7 @@ object SparkEntry {
     "q128_rand_proj" -> (q128RandProj _),
     "q129_csv_roundtrip" -> (q129CsvRoundtrip _),
     "q130_append_roundtrip" -> (q130AppendRoundtrip _),
+    "q131_table_roundtrip" -> (q131TableRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3371,5 +3394,8 @@ object SparkEntry {
       s"""SELECT CAST(region_key AS INT) AS region_key, region_name,
          |       CAST(pass AS INT) AS pass
          |FROM read_parquet('$appendSinkPath/*/*.parquet', hive_partitioning=true)""".stripMargin,
+    "q131_table_roundtrip" ->
+      s"""SELECT CAST(region_key AS INT) AS region_key, region_name
+         |FROM read_parquet('$tableSinkPath/*.parquet')""".stripMargin,
   )
 }

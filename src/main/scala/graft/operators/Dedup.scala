@@ -105,6 +105,15 @@ object Dedup {
     * training-data hygiene op. Anti join on the 32-byte SHA, so the
     * shuffle never carries document text; blocklists are usually small
     * enough to broadcast.
+    *
+    * 100 TB note: the anti ("drop") direction cannot be bloom-
+    * prefiltered — rows a bloom rejects are exactly the rows an anti
+    * join keeps. The SEMI probe direction ("which docs are
+    * contaminated") gets Catalyst's runtime bloom filter for free when
+    * the join shuffles: the corpus is pre-filtered by a bloom built
+    * from the blocklist BEFORE its shuffle (proven in ScaleOpsSpec).
+    * When the blocklist broadcasts, neither side shuffles and the
+    * question is moot.
     */
   def decontaminate(corpus: DataFrame, blocklist: DataFrame,
                     corpusText: String = "text", blockText: String = "text"): DataFrame = {

@@ -246,6 +246,44 @@ class ScaleOpsSpec extends SparkSpec {
       s"superseded checkpoint blocks leaked: before=$before after=$after")
   }
 
+  test("runtime bloom filter injects into the contamination-probe semi join") {
+    // the 100 TB decontamination lever Catalyst provides FOR FREE: for
+    // the corpus ⋈ blocklist SEMI probe ("which docs are contaminated"),
+    // InjectRuntimeFilter builds a bloom filter from the small filtered
+    // blocklist and pre-filters the corpus BEFORE its shuffle — the
+    // shuffle then carries candidate rows only, not the corpus. (The
+    // LEFT ANTI "drop contaminated" direction cannot be bloom-prefiltered
+    // without changing semantics: rows the bloom rejects are exactly the
+    // rows an anti join must KEEP.) Thresholds lowered so local-scale
+    // data qualifies; at real scale the defaults (10 GB application
+    // side) gate it to where it pays.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1024",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      val block = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 20)
+        .select(sha2(col("text"), 256).as("fp"))
+      val flagged = corpus.join(block, Seq("fp"), "left_semi")
+      val n = flagged.collect().length
+      assert(n >= 20) // the 20 blocklisted docs (+ any exact dups of them)
+      val plan = flagged.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "runtime bloom filter not injected into the probe side:\n" + plan.take(1200))
+      assert(plan.contains("bloom_filter_agg"),
+        "bloom creation side missing:\n" + plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("portable_unit is callable from SQL and matches the Column API") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT portable_unit(42, 'sample') AS u").head().getDouble(0)
