@@ -58,10 +58,16 @@ object Bench {
         // the per-process temp warehouse dir leaks into scan locations
         // (q116's partitioned table) — normalize it or the hash flips
         // every run with no plan change
+        // partition COUNTS are normalized too: a localCheckpoint's
+        // LogicalRDD records the AQE-coalesced partition count of the
+        // materialized frame, which depends on measured sizes at the
+        // runtime coalesce boundary — q108's hash flipped between runs
+        // of identical code. Structure still hashes; counts don't.
         val planStr = lastDf.queryExecution.optimizedPlan.canonicalized
           .toString.replaceAll("@[0-9a-f]+", "@id")
           .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
           .replaceAll("graft-bench-wh[0-9a-zA-Z]*", "graft-bench-wh")
+          .replaceAll("partitioning\\(([^()]*?),\\s*\\d+\\)", "partitioning($1, N)")
         val planHash = java.security.MessageDigest.getInstance("MD5")
           .digest(planStr.getBytes("UTF-8"))
           .take(4).map(b => f"$b%02x").mkString

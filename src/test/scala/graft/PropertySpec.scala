@@ -180,6 +180,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pointer-jumping closure: log-round convergence on chains, union-find parity") {
+    // a 300-node path has diameter 299: plain min-label propagation
+    // moves the min one hop per round and must exceed a 12-round
+    // budget, while the path-halving term covers distance 2^r — the
+    // SAME budget suffices (log2(300) ~ 8.2 plus slack)
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(chain, "a", "b", maxIter = 12)
+    }
+    val cc = graft.operators.Dedup.connectedComponents(
+      chain, "a", "b", maxIter = 12, pointerJump = true)
+    val labs = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labs.length === 300)
+    assert(labs.forall(_._2 == 0L), "all chain nodes must collapse to cluster 0")
+    // and on random graphs the jumped variant matches union-find exactly
+    def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      nodes.groupBy(find).flatMap { case (_, c) => c.map(_ -> c.min) }
+    }
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 5
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).toSet
+      val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", pointerJump = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(nodes, edges), s"trial $trial: edges=$edges")
+    }
+  }
+
   test("minhash jaccard estimate tracks exact jaccard") {
     import graft.plans.MinHashSig.minhash_sig_est
     for (trial <- 1 to 5) {
