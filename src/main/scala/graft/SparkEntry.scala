@@ -2271,6 +2271,33 @@ object SparkEntry {
     spark.table("graft_q131")
   }
 
+  /** N-gram-OVERLAP decontamination (the published "13-gram" standard
+    * from LLM training reports, at n=5 for this corpus's doc lengths):
+    * a corpus doc is contaminated if it shares ANY contiguous n-token
+    * span with an eval doc — catches verbatim quoting that exact-hash
+    * (q54) misses and that near-dup signatures (q113) only catch above
+    * a whole-document similarity threshold. Scale shape: the eval gram
+    * set is the SMALL fixed side (explicit broadcast), the corpus gram
+    * explode stays map-side against it — the corpus is never shuffled;
+    * the only shuffle carries the matched (doc, gram) hit pairs.
+    * Returns contaminated docs with their distinct shared-span count.
+    */
+  def q132NgramOverlapDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), functions.Texts.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("gram"))
+    val docs = Tables.documents(spark, dir)
+    val evalGrams = grams(docs.filter(col("doc_id") < 250)).select(col("gram")).distinct()
+    grams(docs.filter(col("doc_id") >= 250))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2404,6 +2431,7 @@ object SparkEntry {
     "q129_csv_roundtrip" -> (q129CsvRoundtrip _),
     "q130_append_roundtrip" -> (q130AppendRoundtrip _),
     "q131_table_roundtrip" -> (q131TableRoundtrip _),
+    "q132_ngram_decontam" -> (q132NgramOverlapDecontam _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3397,5 +3425,18 @@ object SparkEntry {
     "q131_table_roundtrip" ->
       s"""SELECT CAST(region_key AS INT) AS region_key, region_name
          |FROM read_parquet('$tableSinkPath/*.parquet')""".stripMargin,
+    "q132_ngram_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |  FROM tok WHERE len(toks) >= 5),
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250),
+        |hits AS (
+        |  SELECT DISTINCT g.doc_id, g.gram
+        |  FROM g JOIN eg USING (gram) WHERE g.doc_id >= 250)
+        |SELECT doc_id, COUNT(*) AS shared_grams FROM hits GROUP BY doc_id""".stripMargin,
   )
 }
