@@ -248,4 +248,128 @@ object Similarity {
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)), k)
   }
+
+  /** A distance-scored candidate (ascending order — L2 family). */
+  final case class ProbeDist(probe_id: Long, vec_id: Long, dist: Double)
+
+  /** Bounded top-k per probe, ASCENDING distance — the L2 twin of
+    * [[topKPerProbe]] (same typed-aggregator shape, same reason: no
+    * window sort over a tiny-cardinality probe key).
+    */
+  private def topKPerProbeDist(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[ProbeDist] = Ordering.by(h => (h.dist, h.vec_id))
+    scored.select(col("probe_id"), col("vec_id"), col("dist")).as[ProbeDist]
+      .groupByKey(_.probe_id)
+      .agg(graft.functions.TypedAggs.topK[ProbeDist](k).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("r.probe_id"), col("r.vec_id"), col("r.dist"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Exact L2 top-k for a bounded probe set (broadcast probes, full
+    * scan) — the ground truth the PQ recall verdict compares against.
+    */
+  def exactL2TopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int): DataFrame = {
+    val e = emb(embeddings)
+    val probes = e.filter(col("vec_id").isin(probeVecIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+    topKPerProbeDist(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("dist", round(Vectors.l2(col("v"), col("qv")), 6)), k)
+  }
+
+  /** PRODUCT-QUANTIZATION codebooks: `[subspace][code][subdim]`, one
+    * fixed-seed KMeans per subspace over the corpus's subvector slices.
+    * Codebooks are m × codebookSize × (dim/m) doubles — tiny; at 100 TB
+    * train on a sample (quantizer quality needs distribution coverage,
+    * not the full corpus).
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int, codebookSize: Int, dim: Int,
+                  maxIter: Int = 5): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim must divide into $m subspaces")
+    val e = emb(embeddings)
+    Array.tabulate(m) { j =>
+      val sv = e.select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv"))
+      new KMeans().setK(codebookSize).setSeed(42L + j).setMaxIter(maxIter)
+        .setInitMode("random").setFeaturesCol("fv")
+        .fit(sv).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** Narrow PQ ENCODE expression: each subspace's nearest-codebook-id,
+    * `array<int>` of length m. Pure codegen'd array HOFs (codebooks are
+    * expression literals) — encoding a 100 TB corpus is a map-only pass
+    * that shrinks dim floats to m small ints per row.
+    */
+  def pqCodes(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(v, j * sub + 1, sub)
+      val cbLit = array(cb.map(c => array(c.map(lit): _*)): _*)
+      val dists = transform(cbLit, c =>
+        aggregate(zip_with(subv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** PQ top-k with ASYMMETRIC DISTANCE (ADC), completing the ANN
+    * family: LSH buckets candidates, IVF prunes partitions, JL shrinks
+    * dimensions — PQ shrinks MEMORY: the scan reads m-int codes, never
+    * the raw vectors, and each probe's distance is a sum of m
+    * lookup-table entries (LUT computed driver-side for the
+    * contract-bounded probe set, m × codebookSize doubles per probe).
+    * Approximate by construction — pair with an exact re-rank of the
+    * candidate set, as the q133 recall verdict does.
+    */
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Train-once guard per JVM (the ensureIvfIndex convention): PQ's
+    * serving shape is build-once/probe-many — retraining the m KMeans
+    * fits per query would charge every probe the index build.
+    */
+  def ensurePqCodebooks(embeddings: DataFrame, key: String, m: Int, codebookSize: Int,
+                        dim: Int, maxIter: Int = 5): Array[Array[Array[Double]]] =
+    trainedCodebooks.computeIfAbsent(key,
+      _ => pqCodebooks(embeddings, m, codebookSize, dim, maxIter))
+
+  def pqTopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int,
+             m: Int = 8, codebookSize: Int = 16, dim: Int = 64,
+             maxIter: Int = 5, codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val e = emb(embeddings)
+    val cbs = codebooks.getOrElse(pqCodebooks(embeddings, m, codebookSize, dim, maxIter))
+    // codes materialized once: every probe branch scans the SAME
+    // compressed corpus (that reuse is PQ's whole point)
+    val encoded = e.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"))
+      .localCheckpoint()
+    val sub = dim / m
+    // bounded collect: the probe vectors (few by contract)
+    val probes = e.filter(col("vec_id").isin(probeVecIds: _*))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val perProbe = probes.map { case (pid, pv) =>
+      val lut = Array.tabulate(m) { j =>
+        cbs(j).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < sub) { val d = pv(j * sub + i) - c(i); s += d * d; i += 1 }
+          s
+        }
+      }
+      val lutLit = array(lut.map(row => array(row.map(lit): _*)): _*)
+      encoded.filter(col("vec_id") =!= pid)
+        .select(lit(pid).as("probe_id"), col("vec_id"),
+          round(sqrt(aggregate(
+            zip_with(col("codes"), lutLit, (c, row) => element_at(row, c + 1)),
+            lit(0.0), (a, x) => a + x)), 6).as("dist"))
+    }.reduce(_ unionByName _)
+    topKPerProbeDist(perProbe, k)
+  }
 }

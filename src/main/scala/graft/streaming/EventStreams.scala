@@ -441,8 +441,12 @@ object EventStreams {
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json"))
-    ()
+    // the sink is SINGLE-WRITER per table (foreachBatch serializes
+    // batches); a failed rename here means another writer published
+    // this batchId concurrently — fail loudly rather than lose updates
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
+      s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
+        "the sink contract is one writer per table")
   }
 
   /** Union of the data files referenced by the newest `retain`

@@ -100,6 +100,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.contains(1L)) // near-parallel vector shares the k-means cell
   }
 
+  test("pqTopK ranks the near-identical vector first from codes alone") {
+    // m=8 subspaces of 8 dims, 2 codes each: vectors 0/1 quantize to the
+    // same codes (ADC distance ~ their shared centroid's), the decoy to
+    // different ones — the compressed scan alone finds the neighbor
+    val got = Similarity.pqTopK(vecs, Seq(0L), k = 2,
+        m = 8, codebookSize = 2, dim = 64)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.head._1 === 1L, s"expected vec 1 ranked first, got ${got.toSeq}")
+    // and the exact-L2 baseline agrees on the ground truth
+    val exact = Similarity.exactL2TopK(vecs, Seq(0L), k = 1)
+      .collect().map(_.getLong(1))
+    assert(exact.head === 1L)
+  }
+
   test("persistent IVF index: pruned probe reads only probed cell dirs, matches ivfTopK") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     Similarity.buildIvfIndex(vecs, idx, nlist = 2, maxIter = 5)
