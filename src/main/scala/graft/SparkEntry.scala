@@ -2325,6 +2325,34 @@ object SparkEntry {
       .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
   }
 
+  /** Temperature-scaled domain mixing (alpha = 0.5, target 200 docs —
+    * below the sf0.01 corpus size so every fraction is < 1 and the md5
+    * membership predicate is genuinely exercised): per-source keep
+    * fractions DERIVED from corpus counts — p_d ∝ sqrt(n_d), so small
+    * sources are upweighted relative to their natural share (the
+    * multilingual-recipe op). The oracle re-derives the counts, the
+    * fractions, and every md5 membership decision, so the hash-match
+    * proves the full statistic→fraction→sample chain. Returns the kept
+    * docs with their domain's fraction.
+    */
+  def q134TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Sampling.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.5, targetN = 200L)
+      .select(col("doc_id"), col("lang"), col("keep_frac"))
+  }
+
+  /** Bigram-LM quality score (CCNet/KenLM-style perplexity filter,
+    * self-trained add-one-smoothed bigram model) — the 20 lowest-scoring
+    * docs with >= 20 bigrams, i.e. the "flag gibberish for removal"
+    * decision. Deterministic order: (lm_score, doc_id).
+    */
+  def q135LmScore(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bigramLmScore(Tables.documents(spark, dir))
+      .filter(col("n_bigrams") >= 20)
+      .orderBy(col("lm_score"), col("doc_id"))
+      .limit(20)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2460,6 +2488,8 @@ object SparkEntry {
     "q131_table_roundtrip" -> (q131TableRoundtrip _),
     "q132_ngram_decontam" -> (q132NgramOverlapDecontam _),
     "q133_pq_recall" -> (q133PqRecall _),
+    "q134_temperature_mix" -> (q134TemperatureMix _),
+    "q135_lm_score" -> (q135LmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3469,5 +3499,43 @@ object SparkEntry {
     "q133_pq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q134_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n, pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pn
+        |  FROM documents GROUP BY lang),
+        |fracs AS (
+        |  SELECT lang,
+        |         ROUND(LEAST(1.0, 200.0 * pn / (SELECT SUM(pn) FROM counts) / n), 6)
+        |           AS keep_frac
+        |  FROM counts)
+        |SELECT d.doc_id, d.lang, f.keep_frac
+        |FROM documents d JOIN fracs f USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':tempmix'), 1, 8))::BIGINT
+        |        / 4294967296.0 < f.keep_frac""".stripMargin,
+    "q135_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+        |  FROM toks),
+        |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |bi AS (
+        |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+        |scored AS (
+        |  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |         ROUND(AVG(LN(CAST(bc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+        |           AS lm_score
+        |  FROM bi
+        |  JOIN bc USING (wa, wb)
+        |  JOIN uni ON bi.wa = uni.w
+        |  CROSS JOIN v
+        |  GROUP BY bi.doc_id)
+        |SELECT doc_id, n_bigrams, lm_score
+        |FROM scored WHERE n_bigrams >= 20
+        |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -92,6 +92,39 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
 
+  /** Temperature-scaled domain mixing — the training-recipe op that
+    * UPWEIGHTS low-resource domains: sampling probability p_d ∝ n_d^alpha
+    * (alpha < 1 flattens the natural distribution; alpha = 1 is
+    * proportional, alpha = 0 uniform across domains), then per-domain
+    * keep fraction f_d = min(1, targetN * p_d / n_d) so the mixture
+    * totals ≈ targetN docs. Unlike [[mixCorporaPortable]] (caller-chosen
+    * fractions), the fractions here are DERIVED from corpus statistics —
+    * the published multilingual/multi-source recipe shape.
+    *
+    * Scale shape: the domain-count aggregate is |domains| rows (tiny,
+    * map-side combinable), the normalizing mass is a 1-row aggregate,
+    * and both come back via broadcast joins — the corpus itself is never
+    * shuffled; membership is the same narrow portable-md5 predicate as
+    * every sampler here, so any engine re-derives exactly which rows
+    * entered the mixture. Fractions are rounded to 6 dp BEFORE the
+    * membership test so the kept set is reproducible bit-for-bit
+    * cross-engine.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
+                     alpha: Double, targetN: Long,
+                     salt: String = "tempmix"): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__pn", pow(col("__n").cast("double"), lit(alpha)))
+    val total = counts.agg(sum(col("__pn")).as("__tot"))
+    val fracs = counts.crossJoin(broadcast(total))
+      .select(col(domainCol),
+        round(least(lit(1.0),
+          lit(targetN.toDouble) * col("__pn") / col("__tot") / col("__n")), 6)
+          .as("keep_frac"))
+    df.join(broadcast(fracs), Seq(domainCol))
+      .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
+  }
+
   /** One selected row of a weighted sample (object-level for implicit
     * Encoder resolution in [[weightedTopKPortable]]).
     */

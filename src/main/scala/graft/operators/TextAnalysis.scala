@@ -104,4 +104,60 @@ object TextAnalysis {
               struct(col("seg_id"), col("segment"))))),
             s => s.getField("segment"))), " ").cast("binary")).as("scrubbed_hash"))
   }
+
+  /** Bigram language-model quality score — the CCNet/KenLM-style
+    * perplexity filter, self-trained on the corpus itself: per document,
+    * the mean log-probability of its bigrams under an add-one-smoothed
+    * bigram model, P(b|a) = (C(a,b) + 1) / (C(a) + V), where C(·) are
+    * corpus frequencies and V the vocabulary size. Low scores flag
+    * gibberish / rare-construction docs the heuristic features
+    * ([[docQuality]]) miss; the published pipelines threshold on exactly
+    * this statistic (there scored by an external LM — here the corpus IS
+    * the training set, which keeps the op closed over its inputs and
+    * oracle-checkable).
+    *
+    * Scale shape: the corpus is scanned and tokenized ONCE (materialized
+    * behind a checkpoint barrier — it feeds three distinct subtrees);
+    * bigrams come from ONE narrow zip_with + explode per doc (no
+    * self-join on token position); the model is two hash aggregates —
+    * bigram counts and unigram counts — both map-side combinable and
+    * bounded by vocabulary size, not corpus size; V is a 1-row
+    * aggregate. Scoring attaches log-probs to the count table first
+    * (vocab-sized join), then joins bigram INSTANCES once on (wa, wb) —
+    * one instance-sized shuffle, key-uniform by Zipf's-law spread of
+    * bigram types. Nothing is all-pairs; no windows.
+    *
+    * Returns (doc_id, n_bigrams, lm_score) for docs with >= 2 tokens;
+    * lm_score rounded to 6 dp for cross-engine reproducibility.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    // materialize the tokenized corpus ONCE (q113 / repeatedSegmentScrub
+    // pattern): it feeds the unigram counts, the bigram model build, and
+    // the bigram probe side — three subtrees that all differ above the
+    // scan (different aggregates/filters), so exchange reuse cannot dedup
+    // them and without the barrier the text is scanned + tokenized 3x
+    val toksAll = documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ts"))
+      .localCheckpoint()
+    val toks = toksAll.filter(size(col("ts")) > 1)
+    val bi = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("wa"), b.as("wb")))).as("bg"))
+      .select(col("doc_id"), col("bg.wa").as("wa"), col("bg.wb").as("wb"))
+    val uniCounts = toksAll
+      .select(explode(col("ts")).as("wa"))
+      .groupBy(col("wa")).agg(count(lit(1)).as("cw"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
+    val model = bi.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cab"))
+      .join(uniCounts, Seq("wa"))
+      .crossJoin(broadcast(vocab))
+      .select(col("wa"), col("wb"),
+        log((col("cab") + 1).cast("double") / (col("cw") + col("v"))).as("lp"))
+    bi.join(model, Seq("wa", "wb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("lm_score"))
+  }
 }

@@ -77,6 +77,33 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > 1500 && counts("train") < 1700)
   }
 
+  test("temperatureMix upweights small domains and lands near targetN") {
+    // skewed domains: 1800 'web' docs, 200 'books' docs
+    val skewed = corpus.withColumn("source",
+      when(col("doc_id") < 1800, "web").otherwise("books"))
+    val out = Sampling.temperatureMix(skewed, "source", "doc_id",
+      alpha = 0.5, targetN = 500L)
+    val byDomain = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5: p ∝ sqrt(n) → web:books mass ratio 3:1 instead of the
+    // natural 9:1 — books lands near 125 of 500 (keep_frac ~0.625 of 200)
+    assert(byDomain("books") > 90 && byDomain("books") < 160)
+    assert(byDomain("web") > 300 && byDomain("web") < 450)
+    val total = byDomain.values.sum
+    assert(total > 400 && total < 600) // mixture totals ≈ targetN
+    // deterministic: same fractions + portable hash → identical member set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // alpha = 1 is proportional sampling: keep fractions equalize across
+    // domains (both ≈ targetN / total), so books gets ~its natural share
+    val prop = Sampling.temperatureMix(skewed, "source", "doc_id", 1.0, 500L)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("books") > 25 && prop("books") < 80) // ~50 = 200 * 0.25
+  }
+
   test("mixCorporaPortable honors per-source fractions, deterministic, tagged") {
     val en = corpus.filter(col("lang") === "en")
     val de = corpus.filter(col("lang") === "de")

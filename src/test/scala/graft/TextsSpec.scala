@@ -32,6 +32,27 @@ class TextsSpec extends SparkSpec {
     assert(out(0L).getAs[String]("scrubbed_hash") === expected)
   }
 
+  test("bigramLmScore matches a hand-computed add-one-smoothed model") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b" x2, "a c" x1, "d" (no bigram, filtered out)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L)) // single-token doc has no bigrams
+    // vocab V = {a,b,c,d} = 4; C(a)=3 (corpus unigram frequency)
+    // P(b|a) = (2+1)/(3+4), P(c|a) = (1+1)/(3+4)
+    val pAB = math.log(3.0 / 7.0)
+    val pAC = math.log(2.0 / 7.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L).getAs[Long]("n_bigrams") === 1L)
+    assert(out(0L).getAs[Double]("lm_score") === r6(pAB))
+    assert(out(1L).getAs[Double]("lm_score") === r6(pAB))
+    assert(out(2L).getAs[Double]("lm_score") === r6(pAC))
+    // the rarer continuation scores lower — the filtering decision
+    assert(out(2L).getAs[Double]("lm_score") < out(0L).getAs[Double]("lm_score"))
+  }
+
   test("shingles produce n-grams; short docs yield empty array") {
     val df = Seq("a b c d", "a").toDF("t")
     val got = df.select(Texts.shingles(col("t"), 3)).collect().map(_.getSeq[String](0))
