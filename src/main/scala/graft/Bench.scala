@@ -68,21 +68,35 @@ object Bench {
           .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
           .replaceAll("graft-bench-wh[0-9a-zA-Z]*", "graft-bench-wh")
           .replaceAll("partitioning\\(([^()]*?),\\s*\\d+\\)", "partitioning($1, N)")
+          // partitionings whose toString has no expression list (no comma)
+          // slip past the regex above: RoundRobinPartitioning(32),
+          // UnknownPartitioning(5) — counts are runtime facts, not plan
+          .replaceAll("Partitioning\\(\\d+\\)", "Partitioning(N)")
         val planHash = java.security.MessageDigest.getInstance("MD5")
           .digest(planStr.getBytes("UTF-8"))
           .take(4).map(b => f"$b%02x").mkString
-        name -> (times.min, planHash)
-      } catch { case _: Throwable => name -> (-1.0, "err") }
+        name -> (times.min, planHash, planStr)
+      } catch { case _: Throwable => name -> (-1.0, "err", "") }
     }.toMap
     // 4-decimal rounding keeps the stdout line compact (the r3 line was
     // long enough to get tail-truncated in the driver's log capture)
     def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + r4(v) }
+      .map { case (k, (v, _, _)) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val plans = results.toSeq.sortBy(_._1)
-      .map { case (k, (_, h)) => s"\"" + k + "\":\"" + h + "\"" }
+      .map { case (k, (_, h, _)) => s"\"" + k + "\":\"" + h + "\"" }
       .mkString("{", ",", "}")
+    // full normalized plan STRINGS, one artifact per bench run: the hash
+    // tells you THAT a plan changed; this is what you diff to see WHY.
+    // Two hashes (q108/q116) flipped across sessions with identical code
+    // and no string to compare — never lose that evidence again.
+    val planDump = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, h, s)) => s"##### $k $h\n$s" }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "/root/repo/BENCH_PLANS_LATEST.txt")),
+      planDump + "\n")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ > 0).sum else 0.0
     val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     println(json)
