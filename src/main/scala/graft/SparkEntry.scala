@@ -1118,8 +1118,14 @@ object SparkEntry {
     * verification, rep assignment — with no id cap and no quadratic
     * pair demo.
     */
-  def q89MinhashLshPortable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def q89MinhashLshPortable(spark: SparkSession, dir: String): DataFrame =
+    portableLshAssignments(Tables.documents(spark, dir))
+
+  /** The q89 portable-LSH near-dup assignment over an arbitrary
+    * (doc_id, text) frame — q136 applies it mid-pipeline to the
+    * quality+exact-dedup survivors. Returns (doc_id, rep_id, jaccard).
+    */
+  private def portableLshAssignments(docs: DataFrame): DataFrame = {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
     }
@@ -1347,14 +1353,18 @@ object SparkEntry {
   /** The q89 oracle's CTE chain through the verified pairs `v`, shared
     * with the q115 closure oracle.
     */
-  private def minhashLshOracleCtes: String = {
+  /** The q89 portable-LSH CTE chain over an arbitrary base relation
+    * (q136 reuses it over the quality+exact-dedup survivors). With the
+    * default base this yields exactly the q89/q115 oracle text.
+    */
+  private def minhashLshOracleCtesOver(base: String): String = {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
     }.mkString(",\n  ")
     s"""WITH tok AS (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
-       |  FROM documents),
+       |  FROM $base),
        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
        |sig AS (SELECT doc_id,
        |  $slots
@@ -1371,7 +1381,7 @@ object SparkEntry {
        |  WHERE b.doc_id > a.anchor),
        |t AS (
        |  SELECT doc_id, list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))  AS ts
-       |  FROM documents),
+       |  FROM $base),
        |v AS (
        |  SELECT c.doc_id, c.anchor,
        |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
@@ -1379,6 +1389,53 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN t ta ON ta.doc_id = c.anchor
        |  JOIN t tb ON tb.doc_id = c.doc_id)""".stripMargin
+  }
+
+  private def minhashLshOracleCtes: String = minhashLshOracleCtesOver("documents")
+
+  /** q136 oracle: all six curation stages in one WITH chain — the LSH
+    * CTEs (same literal constants as q89's oracle) run over the
+    * quality+exact-dedup survivors `d1`, exactly like the Spark plan.
+    */
+  private def curationPipelineOracleSql: String = {
+    val lshCtes = minhashLshOracleCtesOver("d1").replaceFirst("WITH ", "")
+    s"""WITH qd AS (
+       |  SELECT doc_id, text, lang,
+       |         list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id >= 250),
+       |d1base AS (
+       |  SELECT doc_id, text, lang, toks, len(toks) AS n_toks FROM qd
+       |  WHERE len(toks) >= 10
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+       |    AND ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS DOUBLE) / len(toks), 6) <= 0.5),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM d1base GROUP BY sha256(text)),
+       |d1 AS (SELECT b.* FROM d1base b JOIN ex USING (doc_id)),
+       |$lshCtes,
+       |dups AS (SELECT DISTINCT doc_id FROM v WHERE jaccard >= 0.8),
+       |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+       |           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+       |  FROM d2 WHERE len(toks) >= 5),
+       |egbase AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+       |           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+       |  FROM (SELECT list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id < 250)
+       |  WHERE len(toks) >= 5),
+       |eg AS (SELECT DISTINCT gram FROM egbase),
+       |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+       |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |s AS (
+       |  SELECT lang, n_toks, doc_id,
+       |         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT / 4294967296.0 AS u
+       |  FROM d3)
+       |SELECT lang,
+       |       CASE WHEN u < 0.8 THEN 'train'
+       |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY 1, 2""".stripMargin
   }
 
   private def minhashLshPortableOracleSql: String =
@@ -2353,6 +2410,66 @@ object SparkEntry {
       .orderBy(col("lm_score"), col("doc_id"))
       .limit(20)
 
+  /** THE END-TO-END CURATION PIPELINE as one lazy plan — every stage a
+    * previously-proven portable operator, chained the way a production
+    * corpus build runs them: quality gate (q83 predicate) → exact dedup
+    * keep-min-id per content hash (q04) → near-dup dedup via the
+    * portable MinHash-LSH assignment over the SURVIVORS (q89, reused
+    * helper) → 5-gram decontamination against the eval slice (q132) →
+    * portable split assignment (q55) → per-(lang, split) accounting.
+    * The DuckDB oracle re-derives all six stages in one WITH chain, so
+    * the hash-match proves the COMPOSITION, not just the pieces: each
+    * stage sees exactly the rows the previous stage kept.
+    *
+    * Scale shape inherits from the pieces: every stage is narrow or
+    * anchor-bucketed over the shrinking survivor set, the eval-gram
+    * side is broadcast, nothing is all-pairs. ONE materialization
+    * barrier: the quality+exact-dedup survivor set checkpoints before
+    * fanning out to the five downstream consumers (see the in-body
+    * comment) — the same scan-once tradeoff as q113 and the segment
+    * scrub, and exactly where a production pipeline would persist its
+    * intermediate corpus anyway.
+    */
+  def q136CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSlice = docs.filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val qual = corpus.join(operators.TextAnalysis.docQuality(corpus), Seq("doc_id"))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_uniq_tokens").cast("double") / col("n_tokens") >= 0.3 &&
+        col("stopword_ratio") <= 0.5)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+    val exactReps = qual.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    // materialize the quality+exact-dedup survivors ONCE (q113 pattern):
+    // d1 feeds the LSH signature build, both verification token-set
+    // sides, the gram explode, and the final accounting — five subtrees
+    // that differ above the scan, so without the barrier the whole
+    // quality+dedup lineage (scan, tokenize, hash, semi-join) re-derives
+    // per consumer (measured: 57 scan appearances in the logical plan,
+    // best-of-5 2.55 -> 2.10 s at sf0.1 from this one barrier)
+    val d1 = qual.join(exactReps, Seq("doc_id"), "left_semi").localCheckpoint()
+    val d2 = d1.join(portableLshAssignments(d1).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val n = 5
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), functions.Texts.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("gram"))
+    val evalGrams = grams(evalSlice).select(col("gram")).distinct()
+    val contaminated = grams(d2).join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
+    operators.Sampling.withSplitPortable(d3, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2490,6 +2607,7 @@ object SparkEntry {
     "q133_pq_recall" -> (q133PqRecall _),
     "q134_temperature_mix" -> (q134TemperatureMix _),
     "q135_lm_score" -> (q135LmScore _),
+    "q136_curation_pipeline" -> (q136CurationPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3537,5 +3655,6 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, lm_score
         |FROM scored WHERE n_bigrams >= 20
         |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
+    "q136_curation_pipeline" -> curationPipelineOracleSql,
   )
 }
