@@ -279,6 +279,18 @@ class PlanSpec extends SparkSpec {
       "running concurrency must be the distributed prefix sum, not SUM() OVER (ORDER BY t)")
   }
 
+  test("q136 curation pipeline: no cartesian product, eval grams broadcast") {
+    val p = planOf("q136_curation_pipeline")
+    // the six-stage composition must stay join-shaped: a cartesian
+    // anywhere means a stage lost its equi-join key
+    assert(!p.contains("CartesianProduct"),
+      "curation pipeline plans a cartesian product")
+    // the decontamination stage joins corpus grams against the SMALL
+    // eval-gram set — that side must broadcast, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-gram side of the decontamination join is not broadcast")
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
