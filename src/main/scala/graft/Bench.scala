@@ -2,6 +2,40 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** DPP filter lines print their conjuncts in rule-application order,
+    * which flips run-to-run with identical plans (observed:
+    * `isnotnull(x) AND dynamicpruning#0` vs the reverse on q116) — sort
+    * the depth-0 conjuncts inside the filter's parens so the hash tracks
+    * the PLAN, not optimizer-rule ordering. Scoped to lines mentioning
+    * dynamicpruning; all other lines pass through untouched.
+    */
+  private[graft] def normalizeDppLine(l: String): String = {
+    if (!l.contains("dynamicpruning#")) return l
+    val open = l.indexOf('(', math.max(0, l.indexOf("Filter")))
+    if (open < 0) return l
+    var depth = 0; var close = -1; var i = open
+    while (i < l.length && close < 0) {
+      l(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return l
+    val inner = l.substring(open + 1, close)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var s = 0; var j = 0
+    while (j < inner.length) {
+      inner(j) match { case '(' => d += 1; case ')' => d -= 1; case _ => }
+      if (d == 0 && inner.startsWith(" AND ", j)) {
+        parts += inner.substring(s, j); s = j + 5; j += 5
+      } else j += 1
+    }
+    parts += inner.substring(s)
+    l.substring(0, open + 1) + parts.sorted.mkString(" AND ") + l.substring(close)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,11 +106,28 @@ object Bench {
           // slip past the regex above: RoundRobinPartitioning(32),
           // UnknownPartitioning(5) — counts are runtime facts, not plan
           .replaceAll("Partitioning\\(\\d+\\)", "Partitioning(N)")
+          // per-line DPP normalization; restore the trailing newline the
+          // line split eats, so hashes of untouched plans stay comparable
+          // round-over-round
+          .linesIterator.map(normalizeDppLine).mkString("\n") + "\n"
         val planHash = java.security.MessageDigest.getInstance("MD5")
           .digest(planStr.getBytes("UTF-8"))
           .take(4).map(b => f"$b%02x").mkString
         name -> (times.min, planHash, planStr)
       } catch { case _: Throwable => name -> (-1.0, "err", "") }
+      finally {
+        // Sweep-state hygiene (the r6 11% same-plan drift): the
+        // localCheckpoint barriers (q113/q115/q135/q136, PQ encode)
+        // persist RDD blocks that outlive their query — 4 executions per
+        // query across ~136 queries left GBs of dead executor storage
+        // taxing later queries' GC. Nothing cross-query lives in the
+        // block manager (the IVF index is on disk, PQ codebooks are
+        // driver-side arrays), so clearing between queries is free of
+        // semantic effect and keeps every query's storage baseline flat.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      }
     }.toMap
     // 4-decimal rounding keeps the stdout line compact (the r3 line was
     // long enough to get tail-truncated in the driver's log capture)
@@ -87,25 +138,42 @@ object Bench {
     val plans = results.toSeq.sortBy(_._1)
       .map { case (k, (_, h, _)) => s"\"" + k + "\":\"" + h + "\"" }
       .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).filter(_ > 0).sum else 0.0
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+    // stdout FIRST: the artifact writes below can fail on a read-only
+    // checkout / bad override path, and the JSON line is the one output
+    // the driver must always get
+    println(json)
+    def writeQuietly(path: String, content: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
+      catch { case e: Throwable =>
+        System.err.println(s"bench: artifact write failed for $path: $e") }
     // full normalized plan STRINGS, one artifact per bench run: the hash
     // tells you THAT a plan changed; this is what you diff to see WHY.
     // Two hashes (q108/q116) flipped across sessions with identical code
     // and no string to compare — never lose that evidence again.
     val planDump = results.toSeq.sortBy(_._1)
       .map { case (k, (_, h, s)) => s"##### $k $h\n$s" }.mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "/root/repo/BENCH_PLANS_LATEST.txt")),
+    writeQuietly(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "/root/repo/BENCH_PLANS_LATEST.txt"),
       planDump + "\n")
-    val total = if (results.nonEmpty) results.values.map(_._1).filter(_ > 0).sum else 0.0
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
-    println(json)
     // machine-readable artifact: same JSON, immune to log truncation, so
     // per-query timings can be diffed round-over-round
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")),
+    writeQuietly(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json"),
       json + "\n")
+    // self-contained history: one line per bench run, committed, so
+    // cross-round timing/plan-hash diffs stop depending on git archaeology
+    // of BENCH_LATEST.json (the per-round BENCH_r{N}.json snapshots carry
+    // only a truncated stdout tail)
+    try {
+      val hist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_HISTORY_OUT", "/root/repo/BENCH_HISTORY.jsonl"))
+      val line = s"""{"ts":${System.currentTimeMillis()},""" + json.stripPrefix("{")
+      java.nio.file.Files.writeString(hist, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: history append failed: $e") }
     spark.stop()
   }
 }

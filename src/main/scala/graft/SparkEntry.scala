@@ -1069,11 +1069,8 @@ object SparkEntry {
     * (q88): odd multipliers/offsets below 2^31 so a*h+b stays within
     * signed 64-bit for 32-bit token hashes; prime modulus > 2^32.
     */
-  private val minhashPerms: Seq[(Long, Long)] = Seq(
-    (1299721L, 15485863L), (2750161L, 32452843L), (4256233L, 49979687L),
-    (5800079L, 67867967L), (7368787L, 86028121L), (8960453L, 104395301L),
-    (10570841L, 122949823L), (12195257L, 141650939L))
-  private val minhashPrime = 4294967311L // smallest prime > 2^32
+  private def minhashPerms: Seq[(Long, Long)] = operators.Dedup.minhashPerms
+  private def minhashPrime: Long = operators.Dedup.minhashPrime
 
   /** Portable MinHash: 8-slot signature over the md5-derived 32-bit
     * token hash with affine permutations (a*h + b) mod p — the DuckDB
@@ -1081,17 +1078,8 @@ object SparkEntry {
     * (mirrors q80 for simhash). Proves the minhash ALGORITHM
     * cross-engine; q27's MinHashSig expression remains the scale path.
     */
-  def q88MinhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
-    }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-  }
+  def q88MinhashPortable(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.portableMinhashSignatures(Tables.documents(spark, dir))
 
   /** q88 oracle: identical permutation constants as SQL literals. */
   private def minhashPortableOracleSql: String = {
@@ -2387,10 +2375,11 @@ object SparkEntry {
     * membership predicate is genuinely exercised): per-source keep
     * fractions DERIVED from corpus counts — p_d ∝ sqrt(n_d), so small
     * sources are upweighted relative to their natural share (the
-    * multilingual-recipe op). The oracle re-derives the counts, the
-    * fractions, and every md5 membership decision, so the hash-match
-    * proves the full statistic→fraction→sample chain. Returns the kept
-    * docs with their domain's fraction.
+    * multilingual-recipe op). Clamped domains waterfill (see
+    * `Sampling.temperatureFractions`); the oracle re-derives the counts,
+    * the waterfilled fractions, and every md5 membership decision, so
+    * the hash-match proves the full statistic→fraction→sample chain.
+    * Returns the kept docs with their domain's fraction.
     */
   def q134TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -2434,7 +2423,9 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val evalSlice = docs.filter(col("doc_id") < 250)
     val corpus = docs.filter(col("doc_id") >= 250)
-    val qual = corpus.join(operators.TextAnalysis.docQuality(corpus), Seq("doc_id"))
+    // quality features are per-row expressions — project them straight
+    // onto the corpus (one scan), never self-join docQuality on doc_id
+    val qual = operators.TextAnalysis.withQualityFeatures(corpus)
       .filter(col("n_tokens") >= 10 &&
         col("n_uniq_tokens").cast("double") / col("n_tokens") >= 0.3 &&
         col("stopword_ratio") <= 0.5)
@@ -2468,6 +2459,46 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** Build-once-per-JVM signature store (the ensureIvfIndex convention):
+    * the "historical corpus" (docs < 250) enters the store as 8-slot
+    * portable signatures through ONE manifest-committed merge
+    * (`EventStreams.mergeBatchIntoTable`, batch 0) — an atomic,
+    * time-travelable table whose rows carry NO text. The idempotent
+    * batchId makes re-invocation (Bench runs each query 4x) a no-op.
+    */
+  private val sigStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureSigStore(spark: SparkSession, dir: String): String =
+    sigStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sigstore").toString
+      val hist = operators.Dedup.portableMinhashSignatures(
+        Tables.documents(spark, dir).filter(col("doc_id") < 250))
+      streaming.EventStreams.mergeBatchIntoTable(hist, storeDir,
+        Seq("doc_id"), "doc_id", nBuckets = 8, batchId = 0L)
+      storeDir
+    })
+
+  /** INCREMENTAL dedup against the persisted signature store
+    * (`Dedup.signatureAgreementDedup`): docs < 250 are "history" living
+    * ONLY as signatures in the manifest-committed store table; the new
+    * shard (docs >= 250) is signed fresh and deduped against
+    * store + itself. The plan never reads historical text — the store
+    * files don't contain a text column, and every scan of the documents
+    * table carries the shard's pushed doc_id filter (PlanSpec proves
+    * both). The oracle re-derives signatures for BOTH sides from the
+    * documents table and replays the same banded-anchor +
+    * slot-agreement (>= 6 of 8) decision, so the hash-match proves the
+    * incremental decision equals the all-at-once decision over
+    * (store + shard).
+    */
+  def q137IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = ensureSigStore(spark, dir)
+    val store = streaming.EventStreams.readUpsertTable(spark, storeDir)
+    val shard = operators.Dedup.portableMinhashSignatures(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 250))
+    operators.Dedup.signatureAgreementDedup(shard, store)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2608,7 +2639,47 @@ object SparkEntry {
     "q134_temperature_mix" -> (q134TemperatureMix _),
     "q135_lm_score" -> (q135LmScore _),
     "q136_curation_pipeline" -> (q136CurationPipeline _),
+    "q137_incremental_dedup" -> (q137IncrementalDedup _),
   )
+
+  /** q137 oracle: signatures for history AND shard re-derived from the
+    * documents table (the engine reads history from the store — the
+    * oracle proves the stored signatures are exactly what re-signing
+    * would produce), then the identical banded anchor + slot-agreement
+    * decision, restricted to shard docs.
+    */
+  private def incrementalDedupOracleSql: String = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * h + $b) % $minhashPrime) AS s$i"
+    }.mkString(",\n  ")
+    val agree = (0 until 8)
+      .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |  $slots
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, [s0, s1, s2, s3] AS bk FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, [s4, s5, s6, s7] AS bk FROM sig),
+       |anchors AS (
+       |  SELECT band, bk, MIN(doc_id) AS anchor FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.anchor, b.doc_id
+       |  FROM banded b JOIN anchors a ON a.band = b.band AND a.bk = b.bk
+       |  WHERE b.doc_id > a.anchor AND b.doc_id >= 250),
+       |v AS (
+       |  SELECT c.doc_id, c.anchor, ($agree) AS n_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.anchor
+       |  JOIN sig sb ON sb.doc_id = c.doc_id)
+       |SELECT doc_id, MIN(anchor) AS rep_id, MAX(n_agree) AS n_agree
+       |FROM v WHERE n_agree >= 6 GROUP BY doc_id""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3618,14 +3689,33 @@ object SparkEntry {
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q134_temperature_mix" ->
+      // exact waterfilling, mirroring Sampling.temperatureFractions: walk
+      // domains ascending by (n, lang); the first rank whose candidate
+      // scale c = (target - clampedMass) / suffixPnSum does NOT clamp
+      // itself starts the unclamped suffix; ranks before it keep
+      // everything (frac 1.0). Running sums use the identical total
+      // order, so both engines add the same doubles in the same order.
       """WITH counts AS (
-        |  SELECT lang, COUNT(*) AS n, pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pn
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pn
         |  FROM documents GROUP BY lang),
+        |ord AS (
+        |  SELECT lang, n, pn,
+        |         COALESCE(SUM(n) OVER (ORDER BY n, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n_before,
+        |         SUM(pn) OVER (ORDER BY n, lang
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pn_from,
+        |         ROW_NUMBER() OVER (ORDER BY n, lang) AS rk
+        |  FROM counts),
+        |cand AS (SELECT rk, lang, n, pn, (200.0 - cum_n_before) / pn_from AS c FROM ord),
+        |kstar AS (SELECT MIN(rk) AS rk FROM cand WHERE c * pn <= n),
         |fracs AS (
-        |  SELECT lang,
-        |         ROUND(LEAST(1.0, 200.0 * pn / (SELECT SUM(pn) FROM counts) / n), 6)
-        |           AS keep_frac
-        |  FROM counts)
+        |  SELECT cand.lang,
+        |         CASE WHEN (SELECT rk FROM kstar) IS NULL
+        |                OR cand.rk < (SELECT rk FROM kstar) THEN 1.0
+        |              ELSE ROUND((SELECT c FROM cand WHERE rk = (SELECT rk FROM kstar))
+        |                     * cand.pn / cand.n, 6) END AS keep_frac
+        |  FROM cand)
         |SELECT d.doc_id, d.lang, f.keep_frac
         |FROM documents d JOIN fracs f USING (lang)
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':tempmix'), 1, 8))::BIGINT
@@ -3656,5 +3746,6 @@ object SparkEntry {
         |FROM scored WHERE n_bigrams >= 20
         |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
     "q136_curation_pipeline" -> curationPipelineOracleSql,
+    "q137_incremental_dedup" -> incrementalDedupOracleSql,
   )
 }

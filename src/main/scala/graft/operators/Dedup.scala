@@ -336,4 +336,102 @@ object Dedup {
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     fingerprintNearDups(simhashFingerprints(documents),
       bandBits = 16, bands = 4, maxHamming = maxHamming)
+
+  /** Portable MinHash permutation constants (q88): odd
+    * multipliers/offsets below 2^31 so a*h+b stays within signed 64-bit
+    * for 32-bit token hashes; prime modulus > 2^32. Shared by the q88
+    * portable signature, the q89/q136 LSH assignment oracle generators,
+    * and the incremental signature store (q137).
+    */
+  private[graft] val minhashPerms: Seq[(Long, Long)] = Seq(
+    (1299721L, 15485863L), (2750161L, 32452843L), (4256233L, 49979687L),
+    (5800079L, 67867967L), (7368787L, 86028121L), (8960453L, 104395301L),
+    (10570841L, 122949823L), (12195257L, 141650939L))
+  private[graft] val minhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** The portable 8-slot MinHash signature frame (doc_id, s0..s7) over
+    * any (doc_id, text) frame: md5-derived 32-bit token hashes under the
+    * [[minhashPerms]] affine permutations — every slot re-derivable by
+    * any md5-capable engine, which is what makes the signature STORE
+    * auditable: an external engine can replay both the signing and the
+    * dedup decision from the raw text. Docs with no tokens produce no
+    * row (no null-slot signatures to band-collide).
+    */
+  def portableMinhashSignatures(docs: DataFrame): DataFrame = {
+    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
+    }
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+  }
+
+  /** INCREMENTAL near-dup dedup of a NEW shard against a persisted
+    * MinHash signature STORE — the production shape for corpora that
+    * grow shard by shard: the historical corpus is never re-scanned
+    * (its TEXT is never even readable from the store — rows are
+    * (doc_id, s0..s{n-1}) slot columns only); only the new shard's text
+    * is signed, and the decision joins signatures against signatures.
+    *
+    * Shape: the same banded anchor pattern as [[minhashNearDups]]/q89
+    * over the UNION of store and shard signatures — so the decisions
+    * equal what the batch pipeline would produce had it seen the whole
+    * corpus at once (store ids precede shard ids, so bucket anchors are
+    * store docs wherever history collides with the shard). Verification
+    * is SLOT AGREEMENT (matching slots / nSlots estimates Jaccard — the
+    * published unbiased MinHash estimator), NOT exact token-set Jaccard:
+    * that is precisely what frees the op from historical text. A shared
+    * band guarantees rows-per-band agreeing slots, so `minAgree` must
+    * exceed nSlots/bands to be a real filter.
+    *
+    * Store maintenance belongs to the caller: append the shard's
+    * (quality-surviving) signatures back through the manifest sink
+    * (`EventStreams.mergeBatchIntoTable`) so the next shard sees them —
+    * dup-flagged docs' signatures included, which is what keeps
+    * incremental decisions equal to the one-batch decisions (a chain
+    * a~b~c where b was dropped must still catch c).
+    *
+    * Returns (doc_id, rep_id, n_agree) for shard docs that verified
+    * against some bucket anchor (store doc or lower-id shard doc).
+    */
+  def signatureAgreementDedup(shardSigs: DataFrame, storeSigs: DataFrame,
+                              nSlots: Int = 8, bands: Int = 2,
+                              minAgree: Int = 6): DataFrame = {
+    require(nSlots % bands == 0, s"nSlots $nSlots must divide into $bands bands")
+    require(minAgree > nSlots / bands,
+      s"minAgree $minAgree must exceed rows-per-band ${nSlots / bands} — " +
+        "a shared band already guarantees that many agreeing slots")
+    val rows = nSlots / bands
+    val slotCols = (0 until nSlots).map(i => s"s$i")
+    val all = storeSigs.select(col("doc_id") +: slotCols.map(col): _*)
+      .unionByName(shardSigs.select(col("doc_id") +: slotCols.map(col): _*))
+    def bandKey(b: Int) =
+      struct((0 until rows).map(i => col(s"s${b * rows + i}").as(s"k$i")): _*)
+    val banded = (0 until bands).map(b =>
+        all.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bk")))
+      .reduce(_ unionByName _)
+    val anchors = banded.groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val cand = banded.join(anchors, Seq("band", "bk"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id"))
+      .distinct()
+      // decisions are for the NEW shard only; store-internal dups were
+      // settled when those docs entered the store
+      .join(shardSigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val aSigs = all.select(
+      col("doc_id").as("anchor") +: slotCols.map(c => col(c).as(c + "_a")): _*)
+    val bSigs = all.select(
+      col("doc_id") +: slotCols.map(c => col(c).as(c + "_b")): _*)
+    cand.join(aSigs, Seq("anchor")).join(bSigs, Seq("doc_id"))
+      .withColumn("n_agree",
+        slotCols.map(c => when(col(c + "_a") === col(c + "_b"), 1).otherwise(0))
+          .reduce(_ + _))
+      .filter(col("n_agree") >= minAgree)
+      .groupBy(col("doc_id"))
+      .agg(min(col("anchor")).as("rep_id"), max(col("n_agree")).as("n_agree"))
+  }
 }

@@ -101,28 +101,66 @@ object Sampling {
     * fractions), the fractions here are DERIVED from corpus statistics —
     * the published multilingual/multi-source recipe shape.
     *
-    * Scale shape: the domain-count aggregate is |domains| rows (tiny,
-    * map-side combinable), the normalizing mass is a 1-row aggregate,
-    * and both come back via broadcast joins — the corpus itself is never
-    * shuffled; membership is the same narrow portable-md5 predicate as
-    * every sampler here, so any engine re-derives exactly which rows
-    * entered the mixture. Fractions are rounded to 6 dp BEFORE the
-    * membership test so the kept set is reproducible bit-for-bit
-    * cross-engine.
+    * Clamping is renormalized by exact WATERFILLING (the published
+    * recipe's shape): when targetN * p_d / n_d > 1 for a small domain,
+    * that domain contributes ALL its n_d docs and the leftover mass is
+    * redistributed across the unclamped domains by their renormalized
+    * p ∝ n^alpha — iterated until no new domain clamps — so the mixture
+    * genuinely totals ≈ targetN instead of silently undershooting by
+    * the clamped excess.
+    *
+    * Scale shape: ONE tiny aggregate action derives the |domains|-row
+    * count table (a column-pruned scan of just the domain column); the
+    * waterfilling and the per-domain fractions are driver-side over
+    * those |domains| rows, and membership is applied as a literal CASE
+    * chain — so the RETURNED plan scans the corpus exactly once, with
+    * no join at all (the previous shape scanned it three times). The
+    * membership test is the same narrow portable-md5 predicate as every
+    * sampler here, so any engine re-derives exactly which rows entered
+    * the mixture. Fractions are rounded to 6 dp BEFORE the membership
+    * test so the kept set is reproducible bit-for-bit cross-engine.
     */
   def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
                      alpha: Double, targetN: Long,
                      salt: String = "tempmix"): DataFrame = {
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__pn", pow(col("__n").cast("double"), lit(alpha)))
-    val total = counts.agg(sum(col("__pn")).as("__tot"))
-    val fracs = counts.crossJoin(broadcast(total))
-      .select(col(domainCol),
-        round(least(lit(1.0),
-          lit(targetN.toDouble) * col("__pn") / col("__tot") / col("__n")), 6)
-          .as("keep_frac"))
-    df.join(broadcast(fracs), Seq(domainCol))
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().filter(!_.isNullAt(0)).map(r => (r.getString(0), r.getLong(1)))
+    val fracs = temperatureFractions(counts.toSeq, alpha, targetN)
+    val fracExpr = fracs.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, f)) =>
+        when(col(domainCol).cast("string") === lit(d), lit(f)).otherwise(acc)
+    }
+    df.withColumn("keep_frac", fracExpr)
       .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
+  }
+
+  /** Exact waterfilling over the (domain, count) table: walk domains in
+    * ascending-count order (ties by name — the same total order the
+    * oracle SQL's window uses, so prefix sums agree bit-for-bit);
+    * while the smallest unclamped domain's share c * n^alpha exceeds its
+    * n, clamp it to 1.0 and redistribute. The returned fractions are
+    * HALF_UP-rounded to 6 dp (Spark's and DuckDB's ROUND convention).
+    * Driver-side on |domains| rows — the same bounded-collect contract
+    * as IVF centroids and PQ codebooks.
+    */
+  private[graft] def temperatureFractions(counts: Seq[(String, Long)], alpha: Double,
+                                          targetN: Long): Seq[(String, Double)] = {
+    val sorted = counts.sortBy { case (d, n) => (n, d) }
+    val n = sorted.map(_._2.toDouble)
+    val pn = n.map(math.pow(_, alpha))
+    var k = 0
+    while (k < sorted.size && {
+      val c = (targetN.toDouble - n.take(k).sum) / pn.drop(k).sum
+      c * pn(k) > n(k) // the smallest unclamped domain would still clamp
+    }) k += 1
+    val c = if (k < sorted.size) (targetN.toDouble - n.take(k).sum) / pn.drop(k).sum
+            else 0.0 // every domain clamped: targetN >= the whole corpus
+    sorted.zipWithIndex.map { case ((d, _), i) =>
+      d -> (if (i < k) 1.0
+            else BigDecimal(c * pn(i) / n(i))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
   }
 
   /** One selected row of a weighted sample (object-level for implicit

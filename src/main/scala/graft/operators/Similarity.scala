@@ -345,31 +345,39 @@ object Similarity {
              maxIter: Int = 5, codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val e = emb(embeddings)
     val cbs = codebooks.getOrElse(pqCodebooks(embeddings, m, codebookSize, dim, maxIter))
-    // codes materialized once: every probe branch scans the SAME
-    // compressed corpus (that reuse is PQ's whole point)
-    val encoded = e.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"))
-      .localCheckpoint()
     val sub = dim / m
     // bounded collect: the probe vectors (few by contract)
     val probes = e.filter(col("vec_id").isin(probeVecIds: _*))
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val perProbe = probes.map { case (pid, pv) =>
-      val lut = Array.tabulate(m) { j =>
-        cbs(j).map { c =>
+    // ONE corpus scan for the whole probe batch: each probe's ADC lookup
+    // table (m × codebookSize partial squared distances) rides in as one
+    // row of a broadcast side, and every (row, probe) distance is a
+    // zip_with of the row's codes against that probe's LUT. The previous
+    // shape built one plan branch per probe, scanning (and re-encoding,
+    // absent a checkpoint) the corpus O(probes) times — fine for 3
+    // probes, wrong for a 100-probe serving batch. With one consumer the
+    // encode needs no checkpoint barrier at all.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val lutRows = probes.map { case (pid, pv) =>
+      val lut = Seq.tabulate(m) { j =>
+        cbs(j).toSeq.map { c =>
           var s = 0.0
           var i = 0
           while (i < sub) { val d = pv(j * sub + i) - c(i); s += d * d; i += 1 }
           s
         }
       }
-      val lutLit = array(lut.map(row => array(row.map(lit): _*)): _*)
-      encoded.filter(col("vec_id") =!= pid)
-        .select(lit(pid).as("probe_id"), col("vec_id"),
-          round(sqrt(aggregate(
-            zip_with(col("codes"), lutLit, (c, row) => element_at(row, c + 1)),
-            lit(0.0), (a, x) => a + x)), 6).as("dist"))
-    }.reduce(_ unionByName _)
-    topKPerProbeDist(perProbe, k)
+      (pid, lut)
+    }.toSeq.toDF("probe_id", "lut")
+    val encoded = e.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"))
+    val scored = encoded.crossJoin(broadcast(lutRows))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(sqrt(aggregate(
+          zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+          lit(0.0), (a, x) => a + x)), 6).as("dist"))
+    topKPerProbeDist(scored, k)
   }
 }

@@ -200,11 +200,12 @@ object EventStreams {
     */
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
                       versionCol: String, nBuckets: Int = 16,
-                      retain: Int = 1): org.apache.spark.sql.streaming.StreamingQuery =
+                      retain: Int = 1, compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId, retain)
+        mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId,
+          retain, compactEvery)
       }
       .start()
 
@@ -248,7 +249,7 @@ object EventStreams {
     */
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long,
-                          retain: Int = 1): Unit = {
+                          retain: Int = 1, compactEvery: Int = 64): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -332,6 +333,11 @@ object EventStreams {
       }
     publishManifest(fs, table, batchId, nBuckets, newLive)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+    // bound the manifest chain (every manifest is a full snapshot; see
+    // compactManifests) — keeps `_manifests/` listing O(compactEvery)
+    // instead of O(batches) over the sink's lifetime
+    if (compactEvery > 0 && manifestList(fs, table).size > compactEvery)
+      compactManifests(spark, tableDir, math.max(retain, compactEvery))
   }
 
   /** Read back the logical table the upsert sink maintains: exactly the
@@ -353,9 +359,10 @@ object EventStreams {
   }
 
   /** TIME TRAVEL: the table as of the newest committed batchId <= the
-    * requested one. Manifests are retained forever (tiny), so the
-    * commit HISTORY is always known; the snapshot's DATA files are
-    * readable as long as the sink's `retain` window still covers them
+    * requested one. The commit HISTORY is known as far back as the
+    * manifest chain reaches (bounded by the sink's `compactEvery` —
+    * see [[compactManifests]]); the snapshot's DATA files are readable
+    * as long as the sink's `retain` window still covers them
     * (retain = 1 keeps only the current snapshot's files; larger
     * values trade storage for readable history — the standard
     * lakehouse snapshot-retention dial).
@@ -427,8 +434,8 @@ object EventStreams {
   /** Atomic commit point: the manifest is written under a temp name and
     * renamed into place — one small-object move, so readers listing
     * `_manifests/` see either the old set or the old set plus the whole
-    * new file, never a partial write. Manifests are tiny and kept (an
-    * audit trail of the table's commit history).
+    * new file, never a partial write. Manifests are tiny; the chain is
+    * bounded by the sinks' `compactEvery` (see [[compactManifests]]).
     */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               table: org.apache.hadoop.fs.Path, batchId: Long,
@@ -447,6 +454,30 @@ object EventStreams {
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
       s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
         "the sink contract is one writer per table")
+  }
+
+  /** Bound the manifest CHAIN: drop manifest files older than the newest
+    * `keepLast`. Every manifest is a COMPLETE snapshot (it names every
+    * live file of every bucket — there is no delta chain to fold), so
+    * compaction is pure history pruning: the latest manifest, the
+    * replay watermark, and the GC retention set are untouched as long as
+    * `keepLast >= retain`; what is lost is exactly time travel BEYOND
+    * the retention window — whose data files the sweep already deleted
+    * anyway. Without this, `_manifests/` grows one tiny file per
+    * micro-batch forever and every read pays an O(batches) listing; at
+    * one batch a minute that is half a million objects a year.
+    * Call periodically, or let the sinks do it via their
+    * `compactEvery` parameter. Returns the number of pruned manifests.
+    */
+  def compactManifests(spark: SparkSession, tableDir: String, keepLast: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = manifestList(fs, table)
+    val prune = all.dropRight(keepLast)
+    prune.foreach(p => fs.delete(p, false))
+    prune.size
   }
 
   /** Union of the data files referenced by the newest `retain`
@@ -506,11 +537,12 @@ object EventStreams {
     * an unbounded stream for the cost of a tiny table.
     */
   def sketchToParquet(items: DataFrame, itemCol: String, tableDir: String,
-                      depth: Int = 4, width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+                      depth: Int = 4, width: Int = 256,
+                      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     items.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mergeSketchBatch(batch.toDF(), itemCol, tableDir, depth, width, batchId)
+        mergeSketchBatch(batch.toDF(), itemCol, tableDir, depth, width, batchId, compactEvery)
       }
       .start()
 
@@ -531,7 +563,8 @@ object EventStreams {
     * manifest commit).
     */
   def mergeSketchBatch(batch: DataFrame, itemCol: String, tableDir: String,
-                       depth: Int, width: Int, batchId: Long): Unit = {
+                       depth: Int, width: Int, batchId: Long,
+                       compactEvery: Int = 64): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val table = new Path(tableDir)
@@ -573,6 +606,8 @@ object EventStreams {
       .map(f => s"$genName/sketch/${f.getPath.getName}").toSeq
     publishManifest(fs, table, batchId, 1, Map(0 -> newFiles))
     sweepUnreferenced(fs, table, newFiles.toSet)
+    if (compactEvery > 0 && manifestList(fs, table).size > compactEvery)
+      compactManifests(spark, tableDir, compactEvery)
     // retire the legacy layout after the first manifest commit (its
     // contents are folded into gen_<batchId> by now)
     Seq(legacyCurrent, new Path(table, "_retiring")).foreach { p =>

@@ -74,6 +74,11 @@ object ScaleCurve {
           fn(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
+        // same sweep hygiene as Bench: checkpointed blocks from one
+        // query must not tax the next query's GC
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
       }
     }
     for (q <- queries) {

@@ -71,6 +71,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("signatureAgreementDedup: shard dup of a STORED doc is flagged from signatures alone") {
+    // history: doc 0; its text never reaches the dedup call — only sigs
+    val store = Dedup.portableMinhashSignatures(
+      Seq((0L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"))
+    val shard = Dedup.portableMinhashSignatures(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+      (11L, "completely different content about spark engines runtime"),
+      (12L, "completely different content about spark engines runtime") // dup WITHIN shard
+    ).toDF("doc_id", "text"))
+    val out = Dedup.signatureAgreementDedup(shard, store)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(10L) === (0L, 8)) // identical text -> identical signature, store anchor
+    assert(out(12L) === (11L, 8)) // within-shard anchor also caught
+    assert(!out.contains(11L)) // novel doc survives
+  }
+
+  test("signature store append: a later shard dedups against earlier survivors via the manifest table") {
+    import graft.streaming.EventStreams
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-sigstore-spec").toString
+    val sigsOf = (rows: Seq[(Long, String)]) =>
+      Dedup.portableMinhashSignatures(rows.toDF("doc_id", "text"))
+    // batch 0: history enters the store
+    EventStreams.mergeBatchIntoTable(
+      sigsOf(Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))),
+      storeDir, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    // shard 1 is novel; ALL its signatures append (batch 1) — dropped
+    // dups' sigs too, which is what keeps chains catchable later
+    EventStreams.mergeBatchIntoTable(
+      sigsOf(Seq((20L, "one two three four five six seven eight nine"))),
+      storeDir, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 1L)
+    val store = EventStreams.readUpsertTable(spark, storeDir)
+    assert(store.count() === 2L)
+    // shard 2 contains a dup of shard 1's survivor: caught via the store
+    val out = Dedup.signatureAgreementDedup(
+        sigsOf(Seq((30L, "one two three four five six seven eight nine"))), store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(30L) === 20L)
+    // replayed append (same batchId) is a no-op: exactly-once holds
+    EventStreams.mergeBatchIntoTable(
+      sigsOf(Seq((99L, "should not appear twice in the store ever at all"))),
+      storeDir, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 1L)
+    assert(EventStreams.readUpsertTable(spark, storeDir).count() === 2L)
+  }
+
   private lazy val vecs = {
     val mk = (id: Long, base: Double) =>
       (id, (0 until 64).map(i => (base + i * 0.01).toFloat).toArray, 0)

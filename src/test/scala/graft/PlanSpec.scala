@@ -291,6 +291,34 @@ class PlanSpec extends SparkSpec {
       "eval-gram side of the decontamination join is not broadcast")
   }
 
+  test("pqTopK scans the encoded corpus ONCE for a 50-probe batch") {
+    // the serving shape: per-probe LUTs ride in on one broadcast side, so
+    // probe-batch size never multiplies corpus scans — the previous
+    // one-branch-per-probe plan scanned the codes O(probes) times
+    val e = sources.Tables.embeddings(spark, sf)
+    val cbs = operators.Similarity.ensurePqCodebooks(e, s"pq-planspec:$sf", 8, 16, 64)
+    val df = operators.Similarity.pqTopK(e, 0L until 50L, k = 5, codebooks = Some(cbs))
+    val p = df.queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.count(l => l.contains("FileScan") && l.contains("embeddings"))
+    assert(scanLines === 1, s"expected exactly one embeddings scan, got $scanLines")
+  }
+
+  test("q137 incremental dedup never scans historical text") {
+    val p = planOf("q137_incremental_dedup")
+    // every scan of the documents table must carry the shard's pushed
+    // doc_id bound — the history side comes exclusively from the store
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty, "expected a shard-side documents scan")
+    assert(docScans.forall(_.contains("GreaterThanOrEqual(doc_id,250")),
+      s"a documents scan without the shard filter reads historical rows:\n${docScans.mkString("\n")}")
+    // the store scan reads signature columns only (text doesn't exist there)
+    val storeScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-sigstore")).toSeq
+    assert(storeScans.nonEmpty, "expected a signature-store scan")
+    assert(storeScans.forall(!_.contains("text")))
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole

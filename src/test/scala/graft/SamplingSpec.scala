@@ -104,6 +104,28 @@ class SamplingSpec extends SparkSpec {
     assert(prop("books") > 25 && prop("books") < 80) // ~50 = 200 * 0.25
   }
 
+  test("temperatureMix waterfills: clamped domains keep everything, total still ≈ targetN") {
+    // 1800 web / 200 books, targetN=1500: books' unclamped share would be
+    // 1500·sqrt(200)/(sqrt(1800)+sqrt(200))/200 ≈ 1.87 → clamps to 1.0,
+    // and the 1300 leftover must ALL go to web (frac 1300/1800 ≈ 0.722) —
+    // the one-shot clamp undershot to ~1325 here
+    val skewed = corpus.withColumn("source",
+      when(col("doc_id") < 1800, "web").otherwise("books"))
+    val fr = Sampling.temperatureFractions(
+      Seq("web" -> 1800L, "books" -> 200L), alpha = 0.5, targetN = 1500L).toMap
+    assert(fr("books") === 1.0)
+    assert(math.abs(fr("books") * 200 + fr("web") * 1800 - 1500.0) < 1.0)
+    val out = Sampling.temperatureMix(skewed, "source", "doc_id", 0.5, 1500L)
+    val byDomain = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("books") === 200L) // clamped: every books doc kept
+    assert(byDomain.values.sum > 1400 && byDomain.values.sum < 1600)
+    // everything clamps when targetN exceeds the corpus: all fracs 1.0
+    val all = Sampling.temperatureFractions(
+      Seq("web" -> 1800L, "books" -> 200L), 0.5, 5000L)
+    assert(all.forall(_._2 === 1.0))
+  }
+
   test("mixCorporaPortable honors per-source fractions, deterministic, tagged") {
     val en = corpus.filter(col("lang") === "en")
     val de = corpus.filter(col("lang") === "de")

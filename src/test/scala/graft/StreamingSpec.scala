@@ -496,4 +496,31 @@ class StreamingSpec extends SparkSpec {
     }
     ()
   }
+
+  test("manifest compaction bounds the chain; reads and in-retention time travel survive") {
+    val tableDir = Files.createTempDirectory("graft-upsert-compact").toString + "/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 8, id, retain = 3, compactEvery = 4)
+    (0L until 10L).foreach(i => merge(Seq((i % 3, s"p$i", i)), i))
+    // listing cost bounded: at most compactEvery manifests remain
+    val manifests = new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(manifests.length <= 4, s"manifest chain not bounded: ${manifests.length}")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reads resolve to the latest snapshot after compaction
+    val cur = asMap(EventStreams.readUpsertTable(spark, tableDir))
+    assert(cur === Map(0L -> "p9", 1L -> "p7", 2L -> "p8"))
+    // time travel within the retained window still works
+    assert(asMap(EventStreams.readUpsertTableAt(spark, tableDir, 8L)) ===
+      Map(0L -> "p6", 1L -> "p7", 2L -> "p8"))
+    // beyond the pruned horizon fails loudly, not silently-wrong
+    intercept[IllegalArgumentException] {
+      EventStreams.readUpsertTableAt(spark, tableDir, 0L)
+    }
+    // the replay watermark survives compaction: an old batchId is a no-op
+    merge(Seq((0L, "SHOULD_NOT_APPLY", 99L)), 5L)
+    assert(asMap(EventStreams.readUpsertTable(spark, tableDir)) === cur)
+  }
 }
