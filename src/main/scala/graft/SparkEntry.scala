@@ -1112,46 +1112,11 @@ object SparkEntry {
   /** The q89 portable-LSH near-dup assignment over an arbitrary
     * (doc_id, text) frame — q136 applies it mid-pipeline to the
     * quality+exact-dedup survivors. Returns (doc_id, rep_id, jaccard).
+    * Body lives in `operators.Curation.lshAssignments` (shared with the
+    * incremental curation stream).
     */
-  private def portableLshAssignments(docs: DataFrame): DataFrame = {
-    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
-    }
-    // explode+groupBy signatures, NO checkpoint — deliberate asymmetry
-    // with q113: here every consumer sits in ONE plan, so ReuseExchange
-    // serves the sig aggregate to both band branches for free, and an
-    // eager checkpoint barrier measured SLOWER (0.57 s -> 0.83 s at
-    // sf0.1); q113's eval/corpus split filters defeat reuse, which is
-    // why it checkpoints and derives narrow array_min signatures instead
-    val sig = docs
-      .select(col("doc_id"), explode(array_distinct(functions.Texts.tokens(col("text")))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-    // struct field names are part of the type: both band branches must
-    // alias their slots to the same inner names for the union + join
-    def bandKey(cols: Seq[String]) =
-      struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
-    val banded = sig.select(col("doc_id"), lit(0).as("band"),
-        bandKey(Seq("s0", "s1", "s2", "s3")).as("bk"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-        bandKey(Seq("s4", "s5", "s6", "s7")).as("bk")))
-    val anchors = banded.groupBy(col("band"), col("bk"))
-      .agg(min(col("doc_id")).as("anchor"))
-    val cand = banded.join(anchors, Seq("band", "bk"))
-      .filter(col("doc_id") > col("anchor"))
-      .select(col("anchor"), col("doc_id"))
-      .distinct()
-    val tsets = docs.select(col("doc_id"),
-      array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
-    cand
-      .join(tsets.select(col("doc_id").as("anchor"), col("ts").as("ta")), Seq("anchor"))
-      .join(tsets.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
-      .withColumn("jaccard", round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .groupBy(col("doc_id"))
-      .agg(min(col("anchor")).as("rep_id"), max(col("jaccard")).as("jaccard"))
-  }
+  private def portableLshAssignments(docs: DataFrame): DataFrame =
+    operators.Curation.lshAssignments(docs)
 
   /** Full-corpus dup-cluster closure over the PRODUCTION edge set: the
     * q89 portable-LSH verified pairs (anchor pattern, O(docs × bands)
@@ -2421,40 +2386,12 @@ object SparkEntry {
     */
   def q136CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val evalSlice = docs.filter(col("doc_id") < 250)
-    val corpus = docs.filter(col("doc_id") >= 250)
-    // quality features are per-row expressions — project them straight
-    // onto the corpus (one scan), never self-join docQuality on doc_id
-    val qual = operators.TextAnalysis.withQualityFeatures(corpus)
-      .filter(col("n_tokens") >= 10 &&
-        col("n_uniq_tokens").cast("double") / col("n_tokens") >= 0.3 &&
-        col("stopword_ratio") <= 0.5)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
-    val exactReps = qual.groupBy(sha2(col("text"), 256))
-      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    // materialize the quality+exact-dedup survivors ONCE (q113 pattern):
-    // d1 feeds the LSH signature build, both verification token-set
-    // sides, the gram explode, and the final accounting — five subtrees
-    // that differ above the scan, so without the barrier the whole
-    // quality+dedup lineage (scan, tokenize, hash, semi-join) re-derives
-    // per consumer (measured: 57 scan appearances in the logical plan,
-    // best-of-5 2.55 -> 2.10 s at sf0.1 from this one barrier)
-    val d1 = qual.join(exactReps, Seq("doc_id"), "left_semi").localCheckpoint()
-    val d2 = d1.join(portableLshAssignments(d1).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val n = 5
-    def grams(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), functions.Texts.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-        .as("gram"))
-    val evalGrams = grams(evalSlice).select(col("gram")).distinct()
-    val contaminated = grams(d2).join(broadcast(evalGrams), Seq("gram"))
-      .select(col("doc_id")).distinct()
-    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
-    operators.Sampling.withSplitPortable(d3, "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // stages live in operators.Curation, shared verbatim with the
+    // incremental composition (streaming.CurationStream) — the
+    // StreamingSpec equivalence test leans on them being the same code
+    operators.Curation.curate(
+        corpus = docs.filter(col("doc_id") >= 250),
+        evalSlice = docs.filter(col("doc_id") < 250))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
@@ -2499,6 +2436,43 @@ object SparkEntry {
     val shard = operators.Dedup.portableMinhashSignatures(
       Tables.documents(spark, dir).filter(col("doc_id") >= 250))
     operators.Dedup.signatureAgreementDedup(shard, store)
+  }
+
+  /** SemDeDup semantic-dedup VERDICT (the q99/q122/q133 convention:
+    * engine-computed booleans against a constant oracle — k-means cells
+    * are float-order-sensitive, so cluster CONTENTS are not portable,
+    * but the dedup PROPERTIES are). The synthetic embeddings' max
+    * pairwise cosine is ~0.51 — no near-identical pairs exist, and
+    * moderately-similar directions legitimately split across k-means
+    * cells (measured: ~50% of 0.35-cosine pairs co-cluster) — so the
+    * check PLANTS ground truth instead: 50 clone vectors (originals
+    * scaled by 1.001 — same direction, cosine ≈ 1, and near-identical
+    * COORDS, so the L2 quantizer must co-cluster each clone with its
+    * original). At minCos 0.99 the planted pairs are the ONLY pairs
+    * above threshold, making the expected decision set exact:
+    * `semanticDedup` must drop all 50 clones, only clones, each with
+    * its original as rep — completeness, soundness, and rep assignment
+    * in one deterministic verdict, independent of where k-means puts
+    * its cell boundaries.
+    */
+  def q138SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    val clones = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val dropped = operators.Dedup.semanticDedup(
+      base.unionByName(clones), nClusters = 8, minCos = 0.99)
+    dropped.agg(
+        count(lit(1)).as("n"),
+        min(when(col("vec_id") >= 100000L, 1).otherwise(0)).as("only_clones"),
+        min(when(col("rep_id") === col("vec_id") - 100000L, 1).otherwise(0))
+          .as("reps_orig"),
+        min(when(col("cosine") >= 0.99, 1).otherwise(0)).as("cos_ok"))
+      .select(
+        (col("n") === 50).as("all_planted_caught"),
+        (col("only_clones") === 1).as("no_false_positives"),
+        (col("reps_orig") === 1).as("reps_are_originals"),
+        (col("cos_ok") === 1).as("drops_verified"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2640,6 +2614,7 @@ object SparkEntry {
     "q135_lm_score" -> (q135LmScore _),
     "q136_curation_pipeline" -> (q136CurationPipeline _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
+    "q138_semantic_dedup" -> (q138SemanticDedup _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -3747,5 +3722,8 @@ object SparkEntry {
         |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
     "q136_curation_pipeline" -> curationPipelineOracleSql,
     "q137_incremental_dedup" -> incrementalDedupOracleSql,
+    "q138_semantic_dedup" ->
+      """SELECT TRUE AS all_planted_caught, TRUE AS no_false_positives,
+        |TRUE AS reps_are_originals, TRUE AS drops_verified""".stripMargin,
   )
 }

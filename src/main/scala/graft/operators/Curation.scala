@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Texts}
+
+/** The corpus-curation pipeline stages (q136), factored so the BATCH
+  * composition (`SparkEntry.q136CurationPipeline`, hash-checked against
+  * the six-stage DuckDB oracle) and the INCREMENTAL composition
+  * (`streaming.CurationStream`, the reference's `@daily` cadence —
+  * ETL.py:20 — done right) run the SAME stage code. Stage order and
+  * expressions are exactly the q136 body; see each member's notes for
+  * the scale posture.
+  */
+object Curation {
+
+  /** Stage 1 — quality gate: per-row feature thresholds projected
+    * narrowly onto the corpus (one scan, no self-join). Returns the
+    * (doc_id, text, lang, n_tokens) survivor projection.
+    */
+  def qualityGate(corpus: DataFrame): DataFrame =
+    TextAnalysis.withQualityFeatures(corpus)
+      .filter(col("n_tokens") >= 10 &&
+        col("n_uniq_tokens").cast("double") / col("n_tokens") >= 0.3 &&
+        col("stopword_ratio") <= 0.5)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+
+  /** Stage 2 — exact dedup: keep the min doc_id per content sha. The
+    * shuffle carries the 32-byte sha, never text.
+    */
+  def exactUniqueIds(qual: DataFrame): DataFrame =
+    qual.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+
+  /** Stage 3 — portable MinHash-LSH near-dup assignment (q89's rule):
+    * 8-slot portable signatures → 2 banded keys → per-(band, key)
+    * anchor = min doc_id → candidates verified by exact token-set
+    * Jaccard >= 0.8 against their bucket anchors → rep = min verified
+    * anchor. Candidates are O(docs × bands), never bucket-quadratic.
+    *
+    * explode+groupBy signatures, NO checkpoint — deliberate asymmetry
+    * with q113: here every consumer sits in ONE plan, so ReuseExchange
+    * serves the sig aggregate to both band branches for free, and an
+    * eager checkpoint barrier measured SLOWER (0.57 s -> 0.83 s at
+    * sf0.1); q113's eval/corpus split filters defeat reuse, which is
+    * why it checkpoints and derives narrow array_min signatures instead.
+    */
+  def lshAssignments(docs: DataFrame): DataFrame = {
+    val slots = Dedup.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(Dedup.minhashPrime)).as(s"s$i")
+    }
+    val sig = docs
+      .select(col("doc_id"), explode(array_distinct(Texts.tokens(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(slots.head, slots.tail: _*)
+    // struct field names are part of the type: both band branches must
+    // alias their slots to the same inner names for the union + join
+    def bandKey(cols: Seq[String]) =
+      struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
+    val banded = sig.select(col("doc_id"), lit(0).as("band"),
+        bandKey(Seq("s0", "s1", "s2", "s3")).as("bk"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        bandKey(Seq("s4", "s5", "s6", "s7")).as("bk")))
+    val anchors = banded.groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val cand = banded.join(anchors, Seq("band", "bk"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id"))
+      .distinct()
+    val tsets = docs.select(col("doc_id"),
+      array_distinct(Texts.tokens(col("text"))).as("ts"))
+    cand
+      .join(tsets.select(col("doc_id").as("anchor"), col("ts").as("ta")), Seq("anchor"))
+      .join(tsets.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
+      .withColumn("jaccard", round(Hashes.jaccardSet(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("doc_id"))
+      .agg(min(col("anchor")).as("rep_id"), max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Word n-grams of a (doc_id, text) frame — the decontamination unit
+    * (stage 4). Docs shorter than n grams produce no row.
+    */
+  def grams(d: DataFrame, n: Int): DataFrame = d
+    .select(col("doc_id"), Texts.tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+      .as("gram"))
+
+  /** Stages 1–5 composed as ONE batch plan: quality gate → exact dedup
+    * → LSH near-dup over the survivors → n-gram decontamination against
+    * the eval slice (broadcast eval grams) → portable split. Returns
+    * the survivor frame (doc_id, text, lang, n_tokens, split) — q136
+    * aggregates it into the accounting table; the incremental spec
+    * compares survivor SETS against it.
+    */
+  def curate(corpus: DataFrame, evalSlice: DataFrame, n: Int = 5): DataFrame = {
+    val qual = qualityGate(corpus)
+    // materialize the quality+exact-dedup survivors ONCE (q113 pattern):
+    // d1 feeds the LSH signature build, both verification token-set
+    // sides, the gram explode, and the final accounting — five subtrees
+    // that differ above the scan, so without the barrier the whole
+    // quality+dedup lineage (scan, tokenize, hash, semi-join) re-derives
+    // per consumer (measured: 57 scan appearances in the logical plan,
+    // best-of-5 2.55 -> 2.10 s at sf0.1 from this one barrier)
+    val d1 = qual.join(exactUniqueIds(qual), Seq("doc_id"), "left_semi").localCheckpoint()
+    val d2 = d1.join(lshAssignments(d1).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val evalGrams = grams(evalSlice, n).select(col("gram")).distinct()
+    val contaminated = grams(d2, n).join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.withSplitPortable(d3, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+}

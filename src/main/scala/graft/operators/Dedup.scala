@@ -148,6 +148,54 @@ object Dedup {
       .agg(min(col("anchor")).as("rep_id"), max(col("cosine")).as("cosine"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (published recipe: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means-cluster the embedding space with
+    * the IVF coarse quantizer ([[Similarity.assignCells]] — same fixed
+    * seed/init as the ANN index), then prune WITHIN-CLUSTER pairs whose
+    * exact cosine exceeds `minCos`, keeping the lowest vec_id of each
+    * pair. The layer above near-dup detection that modern pipelines
+    * run: [[embeddingNearDups]] catches near-copies (sign-pattern
+    * buckets — lexical-ish), this catches semantically redundant docs
+    * whose embeddings cluster together.
+    *
+    * Deterministic keep rule: a doc is dropped iff some LOWER-id doc in
+    * its cluster matches it at >= minCos (the paper keeps a
+    * per-group representative chosen by centroid distance; lowest-id is
+    * the same cardinality with a total order any engine can replay).
+    * Within-cluster-ONLY candidates — the plan's pair join keys on the
+    * cell id, so no cross-cluster pair is ever formed (PlanSpec proves
+    * no cartesian/nested-loop join in q138).
+    *
+    * Scale shape: candidate volume is sum of cluster-size^2 — the
+    * published recipe accepts the quadratic WITHIN clusters and bounds
+    * it by scaling nClusters WITH the corpus (the paper runs 110k
+    * clusters over LAION; cluster size stays ~O(1000) regardless of
+    * corpus size, so per-cluster pairwise is constant work and the
+    * whole op is one shuffle on cell + bounded local pairing). A
+    * pathologically skewed cell (the minhash 230 s lesson) is cured by
+    * raising nClusters, not by the anchor pattern — anchor-vs-member
+    * misses member-member pairs, which ARE the semantics here.
+    *
+    * Returns (vec_id, rep_id, cosine): rep_id = lowest matching
+    * lower-id partner, cosine = the strongest match that doomed the
+    * doc. Docs absent from the result survive.
+    */
+  def semanticDedup(embeddings: DataFrame, nClusters: Int = 8,
+                    minCos: Double = 0.99, maxIter: Int = 5): DataFrame = {
+    import graft.functions.Vectors
+    val assigned = Similarity.assignCells(embeddings, nClusters, maxIter)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_id"))
+      .withColumn("cosine", round(Vectors.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(min(col("vec_a")).as("rep_id"), max(col("cosine")).as("cosine"))
+  }
+
   /** SimHash fingerprints (custom Catalyst expression) + hamming-bucket
     * near-dup pairs: candidates share at least one 16-bit quarter of the
     * fingerprint (pigeonhole: hamming <= 3 guarantees a shared quarter).

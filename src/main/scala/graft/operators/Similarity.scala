@@ -111,6 +111,25 @@ object Similarity {
     }: _*)
   }
 
+  /** Fixed-seed coarse-quantizer cell assignment: (vec_id, label, v,
+    * cell) with cell in [0, nlist) — the clustering layer [[ivfTopK]] /
+    * [[buildIvfIndex]] train inline, factored out so semantic dedup
+    * (`Dedup.semanticDedup`) clusters with the SAME quantizer
+    * convention (same seed/init/iterations ⇒ same cells on the same
+    * data). Assignment cost at scale: one broadcast of nlist centroids
+    * + a narrow map; training samples internally.
+    */
+  def assignCells(embeddings: DataFrame, nlist: Int, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.select(col("fv")))
+    model.transform(e).drop("fv")
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, fixed seed) assigns every vector to one of `nlist` cells;
     * each probe searches only its `nprobe` nearest cells, with exact

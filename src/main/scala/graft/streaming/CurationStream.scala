@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.{Hashes, Texts}
+import graft.operators.{Curation, Dedup, Sampling}
+
+/** INCREMENTAL corpus curation — q136's batch composition run shard by
+  * shard under `Trigger.AvailableNow` (the production analog of the
+  * reference's `@daily` re-run, ETL.py:20, without re-reading history):
+  * each micro-batch of new documents passes the SAME stages
+  * (`operators.Curation`), with the cross-shard state carried by two
+  * manifest-committed tables (`EventStreams.mergeBatchIntoTable` —
+  * atomic, replay-idempotent, time-travelable):
+  *
+  *   - STATE table (doc_id, sha, s0..s7, toks): one row per
+  *     quality-passing, exact-unique doc ever processed — content sha
+  *     for exact dedup, portable MinHash signature for banding, token
+  *     SET for the Jaccard verify. Near-dup-DROPPED docs' rows are
+  *     kept too: batch semantics verify members against bucket anchors
+  *     regardless of the anchor's own fate, so forgetting dropped docs
+  *     would break batch-equivalence (a~b~c chains). No raw text is
+  *     retained.
+  *   - SINK table (doc_id, lang, n_tokens, split): the curated
+  *     survivor set, grown by upsert.
+  *
+  * EQUIVALENCE (proven in StreamingSpec): provided shards arrive in
+  * ascending doc_id order — the natural shape of a growing corpus —
+  * N incremental passes produce exactly the survivor set of one batch
+  * `Curation.curate` over the concatenated corpus. Why: quality,
+  * decontamination, and split are stateless per-row; exact dedup keeps
+  * the min id per sha, which under ascending arrival is always the
+  * FIRST-seen sha; and the LSH stage's bucket anchors (min id per
+  * band key) are stable once seen — a later doc can never become the
+  * anchor of an earlier bucket, so member-vs-anchor decisions made
+  * per-shard against (state ∪ shard) equal the batch decisions.
+  *
+  * 100 TB posture: per shard, history is touched ONLY through the
+  * state table — text-free rows, read via the manifest (no directory
+  * listing), bucketed so the sha/band joins shuffle the (small) shard
+  * side against a bounded slice. The corpus text of past shards is
+  * never re-scanned — the whole point vs re-running batch q136 daily.
+  */
+object CurationStream {
+
+  /** One shard through stages 1–5 against the persisted state; commits
+    * the state append and the survivor upsert under the micro-batch id
+    * (both idempotent on replay — exactly-once end to end). Exposed for
+    * direct (synchronous) testing; `start` wires it to a stream.
+    */
+  def curateShard(shard: DataFrame, evalSlice: DataFrame,
+                  stateDir: String, sinkDir: String, batchId: Long,
+                  nGram: Int = 5): Unit = {
+    val spark = shard.sparkSession
+    // one tiny barrier per shard (micro-batches are bounded): the shard
+    // survivor set feeds sha-dedup, signing, banding, verification and
+    // the sink write — the q136 fan-out, at shard scale
+    val qual = Curation.qualityGate(shard).localCheckpoint()
+    val withSha = qual.withColumn("sha", sha2(col("text"), 256))
+    val shardUnique = withSha.join(
+      withSha.groupBy(col("sha")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val hist: Option[DataFrame] = {
+      val m = new org.apache.hadoop.fs.Path(stateDir, "_manifests")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(m)) Some(EventStreams.readUpsertTable(spark, stateDir)) else None
+    }
+    // exact dedup vs history: the sha join carries 32-byte hashes only
+    val newUnique = hist.fold(shardUnique)(h =>
+      shardUnique.join(h.select(col("sha")), Seq("sha"), "left_anti"))
+    val slotCols = (0 until 8).map(i => s"s$i")
+    val shardState = newUnique
+      .select(col("doc_id"), col("sha"),
+        array_distinct(Texts.tokens(col("text"))).as("toks"))
+      .join(Dedup.portableMinhashSignatures(
+        newUnique.select(col("doc_id"), col("text"))), Seq("doc_id"))
+      .localCheckpoint()
+    val allState = hist.fold(shardState)(h =>
+      h.select(shardState.columns.map(col): _*).unionByName(shardState))
+    // q89/q136 banding over (state ∪ shard) — anchors are stable
+    // under ascending arrival, so these decisions equal batch decisions
+    def bandKey(b: Int) = struct((0 until 4).map(i =>
+      col(s"s${b * 4 + i}").as(s"k$i")): _*)
+    val banded = (0 to 1).map(b => allState.select(col("doc_id"),
+        lit(b).as("band"), bandKey(b).as("bk")))
+      .reduce(_ unionByName _)
+    val anchors = banded.groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val dropped = banded.join(anchors, Seq("band", "bk"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id")).distinct()
+      // decisions are for THIS shard; history was decided in its shard
+      .join(shardState.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(allState.select(col("doc_id").as("anchor"), col("toks").as("ta")),
+        Seq("anchor"))
+      .join(allState.select(col("doc_id"), col("toks").as("tb")), Seq("doc_id"))
+      .filter(round(Hashes.jaccardSet(col("ta"), col("tb")), 6) >= 0.8)
+      .select(col("doc_id")).distinct()
+    val d2 = newUnique.select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val evalGrams = Curation.grams(evalSlice, nGram).select(col("gram")).distinct()
+    val contaminated = Curation.grams(d2, nGram)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
+    // materialize the decisions BEFORE the state commit: the survivor
+    // plan still references the state table's current generation, and
+    // the state merge below sweeps superseded files — an unmaterialized
+    // `out` would read deleted parquet
+    val out = Sampling.withSplitPortable(d3, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
+      .localCheckpoint()
+    // two commits under one batchId: replay after a crash between them
+    // re-runs the shard, the already-committed table no-ops, the other
+    // applies — exactly-once for the pair
+    EventStreams.mergeBatchIntoTable(
+      shardState.select((col("doc_id") +: col("sha") +: col("toks") +:
+        slotCols.map(col)): _*),
+      stateDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+    EventStreams.mergeBatchIntoTable(out, sinkDir,
+      Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+  }
+
+  /** Drain everything new under `corpusDir` through the curation
+    * stages and stop (`Trigger.AvailableNow` — the scheduled-cadence
+    * shape: each invocation is one "daily" pass; the file-source
+    * checkpoint remembers which shard files are already processed).
+    */
+  def start(spark: SparkSession, corpusDir: String, schema: StructType,
+            evalSlice: DataFrame, stateDir: String, sinkDir: String,
+            checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(corpusDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateShard(batch, evalSlice, stateDir, sinkDir, batchId)
+      }
+      .start()
+}

@@ -139,6 +139,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!reps.contains(2L)) // orthogonal decoy survives
   }
 
+  test("semanticDedup drops the within-cluster near-dup, keeps the cross-cluster decoy") {
+    val dropped = Dedup.semanticDedup(vecs, nClusters = 2, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dropped === Map(1L -> 0L)) // near-parallel pair: higher id drops
+    // vec 2 (orthogonal) survives even at a permissive threshold: its
+    // cosine to anything in its cell is far below minCos
+  }
+
   test("ivfTopK finds the nearly-parallel vector in the probe's cell") {
     val got = Similarity.ivfTopK(vecs, Seq(0L), k = 2, nlist = 2, nprobe = 1)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -303,6 +303,22 @@ class PlanSpec extends SparkSpec {
     assert(scanLines === 1, s"expected exactly one embeddings scan, got $scanLines")
   }
 
+  test("q138 semantic dedup forms within-cluster pairs only (no cross-cluster candidates)") {
+    // SemDeDup's candidate set is the pair join keyed on the k-means
+    // cell — no cartesian/nested-loop anywhere means no cross-cluster
+    // pair can exist in the plan, and the equi-join keyed on cell is
+    // the only pair-former
+    val p = planOf("q138_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "cross-cluster cartesian pairing")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi pair join")
+    val pairJoins = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("vec_a")).toSeq
+    assert(pairJoins.nonEmpty, "expected the within-cell pair join")
+    assert(pairJoins.forall(_.contains("cell")),
+      s"pair join not keyed on the cluster cell:\n${pairJoins.mkString("\n")}")
+  }
+
   test("q137 incremental dedup never scans historical text") {
     val p = planOf("q137_incremental_dedup")
     // every scan of the documents table must carry the shard's pushed

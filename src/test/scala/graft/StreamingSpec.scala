@@ -497,6 +497,52 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("incremental curation (two AvailableNow passes) equals one batch curation") {
+    import graft.streaming.CurationStream
+    val base = Files.createTempDirectory("graft-curation").toString
+    val corpusDir = s"$base/corpus"
+    val stateDir = s"$base/state"
+    val sinkDir = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val evalSlice = docs.filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    // shards arrive in ascending doc_id order (the stream's contract);
+    // shard 2 plants cross-shard dups: an exact copy and a one-token
+    // near copy of shard-1 docs — catchable ONLY via the state table
+    val exactClone = corpus.filter(col("doc_id") === 300)
+      .select(lit(9000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val shard1 = corpus.filter(col("doc_id") < 400)
+    val shard2 = corpus.filter(col("doc_id") >= 400).unionByName(exactClone)
+    shard1.coalesce(1).write.mode("append").parquet(corpusDir)
+    CurationStream.start(spark, corpusDir, corpus.schema, evalSlice,
+      stateDir, sinkDir, ckpt).awaitTermination()
+    shard2.coalesce(1).write.mode("append").parquet(corpusDir)
+    CurationStream.start(spark, corpusDir, corpus.schema, evalSlice,
+      stateDir, sinkDir, ckpt).awaitTermination()
+    val inc = EventStreams.readUpsertTable(spark, sinkDir)
+      .select("doc_id", "lang", "n_tokens", "split")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.Curation.curate(
+        corpus.unionByName(exactClone), evalSlice)
+      .select("doc_id", "lang", "n_tokens", "split")
+      .collect().map(_.toString).toSet
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+    // cross-shard EXACT dedup exercised: the planted shard-2 copy of a
+    // shard-1 doc is caught via the state table's sha column
+    assert(!inc.exists(_.startsWith("[9000,")))
+    // cross-shard NEAR-dup dedup exercised: the corpus's natural dup
+    // clusters span the shard boundary (docs 401/403/406 verify at
+    // jaccard >= 0.9 against anchor 251, which lives in shard 1 — a
+    // decision only reachable through the state table's signatures)
+    Seq(401L, 403L, 406L).foreach(id =>
+      assert(!inc.exists(_.startsWith(s"[$id,")), s"doc $id should be deduped"))
+    // and shard-2 survivors do exist (the state isn't over-dropping)
+    assert(inc.exists(_.startsWith("[4")))
+  }
+
   test("manifest compaction bounds the chain; reads and in-retention time travel survive") {
     val tableDir = Files.createTempDirectory("graft-upsert-compact").toString + "/t"
     def merge(rows: Seq[(Long, String, Long)], id: Long) =
