@@ -17,11 +17,18 @@ object Vectors {
   /** array<float> -> array<double> (promote before any arithmetic). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** In-order dot product — native codegen'd kernel
+    * ([[graft.plans.VectorOps]]), bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, _ * _), 0d, _ + _)` it replaced (same
+    * left-to-right double sum; see VectorOps scaladoc for the proof
+    * sketch), ~10x less per-pair overhead than the interpreted lambda.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorOps.vecDot(a, b)
 
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** Sum of squares — dot(a, a) accumulates the identical op sequence
+    * (x*x then add) as the old `aggregate(a, 0d, (acc, x) => acc + x*x)`.
+    */
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
@@ -31,7 +38,7 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), norm(a) * norm(b))
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance (native in-order squared-distance kernel). */
   def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.plans.VectorOps.vecL2Sq(a, b))
 }

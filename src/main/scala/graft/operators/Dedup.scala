@@ -182,9 +182,15 @@ object Dedup {
     * doc. Docs absent from the result survive.
     */
   def semanticDedup(embeddings: DataFrame, nClusters: Int = 8,
-                    minCos: Double = 0.99, maxIter: Int = 5): DataFrame = {
+                    minCos: Double = 0.99, maxIter: Int = 5,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.functions.Vectors
-    val assigned = Similarity.assignCells(embeddings, nClusters, maxIter)
+    // with pre-trained centroids (the train-once serving shape,
+    // Similarity.ensureCellCentroids) assignment is a narrow argmin
+    // expression — no k-means fit inside the query
+    val assigned = centroids
+      .map(c => Similarity.assignCellsByCentroids(embeddings, c))
+      .getOrElse(Similarity.assignCells(embeddings, nClusters, maxIter))
       .select(col("vec_id"), col("v"), col("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col("vec_id"), col("v").as("vb"))

@@ -130,6 +130,48 @@ object Similarity {
     model.transform(e).drop("fv")
   }
 
+  private val trainedCells =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Train-once guard per JVM for the coarse-quantizer centroids (the
+    * [[ensurePqCodebooks]] convention): clustering's serving shape is
+    * train-once/assign-many — re-fitting k-means per invocation charges
+    * every run the training pass. Same fixed seed/init as
+    * [[assignCells]], so the centroids are the ones that quantizer
+    * would produce.
+    */
+  def ensureCellCentroids(embeddings: DataFrame, key: String, nlist: Int,
+                          maxIter: Int = 5): Array[Array[Double]] =
+    trainedCells.computeIfAbsent(key, _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+      new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+        .setInitMode("random")
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e.select(col("fv")))
+        .clusterCenters.map(_.toArray)
+    })
+
+  /** Nearest-centroid cell assignment as a pure expression: squared L2
+    * against each centroid literal, argmin = position of the array
+    * minimum (first minimum on ties — MLlib's convention too). A
+    * narrow codegen'd map over the scan: the nlist×dim centroids ride
+    * in the plan as literals, no MLlib transform, no shuffle — the
+    * "broadcast centroids + narrow map" shape the 100 TB notes
+    * promise, with the broadcast folded into the plan itself.
+    */
+  def assignCellsByCentroids(embeddings: DataFrame,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    val d2 = centroids.toSeq.map { c =>
+      graft.plans.VectorOps.vecL2Sq(col("v"), array(c.toSeq.map(lit): _*))
+    }
+    val darr = array(d2: _*)
+    emb(embeddings)
+      .withColumn("cell",
+        (array_position(darr, array_min(darr)) - 1).cast("int"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, fixed seed) assigns every vector to one of `nlist` cells;
     * each probe searches only its `nprobe` nearest cells, with exact
@@ -331,9 +373,7 @@ object Similarity {
     array(codebooks.zipWithIndex.map { case (cb, j) =>
       val subv = slice(v, j * sub + 1, sub)
       val cbLit = array(cb.map(c => array(c.map(lit): _*)): _*)
-      val dists = transform(cbLit, c =>
-        aggregate(zip_with(subv, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x))
+      val dists = transform(cbLit, c => graft.plans.VectorOps.vecL2Sq(subv, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
   }

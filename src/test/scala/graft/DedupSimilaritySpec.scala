@@ -147,6 +147,23 @@ class DedupSimilaritySpec extends SparkSpec {
     // cosine to anything in its cell is far below minCos
   }
 
+  test("assignCellsByCentroids matches the MLlib transform assignment") {
+    // the expression argmin (first minimum on ties) must agree with
+    // model.transform cell-for-cell when fed that model's centroids —
+    // the train-once serving path and the inline path are one quantizer
+    val byModel = Similarity.assignCells(vecs, nlist = 2)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = Similarity.ensureCellCentroids(vecs, "spec:cells", nlist = 2)
+    val byExpr = Similarity.assignCellsByCentroids(vecs, cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byExpr === byModel)
+    // and the centroid-fed semanticDedup decides identically
+    val dropped = Dedup.semanticDedup(vecs, nClusters = 2, minCos = 0.99,
+        centroids = Some(cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dropped === Map(1L -> 0L))
+  }
+
   test("ivfTopK finds the nearly-parallel vector in the probe's cell") {
     val got = Similarity.ivfTopK(vecs, Seq(0L), k = 2, nlist = 2, nprobe = 1)
       .select("vec_id").collect().map(_.getLong(0)).toSet
