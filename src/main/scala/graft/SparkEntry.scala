@@ -1415,6 +1415,29 @@ object SparkEntry {
        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
        |SELECT doc_id, cluster_id, cluster_size FROM cc JOIN sz USING (cluster_id)""".stripMargin
 
+  /** q141 oracle: the q115 closure CTEs, then the md5 split draw on the
+    * cluster key (the q134 `portableUnit` SQL convention), LEFT-joined
+    * so singleton docs draw on their own id.
+    */
+  private def leakageSafeSplitOracleSql: String =
+    s"""${minhashLshOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_id, MIN(anchor) AS rep_id
+       |  FROM v WHERE jaccard >= 0.8 GROUP BY doc_id),
+       |und AS (SELECT doc_id AS a, rep_id AS b FROM edges
+       |        UNION ALL SELECT rep_id, doc_id FROM edges),
+       |nodes AS (SELECT DISTINCT a AS n FROM und),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+       |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_key,
+       |  CASE WHEN ('0x' || substr(md5(COALESCE(cc.cluster_id, d.doc_id)::VARCHAR
+       |                || ':lsplit'), 1, 8))::BIGINT / 4294967296.0 < 0.9
+       |       THEN 'train' ELSE 'eval' END AS split
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
+
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
     */
@@ -2480,6 +2503,45 @@ object SparkEntry {
         (col("cos_ok") === 1).as("drops_verified"))
   }
 
+  /** Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr
+    * semantics, Spark-native positional-fingerprint shape — see
+    * [[operators.Dedup.duplicatedSpans]]): every maximal run of 5-token
+    * grams that occur more than once corpus-wide, reported as
+    * token-position spans. The oracle re-derives tokenization, md5 gram
+    * fingerprints, the corpus-wide occurrence count, and the
+    * gaps-and-islands span merge — the hash-match proves positions,
+    * extents, and the merge rule.
+    */
+  def q139DupSpans(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.duplicatedSpans(Tables.documents(spark, dir), k = 5)
+
+  /** The published Gopher quality-rule gate over the corpus
+    * ([[operators.TextAnalysis.gopherQualityGate]]): per-doc feature
+    * values, one boolean per published rule, and the conjunction. The
+    * oracle re-derives every feature and every threshold decision —
+    * the rules that split this corpus (word count, stopword presence)
+    * and the ones it passes wholesale are all value-checked per row.
+    */
+  def q140GopherGate(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.gopherQualityGate(Tables.documents(spark, dir))
+
+  /** Leakage-safe split assignment
+    * ([[operators.Sampling.leakageSafeSplit]]): the train/eval draw is
+    * taken on the LSH dup-CLUSTER key (q115's connected components
+    * over the q89 edge set), so a document and its near-duplicates
+    * always land in the same split — the eval-contamination guard a
+    * doc-keyed split cannot give. The oracle re-derives signatures,
+    * banding, verification, the recursive-CTE closure, and every md5
+    * split draw; `PropertySpec` asserts the guard itself (no near-dup
+    * edge straddles splits).
+    */
+  def q141LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = q89MinhashLshPortable(spark, dir).select(col("doc_id"), col("rep_id"))
+    val cc = operators.Dedup.connectedComponents(edges, "doc_id", "rep_id")
+    operators.Sampling.leakageSafeSplit(docs, cc, trainFrac = 0.9)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2620,6 +2682,9 @@ object SparkEntry {
     "q136_curation_pipeline" -> (q136CurationPipeline _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
     "q138_semantic_dedup" -> (q138SemanticDedup _),
+    "q139_dup_spans" -> (q139DupSpans _),
+    "q140_gopher_gate" -> (q140GopherGate _),
+    "q141_leakage_split" -> (q141LeakageSplit _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -3730,5 +3795,61 @@ object SparkEntry {
     "q138_semantic_dedup" ->
       """SELECT TRUE AS all_planted_caught, TRUE AS no_false_positives,
         |TRUE AS reps_are_originals, TRUE AS drops_verified""".stripMargin,
+    "q139_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |gl AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 4),
+        |           i -> md5(array_to_string(toks[i:i+4], ' '))) AS gs
+        |  FROM tok WHERE len(toks) >= 5),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gh,
+        |         generate_subscripts(gs, 1)::BIGINT AS pos
+        |  FROM gl),
+        |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+        |wi AS (
+        |  SELECT doc_id, pos,
+        |         pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |  FROM m),
+        |si AS (
+        |  SELECT doc_id, pos,
+        |         SUM(CASE WHEN gap IS NULL OR gap >= 5 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM wi)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+        |       MAX(pos) + 4 - MIN(pos) + 1 AS span_tokens
+        |FROM si GROUP BY doc_id, span_id""".stripMargin,
+    "q140_gopher_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |         list_filter(str_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(ts)::BIGINT AS n_words,
+        |    ROUND(list_sum(list_transform(ts, x -> len(x)))::DOUBLE
+        |          / NULLIF(len(ts), 0), 6) AS mean_word_len,
+        |    ROUND(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |          / NULLIF(len(ts), 0), 6) AS frac_alpha_words,
+        |    ROUND(((len(text) - len(replace(text, '#', '')))::DOUBLE
+        |           + (len(text) - len(replace(text, '...', ''))) / 3.0)
+        |          / NULLIF(len(ts), 0), 6) AS symbol_ratio,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(ts, s)))::BIGINT AS stop_hits
+        |  FROM tok)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+        |  stop_hits,
+        |  n_words BETWEEN 50 AND 100000 AS words_ok,
+        |  mean_word_len BETWEEN 3 AND 10 AS mean_len_ok,
+        |  frac_alpha_words >= 0.8 AS alpha_ok,
+        |  symbol_ratio <= 0.1 AS symbol_ok,
+        |  stop_hits >= 2 AS stopword_ok,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        |    AND frac_alpha_words >= 0.8 AND symbol_ratio <= 0.1
+        |    AND stop_hits >= 2 AS pass
+        |FROM f""".stripMargin,
+    "q141_leakage_split" -> leakageSafeSplitOracleSql,
   )
 }

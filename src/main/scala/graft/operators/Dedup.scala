@@ -488,4 +488,63 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("anchor")).as("rep_id"), max(col("n_agree")).as("n_agree"))
   }
+
+  /** EXACT duplicated-substring spans (the published substring-dedup
+    * recipe: Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — their suffix-array ExactSubstr finds
+    * substrings repeated anywhere in the corpus and removes the SPAN,
+    * not the document): every k-token gram that occurs more than once
+    * corpus-wide marks its start position as duplicated, and runs of
+    * overlapping marked grams merge into maximal spans. Document-level
+    * dedup (q04/q89) cannot see these — a boilerplate paragraph pasted
+    * into otherwise-unique documents survives whole-doc hashing; this
+    * catches exactly that, at token granularity.
+    *
+    * Spark-native shape instead of the paper's monolithic suffix array
+    * (which needs the whole corpus in one address space): positional
+    * k-gram fingerprints. Per doc: tokenize once, explode to
+    * (doc_id, pos, md5(gram)) — the shuffle carries a 16-byte hash,
+    * NEVER gram text; one hash aggregate counts corpus-wide occurrences
+    * (map-side partials collapse repeats early, and the md5 key is
+    * uniform so the shuffle cannot skew); one join back on the same
+    * hash marks duplicated positions; one per-doc window merges
+    * overlapping marked grams into spans (gaps-and-islands: a new span
+    * starts when the next marked pos is >= k past the previous — i.e.
+    * the gram intervals [p, p+k-1] no longer overlap). The window
+    * partitions on doc_id (corpus-cardinality key, no tiny-key sort)
+    * and sees only MARKED positions, a small fraction of tokens.
+    *
+    * md5 (not xxhash64) keys the count so any md5-capable engine
+    * replays the decision bit-for-bit (the q88 portability convention);
+    * a collision would need ~2^64 grams.
+    *
+    * Returns one row per maximal span: (doc_id, span_start, span_end,
+    * span_tokens), token positions 1-based inclusive.
+    */
+  def duplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+        .as(Seq("p", "gh")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupGrams, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("brk", when(col("gap").isNull || col("gap") >= k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
 }

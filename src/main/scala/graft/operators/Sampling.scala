@@ -263,4 +263,30 @@ object Sampling {
     }
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
+
+  /** LEAKAGE-SAFE train/eval split: the split is decided per
+    * DUP-CLUSTER, not per document, so near-duplicates can never
+    * straddle train and eval (the standard eval-contamination failure:
+    * doc-level hashing puts a document in train and its near-copy in
+    * eval, and the benchmark leaks). `clusters` is a (node,
+    * cluster_id) closure — [[Dedup.connectedComponents]] over any
+    * near-dup edge set — and docs absent from it are singleton
+    * clusters keyed by their own id. The md5 [[portableUnit]] draw on
+    * the CLUSTER key makes membership auditable in any engine, and the
+    * whole assignment is one broadcast-or-shuffle join + a narrow
+    * predicate: nothing new materializes at 100 TB beyond the closure
+    * itself.
+    *
+    * Returns (doc_id, group_key, split) with split in {train, eval}.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       trainFrac: Double, salt: String = "lsplit"): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(portableUnit(col("group_key"), salt) < trainFrac, "train")
+          .otherwise("eval"))
+      .select(col("doc_id"), col("group_key"), col("split"))
 }

@@ -52,6 +52,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
         col("avg_token_len"), col("stopword_ratio"))
 
+  /** The Gopher stopword-presence list (Rae et al. 2021, appendix A —
+    * "contains at least two of: the, be, to, of, and, that, have,
+    * with").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher quality-rule gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A "Quality filtering" —
+    * the doc-level heuristics MassiveWeb applies before dedup; also the
+    * core of RedPajama-v2's and Dolma's rule sets):
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - >= 80% of words contain at least one alphabetic character
+    *   - symbol-to-word ratio <= 0.1 (symbols: '#' and '...')
+    *   - at least 2 distinct stopwords from [[gopherStopwords]]
+    *
+    * (The paper's line-shape rules — bullet/ellipsis line ratios —
+    * need multi-line documents; this corpus is single-line, so they
+    * are not represented.) One narrow per-row projection — no
+    * shuffle, no UDF; every feature and flag is a codegen'd
+    * expression, so the gate composes into any pipeline scan
+    * (q136-style) for free.
+    *
+    * Returns per doc: the feature values (rounded where fractional,
+    * the oracle convention), one boolean per rule, and the overall
+    * `pass`.
+    */
+  def gopherQualityGate(documents: DataFrame): DataFrame = {
+    val toks = col("__toks")
+    val nW = col("n_words")
+    documents
+      .withColumn("__toks", Texts.tokens(col("text")))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        round(try_divide(Texts.sumTokenLength(col("text")).cast("double"), nW), 6))
+      .withColumn("frac_alpha_words",
+        round(try_divide(
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double"), nW), 6))
+      .withColumn("symbol_ratio",
+        round(try_divide(
+          (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+            .cast("double")
+            + (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3.0,
+          nW), 6))
+      .withColumn("stop_hits",
+        size(filter(
+          array(gopherStopwords.map(lit): _*),
+          s => array_contains(toks, s))).cast("long"))
+      .withColumn("words_ok", nW.between(50L, 100000L))
+      .withColumn("mean_len_ok", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("alpha_ok", col("frac_alpha_words") >= 0.8)
+      .withColumn("symbol_ok", col("symbol_ratio") <= 0.1)
+      .withColumn("stopword_ok", col("stop_hits") >= 2L)
+      .withColumn("pass",
+        col("words_ok") && col("mean_len_ok") && col("alpha_ok") &&
+          col("symbol_ok") && col("stopword_ok"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("frac_alpha_words"), col("symbol_ratio"), col("stop_hits"),
+        col("words_ok"), col("mean_len_ok"), col("alpha_ok"),
+        col("symbol_ok"), col("stopword_ok"), col("pass"))
+  }
+
   /** Language-ID heuristic rollup (rows-only check: heuristic has no
     * SQL-oracle form by design — it is our own classifier).
     */

@@ -235,4 +235,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.subsetOf(brute)) // LSH returns a subset (same bucket only)
     assert(got.contains(1L))    // the near-parallel vector shares the bucket
   }
+
+  test("duplicatedSpans merges overlapping grams and counts within-doc repeats") {
+    val spanDocs = Seq(
+      // docs 0/1 share the 5-grams "a b c d e" and "b c d e f": each
+      // doc's two marked positions overlap and merge into ONE 6-token span
+      (0L, "a b c d e f g h", "en", "s", 0L),
+      (1L, "x a b c d e f y", "en", "s", 0L),
+      (2L, "p q r s t u v w", "en", "s", 0L), // fully unique: no rows
+      // "m n o p q" repeats WITHIN doc 3 (positions 1 and 10): both
+      // occurrences are duplicated substrings, gap 9 >= k keeps them
+      // separate spans
+      (3L, "m n o p q z y x w m n o p q", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = Dedup.duplicatedSpans(spanDocs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set(
+      (0L, 1L, 6L, 6L),
+      (1L, 2L, 7L, 6L),
+      (3L, 1L, 5L, 5L),
+      (3L, 10L, 14L, 5L)))
+  }
 }

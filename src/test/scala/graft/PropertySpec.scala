@@ -226,4 +226,26 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
     }
   }
+
+  test("leakage-safe split: no near-dup edge straddles train and eval") {
+    // THE guard property q141 exists for: both endpoints of every LSH
+    // near-dup assignment (and hence, through the closure, every
+    // transitive dup pair) draw the same split — on real testdata with
+    // real planted dups, not a toy fixture
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val split = SparkEntry.queries("q141_leakage_split")(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val edges = graft.operators.Curation.lshAssignments(docs)
+      .select("doc_id", "rep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "testdata should contain planted near-dups")
+    val straddling = edges.filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs split across train/eval: ${straddling.take(5).toSeq}")
+    // and both splits are actually populated (the draw is not degenerate)
+    assert(split.values.toSet === Set("train", "eval"))
+  }
 }

@@ -97,4 +97,25 @@ class TextsSpec extends SparkSpec {
       .select(Texts.wordHitCount(col("t"), Seq("the", "a"))).head().getInt(0)
     assert(got === 3)
   }
+
+  test("gopherQualityGate: each rule fires on its designed violation") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t, "en", "s", 0L)
+    val fiftyGood = ("word " * 48).trim + " the of" // 50 words, 2 stopwords
+    val docs = Seq(
+      mk(0L, fiftyGood),                              // passes every rule
+      mk(1L, "too short to pass the word count"),     // words_ok false
+      mk(2L, ("a b " * 25).trim + " the of"),         // mean_word_len 1.2ish < 3
+      mk(3L, (("## " * 50).trim + " the of"))         // symbols, no alpha majority
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.gopherQualityGate(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getBoolean(11), "the designed-good doc must pass")
+    assert(got(0L).getLong(1) === 50L)
+    assert(!got(1L).getBoolean(6) && !got(1L).getBoolean(11)) // words_ok fails
+    assert(!got(2L).getBoolean(7)) // mean_len_ok fails (mostly 1-char words)
+    assert(!got(3L).getBoolean(8)) // alpha_ok fails ('##' words)
+    assert(!got(3L).getBoolean(9)) // symbol_ok fails (2 '#' per word)
+    assert(got(0L).getLong(5) >= 2L) // stopword hits counted distinct-by-word
+  }
 }
