@@ -64,9 +64,20 @@ object Bench {
     // noise (the r4 q09/q01/q60 "regressions" were exactly this noise —
     // all three reverted with no code change). Queries run in name order
     // for stable output.
+    // Materialize the query's OWN physical plan (toRdd.count executes it
+    // as planned, producing every output column) instead of df.count():
+    // the count-aggregate rewrite lets Catalyst prune output columns and
+    // even eliminate whole joins (q142's span-removal left join has a
+    // provably-unique right key and no referenced right column — under
+    // count() the scrub was "measured" at the cost of counting documents).
+    // Plan hashes are unaffected (they hash the query's optimizedPlan,
+    // which this runs verbatim). Round-7 measurement-semantics change —
+    // see PLANS.md; round-over-round timing diffs cross this boundary.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warm-up: compile + codegen + page cache
+        materialize(fn(spark, sfDir)) // warm-up: compile + codegen + page cache
         var lastDf: org.apache.spark.sql.DataFrame = null
         // the capped quadratic recall oracles (q25/q26) are the noisiest
         // timings in the suite (one big nested-loop task — scheduler
@@ -75,7 +86,7 @@ object Bench {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
-          df.count()
+          materialize(df)
           lastDf = df
           (System.nanoTime() - t0) / 1e9
         }

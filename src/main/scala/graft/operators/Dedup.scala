@@ -547,4 +547,44 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** REMOVE the duplicated spans and reassemble each document — the
+    * second half of the ExactSubstr recipe (Lee et al. 2022 drop every
+    * occurrence of a repeated substring; a fully-duplicated document
+    * therefore keeps zero tokens and survives as an empty string).
+    *
+    * Scale shape: [[duplicatedSpans]] does the corpus-wide work; the
+    * removal itself never shuffles tokens — each doc's (few) spans are
+    * collected to one array row, joined back ON doc_id, and the token
+    * drop is a narrow per-row `filter` over the token array with a
+    * positional lambda (i is 0-based; spans are 1-based inclusive).
+    * The alternative — exploding to (doc_id, pos, token) and
+    * anti-joining positions — would shuffle every token in the corpus;
+    * the span list is strictly smaller. (The DuckDB oracle uses
+    * exactly that positional anti-join: same result, engine keeps the
+    * narrow plan.)
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text) for every doc
+    * with at least one token.
+    */
+  def scrubDuplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+    val spanArr = duplicatedSpans(documents, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    documents.select(col("doc_id"), Texts.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        // docs with no spans have a null span array: exists -> null,
+        // coalesce keeps the token
+        !coalesce(
+          exists(col("spans"), s =>
+            (i + 1 >= s.getField("span_start")) &&
+              (i + 1 <= s.getField("span_end"))),
+          lit(false))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -182,24 +182,31 @@ object Similarity {
     * of nlist centroids + a narrow map.
     */
   def ivfTopK(embeddings: DataFrame, probeVecIds: Seq[Long], k: Int,
-              nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 5): DataFrame = {
+              nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 5,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
-    // a coarse quantizer doesn't need convergence — a few Lloyd
-    // iterations give stable-enough cells (fixed seed keeps them
-    // deterministic), and each extra iteration is a full pass over the
-    // vectors; random init skips k-means||'s additional init passes
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e.select(col("fv")))
-    val assigned = model.transform(e).drop("fv")
+    // with pre-trained centroids (ensureCellCentroids — same fixed
+    // seed/init, so identical cells) assignment is the narrow argmin
+    // expression and NO fit/transform runs inside the query
+    val (assigned, centers) = centroids match {
+      case Some(cs) => (assignCellsByCentroids(embeddings, cs), cs)
+      case None =>
+        val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+        // a coarse quantizer doesn't need convergence — a few Lloyd
+        // iterations give stable-enough cells (fixed seed keeps them
+        // deterministic), and each extra iteration is a full pass over the
+        // vectors; random init skips k-means||'s additional init passes
+        val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+          .setInitMode("random")
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(e.select(col("fv")))
+        (model.transform(e).drop("fv"), model.clusterCenters.map(_.toArray))
+    }
 
     // probes are few by contract: their vectors + nprobe nearest cells
     // are computed driver-side (centroids are nlist x dim — tiny)
-    val centers = model.clusterCenters.map(_.toArray)
     val probes = assigned.filter(col("vec_id").isin(probeVecIds: _*))
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -69,10 +69,12 @@ object ScaleCurve {
       val dir = ensureScaled(k)
       for (q <- queries) {
         val fn = graft.SparkEntry.queries(q)
-        fn(spark, dir).count() // warm-up
+        // same action as Bench: the query's own plan, all columns
+        def materialize(): Unit = fn(spark, dir).queryExecution.toRdd.count()
+        materialize() // warm-up
         times((q, k)) = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          materialize()
           (System.nanoTime() - t0) / 1e9
         }.min
         // same sweep hygiene as Bench: checkpointed blocks from one

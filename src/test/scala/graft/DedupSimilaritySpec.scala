@@ -255,5 +255,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 2L, 7L, 6L),
       (3L, 1L, 5L, 5L),
       (3L, 10L, 14L, 5L)))
+    // and the scrub drops exactly the span tokens, reassembling in order
+    val clean = Dedup.scrubDuplicatedSpans(spanDocs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(clean(0L) === ((8L, 6L, "g h")))
+    assert(clean(1L) === ((8L, 6L, "x y")))
+    assert(clean(2L) === ((8L, 0L, "p q r s t u v w"))) // untouched
+    assert(clean(3L) === ((14L, 10L, "z y x w")))
   }
 }

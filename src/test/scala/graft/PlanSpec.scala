@@ -319,6 +319,22 @@ class PlanSpec extends SparkSpec {
       s"pair join not keyed on the cluster cell:\n${pairJoins.mkString("\n")}")
   }
 
+  test("q142 span scrub never explodes or shuffles tokens") {
+    // the token side stays array-valued end-to-end (narrow positional
+    // filter lambda): every generator in the plan must be the gram-side
+    // md5-fingerprint posexplode (it appears twice — the grams subtree
+    // feeds both the frequency aggregate and the join-back probe). If
+    // the scrub ever regressed to the explode-tokens-and-anti-join
+    // shape, a raw-token Generate (no md5 in its expression) would
+    // appear and the corpus's every token would ride a shuffle
+    val p = planOf("q142_span_scrub")
+    val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.nonEmpty, "expected the gram-side Generate")
+    assert(generates.forall(_.contains("md5")),
+      s"a non-fingerprint generator leaks tokens:\n${generates.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q137 incremental dedup never scans historical text") {
     val p = planOf("q137_incremental_dedup")
     // every scan of the documents table must carry the shard's pushed
