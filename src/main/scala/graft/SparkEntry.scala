@@ -1456,6 +1456,49 @@ object SparkEntry {
        |       THEN 'train' ELSE 'eval' END AS split
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
 
+  /** q143 oracle: BPE training unrolled — one (pair-count, argmax,
+    * rewrite) CTE triple per merge round, generated for the same
+    * nMerges as the engine. `replace` is non-overlapping left-to-right
+    * in both engines, which IS the BPE greedy merge order; the leading
+    * space makes the " lhs rhs" pattern boundary-safe.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pr['lhs'] AS lhs, pr['rhs'] AS rhs, SUM(n)::BIGINT AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(sym) - 1),
+         |             i -> {'lhs': sym[i], 'rhs': sym[i+1]})) AS pr, n
+         |    FROM (SELECT string_split(trim(s), ' ') AS sym, n FROM w${r - 1}) )
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, lhs || rhs AS merged, cnt FROM p$r
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$r AS (SELECT replace(s, ' ' || b$r.lhs || ' ' || b$r.rhs,
+         |                       ' ' || b$r.merged) AS s, n
+         |        FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') AS s, n
+       |       FROM words),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeMergesOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rank, lhs, rhs, merged, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""${bpeCtes(nMerges)}
+       |$out""".stripMargin
+  }
+
+  private def bpeVocabOracleSql(nMerges: Int, topK: Int): String =
+    s"""${bpeCtes(nMerges)}
+       |SELECT sym AS subword, SUM(n)::BIGINT AS cnt FROM (
+       |  SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM w$nMerges)
+       |GROUP BY 1 ORDER BY cnt DESC, subword LIMIT $topK""".stripMargin
+
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
     */
@@ -2579,6 +2622,30 @@ object SparkEntry {
   def q142SpanScrub(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.scrubDuplicatedSpans(Tables.documents(spark, dir), k = 5)
 
+  /** BPE tokenizer training over the corpus
+    * ([[operators.TextAnalysis.bpeTrainMerges]]): the first 6 learned
+    * merges, each row the corpus-wide most-frequent adjacent symbol
+    * pair of its round. The DuckDB oracle replays training EXACTLY —
+    * six unrolled rounds of pair-count → deterministic argmax →
+    * boundary-safe string rewrite (non-overlapping left-to-right
+    * `replace`, identical semantics in both engines) — so the
+    * hash-match proves the entire training trajectory, not just the
+    * final table.
+    */
+  def q143BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeTrainMerges(Tables.documents(spark, dir), nMerges = 6)
+
+  /** Subword vocabulary under the learned BPE merges
+    * ([[operators.TextAnalysis.bpeSubwordVocab]]) — the encode-side
+    * twin of q143: the top-20 subword tokens (by weighted frequency)
+    * the 6-merge tokenizer produces over the corpus. The oracle reuses
+    * q143's unrolled training CTEs and reads the FINAL rewritten word
+    * table, proving train-then-encode end to end.
+    */
+  def q144BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeSubwordVocab(Tables.documents(spark, dir),
+      nMerges = 6, topK = 20)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2723,6 +2790,8 @@ object SparkEntry {
     "q140_gopher_gate" -> (q140GopherGate _),
     "q141_leakage_split" -> (q141LeakageSplit _),
     "q142_span_scrub" -> (q142SpanScrub _),
+    "q143_bpe_merges" -> (q143BpeMerges _),
+    "q144_bpe_vocab" -> (q144BpeVocab _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -3889,6 +3958,8 @@ object SparkEntry {
         |    AND stop_hits >= 2 AS pass
         |FROM f""".stripMargin,
     "q141_leakage_split" -> leakageSafeSplitOracleSql,
+    "q143_bpe_merges" -> bpeMergesOracleSql(6),
+    "q144_bpe_vocab" -> bpeVocabOracleSql(6, 20),
     "q142_span_scrub" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -247,4 +247,91 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 6).as("lm_score"))
   }
+
+  /** One selected merge of [[bpeTrainMerges]]. */
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String,
+                            merged: String, cnt: Long)
+
+  /** BPE tokenizer TRAINING (the published recipe: Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units" — iteratively merge the corpus-wide most frequent adjacent
+    * symbol pair; here without the end-of-word marker, à la the
+    * SentencePiece/GPT-2 within-word variant). Returns the learned
+    * merge table (rank, lhs, rhs, merged, cnt).
+    *
+    * The distributed shape: ONE corpus pass builds the (distinct word,
+    * count) table — BPE's entire training state, vocabulary-sized, cut
+    * from the corpus lineage by a checkpoint. Every merge round then
+    * runs on that small table: adjacent-pair explode → weighted count
+    * aggregate → a ONE-ROW argmax collect (the bounded-collect
+    * contract: nMerges driver rows total, like IVF centroids and PQ
+    * codebooks) → a narrow `replace` rewrite of the symbol strings.
+    * Symbols are space-joined with a LEADING space, so the pair
+    * pattern " lhs rhs" can never match across a symbol boundary, and
+    * left-to-right non-overlapping `replace` IS the BPE greedy merge
+    * order — and is replayed identically by any engine with the same
+    * replace semantics (the DuckDB oracle re-derives every round's
+    * counts, argmax, and rewrite).
+    *
+    * Determinism: ties broken by (count DESC, lhs ASC, rhs ASC).
+    * Rounds whose best pair occurs once stop early (nothing left to
+    * compress).
+    */
+  def bpeTrainMerges(documents: DataFrame, nMerges: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrain(documents, nMerges)._1.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** The subword VOCABULARY after `nMerges` BPE rounds — training's
+    * encode-side twin: the final rewritten word table IS the corpus
+    * encoded under the learned merges, so exploding its symbols
+    * (weighted by word frequency) gives the subword token distribution
+    * a tokenizer built from this corpus would produce. Top `topK` by
+    * (count DESC, subword ASC).
+    */
+  def bpeSubwordVocab(documents: DataFrame, nMerges: Int, topK: Int): DataFrame =
+    bpeTrain(documents, nMerges)._2
+      .select(explode(split(trim(col("s")), " ")).as("subword"), col("n"))
+      .groupBy(col("subword")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("subword"))
+      .limit(topK)
+
+  /** Shared training loop: returns (selected merges, final rewritten
+    * word table).
+    */
+  private def bpeTrain(documents: DataFrame, nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    var cur = documents
+      .select(explode(Texts.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        array_join(filter(split(col("w"), ""), c => c =!= ""), " ")).as("s"),
+        col("n"))
+      .localCheckpoint() // vocab-sized state; corpus is never re-read
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = cur
+        .select(col("n"), split(trim(col("s")), " ").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS lhs, sym[i+1] AS rhs))"))
+          .as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect() // bounded: ONE row per round by construction
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (lhs, rhs, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += BpeMerge(r, lhs, rhs, lhs + rhs, cnt)
+        cur = cur.select(
+          replace(col("s"), lit(s" $lhs $rhs"), lit(s" $lhs$rhs")).as("s"),
+          col("n"))
+        r += 1
+      }
+    }
+    (merges.result(), cur)
+  }
 }

@@ -98,6 +98,24 @@ class TextsSpec extends SparkSpec {
     assert(got === 3)
   }
 
+  test("bpeTrainMerges learns the canonical Sennrich merges") {
+    import spark.implicits._
+    // the worked example from the BPE paper: vocab {low:5, lower:2,
+    // newest:6, widest:3} learns es(9), est(9), lo(7), low(7)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, words.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)))
+  }
+
   test("gopherQualityGate: each rule fires on its designed violation") {
     import spark.implicits._
     val mk = (id: Long, t: String) => (id, t, "en", "s", 0L)
