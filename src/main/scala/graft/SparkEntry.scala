@@ -2646,6 +2646,21 @@ object SparkEntry {
     operators.TextAnalysis.bpeSubwordVocab(Tables.documents(spark, dir),
       nMerges = 6, topK = 20)
 
+  /** DSIR-style data selection ([[operators.Sampling.dsirSelect]]):
+    * the 50 raw-pool docs (doc_id >= 250) whose hashed-unigram
+    * distribution is most target-like (target = the doc_id < 250
+    * slice, the q113/q132 eval convention). The oracle re-derives the
+    * bucket counts, smoothed importance log-ratios, per-doc mean
+    * scores, and the (score, id)-ordered selection — the full
+    * published chain, value-checked.
+    */
+  def q145DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Sampling.dsirSelect(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", nBuckets = 64, keep = 50)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2792,6 +2807,7 @@ object SparkEntry {
     "q142_span_scrub" -> (q142SpanScrub _),
     "q143_bpe_merges" -> (q143BpeMerges _),
     "q144_bpe_vocab" -> (q144BpeVocab _),
+    "q145_dsir_select" -> (q145DsirSelect _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -3960,6 +3976,31 @@ object SparkEntry {
     "q141_leakage_split" -> leakageSafeSplitOracleSql,
     "q143_bpe_merges" -> bpeMergesOracleSql(6),
     "q144_bpe_vocab" -> bpeVocabOracleSql(6, 20),
+    "q145_dsir_select" ->
+      """WITH tokt AS (
+        |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents WHERE doc_id < 250),
+        |tokr AS (
+        |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents WHERE doc_id >= 250),
+        |bt AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b,
+        |              COUNT(*) AS ct FROM tokt GROUP BY 1),
+        |br AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b,
+        |              COUNT(*) AS cr FROM tokr GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(ct) FROM bt) AS nt,
+        |               (SELECT SUM(cr) FROM br) AS nr),
+        |rat AS (
+        |  SELECT COALESCE(bt.b, br.b) AS b,
+        |         LN( ((COALESCE(ct, 0) + 1)::DOUBLE / (nt + 64))
+        |           / ((COALESCE(cr, 0) + 1)::DOUBLE / (nr + 64)) ) AS lr
+        |  FROM bt FULL JOIN br ON bt.b = br.b CROSS JOIN tot),
+        |sc AS (
+        |  SELECT r.doc_id, ROUND(AVG(rat.lr), 6) AS dsir_score
+        |  FROM (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+        |        FROM tokr) r
+        |  JOIN rat USING (b) GROUP BY r.doc_id)
+        |SELECT doc_id, dsir_score FROM sc
+        |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
     "q142_span_scrub" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -264,6 +264,55 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
 
+  /** DSIR-style data selection (the published recipe: Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every RAW-pool document by how target-like its hashed
+    * unigram features are, and keep the highest-scoring ones. Feature
+    * space = `nBuckets` hash buckets over tokens (md5-derived, the
+    * portable convention); both corpora reduce to bucket count vectors;
+    * per-bucket importance log-ratio
+    * ln( (c_target[b]+1)/(N_t+B) / ((c_raw[b]+1)/(N_r+B) ) )
+    * (add-one smoothing); a doc's score is the MEAN ratio over its
+    * tokens (length-normalized). Returns the `keep` top raw docs by
+    * (score DESC, doc_id).
+    *
+    * Scale shape: two token-bucket aggregates (each one corpus pass,
+    * map-side combined into at most `nBuckets` rows), a `nBuckets`-row
+    * ratio table broadcast onto the raw side's exploded tokens, one
+    * per-doc average, and a TakeOrdered top-k — no shuffle ever
+    * carries more than (doc_id, bucket) pairs, and the model state is
+    * O(nBuckets) regardless of corpus size. md5 bucketing makes every
+    * score re-derivable in any engine (the q145 oracle re-computes the
+    * full chain).
+    */
+  def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
+                 textCol: String, nBuckets: Int, keep: Int): DataFrame = {
+    import graft.functions.Texts
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col(idCol), explode(Texts.tokens(col(textCol))).as("w"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+            lit(nBuckets.toLong)))
+    def counts(df: DataFrame): DataFrame =
+      buckets(df).groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val tc = counts(target).withColumnRenamed("c", "ct")
+    val rc = counts(raw).withColumnRenamed("c", "cr")
+    // nBuckets rows: totals ride along as window-free scalar aggregates
+    val totals = tc.agg(sum(col("ct")).as("nt")).crossJoin(rc.agg(sum(col("cr")).as("nr")))
+    val ratios = tc.join(rc, Seq("b"), "full")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+              / (col("nt") + nBuckets))
+          / ((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+              / (col("nr") + nBuckets))).as("lr"))
+    buckets(raw).join(broadcast(ratios), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("lr")), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(keep)
+  }
+
   /** LEAKAGE-SAFE train/eval split: the split is decided per
     * DUP-CLUSTER, not per document, so near-duplicates can never
     * straddle train and eval (the standard eval-contamination failure:

@@ -202,4 +202,25 @@ class SamplingSpec extends SparkSpec {
     assert(clean.count() === 1990L)
     assert(clean.filter(col("doc_id") < 10).count() === 0L)
   }
+
+  test("dsirSelect ranks target-like raw docs above off-distribution ones") {
+    import spark.implicits._
+    val target = Seq((0L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "alpha beta alpha"),      // matches the target distribution
+      (11L, "alpha zulu zulu"),       // partial
+      (12L, "zulu yankee xray zulu")  // off-distribution
+    ).toDF("doc_id", "text")
+    val got = Sampling.dsirSelect(target, raw, "doc_id", "text",
+        nBuckets = 16, keep = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // the purely-target-like doc wins outright and strictly outscores
+    // both mixed docs (the relative order of 11 vs 12 is a smoothing
+    // artifact at this fixture size — not the property DSIR promises)
+    assert(got.head._1 === 10L, s"order: ${got.toSeq}")
+    val scores = got.toMap
+    assert(scores(10L) > scores(11L) && scores(10L) > scores(12L))
+    assert(scores(10L) > 0 && scores(12L) < 0) // signs: toward/away from target
+  }
 }
