@@ -335,6 +335,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q140 gopher gate is one narrow projection — no Exchange at all") {
+    // the gate's whole point: every feature and flag is a per-row
+    // codegen'd expression over the scan, so it composes into any
+    // pipeline for free; a shuffle appearing here means someone turned
+    // a projection into an aggregation
+    val p = planOf("q140_gopher_gate")
+    assert(!p.contains("Exchange"), s"gopher gate should not shuffle:\n$p")
+  }
+
+  test("q145 DSIR broadcasts the ratio table; no shuffle carries tokens") {
+    // the nBuckets-row importance-ratio side must ride a broadcast onto
+    // the exploded raw tokens — a sort-merge/shuffled-hash join there
+    // would shuffle every (doc_id, token-bucket) row against a 64-row
+    // table
+    val p = planOf("q145_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast ratio join")
+    val merges = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    // the only allowed non-broadcast join is the bucket-count FULL join
+    // (nBuckets rows per side)
+    assert(merges.forall(_.contains("FullOuter")),
+      s"token-side shuffle join:\n${merges.mkString("\n")}")
+  }
+
   test("q137 incremental dedup never scans historical text") {
     val p = planOf("q137_incremental_dedup")
     // every scan of the documents table must carry the shard's pushed
