@@ -1458,9 +1458,12 @@ object SparkEntry {
 
   /** q143 oracle: BPE training unrolled — one (pair-count, argmax,
     * rewrite) CTE triple per merge round, generated for the same
-    * nMerges as the engine. `replace` is non-overlapping left-to-right
-    * in both engines, which IS the BPE greedy merge order; the leading
-    * space makes the " lhs rhs" pattern boundary-safe.
+    * nMerges as the engine. The rewrite is the same greedy left fold
+    * the engine runs (DuckDB `list_reduce` ≡ Spark `aggregate`): the
+    * accumulator's LAST symbol fuses with the next exactly when the
+    * pair matches whole-symbol-for-whole-symbol — a plain substring
+    * `replace` of " lhs rhs" is right-boundary-unsafe (it would also
+    * fire when the following symbol merely starts with rhs).
     */
   private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
@@ -1472,8 +1475,12 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT lhs, rhs, lhs || rhs AS merged, cnt FROM p$r
          |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |w$r AS (SELECT replace(s, ' ' || b$r.lhs || ' ' || b$r.rhs,
-         |                       ' ' || b$r.merged) AS s, n
+         |w$r AS (SELECT ' ' || list_reduce(string_split(trim(s), ' '),
+         |          (acc, x) -> CASE WHEN (acc = b$r.lhs
+         |                                 OR ends_with(acc, ' ' || b$r.lhs))
+         |                             AND x = b$r.rhs
+         |                      THEN acc || b$r.rhs
+         |                      ELSE acc || ' ' || x END) AS s, n
          |        FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH words AS (
@@ -3956,21 +3963,23 @@ object SparkEntry {
         |          / NULLIF(len(ts), 0), 6) AS mean_word_len,
         |    ROUND(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
         |          / NULLIF(len(ts), 0), 6) AS frac_alpha_words,
-        |    ROUND(((len(text) - len(replace(text, '#', '')))::DOUBLE
-        |           + (len(text) - len(replace(text, '...', ''))) / 3.0)
-        |          / NULLIF(len(ts), 0), 6) AS symbol_ratio,
+        |    ROUND((len(text) - len(replace(text, '#', '')))::DOUBLE
+        |          / NULLIF(len(ts), 0), 6) AS hash_ratio,
+        |    ROUND((len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0
+        |          / NULLIF(len(ts), 0), 6) AS ellipsis_ratio,
         |    len(list_filter(['the','be','to','of','and','that','have','with'],
         |        s -> list_contains(ts, s)))::BIGINT AS stop_hits
         |  FROM tok)
-        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
-        |  stop_hits,
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, hash_ratio,
+        |  ellipsis_ratio, stop_hits,
         |  n_words BETWEEN 50 AND 100000 AS words_ok,
         |  mean_word_len BETWEEN 3 AND 10 AS mean_len_ok,
         |  frac_alpha_words >= 0.8 AS alpha_ok,
-        |  symbol_ratio <= 0.1 AS symbol_ok,
+        |  hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AS symbol_ok,
         |  stop_hits >= 2 AS stopword_ok,
         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
-        |    AND frac_alpha_words >= 0.8 AND symbol_ratio <= 0.1
+        |    AND frac_alpha_words >= 0.8
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
         |    AND stop_hits >= 2 AS pass
         |FROM f""".stripMargin,
     "q141_leakage_split" -> leakageSafeSplitOracleSql,

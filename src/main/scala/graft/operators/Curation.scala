@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashes, Texts}
+import graft.functions.Texts
 
 /** The corpus-curation pipeline stages (q136), factored so the BATCH
   * composition (`SparkEntry.q136CurationPipeline`, hash-checked against
@@ -47,35 +47,10 @@ object Curation {
     * why it checkpoints and derives narrow array_min signatures instead.
     */
   def lshAssignments(docs: DataFrame): DataFrame = {
-    val slots = Dedup.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(Dedup.minhashPrime)).as(s"s$i")
-    }
-    val sig = docs
-      .select(col("doc_id"), explode(array_distinct(Texts.tokens(col("text")))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(slots.head, slots.tail: _*)
-    // struct field names are part of the type: both band branches must
-    // alias their slots to the same inner names for the union + join
-    def bandKey(cols: Seq[String]) =
-      struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
-    val banded = sig.select(col("doc_id"), lit(0).as("band"),
-        bandKey(Seq("s0", "s1", "s2", "s3")).as("bk"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-        bandKey(Seq("s4", "s5", "s6", "s7")).as("bk")))
-    val anchors = banded.groupBy(col("band"), col("bk"))
-      .agg(min(col("doc_id")).as("anchor"))
-    val cand = banded.join(anchors, Seq("band", "bk"))
-      .filter(col("doc_id") > col("anchor"))
-      .select(col("anchor"), col("doc_id"))
-      .distinct()
+    val cand = Dedup.bandedAnchorCandidates(Dedup.portableMinhashSignatures(docs))
     val tsets = docs.select(col("doc_id"),
       array_distinct(Texts.tokens(col("text"))).as("ts"))
-    cand
-      .join(tsets.select(col("doc_id").as("anchor"), col("ts").as("ta")), Seq("anchor"))
-      .join(tsets.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
-      .withColumn("jaccard", round(Hashes.jaccardSet(col("ta"), col("tb")), 6))
-      .filter(col("jaccard") >= 0.8)
+    Dedup.verifiedAnchorPairs(cand, tsets, minJaccard = 0.8)
       .groupBy(col("doc_id"))
       .agg(min(col("anchor")).as("rep_id"), max(col("jaccard")).as("jaccard"))
   }

@@ -423,6 +423,49 @@ object Dedup {
       .agg(slots.head, slots.tail: _*)
   }
 
+  /** Banded-LSH candidate (anchor, doc_id) pairs over an n-slot
+    * signature frame (doc_id, s0..s{n-1}): each band's key is its slot
+    * tuple, the bucket anchor is the min doc_id, and every higher-id
+    * bucket member pairs with its anchor — candidates are
+    * O(rows × bands), never bucket-quadratic. The ONE implementation of
+    * the banding/anchor rule, shared by the batch LSH stage
+    * ([[Curation.lshAssignments]]), the incremental signature-store
+    * dedup ([[signatureAgreementDedup]]) and the curation stream
+    * (`streaming.CurationStream`) — a band-layout or anchor-rule change
+    * lands in all three or none.
+    */
+  def bandedAnchorCandidates(sigs: DataFrame, nSlots: Int = 8,
+                             bands: Int = 2): DataFrame = {
+    require(nSlots % bands == 0, s"nSlots $nSlots must divide into $bands bands")
+    val rows = nSlots / bands
+    def bandKey(b: Int) =
+      struct((0 until rows).map(i => col(s"s${b * rows + i}").as(s"k$i")): _*)
+    val banded = (0 until bands).map(b =>
+        sigs.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bk")))
+      .reduce(_ unionByName _)
+    val anchors = banded.groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("anchor"))
+    banded.join(anchors, Seq("band", "bk"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard verification of (anchor, doc_id) candidate
+    * pairs against a (doc_id, ts) token-set frame: keeps the pairs with
+    * round(jaccard, 6) >= minJaccard, carrying the `jaccard` column.
+    * The 6-dp round before the compare is the portability convention —
+    * the oracle re-derives the same rounded value.
+    */
+  def verifiedAnchorPairs(cand: DataFrame, tsets: DataFrame,
+                          minJaccard: Double): DataFrame =
+    cand
+      .join(tsets.select(col("doc_id").as("anchor"), col("ts").as("ta")),
+        Seq("anchor"))
+      .join(tsets.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
+      .withColumn("jaccard", round(Hashes.jaccardSet(col("ta"), col("tb")), 6))
+      .filter(col("jaccard") >= minJaccard)
+
   /** INCREMENTAL near-dup dedup of a NEW shard against a persisted
     * MinHash signature STORE — the production shape for corpora that
     * grow shard by shard: the historical corpus is never re-scanned
@@ -458,21 +501,10 @@ object Dedup {
     require(minAgree > nSlots / bands,
       s"minAgree $minAgree must exceed rows-per-band ${nSlots / bands} — " +
         "a shared band already guarantees that many agreeing slots")
-    val rows = nSlots / bands
     val slotCols = (0 until nSlots).map(i => s"s$i")
     val all = storeSigs.select(col("doc_id") +: slotCols.map(col): _*)
       .unionByName(shardSigs.select(col("doc_id") +: slotCols.map(col): _*))
-    def bandKey(b: Int) =
-      struct((0 until rows).map(i => col(s"s${b * rows + i}").as(s"k$i")): _*)
-    val banded = (0 until bands).map(b =>
-        all.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bk")))
-      .reduce(_ unionByName _)
-    val anchors = banded.groupBy(col("band"), col("bk"))
-      .agg(min(col("doc_id")).as("anchor"))
-    val cand = banded.join(anchors, Seq("band", "bk"))
-      .filter(col("doc_id") > col("anchor"))
-      .select(col("anchor"), col("doc_id"))
-      .distinct()
+    val cand = bandedAnchorCandidates(all, nSlots, bands)
       // decisions are for the NEW shard only; store-internal dups were
       // settled when those docs entered the store
       .join(shardSigs.select(col("doc_id")), Seq("doc_id"), "left_semi")

@@ -136,23 +136,32 @@ object Sampling {
   }
 
   /** Exact waterfilling over the (domain, count) table: walk domains in
-    * ascending-count order (ties by name — the same total order the
-    * oracle SQL's window uses, so prefix sums agree bit-for-bit);
-    * while the smallest unclamped domain's share c * n^alpha exceeds its
-    * n, clamp it to 1.0 and redistribute. The returned fractions are
-    * HALF_UP-rounded to 6 dp (Spark's and DuckDB's ROUND convention).
-    * Driver-side on |domains| rows — the same bounded-collect contract
-    * as IVF centroids and PQ codebooks.
+    * DECREASING keep-fraction potential n^(alpha-1) — ascending count
+    * for alpha <= 1 (small domains upweight, so they clamp first),
+    * DESCENDING count for alpha > 1 (large domains upweight) — ties by
+    * name; the q134 oracle SQL's window uses the identical total order
+    * (its alpha is 0.5), so prefix sums agree bit-for-bit. The order
+    * key is the integer count, never the float power, so both engines
+    * sort identically. While the first unclamped domain's share
+    * c * n^alpha exceeds its n, clamp it to 1.0 and redistribute; the
+    * walk order makes every later fraction <= the first unclamped one,
+    * so no returned fraction exceeds 1.0 for ANY alpha > 0. The
+    * returned fractions are HALF_UP-rounded to 6 dp (Spark's and
+    * DuckDB's ROUND convention). Driver-side on |domains| rows — the
+    * same bounded-collect contract as IVF centroids and PQ codebooks.
     */
   private[graft] def temperatureFractions(counts: Seq[(String, Long)], alpha: Double,
                                           targetN: Long): Seq[(String, Double)] = {
-    val sorted = counts.sortBy { case (d, n) => (n, d) }
+    require(alpha > 0.0, s"temperature alpha must be > 0, got $alpha")
+    val sorted =
+      if (alpha <= 1.0) counts.sortBy { case (d, n) => (n, d) }
+      else counts.sortBy { case (d, n) => (-n, d) }
     val n = sorted.map(_._2.toDouble)
     val pn = n.map(math.pow(_, alpha))
     var k = 0
     while (k < sorted.size && {
       val c = (targetN.toDouble - n.take(k).sum) / pn.drop(k).sum
-      c * pn(k) > n(k) // the smallest unclamped domain would still clamp
+      c * pn(k) > n(k) // the highest-potential unclamped domain still clamps
     }) k += 1
     val c = if (k < sorted.size) (targetN.toDouble - n.take(k).sum) / pn.drop(k).sum
             else 0.0 // every domain clamped: targetN >= the whole corpus

@@ -67,7 +67,9 @@ object TextAnalysis {
     *   - word count in [50, 100000]
     *   - mean word length in [3, 10]
     *   - >= 80% of words contain at least one alphabetic character
-    *   - symbol-to-word ratio <= 0.1 (symbols: '#' and '...')
+    *   - symbol-to-word ratio <= 0.1 for EACH tracked symbol ('#' and
+    *     '...') separately — the paper thresholds per symbol, not the
+    *     sum, so a doc at 0.06 on each must still pass
     *   - at least 2 distinct stopwords from [[gopherStopwords]]
     *
     * (The paper's line-shape rules — bullet/ellipsis line ratios —
@@ -92,12 +94,14 @@ object TextAnalysis {
       .withColumn("frac_alpha_words",
         round(try_divide(
           size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double"), nW), 6))
-      .withColumn("symbol_ratio",
+      .withColumn("hash_ratio",
         round(try_divide(
           (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
-            .cast("double")
-            + (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3.0,
-          nW), 6))
+            .cast("double"), nW), 6))
+      .withColumn("ellipsis_ratio",
+        round(try_divide(
+          (length(col("text")) - length(replace(col("text"), lit("..."), lit(""))))
+            .cast("double") / 3.0, nW), 6))
       .withColumn("stop_hits",
         size(filter(
           array(gopherStopwords.map(lit): _*),
@@ -105,14 +109,15 @@ object TextAnalysis {
       .withColumn("words_ok", nW.between(50L, 100000L))
       .withColumn("mean_len_ok", col("mean_word_len").between(3.0, 10.0))
       .withColumn("alpha_ok", col("frac_alpha_words") >= 0.8)
-      .withColumn("symbol_ok", col("symbol_ratio") <= 0.1)
+      .withColumn("symbol_ok",
+        col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1)
       .withColumn("stopword_ok", col("stop_hits") >= 2L)
       .withColumn("pass",
         col("words_ok") && col("mean_len_ok") && col("alpha_ok") &&
           col("symbol_ok") && col("stopword_ok"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("frac_alpha_words"), col("symbol_ratio"), col("stop_hits"),
-        col("words_ok"), col("mean_len_ok"), col("alpha_ok"),
+        col("frac_alpha_words"), col("hash_ratio"), col("ellipsis_ratio"),
+        col("stop_hits"), col("words_ok"), col("mean_len_ok"), col("alpha_ok"),
         col("symbol_ok"), col("stopword_ok"), col("pass"))
   }
 
@@ -265,13 +270,20 @@ object TextAnalysis {
     * runs on that small table: adjacent-pair explode → weighted count
     * aggregate → a ONE-ROW argmax collect (the bounded-collect
     * contract: nMerges driver rows total, like IVF centroids and PQ
-    * codebooks) → a narrow `replace` rewrite of the symbol strings.
-    * Symbols are space-joined with a LEADING space, so the pair
-    * pattern " lhs rhs" can never match across a symbol boundary, and
-    * left-to-right non-overlapping `replace` IS the BPE greedy merge
-    * order — and is replayed identically by any engine with the same
-    * replace semantics (the DuckDB oracle re-derives every round's
-    * counts, argmax, and rewrite).
+    * codebooks) → a narrow per-word rewrite of the symbol strings.
+    *
+    * The rewrite is a left fold over the word's symbol ARRAY (a plain
+    * string `replace` of " lhs rhs" is boundary-UNSAFE on the right:
+    * it also fires when the next symbol merely STARTS with rhs — e.g.
+    * after round 1 merges (b,c), " a bc" must not match a round-2
+    * (a,b) merge, but the substring " a b" does): the accumulator is
+    * the rewritten prefix, and each next symbol either fuses into the
+    * accumulator's LAST symbol (exactly when that symbol IS lhs and
+    * the next IS rhs — whole-symbol equality, never substring) or
+    * appends. Left-to-right non-overlapping fusion IS the BPE greedy
+    * merge order, and the same fold is replayed by the DuckDB oracle's
+    * `list_reduce` (it re-derives every round's counts, argmax, and
+    * rewrite).
     *
     * Determinism: ties broken by (count DESC, lhs ASC, rhs ASC).
     * Rounds whose best pair occurs once stop early (nothing left to
@@ -326,8 +338,22 @@ object TextAnalysis {
       else {
         val (lhs, rhs, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += BpeMerge(r, lhs, rhs, lhs + rhs, cnt)
+        // greedy left-to-right pair fusion as a fold over the symbol
+        // array: the accumulator is the rewritten prefix (space-joined);
+        // its last symbol is lhs iff acc == lhs or acc ends with " lhs"
+        // (symbols contain no spaces), and fusing appends rhs with NO
+        // separator. Whole-symbol tests only — " a bc" can never be
+        // corrupted by an (a, b) merge the way substring replace would.
         cur = cur.select(
-          replace(col("s"), lit(s" $lhs $rhs"), lit(s" $lhs$rhs")).as("s"),
+          concat(lit(" "), aggregate(
+            split(trim(col("s")), " "),
+            lit(""),
+            (acc, x) =>
+              when(acc === lit(""), x)
+                .when((acc === lit(lhs) || acc.endsWith(lit(s" $lhs"))) &&
+                    x === lit(rhs),
+                  concat(acc, lit(rhs)))
+                .otherwise(concat(acc, lit(" "), x)))).as("s"),
           col("n"))
         r += 1
       }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.functions.{Hashes, Texts}
+import graft.functions.Texts
 import graft.operators.{Curation, Dedup, Sampling}
 
 /** INCREMENTAL corpus curation — q136's batch composition run shard by
@@ -64,11 +64,16 @@ object CurationStream {
       withSha.groupBy(col("sha")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val hist: Option[DataFrame] = {
-      val m = new org.apache.hadoop.fs.Path(stateDir, "_manifests")
-      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(m)) Some(EventStreams.readUpsertTable(spark, stateDir)) else None
-    }
+    // history = the state table AS OF the previous batch, never
+    // "latest": on crash-replay of batch N the state table may already
+    // hold N's own commit (state merges before the sink, below), and a
+    // latest-read would anti-join the replayed shard against its OWN
+    // shas — emptying newUnique and committing an EMPTY sink batch
+    // under N, permanently losing the shard's survivors. The pre-batch
+    // snapshot makes the replay compute exactly what the crashed run
+    // computed (retain=2 on the state merge keeps its files readable).
+    val hist: Option[DataFrame] =
+      EventStreams.readUpsertTableBefore(spark, stateDir, batchId)
     // exact dedup vs history: the sha join carries 32-byte hashes only
     val newUnique = hist.fold(shardUnique)(h =>
       shardUnique.join(h.select(col("sha")), Seq("sha"), "left_anti"))
@@ -82,23 +87,16 @@ object CurationStream {
     val allState = hist.fold(shardState)(h =>
       h.select(shardState.columns.map(col): _*).unionByName(shardState))
     // q89/q136 banding over (state ∪ shard) — anchors are stable
-    // under ascending arrival, so these decisions equal batch decisions
-    def bandKey(b: Int) = struct((0 until 4).map(i =>
-      col(s"s${b * 4 + i}").as(s"k$i")): _*)
-    val banded = (0 to 1).map(b => allState.select(col("doc_id"),
-        lit(b).as("band"), bandKey(b).as("bk")))
-      .reduce(_ unionByName _)
-    val anchors = banded.groupBy(col("band"), col("bk"))
-      .agg(min(col("doc_id")).as("anchor"))
-    val dropped = banded.join(anchors, Seq("band", "bk"))
-      .filter(col("doc_id") > col("anchor"))
-      .select(col("anchor"), col("doc_id")).distinct()
+    // under ascending arrival, so these decisions equal batch
+    // decisions. The banding/anchor rule and the Jaccard verify are
+    // the SAME code the batch stage runs (Dedup.bandedAnchorCandidates
+    // / verifiedAnchorPairs via Curation.lshAssignments).
+    val dropped = Dedup.bandedAnchorCandidates(
+        allState.select((col("doc_id") +: slotCols.map(col)): _*))
       // decisions are for THIS shard; history was decided in its shard
       .join(shardState.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .join(allState.select(col("doc_id").as("anchor"), col("toks").as("ta")),
-        Seq("anchor"))
-      .join(allState.select(col("doc_id"), col("toks").as("tb")), Seq("doc_id"))
-      .filter(round(Hashes.jaccardSet(col("ta"), col("tb")), 6) >= 0.8)
+      .transform(cand => Dedup.verifiedAnchorPairs(cand,
+        allState.select(col("doc_id"), col("toks").as("ts")), minJaccard = 0.8))
       .select(col("doc_id")).distinct()
     val d2 = newUnique.select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
       .join(dropped, Seq("doc_id"), "left_anti")
@@ -116,12 +114,17 @@ object CurationStream {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
       .localCheckpoint()
     // two commits under one batchId: replay after a crash between them
-    // re-runs the shard, the already-committed table no-ops, the other
-    // applies — exactly-once for the pair
+    // re-runs the shard against the batchId-1 state snapshot (see
+    // `hist` above), recomputes the identical decisions, the
+    // already-committed state merge no-ops, and the sink merge applies
+    // — exactly-once for the pair. retain=2 keeps the previous
+    // snapshot's files through this batch's sweep for exactly that
+    // replay read.
     EventStreams.mergeBatchIntoTable(
       shardState.select((col("doc_id") +: col("sha") +: col("toks") +:
         slotCols.map(col)): _*),
-      stateDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+      stateDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId,
+      retain = 2)
     EventStreams.mergeBatchIntoTable(out, sinkDir,
       Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
   }

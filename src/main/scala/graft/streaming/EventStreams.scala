@@ -379,6 +379,30 @@ object EventStreams {
       snap._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
   }
 
+  /** The table as of the newest committed manifest STRICTLY BEFORE
+    * `batchId`, or None when no such snapshot exists (the first batch
+    * — or its replay). This is the read a foreachBatch body must use
+    * for a state table IT ALSO WRITES under the same batchId: on
+    * crash-replay of batch N the state table may already hold N's own
+    * commit, and reading "latest" would feed the batch its own output
+    * (e.g. an exact-dedup anti-join that empties the replayed shard,
+    * silently losing its survivors downstream). Pair with `retain >= 2`
+    * on the state merge so the pre-batch snapshot's data files survive
+    * the batch-N sweep for the replay to read.
+    */
+  def readUpsertTableBefore(spark: SparkSession, tableDir: String,
+                            batchId: Long): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).map(readManifest(fs, _))
+      .filter(_._1 < batchId).lastOption
+      .collect { case (_, live) if live.valuesIterator.exists(_.nonEmpty) =>
+        spark.read.parquet(
+          live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+      }
+  }
+
   /** The live (bucket -> data files) map of the latest committed
     * manifest — empty for pre-manifest tables. Exposed for inspection
     * and tests (e.g. asserting a merge left untouched buckets'

@@ -26,9 +26,22 @@ object TimeOne {
     // same action as Bench: run the query's own plan, all columns (a
     // df.count() here lets the count rewrite prune/eliminate the work)
     def materialize(): Unit = fn(spark, sfDir).queryExecution.toRdd.count()
-    materialize()
+    // same per-rep hygiene as Bench: queries with internal
+    // localCheckpoint barriers (q113/q135/q136...) persist RDD blocks
+    // that outlive the run — without the unpersist, rep 5 times against
+    // ~5 generations of dead executor storage (the r6 11% drift effect),
+    // biasing exactly the min-of-5 this tool exists to report
+    def clearSweepState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    materialize(); clearSweepState()
     val ts = (1 to 5).map { _ =>
-      val t0 = System.nanoTime(); materialize(); (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); materialize()
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearSweepState() // untimed: between-rep cleanup, not query work
+      dt
     }
     println(f"TIMES ${ts.map(t => f"$t%.3f").mkString(",")} min=${ts.min}%.3f")
     spark.stop()

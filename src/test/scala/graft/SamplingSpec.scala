@@ -126,6 +126,30 @@ class SamplingSpec extends SparkSpec {
     assert(all.forall(_._2 === 1.0))
   }
 
+  test("temperatureFractions waterfills correctly for alpha > 1 (large domains clamp first)") {
+    // alpha=2 UPweights large domains: p ∝ n², so B (100 docs) wants
+    // 105·10000/10100 ≈ 104 > 100 → clamps to 1.0, and A keeps the
+    // leftover 5 of its 10 (frac 0.5). The ascending-count walk (valid
+    // only for alpha ≤ 1) returned B → 1.04 (> 1!) and A → 0.104 here.
+    val fr = Sampling.temperatureFractions(
+      Seq("A" -> 10L, "B" -> 100L), alpha = 2.0, targetN = 105L).toMap
+    assert(fr("B") === 1.0)
+    assert(fr("A") === 0.5)
+    // no fraction may ever exceed 1.0, for any alpha on either side of 1
+    for (a <- Seq(0.3, 0.7, 1.0, 1.5, 3.0);
+         t <- Seq(50L, 105L, 109L, 500L)) {
+      val f = Sampling.temperatureFractions(
+        Seq("A" -> 10L, "B" -> 100L, "C" -> 40L), a, t)
+      assert(f.forall(_._2 <= 1.0), s"alpha=$a target=$t gave $f")
+      assert(f.forall(_._2 >= 0.0), s"alpha=$a target=$t gave $f")
+      // mixture mass hits targetN whenever the corpus can supply it
+      val mass = f.map { case (d, fr0) =>
+        fr0 * Map("A" -> 10L, "B" -> 100L, "C" -> 40L)(d) }.sum
+      assert(math.abs(mass - math.min(t.toDouble, 150.0)) < 0.01,
+        s"alpha=$a target=$t mass=$mass")
+    }
+  }
+
   test("mixCorporaPortable honors per-source fractions, deterministic, tagged") {
     val en = corpus.filter(col("lang") === "en")
     val de = corpus.filter(col("lang") === "de")

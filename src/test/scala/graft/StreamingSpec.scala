@@ -543,6 +543,39 @@ class StreamingSpec extends SparkSpec {
     assert(inc.exists(_.startsWith("[4")))
   }
 
+  test("curateShard crash-replay between the state and sink commits loses nothing") {
+    import graft.streaming.CurationStream
+    val base = Files.createTempDirectory("graft-curation-replay").toString
+    val stateDir = s"$base/state"
+    val sinkDir = s"$base/sink"
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val evalSlice = docs.filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val shard1 = corpus.filter(col("doc_id") < 400)
+    val shard2 = corpus.filter(col("doc_id") >= 400)
+    CurationStream.curateShard(shard1, evalSlice, stateDir, sinkDir, batchId = 0L)
+    // simulate the crash window: batch 1's first attempt commits the
+    // STATE table, but dies before the sink commit (modeled by sending
+    // its sink write to a throwaway dir) — state is at batch 1, the
+    // real sink still at batch 0
+    CurationStream.curateShard(shard2, evalSlice, stateDir, s"$base/lost", batchId = 1L)
+    // foreachBatch replays batch 1: the state merge must no-op on its
+    // committed batchId, and the shard must be re-curated against the
+    // PRE-batch state snapshot — a latest-snapshot read would anti-join
+    // the shard against its OWN committed shas, publish an EMPTY sink
+    // batch, and permanently lose shard 2's survivors
+    CurationStream.curateShard(shard2, evalSlice, stateDir, sinkDir, batchId = 1L)
+    val inc = EventStreams.readUpsertTable(spark, sinkDir)
+      .select("doc_id", "lang", "n_tokens", "split")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.Curation.curate(corpus, evalSlice)
+      .select("doc_id", "lang", "n_tokens", "split")
+      .collect().map(_.toString).toSet
+    assert(inc === batch)
+    assert(inc.exists(_.startsWith("[4")),
+      "shard-2 survivors must reach the sink on replay")
+  }
+
   test("manifest compaction bounds the chain; reads and in-retention time travel survive") {
     val tableDir = Files.createTempDirectory("graft-upsert-compact").toString + "/t"
     def merge(rows: Seq[(Long, String, Long)], id: Long) =

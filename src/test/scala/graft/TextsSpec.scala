@@ -127,13 +127,53 @@ class TextsSpec extends SparkSpec {
       mk(3L, (("## " * 50).trim + " the of"))         // symbols, no alpha majority
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = graft.operators.TextAnalysis.gopherQualityGate(docs)
-      .collect().map(r => r.getLong(0) -> r).toMap
-    assert(got(0L).getBoolean(11), "the designed-good doc must pass")
-    assert(got(0L).getLong(1) === 50L)
-    assert(!got(1L).getBoolean(6) && !got(1L).getBoolean(11)) // words_ok fails
-    assert(!got(2L).getBoolean(7)) // mean_len_ok fails (mostly 1-char words)
-    assert(!got(3L).getBoolean(8)) // alpha_ok fails ('##' words)
-    assert(!got(3L).getBoolean(9)) // symbol_ok fails (2 '#' per word)
-    assert(got(0L).getLong(5) >= 2L) // stopword hits counted distinct-by-word
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("pass"), "the designed-good doc must pass")
+    assert(got(0L).getAs[Long]("n_words") === 50L)
+    assert(!got(1L).getAs[Boolean]("words_ok") && !got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("mean_len_ok")) // mostly 1-char words
+    assert(!got(3L).getAs[Boolean]("alpha_ok"))    // '##' words
+    assert(!got(3L).getAs[Boolean]("symbol_ok"))   // 2 '#' per word
+    assert(got(0L).getAs[Long]("stop_hits") >= 2L)
+  }
+
+  test("gopherQualityGate thresholds each symbol's ratio separately (Rae A.1)") {
+    import spark.implicits._
+    // 100 words with 6 '#' and 6 '...': per-symbol ratios 0.06 and 0.06
+    // — the paper passes this doc; a SUMMED ratio (0.12 > 0.1) wrongly
+    // failed it before the split into hash_ratio/ellipsis_ratio
+    val bothUnder = ("w# " * 6 + "w... " * 6 + "word " * 86).trim + " the of"
+    val hashOver = ("w## " * 30 + "word " * 68).trim + " the of" // hash 0.6 alone
+    val docs = Seq((0L, bothUnder, "en", "s", 0L), (1L, hashOver, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.gopherQualityGate(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Double]("hash_ratio") === 0.06)
+    assert(got(0L).getAs[Double]("ellipsis_ratio") === 0.06)
+    assert(got(0L).getAs[Boolean]("symbol_ok"), "0.06 + 0.06 must PASS per-symbol")
+    assert(got(0L).getAs[Boolean]("pass"))
+    assert(got(1L).getAs[Double]("hash_ratio") === 0.6)
+    assert(got(1L).getAs[Double]("ellipsis_ratio") === 0.0)
+    assert(!got(1L).getAs[Boolean]("symbol_ok"))
+  }
+
+  test("bpe merge rewrite is right-boundary-safe (no substring fusion)") {
+    import spark.implicits._
+    // corpus {ab x6, bc x10, abc x3}: round 1 merges (b,c) [count 13],
+    // so "abc" becomes symbols [a, bc]; round 2 merges (a,b) [count 6].
+    // A substring replace of " a b" would also fire on the PREFIX of
+    // " a bc", minting a bogus "abc" symbol — the fold must leave
+    // [a, bc] alone and fuse only real (a, b) pairs.
+    val words = Seq.fill(6)("ab") ++ Seq.fill(10)("bc") ++ Seq.fill(3)("abc")
+    val docs = Seq((0L, words.mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = graft.operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq === Seq((1, "b", "c", 13L), (2, "a", "b", 6L)))
+    // the vocab proves the rewrite: "abc" must survive as {a, bc} —
+    // weighted counts: ab 6, bc 10(+3 from abc) = 13, a 3; NO "abc"
+    val vocab = graft.operators.TextAnalysis.bpeSubwordVocab(docs, 2, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab === Map("bc" -> 13L, "ab" -> 6L, "a" -> 3L))
   }
 }
