@@ -1506,6 +1506,37 @@ object SparkEntry {
        |  SELECT unnest(string_split(trim(s), ' ')) AS sym, n FROM w$nMerges)
        |GROUP BY 1 ORDER BY cnt DESC, subword LIMIT $topK""".stripMargin
 
+  /** q146 oracle: re-derive the merges (q143's CTEs), then re-encode
+    * every document word-by-word with the same greedy fold the engine
+    * applies, preserving word order for the stream hash.
+    */
+  private def bpeEncodeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT doc_id, wi,
+         |  ' ' || list_reduce(string_split(trim(s), ' '),
+         |    (acc, x) -> CASE WHEN (acc = b$r.lhs
+         |                           OR ends_with(acc, ' ' || b$r.lhs))
+         |                       AND x = b$r.rhs
+         |                THEN acc || b$r.rhs
+         |                ELSE acc || ' ' || x END) AS s
+         |  FROM e${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeCtes(nMerges)},
+       |docw AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(str_split(text, ' '), x -> x <> '') AS ws
+       |        FROM documents)),
+       |e0 AS (SELECT doc_id, wi,
+       |         ' ' || array_to_string(string_split(w, ''), ' ') AS s
+       |       FROM docw),
+       |$rounds
+       |SELECT doc_id,
+       |  SUM(len(string_split(trim(s), ' ')))::BIGINT AS n_bpe_tokens,
+       |  md5(string_agg(trim(s), ' ' ORDER BY wi)) AS bpe_md5
+       |FROM e$nMerges GROUP BY doc_id""".stripMargin
+  }
+
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
     */
@@ -2634,8 +2665,8 @@ object SparkEntry {
     * merges, each row the corpus-wide most-frequent adjacent symbol
     * pair of its round. The DuckDB oracle replays training EXACTLY —
     * six unrolled rounds of pair-count → deterministic argmax →
-    * boundary-safe string rewrite (non-overlapping left-to-right
-    * `replace`, identical semantics in both engines) — so the
+    * greedy whole-symbol merge fold (Spark `aggregate` ≡ DuckDB
+    * `list_reduce`, identical recurrence in both engines) — so the
     * hash-match proves the entire training trajectory, not just the
     * final table.
     */
@@ -2666,6 +2697,26 @@ object SparkEntry {
     operators.Sampling.dsirSelect(
       docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
       "doc_id", "text", nBuckets = 64, keep = 50)
+  }
+
+  /** BPE tokenizer APPLICATION ([[operators.TextAnalysis.bpeEncode]]):
+    * train the 6-merge tokenizer (q143), then ENCODE the whole corpus
+    * under it — per doc, the subword token count and the md5 of the
+    * space-joined token stream (order-sensitive: any mis-applied merge
+    * anywhere in the doc flips the hash). This is the production op
+    * tokenizer training exists FOR; the merge table is a bounded
+    * driver-side constant, so the returned plan is ONE narrow
+    * projection over the documents scan — no explode, no join, no
+    * Exchange (guarded in PlanSpec). The oracle re-derives training
+    * (q143's CTEs) AND re-encodes every document word-by-word with the
+    * same fold, so the hash proves train-then-apply end to end.
+    */
+  def q146BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
+      .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    operators.TextAnalysis.bpeEncode(docs, merges)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2815,6 +2866,7 @@ object SparkEntry {
     "q143_bpe_merges" -> (q143BpeMerges _),
     "q144_bpe_vocab" -> (q144BpeVocab _),
     "q145_dsir_select" -> (q145DsirSelect _),
+    "q146_bpe_encode" -> (q146BpeEncode _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -3985,6 +4037,7 @@ object SparkEntry {
     "q141_leakage_split" -> leakageSafeSplitOracleSql,
     "q143_bpe_merges" -> bpeMergesOracleSql(6),
     "q144_bpe_vocab" -> bpeVocabOracleSql(6, 20),
+    "q146_bpe_encode" -> bpeEncodeOracleSql(6),
     "q145_dsir_select" ->
       """WITH tokt AS (
         |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Texts
@@ -308,6 +308,47 @@ object TextAnalysis {
       .groupBy(col("subword")).agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("subword"))
       .limit(topK)
+
+  /** BPE tokenizer APPLICATION — encode a corpus under a learned merge
+    * list (the production op: train once with [[bpeTrainMerges]], store
+    * the nMerges-row table, then encode every shard with it). Returns
+    * per doc: the subword token count and the md5 of the full
+    * space-joined token stream (strong order-sensitive content check).
+    * Docs with no tokens produce no row.
+    *
+    * Scale shape: the merge list is a BOUNDED driver-side constant
+    * (nMerges rows — the IVF-centroid convention), so encoding is ONE
+    * narrow per-row projection: tokenize → per word, split to chars
+    * and apply each merge in rank order as the same greedy left fold
+    * training uses ([[bpeTrain]]'s rewrite, array form) → flatten.
+    * No explode, no join, NO shuffle at all — the op composes into any
+    * pipeline scan or a streaming micro-batch for free, and at 100 TB
+    * costs exactly one pass over the text.
+    */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // greedy non-overlapping left-to-right pair fusion over a symbol
+    // array: whole-symbol compares only (see bpeTrain's fold; this is
+    // the array-accumulator form of the same recurrence)
+    def fuse(sym: Column, lhs: String, rhs: String): Column =
+      aggregate(sym, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(lhs) &&
+              x === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+            .otherwise(concat(acc, array(x))))
+    def encodeWord(w: Column): Column =
+      merges.foldLeft(filter(split(w, ""), c => c =!= "")) {
+        case (sym, (lhs, rhs)) => fuse(sym, lhs, rhs)
+      }
+    documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        flatten(transform(col("ws"), encodeWord(_))).as("enc"))
+      .select(col("doc_id"),
+        size(col("enc")).cast("long").as("n_bpe_tokens"),
+        md5(array_join(col("enc"), " ")).as("bpe_md5"))
+  }
 
   /** Shared training loop: returns (selected merges, final rewritten
     * word table).

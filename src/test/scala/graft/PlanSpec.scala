@@ -344,6 +344,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"gopher gate should not shuffle:\n$p")
   }
 
+  test("q146 bpe encode is one narrow projection — no Exchange, no Generate") {
+    // the merge table is a bounded driver-side constant, so tokenizer
+    // APPLICATION must be a pure per-row map over the documents scan:
+    // a shuffle or an explode appearing here means the encode stopped
+    // being streaming-composable
+    val p = planOf("q146_bpe_encode")
+    assert(!p.contains("Exchange"), s"bpe encode should not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"bpe encode should not explode:\n$p")
+  }
+
   test("q145 DSIR broadcasts the ratio table; no shuffle carries tokens") {
     // the nBuckets-row importance-ratio side must ride a broadcast onto
     // the exploded raw tokens — a sort-merge/shuffled-hash join there

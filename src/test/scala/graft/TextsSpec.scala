@@ -157,6 +157,30 @@ class TextsSpec extends SparkSpec {
     assert(!got(1L).getAs[Boolean]("symbol_ok"))
   }
 
+  test("bpeEncode applies learned merges in rank order, word by word") {
+    import spark.implicits._
+    // Sennrich merges (es, est, lo, low) applied to fresh words:
+    //   "lowest" -> [low, est] (2), "low" -> [low] (1),
+    //   "widest" -> [w, i, d, est] (4), "xesty" -> [x, est, y] (3):
+    //   rank order matters — (e,s) then (es,t) builds est inside xesty
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val docs = Seq(
+      (0L, "lowest low", "en", "s", 0L),
+      (1L, "widest xesty", "en", "s", 0L),
+      (2L, "", "en", "s", 0L)) // empty doc: no output row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("bpe_md5"))).toMap
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L)._1 === 3L) // [low, est] + [low]
+    assert(got(1L)._1 === 7L) // [w, i, d, est] + [x, est, y]
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(0L)._2 === md5("low est low"))
+    assert(got(1L)._2 === md5("w i d est x est y"))
+  }
+
   test("bpe merge rewrite is right-boundary-safe (no substring fusion)") {
     import spark.implicits._
     // corpus {ab x6, bc x10, abc x3}: round 1 merges (b,c) [count 13],
