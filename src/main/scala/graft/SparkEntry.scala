@@ -2719,6 +2719,29 @@ object SparkEntry {
     operators.TextAnalysis.bpeEncode(docs, merges)
   }
 
+  /** Training-sequence packing ([[operators.Packing.packSequences]]):
+    * concat-and-chunk the corpus into 128-token sequences (doc_id
+    * order, one separator per doc) and report per-sequence occupancy —
+    * docs touched, slots holding doc tokens, boundary-crossing docs.
+    * The global token offsets come from the two-job distributed prefix
+    * sum (never a one-task global window); the oracle re-derives the
+    * identical stream with a window prefix sum, so the hash proves
+    * every document landed at the exact same token offset.
+    */
+  def q147PackSequences(spark: SparkSession, dir: String): DataFrame =
+    operators.Packing.packSequences(Tables.documents(spark, dir), seqLen = 128)
+
+  /** RAG sliding-window chunking
+    * ([[operators.TextAnalysis.slidingChunks]]): 32-token windows
+    * every 24 tokens per doc; per chunk its token count and the md5 of
+    * its space-joined tokens, so the hash pins every chunk's exact
+    * CONTENT and boundary. Pure narrow projection + bounded explode —
+    * no shuffle (PlanSpec guard).
+    */
+  def q148SlidingChunks(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.slidingChunks(
+      Tables.documents(spark, dir), window = 32, stride = 24)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2867,6 +2890,8 @@ object SparkEntry {
     "q144_bpe_vocab" -> (q144BpeVocab _),
     "q145_dsir_select" -> (q145DsirSelect _),
     "q146_bpe_encode" -> (q146BpeEncode _),
+    "q147_pack_sequences" -> (q147PackSequences _),
+    "q148_sliding_chunks" -> (q148SlidingChunks _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4038,6 +4063,39 @@ object SparkEntry {
     "q143_bpe_merges" -> bpeMergesOracleSql(6),
     "q144_bpe_vocab" -> bpeVocabOracleSql(6, 20),
     "q146_bpe_encode" -> bpeEncodeOracleSql(6),
+    "q147_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+        |  FROM documents),
+        |f AS (SELECT doc_id, nt FROM t WHERE nt > 0),
+        |c AS (SELECT doc_id, nt,
+        |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+        |      FROM f),
+        |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+        |             (fin - 1)::BIGINT AS et
+        |      FROM c),
+        |x AS (SELECT doc_id, st, et,
+        |        unnest(generate_series(st // 128, (et - 1) // 128)) AS seq_id
+        |      FROM s)
+        |SELECT seq_id,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  SUM(LEAST(et, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128))::BIGINT AS doc_tokens,
+        |  SUM(CASE WHEN st < seq_id * 128 OR et > (seq_id + 1) * 128
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+        |FROM x GROUP BY 1""".stripMargin,
+    "q148_sliding_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nt FROM w WHERE len(ws) > 0),
+        |x AS (SELECT doc_id, ws,
+        |        unnest(generate_series(0, ((nt - 1) // 24)::BIGINT)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32))::BIGINT AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')) AS chunk_md5
+        |FROM x""".stripMargin,
     "q145_dsir_select" ->
       """WITH tokt AS (
         |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w

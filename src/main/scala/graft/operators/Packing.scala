@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Texts
+
+/** Training-sequence PACKING — the step between a curated corpus and a
+  * training run: documents are concatenated (one separator token after
+  * each, the EOS convention) into one global token stream in a fixed
+  * deterministic order, and the stream is chunked into fixed-length
+  * sequences of `seqLen` tokens ("concat-and-chunk", the packing used
+  * by the GPT-2/3 and Llama pre-training recipes; the reference
+  * pipeline has no analog — this is part of the LLM-pipeline surface,
+  * like `Sampling`/`Curation`).
+  *
+  * The crux at scale is the global token OFFSET of every document — a
+  * prefix sum over the corpus in doc order. A window
+  * `SUM(cost) OVER (ORDER BY doc_id)` funnels the whole corpus through
+  * ONE task; instead the offsets come from
+  * [[TimeOps.runningTotalDistributed]]'s two-job pattern (range
+  * partition by doc_id, per-partition sums — one Long each — collected
+  * and re-broadcast as partition offsets). Everything that shuffles is
+  * three Longs per document (doc_id, start, end); the text column dies
+  * at the scan after the token count is projected. The per-sequence
+  * fan-out is `ceil(n_tokens / seqLen) + 1` rows per doc — bounded,
+  * and tiny for any realistic seqLen.
+  */
+object Packing {
+
+  /** Pack the corpus and report per-SEQUENCE occupancy: how many docs
+    * touch the sequence, how many of its slots hold document tokens
+    * (the rest are separators), and how many of its docs cross one of
+    * its boundaries (the "split document" cost concat-and-chunk pays
+    * vs padding-based packing). Order: doc_id ascending; docs with no
+    * tokens are dropped before packing (they would contribute a bare
+    * separator).
+    *
+    * Output: (seq_id, n_docs, doc_tokens, n_split_docs), one row per
+    * sequence touched by at least one document token.
+    */
+  def packSequences(documents: DataFrame, seqLen: Int,
+                    nParts: Int = 8): DataFrame = {
+    require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
+    val costs = documents
+      .select(col("doc_id"), Texts.tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      // +1: the separator token written after every document
+      .select(col("doc_id"), (col("nt") + lit(1L)).as("cost"))
+    val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
+    val L = lit(seqLen.toLong)
+    // the doc's own tokens span [st, et); its separator sits at et
+    ends
+      .select(col("doc_id"),
+        (col("fin") - col("cost")).as("st"),
+        (col("fin") - lit(1L)).as("et"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $seqLen"), expr(s"(et - 1) div $seqLen"))))
+      .withColumn("ov",
+        least(col("et"), (col("seq_id") + lit(1L)) * L) -
+          greatest(col("st"), col("seq_id") * L))
+      .withColumn("crosses",
+        (col("st") < col("seq_id") * L ||
+          col("et") > (col("seq_id") + lit(1L)) * L).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ov")).as("doc_tokens"),
+        sum(col("crosses")).as("n_split_docs"))
+  }
+}

@@ -350,6 +350,40 @@ object TextAnalysis {
         md5(array_join(col("enc"), " ")).as("bpe_md5"))
   }
 
+  /** Retrieval-side CHUNKING — split each document into overlapping
+    * fixed-size token windows (`window` tokens every `stride`, the
+    * standard RAG / dense-retrieval passage shape: stride < window
+    * gives the overlap that keeps answers from straddling a chunk
+    * boundary). Starts are the multiples of `stride` strictly below
+    * the doc's token count, so the final chunk may be short but every
+    * token is covered and no start falls past the text.
+    *
+    * Per chunk: its index within the doc, its token count, and the md5
+    * of its space-joined tokens — the identity a downstream embedding /
+    * indexing stage keys on. Scale shape: tokenize is a narrow
+    * projection, the fan-out is a bounded per-row explode
+    * (`ceil(n_tokens / stride)` chunks per doc), and there is NO
+    * shuffle at all — chunking composes into the scan of any pipeline,
+    * batch or streaming, and feeds the ANN family (the chunk vectors
+    * are what `Similarity` indexes at serving time).
+    */
+  def slidingChunks(documents: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= stride && stride > 0,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ws"))
+      .withColumn("nt", size(col("ws")))
+      .filter(col("nt") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"cast((nt - 1) div $stride as bigint)"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("cw"), " ")).as("chunk_md5"))
+  }
+
   /** Shared training loop: returns (selected merges, final rewritten
     * word table).
     */

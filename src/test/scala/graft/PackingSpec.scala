@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-built and invariant cases for concat-and-chunk sequence
+  * packing ([[graft.operators.Packing]]).
+  */
+class PackingSpec extends SparkSpec {
+
+  private def docs(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("packSequences lays the stream out doc by doc with separators") {
+    // token counts 5, 3, 10 (costs 6, 4, 11 with the separator):
+    //   d0 tokens [0,5)  sep 5
+    //   d1 tokens [6,9)  sep 9
+    //   d2 tokens [10,20) sep 20
+    // seqLen 8 -> seq0 [0,8): d0 whole (5) + d1 head (2), 1 split
+    //             seq1 [8,16): d1 tail (1) + d2 head (6), 2 split
+    //             seq2 [16,24): d2 tail (4), 1 split
+    val df = docs(
+      0L -> "a b c d e",
+      1L -> "f g h",
+      2L -> "i j k l m n o p q r")
+    val got = operators.Packing.packSequences(df, seqLen = 8, nParts = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      0L -> ((2L, 7L, 1L)),
+      1L -> ((2L, 7L, 2L)),
+      2L -> ((1L, 4L, 1L))))
+  }
+
+  test("packSequences drops empty docs and token mass is conserved") {
+    import spark.implicits._
+    // 40 docs of varying length plus two empty ones; mass conservation
+    // (sum of per-seq doc_tokens == total corpus tokens), per-seq
+    // occupancy bounded by seqLen, and seq ids contiguous from 0 (no
+    // interior all-separator sequence can exist when every doc has
+    // >= 1 token)
+    val base = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("t").mkString(" ")))
+    val df = (base :+ (40L -> "") :+ (41L -> " ")).toDF("doc_id", "text")
+    val rows = operators.Packing.packSequences(df, seqLen = 16, nParts = 4)
+      .collect()
+    val totalTokens = base.map(_._2.split(" ").length.toLong).sum
+    assert(rows.map(_.getLong(2)).sum === totalTokens)
+    assert(rows.forall(_.getLong(2) <= 16L))
+    assert(rows.forall(_.getLong(1) >= 1L))
+    val ids = rows.map(_.getLong(0)).sorted
+    assert(ids === (0L until ids.length.toLong).toArray)
+  }
+
+  test("packSequences is invariant to the partition count") {
+    // the two-job prefix sum must give identical offsets whatever the
+    // range-partitioning — determinism contract of the pattern
+    val df = docs((0L until 25L).map(i =>
+      i -> Seq.fill((i % 5 + 2).toInt)("w").mkString(" ")): _*)
+    def run(n: Int) =
+      operators.Packing.packSequences(df, seqLen = 8, nParts = n)
+        .orderBy(col("seq_id")).collect().map(_.toSeq).toSeq
+    assert(run(1) === run(7))
+  }
+}

@@ -354,6 +354,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"bpe encode should not explode:\n$p")
   }
 
+  test("q147 packing shuffles only Longs — text never leaves the scan") {
+    // the global offsets come from the two-job prefix sum, so the plan
+    // this query RETURNS starts at an all-Long RDD (doc_id, cost, fin);
+    // the corpus text died at the eager counting scan. A string column
+    // (or the parquet relation itself) reappearing here means packing
+    // started shuffling text
+    val p = planOf("q147_pack_sequences")
+    assert(p.contains("Generate explode"), s"bounded per-doc fan-out missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-seq agg should be partial+final around the exchange:\n$p")
+    assert(!p.contains("parquet") && !p.contains("text"),
+      s"packing plan must not carry the corpus text:\n$p")
+  }
+
+  test("q148 sliding chunks never shuffle — narrow projection + bounded explode") {
+    val p = planOf("q148_sliding_chunks")
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"per-doc chunk fan-out missing:\n$p")
+  }
+
   test("q145 DSIR broadcasts the ratio table; no shuffle carries tokens") {
     // the nBuckets-row importance-ratio side must ride a broadcast onto
     // the exploded raw tokens — a sort-merge/shuffled-hash join there

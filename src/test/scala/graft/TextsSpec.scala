@@ -181,6 +181,29 @@ class TextsSpec extends SparkSpec {
     assert(got(1L)._2 === md5("w i d est x est y"))
   }
 
+  test("slidingChunks covers every token with the stride-overlap shape") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9:
+    //   [t1..t4] [t4..t7] [t7..t10] [t10]
+    val docs = Seq(
+      (0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (1L, "a b c"), // nt <= stride: exactly one chunk
+      (2L, "")) // empty doc: no rows
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.slidingChunks(docs, window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got.keySet === Set(0L -> 0L, 0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L))
+    assert(got(0L -> 0L) === ((4L, md5("t1 t2 t3 t4"))))
+    assert(got(0L -> 1L) === ((4L, md5("t4 t5 t6 t7"))))
+    assert(got(0L -> 2L) === ((4L, md5("t7 t8 t9 t10"))))
+    assert(got(0L -> 3L) === ((1L, md5("t10"))))
+    assert(got(1L -> 0L) === ((3L, md5("a b c"))))
+  }
+
   test("bpe merge rewrite is right-boundary-safe (no substring fusion)") {
     import spark.implicits._
     // corpus {ab x6, bc x10, abc x3}: round 1 merges (b,c) [count 13],
