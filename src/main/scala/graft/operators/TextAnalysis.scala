@@ -318,14 +318,38 @@ object TextAnalysis {
     *
     * Scale shape: the merge list is a BOUNDED driver-side constant
     * (nMerges rows — the IVF-centroid convention), so encoding is ONE
-    * narrow per-row projection: tokenize → per word, split to chars
-    * and apply each merge in rank order as the same greedy left fold
-    * training uses ([[bpeTrain]]'s rewrite, array form) → flatten.
+    * narrow per-row projection: tokenize → per word, split to code
+    * points and apply each merge in rank order as the same greedy left
+    * fold training uses ([[bpeTrain]]'s rewrite, array form) → flatten.
     * No explode, no join, NO shuffle at all — the op composes into any
     * pipeline scan or a streaming micro-batch for free, and at 100 TB
     * costs exactly one pass over the text.
+    *
+    * The fold runs as the native codegen'd kernel
+    * [[graft.plans.BpeEncodeTokens]] (the HOF form below re-allocated
+    * the accumulator array per element — q146 was the slowest bench
+    * query by 3.4× at sf0.1); [[bpeEncodeHof]] keeps the declarative
+    * recurrence as the parity reference, replayed in TextsSpec.
     */
-  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        graft.plans.BpeEncodeTokens.bpeEncodeTokens(col("ws"), merges).as("enc"))
+      .select(col("doc_id"),
+        size(col("enc")).cast("long").as("n_bpe_tokens"),
+        md5(array_join(col("enc"), " ")).as("bpe_md5"))
+
+  /** The declarative higher-order-function form of [[bpeEncode]] —
+    * same recurrence, kept as the executable parity reference for the
+    * native kernel (TextsSpec runs both over real corpus data and
+    * asserts identical output). Not the production path: `aggregate`
+    * rebuilds the accumulator array per element (O(merges × len²)
+    * interpreted), which is why the kernel exists.
+    */
+  private[graft] def bpeEncodeHof(
+      documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     // greedy non-overlapping left-to-right pair fusion over a symbol
     // array: whole-symbol compares only (see bpeTrain's fold; this is
     // the array-accumulator form of the same recurrence)

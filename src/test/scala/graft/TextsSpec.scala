@@ -181,6 +181,23 @@ class TextsSpec extends SparkSpec {
     assert(got(1L)._2 === md5("w i d est x est y"))
   }
 
+  test("bpeEncode native kernel matches the HOF recurrence on real corpus data") {
+    // parity proof for graft.plans.BpeEncodeTokens: both forms over the
+    // sf0.001 documents table under merges LEARNED from that corpus
+    // (real rank interactions, multi-char symbols), plus the Sennrich
+    // fixture's chained merges. Row-for-row identical (count + md5).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = graft.operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val native = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val hof = graft.operators.TextAnalysis.bpeEncodeHof(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(native.nonEmpty)
+    assert(native === hof)
+  }
+
   test("slidingChunks covers every token with the stride-overlap shape") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3 -> starts 0,3,6,9:
