@@ -1537,6 +1537,52 @@ object SparkEntry {
        |FROM e$nMerges GROUP BY doc_id""".stripMargin
   }
 
+  /** q149 oracle: replay LR training round by round. Round r's CTEs:
+    * z/s from the previous weights (w0 = all zeros is inlined as s =
+    * 0.5), the gradient aggregate, and the quantized (ROUND 9) weight
+    * update — exactly [[operators.Sampling.lrQualitySelect]]'s
+    * recurrence, bias riding as bucket -1 with tf 1.
+    */
+  private def lrQualityOracleSql(nBuckets: Int, lrate: Double,
+                                 rounds: Int, keep: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val grad =
+        if (r == 1)
+          s"""g1 AS (SELECT b, SUM((0.5 - y) * x) AS g FROM x GROUP BY b)"""
+        else
+          s"""z$r AS (SELECT x.doc_id, x.y, SUM(COALESCE(w${r - 1}.w, 0) * x.x) AS z
+             |  FROM x LEFT JOIN w${r - 1} USING (b) GROUP BY 1, 2),
+             |s$r AS (SELECT doc_id, 1.0 / (1.0 + EXP(-z)) AS s FROM z$r),
+             |g$r AS (SELECT x.b, SUM((s$r.s - x.y) * x.x) AS g
+             |  FROM x JOIN s$r USING (doc_id) GROUP BY 1)""".stripMargin
+      val prevW = if (r == 1) "0" else s"COALESCE(w${r - 1}.w, 0)"
+      val join = if (r == 1) s"g$r CROSS JOIN nd"
+        else s"g$r LEFT JOIN w${r - 1} USING (b) CROSS JOIN nd"
+      s"""$grad,
+         |w$r AS (SELECT b, ROUND($prevW - $lrate * g / nd.nd, 9) AS w
+         |  FROM $join)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, CASE WHEN doc_id < 250 THEN 1.0 ELSE 0.0 END AS y,
+       |         unnest(list_filter(str_split(text, ' '), t -> t <> '')) AS w
+       |  FROM documents),
+       |bc AS (SELECT doc_id, y,
+       |         ('0x' || substr(md5(w), 1, 8))::BIGINT % $nBuckets AS b,
+       |         COUNT(*)::DOUBLE AS c
+       |       FROM tok GROUP BY 1, 2, 3),
+       |n AS (SELECT doc_id, SUM(c) AS n FROM bc GROUP BY 1),
+       |x AS (SELECT bc.doc_id, y, b, c / n.n AS x FROM bc JOIN n USING (doc_id)
+       |      UNION ALL
+       |      SELECT DISTINCT doc_id, y, -1::BIGINT, 1.0 FROM bc),
+       |nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM bc),
+       |$steps,
+       |zf AS (SELECT x.doc_id, x.y, SUM(COALESCE(w$rounds.w, 0) * x.x) AS z
+       |  FROM x LEFT JOIN w$rounds USING (b) GROUP BY 1, 2)
+       |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
+       |FROM zf WHERE y = 0.0
+       |ORDER BY lr_quality DESC, doc_id LIMIT $keep""".stripMargin
+  }
+
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
     */
@@ -2742,6 +2788,24 @@ object SparkEntry {
     operators.TextAnalysis.slidingChunks(
       Tables.documents(spark, dir), window = 32, stride = 24)
 
+  /** Learned LR quality filter ([[operators.Sampling.lrQualitySelect]]):
+    * train a logistic-regression classifier (hashed-unigram tf
+    * features, 64 buckets + bias) to separate the doc_id < 250 slice
+    * (the corpus's "curated" convention, as q145) from the raw pool,
+    * 3 full-batch gradient rounds from w=0 at lr 0.5, then keep the 50
+    * raw docs the model scores most target-like. The oracle replays
+    * the ENTIRE training trajectory — bucket tfs, each round's
+    * sigmoid scores, gradients, and quantized weight updates — as
+    * unrolled CTEs (the q143 convention), so the hash proves the
+    * model, not just the final ranking.
+    */
+  def q149LrQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Sampling.lrQualitySelect(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -2892,6 +2956,7 @@ object SparkEntry {
     "q146_bpe_encode" -> (q146BpeEncode _),
     "q147_pack_sequences" -> (q147PackSequences _),
     "q148_sliding_chunks" -> (q148SlidingChunks _),
+    "q149_lr_quality" -> (q149LrQuality _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4084,6 +4149,8 @@ object SparkEntry {
         |  SUM(CASE WHEN st < seq_id * 128 OR et > (seq_id + 1) * 128
         |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
         |FROM x GROUP BY 1""".stripMargin,
+    "q149_lr_quality" ->
+      lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q148_sliding_chunks" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws

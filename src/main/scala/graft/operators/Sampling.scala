@@ -322,6 +322,101 @@ object Sampling {
       .limit(keep)
   }
 
+  /** LEARNED quality classifier — logistic regression over hashed
+    * unigram features, the published "quality filter" recipe (GPT-3,
+    * Brown et al. 2020 appendix A: an LR classifier trained to
+    * separate a curated positive corpus from raw crawl, used to score
+    * and select the crawl; LLaMA and PaLM run the same shape with a
+    * fastText-style linear model). Complements the HEURISTIC gates
+    * ([[TextAnalysis.gopherQualityGate]]), the self-trained LM score
+    * ([[TextAnalysis.bigramLmScore]]), and importance RESAMPLING
+    * ([[dsirSelect]]): this is the supervised member of the family.
+    *
+    * Features: each doc's hashed-unigram term frequencies over
+    * `nBuckets` buckets ([[dsirSelect]]'s portable md5 bucket), plus a
+    * constant bias feature. Training: `rounds` full-batch gradient
+    * steps from w=0 with learning rate `lrate` — deterministic by
+    * construction (no SGD sampling, no init randomness), so an oracle
+    * can replay the entire trajectory. Weights are quantized to 9
+    * decimals after each step and scores to 6 (the repo's ROUND
+    * convention): double-sum reorder drift across engines is ~1e-12,
+    * so quantization makes the trajectory engine-portable without
+    * changing what the model learns.
+    *
+    * Scale shape: the corpus text is read ONCE into the per-doc
+    * feature table — (id, y, bucket array, tf array), arrays ≤
+    * nBuckets entries, text dropped — cut from the corpus lineage by a
+    * checkpoint barrier (the q136/bigramLmScore scan-once pattern).
+    * Each round is then one narrow scoring projection (weights ride as
+    * an O(nBuckets) literal — the IVF-centroid / PQ-codebook
+    * bounded-constant convention) plus one explode→aggregate whose
+    * map-side partials shrink to nBuckets rows before the shuffle; the
+    * driver collects exactly nBuckets+1 doubles per round. Total:
+    * 1 text pass + `rounds` feature-table passes, model state O(64)
+    * — nothing grows with the corpus.
+    *
+    * Returns the `keep` highest-scoring raw docs as (id,
+    * lr_quality), ordered (score DESC, id).
+    */
+  def lrQualitySelect(target: DataFrame, raw: DataFrame, idCol: String,
+                      textCol: String, nBuckets: Int, lrate: Double,
+                      rounds: Int, keep: Int): DataFrame = {
+    import graft.functions.Texts
+    val labeled =
+      target.select(col(idCol), lit(1.0).as("y"), col(textCol).as("t"))
+        .unionByName(raw.select(col(idCol), lit(0.0).as("y"), col(textCol).as("t")))
+    val bc = labeled
+      .select(col(idCol), col("y"), explode(Texts.tokens(col("t"))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    // one row per doc; bucket -1 is the bias feature (tf 1.0), so the
+    // bias gradient falls out of the same aggregation as the weights
+    val feats = bc
+      .groupBy(col(idCol), col("y"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bcs"),
+        sum(col("c")).as("n"))
+      .select(col(idCol), col("y"),
+        concat(array(lit(-1L)),
+          transform(col("bcs"), e => e.getField("b"))).as("bs"),
+        concat(array(lit(1.0)),
+          transform(col("bcs"), e => e.getField("c") / col("n"))).as("xs"))
+      .localCheckpoint()
+    val nDocs = feats.count().toDouble
+    // w(0) = bias, w(j+1) = bucket j — matching the b+2 element_at shift
+    var w = Array.fill(nBuckets + 1)(0.0)
+    def sigmoid(wCur: Array[Double]): Column = {
+      val wlit = array(wCur.map(lit(_)).toSeq: _*)
+      val z = aggregate(
+        zip_with(col("bs"), col("xs"),
+          (b, x) => element_at(wlit, (b + lit(2L)).cast("int")) * x),
+        lit(0.0), (acc, v) => acc + v)
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+    for (_ <- 1 to rounds) {
+      val grad = feats
+        .select(explode(arrays_zip(col("bs"), col("xs"))).as("e"),
+          (sigmoid(w) - col("y")).as("coef"))
+        .groupBy(col("e.bs").as("b"))
+        .agg(sum(col("coef") * col("e.xs")).as("g"))
+        .collect() // bounded by contract: nBuckets + 1 rows
+      grad.foreach { r =>
+        val j = r.getLong(0).toInt + 1
+        // java BigDecimal.valueOf = Spark Round's own double→decimal
+        // path, so this quantization is bit-identical to an engine-side
+        // round(col, 9)
+        w(j) = java.math.BigDecimal.valueOf(w(j) - lrate * r.getDouble(1) / nDocs)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    feats.filter(col("y") === 0.0)
+      .select(col(idCol), round(sigmoid(w), 6).as("lr_quality"))
+      .orderBy(col("lr_quality").desc, col(idCol))
+      .limit(keep)
+  }
+
   /** LEAKAGE-SAFE train/eval split: the split is decided per
     * DUP-CLUSTER, not per document, so near-duplicates can never
     * straddle train and eval (the standard eval-contamination failure:

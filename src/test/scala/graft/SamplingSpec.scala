@@ -227,6 +227,32 @@ class SamplingSpec extends SparkSpec {
     assert(clean.filter(col("doc_id") < 10).count() === 0L)
   }
 
+  test("lrQualitySelect learns to rank target-like raw docs above junk") {
+    import spark.implicits._
+    // positives share the alpha/beta vocabulary; the raw pool has two
+    // target-like docs and two junk docs — after 3 full-batch rounds
+    // the classifier must rank both target-like docs above both junk
+    // docs (it has seen the junk vocabulary only with label 0)
+    val target = Seq(
+      (0L, "alpha beta alpha beta"),
+      (1L, "beta alpha beta alpha alpha"),
+      (2L, "alpha alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "alpha beta alpha"),
+      (11L, "beta alpha"),
+      (12L, "zulu yankee xray zulu"),
+      (13L, "xray xray yankee")).toDF("doc_id", "text")
+    val got = Sampling.lrQualitySelect(target, raw, "doc_id", "text",
+        nBuckets = 16, lrate = 0.5, rounds = 3, keep = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(10L, 11L, 12L, 13L))
+    assert(math.min(got(10L), got(11L)) > math.max(got(12L), got(13L)),
+      s"target-like must outscore junk: $got")
+    // scores are probabilities, and the quantized trajectory keeps them
+    // in (0, 1) strictly
+    assert(got.values.forall(s => s > 0.0 && s < 1.0))
+  }
+
   test("dsirSelect ranks target-like raw docs above off-distribution ones") {
     import spark.implicits._
     val target = Seq((0L, "alpha beta alpha beta alpha"))
