@@ -1537,6 +1537,107 @@ object SparkEntry {
        |FROM e$nMerges GROUP BY doc_id""".stripMargin
   }
 
+  /** Embedding covariance matrix ([[operators.Embeddings]]): the
+    * one-pass Gram-aggregator face of the PCA/whitening family, as
+    * oracle-checkable (i, j, cov) upper-triangle rows. The oracle
+    * re-derives every entry from scratch (per-position self-join,
+    * raw second moments, closed-form centering), so the hash proves
+    * the distributed Gram pass entry by entry.
+    */
+  def q150EmbedCovariance(spark: SparkSession, dir: String): DataFrame =
+    operators.Embeddings.covarianceMatrix(
+      Tables.embeddings(spark, dir), "embedding", d = 64)
+
+  /** PCA + whitening verdict ([[operators.Embeddings.fitPca]] /
+    * `pcaProjectCol`): fit on the embeddings table, then verify the
+    * model's defining properties AGAINST THE DATA, distributed —
+    * components orthonormal (driver check on the bounded model);
+    * full-rank reconstruction exact to 1e-6 (64 native-dot recon per
+    * row, max error over every row and coordinate); per-component
+    * projection variances equal to the eigenvalues in decreasing
+    * order; their sum equal to the covariance trace; and the whitened
+    * top-8 coordinates having unit sample variance. The oracle states
+    * the expected verdict (the q138 planted-outcome convention) with
+    * n_vecs genuinely re-derived — a false anywhere flips the hash.
+    */
+  def q151PcaVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val d = 64; val kWhiten = 8
+    val model = operators.Embeddings.fitPca(emb, "embedding", d)
+    // driver check: VᵀV = I on the bounded model
+    val orthoErr = (0 until d).flatMap { a =>
+      (a until d).map { b =>
+        val dot = (0 until d).map(i => model.components(a)(i) * model.components(b)(i)).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }
+    }.max
+    val trace = model.eigenvalues.sum
+    val vd = emb.select(
+      graft.functions.Vectors.asDouble(col("embedding")).as("vd"))
+    val proj = vd.select(col("vd"),
+      operators.Embeddings.pcaProjectCol(col("vd"), model, d).as("p"),
+      operators.Embeddings.pcaProjectCol(col("vd"), model, kWhiten,
+        whiten = true).as("pw"))
+    // full-rank reconstruction error, per row: max_i |μ_i + p·V[:,i] − v_i|
+    val reconErr = greatest((0 until d).map { i =>
+      val colLit = array((0 until d).map(c => lit(model.components(c)(i))): _*)
+      abs(graft.plans.VectorOps.vecDot(col("p"), colLit)
+        + lit(model.mean(i)) - element_at(col("vd"), i + 1))
+    }: _*)
+    val aggs =
+      (0 until d).map(c => var_samp(element_at(col("p"), c + 1)).as(s"ev$c")) ++
+      (0 until kWhiten).map(c => var_samp(element_at(col("pw"), c + 1)).as(s"wv$c")) ++
+      Seq(max(reconErr).as("recon_err"), count(lit(1)).as("n_vecs"))
+    val r = proj.agg(aggs.head, aggs.tail: _*).head()
+    val evs = (0 until d).map(c => r.getDouble(c))
+    val wvs = (0 until kWhiten).map(c => r.getDouble(d + c))
+    val reconOk = r.getDouble(d + kWhiten) < 1e-6
+    val nVecs = r.getLong(d + kWhiten + 1)
+    val evarMatches = evs.zip(model.eigenvalues).forall {
+      case (v, l) => math.abs(v - l) <= 1e-6 * math.max(1.0, math.abs(l)) }
+    val decreasing = evs.sliding(2).forall(p => p(0) >= p(1) - 1e-9)
+    val traceOk = math.abs(evs.sum - trace) <= 1e-6 * trace
+    val whitenOk = wvs.forall(v => math.abs(v - 1.0) <= 1e-6)
+    import spark.implicits._
+    Seq((nVecs, d, orthoErr < 1e-9, reconOk, evarMatches && decreasing,
+      traceOk, whitenOk))
+      .toDF("n_vecs", "dim", "orthonormal_ok", "recon_ok",
+        "evar_matches_eigenvalues_ok", "evar_sums_to_trace_ok",
+        "whitened_unit_var_ok")
+  }
+
+  /** Contrastive pair mining ([[operators.Similarity.contrastivePairs]]):
+    * per anchor, its best same-bucket positive (cosine ≥ 0.35, the
+    * q44 near-dup threshold) and best hard negative (cosine in
+    * [0.15, 0.35) — close enough to be informative, far enough to be
+    * a true negative), ties broken (cosine desc, id asc) on the
+    * rounded score. The oracle re-derives buckets from the generated
+    * plane literals, every within-bucket cosine, and both per-anchor
+    * argmax selections.
+    */
+  def q152ContrastivePairs(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.contrastivePairs(
+      Tables.embeddings(spark, dir), nPlanes = 4, posCos = 0.35, negLo = 0.15)
+
+  /** q152 oracle: within-bucket cosines + two ROW_NUMBER argmax picks. */
+  private def contrastivePairsOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v", 4, 64)} AS bucket FROM e),
+       |c AS (SELECT a.vec_id AS anchor_id, x.vec_id,
+       |        ${cosineSql("a.v", "x.v")} AS cos
+       |      FROM b a JOIN b x USING (bucket) WHERE x.vec_id <> a.vec_id),
+       |p AS (SELECT anchor_id, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |          ORDER BY cos DESC, vec_id) AS rn
+       |      FROM c WHERE cos >= 0.35),
+       |n AS (SELECT anchor_id, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |          ORDER BY cos DESC, vec_id) AS rn
+       |      FROM c WHERE cos >= 0.15 AND cos < 0.35)
+       |SELECT p.anchor_id, p.vec_id AS pos_id, p.cos AS pos_cos,
+       |       n.vec_id AS neg_id, n.cos AS neg_cos
+       |FROM p JOIN n ON p.anchor_id = n.anchor_id AND p.rn = 1 AND n.rn = 1""".stripMargin
+
   /** q149 oracle: replay LR training round by round. Round r's CTEs:
     * z/s from the previous weights (w0 = all zeros is inlined as s =
     * 0.5), the gradient aggregate, and the quantized (ROUND 9) weight
@@ -2957,6 +3058,9 @@ object SparkEntry {
     "q147_pack_sequences" -> (q147PackSequences _),
     "q148_sliding_chunks" -> (q148SlidingChunks _),
     "q149_lr_quality" -> (q149LrQuality _),
+    "q150_embed_covariance" -> (q150EmbedCovariance _),
+    "q151_pca_verdict" -> (q151PcaVerdict _),
+    "q152_contrastive_pairs" -> (q152ContrastivePairs _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4151,6 +4255,28 @@ object SparkEntry {
         |FROM x GROUP BY 1""".stripMargin,
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
+    "q150_embed_covariance" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |s AS (SELECT i, SUM(v) AS s, COUNT(*)::DOUBLE AS n FROM el GROUP BY 1)
+        |SELECT (p.i - 1)::INT AS i, (p.j - 1)::INT AS j,
+        |  -- + 0 folds DuckDB's ROUND-produced -0.0 to +0.0 (the
+        |  -- BigDecimal path on the engine side never emits -0.0)
+        |  ROUND((p.g - si.s * sj.s / si.n) / (si.n - 1), 6) + 0 AS cov
+        |FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i""".stripMargin,
+    "q152_contrastive_pairs" -> contrastivePairsOracleSql,
+    "q151_pca_verdict" ->
+      """SELECT COUNT(*)::BIGINT AS n_vecs, 64 AS dim,
+        |  true AS orthonormal_ok, true AS recon_ok,
+        |  true AS evar_matches_eigenvalues_ok,
+        |  true AS evar_sums_to_trace_ok, true AS whitened_unit_var_ok
+        |FROM embeddings""".stripMargin,
     "q148_sliding_chunks" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws

@@ -446,4 +446,45 @@ object Similarity {
           lit(0.0), (a, x) => a + x)), 6).as("dist"))
     topKPerProbeDist(scored, k)
   }
+
+  /** CONTRASTIVE pair mining — (anchor, positive, hard-negative)
+    * triplets for embedding-model training (the DPR / SimCSE data
+    * recipe: positives are near-duplicates; HARD negatives are the
+    * close-but-not-duplicate neighbors that make the contrastive loss
+    * informative, versus easy random negatives). Per anchor: the
+    * best same-bucket neighbor with cosine ≥ `posCos` (the positive)
+    * and the best with cosine in [`negLo`, `posCos`) (the hard
+    * negative); anchors missing either produce no triplet. Ties break
+    * (cosine desc, vec_id asc) on the ROUNDED cosine, so the choice is
+    * engine-portable.
+    *
+    * Scale shape: the deterministic hyperplane bucket keeps candidate
+    * generation bucket-local (the q29/q44 convention — candidates
+    * O(Σ bucket²), never corpus all-pairs), and selection is ONE
+    * hash aggregation of lexicographic `max(struct(cos, −id))` pairs —
+    * map-side partials, no window over the corpus, no explode. At
+    * 100 TB the bucket width (nPlanes) is the knob, exactly as for the
+    * ANN family.
+    */
+  def contrastivePairs(embeddings: DataFrame, nPlanes: Int,
+                       posCos: Double, negLo: Double): DataFrame = {
+    val e = emb(embeddings)
+    val b = e.select(col("vec_id"), col("v"),
+      hyperplaneBucket(col("v"), nPlanes, 64).as("bucket"))
+    val cand = b.select(col("vec_id").as("anchor_id"), col("v").as("va"), col("bucket"))
+      .join(b.select(col("vec_id"), col("v").as("vb"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        round(Vectors.cosine(col("va"), col("vb")), 6).as("cos"))
+    cand.groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("cos") >= posCos,
+          struct(col("cos"), (-col("vec_id")).as("nid")))).as("p"),
+        max(when(col("cos") >= negLo && col("cos") < posCos,
+          struct(col("cos"), (-col("vec_id")).as("nid")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"))
+  }
 }

@@ -236,6 +236,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.contains(1L))    // the near-parallel vector shares the bucket
   }
 
+  test("contrastivePairs matches a window-argmax reference and honors the cosine bands") {
+    import org.apache.spark.sql.expressions.Window
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.contrastivePairs(embs, nPlanes = 4,
+      posCos = 0.35, negLo = 0.15).collect()
+    assert(got.nonEmpty, "fixture corpus must yield at least one triplet")
+    assert(got.map(_.getLong(0)).distinct.length === got.length) // one triplet per anchor
+    got.foreach { r =>
+      assert(r.getDouble(2) >= 0.35, s"pos_cos out of band: $r")
+      assert(r.getDouble(4) >= 0.15 && r.getDouble(4) < 0.35, s"neg_cos out of band: $r")
+      assert(r.getLong(1) != r.getLong(0) && r.getLong(3) != r.getLong(0))
+    }
+    // reference: same candidates, argmax via window row_number
+    val e = embs.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val b = e.select(col("vec_id"), col("v"),
+      Similarity.hyperplaneBucket(col("v"), 4, 64).as("bucket"))
+    val cand = b.select(col("vec_id").as("anchor_id"), col("v").as("va"), col("bucket"))
+      .join(b.select(col("vec_id"), col("v").as("vb"), col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        round(graft.functions.Vectors.cosine(col("va"), col("vb")), 6).as("cos"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id"))
+    def pick(f: org.apache.spark.sql.Column) = cand.filter(f)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val ref = pick(col("cos") >= 0.35)
+      .select(col("anchor_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+      .join(pick(col("cos") >= 0.15 && col("cos") < 0.35)
+        .select(col("anchor_id"), col("vec_id").as("neg_id"), col("cos").as("neg_cos")),
+        Seq("anchor_id"))
+      .collect()
+    assert(got.map(_.toSeq).toSet === ref.map(_.toSeq).toSet)
+  }
+
   test("duplicatedSpans merges overlapping grams and counts within-doc repeats") {
     val spanDocs = Seq(
       // docs 0/1 share the 5-grams "a b c d e" and "b c d e f": each
