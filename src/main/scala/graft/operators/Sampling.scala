@@ -112,13 +112,18 @@ object Sampling {
     * Scale shape: ONE tiny aggregate action derives the |domains|-row
     * count table (a column-pruned scan of just the domain column); the
     * waterfilling and the per-domain fractions are driver-side over
-    * those |domains| rows, and membership is applied as a literal CASE
-    * chain — so the RETURNED plan scans the corpus exactly once, with
-    * no join at all (the previous shape scanned it three times). The
-    * membership test is the same narrow portable-md5 predicate as every
-    * sampler here, so any engine re-derives exactly which rows entered
-    * the mixture. Fractions are rounded to 6 dp BEFORE the membership
-    * test so the kept set is reproducible bit-for-bit cross-engine.
+    * those |domains| rows, and membership is applied via a BROADCAST
+    * join of the |domains|-row fraction table — so the RETURNED plan
+    * scans the corpus exactly once. (A literal CASE chain was tried and
+    * reverted: it builds an O(|domains|)-deep expression, which for a
+    * high-cardinality domain column — hostnames, not languages — risks
+    * codegen blowup and analysis-time stack overflow where the
+    * broadcast-hash-join shape stays flat.) Null-domain rows match no
+    * fraction row and are dropped, exactly as before. The membership
+    * test is the same narrow portable-md5 predicate as every sampler
+    * here, so any engine re-derives exactly which rows entered the
+    * mixture. Fractions are rounded to 6 dp BEFORE the membership test
+    * so the kept set is reproducible bit-for-bit cross-engine.
     */
   def temperatureMix(df: DataFrame, domainCol: String, idCol: String,
                      alpha: Double, targetN: Long,
@@ -127,11 +132,11 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .collect().filter(!_.isNullAt(0)).map(r => (r.getString(0), r.getLong(1)))
     val fracs = temperatureFractions(counts.toSeq, alpha, targetN)
-    val fracExpr = fracs.foldLeft(lit(null).cast("double")) {
-      case (acc, (d, f)) =>
-        when(col(domainCol).cast("string") === lit(d), lit(f)).otherwise(acc)
-    }
-    df.withColumn("keep_frac", fracExpr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fracTable = fracs.toDF("__d", "keep_frac")
+    df.join(broadcast(fracTable), col(domainCol).cast("string") === col("__d"))
+      .drop("__d")
       .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
   }
 
