@@ -185,6 +185,14 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"bench: history append failed: $e") }
+    // compact summary as the LAST stdout line: the driver's log capture
+    // keeps a bounded tail, and the full per-query JSON above is ~10 KB —
+    // long enough that BENCH_r07.json recorded "parsed": null. This line
+    // always fits, so the per-round snapshot is self-contained even when
+    // the full line is truncated (the full data still lands in
+    // BENCH_LATEST.json / BENCH_HISTORY.jsonl above).
+    val nOk = results.values.count(_._1 > 0)
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1368,7 +1368,21 @@ object SparkEntry {
     * CTEs (same literal constants as q89's oracle) run over the
     * quality+exact-dedup survivors `d1`, exactly like the Spark plan.
     */
-  private def curationPipelineOracleSql: String = {
+  private def curationPipelineOracleSql: String =
+    s"""$curationOracleCtes
+       |SELECT lang,
+       |       CASE WHEN u < 0.8 THEN 'train'
+       |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** The q136 six-stage curation chain as a reusable CTE prefix ending
+    * at `s` (doc_id, lang, n_toks, and the portable split draw `u`) —
+    * shared by the q136 accounting oracle and the q153 export oracle,
+    * which packs the train survivors onward.
+    */
+  private def curationOracleCtes: String = {
     val lshCtes = minhashLshOracleCtesOver("d1").replaceFirst("WITH ", "")
     s"""WITH qd AS (
        |  SELECT doc_id, text, lang,
@@ -1400,14 +1414,46 @@ object SparkEntry {
        |s AS (
        |  SELECT lang, n_toks, doc_id,
        |         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT / 4294967296.0 AS u
-       |  FROM d3)
-       |SELECT lang,
-       |       CASE WHEN u < 0.8 THEN 'train'
-       |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
-       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
-       |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-       |FROM s GROUP BY 1, 2""".stripMargin
+       |  FROM d3)""".stripMargin
   }
+
+  /** q153 oracle: the full export chain re-derived — curation CTEs
+    * (q136), packing CTEs over the TRAIN survivors (q147's prefix-sum
+    * convention, window form), the portable md5 shuffle draw, a
+    * row_number() rank over (u, seq_id), contiguous 8-sequence shard
+    * chunking, and per-shard accounting with the order-sensitive
+    * seq_id-in-rank-order md5.
+    */
+  private def trainingExportOracleSql: String =
+    s"""$curationOracleCtes,
+       |tr AS (SELECT doc_id, n_toks::BIGINT AS nt FROM s
+       |       WHERE u < 0.8 AND n_toks > 0),
+       |pc AS (SELECT doc_id, nt,
+       |         SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |       FROM tr),
+       |ps AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |              (fin - 1)::BIGINT AS et
+       |       FROM pc),
+       |px AS (SELECT doc_id, st, et,
+       |         unnest(generate_series(st // 128, (et - 1) // 128)) AS seq_id
+       |       FROM ps),
+       |seqs AS (SELECT seq_id,
+       |    COUNT(*)::BIGINT AS n_docs,
+       |    SUM(LEAST(et, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128))::BIGINT AS doc_tokens
+       |  FROM px GROUP BY 1),
+       |sh AS (SELECT *,
+       |    ('0x' || substr(md5(seq_id::VARCHAR || ':tshuffle'), 1, 8))::BIGINT / 4294967296.0 AS su
+       |  FROM seqs),
+       |rk AS (SELECT *,
+       |    (ROW_NUMBER() OVER (ORDER BY su, seq_id) - 1)::BIGINT AS rank FROM sh),
+       |sd AS (SELECT *, rank // 8 AS shard_id FROM rk)
+       |SELECT shard_id,
+       |  COUNT(*)::BIGINT AS n_seqs,
+       |  SUM(doc_tokens)::BIGINT AS doc_tokens,
+       |  SUM(n_docs)::BIGINT AS n_docs,
+       |  MIN(rank) AS min_rank, MAX(rank) AS max_rank,
+       |  md5(string_agg(seq_id::VARCHAR, ' ' ORDER BY rank)) AS order_md5
+       |FROM sd GROUP BY 1""".stripMargin
 
   private def minhashLshPortableOracleSql: String =
     s"""$minhashLshOracleCtes
@@ -1645,7 +1691,19 @@ object SparkEntry {
     * recurrence, bias riding as bucket -1 with tf 1.
     */
   private def lrQualityOracleSql(nBuckets: Int, lrate: Double,
-                                 rounds: Int, keep: Int): String = {
+                                 rounds: Int, keep: Int): String =
+    s"""WITH ${lrScoresOracleCtes(nBuckets, lrate, rounds)}
+       |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
+       |FROM zf WHERE y = 0.0
+       |ORDER BY lr_quality DESC, doc_id LIMIT $keep""".stripMargin
+
+  /** The q149 LR training-replay CTEs (through `zf`, the final-round
+    * logits for every doc), WITHOUT the `WITH` keyword or the top-k
+    * selection — shared by the q149 oracle and the q154 ensemble
+    * oracle, which thresholds the scores instead of ranking them.
+    */
+  private def lrScoresOracleCtes(nBuckets: Int, lrate: Double,
+                                 rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       val grad =
         if (r == 1)
@@ -1663,7 +1721,7 @@ object SparkEntry {
          |w$r AS (SELECT b, ROUND($prevW - $lrate * g / nd.nd, 9) AS w
          |  FROM $join)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, CASE WHEN doc_id < 250 THEN 1.0 ELSE 0.0 END AS y,
        |         unnest(list_filter(str_split(text, ' '), t -> t <> '')) AS w
        |  FROM documents),
@@ -1678,11 +1736,80 @@ object SparkEntry {
        |nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS nd FROM bc),
        |$steps,
        |zf AS (SELECT x.doc_id, x.y, SUM(COALESCE(w$rounds.w, 0) * x.x) AS z
-       |  FROM x LEFT JOIN w$rounds USING (b) GROUP BY 1, 2)
-       |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
-       |FROM zf WHERE y = 0.0
-       |ORDER BY lr_quality DESC, doc_id LIMIT $keep""".stripMargin
+       |  FROM x LEFT JOIN w$rounds USING (b) GROUP BY 1, 2)""".stripMargin
   }
+
+  /** q154 oracle: all three signals re-derived in one statement — the
+    * q149 LR replay CTEs (scores thresholded, not ranked), the q140
+    * Gopher rule features over the corpus slice, the q135 bigram-LM
+    * CTEs over the full table (renamed to dodge CTE collisions), then
+    * per-language quantile cuts and the composed keep decision.
+    */
+  private def ensembleGateOracleSql(nBuckets: Int, lrate: Double,
+                                    rounds: Int, lmQ: Double,
+                                    lrQ: Double): String =
+    s"""WITH ${lrScoresOracleCtes(nBuckets, lrate, rounds)},
+       |lr AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
+       |       FROM zf WHERE y = 0.0),
+       |gt AS (
+       |  SELECT doc_id, text, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents WHERE doc_id >= 250),
+       |gf AS (
+       |  SELECT doc_id,
+       |    len(ts)::BIGINT AS n_words,
+       |    ROUND(list_sum(list_transform(ts, x -> len(x)))::DOUBLE
+       |          / NULLIF(len(ts), 0), 6) AS mean_word_len,
+       |    ROUND(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+       |          / NULLIF(len(ts), 0), 6) AS frac_alpha_words,
+       |    ROUND((len(text) - len(replace(text, '#', '')))::DOUBLE
+       |          / NULLIF(len(ts), 0), 6) AS hash_ratio,
+       |    ROUND((len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0
+       |          / NULLIF(len(ts), 0), 6) AS ellipsis_ratio
+       |  FROM gt),
+       |gp AS (
+       |  SELECT doc_id,
+       |    (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+       |      AND frac_alpha_words >= 0.8
+       |      AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AS rule_pass
+       |  FROM gf),
+       |lmtoks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |lmtok AS (
+       |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+       |  FROM lmtoks),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM lmtok GROUP BY w),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+       |bi AS (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM lmtok a JOIN lmtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |lbc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+       |lm AS (
+       |  SELECT bi.doc_id,
+       |         ROUND(AVG(LN(CAST(lbc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+       |           AS lm_score
+       |  FROM bi
+       |  JOIN lbc USING (wa, wb)
+       |  JOIN uni ON bi.wa = uni.w
+       |  CROSS JOIN v
+       |  GROUP BY bi.doc_id),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, gp.rule_pass, lm.lm_score, lr.lr_quality
+       |  FROM documents d
+       |  JOIN gp USING (doc_id)
+       |  JOIN lm USING (doc_id)
+       |  JOIN lr USING (doc_id)
+       |  WHERE d.doc_id >= 250),
+       |cuts AS (
+       |  SELECT lang,
+       |    ROUND(quantile_cont(lm_score, $lmQ), 6) AS lm_cut,
+       |    ROUND(quantile_cont(lr_quality, $lrQ), 6) AS lr_cut
+       |  FROM base GROUP BY lang)
+       |SELECT b.doc_id, b.lang, b.rule_pass, b.lm_score, c.lm_cut,
+       |       b.lr_quality, c.lr_cut,
+       |       (b.rule_pass AND b.lm_score >= c.lm_cut
+       |        AND b.lr_quality >= c.lr_cut) AS keep
+       |FROM base b JOIN cuts c USING (lang)""".stripMargin
 
   /** q113 oracle: the cross-corpus banded join in SQL — same slot
     * constants and band keys as q89's oracle, split at doc_id 250.
@@ -2907,6 +3034,173 @@ object SparkEntry {
       "doc_id", "text", nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50)
   }
 
+  /** Build-once-per-JVM training-data EXPORT (the ensureSigStore
+    * convention): the FULL final mile the pipeline exists for, as one
+    * chain — [[operators.Curation.curate]] (quality → exact dedup →
+    * LSH near-dup → n-gram decontamination → portable split) over the
+    * corpus slice, TRAIN survivors packed into 128-token sequences
+    * ([[operators.Packing.packSequences]], two-job distributed prefix
+    * sum), sequences laid into the deterministic md5-keyed training
+    * shuffle order and chunked into 8-sequence shards
+    * ([[operators.Packing.trainingShards]]), and the shard table
+    * COMMITTED through the manifest protocol
+    * (`EventStreams.mergeBatchIntoTable` — atomic publish,
+    * exactly-once batchId, so Bench's 4 invocations merge once).
+    */
+  private val shardStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureTrainingShards(spark: SparkSession, dir: String): String =
+    shardStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-trainshards").toString
+      val docs = Tables.documents(spark, dir)
+      val survivors = operators.Curation.curate(
+        corpus = docs.filter(col("doc_id") >= 250),
+        evalSlice = docs.filter(col("doc_id") < 250))
+      val seqs = operators.Packing.packSequences(
+        survivors.filter(col("split") === "train"), seqLen = 128)
+      val sharded = operators.Packing.trainingShards(seqs, seqsPerShard = 8)
+        .drop("u")
+      streaming.EventStreams.mergeBatchIntoTable(sharded, storeDir,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      storeDir
+    })
+
+  /** End-to-end training-data EXPORT flagship: curate → pack →
+    * deterministic shuffle → manifest-committed shard write → READ
+    * BACK (the q129–q131 write-then-read convention: what's verified
+    * is the round-tripped table, not the in-flight frame). Per shard:
+    * sequence/doc/token accounting, the rank range (contiguity of
+    * ranks within a shard is visible in min/max vs n_seqs), and an
+    * ORDER-SENSITIVE md5 over the shard's seq_ids in shuffle-rank
+    * order — any sequence out of place, mis-ranked, or mis-sharded
+    * flips it. The oracle re-derives the whole chain: the q136
+    * curation CTEs, the q147 packing CTEs over the train survivors,
+    * the md5 shuffle draw, a row_number() rank, and the same grouped
+    * accounting — so the hash-match proves survivors, token offsets,
+    * sequence boundaries, shuffle order, and shard assignment all at
+    * once, through the committed table.
+    */
+  def q153TrainingExport(spark: SparkSession, dir: String): DataFrame = {
+    val shards = streaming.EventStreams.readUpsertTable(
+      spark, ensureTrainingShards(spark, dir))
+    shards.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("doc_tokens")).as("doc_tokens"),
+        sum(col("n_docs")).as("n_docs"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("rank"), col("seq_id")))),
+            x => x.getField("seq_id").cast("string")))).as("order_md5"))
+  }
+
+  /** Quality-signal ensemble gate
+    * ([[operators.TextAnalysis.ensembleQualityGate]]): the composed
+    * keep/drop decision production corpus gates run — the q140 Gopher
+    * rule pass AND the q135 bigram-LM score AND the q149 learned LR
+    * score, the learned signals thresholded at PER-LANGUAGE quantile
+    * cuts (the CCNet recipe: absolute perplexity cuts keep
+    * rich-resource languages and delete the rest). The oracle
+    * re-derives all three signals and both per-language cuts in one
+    * statement, so the hash-match proves the entire composed decision,
+    * per document. `Curation.ensembleGate` drops the same decision
+    * into the curation pipeline's stage-1 seat.
+    */
+  def q154EnsembleGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.TextAnalysis.ensembleQualityGate(
+      corpus = docs.filter(col("doc_id") >= 250),
+      target = docs.filter(col("doc_id") < 250))
+  }
+
+  /** PERSISTENT PQ index recall (the q122 cold-probe convention, PQ
+    * edition — closes the serving gap where IVF had a persistent index
+    * but PQ codebooks were JVM-local): codebooks + encoded codes are
+    * manifest-committed tables ([[operators.Similarity.buildPqIndex]]),
+    * and the probe ([[operators.Similarity.queryPqIndex]]) reads ONLY
+    * the codes table — no KMeans, no re-encode, no embeddings scan in
+    * the candidate plan (PlanSpec-guarded). Probe vectors are
+    * caller-supplied (one bounded lookup outside the plan, as a
+    * serving request would carry them). Verdict: PQ top-50 candidates
+    * must contain ≥ 5 of the exact L2 top-10 per probe (the q133
+    * margin).
+    */
+  def q155PqIndexRecall(spark: SparkSession, dir: String): DataFrame = {
+    val probeIds = Seq(0L, 1L, 2L)
+    val e = Tables.embeddings(spark, dir)
+    val idxDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_pq_idx_${math.abs(dir.hashCode)}").toString
+    operators.Similarity.ensurePqIndex(e, idxDir)
+    val probes = e
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cand = operators.Similarity.queryPqIndex(spark, idxDir, probes, 50)
+      .select(col("probe_id"), col("vec_id")).withColumn("__hit", lit(1))
+    cand.join(
+        operators.Similarity.exactL2TopK(e, probeIds, 10)
+          .select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"), "right")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
+  }
+
+  /** RAG retrieval end-to-end ([[operators.Rag.retrieveTopK]]): eval
+    * docs' sliding chunks retrieve their top-3 corpus chunks through
+    * chunk → hashed-BOW embed → hyperplane-LSH bucket → bucket-local
+    * cosine re-rank — the full retrieval chain as ONE plan. Every step
+    * is deterministic, so the oracle re-derives chunk boundaries,
+    * embeddings, buckets, scores, and ranks, and the hash-match proves
+    * the whole chain (stronger than the KMeans paths' recall verdicts,
+    * which are float-order-bound to verdict form).
+    */
+  def q156RagRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Rag.retrieveTopK(
+      corpus = docs.filter(col("doc_id") >= 250),
+      probes = docs.filter(col("doc_id") < 250),
+      window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3)
+  }
+
+  /** q156 oracle: the full retrieval chain in SQL — q148's chunk CTEs
+    * (content kept), the hashed-BOW embedding per chunk, the generated
+    * hyperplane-bucket literals, within-bucket cosine, ROW_NUMBER
+    * top-k. Composite chunk key = doc_id * 100000 + chunk_idx.
+    */
+  private def ragRetrievalOracleSql(window: Int, stride: Int, dim: Int,
+                                    nPlanes: Int, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i - 1 AS chunk_idx,
+       |         ws[(i - 1) * $stride + 1 : (i - 1) * $stride + $window] AS cw
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, (len(ws) - 1) // $stride + 1)) AS i
+       |        FROM t WHERE len(ws) > 0)),
+       |cv AS (
+       |  SELECT doc_id, chunk_idx, doc_id * 100000 + chunk_idx AS chunk_key,
+       |         list_transform(generate_series(0, ${dim - 1}),
+       |           i -> len(list_filter(cw,
+       |                  t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $dim = i))::DOUBLE)
+       |           AS v
+       |  FROM ch),
+       |cb AS (SELECT chunk_key, v, ${bucketSql("v", nPlanes, dim)} AS bucket
+       |       FROM cv WHERE doc_id >= 250),
+       |pb AS (SELECT chunk_key AS probe_id, v AS qv,
+       |         ${bucketSql("v", nPlanes, dim)} AS bucket
+       |       FROM cv WHERE doc_id < 250),
+       |c AS (SELECT pb.probe_id, cb.chunk_key AS vec_id,
+       |        ${cosineSql("cb.v", "pb.qv")} AS cosine
+       |      FROM cb JOIN pb USING (bucket)
+       |      WHERE cb.chunk_key <> pb.probe_id),
+       |r AS (SELECT probe_id, vec_id, cosine,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |          ORDER BY cosine DESC, vec_id) AS rn
+       |      FROM c)
+       |SELECT probe_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn
+       |FROM r WHERE rn <= $k""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3061,6 +3355,10 @@ object SparkEntry {
     "q150_embed_covariance" -> (q150EmbedCovariance _),
     "q151_pca_verdict" -> (q151PcaVerdict _),
     "q152_contrastive_pairs" -> (q152ContrastivePairs _),
+    "q153_training_export" -> (q153TrainingExport _),
+    "q154_ensemble_gate" -> (q154EnsembleGate _),
+    "q155_pq_index_recall" -> (q155PqIndexRecall _),
+    "q156_rag_retrieval" -> (q156RagRetrieval _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4271,6 +4569,14 @@ object SparkEntry {
         |  ROUND((p.g - si.s * sj.s / si.n) / (si.n - 1), 6) + 0 AS cov
         |FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i""".stripMargin,
     "q152_contrastive_pairs" -> contrastivePairsOracleSql,
+    "q153_training_export" -> trainingExportOracleSql,
+    "q154_ensemble_gate" -> ensembleGateOracleSql(
+      nBuckets = 64, lrate = 0.5, rounds = 3, lmQ = 0.25, lrQ = 0.25),
+    "q155_pq_index_recall" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q156_rag_retrieval" -> ragRetrievalOracleSql(
+      window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3),
     "q151_pca_verdict" ->
       """SELECT COUNT(*)::BIGINT AS n_vecs, 64 AS dim,
         |  true AS orthonormal_ok, true AS recon_ok,

@@ -65,15 +65,31 @@ object Curation {
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
       .as("gram"))
 
-  /** Stages 1–5 composed as ONE batch plan: quality gate → exact dedup
-    * → LSH near-dup over the survivors → n-gram decontamination against
-    * the eval slice (broadcast eval grams) → portable split. Returns
-    * the survivor frame (doc_id, text, lang, n_tokens, split) — q136
-    * aggregates it into the accounting table; the incremental spec
-    * compares survivor SETS against it.
+  /** Stage 1 ALTERNATIVE — the learned ensemble gate
+    * ([[TextAnalysis.ensembleQualityGate]], q154): rule pass + two
+    * per-language-calibrated learned scores, with `target` as the LR
+    * positives / LM co-training slice. Same (doc_id, text, lang,
+    * n_tokens) survivor contract as [[qualityGate]], so it drops into
+    * [[curate]]'s `stage1` seat unchanged.
     */
-  def curate(corpus: DataFrame, evalSlice: DataFrame, n: Int = 5): DataFrame = {
-    val qual = qualityGate(corpus)
+  def ensembleGate(target: DataFrame)(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), col("text"), col("lang"),
+        graft.functions.Texts.tokenCount(col("text")).as("n_tokens"))
+      .join(TextAnalysis.ensembleQualityGate(corpus, target)
+        .filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+
+  /** Stages 1–5 composed as ONE batch plan: quality gate (the rule
+    * default, or any same-contract `stage1` — e.g.
+    * [[ensembleGate]]) → exact dedup → LSH near-dup over the
+    * survivors → n-gram decontamination against the eval slice
+    * (broadcast eval grams) → portable split. Returns the survivor
+    * frame (doc_id, text, lang, n_tokens, split) — q136 aggregates it
+    * into the accounting table; the incremental spec compares survivor
+    * SETS against it.
+    */
+  def curate(corpus: DataFrame, evalSlice: DataFrame, n: Int = 5,
+             stage1: DataFrame => DataFrame = qualityGate): DataFrame = {
+    val qual = stage1(corpus)
     // materialize the quality+exact-dedup survivors ONCE (q113 pattern):
     // d1 feeds the LSH signature build, both verification token-set
     // sides, the gram explode, and the final accounting — five subtrees

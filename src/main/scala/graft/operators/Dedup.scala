@@ -535,49 +535,105 @@ object Dedup {
     * Spark-native shape instead of the paper's monolithic suffix array
     * (which needs the whole corpus in one address space): positional
     * k-gram fingerprints. Per doc: tokenize once, explode to
-    * (doc_id, pos, md5(gram)) — the shuffle carries a 16-byte hash,
-    * NEVER gram text; one hash aggregate counts corpus-wide occurrences
-    * (map-side partials collapse repeats early, and the md5 key is
-    * uniform so the shuffle cannot skew); one join back on the same
-    * hash marks duplicated positions; one per-doc window merges
-    * overlapping marked grams into spans (gaps-and-islands: a new span
-    * starts when the next marked pos is >= k past the previous — i.e.
-    * the gram intervals [p, p+k-1] no longer overlap). The window
-    * partitions on doc_id (corpus-cardinality key, no tiny-key sort)
-    * and sees only MARKED positions, a small fraction of tokens.
+    * (doc_id, pos, xxhash64(gram)) — the shuffle carries an 8-byte
+    * long, NEVER gram text; one hash aggregate counts corpus-wide
+    * occurrences (map-side partials collapse repeats early, and the
+    * hash key is uniform so the shuffle cannot skew); one join back on
+    * the same hash marks duplicated positions; one per-doc window
+    * merges overlapping marked grams into spans (gaps-and-islands: a
+    * new span starts when the next marked pos is >= k past the
+    * previous — i.e. the gram intervals [p, p+k-1] no longer overlap).
+    * The window partitions on doc_id (corpus-cardinality key, no
+    * tiny-key sort) and sees only MARKED positions, a small fraction
+    * of tokens.
     *
-    * md5 (not xxhash64) keys the count so any md5-capable engine
-    * replays the decision bit-for-bit (the q88 portability convention);
-    * a collision would need ~2^64 grams.
+    * xxhash64 keys the count (the bigramLmScore recipe: every token
+    * position pays the hash, so the engine key is the cheap 8-byte one
+    * — re-keying from md5-hex, a 32-char string both hashed AND
+    * shuffled per position, cut the constant); the OUTPUT is positions
+    * only, never a hash, so the decision stays engine-portable: the
+    * DuckDB oracle re-derives duplicated grams on md5 and must land on
+    * the identical span set — exact up to xxhash64 collisions
+    * (~1e-19 per gram pair), which would surface as a hash-mismatch.
     *
     * Returns one row per maximal span: (doc_id, span_start, span_end,
     * span_tokens), token positions 1-based inclusive.
+    *
+    * Skew guard: the gaps-and-islands window partitions by doc_id, so
+    * ONE pathological document that is a single giant repeated span (a
+    * crawl boilerplate dump: every position marked) funnels all its
+    * marked positions through one task. `segmentTokens > 0` switches to
+    * a segment-salted TWO-LEVEL merge: positions first island within
+    * (doc_id, pos div segmentTokens) — per-task group size bounded by
+    * segmentTokens whatever the document looks like — then the
+    * per-segment spans (>= segmentTokens/k fewer rows than positions
+    * for the pathological doc) stitch across boundaries in a second
+    * per-doc window. Stitching is exact, not approximate: with
+    * segmentTokens >= k, two maximal local spans belong to one global
+    * span iff consecutive-in-order spans overlap or touch
+    * (next.span_start <= prev.span_end — the position-gap < k
+    * condition rewritten on closed gram intervals), and span ends are
+    * strictly increasing in start order, so a lag(1) island test
+    * chain-merges exactly like the flat window (PropertySpec asserts
+    * bit-equality on a planted mega-dup doc). Default 0 keeps the flat
+    * single-window plan — right for corpora whose per-doc marked count
+    * is bounded by ordinary document length.
     */
-  def duplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
+  def duplicatedSpans(documents: DataFrame, k: Int = 5,
+                      segmentTokens: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(segmentTokens <= 0 || segmentTokens >= k,
+      s"segmentTokens $segmentTokens must be >= k $k (a gram may not span two boundaries)")
     val grams = documents
       .select(col("doc_id"), Texts.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
         .as(Seq("p", "gh")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"), col("gh"))
     val dupGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
       .select(col("gh"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupGrams, Seq("gh"))
+    val marked = grams.join(dupGrams, Seq("gh"))
       .select(col("doc_id"), col("pos"))
-      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
-      .withColumn("brk", when(col("gap").isNull || col("gap") >= k, 1L).otherwise(0L))
-      .withColumn("span_id", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (k - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    val spans =
+      if (segmentTokens <= 0) {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        marked
+          .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+          .withColumn("brk", when(col("gap").isNull || col("gap") >= k, 1L).otherwise(0L))
+          .withColumn("span_id", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("span_id"))
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + (k - 1)).as("span_end"))
+      } else {
+        // level 1: islands inside each segment — the window key carries
+        // the segment, so no task group exceeds segmentTokens rows
+        val w1 = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("pos"))
+        val local = marked
+          .withColumn("seg", expr(s"pos div $segmentTokens"))
+          .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w1))
+          .withColumn("brk", when(col("gap").isNull || col("gap") >= k, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("seg"), col("sid"))
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+        // level 2: stitch per doc over SPANS (k-fold fewer rows than
+        // positions on the pathological doc); merge iff touch/overlap
+        val w2 = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+        local
+          .withColumn("brk2",
+            when(col("s") > coalesce(lag(col("e"), 1).over(w2), lit(Long.MinValue)), 1L)
+              .otherwise(0L))
+          .withColumn("span_id", sum(col("brk2")).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("span_id"))
+          .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      }
+    spans.select(col("doc_id"), col("span_start"), col("span_end"),
+      (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
   /** REMOVE the duplicated spans and reassemble each document — the
@@ -599,8 +655,9 @@ object Dedup {
     * Returns (doc_id, n_tokens, n_removed, clean_text) for every doc
     * with at least one token.
     */
-  def scrubDuplicatedSpans(documents: DataFrame, k: Int = 5): DataFrame = {
-    val spanArr = duplicatedSpans(documents, k)
+  def scrubDuplicatedSpans(documents: DataFrame, k: Int = 5,
+                           segmentTokens: Int = 0): DataFrame = {
+    val spanArr = duplicatedSpans(documents, k, segmentTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     documents.select(col("doc_id"), Texts.tokens(col("text")).as("toks"))

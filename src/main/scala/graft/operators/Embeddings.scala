@@ -214,7 +214,12 @@ object Embeddings {
       var i = 0
       while (i < comp.length) { off += model.mean(i) * comp(i); i += 1 }
       val dot = graft.plans.VectorOps.vecDot(vecDouble, compLit) - lit(off)
-      if (whiten) dot / math.sqrt(model.eigenvalues(c)) else dot
+      // rank-deficient / near-degenerate data gives Jacobi eigenvalues
+      // that are ~0 or slightly negative (float noise); dividing by
+      // sqrt of those yields silent Inf/NaN whitened coordinates.
+      // Clamp to a small positive epsilon so degenerate directions get
+      // a large-but-finite scale instead of poisoning downstream math.
+      if (whiten) dot / math.sqrt(math.max(model.eigenvalues(c), 1e-12)) else dot
     }
     array(coords: _*)
   }

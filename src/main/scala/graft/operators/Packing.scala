@@ -67,4 +67,37 @@ object Packing {
         sum(col("ov")).as("doc_tokens"),
         sum(col("crosses")).as("n_split_docs"))
   }
+
+  /** Deterministic training-order SHUFFLE + shard assignment — the step
+    * after packing in every pre-training export: sequences are laid out
+    * in a pseudo-random but fully reproducible global order (so a
+    * training run reading shard files front to back sees a shuffled
+    * corpus), then chunked into contiguous shards of `seqsPerShard`
+    * sequences each.
+    *
+    * The shuffle key is the portable md5 draw
+    * [[Sampling.portableUnit]](seq_id, "tshuffle") — any engine
+    * re-derives the exact order; `seq_id` breaks the (measure-zero)
+    * ties so the order is total. The global RANK over that key is
+    * [[Sampling.denseGlobalIndex]]'s range-partition + zipWithIndex
+    * two-job pattern — never a one-task `row_number()` window: what
+    * shuffles is the (seq_id, stats, u) row, once, into range
+    * partitions, and ranks are exact whatever the sampled partition
+    * boundaries because range partitions are themselves globally
+    * ordered. `shard_id = rank div seqsPerShard` keeps shards
+    * contiguous in shuffle order — the property that lets a trainer
+    * stream shard k, then k+1, and still see the globally shuffled
+    * order.
+    *
+    * Output: the input columns + (u, rank, shard_id).
+    */
+  def trainingShards(seqs: DataFrame, seqsPerShard: Int,
+                     nParts: Int = 8): DataFrame = {
+    require(seqsPerShard > 0, s"seqsPerShard must be > 0, got $seqsPerShard")
+    val withU = seqs.withColumn("u",
+      Sampling.portableUnit(col("seq_id"), "tshuffle"))
+    Sampling.denseGlobalIndex(withU, "rank",
+        Seq(col("u"), col("seq_id")), nParts)
+      .withColumn("shard_id", expr(s"rank div $seqsPerShard"))
+  }
 }

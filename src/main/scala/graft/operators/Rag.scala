@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Texts, Vectors}
+
+/** RAG retrieval end-to-end (q156) — the retrieval-side twin of the
+  * curation flagship: documents become overlapping sliding-window
+  * chunks (the q148 chunking, content kept), each chunk embeds into a
+  * deterministic hashed bag-of-words vector, the chunk set is indexed
+  * by the hyperplane-LSH family (q29's buckets), and a probe corpus
+  * retrieves its top-k chunks bucket-locally. Every step is a
+  * deterministic expression, so unlike the float-sensitive
+  * KMeans-backed paths (IVF/PQ, verdict-checked) the ENTIRE retrieval
+  * — chunk boundaries, embeddings, bucket assignment, scores, ranks —
+  * hash-matches a DuckDB re-derivation.
+  *
+  * Scale shape: chunking and embedding are narrow per-row expressions
+  * (bounded explode per doc — `ceil(nt/stride)` chunks, no shuffle);
+  * the only shuffle is the bucket-keyed candidate equi-join (q29's
+  * posture: candidates O(Σ per-bucket probe×corpus), never corpus ×
+  * probes; `nPlanes` is the bucket-width knob — at 100 TB more planes
+  * = smaller buckets = fewer candidates per probe); top-k uses the
+  * bounded typed aggregator, never a window over the candidate set.
+  * In production the embedding column would come from a model via the
+  * multimodal batch path — hashed BOW keeps the PLUMBING identical
+  * and the result portable.
+  */
+object Rag {
+
+  /** Deterministic hashed bag-of-words embedding: `v[i]` = count of
+    * tokens whose portable md5 bucket (the q149 feature-hash
+    * convention) is `i`, as `array<double>` of length `dim`. A narrow
+    * codegen'd expression, no UDF, no shuffle; nonzero for any
+    * non-empty token array, so downstream cosine is well-defined.
+    *
+    * Shape matters here: the md5 rides as the INPUT array of the fold
+    * (`transform` first, evaluated once per row), and the fold lambda
+    * sees each bucket as a BOUND VARIABLE — so the hash runs once per
+    * token. The tempting `transform(0..dim, i -> count tokens with
+    * bucket i)` recomputes md5 per token × per slot (HOF lambdas get
+    * no common-subexpression elimination): dim=64 made that 64× the
+    * hashing work and benched 22.6 s at sf0.1 vs ~2 s for this form.
+    */
+  def hashedBow(toks: Column, dim: Int): Column =
+    aggregate(
+      transform(toks, t =>
+        pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).cast("int")),
+      array_repeat(lit(0.0), dim),
+      (acc, b) => transform(acc, (v, i) =>
+        when(i === b, v + lit(1.0)).otherwise(v)))
+
+  /** Sliding chunks WITH content vectors: q148's chunk layout
+    * (`window`-token chunks every `stride` tokens, 1-based slice)
+    * plus the hashed-BOW embedding and a composite chunk key
+    * `doc_id * 100000 + chunk_idx` (valid while docs stay under
+    * `stride * 100000` tokens — far beyond any real document; the key
+    * exists so probe/candidate ids stay single Longs through the
+    * typed top-k aggregator).
+    */
+  def chunkVectors(documents: DataFrame, window: Int, stride: Int,
+                   dim: Int): DataFrame = {
+    require(window >= stride && stride > 0,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ws"))
+      .withColumn("nt", size(col("ws")))
+      .filter(col("nt") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"cast((nt - 1) div $stride as bigint)"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("doc_id") * lit(100000L) + col("chunk_idx")).as("chunk_key"),
+        hashedBow(col("cw"), dim).as("v"))
+  }
+
+  /** Bucket-local top-k chunk retrieval: probe docs' chunks retrieve
+    * against corpus docs' chunks sharing the same hyperplane bucket,
+    * exact cosine re-rank inside the bucket, ties (cosine desc,
+    * chunk_key asc) on the rounded score. Returns (probe_id, vec_id,
+    * cosine, rn) keyed by composite chunk keys — one row per retrieved
+    * chunk, rn in [1, k].
+    *
+    * The candidate join is a plain bucket-keyed equi-join (NOT a
+    * broadcast of probes): a serving probe workload can be arbitrarily
+    * large, and both sides shuffle by the same uniform bucket key.
+    */
+  def retrieveTopK(corpus: DataFrame, probes: DataFrame, window: Int,
+                   stride: Int, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val c = chunkVectors(corpus, window, stride, dim)
+      .select(col("chunk_key").as("vec_id"), col("v"),
+        Similarity.hyperplaneBucket(col("v"), nPlanes, dim).as("bucket"))
+    val p = chunkVectors(probes, window, stride, dim)
+      .select(col("chunk_key").as("probe_id"), col("v").as("qv"),
+        Similarity.hyperplaneBucket(col("v"), nPlanes, dim).as("bucket"))
+    Similarity.topKPerProbe(
+      c.join(p, Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)),
+      k)
+  }
+}

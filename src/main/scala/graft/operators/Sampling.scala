@@ -365,7 +365,19 @@ object Sampling {
     */
   def lrQualitySelect(target: DataFrame, raw: DataFrame, idCol: String,
                       textCol: String, nBuckets: Int, lrate: Double,
-                      rounds: Int, keep: Int): DataFrame = {
+                      rounds: Int, keep: Int): DataFrame =
+    lrQualityScores(target, raw, idCol, textCol, nBuckets, lrate, rounds)
+      .orderBy(col("lr_quality").desc, col(idCol))
+      .limit(keep)
+
+  /** The trained classifier's score for EVERY raw doc (no top-k cut) —
+    * [[lrQualitySelect]] minus the selection, for consumers that
+    * threshold rather than rank (the ensemble gate's per-language
+    * calibrated cuts). Same training recurrence, bit-identical scores.
+    */
+  def lrQualityScores(target: DataFrame, raw: DataFrame, idCol: String,
+                      textCol: String, nBuckets: Int, lrate: Double,
+                      rounds: Int): DataFrame = {
     import graft.functions.Texts
     val labeled =
       target.select(col(idCol), lit(1.0).as("y"), col(textCol).as("t"))
@@ -418,8 +430,6 @@ object Sampling {
     }
     feats.filter(col("y") === 0.0)
       .select(col(idCol), round(sigmoid(w), 6).as("lr_quality"))
-      .orderBy(col("lr_quality").desc, col(idCol))
-      .limit(keep)
   }
 
   /** LEAKAGE-SAFE train/eval split: the split is decided per

@@ -29,7 +29,7 @@ object Similarity {
     * map-side and the shuffle carries k rows per (partition, probe).
     * Ordering (cosine desc, vec_id) matches the window/oracle ordering.
     */
-  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     implicit val ord: Ordering[ProbeScored] = Ordering.by(h => (-h.cosine, h.vec_id))
@@ -142,7 +142,11 @@ object Similarity {
     */
   def ensureCellCentroids(embeddings: DataFrame, key: String, nlist: Int,
                           maxIter: Int = 5): Array[Array[Double]] =
-    trainedCells.computeIfAbsent(key, _ => {
+    // nlist/maxIter are part of the cache key: two call sites sharing a
+    // caller key but asking for different parameters must NOT silently
+    // receive each other's centroids (that collision is silent
+    // wrong-results, not an error)
+    trainedCells.computeIfAbsent(s"$key:$nlist:$maxIter", _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
@@ -160,6 +164,17 @@ object Similarity {
     * in the plan as literals, no MLlib transform, no shuffle — the
     * "broadcast centroids + narrow map" shape the 100 TB notes
     * promise, with the broadcast folded into the plan itself.
+    *
+    * Numeric caveat: this computes sum((a-b)^2) directly, while
+    * MLlib's transform path uses the norm-trick expansion
+    * (||a||^2 + ||b||^2 - 2ab) with distance pruning. The two differ
+    * in float rounding, so a vector EXACTLY equidistant (to the last
+    * ulp) from two centroids could flip cells between the train-once
+    * path and an inline `fit`. For a coarse ANN quantizer this only
+    * perturbs which cell a boundary vector lands in — recall verdicts
+    * (q43/q133/q138) are unaffected because probe and corpus use the
+    * SAME assignment expression; equivalence with MLlib's own
+    * assignments is approximate near exact ties, by design.
     */
   def assignCellsByCentroids(embeddings: DataFrame,
                              centroids: Array[Array[Double]]): DataFrame = {
@@ -438,6 +453,94 @@ object Similarity {
       (pid, lut)
     }.toSeq.toDF("probe_id", "lut")
     val encoded = e.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"))
+    val scored = encoded.crossJoin(broadcast(lutRows))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(sqrt(aggregate(
+          zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+          lit(0.0), (a, x) => a + x)), 6).as("dist"))
+    topKPerProbeDist(scored, k)
+  }
+
+  /** PERSISTENT PQ serving index — the missing half of the PQ story:
+    * [[ensurePqCodebooks]] amortizes training per JVM, but the
+    * codebooks die with the process and every session re-encodes the
+    * corpus. Here both halves of the index are COMMITTED tables
+    * (`EventStreams.mergeBatchIntoTable` — atomic manifest publish,
+    * idempotent batchId):
+    *   - `indexDir/codebooks`: (subspace, code, centroid) —
+    *     m × codebookSize tiny rows;
+    *   - `indexDir/codes`: (vec_id, codes array<int>) — the compressed
+    *     corpus, m small ints per vector, NO raw vector column: at
+    *     100 TB this table is ~dim×4/m smaller than the embeddings
+    *     (64-dim float → 8 bytes of codes is 32×), and it is the ONLY
+    *     thing a probe reads.
+    * A fresh session probes with [[queryPqIndex]]: codebooks collect
+    * driver-side (tiny), per-probe ADC lookup tables broadcast, and
+    * the scan touches only the codes table — no KMeans, no re-encode,
+    * no embeddings scan (PlanSpec-guarded).
+    */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String, m: Int = 8,
+                   codebookSize: Int = 16, dim: Int = 64, maxIter: Int = 5,
+                   nBuckets: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cbs = pqCodebooks(embeddings, m, codebookSize, dim, maxIter)
+    val cbRows = for { j <- 0 until m; c <- 0 until codebookSize }
+      yield (j, c, cbs(j)(c).toSeq)
+    graft.streaming.EventStreams.mergeBatchIntoTable(
+      cbRows.toDF("subspace", "code", "centroid"), s"$indexDir/codebooks",
+      Seq("subspace", "code"), "code", nBuckets = 1, batchId = 0L)
+    val codes = emb(embeddings)
+      .select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"))
+    graft.streaming.EventStreams.mergeBatchIntoTable(
+      codes, s"$indexDir/codes", Seq("vec_id"), "vec_id", nBuckets, batchId = 0L)
+  }
+
+  private val builtPqIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once guard per JVM (the [[ensureIvfIndex]] convention); the
+    * committed tables make re-runs cheap anyway (idempotent batch 0),
+    * but the guard also skips the KMeans fits.
+    */
+  def ensurePqIndex(embeddings: DataFrame, indexDir: String, m: Int = 8,
+                    codebookSize: Int = 16, dim: Int = 64, maxIter: Int = 5): Unit =
+    if (builtPqIndexes.putIfAbsent(indexDir, "built") == null)
+      buildPqIndex(embeddings, indexDir, m, codebookSize, dim, maxIter)
+
+  /** Probe the persistent PQ index from a COLD session: probe vectors
+    * are caller-supplied raw vectors (in serving they arrive with the
+    * request, not from the corpus), codebooks come from the committed
+    * table (driver-side, tiny), and the returned plan scans ONLY the
+    * codes table — the same one-scan ADC shape as [[pqTopK]] (LUT rows
+    * broadcast, distance = sum of m table lookups), with no KMeans job
+    * and no embeddings scan anywhere in it.
+    */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   probes: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    import spark.implicits._
+    val cbRows = graft.streaming.EventStreams
+      .readUpsertTable(spark, s"$indexDir/codebooks")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val codebookSize = cbRows.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, codebookSize)((j, c) => cbRows((j, c)))
+    val sub = cbs(0)(0).length
+    val lutRows = probes.map { case (pid, pv) =>
+      val lut = Seq.tabulate(m) { j =>
+        cbs(j).toSeq.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < sub) { val d = pv(j * sub + i) - c(i); s += d * d; i += 1 }
+          s
+        }
+      }
+      (pid, lut)
+    }.toDF("probe_id", "lut")
+    val encoded = graft.streaming.EventStreams
+      .readUpsertTable(spark, s"$indexDir/codes")
     val scored = encoded.crossJoin(broadcast(lutRows))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

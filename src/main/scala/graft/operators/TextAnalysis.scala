@@ -121,6 +121,80 @@ object TextAnalysis {
         col("symbol_ok"), col("stopword_ok"), col("pass"))
   }
 
+  /** Quality-signal ENSEMBLE gate with per-language calibrated cuts —
+    * the composed keep/drop production corpus gates actually run (the
+    * CCNet shape: Wenzek et al. 2020 bucket CommonCrawl by LM
+    * perplexity PER LANGUAGE, because an absolute perplexity cut keeps
+    * rich-resource languages and deletes the rest; modern open recipes
+    * — RedPajama-v2, Dolma, FineWeb — layer rule gates and learned
+    * scores the same way). Three signals vote, each already proven
+    * alone:
+    *
+    *   - [[gopherQualityGate]]'s LANGUAGE-AGNOSTIC rules (word count,
+    *     mean word length, alpha-word fraction, symbol ratios) as one
+    *     `rule_pass`. The stopword-PRESENCE rule is deliberately
+    *     excluded: its list is English (Rae et al. filter an
+    *     English-only corpus), and on a multilingual corpus it is
+    *     precisely the absolute-cut mistake per-language calibration
+    *     exists to avoid — it would veto every non-English document
+    *     (and on this corpus does exactly that);
+    *   - [[bigramLmScore]]'s `lm_score` (q135) — kept iff >= the
+    *     language's `lmQ` quantile among scored corpus docs;
+    *   - [[Sampling.lrQualityScores]]' `lr_quality` (q149, trained
+    *     target-vs-corpus) — kept iff >= the language's `lrQ`
+    *     quantile.
+    *
+    * keep = rule pass AND both learned scores clear their per-language
+    * cuts. Docs the learned signals cannot score (< 2 tokens) are
+    * dropped by the inner joins — unscorable docs are junk under every
+    * production gate.
+    *
+    * Scale shape: each signal keeps its own proven posture (narrow
+    * projection / hash-keyed vocab aggregates / bounded model state);
+    * the signal frames join on doc_id (corpus-cardinality, uniform
+    * key); the joined frame is materialized ONCE behind a checkpoint
+    * barrier because two subtrees consume it (the |langs|-row cut
+    * aggregate and the final decision join — the q113 pattern); cuts
+    * come back as a broadcast. Exact `percentile` per language is safe
+    * HERE, unlike ungrouped q38: each language's scores funnel to its
+    * own reducer, and the gate is language-parallel. Cuts and scores
+    * are rounded to 6 dp so the decision is engine-portable.
+    *
+    * Returns per scored corpus doc: (doc_id, lang, rule_pass,
+    * lm_score, lm_cut, lr_quality, lr_cut, keep).
+    */
+  def ensembleQualityGate(corpus: DataFrame, target: DataFrame,
+                          lmQ: Double = 0.25, lrQ: Double = 0.25,
+                          nBuckets: Int = 64, lrate: Double = 0.5,
+                          rounds: Int = 3): DataFrame = {
+    val gopher = gopherQualityGate(corpus)
+      .select(col("doc_id"),
+        (col("words_ok") && col("mean_len_ok") && col("alpha_ok") &&
+          col("symbol_ok")).as("rule_pass"))
+    // the LM trains on the full table (q135's convention — target digs
+    // the model's counts too, exactly like its oracle), scores are used
+    // for corpus docs only
+    val lm = bigramLmScore(target.unionByName(corpus))
+      .select(col("doc_id"), col("lm_score"))
+    val lr = Sampling.lrQualityScores(target, corpus, "doc_id", "text",
+      nBuckets, lrate, rounds)
+    val base = corpus.select(col("doc_id"), col("lang"))
+      .join(gopher, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(lr, Seq("doc_id"))
+      .localCheckpoint()
+    val cuts = base.groupBy(col("lang"))
+      .agg(round(expr(s"percentile(lm_score, $lmQ)"), 6).as("lm_cut"),
+        round(expr(s"percentile(lr_quality, $lrQ)"), 6).as("lr_cut"))
+    base.join(broadcast(cuts), Seq("lang"))
+      .withColumn("keep",
+        col("rule_pass") && col("lm_score") >= col("lm_cut") &&
+          col("lr_quality") >= col("lr_cut"))
+      .select(col("doc_id"), col("lang"), col("rule_pass"),
+        col("lm_score"), col("lm_cut"), col("lr_quality"), col("lr_cut"),
+        col("keep"))
+  }
+
   /** Language-ID heuristic rollup (rows-only check: heuristic has no
     * SQL-oracle form by design — it is our own classifier).
     */

@@ -28,11 +28,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (TESTDATA.md), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long
-    * (legacy flag) and truncate to a microsecond TimestampType — exactly
-    * what DuckDB does internally (its TIMESTAMP is µs), so oracle parity
-    * holds. Integer `div` (not double /) — ns epoch values exceed 2^53.
+  /** `events.ts` arrives in whatever physical parquet type the data
+    * generator used, normalized here to a session-UTC µs TimestampType
+    * so every downstream time op sees ONE type:
+    *   - TIMESTAMP(NANOS): Spark 4 rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]) — read nanos as raw long (legacy
+    *     flag) and truncate to µs, exactly what DuckDB does internally
+    *     (its TIMESTAMP is µs), so oracle parity holds. Integer `div`
+    *     (not double /) — ns epoch values exceed 2^53.
+    *   - TIMESTAMP(µs, isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ, which `unix_micros`/`window` reject — cast to
+    *     TimestampType; the session timezone is pinned UTC everywhere
+    *     (Bench/Verify/tests), so the wall-clock field values are
+    *     reinterpreted as the same UTC instants DuckDB's naive
+    *     TIMESTAMP produces, and oracle parity holds bit-for-bit.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +49,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

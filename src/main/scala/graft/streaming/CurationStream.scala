@@ -30,7 +30,11 @@ import graft.operators.{Curation, Dedup, Sampling}
   * EQUIVALENCE (proven in StreamingSpec): provided shards arrive in
   * ascending doc_id order — the natural shape of a growing corpus —
   * N incremental passes produce exactly the survivor set of one batch
-  * `Curation.curate` over the concatenated corpus. Why: quality,
+  * `Curation.curate` over the concatenated corpus. The contract is
+  * ENFORCED, not assumed: a one-row committed watermark table tracks
+  * the max doc_id ever processed, and a shard arriving at or below it
+  * fails fast (see `curateShard`) instead of silently diverging from
+  * batch semantics. Why: quality,
   * decontamination, and split are stateless per-row; exact dedup keeps
   * the min id per sha, which under ascending arrival is always the
   * FIRST-seen sha; and the LSH stage's bucket anchors (min id per
@@ -55,6 +59,43 @@ object CurationStream {
                   stateDir: String, sinkDir: String, batchId: Long,
                   nGram: Int = 5): Unit = {
     val spark = shard.sparkSession
+    // ---- arrival-order watermark (fail-fast) -------------------------
+    // The batch-equivalence proof above REQUIRES ascending doc_id
+    // arrival: exact dedup keeps min-id-per-sha and LSH anchors are
+    // min-id-per-band-key, so a BACKFILLED shard carrying ids below
+    // anything already processed could silently flip which copy batch
+    // semantics would have kept (the late small-id doc should have been
+    // the anchor). Rather than produce silently-divergent output, the
+    // contract violation fails fast with a clear error; the operator
+    // re-shards the backfill above the watermark (fresh ids) or rebuilds
+    // from batch. The watermark is its own ONE-ROW committed table —
+    // not derived from the state table, because quality-REJECTED docs
+    // never enter state yet still advance what "seen" means, and a
+    // one-row read is O(1) where a state-table max is O(state).
+    // Read AS OF the previous batch (the `hist` replay rule): on
+    // crash-replay of batch N the watermark table may already hold N's
+    // own commit, and a latest-read would fail the replay against its
+    // own max.
+    val wmDir = s"$stateDir/_watermark"
+    val bounds = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (!bounds.isNullAt(0)) {
+      val (shardMin, shardMax) = (bounds.getLong(0), bounds.getLong(1))
+      EventStreams.readUpsertTableBefore(spark, wmDir, batchId)
+        .map(_.agg(max(col("max_doc_id"))).head().getLong(0))
+        .foreach { wm =>
+          if (shardMin <= wm) throw new IllegalStateException(
+            s"out-of-order shard arrival: batch $batchId carries doc_id $shardMin " +
+              s"<= watermark $wm (max doc_id already processed). Incremental " +
+              "curation is batch-equivalent only under ascending doc_id " +
+              "arrival (min-id anchors are stable only then); re-shard the " +
+              "backfill above the watermark or re-run the batch pipeline.")
+        }
+      import spark.implicits._
+      EventStreams.mergeBatchIntoTable(
+        Seq((0, shardMax)).toDF("k", "max_doc_id"), wmDir,
+        Seq("k"), "max_doc_id", nBuckets = 1, batchId = batchId, retain = 2)
+    }
+    // ------------------------------------------------------------------
     // one tiny barrier per shard (micro-batches are bounded): the shard
     // survivor set feeds sha-dedup, signing, banding, verification and
     // the sink write — the q136 fan-out, at shard scale

@@ -200,7 +200,7 @@ object EventStreams {
     */
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
                       versionCol: String, nBuckets: Int = 16,
-                      retain: Int = 1, compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                      retain: Int = 1, compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -249,7 +249,7 @@ object EventStreams {
     */
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long,
-                          retain: Int = 1, compactEvery: Int = 64): Unit = {
+                          retain: Int = 1, compactEvery: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -335,7 +335,13 @@ object EventStreams {
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
-    // instead of O(batches) over the sink's lifetime
+    // instead of O(batches) over the sink's lifetime. Compaction is
+    // OPT-IN (default 0): the original sink contract documents the
+    // manifest chain as an audit trail retained forever, and a nonzero
+    // default would silently prune existing sinks' commit history and
+    // time travel past ~compactEvery batches. Long-lived sinks should
+    // pass compactEvery explicitly (or call compactManifests on a
+    // schedule) once the O(batches) listing cost matters.
     if (compactEvery > 0 && manifestList(fs, table).size > compactEvery)
       compactManifests(spark, tableDir, math.max(retain, compactEvery))
   }
@@ -562,7 +568,7 @@ object EventStreams {
     */
   def sketchToParquet(items: DataFrame, itemCol: String, tableDir: String,
                       depth: Int = 4, width: Int = 256,
-                      compactEvery: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     items.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -588,7 +594,7 @@ object EventStreams {
     */
   def mergeSketchBatch(batch: DataFrame, itemCol: String, tableDir: String,
                        depth: Int, width: Int, batchId: Long,
-                       compactEvery: Int = 64): Unit = {
+                       compactEvery: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val table = new Path(tableDir)

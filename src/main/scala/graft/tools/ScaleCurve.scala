@@ -64,7 +64,8 @@ object ScaleCurve {
       "q139_dup_spans", "q141_leakage_split",
       "q142_span_scrub", "q143_bpe_merges", "q145_dsir_select",
       "q146_bpe_encode", "q147_pack_sequences", "q148_sliding_chunks",
-      "q149_lr_quality")
+      "q149_lr_quality",
+      "q153_training_export", "q154_ensemble_gate", "q156_rag_retrieval")
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]

@@ -52,6 +52,32 @@ class PackingSpec extends SparkSpec {
     assert(ids === (0L until ids.length.toLong).toArray)
   }
 
+  test("trainingShards ranks are a permutation, shards contiguous, order partition-invariant") {
+    val df = docs((0L until 60L).map(i =>
+      i -> Seq.fill((i % 9 + 4).toInt)("w").mkString(" ")): _*)
+    val seqs = operators.Packing.packSequences(df, seqLen = 16, nParts = 3)
+    def run(n: Int) = operators.Packing
+      .trainingShards(seqs, seqsPerShard = 4, nParts = n)
+      .orderBy(col("rank")).collect()
+    val rows = run(3)
+    val n = rows.length
+    // rank is a dense permutation 0..n-1 in u-order (ties broken by seq_id)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (0L until n.toLong))
+    val us = rows.map(_.getAs[Double]("u"))
+    assert(us.zip(us.tail).forall { case (a, b) => a <= b })
+    // shards are contiguous rank ranges of seqsPerShard (last may be short)
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (sid, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.head === sid * 4 && ranks === (ranks.head to ranks.last))
+      assert(rs.length <= 4)
+    }
+    // every sequence survives the shuffle exactly once
+    assert(rows.map(_.getAs[Long]("seq_id")).sorted ===
+      seqs.collect().map(_.getLong(0)).sorted)
+    // determinism: the global order must not depend on the partitioning
+    assert(run(1).map(_.toSeq).toSeq === run(7).map(_.toSeq).toSeq)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern

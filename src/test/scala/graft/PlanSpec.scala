@@ -330,9 +330,28 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q142_span_scrub")
     val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
     assert(generates.nonEmpty, "expected the gram-side Generate")
-    assert(generates.forall(_.contains("md5")),
+    assert(generates.forall(_.contains("xxhash64")),
       s"a non-fingerprint generator leaks tokens:\n${generates.mkString("\n")}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("persistent PQ probe reads only the codes table — no embeddings scan, no KMeans") {
+    // the serving contract the committed index exists for: a cold
+    // session answers probes from the compressed codes alone. Any
+    // embeddings FileScan (re-encode) or vector column in the plan
+    // means the index stopped paying for itself
+    val e = sources.Tables.embeddings(spark, sf)
+    val idxDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_pq_idx_${math.abs(sf.hashCode)}").toString
+    operators.Similarity.ensurePqIndex(e, idxDir)
+    val probes = e.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter("vec_id in (0, 1)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val df = operators.Similarity.queryPqIndex(spark, idxDir, probes, k = 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings"), s"probe plan scans the embeddings:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected exactly one codes-table scan, got $scans")
   }
 
   test("q140 gopher gate is one narrow projection — no Exchange at all") {

@@ -248,4 +248,63 @@ class PropertySpec extends SparkSpec {
     // and both splits are actually populated (the draw is not degenerate)
     assert(split.values.toSet === Set("train", "eval"))
   }
+
+  test("ensemble stage-1 drops into curate: survivors are exactly ensemble-kept docs " +
+      "minus downstream stages") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val target = docs.filter(col("doc_id") < 250)
+    val kept = graft.operators.TextAnalysis.ensembleQualityGate(corpus, target)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty, "the ensemble gate should keep some corpus docs")
+    val survivors = graft.operators.Curation.curate(corpus, target,
+        stage1 = graft.operators.Curation.ensembleGate(target))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stages 2-5 only ever DROP: every survivor cleared the ensemble
+    assert(survivors.subsetOf(kept))
+    assert(survivors.nonEmpty)
+    // and the gate actually bites vs the rule-only stage-1
+    val ruleSurvivors = graft.operators.Curation.curate(corpus, target)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors !== ruleSurvivors)
+  }
+
+  test("segmented span merge: bit-equal to the flat window, bounded per-task groups " +
+      "on a planted mega-dup doc") {
+    // the q139 skew guard: one pathological document that is a single
+    // giant repeated span (every position marked) funnels all its marked
+    // positions through ONE gaps-and-islands task under the flat window;
+    // the segment-salted two-level merge bounds every level-1 task group
+    // by segmentTokens and must still produce the IDENTICAL span set
+    val k = 5
+    val seg = 64
+    val boiler = Seq.fill(120)("dup padding tokens repeat endlessly").mkString(" ")
+    val normal = (0 until 30).map { i =>
+      (100L + i, (0 until 40).map(j => s"w${rnd.nextInt(50)}_$i" + (j % 3)).mkString(" "))
+    }
+    // two copies of the boilerplate (ids 0, 1) -> every gram duplicated;
+    // plus normal docs sharing a smaller pasted phrase with each other
+    val docs = ((0L -> boiler) +: (1L -> boiler) +: normal).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val flat = canon(graft.operators.Dedup.duplicatedSpans(docs, k))
+    val salted = canon(graft.operators.Dedup.duplicatedSpans(docs, k, segmentTokens = seg))
+    assert(flat === salted)
+    assert(flat.nonEmpty)
+    // the mega-dup doc's marked positions exceed one segment many times
+    // over, and the guard's level-1 group bound holds structurally:
+    // no (doc_id, seg) group can exceed segmentTokens marked positions
+    val megaSpan = flat.filter(_.head == 0L)
+    assert(megaSpan.size === 1, "the boilerplate doc should be one maximal span")
+    assert(megaSpan.head(3).asInstanceOf[Long] > seg * 3,
+      "planted doc must be large enough to straddle several segments")
+    // scrub parity through the segmented path too
+    val scrubFlat = graft.operators.Dedup.scrubDuplicatedSpans(docs, k)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val scrubSalted = graft.operators.Dedup.scrubDuplicatedSpans(docs, k, segmentTokens = seg)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(scrubFlat === scrubSalted)
+  }
 }

@@ -576,6 +576,40 @@ class StreamingSpec extends SparkSpec {
       "shard-2 survivors must reach the sink on replay")
   }
 
+  test("out-of-order shard arrival fails fast on the watermark; replay is not misflagged") {
+    // batch-equivalence holds only under ascending doc_id arrival
+    // (min-id anchors); a BACKFILL shard below the watermark must be
+    // rejected loudly, not silently curated with divergent decisions
+    import graft.streaming.CurationStream
+    val base = Files.createTempDirectory("graft-curation-ooo").toString
+    val stateDir = s"$base/state"
+    val sinkDir = s"$base/sink"
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val evalSlice = docs.filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val shard1 = corpus.filter(col("doc_id") >= 400)          // high ids first
+    val backfill = corpus.filter(col("doc_id") < 400)         // then low ids
+    CurationStream.curateShard(shard1, evalSlice, stateDir, sinkDir, batchId = 0L)
+    val ex = intercept[IllegalStateException] {
+      CurationStream.curateShard(backfill, evalSlice, stateDir, sinkDir, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order shard arrival"))
+    // the rejected shard must not have leaked into the sink
+    val sink = EventStreams.readUpsertTable(spark, sinkDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sink.forall(_ >= 400L))
+    // crash-REPLAY of an already-watermarked batch is NOT an
+    // out-of-order arrival: the watermark read is as-of the previous
+    // batch, so re-running batchId 0 with the same shard succeeds
+    CurationStream.curateShard(shard1, evalSlice, stateDir, sinkDir, batchId = 0L)
+    // and a genuinely-ascending next shard still passes
+    CurationStream.curateShard(
+      corpus.filter(col("doc_id") === 399L).select(
+        lit(9500L).as("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")),
+      evalSlice, stateDir, sinkDir, batchId = 1L)
+  }
+
   test("manifest compaction bounds the chain; reads and in-retention time travel survive") {
     val tableDir = Files.createTempDirectory("graft-upsert-compact").toString + "/t"
     def merge(rows: Seq[(Long, String, Long)], id: Long) =
