@@ -467,6 +467,16 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"ROUND(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** q156's centered-hyperplane bucket (Rag.centeredBucket): the plain
+    * sign-of-dot degenerates on non-negative BOW vectors, so the
+    * vector's mean × the plane's entry-sum is subtracted first.
+    */
+  private def centeredBucketSql(v: String, nPlanes: Int, dim: Int): String =
+    operators.Similarity.planeValues(nPlanes, dim).zipWithIndex.map { case (pv, i) =>
+      val plane = pv.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(v, plane)} - (list_sum($v) / $dim.0) * (${pv.sum}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+
   private def bucketSql(v: String, nPlanes: Int, dim: Int): String =
     operators.Similarity.planeValues(nPlanes, dim).zipWithIndex.map { case (pv, i) =>
       val plane = pv.mkString("[", ", ", "]")
@@ -3185,10 +3195,10 @@ object SparkEntry {
        |                  t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $dim = i))::DOUBLE)
        |           AS v
        |  FROM ch),
-       |cb AS (SELECT chunk_key, v, ${bucketSql("v", nPlanes, dim)} AS bucket
+       |cb AS (SELECT chunk_key, v, ${centeredBucketSql("v", nPlanes, dim)} AS bucket
        |       FROM cv WHERE doc_id >= 250),
        |pb AS (SELECT chunk_key AS probe_id, v AS qv,
-       |         ${bucketSql("v", nPlanes, dim)} AS bucket
+       |         ${centeredBucketSql("v", nPlanes, dim)} AS bucket
        |       FROM cv WHERE doc_id < 250),
        |c AS (SELECT pb.probe_id, cb.chunk_key AS vec_id,
        |        ${cosineSql("cb.v", "pb.qv")} AS cosine

@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   * the original slice: decontamination's real shape — fixed eval set,
   * growing corpus.
   *
-  * Usage: runMain graft.tools.ScaleCurve [outBase]
+  * Usage: runMain graft.tools.ScaleCurve [outBase] [q1,q2,...]
   * Prints one markdown table row per (query, scale): best-of-3 seconds.
+  * The optional second arg filters to a comma-separated query subset
+  * (the full 19-query sweep exceeds bounded-runner timeouts; re-measure
+  * only the queries whose shape changed).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val outBase = args.headOption.getOrElse("/root/repo/target/scale")
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,7 +63,7 @@ object ScaleCurve {
       dir
     }
 
-    val queries = Seq("q89_minhash_lsh_portable", "q113_neardup_decontam",
+    val allQueries = Seq("q89_minhash_lsh_portable", "q113_neardup_decontam",
       "q115_lsh_clusters", "q109_dup_clusters",
       "q134_temperature_mix", "q135_lm_score", "q136_curation_pipeline",
       "q139_dup_spans", "q141_leakage_split",
@@ -66,6 +71,7 @@ object ScaleCurve {
       "q146_bpe_encode", "q147_pack_sequences", "q148_sliding_chunks",
       "q149_lr_quality",
       "q153_training_export", "q154_ensemble_gate", "q156_rag_retrieval")
+    val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
