@@ -335,6 +335,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q153 export reads only the committed shard table — curation never re-runs") {
+    // the flagship's serving contract: the pipeline (curate -> pack ->
+    // shuffle -> shard write) committed once; the registered query is
+    // the read-back aggregate. A documents FileScan appearing here
+    // means re-invocation re-pays the whole pipeline
+    val p = planOf("q153_training_export")
+    assert(!p.contains("documents"), s"export read-back re-scans the corpus:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected exactly one shard-table scan, got $scans")
+  }
+
+  test("q154 ensemble decision plan: one materialized signal frame, broadcast cuts") {
+    // the signal frame (three joined signals) materializes ONCE behind
+    // a checkpoint; the returned plan joins it with the |langs|-row cut
+    // aggregate via broadcast. A parquet FileScan here would mean a
+    // signal recomputes per consumer; a shuffle join on lang would mean
+    // the tiny cut table shuffles the corpus
+    val p = planOf("q154_ensemble_gate")
+    assert(!p.contains("FileScan"), s"signal frame not materialized once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "cuts should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("persistent PQ probe reads only the codes table — no embeddings scan, no KMeans") {
     // the serving contract the committed index exists for: a cold
     // session answers probes from the compressed codes alone. Any
