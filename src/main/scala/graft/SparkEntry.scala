@@ -3211,6 +3211,74 @@ object SparkEntry {
        |SELECT probe_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn
        |FROM r WHERE rn <= $k""".stripMargin
 
+  /** CCNet perplexity-bucket sampling
+    * ([[operators.Sampling.perplexityBucketSample]]): per-language
+    * head/middle/tail terciles of the q135 bigram-LM score, kept at
+    * 1.0 / 0.5 / 0.1 — the published mixing recipe (Wenzek et al.
+    * 2020 keep the low-perplexity head and SAMPLE the tail thin,
+    * versus q154's hard gate). The oracle re-derives the LM, both
+    * per-language tercile cuts, every bucket assignment, and every
+    * md5 membership draw.
+    */
+  def q157PplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // materialize the scored frame once (the q113/q154 barrier rule):
+    // the tercile aggregate and the decision join both consume it
+    val scored = operators.TextAnalysis.bigramLmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+      .localCheckpoint()
+    operators.Sampling.perplexityBucketSample(scored, "lang", "doc_id", "lm_score")
+  }
+
+  /** q157 oracle: the q135 LM CTEs, per-language quantile_cont
+    * terciles, bucket CASE, and the portable md5 membership draw.
+    */
+  private def pplBucketsOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+       |  FROM toks),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+       |bi AS (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |bc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+       |sc AS (
+       |  SELECT bi.doc_id,
+       |         ROUND(AVG(LN(CAST(bc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+       |           AS lm_score
+       |  FROM bi
+       |  JOIN bc USING (wa, wb)
+       |  JOIN uni ON bi.wa = uni.w
+       |  CROSS JOIN v
+       |  GROUP BY bi.doc_id),
+       |sl AS (
+       |  SELECT d.doc_id, d.lang, sc.lm_score
+       |  FROM documents d JOIN sc USING (doc_id)),
+       |cuts AS (
+       |  SELECT lang,
+       |    ROUND(quantile_cont(lm_score, ${1.0 / 3}), 6) AS c1,
+       |    ROUND(quantile_cont(lm_score, ${2.0 / 3}), 6) AS c2
+       |  FROM sl GROUP BY lang),
+       |b AS (
+       |  SELECT sl.doc_id, sl.lang, sl.lm_score,
+       |    CASE WHEN sl.lm_score >= c.c2 THEN 'head'
+       |         WHEN sl.lm_score >= c.c1 THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM sl JOIN cuts c USING (lang))
+       |SELECT doc_id, lang, lm_score, ppl_bucket,
+       |  CASE ppl_bucket WHEN 'head' THEN 1.0
+       |       WHEN 'middle' THEN 0.5 ELSE 0.1 END AS keep_frac
+       |FROM b
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':ppl'), 1, 8))::BIGINT
+       |        / 4294967296.0
+       |      < CASE ppl_bucket WHEN 'head' THEN 1.0
+       |             WHEN 'middle' THEN 0.5 ELSE 0.1 END""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3369,6 +3437,7 @@ object SparkEntry {
     "q154_ensemble_gate" -> (q154EnsembleGate _),
     "q155_pq_index_recall" -> (q155PqIndexRecall _),
     "q156_rag_retrieval" -> (q156RagRetrieval _),
+    "q157_ppl_buckets" -> (q157PplBuckets _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4587,6 +4656,7 @@ object SparkEntry {
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q156_rag_retrieval" -> ragRetrievalOracleSql(
       window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3),
+    "q157_ppl_buckets" -> pplBucketsOracleSql,
     "q151_pca_verdict" ->
       """SELECT COUNT(*)::BIGINT AS n_vecs, 64 AS dim,
         |  true AS orthonormal_ok, true AS recon_ok,

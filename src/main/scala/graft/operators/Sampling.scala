@@ -92,6 +92,48 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(weights.last._1))
   }
 
+  /** CCNet perplexity-bucket sampling (Wenzek et al. 2020): per
+    * LANGUAGE, split scored documents into head / middle / tail by the
+    * score's within-language terciles (CCNet's Wikipedia-LM perplexity
+    * thirds — here any quality score column; higher = better, so head
+    * is the top tercile), then keep each bucket at its own fraction —
+    * the published recipe keeps the head aggressively and samples the
+    * tail thin rather than hard-dropping it (tail data still carries
+    * signal; a hard gate is q154's job). Membership is the portable
+    * md5 draw, so the kept set is engine-reproducible.
+    *
+    * Scale shape: the |langs|-row tercile-cut aggregate is the only
+    * extra action (exact `percentile` is per-language — each language
+    * funnels to its own reducer, the q154 argument); cuts broadcast
+    * back and bucket + keep are narrow row-local expressions over ONE
+    * scan of the scored frame. Callers whose `scored` frame is itself
+    * a plan (not a table) should pass it materialized (the q113
+    * barrier rule: the cut aggregate and the decision join are two
+    * consumers).
+    *
+    * Returns the KEPT rows: input columns + (ppl_bucket, keep_frac).
+    */
+  def perplexityBucketSample(scored: DataFrame, langCol: String,
+                             idCol: String, scoreCol: String,
+                             headFrac: Double = 1.0, midFrac: Double = 0.5,
+                             tailFrac: Double = 0.1,
+                             salt: String = "ppl"): DataFrame = {
+    val cuts = scored.groupBy(col(langCol))
+      .agg(round(expr(s"percentile($scoreCol, ${1.0 / 3})"), 6).as("__c1"),
+        round(expr(s"percentile($scoreCol, ${2.0 / 3})"), 6).as("__c2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) >= col("__c2"), "head")
+          .when(col(scoreCol) >= col("__c1"), "middle")
+          .otherwise("tail"))
+      .withColumn("keep_frac",
+        when(col("ppl_bucket") === "head", headFrac)
+          .when(col("ppl_bucket") === "middle", midFrac)
+          .otherwise(tailFrac))
+      .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
+      .drop("__c1", "__c2")
+  }
+
   /** Temperature-scaled domain mixing — the training-recipe op that
     * UPWEIGHTS low-resource domains: sampling probability p_d ∝ n_d^alpha
     * (alpha < 1 flattens the natural distribution; alpha = 1 is

@@ -273,4 +273,36 @@ class SamplingSpec extends SparkSpec {
     assert(scores(10L) > scores(11L) && scores(10L) > scores(12L))
     assert(scores(10L) > 0 && scores(12L) < 0) // signs: toward/away from target
   }
+
+  test("perplexityBucketSample: per-language terciles, head kept whole, tail sampled thin") {
+    import spark.implicits._
+    // 2 langs x 90 docs with distinct strictly-increasing scores: the
+    // within-language terciles are exact, so bucket membership is
+    // fully determined (30/30/30 per language)
+    val scored = (for {
+      (lang, base) <- Seq(("en", 0L), ("fr", 1000L))
+      i <- 0 until 90
+    } yield (base + i, lang, i.toDouble / 100.0)).toDF("doc_id", "lang", "s")
+    val kept = Sampling.perplexityBucketSample(scored, "lang", "doc_id", "s")
+      .collect()
+    val byBucket = kept.groupBy(_.getAs[String]("ppl_bucket"))
+      .view.mapValues(_.length).toMap
+    // head keeps ALL 30 per language (frac 1.0); middle/tail are
+    // md5-thinned below their bucket sizes
+    assert(byBucket("head") === 60)
+    assert(byBucket.getOrElse("middle", 0) < 60 && byBucket.getOrElse("middle", 0) > 0)
+    assert(byBucket.getOrElse("tail", 0) < byBucket("middle"))
+    // bucket assignment respects the per-language terciles: scores in
+    // the top third (i >= 60) are head, bottom third (i < 30) tail
+    kept.foreach { r =>
+      val i = (r.getAs[Double]("s") * 100).round
+      val b = r.getAs[String]("ppl_bucket")
+      if (i >= 60) assert(b === "head")
+      else if (i < 30) assert(b === "tail", s"doc $i in $b")
+    }
+    // deterministic: a second invocation returns the identical set
+    val again = Sampling.perplexityBucketSample(scored, "lang", "doc_id", "s")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again === kept.map(_.getAs[Long]("doc_id")).sorted)
+  }
 }
