@@ -1427,6 +1427,32 @@ object SparkEntry {
        |  FROM d3)""".stripMargin
   }
 
+  /** q147/q158 oracle: concat-and-chunk re-derived with a window
+    * prefix sum (shared by the batch query and the incremental table,
+    * whose build is two shard passes — one SQL proves both).
+    */
+  private def packSequencesOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+      |  FROM documents),
+      |f AS (SELECT doc_id, nt FROM t WHERE nt > 0),
+      |c AS (SELECT doc_id, nt,
+      |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+      |      FROM f),
+      |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+      |             (fin - 1)::BIGINT AS et
+      |      FROM c),
+      |x AS (SELECT doc_id, st, et,
+      |        unnest(generate_series(st // 128, (et - 1) // 128)) AS seq_id
+      |      FROM s)
+      |SELECT seq_id,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(LEAST(et, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128))::BIGINT AS doc_tokens,
+      |  SUM(CASE WHEN st < seq_id * 128 OR et > (seq_id + 1) * 128
+      |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+      |FROM x GROUP BY 1""".stripMargin
+
   /** q153 oracle: the full export chain re-derived — curation CTEs
     * (q136), packing CTEs over the TRAIN survivors (q147's prefix-sum
     * convention, window form), the portable md5 shuffle draw, a
@@ -3279,6 +3305,33 @@ object SparkEntry {
        |      < CASE ppl_bucket WHEN 'head' THEN 1.0
        |             WHEN 'middle' THEN 0.5 ELSE 0.1 END""".stripMargin
 
+  /** INCREMENTAL packing ([[operators.Packing.packShardIncremental]]):
+    * the corpus arrives as two shards (ascending doc_id, the stream
+    * contract), each extending the committed sequence table through
+    * the boundary-sequence fold and the token-total cursor — history's
+    * TEXT is never re-read. The registered query reads the final
+    * committed table; the oracle is the BATCH q147 derivation over the
+    * whole corpus, so the hash-match IS the incremental ≡ batch proof,
+    * through the committed table (build-once ensure pattern; both
+    * merges idempotent on their batchIds).
+    */
+  private val incPackStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIncPack(spark: SparkSession, dir: String): String =
+    incPackStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-incpack").toString + "/seqs"
+      val docs = Tables.documents(spark, dir)
+      operators.Packing.packShardIncremental(
+        docs.filter(col("doc_id") < 250), storeDir, seqLen = 128, batchId = 0L)
+      operators.Packing.packShardIncremental(
+        docs.filter(col("doc_id") >= 250), storeDir, seqLen = 128, batchId = 1L)
+      storeDir
+    })
+
+  def q158IncrementalPack(spark: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.readUpsertTable(spark, ensureIncPack(spark, dir))
+      .select(col("seq_id"), col("n_docs"), col("doc_tokens"), col("n_split_docs"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3438,6 +3491,7 @@ object SparkEntry {
     "q155_pq_index_recall" -> (q155PqIndexRecall _),
     "q156_rag_retrieval" -> (q156RagRetrieval _),
     "q157_ppl_buckets" -> (q157PplBuckets _),
+    "q158_incremental_pack" -> (q158IncrementalPack _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4609,27 +4663,11 @@ object SparkEntry {
     "q143_bpe_merges" -> bpeMergesOracleSql(6),
     "q144_bpe_vocab" -> bpeVocabOracleSql(6, 20),
     "q146_bpe_encode" -> bpeEncodeOracleSql(6),
-    "q147_pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS nt
-        |  FROM documents),
-        |f AS (SELECT doc_id, nt FROM t WHERE nt > 0),
-        |c AS (SELECT doc_id, nt,
-        |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
-        |      FROM f),
-        |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
-        |             (fin - 1)::BIGINT AS et
-        |      FROM c),
-        |x AS (SELECT doc_id, st, et,
-        |        unnest(generate_series(st // 128, (et - 1) // 128)) AS seq_id
-        |      FROM s)
-        |SELECT seq_id,
-        |  COUNT(*)::BIGINT AS n_docs,
-        |  SUM(LEAST(et, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128))::BIGINT AS doc_tokens,
-        |  SUM(CASE WHEN st < seq_id * 128 OR et > (seq_id + 1) * 128
-        |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
-        |FROM x GROUP BY 1""".stripMargin,
+    "q147_pack_sequences" -> packSequencesOracleSql,
+    // SAME batch derivation: the q158 table was built in two
+    // incremental shard passes, so this hash-match IS the
+    // incremental ≡ batch equivalence proof
+    "q158_incremental_pack" -> packSequencesOracleSql,
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->

@@ -68,6 +68,87 @@ object Packing {
         sum(col("crosses")).as("n_split_docs"))
   }
 
+  /** INCREMENTAL packing — the streaming twin of [[packSequences]]
+    * (the CurationStream convention, applied to the final mile): each
+    * arriving shard extends the packed-sequence table WITHOUT
+    * re-reading any previous shard's text. Cross-shard state is two
+    * manifest-committed tables:
+    *   - the sequence table itself (keyed by seq_id) — the boundary
+    *     sequence the previous shard left half-filled is read back
+    *     (ONE row), this shard's contribution folded in additively
+    *     (n_docs / doc_tokens / n_split_docs are all sums over docs,
+    *     and a doc's crossing flags depend only on its own global
+    *     offsets), and the merged row upserted;
+    *   - a one-row `_packstate` cursor carrying the global token total,
+    *     which offsets this shard's distributed prefix sum.
+    * Reads are AS OF the previous batch and both commits share the
+    * batchId (the curateShard replay rule): a crash between the two
+    * commits replays into identical decisions, the committed half
+    * no-ops, exactly-once for the pair. CONTRACT: shards arrive in
+    * ascending doc_id order (the stream watermark's contract — ids
+    * below anything processed would change earlier offsets);
+    * PackingSpec proves N incremental passes produce the exact batch
+    * table.
+    */
+  def packShardIncremental(shard: DataFrame, tableDir: String, seqLen: Int,
+                           batchId: Long, nParts: Int = 8): Unit = {
+    require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
+    val spark = shard.sparkSession
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val stateDir = s"$tableDir/_packstate"
+    val prevTotal: Long = EventStreams
+      .readUpsertTableBefore(spark, stateDir, batchId)
+      .map(_.agg(max(col("total_tokens"))).head().getLong(0)).getOrElse(0L)
+    val costs = shard
+      .select(col("doc_id"), Texts.tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), (col("nt") + lit(1L)).as("cost"))
+    val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
+      .withColumn("fin", col("fin") + lit(prevTotal))
+    val L = lit(seqLen.toLong)
+    val seqRows = ends
+      .select(col("doc_id"),
+        (col("fin") - col("cost")).as("st"), (col("fin") - lit(1L)).as("et"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $seqLen"), expr(s"(et - 1) div $seqLen"))))
+      .withColumn("ov",
+        least(col("et"), (col("seq_id") + lit(1L)) * L) -
+          greatest(col("st"), col("seq_id") * L))
+      .withColumn("crosses",
+        (col("st") < col("seq_id") * L ||
+          col("et") > (col("seq_id") + lit(1L)) * L).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ov")).as("doc_tokens"),
+        sum(col("crosses")).as("n_split_docs"))
+    // the previous shard's half-filled boundary sequence (0 or 1 row):
+    // its stats add to this shard's contribution for the same seq_id
+    val boundarySeq = prevTotal / seqLen
+    val combined = EventStreams.readUpsertTableBefore(spark, tableDir, batchId) match {
+      case Some(t) =>
+        seqRows.unionByName(
+            t.filter(col("seq_id") === boundarySeq)
+              .select(col("seq_id"), col("n_docs"), col("doc_tokens"),
+                col("n_split_docs")))
+          .groupBy(col("seq_id"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("doc_tokens")).as("doc_tokens"),
+            sum(col("n_split_docs")).as("n_split_docs"))
+      case None => seqRows
+    }
+    // materialize BEFORE the commits (the curateShard rule): the plan
+    // reads the prior table generation, whose superseded files the
+    // merge below sweeps
+    val out = combined.withColumn("__v", lit(batchId)).localCheckpoint()
+    val shardCost = costs.agg(coalesce(sum(col("cost")), lit(0L))).head().getLong(0)
+    EventStreams.mergeBatchIntoTable(out, tableDir,
+      Seq("seq_id"), "__v", nBuckets = 8, batchId = batchId, retain = 2)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0, prevTotal + shardCost)).toDF("k", "total_tokens"), stateDir,
+      Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
+  }
+
   /** Deterministic training-order SHUFFLE + shard assignment — the step
     * after packing in every pre-training export: sequences are laid out
     * in a pseudo-random but fully reproducible global order (so a

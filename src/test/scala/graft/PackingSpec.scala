@@ -78,6 +78,33 @@ class PackingSpec extends SparkSpec {
     assert(run(1).map(_.toSeq).toSeq === run(7).map(_.toSeq).toSeq)
   }
 
+  test("packShardIncremental: three shard passes equal one batch pack, replay no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incpack-spec").toString
+    val tableDir = s"$base/seqs"
+    // 40 docs, lengths chosen so sequences straddle both shard
+    // boundaries (seqLen 16 never divides the running totals evenly)
+    val all = docs((0L until 40L).map(i =>
+      i -> Seq.fill((i % 7 + 3).toInt)("t").mkString(" ")): _*)
+    val shards = Seq(
+      all.filter(col("doc_id") < 13), all.filter(col("doc_id") >= 13 && col("doc_id") < 29),
+      all.filter(col("doc_id") >= 29))
+    shards.zipWithIndex.foreach { case (s, i) =>
+      operators.Packing.packShardIncremental(s, tableDir, seqLen = 16, batchId = i.toLong)
+    }
+    // crash-replay: foreachBatch replays only the LAST batch — re-running
+    // it must not double-count the boundary fold (both merges no-op on
+    // their batchIds; retain=2 keeps exactly the replay window's files,
+    // which is why an OLDER batch is legitimately not replayable)
+    operators.Packing.packShardIncremental(shards(2), tableDir, seqLen = 16, batchId = 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("seq_id", "n_docs", "doc_tokens", "n_split_docs")
+      .orderBy("seq_id").collect().map(_.toSeq).toSeq
+    val inc = canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir))
+    val batch = canon(operators.Packing.packSequences(all, seqLen = 16))
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
