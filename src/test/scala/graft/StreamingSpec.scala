@@ -576,6 +576,50 @@ class StreamingSpec extends SparkSpec {
       "shard-2 survivors must reach the sink on replay")
   }
 
+  test("incremental curation composes with incremental packing: the full final mile, shard by shard") {
+    // the incremental twin of the q153 export flagship: each shard is
+    // CURATED against the persisted state (curateShard), its TRAIN
+    // survivors PACKED incrementally (packShardIncremental) — and the
+    // resulting committed sequence table must equal packing the batch
+    // pipeline's train survivors in one pass. History text is read by
+    // neither stage.
+    import graft.streaming.CurationStream
+    val base = Files.createTempDirectory("graft-e2e-inc").toString
+    val stateDir = s"$base/state"
+    val sinkDir = s"$base/sink"
+    val packDir = s"$base/seqs"
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val evalSlice = docs.filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val shards = Seq(
+      corpus.filter(col("doc_id") < 400), corpus.filter(col("doc_id") >= 400))
+    var prevIds = Set.empty[Long]
+    shards.zipWithIndex.foreach { case (shard, i) =>
+      val id = i.toLong
+      CurationStream.curateShard(shard, evalSlice, stateDir, sinkDir, batchId = id)
+      // this shard's TRAIN survivors = the sink delta of batch id (the
+      // id sets are shard-sized; text re-attaches from the shard — the
+      // packer tokenizes)
+      val nowIds = EventStreams.readUpsertTable(spark, sinkDir)
+        .filter(col("split") === "train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val newIds = (nowIds -- prevIds).toSeq
+      prevIds = nowIds
+      operators.Packing.packShardIncremental(
+        shard.filter(col("doc_id").isin(newIds: _*)).select("doc_id", "text"),
+        packDir, seqLen = 128, batchId = id)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("seq_id", "n_docs", "doc_tokens", "n_split_docs")
+      .orderBy("seq_id").collect().map(_.toSeq).toSeq
+    val inc = canon(EventStreams.readUpsertTable(spark, packDir))
+    val batchSurvivors = graft.operators.Curation.curate(corpus, evalSlice)
+      .filter(col("split") === "train").select("doc_id", "text")
+    val batch = canon(operators.Packing.packSequences(batchSurvivors, seqLen = 128))
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+  }
+
   test("out-of-order shard arrival fails fast on the watermark; replay is not misflagged") {
     // batch-equivalence holds only under ascending doc_id arrival
     // (min-id anchors); a BACKFILL shard below the watermark must be
