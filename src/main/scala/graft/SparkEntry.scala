@@ -1592,7 +1592,11 @@ object SparkEntry {
     * every document word-by-word with the same greedy fold the engine
     * applies, preserving word order for the stream hash.
     */
-  private def bpeEncodeOracleSql(nMerges: Int): String = {
+  /** The BPE train + per-word re-encode CTE prefix (through
+    * `e<nMerges>`, one encoded row per word) — shared by the q146
+    * encode oracle and the q159 subword-packing oracle.
+    */
+  private def bpeEncodeOracleCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""e$r AS (SELECT doc_id, wi,
          |  ' ' || list_reduce(string_split(trim(s), ' '),
@@ -1612,12 +1616,41 @@ object SparkEntry {
        |e0 AS (SELECT doc_id, wi,
        |         ' ' || array_to_string(string_split(w, ''), ' ') AS s
        |       FROM docw),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)}
        |SELECT doc_id,
        |  SUM(len(string_split(trim(s), ' ')))::BIGINT AS n_bpe_tokens,
        |  md5(string_agg(trim(s), ' ' ORDER BY wi)) AS bpe_md5
        |FROM e$nMerges GROUP BY doc_id""".stripMargin
-  }
+
+  /** q159 oracle: the BPE chain re-derived through per-doc SUBWORD
+    * counts, then the q147 packing derivation over those counts —
+    * train → encode → pack, one statement.
+    */
+  private def bpePackOracleSql(nMerges: Int, seqLen: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |cnt AS (
+       |  SELECT doc_id, SUM(len(string_split(trim(s), ' ')))::BIGINT AS nt
+       |  FROM e$nMerges GROUP BY doc_id),
+       |f AS (SELECT doc_id, nt FROM cnt WHERE nt > 0),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM f),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |x AS (SELECT doc_id, st, et,
+       |        unnest(generate_series(st // $seqLen, (et - 1) // $seqLen)) AS seq_id
+       |      FROM s)
+       |SELECT seq_id,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(LEAST(et, (seq_id + 1) * $seqLen) - GREATEST(st, seq_id * $seqLen))::BIGINT AS doc_tokens,
+       |  SUM(CASE WHEN st < seq_id * $seqLen OR et > (seq_id + 1) * $seqLen
+       |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+       |FROM x GROUP BY 1""".stripMargin
 
   /** Embedding covariance matrix ([[operators.Embeddings]]): the
     * one-pass Gram-aggregator face of the PCA/whitening family, as
@@ -3332,6 +3365,26 @@ object SparkEntry {
     streaming.EventStreams.readUpsertTable(spark, ensureIncPack(spark, dir))
       .select(col("seq_id"), col("n_docs"), col("doc_tokens"), col("n_split_docs"))
 
+  /** SUBWORD-aware packing: train the 6-merge BPE tokenizer (q143),
+    * encode every document (q146's native kernel), pack by the
+    * LEARNED-tokenizer counts ([[operators.Packing
+    * .packSequencesByCount]]) — the layout an actual pre-training run
+    * uses (sequences are budgeted in model tokens, not whitespace
+    * words). The oracle replays training, re-encodes every word, sums
+    * per-doc subword counts, and re-derives the whole packing — the
+    * q143→q146→q147 chain proven as one composition.
+    */
+  def q159BpePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
+      .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    operators.Packing.packSequencesByCount(
+      operators.TextAnalysis.bpeEncode(docs, merges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      seqLen = 128)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3492,6 +3545,7 @@ object SparkEntry {
     "q156_rag_retrieval" -> (q156RagRetrieval _),
     "q157_ppl_buckets" -> (q157PplBuckets _),
     "q158_incremental_pack" -> (q158IncrementalPack _),
+    "q159_bpe_pack" -> (q159BpePack _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4668,6 +4722,7 @@ object SparkEntry {
     // incremental shard passes, so this hash-match IS the
     // incremental ≡ batch equivalence proof
     "q158_incremental_pack" -> packSequencesOracleSql,
+    "q159_bpe_pack" -> bpePackOracleSql(nMerges = 6, seqLen = 128),
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->

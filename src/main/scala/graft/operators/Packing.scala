@@ -40,10 +40,23 @@ object Packing {
     * sequence touched by at least one document token.
     */
   def packSequences(documents: DataFrame, seqLen: Int,
-                    nParts: Int = 8): DataFrame = {
+                    nParts: Int = 8): DataFrame =
+    packSequencesByCount(
+      documents.select(col("doc_id"),
+        Texts.tokenCount(col("text")).cast("long").as("n_tokens")),
+      seqLen, nParts)
+
+  /** [[packSequences]] over CALLER-SUPPLIED token counts — the seam
+    * that lets packing compose with any tokenizer: production packing
+    * lays out LEARNED-tokenizer tokens (BPE subwords, q146), not
+    * whitespace words, and the packer only ever needed the per-doc
+    * count. Input: (doc_id, n_tokens); docs with n_tokens <= 0 drop.
+    */
+  def packSequencesByCount(counts: DataFrame, seqLen: Int,
+                           nParts: Int = 8): DataFrame = {
     require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
-    val costs = documents
-      .select(col("doc_id"), Texts.tokenCount(col("text")).cast("long").as("nt"))
+    val costs = counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("nt"))
       .filter(col("nt") > 0)
       // +1: the separator token written after every document
       .select(col("doc_id"), (col("nt") + lit(1L)).as("cost"))
