@@ -70,7 +70,8 @@ object ScaleCurve {
       "q142_span_scrub", "q143_bpe_merges", "q145_dsir_select",
       "q146_bpe_encode", "q147_pack_sequences", "q148_sliding_chunks",
       "q149_lr_quality",
-      "q153_training_export", "q154_ensemble_gate", "q156_rag_retrieval")
+      "q153_training_export", "q154_ensemble_gate", "q156_rag_retrieval",
+      "q157_ppl_buckets", "q158_incremental_pack", "q159_bpe_pack")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
