@@ -96,6 +96,10 @@ class PackingSpec extends SparkSpec {
     // their batchIds; retain=2 keeps exactly the replay window's files,
     // which is why an OLDER batch is legitimately not replayable)
     operators.Packing.packShardIncremental(shards(2), tableDir, seqLen = 16, batchId = 2L)
+    // an EMPTY shard (a batch whose docs were all filtered upstream)
+    // must advance the batchId without disturbing the table or cursor
+    operators.Packing.packShardIncremental(
+      all.filter(col("doc_id") < 0), tableDir, seqLen = 16, batchId = 3L)
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select("seq_id", "n_docs", "doc_tokens", "n_split_docs")
       .orderBy("seq_id").collect().map(_.toSeq).toSeq
