@@ -99,9 +99,15 @@ object Packing {
     * commits replays into identical decisions, the committed half
     * no-ops, exactly-once for the pair. CONTRACT: shards arrive in
     * ascending doc_id order (the stream watermark's contract — ids
-    * below anything processed would change earlier offsets);
-    * PackingSpec proves N incremental passes produce the exact batch
-    * table.
+    * below anything processed would change earlier offsets). The
+    * contract is ENFORCED, not assumed (the CurationStream.curateShard
+    * convention): the `_packstate` cursor also carries the max doc_id
+    * ever packed, and a shard at or below it fails fast instead of
+    * silently committing offsets that diverge from batch semantics.
+    * The cursor commits LAST (after the sequence-table commit), so a
+    * failed shard resubmitted under a new batchId is not falsely
+    * rejected. PackingSpec proves N incremental passes produce the
+    * exact batch table.
     */
   def packShardIncremental(shard: DataFrame, tableDir: String, seqLen: Int,
                            batchId: Long, nParts: Int = 8): Unit = {
@@ -110,9 +116,25 @@ object Packing {
     import spark.implicits._
     import graft.streaming.EventStreams
     val stateDir = s"$tableDir/_packstate"
-    val prevTotal: Long = EventStreams
+    // read AS OF the previous batch (the curateShard replay rule): on
+    // crash-replay of batch N the cursor may already hold N's commit
+    val prevState = EventStreams
       .readUpsertTableBefore(spark, stateDir, batchId)
-      .map(_.agg(max(col("total_tokens"))).head().getLong(0)).getOrElse(0L)
+      .map(_.agg(max(col("total_tokens")), max(col("max_doc_id"))).head())
+    val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
+    val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
+    val bounds = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val shardMaxDoc: Long =
+      if (bounds.isNullAt(0)) prevMaxDoc else bounds.getLong(1)
+    if (!bounds.isNullAt(0) && bounds.getLong(0) <= prevMaxDoc)
+      throw new IllegalStateException(
+        s"out-of-order shard arrival: batch $batchId carries doc_id " +
+          s"${bounds.getLong(0)} <= watermark $prevMaxDoc (max doc_id already " +
+          "packed). Incremental packing is batch-equivalent only under " +
+          "ascending doc_id arrival (global token offsets are prefix sums in " +
+          "doc_id order); re-shard the backfill above the watermark or re-run " +
+          "batch packing. A same-batchId replay of a crashed shard is safe " +
+          "(reads are as-of the previous batch).")
     val costs = shard
       .select(col("doc_id"), Texts.tokenCount(col("text")).cast("long").as("nt"))
       .filter(col("nt") > 0)
@@ -158,7 +180,8 @@ object Packing {
     EventStreams.mergeBatchIntoTable(out, tableDir,
       Seq("seq_id"), "__v", nBuckets = 8, batchId = batchId, retain = 2)
     EventStreams.mergeBatchIntoTable(
-      Seq((0, prevTotal + shardCost)).toDF("k", "total_tokens"), stateDir,
+      Seq((0, prevTotal + shardCost, shardMaxDoc))
+        .toDF("k", "total_tokens", "max_doc_id"), stateDir,
       Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
   }
 

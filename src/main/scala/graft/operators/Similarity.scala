@@ -501,12 +501,19 @@ object Similarity {
 
   /** Build-once guard per JVM (the [[ensureIvfIndex]] convention); the
     * committed tables make re-runs cheap anyway (idempotent batch 0),
-    * but the guard also skips the KMeans fits.
+    * but the guard also skips the KMeans fits. computeIfAbsent (the
+    * [[ensureCellCentroids]] pattern) so a concurrent caller BLOCKS
+    * until the build commits instead of observing "built" mid-build
+    * and probing a partial index; on build failure the mapping is not
+    * established, so the next caller retries instead of probing a
+    * permanently-poisoned guard.
     */
   def ensurePqIndex(embeddings: DataFrame, indexDir: String, m: Int = 8,
                     codebookSize: Int = 16, dim: Int = 64, maxIter: Int = 5): Unit =
-    if (builtPqIndexes.putIfAbsent(indexDir, "built") == null)
+    builtPqIndexes.computeIfAbsent(indexDir, { _ =>
       buildPqIndex(embeddings, indexDir, m, codebookSize, dim, maxIter)
+      "built"
+    })
 
   /** Probe the persistent PQ index from a COLD session: probe vectors
     * are caller-supplied raw vectors (in serving they arrive with the
@@ -528,6 +535,11 @@ object Similarity {
     val codebookSize = cbRows.keys.map(_._2).max + 1
     val cbs = Array.tabulate(m, codebookSize)((j, c) => cbRows((j, c)))
     val sub = cbs(0)(0).length
+    probes.foreach { case (pid, pv) =>
+      require(pv.length == m * sub,
+        s"probe $pid has dimension ${pv.length}; index at $indexDir expects " +
+          s"${m * sub} (m=$m subspaces x $sub-wide, from the codebooks table)")
+    }
     val lutRows = probes.map { case (pid, pv) =>
       val lut = Seq.tabulate(m) { j =>
         cbs(j).toSeq.map { c =>

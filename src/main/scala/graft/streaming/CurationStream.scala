@@ -78,8 +78,9 @@ object CurationStream {
     // own max.
     val wmDir = s"$stateDir/_watermark"
     val bounds = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (!bounds.isNullAt(0)) {
-      val (shardMin, shardMax) = (bounds.getLong(0), bounds.getLong(1))
+    val shardBounds = if (bounds.isNullAt(0)) None
+      else Some((bounds.getLong(0), bounds.getLong(1)))
+    shardBounds.foreach { case (shardMin, _) =>
       EventStreams.readUpsertTableBefore(spark, wmDir, batchId)
         .map(_.agg(max(col("max_doc_id"))).head().getLong(0))
         .foreach { wm =>
@@ -90,11 +91,17 @@ object CurationStream {
               "arrival (min-id anchors are stable only then); re-shard the " +
               "backfill above the watermark or re-run the batch pipeline.")
         }
-      import spark.implicits._
-      EventStreams.mergeBatchIntoTable(
-        Seq((0, shardMax)).toDF("k", "max_doc_id"), wmDir,
-        Seq("k"), "max_doc_id", nBuckets = 1, batchId = batchId, retain = 2)
     }
+    // The watermark COMMIT happens last (after the state/sink commits,
+    // end of this method): committing it first would mean a failure
+    // mid-curation leaves the watermark advanced, and resubmitting the
+    // failed shard under a NEW batchId is falsely rejected as
+    // out-of-order — only a same-batchId replay would recover. With the
+    // commit last, any crash point replays cleanly: the as-of-previous
+    // reads (`hist`, and the watermark read above) already make a
+    // same-batchId replay compute exactly what the crashed run did, and
+    // a new-batchId resubmit passes the check because the watermark
+    // never advanced.
     // ------------------------------------------------------------------
     // one tiny barrier per shard (micro-batches are bounded): the shard
     // survivor set feeds sha-dedup, signing, banding, verification and
@@ -168,6 +175,12 @@ object CurationStream {
       retain = 2)
     EventStreams.mergeBatchIntoTable(out, sinkDir,
       Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+    shardBounds.foreach { case (_, shardMax) =>
+      import spark.implicits._
+      EventStreams.mergeBatchIntoTable(
+        Seq((0, shardMax)).toDF("k", "max_doc_id"), wmDir,
+        Seq("k"), "max_doc_id", nBuckets = 1, batchId = batchId, retain = 2)
+    }
   }
 
   /** Drain everything new under `corpusDir` through the curation

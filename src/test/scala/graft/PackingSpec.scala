@@ -109,6 +109,33 @@ class PackingSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("packShardIncremental fails fast on out-of-order arrival; replay is not misflagged") {
+    val base = java.nio.file.Files.createTempDirectory("graft-incpack-ooo").toString
+    val tableDir = s"$base/seqs"
+    val all = docs((0L until 20L).map(i =>
+      i -> Seq.fill((i % 5 + 2).toInt)("t").mkString(" ")): _*)
+    operators.Packing.packShardIncremental(
+      all.filter(col("doc_id") < 12), tableDir, seqLen = 16, batchId = 0L)
+    // a backfill shard at/below the watermark must fail fast, not
+    // silently commit offsets that diverge from batch semantics
+    val ex = intercept[IllegalStateException] {
+      operators.Packing.packShardIncremental(
+        all.filter(col("doc_id") >= 5 && col("doc_id") < 12), tableDir,
+        seqLen = 16, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    // the failed attempt committed nothing (the cursor commits LAST),
+    // so the legitimate next shard proceeds under a NEW batchId — no
+    // false out-of-order rejection after a failure
+    operators.Packing.packShardIncremental(
+      all.filter(col("doc_id") >= 12), tableDir, seqLen = 16, batchId = 2L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("seq_id", "n_docs", "doc_tokens", "n_split_docs")
+      .orderBy("seq_id").collect().map(_.toSeq).toSeq
+    assert(canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)) ===
+      canon(operators.Packing.packSequences(all, seqLen = 16)))
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
