@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses `runMain graft.Bench` stdout for a bare JSON
+// line. sbt's default LoggedOutput decorates every forked-process line
+// with `[info] ` and appends its own `[success] Total time...` after —
+// both of which broke the driver's parse (BENCH_r08 "parsed": null).
+// StdoutOutput hands the forked JVM sbt's raw stdout/stderr (no
+// prefix), and showSuccess := false drops the trailing [success] line,
+// so the process's own final println IS the final stdout text.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

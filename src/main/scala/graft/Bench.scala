@@ -36,6 +36,43 @@ object Bench {
     l.substring(0, open + 1) + parts.sorted.mkString(" AND ") + l.substring(close)
   }
 
+  /** Fixed-work host-speed probe (median of 5 codegen'd range-sums):
+    * data-independent, so run-over-run drift in it measures HOST
+    * contention, not code or data changes. The r8 final sweep ran ~26%
+    * uniformly slower than the identical-plan run 27 minutes earlier —
+    * a noise sample committed as the round's number because nothing in
+    * the artifact recorded that the host was busy. The probe value
+    * lands in the bench JSON; the guard in main reruns the sweep when
+    * the probe disagrees >15% with the previous recorded run's probe.
+    */
+  private def hostProbe(spark: SparkSession): Double = {
+    // one untimed rep pays codegen/JIT for the probe plan itself, so the
+    // measured reps are steady-state whether the probe runs before the
+    // sweep (cold JVM) or after it (hot) — the probe must measure the
+    // HOST, not the JIT state of this process
+    spark.range(1000000000L).selectExpr("sum(id)").collect()
+    val times = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(2)
+  }
+
+  /** Last recorded probe value in the history file, if any. */
+  private def lastHistoryProbe(histPath: String): Option[Double] =
+    try {
+      val p = java.nio.file.Paths.get(histPath)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val re = """"probe":([0-9.]+)""".r
+        scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala
+          .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+          .lastOption
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -75,7 +112,7 @@ object Bench {
     // see PLANS.md; round-over-round timing diffs cross this boundary.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def sweep(): Map[String, (Double, String, String)] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         materialize(fn(spark, sfDir)) // warm-up: compile + codegen + page cache
         var lastDf: org.apache.spark.sql.DataFrame = null
@@ -140,6 +177,29 @@ object Bench {
         spark.catalog.clearCache()
       }
     }.toMap
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_HISTORY_OUT", "/root/repo/BENCH_HISTORY.jsonl")
+    // Noise guard (the r8 lesson): probe host speed before the sweep;
+    // if it disagrees >15% with the previous recorded run's probe, the
+    // host is in a different contention regime — rerun the sweep once
+    // and keep the per-query min, so a one-off busy-host sample doesn't
+    // become the round's committed number. Plan hashes are timing-
+    // independent, so min-merging timings never mixes plans.
+    // the RECORDED probe is always the pre-sweep one — measured at the
+    // same point in every run's lifecycle, so history comparisons are
+    // like-with-like even when the guard triggers a second sweep
+    val probe = hostProbe(spark)
+    val prevProbe = lastHistoryProbe(histPath)
+    var results = sweep()
+    val probeRerun = prevProbe.exists(p => math.abs(probe / p - 1.0) > 0.15)
+    if (probeRerun) {
+      System.err.println(f"bench: host probe $probe%.4f s deviates >15%% from " +
+        f"previous recorded ${prevProbe.get}%.4f s - rerunning sweep, taking per-query min")
+      val second = sweep()
+      results = results.map { case (k, v1) =>
+        val v2 = second.getOrElse(k, v1)
+        k -> (if (v2._1 >= 0 && (v1._1 < 0 || v2._1 < v1._1)) v2 else v1)
+      }
+    }
     // 4-decimal rounding keeps the stdout line compact (the r3 line was
     // long enough to get tail-truncated in the driver's log capture)
     def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
@@ -150,7 +210,7 @@ object Bench {
       .map { case (k, (_, h, _)) => s"\"" + k + "\":\"" + h + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ > 0).sum else 0.0
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","probe":${r4(probe)},"probe_rerun":$probeRerun,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     // stdout FIRST: the artifact writes below can fail on a read-only
     // checkout / bad override path, and the JSON line is the one output
     // the driver must always get
@@ -192,7 +252,7 @@ object Bench {
     // the full line is truncated (the full data still lands in
     // BENCH_LATEST.json / BENCH_HISTORY.jsonl above).
     val nOk = results.values.count(_._1 > 0)
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n":$nOk,"probe":${r4(probe)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
