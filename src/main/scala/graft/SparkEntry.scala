@@ -1652,6 +1652,52 @@ object SparkEntry {
        |           THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
        |FROM x GROUP BY 1""".stripMargin
 
+  /** q160 oracle: the materialized token layout re-derived end to end —
+    * the q143/q146 BPE CTEs, lexicographic vocab ids, every token's
+    * GLOBAL position (doc-order prefix sum + within-doc position),
+    * separator rows at each doc's `et`, the exactly-`seqLen` sequence
+    * cut (trailing partial dropped via HAVING), the portable shuffle
+    * draw, rank, and shard chunking. The per-sequence md5 is over the
+    * comma-joined token ids in global-position order — identical to
+    * the engine's md5 over the committed `tokens` array.
+    */
+  private def tokenShardsOracleSql(nMerges: Int, seqLen: Int,
+                                   seqsPerShard: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
+       |         unnest(syms) AS sym
+       |       FROM (SELECT doc_id, wi, string_split(trim(s), ' ') AS syms
+       |             FROM e$nMerges)),
+       |dp AS (SELECT doc_id, sym,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS p
+       |       FROM dt),
+       |vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS tid
+       |          FROM (SELECT DISTINCT sym FROM dt)),
+       |vsz AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM dt GROUP BY 1),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM cnt),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |gp AS (SELECT d.doc_id, s.st + d.p AS gpos, v.tid
+       |       FROM dp d JOIN s USING (doc_id) JOIN vocab v USING (sym)
+       |       UNION ALL SELECT s.doc_id, s.et AS gpos, vsz.v AS tid
+       |       FROM s, vsz),
+       |agg AS (SELECT gpos // $seqLen AS seq_id,
+       |          COUNT(*)::BIGINT AS n_tokens,
+       |          md5(string_agg(tid::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
+       |        FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen),
+       |sh AS (SELECT *,
+       |    ('0x' || substr(md5(seq_id::VARCHAR || ':tshuffle'), 1, 8))::BIGINT / 4294967296.0 AS su
+       |  FROM agg),
+       |rk AS (SELECT seq_id, n_tokens, tok_md5,
+       |         (ROW_NUMBER() OVER (ORDER BY su, seq_id) - 1)::BIGINT AS rank
+       |       FROM sh)
+       |SELECT seq_id, rank, rank // $seqsPerShard AS shard_id, n_tokens, tok_md5
+       |FROM rk""".stripMargin
+
   /** Embedding covariance matrix ([[operators.Embeddings]]): the
     * one-pass Gram-aggregator face of the PCA/whitening family, as
     * oracle-checkable (i, j, cov) upper-triangle rows. The oracle
@@ -3385,6 +3431,60 @@ object SparkEntry {
       seqLen = 128)
   }
 
+  /** Build-once-per-JVM MATERIALIZED token shards (the
+    * ensureTrainingShards convention, token-granular): BPE train
+    * (q143) → full id vocab (lexicographic ids, the tokenizer
+    * artifact) → encode every doc to its `array<int>` id stream
+    * (q146's native kernel) → concat-and-chunk the ACTUAL token
+    * streams into rows of exactly 128 ids with the vocab-sized
+    * separator after each doc
+    * ([[operators.Packing.materializeTokenSequences]]) → the q153
+    * md5-keyed training shuffle + 8-sequence shards → manifest
+    * commit. What lands on disk is the thing a trainer mmaps: one
+    * `(shard_id, rank, seq_id, tokens)` row per fixed-length sequence.
+    */
+  private val tokenShardStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureTokenShards(spark: SparkSession, dir: String): String =
+    tokenShardStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-tokshards").toString
+      val docs = Tables.documents(spark, dir)
+      val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
+        .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = operators.TextAnalysis.bpeIdVocab(docs, merges)
+      val ids = operators.TextAnalysis.bpeEncodeIds(
+        docs, merges, vocab.zipWithIndex.toMap)
+      val seqs = operators.Packing.materializeTokenSequences(
+        ids, seqLen = 128, sepId = vocab.size)
+      val sharded = operators.Packing.trainingShards(seqs, seqsPerShard = 8)
+        .drop("u")
+      streaming.EventStreams.mergeBatchIntoTable(sharded, storeDir,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      storeDir
+    })
+
+  /** Materialized token-shard export — q153 ships seq_id ACCOUNTING;
+    * this ships the token arrays themselves, and verifies the
+    * round-tripped artifact: every output column (including the
+    * order-sensitive md5 over each sequence's comma-joined token ids)
+    * is computed from the COMMITTED table read back cold. The oracle
+    * replays the entire derivation — BPE train + encode (q143/q146
+    * CTEs), lexicographic vocab ids, per-token global positions from
+    * the doc-order prefix sum, separator placement, the exactly-128
+    * sequence cut (trailing partial dropped), the md5 shuffle draw,
+    * rank, and shard chunking — so a hash-match proves the full token
+    * LAYOUT, byte for byte, through the committed table.
+    */
+  def q160TokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val t = streaming.EventStreams.readUpsertTable(
+      spark, ensureTokenShards(spark, dir))
+    t.select(col("seq_id"), col("rank"), col("shard_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string"))))
+        .as("tok_md5"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3546,6 +3646,7 @@ object SparkEntry {
     "q157_ppl_buckets" -> (q157PplBuckets _),
     "q158_incremental_pack" -> (q158IncrementalPack _),
     "q159_bpe_pack" -> (q159BpePack _),
+    "q160_token_shards" -> (q160TokenShards _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4723,6 +4824,8 @@ object SparkEntry {
     // incremental ≡ batch equivalence proof
     "q158_incremental_pack" -> packSequencesOracleSql,
     "q159_bpe_pack" -> bpePackOracleSql(nMerges = 6, seqLen = 128),
+    "q160_token_shards" -> tokenShardsOracleSql(nMerges = 6, seqLen = 128,
+      seqsPerShard = 8),
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->

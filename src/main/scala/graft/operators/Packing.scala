@@ -185,6 +185,68 @@ object Packing {
       Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
   }
 
+  /** MATERIALIZED concat-and-chunk — [[packSequencesByCount]] reports
+    * per-sequence accounting; this builds the sequences THEMSELVES: the
+    * actual fixed-length `array<int>` token rows a trainer consumes
+    * (the .bin/.idx analog, one row per sequence instead of a byte
+    * blob, so the artifact stays a queryable, committable table).
+    * Input: (doc_id, toks array<int>) — token IDS, from any tokenizer
+    * (production: BPE-encode under a learned vocab). Layout: docs
+    * concatenate in doc_id order, `sepId` written after every doc (the
+    * EOS convention, same +1 cost [[packSequencesByCount]] accounts),
+    * and the stream chunks into sequences of exactly `seqLen`; the
+    * trailing partial sequence is DROPPED (the floor(total/L) samples a
+    * trainer actually draws — a short tail row would need padding
+    * semantics downstream).
+    *
+    * Scale shape — tokens move, but never one-row-per-token: offsets
+    * come from the narrow two-job prefix sum (three Longs per doc);
+    * the token arrays join the offsets once on doc_id (uniform key);
+    * the only explode is over the SEQUENCES a doc touches
+    * (`ceil(nt/L)+1` rows per doc), each row carrying an array SLICE
+    * (≤ L ints); and each sequence reassembles from its ≤ few slices
+    * by sorting on the slice's global start — a bounded per-group
+    * array_sort, not a window. Shuffle row count is
+    * O(total_tokens / seqLen + n_docs), payload O(total_tokens) —
+    * the minimum any materialization pays. PlanSpec guards the
+    * single-Generate shape.
+    */
+  def materializeTokenSequences(docTokens: DataFrame, seqLen: Int, sepId: Int,
+                                nParts: Int = 8): DataFrame = {
+    require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
+    val toks = docTokens
+      .select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+    val costs = toks.select(col("doc_id"),
+      (size(col("toks")).cast("long") + lit(1L)).as("cost"))
+    val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
+    val L = lit(seqLen.toLong)
+    val empty = array().cast("array<int>")
+    ends
+      .select(col("doc_id"),
+        (col("fin") - col("cost")).as("st"), (col("fin") - lit(1L)).as("et"))
+      .join(toks, Seq("doc_id"))
+      // et div L (not (et-1) div L as in the accounting variant): the
+      // separator position et belongs to the layout here
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $seqLen"), expr(s"et div $seqLen"))))
+      .withColumn("lo", greatest(col("st"), col("seq_id") * L))
+      .withColumn("hi", least(col("et"), (col("seq_id") + lit(1L)) * L))
+      .select(col("seq_id"), col("lo"),
+        concat(
+          when(col("hi") > col("lo"),
+            slice(col("toks"), (col("lo") - col("st") + 1L).cast("int"),
+              (col("hi") - col("lo")).cast("int"))).otherwise(empty),
+          when(col("et") >= col("seq_id") * L &&
+              col("et") < (col("seq_id") + lit(1L)) * L,
+            array(lit(sepId))).otherwise(empty)).as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("lo"), col("piece")))),
+        x => x.getField("piece"))).as("tokens"))
+      .filter(size(col("tokens")) === seqLen)
+  }
+
   /** Deterministic training-order SHUFFLE + shard assignment — the step
     * after packing in every pre-training export: sequences are laid out
     * in a pseudo-random but fully reproducible global order (so a

@@ -415,6 +415,39 @@ object TextAnalysis {
         size(col("enc")).cast("long").as("n_bpe_tokens"),
         md5(array_join(col("enc"), " ")).as("bpe_md5"))
 
+  /** The full subword vocabulary of the corpus encoded under `merges`,
+    * as a deterministic id-ordered list (lexicographic — the same
+    * total order every engine reproduces with `ORDER BY subword`):
+    * index in the returned Seq IS the token id. Driver-side by the
+    * bounded-artifact contract (a tokenizer vocabulary is vocab-sized
+    * — chars + one entry per merge at most — like the merge table,
+    * IVF centroids, and PQ codebooks).
+    */
+  def bpeIdVocab(documents: DataFrame, merges: Seq[(String, String)]): Seq[String] =
+    documents
+      .select(Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(graft.plans.BpeEncodeTokens
+        .bpeEncodeTokens(col("ws"), merges)).as("subword"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** [[bpeEncode]] to token IDS — the artifact-grade form: per doc the
+    * full `array<int>` id stream under (`merges`, `vocab`), ready for
+    * [[Packing.materializeTokenSequences]]. The vocab map rides into
+    * codegen as a literal (bounded artifact); the op stays the same
+    * no-shuffle narrow projection as [[bpeEncode]]. Docs with no
+    * tokens produce no row.
+    */
+  def bpeEncodeIds(documents: DataFrame, merges: Seq[(String, String)],
+                   vocab: Map[String, Int]): DataFrame =
+    documents
+      .select(col("doc_id"), Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        transform(
+          graft.plans.BpeEncodeTokens.bpeEncodeTokens(col("ws"), merges),
+          s => element_at(typedLit(vocab), s)).as("toks"))
+
   /** The declarative higher-order-function form of [[bpeEncode]] —
     * same recurrence, kept as the executable parity reference for the
     * native kernel (TextsSpec runs both over real corpus data and

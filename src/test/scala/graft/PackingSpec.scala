@@ -136,6 +136,46 @@ class PackingSpec extends SparkSpec {
       canon(operators.Packing.packSequences(all, seqLen = 16)))
   }
 
+  test("materializeTokenSequences lays out exact token arrays with separators") {
+    import spark.implicits._
+    // doc0 ids [1..5] (pos 0-4, sep 5), doc1 [6,7,8] (6-8, sep 9),
+    // doc2 [9..18] (10-19, sep 20); L=8:
+    //   seq0 [0,8)  = 1 2 3 4 5 99 6 7
+    //   seq1 [8,16) = 8 99 9 10 11 12 13 14
+    //   seq2 [16,24) has only 5 filled slots -> DROPPED (trailing partial)
+    val df = Seq(
+      (0L, Seq(1, 2, 3, 4, 5)),
+      (1L, Seq(6, 7, 8)),
+      (2L, (9 to 18).toSeq)).toDF("doc_id", "toks")
+    val got = operators.Packing
+      .materializeTokenSequences(df, seqLen = 8, sepId = 99, nParts = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got === Map(
+      0L -> Seq(1, 2, 3, 4, 5, 99, 6, 7),
+      1L -> Seq(8, 99, 9, 10, 11, 12, 13, 14)))
+  }
+
+  test("materializeTokenSequences: mass conservation, fixed length, partition invariance") {
+    import spark.implicits._
+    // 30 docs, ragged lengths; every kept sequence has exactly L tokens,
+    // the kept token stream is a prefix of the full concat stream, and
+    // the layout is identical whatever the prefix-sum partitioning
+    val docs = (0L until 30L).map(i =>
+      (i, (0 until (i % 11 + 1).toInt).map(j => (i * 100 + j).toInt)))
+    val df = docs.toDF("doc_id", "toks")
+    def run(n: Int) = operators.Packing
+      .materializeTokenSequences(df, seqLen = 16, sepId = -1, nParts = n)
+      .orderBy(col("seq_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+    val rows = run(3)
+    assert(rows.forall(_._2.length === 16))
+    assert(rows.map(_._1).toSeq === (0L until rows.length.toLong))
+    // reference stream: concat in doc_id order with sep after each doc
+    val stream = docs.flatMap { case (_, ts) => ts :+ -1 }
+    assert(rows.flatMap(_._2).toSeq === stream.take(rows.length * 16))
+    assert(run(1).toSeq === run(5).toSeq)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern

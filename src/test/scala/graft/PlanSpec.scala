@@ -346,6 +346,41 @@ class PlanSpec extends SparkSpec {
     assert(scans === 1, s"expected exactly one shard-table scan, got $scans")
   }
 
+  test("q160 token export reads only the committed shard table") {
+    // same serving contract as q153, token-granular: the BPE train +
+    // encode + materialize + shuffle chain committed once; the
+    // registered query reads the artifact back. A documents scan here
+    // means the whole tokenizer pipeline re-runs per invocation
+    val p = planOf("q160_token_shards")
+    assert(!p.contains("documents"), s"token export re-scans the corpus:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected exactly one shard-table scan, got $scans")
+  }
+
+  test("token materialization explodes sequences, never tokens; no window") {
+    // the build plan's scale contract: the ONLY Generate is the bounded
+    // per-doc explode over the sequences a doc touches (each output row
+    // carries an array SLICE); a Generate over the token arrays would
+    // be the one-row-per-token shape, and a Window would be the
+    // one-task prefix sum — both are 100 TB regressions
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+    val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 2)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = operators.TextAnalysis.bpeIdVocab(docs, merges)
+    val seqs = operators.Packing.materializeTokenSequences(
+      operators.TextAnalysis.bpeEncodeIds(docs, merges, vocab.zipWithIndex.toMap),
+      seqLen = 128, sepId = vocab.size)
+    val p = seqs.queryExecution.executedPlan.toString
+    val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.size === 1,
+      s"expected exactly the seq-range Generate:\n${generates.mkString("\n")}")
+    assert(generates.head.contains("sequence("),
+      s"the Generate must fan out seq ids, not tokens:\n${generates.head}")
+    assert(!p.contains("Window"), s"no window may appear in the build:\n$p")
+  }
+
   test("q154 ensemble decision plan: one materialized signal frame, broadcast cuts") {
     // the signal frame (three joined signals) materializes ONCE behind
     // a checkpoint; the returned plan joins it with the |langs|-row cut
