@@ -3485,6 +3485,105 @@ object SparkEntry {
         .as("tok_md5"))
   }
 
+  /** Build-once-per-JVM PERSISTED quality models (the ensureSigStore
+    * convention): the LM trains on the full documents table (the q135
+    * convention), the LR classifier and DSIR ratios on the
+    * target-vs-raw split at doc_id 250 (the q149/q145 convention) —
+    * then all three commit through the manifest protocol
+    * ([[operators.Models]]).
+    */
+  private val qualityModelStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureQualityModels(spark: SparkSession, dir: String): String =
+    qualityModelStores.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-models").toString
+      val docs = Tables.documents(spark, dir)
+      operators.Models.buildLmModel(docs, s"$root/lm")
+      operators.Models.buildLrModel(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), s"$root/lr", "doc_id", "text",
+        nBuckets = 64, lrate = 0.5, rounds = 3)
+      operators.Models.buildDsirModel(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), s"$root/dsir", "doc_id", "text",
+        nBuckets = 64)
+      root
+    })
+
+  /** SCORE-ONLY model serving ([[operators.Models]]) — the persisted
+    * twin of the inline-trained learned signals: the q135 bigram LM,
+    * the q149 LR classifier, and the q145 DSIR ratios are each built
+    * ONCE into manifest-committed model tables, and this query scores
+    * the raw corpus slice against the frozen artifacts — its plan
+    * reads only the model tables + the corpus (no training aggregates;
+    * PlanSpec-guarded). The oracle re-derives all three signals
+    * INLINE (the q135 LM CTEs, the full q149 training replay, the
+    * q145 ratio CTEs), so the hash-match proves score-only serving ≡
+    * training-time scoring, per document per signal.
+    */
+  def q161ModelServing(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureQualityModels(spark, dir)
+    val raw = Tables.documents(spark, dir).filter(col("doc_id") >= 250)
+    operators.Models.scoreWithLmModel(spark, s"$root/lm", raw)
+      .join(operators.Models.scoreWithLrModel(spark, s"$root/lr", raw,
+        "doc_id", "text"), Seq("doc_id"))
+      .join(operators.Models.scoreWithDsirModel(spark, s"$root/dsir", raw,
+        "doc_id", "text", nBuckets = 64), Seq("doc_id"))
+  }
+
+  /** q161 oracle: all three signals re-derived inline in one statement
+    * — the q149 LR replay CTEs, the q135 LM CTEs (renamed to dodge
+    * collisions, the q154 convention), and the q145 DSIR ratio CTEs —
+    * joined on doc_id over the raw slice. Inline training ≡ the
+    * committed-model scores because counts/weights/ratios round-trip
+    * parquet exactly.
+    */
+  private def modelServingOracleSql: String =
+    s"""WITH ${lrScoresOracleCtes(64, 0.5, 3)},
+       |lr AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
+       |       FROM zf WHERE y = 0.0),
+       |lmtoks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |lmtok AS (
+       |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+       |  FROM lmtoks),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM lmtok GROUP BY w),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+       |bi AS (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM lmtok a JOIN lmtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |lbc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+       |lm AS (
+       |  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+       |         ROUND(AVG(LN(CAST(lbc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+       |           AS lm_score
+       |  FROM bi JOIN lbc USING (wa, wb) JOIN uni ON bi.wa = uni.w
+       |  CROSS JOIN v GROUP BY bi.doc_id),
+       |dtokt AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE doc_id < 250),
+       |dtokr AS (
+       |  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE doc_id >= 250),
+       |dbt AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b,
+       |               COUNT(*) AS ct FROM dtokt GROUP BY 1),
+       |dbr AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b,
+       |               COUNT(*) AS cr FROM dtokr GROUP BY 1),
+       |dtot AS (SELECT (SELECT SUM(ct) FROM dbt) AS nt,
+       |                (SELECT SUM(cr) FROM dbr) AS nr),
+       |drat AS (
+       |  SELECT COALESCE(dbt.b, dbr.b) AS b,
+       |         LN( ((COALESCE(ct, 0) + 1)::DOUBLE / (nt + 64))
+       |           / ((COALESCE(cr, 0) + 1)::DOUBLE / (nr + 64)) ) AS lr
+       |  FROM dbt FULL JOIN dbr ON dbt.b = dbr.b CROSS JOIN dtot),
+       |ds AS (
+       |  SELECT r.doc_id, ROUND(AVG(drat.lr), 6) AS dsir_score
+       |  FROM (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+       |        FROM dtokr) r
+       |  JOIN drat USING (b) GROUP BY r.doc_id)
+       |SELECT lm.doc_id, lm.n_bigrams, lm.lm_score, lr.lr_quality, ds.dsir_score
+       |FROM lm JOIN lr USING (doc_id) JOIN ds USING (doc_id)
+       |WHERE lm.doc_id >= 250""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3647,6 +3746,7 @@ object SparkEntry {
     "q158_incremental_pack" -> (q158IncrementalPack _),
     "q159_bpe_pack" -> (q159BpePack _),
     "q160_token_shards" -> (q160TokenShards _),
+    "q161_model_serving" -> (q161ModelServing _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4826,6 +4926,7 @@ object SparkEntry {
     "q159_bpe_pack" -> bpePackOracleSql(nMerges = 6, seqLen = 128),
     "q160_token_shards" -> tokenShardsOracleSql(nMerges = 6, seqLen = 128,
       seqsPerShard = 8),
+    "q161_model_serving" -> modelServingOracleSql,
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** PERSISTED quality models — the serving half of the learned-signal
+  * family ([ext], SURVEY.md §2.8). The inline operators
+  * ([[TextAnalysis.bigramLmScore]] q135, [[Sampling.lrQualityScores]]
+  * q149, [[Sampling.dsirSelect]] q145, and their q154 ensemble) retrain
+  * their model inside every invocation — the exploratory shape. A
+  * production gate trains ONCE and scores every new shard against the
+  * frozen artifact (the q155/q122 persistent-index recipe, applied to
+  * the model family):
+  *
+  *   - bigram LM → `modelDir/unigrams` (ka, cw), `modelDir/bigrams`
+  *     (kab, cab), `modelDir/meta` (vocab size) — all hash-keyed
+  *     8-byte keys, vocabulary-sized, never carrying token strings;
+  *   - LR quality classifier → `modelDir/weights` (b, w) — nBuckets+1
+  *     tiny rows (b = -1 is the bias);
+  *   - DSIR importance ratios → `modelDir/ratios` (b, lr) — nBuckets
+  *     tiny rows.
+  *
+  * All commits go through `EventStreams.mergeBatchIntoTable` (atomic
+  * manifest publish, idempotent batchId). Scoring reads ONLY the model
+  * tables + the corpus being scored — no training aggregate anywhere in
+  * the plan (PlanSpec-guarded), which at 100 TB turns every scoring
+  * pass from "re-derive the model over the full corpus, then score"
+  * into one narrow corpus scan against bounded state. Scores are
+  * BIT-IDENTICAL to the inline-trained scores for the same corpus
+  * (counts and weights round-trip parquet exactly; q161 hash-checks
+  * this against the inline oracles), and add-one smoothing generalizes
+  * to unseen tokens: a bigram/unigram absent from the model scores with
+  * count 0 — exactly the backoff the smoothed formula defines — so new
+  * shards score without retraining ([[graft.streaming.CurationStream
+  * .scoreShard]] wires this into the incremental pipeline).
+  */
+object Models {
+
+  // --------------------------------------------------------------------
+  // Bigram LM (the q135 CCNet/KenLM-style perplexity filter)
+  // --------------------------------------------------------------------
+
+  /** Train the add-one-smoothed bigram LM on `documents` and commit its
+    * three model tables under `modelDir`. One corpus pass (tokenized
+    * frame checkpointed — it feeds the unigram and bigram aggregates);
+    * both count tables are map-side-combinable hash aggregates bounded
+    * by vocabulary, not corpus, size.
+    */
+  def buildLmModel(documents: DataFrame, modelDir: String,
+                   batchId: Long = 0L, nBuckets: Int = 8): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toksAll = TextAnalysis.lmTokenized(documents).localCheckpoint()
+    // vocab-sized; feeds the commit AND the vocab-size count
+    val uni = TextAnalysis.lmUnigramCounts(toksAll).localCheckpoint()
+    val vocab = uni.count()
+    EventStreams.mergeBatchIntoTable(uni, s"$modelDir/unigrams",
+      Seq("ka"), "ka", nBuckets, batchId)
+    EventStreams.mergeBatchIntoTable(
+      TextAnalysis.lmBigramKeys(toksAll)
+        .groupBy(col("kab")).agg(count(lit(1)).as("cab")),
+      s"$modelDir/bigrams", Seq("kab"), "kab", nBuckets, batchId)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0, vocab)).toDF("k", "vocab"), s"$modelDir/meta",
+      Seq("k"), "vocab", nBuckets = 1, batchId = batchId)
+  }
+
+  /** Score documents against the COMMITTED LM — no training aggregate
+    * in the plan: the corpus scan explodes to hash-keyed bigram
+    * instances (8-byte keys, never strings), left-joins the two count
+    * tables (unseen → count 0, the add-one backoff), and averages per
+    * doc. Returns (doc_id, n_bigrams, lm_score) for docs with >= 2
+    * tokens — bit-identical to [[TextAnalysis.bigramLmScore]] on the
+    * training corpus.
+    */
+  def scoreWithLmModel(spark: SparkSession, modelDir: String,
+                       documents: DataFrame): DataFrame = {
+    val uni = EventStreams.readUpsertTable(spark, s"$modelDir/unigrams")
+    val bi = EventStreams.readUpsertTable(spark, s"$modelDir/bigrams")
+    // one-row bounded read: the committed vocabulary size
+    val v = EventStreams.readUpsertTable(spark, s"$modelDir/meta")
+      .head().getAs[Long]("vocab").toDouble
+    TextAnalysis.lmBigramKeys(TextAnalysis.lmTokenized(documents))
+      .join(bi, Seq("kab"), "left")
+      .join(uni, Seq("ka"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          (coalesce(col("cab"), lit(0L)) + 1).cast("double")
+            / (coalesce(col("cw"), lit(0L)) + lit(v)))), 6).as("lm_score"))
+  }
+
+  // --------------------------------------------------------------------
+  // LR quality classifier (the q149 GPT-3-style learned filter)
+  // --------------------------------------------------------------------
+
+  /** Train the LR classifier (target-vs-raw, [[Sampling.lrFit]]'s
+    * deterministic full-batch trajectory) and commit the weight vector
+    * as an (b, w) table — nBuckets + 1 rows, b = -1 the bias.
+    */
+  def buildLrModel(target: DataFrame, raw: DataFrame, modelDir: String,
+                   idCol: String, textCol: String, nBuckets: Int,
+                   lrate: Double, rounds: Int, batchId: Long = 0L): Unit = {
+    val spark = target.sparkSession
+    import spark.implicits._
+    val labeled =
+      target.select(col(idCol), lit(1.0).as("y"), col(textCol).as("t"))
+        .unionByName(raw.select(col(idCol), lit(0.0).as("y"), col(textCol).as("t")))
+    val w = Sampling.lrFit(
+      Sampling.lrFeatures(labeled, idCol, nBuckets, barrier = true),
+      nBuckets, lrate, rounds)
+    EventStreams.mergeBatchIntoTable(
+      w.zipWithIndex.map { case (wj, j) => (j - 1, wj) }.toSeq.toDF("b", "w"),
+      s"$modelDir/weights", Seq("b"), "b", nBuckets = 1, batchId = batchId)
+  }
+
+  /** Score documents against the COMMITTED weights: one bounded read
+    * (nBuckets + 1 rows) pulls the vector driver-side, and the plan is
+    * the feature aggregation + a narrow sigmoid projection — no
+    * gradient rounds, no label column, no second corpus scan.
+    */
+  def scoreWithLrModel(spark: SparkSession, modelDir: String, docs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val rows = EventStreams.readUpsertTable(spark, s"$modelDir/weights")
+      .collect() // bounded by contract: nBuckets + 1 rows
+    val w = new Array[Double](rows.length)
+    rows.foreach(r => w(r.getInt(0) + 1) = r.getDouble(1))
+    Sampling.lrScoreWith(docs, idCol, textCol, w)
+  }
+
+  // --------------------------------------------------------------------
+  // DSIR importance ratios (the q145 importance-resampling selector)
+  // --------------------------------------------------------------------
+
+  /** Commit DSIR's entire model — the nBuckets-row per-bucket
+    * importance log-ratio table ([[Sampling.dsirRatioTable]]).
+    */
+  def buildDsirModel(target: DataFrame, raw: DataFrame, modelDir: String,
+                     idCol: String, textCol: String, nBuckets: Int,
+                     batchId: Long = 0L): Unit =
+    EventStreams.mergeBatchIntoTable(
+      Sampling.dsirRatioTable(target, raw, idCol, textCol, nBuckets),
+      s"$modelDir/ratios", Seq("b"), "b", nBuckets = 1, batchId = batchId)
+
+  /** Score documents against the COMMITTED ratio table: one narrow
+    * token-bucket explode + a broadcast join of the nBuckets-row model
+    * + one per-doc average ([[Sampling.dsirScoreAgainst]], the serving
+    * half of the inline q145 plan).
+    */
+  def scoreWithDsirModel(spark: SparkSession, modelDir: String, docs: DataFrame,
+                         idCol: String, textCol: String, nBuckets: Int): DataFrame =
+    Sampling.dsirScoreAgainst(docs, idCol, textCol, nBuckets,
+      EventStreams.readUpsertTable(spark, s"$modelDir/ratios"))
+}

@@ -343,31 +343,60 @@ object Sampling {
     */
   def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
                  textCol: String, nBuckets: Int, keep: Int): DataFrame = {
+    val ratios = dsirRatioTable(target, raw, idCol, textCol, nBuckets)
+    dsirScoreAgainst(raw, idCol, textCol, nBuckets, ratios)
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(keep)
+  }
+
+  /** Per-token md5 hash buckets (id, w, b) — the shared feature space
+    * of DSIR and the LR quality classifier (portable: any md5 engine
+    * re-derives the buckets).
+    */
+  private[operators] def hashBuckets(df: DataFrame, idCol: String,
+                                     textCol: String, nBuckets: Int): DataFrame = {
     import graft.functions.Texts
-    def buckets(df: DataFrame): DataFrame =
-      df.select(col(idCol), explode(Texts.tokens(col(textCol))).as("w"))
-        .withColumn("b",
-          pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
-            lit(nBuckets.toLong)))
+    df.select(col(idCol), explode(Texts.tokens(col(textCol))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+  }
+
+  /** DSIR's entire MODEL: the `nBuckets`-row per-bucket importance
+    * log-ratio table (b, lr) — what [[graft.operators.Models]]
+    * persists for score-only serving.
+    */
+  private[operators] def dsirRatioTable(target: DataFrame, raw: DataFrame,
+                                        idCol: String, textCol: String,
+                                        nBuckets: Int): DataFrame = {
     def counts(df: DataFrame): DataFrame =
-      buckets(df).groupBy(col("b")).agg(count(lit(1)).as("c"))
+      hashBuckets(df, idCol, textCol, nBuckets)
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
     val tc = counts(target).withColumnRenamed("c", "ct")
     val rc = counts(raw).withColumnRenamed("c", "cr")
     // nBuckets rows: totals ride along as window-free scalar aggregates
     val totals = tc.agg(sum(col("ct")).as("nt")).crossJoin(rc.agg(sum(col("cr")).as("nr")))
-    val ratios = tc.join(rc, Seq("b"), "full")
+    tc.join(rc, Seq("b"), "full")
       .crossJoin(broadcast(totals))
       .select(col("b"),
         log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
               / (col("nt") + nBuckets))
           / ((coalesce(col("cr"), lit(0L)) + 1).cast("double")
               / (col("nr") + nBuckets))).as("lr"))
-    buckets(raw).join(broadcast(ratios), Seq("b"))
+  }
+
+  /** Score docs against a (b, lr) ratio table — DSIR's SERVING half:
+    * one narrow token-bucket explode, a broadcast join of the
+    * nBuckets-row model, one per-doc average. Shared by the inline
+    * [[dsirSelect]] and the persisted-model path, so the two produce
+    * bit-identical scores.
+    */
+  private[operators] def dsirScoreAgainst(docs: DataFrame, idCol: String,
+                                          textCol: String, nBuckets: Int,
+                                          ratios: DataFrame): DataFrame =
+    hashBuckets(docs, idCol, textCol, nBuckets).join(broadcast(ratios), Seq("b"))
       .groupBy(col(idCol))
       .agg(round(avg(col("lr")), 6).as("dsir_score"))
-      .orderBy(col("dsir_score").desc, col(idCol))
-      .limit(keep)
-  }
 
   /** LEARNED quality classifier — logistic regression over hashed
     * unigram features, the published "quality filter" recipe (GPT-3,
@@ -420,10 +449,25 @@ object Sampling {
   def lrQualityScores(target: DataFrame, raw: DataFrame, idCol: String,
                       textCol: String, nBuckets: Int, lrate: Double,
                       rounds: Int): DataFrame = {
-    import graft.functions.Texts
     val labeled =
       target.select(col(idCol), lit(1.0).as("y"), col(textCol).as("t"))
         .unionByName(raw.select(col(idCol), lit(0.0).as("y"), col(textCol).as("t")))
+    val feats = lrFeatures(labeled, idCol, nBuckets, barrier = true)
+    val w = lrFit(feats, nBuckets, lrate, rounds)
+    feats.filter(col("y") === 0.0)
+      .select(col(idCol), round(lrSigmoid(w), 6).as("lr_quality"))
+  }
+
+  /** The classifier's feature frame: one row per doc — (id, y, bs, xs)
+    * with bucket -1 the bias feature (tf 1.0), so the bias gradient
+    * falls out of the same aggregation as the weights. `barrier`
+    * checkpoints the frame (training consumes it `rounds`+1 times;
+    * score-only serving consumes it once and skips the
+    * materialization).
+    */
+  private[operators] def lrFeatures(labeled: DataFrame, idCol: String,
+                                    nBuckets: Int, barrier: Boolean): DataFrame = {
+    import graft.functions.Texts
     val bc = labeled
       .select(col(idCol), col("y"), explode(Texts.tokens(col("t"))).as("w"))
       .withColumn("b",
@@ -431,8 +475,6 @@ object Sampling {
           lit(nBuckets.toLong)))
       .groupBy(col(idCol), col("y"), col("b"))
       .agg(count(lit(1)).cast("double").as("c"))
-    // one row per doc; bucket -1 is the bias feature (tf 1.0), so the
-    // bias gradient falls out of the same aggregation as the weights
     val feats = bc
       .groupBy(col(idCol), col("y"))
       .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bcs"),
@@ -442,22 +484,37 @@ object Sampling {
           transform(col("bcs"), e => e.getField("b"))).as("bs"),
         concat(array(lit(1.0)),
           transform(col("bcs"), e => e.getField("c") / col("n"))).as("xs"))
-      .localCheckpoint()
+    if (barrier) feats.localCheckpoint() else feats
+  }
+
+  /** The sigmoid scoring expression over (bs, xs) feature columns —
+    * weights ride as an O(nBuckets) literal (the bounded-constant
+    * convention). w(0) = bias, w(j+1) = bucket j, matching the b+2
+    * element_at shift.
+    */
+  private[operators] def lrSigmoid(wCur: Array[Double]): Column = {
+    val wlit = array(wCur.map(lit(_)).toSeq: _*)
+    val z = aggregate(
+      zip_with(col("bs"), col("xs"),
+        (b, x) => element_at(wlit, (b + lit(2L)).cast("int")) * x),
+      lit(0.0), (acc, v) => acc + v)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The deterministic full-batch gradient loop — returns the trained
+    * weight vector (nBuckets + 1 doubles, quantized to 9 dp per step;
+    * see [[lrQualityScores]]' doc for why). This IS the model
+    * [[graft.operators.Models]] persists.
+    */
+  private[operators] def lrFit(feats: DataFrame, nBuckets: Int, lrate: Double,
+                               rounds: Int): Array[Double] = {
     val nDocs = feats.count().toDouble
     // w(0) = bias, w(j+1) = bucket j — matching the b+2 element_at shift
-    var w = Array.fill(nBuckets + 1)(0.0)
-    def sigmoid(wCur: Array[Double]): Column = {
-      val wlit = array(wCur.map(lit(_)).toSeq: _*)
-      val z = aggregate(
-        zip_with(col("bs"), col("xs"),
-          (b, x) => element_at(wlit, (b + lit(2L)).cast("int")) * x),
-        lit(0.0), (acc, v) => acc + v)
-      lit(1.0) / (lit(1.0) + exp(-z))
-    }
+    val w = Array.fill(nBuckets + 1)(0.0)
     for (_ <- 1 to rounds) {
       val grad = feats
         .select(explode(arrays_zip(col("bs"), col("xs"))).as("e"),
-          (sigmoid(w) - col("y")).as("coef"))
+          (lrSigmoid(w) - col("y")).as("coef"))
         .groupBy(col("e.bs").as("b"))
         .agg(sum(col("coef") * col("e.xs")).as("g"))
         .collect() // bounded by contract: nBuckets + 1 rows
@@ -470,8 +527,23 @@ object Sampling {
           .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
       }
     }
-    feats.filter(col("y") === 0.0)
-      .select(col(idCol), round(sigmoid(w), 6).as("lr_quality"))
+    w
+  }
+
+  /** SCORE-ONLY serving for the LR classifier: given trained weights
+    * (a bounded driver-side constant — the persisted-model read), one
+    * feature aggregation + one narrow sigmoid projection per doc. No
+    * gradient rounds, no label column, no checkpoint barrier (single
+    * consumer). Bit-identical to the scores the training run produces
+    * for the same docs.
+    */
+  def lrScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                  weights: Array[Double]): DataFrame = {
+    val nBuckets = weights.length - 1
+    lrFeatures(
+        docs.select(col(idCol), lit(0.0).as("y"), col(textCol).as("t")),
+        idCol, nBuckets, barrier = false)
+      .select(col(idCol), round(lrSigmoid(weights), 6).as("lr_quality"))
   }
 
   /** LEAKAGE-SAFE train/eval split: the split is decided per

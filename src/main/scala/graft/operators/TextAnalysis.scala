@@ -295,24 +295,9 @@ object TextAnalysis {
     // the bigram probe side — three subtrees that all differ above the
     // scan (different aggregates/filters), so exchange reuse cannot dedup
     // them and without the barrier the text is scanned + tokenized 3x
-    val toksAll = documents
-      .select(col("doc_id"), Texts.tokens(col("text")).as("ts"))
-      .localCheckpoint()
-    val toks = toksAll.filter(size(col("ts")) > 1)
-    // ka = hash(first token), kab = hash(bigram): computed narrowly at
-    // the explode, so no downstream operator ever carries a token string
-    val biK = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => struct(a.as("wa"), b.as("wb")))).as("bg"))
-      .select(col("doc_id"),
-        xxhash64(col("bg.wa")).as("ka"),
-        xxhash64(col("bg.wa"), col("bg.wb")).as("kab"))
-    val uniCounts = toksAll
-      .select(explode(col("ts")).as("w"))
-      .select(xxhash64(col("w")).as("ka"))
-      .groupBy(col("ka")).agg(count(lit(1)).as("cw"))
+    val toksAll = lmTokenized(documents).localCheckpoint()
+    val biK = lmBigramKeys(toksAll)
+    val uniCounts = lmUnigramCounts(toksAll)
     val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v"))
     // kab functionally determines ka (the bigram's first token), so
     // grouping on both costs nothing and keeps ka for the unigram join
@@ -326,6 +311,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("lp")), 6).as("lm_score"))
   }
+
+  /** The LM's tokenized-corpus frame (doc_id, ts) — shared by the
+    * inline [[bigramLmScore]] and the persisted-model build/serve
+    * paths ([[Models]]), so all three derive from the identical
+    * expression tree.
+    */
+  private[operators] def lmTokenized(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), Texts.tokens(col("text")).as("ts"))
+
+  /** Per-document bigram INSTANCES as hash keys: (doc_id, ka, kab)
+    * with ka = xxhash64(first token), kab = xxhash64(bigram) — the
+    * keys are computed narrowly at the explode, so no downstream
+    * operator ever carries a token string (the shuffle-width argument
+    * in [[bigramLmScore]]'s doc).
+    */
+  private[operators] def lmBigramKeys(tokenized: DataFrame): DataFrame =
+    tokenized.filter(size(col("ts")) > 1)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("wa"), b.as("wb")))).as("bg"))
+      .select(col("doc_id"),
+        xxhash64(col("bg.wa")).as("ka"),
+        xxhash64(col("bg.wa"), col("bg.wb")).as("kab"))
+
+  /** Hash-keyed unigram counts (ka, cw) — the LM's conditioning-count
+    * table, vocabulary-sized, map-side combinable.
+    */
+  private[operators] def lmUnigramCounts(tokenized: DataFrame): DataFrame =
+    tokenized
+      .select(explode(col("ts")).as("w"))
+      .select(xxhash64(col("w")).as("ka"))
+      .groupBy(col("ka")).agg(count(lit(1)).as("cw"))
 
   /** One selected merge of [[bpeTrainMerges]]. */
   final case class BpeMerge(rank: Int, lhs: String, rhs: String,

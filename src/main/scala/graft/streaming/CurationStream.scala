@@ -199,4 +199,45 @@ object CurationStream {
         curateShard(batch, evalSlice, stateDir, sinkDir, batchId)
       }
       .start()
+
+  /** Score one arriving shard against the COMMITTED quality models
+    * ([[graft.operators.Models]] — frozen LM counts + LR weights, the
+    * production gate's serving shape) and upsert the scores into a
+    * committed sink keyed by doc_id. No training happens here: the
+    * models were built once (`Models.buildLmModel` /
+    * `Models.buildLrModel`); each shard pays one narrow scoring pass,
+    * with unseen tokens handled by the LM's add-one backoff. FULL outer
+    * join because the two signals have different scoreability floors
+    * (LM needs >= 2 tokens, LR >= 1) — a gate consuming the sink
+    * decides what an unscorable signal means. Idempotent per batchId
+    * (crash-replay no-ops); no arrival-order watermark is needed,
+    * unlike [[curateShard]]: scoring is per-row against frozen state,
+    * so ANY arrival order produces the same final table.
+    */
+  def scoreShard(shard: DataFrame, lmModelDir: String, lrModelDir: String,
+                 scoresDir: String, batchId: Long): Unit = {
+    val spark = shard.sparkSession
+    val lm = graft.operators.Models.scoreWithLmModel(spark, lmModelDir, shard)
+    val lr = graft.operators.Models.scoreWithLrModel(
+      spark, lrModelDir, shard, "doc_id", "text")
+    EventStreams.mergeBatchIntoTable(
+      lm.join(lr, Seq("doc_id"), "full").localCheckpoint(),
+      scoresDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+  }
+
+  /** The streaming wrapper for [[scoreShard]]: drain new corpus shards
+    * and score each against the committed models
+    * (`Trigger.AvailableNow`, the [[start]] convention).
+    */
+  def startScoring(spark: SparkSession, corpusDir: String, schema: StructType,
+                   lmModelDir: String, lrModelDir: String, scoresDir: String,
+                   checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(corpusDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoreShard(batch, lmModelDir, lrModelDir, scoresDir, batchId)
+      }
+      .start()
 }

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Models, Sampling, TextAnalysis}
+import graft.streaming.{CurationStream, EventStreams}
+
+/** Persisted quality-model serving (q161): score-only serving must be
+  * bit-identical to the inline-trained scores on the training corpus,
+  * generalize to unseen tokens by the add-one backoff, and wire into
+  * the incremental (streaming) pipeline.
+  */
+class ModelsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private val corpus = docsDf(Seq(
+    (0L, "the cat sat on the mat", "en"),
+    (1L, "the dog sat on the log", "en"),
+    (2L, "a cat and a dog", "en"),
+    (3L, "le chat dort sur le tapis", "fr"),
+    (4L, "the cat sat on the mat again and again", "en"),
+    (5L, "der hund schläft auf dem teppich", "de")))
+
+  test("LM serving scores are bit-identical to the inline-trained scores") {
+    val dir = Files.createTempDirectory("graft-lm-model").toString
+    Models.buildLmModel(corpus, dir)
+    val inline = TextAnalysis.bigramLmScore(corpus)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val served = Models.scoreWithLmModel(spark, dir, corpus)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.toSeq === inline.toSeq)
+  }
+
+  test("LM serving backs off on unseen tokens: count-0 add-one smoothing, not a drop") {
+    val dir = Files.createTempDirectory("graft-lm-unseen").toString
+    Models.buildLmModel(corpus, dir)
+    // "zzz qqq": neither token nor the bigram exists in the model →
+    // lp = ln((0+1) / (0+V)) with V the committed vocab size
+    val v = EventStreams.readUpsertTable(spark, s"$dir/meta")
+      .head().getAs[Long]("vocab").toDouble
+    val got = Models.scoreWithLmModel(spark, dir,
+        docsDf(Seq((99L, "zzz qqq", "en"))))
+      .head()
+    assert(got.getLong(1) === 1L) // one bigram
+    val expected = BigDecimal(math.log(1.0 / v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) === expected)
+  }
+
+  test("LR serving scores are bit-identical to the inline-trained scores") {
+    val dir = Files.createTempDirectory("graft-lr-model").toString
+    val target = corpus.filter(col("doc_id") < 3)
+    val raw = corpus.filter(col("doc_id") >= 3)
+    Models.buildLrModel(target, raw, dir, "doc_id", "text",
+      nBuckets = 16, lrate = 0.5, rounds = 3)
+    val inline = Sampling.lrQualityScores(target, raw, "doc_id", "text", 16, 0.5, 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val served = Models.scoreWithLrModel(spark, dir, raw, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq === inline.toSeq)
+  }
+
+  test("DSIR serving scores are bit-identical to the inline ratios") {
+    val dir = Files.createTempDirectory("graft-dsir-model").toString
+    val target = corpus.filter(col("doc_id") < 3)
+    val raw = corpus.filter(col("doc_id") >= 3)
+    Models.buildDsirModel(target, raw, dir, "doc_id", "text", nBuckets = 16)
+    val inline = Sampling.dsirSelect(target, raw, "doc_id", "text", 16, keep = 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val served = Models.scoreWithDsirModel(spark, dir, raw, "doc_id", "text", 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq === inline.toSeq)
+  }
+
+  test("model build is idempotent per batchId (replay no-ops, scores unchanged)") {
+    val dir = Files.createTempDirectory("graft-lm-replay").toString
+    Models.buildLmModel(corpus, dir)
+    val first = Models.scoreWithLmModel(spark, dir, corpus)
+      .orderBy("doc_id").collect().toSeq
+    Models.buildLmModel(corpus, dir) // replayed batch 0: must no-op
+    val second = Models.scoreWithLmModel(spark, dir, corpus)
+      .orderBy("doc_id").collect().toSeq
+    assert(second === first)
+  }
+
+  test("streaming shard scoring against committed models equals batch scoring") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-score-stream").toString
+    val lmDir = s"$base/lm"
+    val lrDir = s"$base/lr"
+    val scoresDir = s"$base/scores"
+    val srcDir = s"$base/src"
+    Models.buildLmModel(corpus, lmDir)
+    Models.buildLrModel(corpus.filter(col("doc_id") < 3),
+      corpus.filter(col("doc_id") >= 3), lrDir, "doc_id", "text",
+      nBuckets = 16, lrate = 0.5, rounds = 3)
+    // two AvailableNow passes = two micro-batches, each scored against
+    // the FROZEN models (the incremental-curation spec's shard pattern)
+    corpus.filter(col("doc_id") < 3).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    CurationStream.startScoring(spark, srcDir, corpus.schema,
+      lmDir, lrDir, scoresDir, s"$base/ckpt").awaitTermination()
+    corpus.filter(col("doc_id") >= 3).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    CurationStream.startScoring(spark, srcDir, corpus.schema,
+      lmDir, lrDir, scoresDir, s"$base/ckpt").awaitTermination()
+    val streamed = EventStreams.readUpsertTable(spark, scoresDir)
+      .orderBy("doc_id").collect().toSeq
+    val batch = Models.scoreWithLmModel(spark, lmDir, corpus)
+      .join(Models.scoreWithLrModel(spark, lrDir, corpus, "doc_id", "text"),
+        Seq("doc_id"), "full")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    // replaying a shard under its batchId is exactly-once (no-op)
+    CurationStream.scoreShard(corpus.filter(col("doc_id") < 3),
+      lmDir, lrDir, scoresDir, batchId = 0L)
+    assert(EventStreams.readUpsertTable(spark, scoresDir)
+      .orderBy("doc_id").collect().toSeq === streamed)
+  }
+}

@@ -412,6 +412,40 @@ class PlanSpec extends SparkSpec {
     assert(scans === 1, s"expected exactly one codes-table scan, got $scans")
   }
 
+  test("model serving plans read only model tables + corpus — no training aggregates") {
+    // the q161 contract: scoring against COMMITTED models must not
+    // re-derive them. LM: exactly 3 scans (documents + unigrams +
+    // bigrams) — a 4th scan or a count-aggregate over a second corpus
+    // read means training leaked into serving. LR: the weights are plan
+    // LITERALS (bounded driver-side read), so the ONLY scan is the
+    // corpus. DSIR: corpus + the nBuckets-row ratio table.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-models-planspec").toString
+    val docs = sources.Tables.documents(spark, sf)
+    operators.Models.buildLmModel(docs, s"$root/lm")
+    operators.Models.buildLrModel(docs.filter("doc_id < 250"),
+      docs.filter("doc_id >= 250"), s"$root/lr", "doc_id", "text",
+      nBuckets = 16, lrate = 0.5, rounds = 1)
+    operators.Models.buildDsirModel(docs.filter("doc_id < 250"),
+      docs.filter("doc_id >= 250"), s"$root/dsir", "doc_id", "text",
+      nBuckets = 16)
+    val pLm = operators.Models.scoreWithLmModel(spark, s"$root/lm", docs)
+      .queryExecution.executedPlan.toString
+    assert(pLm.linesIterator.count(_.contains("FileScan")) === 3,
+      s"LM serving should scan documents + 2 model tables only:\n$pLm")
+    val pLr = operators.Models
+      .scoreWithLrModel(spark, s"$root/lr", docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val lrScans = pLr.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(lrScans.size === 1 && lrScans.head.contains("documents"),
+      s"LR serving should scan ONLY the corpus (weights are literals):\n$pLr")
+    val pDs = operators.Models.scoreWithDsirModel(spark, s"$root/dsir",
+        docs, "doc_id", "text", nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(pDs.linesIterator.count(_.contains("FileScan")) === 2,
+      s"DSIR serving should scan documents + the ratio table only:\n$pDs")
+  }
+
   test("q140 gopher gate is one narrow projection — no Exchange at all") {
     // the gate's whole point: every feature and flag is a per-row
     // codegen'd expression over the scan, so it composes into any
