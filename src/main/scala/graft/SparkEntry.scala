@@ -3584,6 +3584,74 @@ object SparkEntry {
        |FROM lm JOIN lr USING (doc_id) JOIN ds USING (doc_id)
        |WHERE lm.doc_id >= 250""".stripMargin
 
+  /** COMPOSED IVF-PQ recall (the q155 cold-probe convention over the
+    * [[operators.Similarity.buildIvfPqIndex]] layout): the coarse
+    * quantizer partitions the CODES table by cell, PQ compresses each
+    * vector's residual against its cell centroid, and a cold-session
+    * probe reads ONLY the `nprobe` probed cell directories of
+    * compressed codes — partition pruning and compression multiply
+    * (PlanSpec guards the pruned scan). Verdict: IVF-PQ top-50
+    * candidates must contain ≥ 5 of the exact L2 top-10 per probe
+    * (the q133/q155 margin).
+    */
+  def q162IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val probeIds = Seq(0L, 1L, 2L)
+    val e = Tables.embeddings(spark, dir)
+    val idxDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivfpq_idx_${math.abs(dir.hashCode)}").toString
+    operators.Similarity.ensureIvfPqIndex(e, idxDir)
+    val probes = e
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cand = operators.Similarity
+      .queryIvfPqIndex(spark, idxDir, probes, 50, nprobe = 3)
+      .select(col("probe_id"), col("vec_id")).withColumn("__hit", lit(1))
+    cand.join(
+        operators.Similarity.exactL2TopK(e, probeIds, 10)
+          .select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"), "right")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
+  }
+
+  /** Build-once-per-JVM INCREMENTAL RAG index (the ensureIncPack
+    * convention): the corpus slice arrives as two shards, each
+    * chunking/embedding/bucketing only its own documents into the
+    * committed (chunk_key, v, bucket) index — history is never
+    * re-embedded ([[operators.Rag.indexShard]]).
+    */
+  private val ragIndexStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureRagIndex(spark: SparkSession, dir: String): String =
+    ragIndexStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-ragidx").toString + "/chunks"
+      val docs = Tables.documents(spark, dir)
+      operators.Rag.indexShard(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        storeDir, window = 32, stride = 24, dim = 64, nPlanes = 4, batchId = 0L)
+      operators.Rag.indexShard(docs.filter(col("doc_id") >= 400),
+        storeDir, window = 32, stride = 24, dim = 64, nPlanes = 4, batchId = 1L)
+      storeDir
+    })
+
+  /** INCREMENTAL RAG retrieval ([[operators.Rag.indexShard]] /
+    * [[operators.Rag.retrieveFromIndex]]): the q156 corpus is ingested
+    * as two committed shard passes — chunk → hashed-BOW embed →
+    * centered-hyperplane bucket, appended to the manifest-committed
+    * index WITHOUT re-embedding history (per-document derivations have
+    * no cross-shard state, so no arrival-order watermark is needed,
+    * unlike packing/curation) — and retrieval reads ONLY the committed
+    * index + the probe docs (PlanSpec-guarded). The oracle is the q156
+    * BATCH derivation, so the hash-match IS the incremental ≡ batch
+    * proof, through the committed table.
+    */
+  def q163IncrementalRag(spark: SparkSession, dir: String): DataFrame =
+    operators.Rag.retrieveFromIndex(spark, ensureRagIndex(spark, dir),
+      probes = Tables.documents(spark, dir).filter(col("doc_id") < 250),
+      window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3747,6 +3815,8 @@ object SparkEntry {
     "q159_bpe_pack" -> (q159BpePack _),
     "q160_token_shards" -> (q160TokenShards _),
     "q161_model_serving" -> (q161ModelServing _),
+    "q162_ivfpq_recall" -> (q162IvfPqRecall _),
+    "q163_incremental_rag" -> (q163IncrementalRag _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -4927,6 +4997,9 @@ object SparkEntry {
     "q160_token_shards" -> tokenShardsOracleSql(nMerges = 6, seqLen = 128,
       seqsPerShard = 8),
     "q161_model_serving" -> modelServingOracleSql,
+    "q162_ivfpq_recall" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->
@@ -4952,6 +5025,10 @@ object SparkEntry {
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q156_rag_retrieval" -> ragRetrievalOracleSql(
+      window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3),
+    // SAME batch derivation: the q163 index was built in two committed
+    // shard passes, so the shared oracle IS the incremental ≡ batch proof
+    "q163_incremental_rag" -> ragRetrievalOracleSql(
       window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3),
     "q157_ppl_buckets" -> pplBucketsOracleSql,
     "q151_pca_verdict" ->

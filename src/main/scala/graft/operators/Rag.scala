@@ -115,6 +115,55 @@ object Rag {
     * broadcast of probes): a serving probe workload can be arbitrarily
     * large, and both sides shuffle by the same uniform bucket key.
     */
+  /** INCREMENTAL index maintenance — the production ingest path q156's
+    * from-scratch build lacks: each arriving document shard chunks,
+    * embeds, and bucket-assigns ONLY ITS OWN documents, and the
+    * resulting (chunk_key, v, bucket) rows append to a
+    * manifest-committed index table (`EventStreams.mergeBatchIntoTable`
+    * — atomic publish, idempotent batchId). History is never re-chunked
+    * or re-embedded: chunking/embedding/bucketing are all per-document
+    * expressions with no cross-document state, so — unlike incremental
+    * curation/packing, whose min-id anchors and prefix sums force an
+    * arrival-order watermark — ANY shard arrival order produces exactly
+    * the batch index. N shard passes ≡ one batch build (q163
+    * hash-checks retrieval through the two-pass table against the
+    * batch-derivation oracle).
+    */
+  def indexShard(shard: DataFrame, indexDir: String, window: Int, stride: Int,
+                 dim: Int, nPlanes: Int, batchId: Long): Unit = {
+    // same barrier as retrieveTopK's corpus side: the bucket derivation
+    // consumes v nPlanes times, and the committed column IS v
+    val rows = chunkVectors(shard, window, stride, dim).localCheckpoint()
+      .select(col("chunk_key"), col("v"),
+        centeredBucket(col("v"), nPlanes, dim).as("bucket"))
+    graft.streaming.EventStreams.mergeBatchIntoTable(
+      rows, indexDir, Seq("chunk_key"), "chunk_key", nBuckets = 8,
+      batchId = batchId)
+  }
+
+  /** Retrieval against the COMMITTED chunk index: probe docs chunk +
+    * embed + bucket exactly as [[retrieveTopK]]'s probe side, but the
+    * corpus side reads the index table — no corpus text, no
+    * re-embedding, no bucket recomputation anywhere in the plan
+    * (PlanSpec-guarded). Same bucket-keyed equi-join + bounded typed
+    * top-k; identical results to a from-scratch [[retrieveTopK]] over
+    * the indexed corpus.
+    */
+  def retrieveFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, probes: DataFrame, window: Int,
+                        stride: Int, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val c = graft.streaming.EventStreams.readUpsertTable(spark, indexDir)
+      .select(col("chunk_key").as("vec_id"), col("v"), col("bucket"))
+    val p = chunkVectors(probes, window, stride, dim).localCheckpoint()
+      .select(col("chunk_key").as("probe_id"), col("v").as("qv"),
+        centeredBucket(col("v"), nPlanes, dim).as("bucket"))
+    Similarity.topKPerProbe(
+      c.join(p, Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", round(Vectors.cosine(col("v"), col("qv")), 6)),
+      k)
+  }
+
   def retrieveTopK(corpus: DataFrame, probes: DataFrame, window: Int,
                    stride: Int, dim: Int, nPlanes: Int, k: Int): DataFrame = {
     // materialize chunk vectors ONCE before deriving buckets: the

@@ -371,14 +371,21 @@ object Similarity {
     * not the full corpus).
     */
   def pqCodebooks(embeddings: DataFrame, m: Int, codebookSize: Int, dim: Int,
-                  maxIter: Int = 5): Array[Array[Array[Double]]] = {
+                  maxIter: Int = 5): Array[Array[Array[Double]]] =
+    pqCodebooksOnVec(emb(embeddings), m, codebookSize, dim, maxIter)
+
+  /** The per-subspace KMeans fits over ANY frame carrying a `v`
+    * vector column — shared by [[pqCodebooks]] (raw vectors) and the
+    * IVF-PQ build (cell RESIDUALS, the FAISS convention).
+    */
+  private def pqCodebooksOnVec(vecs: DataFrame, m: Int, codebookSize: Int,
+                               dim: Int, maxIter: Int): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
     require(sub * m == dim, s"dim $dim must divide into $m subspaces")
-    val e = emb(embeddings)
     Array.tabulate(m) { j =>
-      val sv = e.select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv"))
+      val sv = vecs.select(array_to_vector(slice(col("v"), j * sub + 1, sub)).as("fv"))
       new KMeans().setK(codebookSize).setSeed(42L + j).setMaxIter(maxIter)
         .setInitMode("random").setFeaturesCol("fv")
         .fit(sv).clusterCenters.map(_.toArray)
@@ -560,6 +567,145 @@ object Similarity {
           zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
           lit(0.0), (a, x) => a + x)), 6).as("dist"))
     topKPerProbeDist(scored, k)
+  }
+
+  /** COMPOSED IVF-PQ index — the index every production ANN service
+    * actually runs (the FAISS `IVFx,PQy` shape): IVF's coarse
+    * quantizer PARTITIONS, PQ COMPRESSES, and the two compose — the
+    * codes table is hive-partitioned by IVF cell, and each vector's PQ
+    * codes encode its RESIDUAL against its cell centroid (residual
+    * encoding is what makes the composition better than either half:
+    * residuals are centered near zero, so the same codebook budget
+    * quantizes them far more finely than raw vectors). Persisted
+    * layout, all built with the fixed-seed training conventions:
+    *
+    *   - `indexDir/centroids`: (cell, centroid) — nlist tiny rows;
+    *   - `indexDir/codebooks`: (subspace, code, centroid) —
+    *     m × codebookSize tiny rows, trained on the residuals;
+    *   - `indexDir/codes`: (vec_id, codes) partitioned by `cell` —
+    *     m small ints per vector, NO raw vector column.
+    *
+    * A probe prunes to its `nprobe` nearest cells (static partition
+    * pruning on the codes scan — the q122 I/O argument) AND scans only
+    * compressed codes within them (the q155 memory argument): probe
+    * I/O is corpus · nprobe / nlist · (m / (4·dim)) of a raw scan —
+    * both composition factors multiply.
+    *
+    * Build cost: one KMeans for the coarse quantizer, the narrow
+    * argmin cell assignment, one residual projection (checkpointed —
+    * it feeds the m subspace fits AND the encode), m subspace KMeans
+    * fits, one partitioned write. At 100 TB every fit trains on a
+    * sample; assignment/encode are one narrow codegen'd pass.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame, indexDir: String,
+                      nlist: Int = 8, m: Int = 8, codebookSize: Int = 16,
+                      dim: Int = 64, maxIter: Int = 5): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e.select(col("fv")))
+    val centers = coarse.clusterCenters.map(_.toArray)
+    // residual per row, narrowly: v - centroid[cell] with the nlist×dim
+    // centroid matrix riding as a plan literal; checkpointed because it
+    // feeds m + 1 consumers (the subspace fits and the encode)
+    val centLit = array(centers.map(c => array(c.toSeq.map(lit): _*)).toSeq: _*)
+    val resid = assignCellsByCentroids(embeddings, centers)
+      .withColumn("v",
+        zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("v"))
+      .localCheckpoint()
+    val cbs = pqCodebooksOnVec(resid, m, codebookSize, dim, maxIter)
+    resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    (for { j <- 0 until m; c <- 0 until codebookSize }
+      yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Build-once guard per JVM (the [[ensurePqIndex]] convention:
+    * computeIfAbsent blocks concurrent callers until the build lands;
+    * a failed build leaves no mapping, so the next caller retries).
+    */
+  def ensureIvfPqIndex(embeddings: DataFrame, indexDir: String,
+                       nlist: Int = 8, m: Int = 8, codebookSize: Int = 16,
+                       dim: Int = 64, maxIter: Int = 5): Unit =
+    builtPqIndexes.computeIfAbsent(indexDir, { _ =>
+      buildIvfPqIndex(embeddings, indexDir, nlist, m, codebookSize, dim, maxIter)
+      "built"
+    })
+
+  /** Probe the composed index from a COLD session: centroids and
+    * codebooks collect driver-side (tiny, bounded); each probe picks
+    * its `nprobe` nearest cells there and gets ONE RESIDUAL ADC lookup
+    * table per probed cell (LUT of (probe − centroid[cell]) against
+    * the residual codebooks — m × codebookSize doubles per
+    * (probe, cell), all bounded); the candidate scan reads ONLY the
+    * probed `cell=` partition directories of the codes table
+    * (PlanSpec-guarded static pruning), joins the broadcast LUT rows
+    * on the cell key, and scores each code row as the sum of m table
+    * lookups. No KMeans, no embeddings scan, no raw vectors anywhere
+    * in the plan.
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      probes: Seq[(Long, Array[Double])], k: Int,
+                      nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val codebookSize = cbRows.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, codebookSize)((j, c) => cbRows((j, c)))
+    val sub = cbs(0)(0).length
+    probes.foreach { case (pid, pv) =>
+      require(pv.length == m * sub,
+        s"probe $pid has dimension ${pv.length}; index at $indexDir expects " +
+          s"${m * sub} (m=$m subspaces x $sub-wide, from the codebooks table)")
+    }
+    val lutRowsLocal = probes.flatMap { case (pid, pv) =>
+      centers.toSeq
+        .map { case (ci, c) => (ci, l2Dist(pv, c)) }
+        .sortBy { case (ci, d) => (d, ci) }.take(nprobe)
+        .map { case (ci, _) =>
+          val cent = centers(ci)
+          val lut = Seq.tabulate(m) { j =>
+            cbs(j).toSeq.map { c =>
+              var s = 0.0
+              var i = 0
+              while (i < sub) {
+                val d = (pv(j * sub + i) - cent(j * sub + i)) - c(i)
+                s += d * d
+                i += 1
+              }
+              s
+            }
+          }
+          (pid, ci, lut)
+        }
+    }
+    val lutRows = lutRowsLocal.toDF("probe_id", "cell", "lut")
+    val cells = lutRowsLocal.map(_._2).distinct.sorted
+    // isin on the partition column -> only the probed cell dirs are read
+    val cand = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    topKPerProbeDist(
+      cand.join(broadcast(lutRows), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(sqrt(aggregate(
+            zip_with(col("codes"), col("lut"), (c, row) => element_at(row, c + 1)),
+            lit(0.0), (a, x) => a + x)), 6).as("dist")), k)
   }
 
   /** CONTRASTIVE pair mining — (anchor, positive, hard-negative)

@@ -209,6 +209,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex === direct)
   }
 
+  test("composed IVF-PQ index: pruned codes scan, residual ADC ranks the neighbor first") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    // layout: codes are hive-partitioned by the coarse cell, raw vectors
+    // are NOT in the table (compression is the point)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.columns.toSet === Set("vec_id", "codes", "cell"))
+    // cold-session probe with the raw vector of vec 0: the near-parallel
+    // vec 1 shares its cell AND its residual codes rank it first
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    val got = Similarity.queryIvfPqIndex(spark, idx, Seq((0L, pv)), k = 2, nprobe = 1)
+    assert(got.collect().head.getLong(1) === 1L)
+    // partition pruning is metric-visible on the EXECUTED scan (the
+    // persistent-IVF convention, same standalone-filter probe — the
+    // retrieval plan itself is AQE-wrapped): a cell filter opens fewer
+    // files than the directory holds
+    val probedCell = codes.filter(col("vec_id") === 0L).head().getAs[Int]("cell")
+    val cellScan = codes.filter(col("cell") === probedCell)
+    cellScan.collect() // execute so the scan metrics are final
+    val scan = cellScan.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value < codes.inputFiles.length,
+      s"expected pruned codes scan, opened ${scan.metrics("numFiles").value} " +
+        s"of ${codes.inputFiles.length}")
+    // wrong-dimension probes fail loudly with the index's expected dim
+    val err = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndex(spark, idx, Seq((9L, Array(1.0, 2.0))), k = 1)
+    }
+    assert(err.getMessage.contains("expects 64"))
+  }
+
   test("randomProjection is deterministic, right-sized, and keeps near-parallel pairs close") {
     val proj = vecs.select(col("vec_id"),
       graft.functions.Vectors.asDouble(col("embedding")).as("v"))

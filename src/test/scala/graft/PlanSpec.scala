@@ -516,6 +516,35 @@ class PlanSpec extends SparkSpec {
     assert(storeScans.forall(!_.contains("text")))
   }
 
+  test("q163 incremental RAG retrieval never re-embeds the corpus") {
+    val p = planOf("q163_incremental_rag")
+    // the corpus side must come exclusively from the committed chunk
+    // index: the RETURNED plan has NO documents FileScan at all (the
+    // probe side is a one-shot materialized chunk-vector frame — the
+    // embedding-asset barrier), no text column anywhere, and the only
+    // parquet scan is the committed index
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docScans.isEmpty,
+      s"retrieval must not re-read the corpus text:\n${docScans.mkString("\n")}")
+    assert(!p.contains("text#"), s"retrieval plan carries document text:\n$p")
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("graft-ragidx")).toSeq
+    assert(idxScans.nonEmpty, "expected a committed chunk-index scan")
+    assert(idxScans.forall(!_.contains("text")))
+    // the index BUILD reads only its shard's slice: the pushed doc_id
+    // bound reaches the documents scan (nothing re-embeds history)
+    val docs = sources.Tables.documents(spark, sf)
+    val buildPlan = operators.Rag.chunkVectors(
+        docs.filter("doc_id >= 400"), window = 32, stride = 24, dim = 64)
+      .queryExecution.executedPlan.toString
+    val buildScans = buildPlan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(buildScans.nonEmpty &&
+      buildScans.forall(_.contains("GreaterThanOrEqual(doc_id,400")),
+      s"shard build must push its doc_id bound:\n$buildPlan")
+  }
+
   test("no query windows a non-aggregated input by a tiny-cardinality key") {
     // the scale-killer class VERDICT r3 flagged: Window.partitionBy on a
     // <=10-cardinality column directly over the scan sorts the whole
