@@ -3652,6 +3652,42 @@ object SparkEntry {
       probes = Tables.documents(spark, dir).filter(col("doc_id") < 250),
       window = 32, stride = 24, dim = 64, nPlanes = 4, k = 3)
 
+  /** PERCEPTUAL image dedup ([[operators.Multimodal.dHash64]] +
+    * [[operators.Dedup.fingerprintNearDups]]): dHash fingerprints over
+    * the real ImageIO decode seam, then the q28 banded-Hamming anchor
+    * grouping (16-bit bands × 4: pigeonhole-exact for hamming ≤ 3).
+    * Fixtures are driver-generated lossless PNGs (the q105 closed-form
+    * pixel-oracle convention) with PLANTED perturbed duplicates: doc 0
+    * a 9×8 left-to-right luminance ramp (every neighbor brighter →
+    * all 64 bits set → hash −1), doc 1 the same ramp with ONE pixel
+    * (x=5, y=3) brightened — only the (5→6) comparison of row 3 flips,
+    * clearing bit 29 (hash −1 − 2^29 = −536870913, Hamming 1), doc 2
+    * the reversed ramp (no bit set → hash 0, Hamming 64 — never a
+    * candidate: no shared band), doc 3 an exact byte copy of doc 0
+    * (Hamming 0). Expected grouping: {0, 1, 3} under anchor 0; doc 2
+    * alone. The oracle is the closed-form expectation of every hash,
+    * rep, and distance.
+    */
+  def q164PerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import operators.Multimodal.pixelPng
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val ramp = pixelPng(9, 8, (x, _) => gray(x * 20))
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      0L -> ramp,
+      1L -> pixelPng(9, 8,
+        (x, y) => if (x == 5 && y == 3) gray(200) else gray(x * 20)),
+      2L -> pixelPng(9, 8, (x, _) => gray((8 - x) * 20)),
+      3L -> ramp)
+    val fp = operators.Multimodal.dHash64(
+      rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    val reps = operators.Dedup.fingerprintNearDups(
+      fp.select(col("doc_id"), col("phash").as("simhash")),
+      bandBits = 16, bands = 4, maxHamming = 3)
+    fp.join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"), col("rep_id"), col("hamming"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3817,6 +3853,7 @@ object SparkEntry {
     "q161_model_serving" -> (q161ModelServing _),
     "q162_ivfpq_recall" -> (q162IvfPqRecall _),
     "q163_incremental_rag" -> (q163IncrementalRag _),
+    "q164_perceptual_dedup" -> (q164PerceptualDedup _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5000,6 +5037,13 @@ object SparkEntry {
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q164_perceptual_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)),
+        |  (CAST(1 AS BIGINT), CAST(-536870913 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INTEGER)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)),
+        |  (CAST(3 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INTEGER))
+        |) t(doc_id, phash, rep_id, hamming)""".stripMargin,
     "q149_lr_quality" ->
       lrQualityOracleSql(nBuckets = 64, lrate = 0.5, rounds = 3, keep = 50),
     "q150_embed_covariance" ->

@@ -72,17 +72,94 @@ object Multimodal {
       .toDF(idCol, "features")
   }
 
-  /** Deterministic solid-color PNG fixture (lossless, so decoded pixels
-    * are exact literals) — shared by the q105 oracle query and
-    * MultimodalSpec so the two always validate the same byte stream.
+  /** Deterministic per-pixel PNG fixture (lossless, so decoded pixels
+    * are exact literals) — the generalization of [[solidPng]] used by
+    * the perceptual-dedup fixtures (gradients, planted perturbations).
     */
-  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+  def pixelPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic solid-color PNG fixture — shared by the q105 oracle
+    * query and MultimodalSpec so the two always validate the same byte
+    * stream.
+    */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] =
+    pixelPng(w, h, (_, _) => rgb)
+
+  /** PERCEPTUAL fingerprint (dHash, the standard published recipe:
+    * grayscale → downsample to a 9×8 luminance grid → one bit per
+    * horizontal neighbor pair, set iff the right cell is brighter):
+    * near-identical images — recompressions, small edits, minor
+    * crops — land within a few bits of each other, while distinct
+    * images differ in ~32, so Hamming distance over the 64-bit hash is
+    * the image near-dup metric (the text analog is SimHash, q28).
+    *
+    * Runs through the SAME mapPartitions decode seam as
+    * [[decodeImages]] (JDK ImageIO — a heavier codec swaps in with a
+    * per-partition handle): decode, Rec.601 luminance, area-average
+    * binning into the 9×8 grid (each source pixel accumulates into bin
+    * (x·9/w, y·8/h) — integer binning, so the mapping is exact and
+    * engine-free), then bit r·8+c compares bin (r, c+1) > (r, c).
+    * Undecodable, null, or sub-grid (< 9×8) payloads yield a NULL
+    * hash — corrupt bytes are data, not exceptions. One narrow pass;
+    * the 100 TB shape is scan → 8-byte hash, nothing else shuffles.
+    */
+  def dHash64(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            (id, Option.empty[Long])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = Array.ofDim[Double](8, 9)
+            val counts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val ty = (y.toLong * 8 / h).toInt
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val tx = (x.toLong * 9 / w).toInt
+                sums(ty)(tx) += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                counts(ty)(tx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                if (sums(r)(c + 1) / counts(r)(c + 1) >
+                    sums(r)(c) / counts(r)(c))
+                  hash |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+            (id, Some(hash))
+          }
+        }
+      }
+      .toDF(idCol, "phash")
   }
 
   /** REAL image decode through the same mapPartitions seam as the stub:

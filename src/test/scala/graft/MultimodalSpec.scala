@@ -90,4 +90,24 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted
     assert(frames.toSeq === Seq(0, 1, 2)) // 11 bytes / stride 4 -> frames 0..2
   }
+
+  test("dHash: scale-invariant on block upsampling, null on corrupt/small payloads") {
+    import Multimodal.pixelPng
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val rows = Seq(
+      (0L, pixelPng(9, 8, (x, _) => gray(x * 20))),          // base ramp
+      // the same ramp rendered at 2x: every 9x8 cell area-averages a
+      // constant 2x2 block back to the base value — dHash must be
+      // IDENTICAL (the perceptual point: resizing preserves the hash)
+      (1L, pixelPng(18, 16, (x, _) => gray((x / 2) * 20))),
+      (2L, "not an image".getBytes("UTF-8")),                // corrupt
+      (3L, null.asInstanceOf[Array[Byte]]),                  // null payload
+      (4L, pixelPng(4, 4, (x, _) => gray(x * 20))))          // below the 9x8 grid
+      .toDF("id", "payload")
+    val h = Multimodal.dHash64(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(h(0L) === Some(-1L)) // strictly increasing ramp: all 64 bits
+    assert(h(1L) === h(0L))
+    assert(h(2L) === None && h(3L) === None && h(4L) === None)
+  }
 }
