@@ -3688,6 +3688,141 @@ object SparkEntry {
       .select(col("doc_id"), col("phash"), col("rep_id"), col("hamming"))
   }
 
+  /** Build-once-per-JVM MIX-THEN-PACK export (the ensureTrainingShards
+    * convention): q153 curates then packs UNIFORMLY; production export
+    * draws the training MIXTURE first. Chain: bigram-LM score (q135)
+    * → per-language perplexity-bucket sampling at 1.0/0.5/0.1 (q157's
+    * CCNet mix) → concat-and-chunk packing of the sampled survivors in
+    * doc_id order (q147, two-job prefix sum) → md5-keyed training
+    * shuffle + 8-sequence shards (q153) → manifest commit.
+    */
+  private val mixExportStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureMixExport(spark: SparkSession, dir: String): String =
+    mixExportStores.computeIfAbsent(dir, { _ =>
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-mixexport").toString
+      val docs = Tables.documents(spark, dir)
+      // one barrier: the scored frame feeds the tercile-cut aggregate
+      // and the keep decision (the q157 rule), and carries the packing
+      // token counts so the corpus text is read exactly once
+      val scored = operators.TextAnalysis.bigramLmScore(docs)
+        .join(docs.select(col("doc_id"), col("lang"),
+          functions.Texts.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_score"), col("n_tokens"))
+        .localCheckpoint()
+      val mixed = operators.Sampling.perplexityBucketSample(
+        scored, "lang", "doc_id", "lm_score")
+      val seqs = operators.Packing.packSequencesByCount(
+        mixed.select(col("doc_id"), col("n_tokens")), seqLen = 128)
+      val sharded = operators.Packing.trainingShards(seqs, seqsPerShard = 8)
+        .drop("u")
+      streaming.EventStreams.mergeBatchIntoTable(sharded, storeDir,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      storeDir
+    })
+
+  /** MIX-THEN-PACK training export: the composed final mile a
+    * production pre-training run actually ships — the training mixture
+    * drawn FIRST (per-language perplexity buckets, the CCNet recipe),
+    * then packed, shuffled, and sharded. Per shard, the q153
+    * accounting incl. the order-sensitive seq_id-in-rank-order md5;
+    * the oracle replays the ENTIRE chain in one statement (LM CTEs,
+    * tercile cuts, every membership draw, the prefix-sum packing over
+    * exactly the sampled survivors, the shuffle rank, shard chunking),
+    * so the hash-match proves mixing and packing COMPOSE — each stage
+    * sees exactly the rows the previous stage kept.
+    */
+  def q165MixPackExport(spark: SparkSession, dir: String): DataFrame = {
+    val shards = streaming.EventStreams.readUpsertTable(
+      spark, ensureMixExport(spark, dir))
+    shards.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("doc_tokens")).as("doc_tokens"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_split_docs")).as("n_split_docs"),
+        min(col("rank")).as("min_rank"), max(col("rank")).as("max_rank"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("rank"), col("seq_id")))),
+            x => x.getField("seq_id").cast("string")))).as("order_md5"))
+  }
+
+  /** q165 oracle: the q157 LM + tercile + membership CTEs (token
+    * counts carried for packing), the q147 window-prefix-sum packing
+    * CTEs over the kept rows, the q153 shuffle/rank/shard CTEs, and
+    * the per-shard accounting with the order-sensitive md5.
+    */
+  private def mixPackExportOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+       |  FROM toks),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+       |bi AS (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |bc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+       |sc AS (
+       |  SELECT bi.doc_id,
+       |         ROUND(AVG(LN(CAST(bc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+       |           AS lm_score
+       |  FROM bi JOIN bc USING (wa, wb) JOIN uni ON bi.wa = uni.w
+       |  CROSS JOIN v GROUP BY bi.doc_id),
+       |sl AS (
+       |  SELECT d.doc_id, d.lang, sc.lm_score,
+       |         len(list_filter(str_split(d.text, ' '), x -> x <> ''))::BIGINT AS nt
+       |  FROM documents d JOIN sc USING (doc_id)),
+       |cuts AS (
+       |  SELECT lang,
+       |    ROUND(quantile_cont(lm_score, ${1.0 / 3}), 6) AS c1,
+       |    ROUND(quantile_cont(lm_score, ${2.0 / 3}), 6) AS c2
+       |  FROM sl GROUP BY lang),
+       |bkt AS (
+       |  SELECT sl.doc_id, sl.nt,
+       |    CASE WHEN sl.lm_score >= c.c2 THEN 'head'
+       |         WHEN sl.lm_score >= c.c1 THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM sl JOIN cuts c USING (lang)),
+       |kept AS (
+       |  SELECT doc_id, nt FROM bkt
+       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':ppl'), 1, 8))::BIGINT
+       |          / 4294967296.0
+       |        < CASE ppl_bucket WHEN 'head' THEN 1.0
+       |               WHEN 'middle' THEN 0.5 ELSE 0.1 END
+       |    AND nt > 0),
+       |pc AS (SELECT doc_id, nt,
+       |         SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |       FROM kept),
+       |ps AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |              (fin - 1)::BIGINT AS et
+       |       FROM pc),
+       |px AS (SELECT doc_id, st, et,
+       |         unnest(generate_series(st // 128, (et - 1) // 128)) AS seq_id
+       |       FROM ps),
+       |seqs AS (SELECT seq_id,
+       |    COUNT(*)::BIGINT AS n_docs,
+       |    SUM(LEAST(et, (seq_id + 1) * 128) - GREATEST(st, seq_id * 128))::BIGINT AS doc_tokens,
+       |    SUM(CASE WHEN st < seq_id * 128 OR et > (seq_id + 1) * 128
+       |             THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+       |  FROM px GROUP BY 1),
+       |sh AS (SELECT *,
+       |    ('0x' || substr(md5(seq_id::VARCHAR || ':tshuffle'), 1, 8))::BIGINT / 4294967296.0 AS su
+       |  FROM seqs),
+       |rk AS (SELECT *,
+       |    (ROW_NUMBER() OVER (ORDER BY su, seq_id) - 1)::BIGINT AS rank FROM sh),
+       |sd AS (SELECT *, rank // 8 AS shard_id FROM rk)
+       |SELECT shard_id,
+       |  COUNT(*)::BIGINT AS n_seqs,
+       |  SUM(doc_tokens)::BIGINT AS doc_tokens,
+       |  SUM(n_docs)::BIGINT AS n_docs,
+       |  SUM(n_split_docs)::BIGINT AS n_split_docs,
+       |  MIN(rank) AS min_rank, MAX(rank) AS max_rank,
+       |  md5(string_agg(seq_id::VARCHAR, ' ' ORDER BY rank)) AS order_md5
+       |FROM sd GROUP BY 1""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3854,6 +3989,7 @@ object SparkEntry {
     "q162_ivfpq_recall" -> (q162IvfPqRecall _),
     "q163_incremental_rag" -> (q163IncrementalRag _),
     "q164_perceptual_dedup" -> (q164PerceptualDedup _),
+    "q165_mixpack_export" -> (q165MixPackExport _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5034,6 +5170,7 @@ object SparkEntry {
     "q160_token_shards" -> tokenShardsOracleSql(nMerges = 6, seqLen = 128,
       seqsPerShard = 8),
     "q161_model_serving" -> modelServingOracleSql,
+    "q165_mixpack_export" -> mixPackExportOracleSql,
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
