@@ -71,7 +71,9 @@ object ScaleCurve {
       "q146_bpe_encode", "q147_pack_sequences", "q148_sliding_chunks",
       "q149_lr_quality",
       "q153_training_export", "q154_ensemble_gate", "q156_rag_retrieval",
-      "q157_ppl_buckets", "q158_incremental_pack", "q159_bpe_pack")
+      "q157_ppl_buckets", "q158_incremental_pack", "q159_bpe_pack",
+      "q160_token_shards", "q161_model_serving", "q163_incremental_rag",
+      "q165_mixpack_export")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
