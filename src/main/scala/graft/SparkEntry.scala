@@ -3505,6 +3505,9 @@ object SparkEntry {
       operators.Models.buildDsirModel(docs.filter(col("doc_id") < 250),
         docs.filter(col("doc_id") >= 250), s"$root/dsir", "doc_id", "text",
         nBuckets = 64)
+      // gate calibration last: the cuts score the calibration corpus
+      // against the just-committed LM/LR models (q154's corpus slice)
+      operators.Models.buildGateCuts(docs.filter(col("doc_id") >= 250), root)
       root
     })
 
@@ -3583,6 +3586,26 @@ object SparkEntry {
        |SELECT lm.doc_id, lm.n_bigrams, lm.lm_score, lr.lr_quality, ds.dsir_score
        |FROM lm JOIN lr USING (doc_id) JOIN ds USING (doc_id)
        |WHERE lm.doc_id >= 250""".stripMargin
+
+  /** The FULL calibrated gate, SERVED ([[operators.Models
+    * .serveEnsembleGate]]): q154's composed keep/drop decision — rule
+    * pass AND per-language-calibrated LM and LR cuts — computed
+    * entirely from frozen committed state: the q161 model tables plus
+    * a committed |langs|-row cut table ([[operators.Models
+    * .buildGateCuts]]). The serving plan contains NO percentile
+    * aggregate and no training (PlanSpec-guarded); cuts ride in as a
+    * broadcast. The oracle is q154's full inline re-derivation
+    * (signals, cuts, decision), so the hash-match proves frozen-state
+    * serving ≡ the self-calibrating inline gate on the calibration
+    * corpus — and `CurationStream.gateShard` applies the same frozen
+    * gate to arriving shards (decision independent of shard
+    * boundaries, proven in ModelsSpec).
+    */
+  def q166GateServing(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureQualityModels(spark, dir)
+    operators.Models.serveEnsembleGate(spark, root,
+      Tables.documents(spark, dir).filter(col("doc_id") >= 250))
+  }
 
   /** COMPOSED IVF-PQ recall (the q155 cold-probe convention over the
     * [[operators.Similarity.buildIvfPqIndex]] layout): the coarse
@@ -3823,6 +3846,88 @@ object SparkEntry {
        |  md5(string_agg(seq_id::VARCHAR, ' ' ORDER BY rank)) AS order_md5
        |FROM sd GROUP BY 1""".stripMargin
 
+  /** Build-once-per-JVM INCREMENTAL token materialization over the
+    * COMMITTED tokenizer (the ensureIncPack convention, token-grade):
+    * the tokenizer artifact (merges + id vocab) commits first
+    * ([[operators.Models.buildTokenizer]]) — the frozen-ids contract —
+    * then two shards encode under it and extend the committed
+    * fixed-length sequence table through the carry row
+    * ([[operators.Packing.materializeShardIncremental]]).
+    */
+  private val incTokStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIncTokenSeqs(spark: SparkSession, dir: String): String =
+    incTokStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-inctok").toString
+      val tokDir = s"$base/tokenizer"
+      val tableDir = s"$base/seqs"
+      val docs = Tables.documents(spark, dir)
+      operators.Models.buildTokenizer(docs, tokDir, nMerges = 6)
+      val (merges, vocab, sepId) = operators.Models.readTokenizer(spark, tokDir)
+      def enc(df: DataFrame): DataFrame =
+        operators.TextAnalysis.bpeEncodeIds(df, merges, vocab)
+      operators.Packing.materializeShardIncremental(
+        enc(docs.filter(col("doc_id") < 250)), tableDir,
+        seqLen = 128, sepId = sepId, batchId = 0L)
+      operators.Packing.materializeShardIncremental(
+        enc(docs.filter(col("doc_id") >= 250)), tableDir,
+        seqLen = 128, sepId = sepId, batchId = 1L)
+      tableDir
+    })
+
+  /** INCREMENTAL token materialization ([[operators.Packing
+    * .materializeShardIncremental]] under the committed tokenizer
+    * artifact [[operators.Models.buildTokenizer]]): the q160 token
+    * layout built shard by shard — the half-filled trailing sequence
+    * rides a one-row committed carry, only completed sequences land in
+    * the table, and history's tokens are never re-read. The oracle is
+    * the BATCH q160 derivation of the full sequence layout (train,
+    * encode, offsets, separators, the exactly-128 cut), so the
+    * hash-match IS the incremental ≡ batch proof at token granularity,
+    * through the committed table.
+    */
+  def q167IncTokenSeqs(spark: SparkSession, dir: String): DataFrame = {
+    val t = streaming.EventStreams.readUpsertTable(
+      spark, ensureIncTokenSeqs(spark, dir))
+    t.select(col("seq_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string"))))
+        .as("tok_md5"))
+  }
+
+  /** q167 oracle: the q160 CTE chain (BPE train + encode, per-token
+    * global positions, separator placement) cut at the exactly-seqLen
+    * sequence layout — no shuffle/shard tail, since the incremental
+    * table IS the sequence table.
+    */
+  private def incTokenSeqOracleSql(nMerges: Int, seqLen: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
+       |         unnest(syms) AS sym
+       |       FROM (SELECT doc_id, wi, string_split(trim(s), ' ') AS syms
+       |             FROM e$nMerges)),
+       |dp AS (SELECT doc_id, sym,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS p
+       |       FROM dt),
+       |vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS tid
+       |          FROM (SELECT DISTINCT sym FROM dt)),
+       |vsz AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM dt GROUP BY 1),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM cnt),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |gp AS (SELECT d.doc_id, s.st + d.p AS gpos, v.tid
+       |       FROM dp d JOIN s USING (doc_id) JOIN vocab v USING (sym)
+       |       UNION ALL SELECT s.doc_id, s.et AS gpos, vsz.v AS tid
+       |       FROM s, vsz)
+       |SELECT gpos // $seqLen AS seq_id,
+       |  COUNT(*)::BIGINT AS n_tokens,
+       |  md5(string_agg(tid::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
+       |FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -3990,6 +4095,8 @@ object SparkEntry {
     "q163_incremental_rag" -> (q163IncrementalRag _),
     "q164_perceptual_dedup" -> (q164PerceptualDedup _),
     "q165_mixpack_export" -> (q165MixPackExport _),
+    "q166_gate_serving" -> (q166GateServing _),
+    "q167_inc_token_seqs" -> (q167IncTokenSeqs _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5171,6 +5278,14 @@ object SparkEntry {
       seqsPerShard = 8),
     "q161_model_serving" -> modelServingOracleSql,
     "q165_mixpack_export" -> mixPackExportOracleSql,
+    // the q154 inline re-derivation IS the oracle: frozen-state serving
+    // must reproduce the self-calibrating gate on the calibration corpus
+    "q166_gate_serving" -> ensembleGateOracleSql(nBuckets = 64, lrate = 0.5,
+      rounds = 3, lmQ = 0.25, lrQ = 0.25),
+    // the BATCH q160-layout derivation: the table was built in two
+    // committed shard passes, so the shared chain IS the incremental
+    // ≡ batch proof at token granularity
+    "q167_inc_token_seqs" -> incTokenSeqOracleSql(nMerges = 6, seqLen = 128),
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,

@@ -153,4 +153,122 @@ object Models {
                          idCol: String, textCol: String, nBuckets: Int): DataFrame =
     Sampling.dsirScoreAgainst(docs, idCol, textCol, nBuckets,
       EventStreams.readUpsertTable(spark, s"$modelDir/ratios"))
+
+  // --------------------------------------------------------------------
+  // The BPE tokenizer artifact (merges + id vocab as committed tables)
+  // --------------------------------------------------------------------
+
+  /** Train the BPE tokenizer ([[TextAnalysis.bpeTrainMerges]], fixed
+    * greedy recipe) and commit THE artifact every downstream consumer
+    * shares: `tokDir/merges` (rank, lhs, rhs) and `tokDir/vocab`
+    * (tid, subword — lexicographic ids, the q160 convention). A frozen
+    * tokenizer is what makes incremental token materialization
+    * ([[Packing.materializeShardIncremental]]) batch-equivalent: every
+    * shard MUST encode under the same merges/ids, so they live in a
+    * committed table, not a per-run retrain.
+    */
+  def buildTokenizer(documents: DataFrame, tokDir: String, nMerges: Int,
+                     batchId: Long = 0L): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mergesDf = TextAnalysis.bpeTrainMerges(documents, nMerges)
+      .select(col("rank"), col("lhs"), col("rhs"))
+    EventStreams.mergeBatchIntoTable(mergesDf, s"$tokDir/merges",
+      Seq("rank"), "rank", nBuckets = 1, batchId = batchId)
+    val merges = EventStreams.readUpsertTable(spark, s"$tokDir/merges")
+      .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextAnalysis.bpeIdVocab(documents, merges)
+    EventStreams.mergeBatchIntoTable(
+      vocab.zipWithIndex.map { case (s, i) => (i, s) }.toDF("tid", "subword"),
+      s"$tokDir/vocab", Seq("tid"), "tid", nBuckets = 1, batchId = batchId)
+  }
+
+  /** Read the committed tokenizer (bounded: nMerges + vocab rows —
+    * the IVF-centroid driver-side-artifact contract). Returns (merges
+    * in rank order, subword → id map, separator id = vocab size, the
+    * q160 EOS convention).
+    */
+  def readTokenizer(spark: SparkSession,
+                    tokDir: String): (Seq[(String, String)], Map[String, Int], Int) = {
+    val merges = EventStreams.readUpsertTable(spark, s"$tokDir/merges")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = EventStreams.readUpsertTable(spark, s"$tokDir/vocab")
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    (merges, vocab, vocab.size)
+  }
+
+  // --------------------------------------------------------------------
+  // The FULL calibrated gate, served (the q154 ensemble from frozen state)
+  // --------------------------------------------------------------------
+
+  /** The q154 ensemble's three signals for `docs`, every learned signal
+    * scored against the COMMITTED models under `modelRoot` (`lm/` and
+    * `lr/`, [[buildLmModel]]/[[buildLrModel]] layouts): the
+    * language-agnostic Gopher rule pass (a narrow projection), the LM
+    * score, and the LR score, inner-joined on doc_id (docs a learned
+    * signal cannot score are unscorable junk, the q154 argument).
+    * Three passes over the docs' text — one per signal family, each
+    * with its own aggregate shape — exactly the inline gate's pass
+    * structure MINUS all training.
+    */
+  private def gateSignals(spark: SparkSession, modelRoot: String,
+                          docs: DataFrame): DataFrame = {
+    val gopher = TextAnalysis.gopherQualityGate(docs)
+      .select(col("doc_id"),
+        (col("words_ok") && col("mean_len_ok") && col("alpha_ok") &&
+          col("symbol_ok")).as("rule_pass"))
+    val lm = scoreWithLmModel(spark, s"$modelRoot/lm", docs)
+      .select(col("doc_id"), col("lm_score"))
+    val lr = scoreWithLrModel(spark, s"$modelRoot/lr", docs, "doc_id", "text")
+    docs.select(col("doc_id"), col("lang"))
+      .join(gopher, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(lr, Seq("doc_id"))
+  }
+
+  /** CALIBRATE the gate and commit the per-language cut table: the
+    * q154 quantile cuts (lmQ/lrQ over the calibration corpus's scored
+    * signals, per language, rounded to 6 dp) frozen as a |langs|-row
+    * committed table. Exact `percentile` is safe here for the q154
+    * reason (each language funnels to its own reducer) — and after
+    * this commit, SERVING never pays it again.
+    */
+  def buildGateCuts(calibrationCorpus: DataFrame, modelRoot: String,
+                    lmQ: Double = 0.25, lrQ: Double = 0.25,
+                    batchId: Long = 0L): Unit = {
+    val spark = calibrationCorpus.sparkSession
+    val cuts = gateSignals(spark, modelRoot, calibrationCorpus)
+      .groupBy(col("lang"))
+      .agg(round(expr(s"percentile(lm_score, $lmQ)"), 6).as("lm_cut"),
+        round(expr(s"percentile(lr_quality, $lrQ)"), 6).as("lr_cut"))
+    EventStreams.mergeBatchIntoTable(cuts, s"$modelRoot/cuts",
+      Seq("lang"), "lang", nBuckets = 1, batchId = batchId)
+  }
+
+  /** SERVE the calibrated ensemble gate entirely from frozen state:
+    * signals score against the committed models, cuts come from the
+    * committed |langs|-row table as a broadcast — NO percentile
+    * aggregate, no training anywhere in the plan (PlanSpec-guarded).
+    * Same output shape and, for the calibration corpus itself, the
+    * same decisions as the inline self-calibrating
+    * [[TextAnalysis.ensembleQualityGate]] (q161's bit-identity
+    * argument applied to the whole gate: scores and cuts round-trip
+    * parquet exactly). New shards gate against the FROZEN calibration
+    * — the production posture: a shard's keep decision must not
+    * depend on which shard it arrived in.
+    */
+  def serveEnsembleGate(spark: SparkSession, modelRoot: String,
+                        docs: DataFrame): DataFrame = {
+    val cuts = EventStreams.readUpsertTable(spark, s"$modelRoot/cuts")
+    gateSignals(spark, modelRoot, docs)
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("keep",
+        col("rule_pass") && col("lm_score") >= col("lm_cut") &&
+          col("lr_quality") >= col("lr_cut"))
+      .select(col("doc_id"), col("lang"), col("rule_pass"),
+        col("lm_score"), col("lm_cut"), col("lr_quality"), col("lr_cut"),
+        col("keep"))
+  }
 }

@@ -247,6 +247,118 @@ object Packing {
       .filter(size(col("tokens")) === seqLen)
   }
 
+  /** INCREMENTAL token materialization — [[packShardIncremental]]'s
+    * token-granular twin: each arriving shard of (doc_id, toks) id
+    * streams EXTENDS the committed fixed-length sequence table
+    * ([[materializeTokenSequences]]'s layout) without re-reading any
+    * previous shard's tokens. Cross-shard state is ONE committed row
+    * (`_tokstate`): the global token total, the arrival watermark, and
+    * the CARRY — the (< seqLen) token ids of the half-filled trailing
+    * sequence, which the next shard completes. Only FULL sequences
+    * ever land in the table, each committed exactly once (a sequence
+    * completes in exactly one shard pass), so the table needs no
+    * cross-shard upsert semantics beyond replay idempotency.
+    *
+    * The tokenizer MUST be frozen across shards (encode under the
+    * committed artifact, [[Models.buildTokenizer]]) — a per-shard
+    * retrain would change ids mid-stream and silently corrupt the
+    * layout; that contract lives with the caller because this operator
+    * is tokenizer-agnostic by design (it sees ids only).
+    *
+    * Replay/ordering contracts are [[packShardIncremental]]'s: reads
+    * AS OF the previous batch, state commits LAST, ascending-doc_id
+    * arrival ENFORCED against the committed watermark (token offsets
+    * are prefix sums in doc_id order). PackingSpec proves N shard
+    * passes (including an empty one) produce exactly the batch
+    * [[materializeTokenSequences]] table.
+    */
+  def materializeShardIncremental(shard: DataFrame, tableDir: String,
+                                  seqLen: Int, sepId: Int, batchId: Long,
+                                  nParts: Int = 8): Unit = {
+    require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
+    val spark = shard.sparkSession
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val stateDir = s"$tableDir/_tokstate"
+    val prevState = EventStreams
+      .readUpsertTableBefore(spark, stateDir, batchId)
+      .map(_.select(col("total_tokens"), col("max_doc_id"), col("carry")).head())
+    val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
+    val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
+    val carry: Seq[Int] = prevState.map(_.getSeq[Int](2)).getOrElse(Seq.empty)
+    val bounds = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val shardMaxDoc: Long =
+      if (bounds.isNullAt(0)) prevMaxDoc else bounds.getLong(1)
+    if (!bounds.isNullAt(0) && bounds.getLong(0) <= prevMaxDoc)
+      throw new IllegalStateException(
+        s"out-of-order shard arrival: batch $batchId carries doc_id " +
+          s"${bounds.getLong(0)} <= watermark $prevMaxDoc (max doc_id already " +
+          "materialized). Incremental token materialization is " +
+          "batch-equivalent only under ascending doc_id arrival; re-shard " +
+          "the backfill above the watermark or re-run the batch " +
+          "materializer. A same-batchId replay of a crashed shard is safe " +
+          "(reads are as-of the previous batch).")
+    val toks = shard.select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+    val costs = toks.select(col("doc_id"),
+      (size(col("toks")).cast("long") + lit(1L)).as("cost"))
+    val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
+      .withColumn("fin", col("fin") + lit(prevTotal))
+    val L = lit(seqLen.toLong)
+    val empty = array().cast("array<int>")
+    val pieces = ends
+      .select(col("doc_id"),
+        (col("fin") - col("cost")).as("st"), (col("fin") - lit(1L)).as("et"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"st div $seqLen"), expr(s"et div $seqLen"))))
+      .withColumn("lo", greatest(col("st"), col("seq_id") * L))
+      .withColumn("hi", least(col("et"), (col("seq_id") + lit(1L)) * L))
+      .select(col("seq_id"), col("lo"),
+        concat(
+          when(col("hi") > col("lo"),
+            slice(col("toks"), (col("lo") - col("st") + 1L).cast("int"),
+              (col("hi") - col("lo")).cast("int"))).otherwise(empty),
+          when(col("et") >= col("seq_id") * L &&
+              col("et") < (col("seq_id") + lit(1L)) * L,
+            array(lit(sepId))).otherwise(empty)).as("piece"))
+    // the previous shard's half-filled trailing sequence joins as one
+    // more piece at the boundary sequence's base offset
+    val withCarry =
+      if (carry.isEmpty) pieces
+      else pieces.unionByName(
+        Seq((prevTotal / seqLen, (prevTotal / seqLen) * seqLen, carry))
+          .toDF("seq_id", "lo", "piece"))
+    // materialize BEFORE the commits (the packShardIncremental rule):
+    // two consumers below (full-sequence merge + new-carry extraction),
+    // and the plan must not read files the merge sweeps
+    val seqsAll = withCarry
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("lo"), col("piece")))),
+        x => x.getField("piece"))).as("tokens"))
+      .localCheckpoint()
+    val shardCost = costs.agg(coalesce(sum(col("cost")), lit(0L))).head().getLong(0)
+    val newTotal = prevTotal + shardCost
+    // the new trailing partial (< seqLen ids — a bounded driver-side
+    // artifact, like the cut tables): absent when the stream lands
+    // exactly on a boundary
+    val newCarry: Seq[Int] =
+      if (newTotal % seqLen == 0) Seq.empty
+      else seqsAll.filter(col("seq_id") === newTotal / seqLen)
+        .select(col("tokens")).collect()
+        .headOption.map(_.getSeq[Int](0)).getOrElse(Seq.empty)
+    EventStreams.mergeBatchIntoTable(
+      seqsAll.filter(size(col("tokens")) === seqLen)
+        .select(col("seq_id"), col("tokens")),
+      tableDir, Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId,
+      retain = 2)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0, newTotal, shardMaxDoc, newCarry))
+        .toDF("k", "total_tokens", "max_doc_id", "carry"), stateDir,
+      Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
+  }
+
   /** Deterministic training-order SHUFFLE + shard assignment — the step
     * after packing in every pre-training export: sequences are laid out
     * in a pseudo-random but fully reproducible global order (so a

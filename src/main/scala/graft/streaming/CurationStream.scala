@@ -240,4 +240,37 @@ object CurationStream {
         scoreShard(batch, lmModelDir, lrModelDir, scoresDir, batchId)
       }
       .start()
+
+  /** GATE one arriving shard with the fully-served calibrated ensemble
+    * (`Models.serveEnsembleGate` — committed LM/LR models + committed
+    * per-language cuts) and upsert the per-doc decisions. The frozen
+    * calibration is the point: a document's keep decision is identical
+    * whichever shard it arrives in, so N shard passes produce exactly
+    * the batch gate's decision table (ModelsSpec). Idempotent per
+    * batchId; no arrival watermark (per-row decisions against frozen
+    * state).
+    */
+  def gateShard(shard: DataFrame, modelRoot: String, decisionsDir: String,
+                batchId: Long): Unit = {
+    val spark = shard.sparkSession
+    EventStreams.mergeBatchIntoTable(
+      graft.operators.Models.serveEnsembleGate(spark, modelRoot, shard)
+        .localCheckpoint(),
+      decisionsDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId)
+  }
+
+  /** The streaming wrapper for [[gateShard]] (`Trigger.AvailableNow`,
+    * the [[start]] convention).
+    */
+  def startGating(spark: SparkSession, corpusDir: String, schema: StructType,
+                  modelRoot: String, decisionsDir: String,
+                  checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(corpusDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateShard(batch, modelRoot, decisionsDir, batchId)
+      }
+      .start()
 }

@@ -89,6 +89,60 @@ class ModelsSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("served calibrated gate equals the inline self-calibrating gate") {
+    val root = Files.createTempDirectory("graft-gate-model").toString
+    val target = corpus.filter(col("doc_id") < 3)
+    val gated = corpus.filter(col("doc_id") >= 3)
+    // the inline gate trains its LM on target ∪ corpus and its LR on
+    // target-vs-corpus (q154's convention) — build the same artifacts
+    Models.buildLmModel(target.unionByName(gated), s"$root/lm")
+    Models.buildLrModel(target, gated, s"$root/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildGateCuts(gated, root)
+    val served = Models.serveEnsembleGate(spark, root, gated)
+      .orderBy("doc_id").collect().toSeq
+    val inline = TextAnalysis.ensembleQualityGate(gated, target)
+      .orderBy("doc_id").collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
+  test("shard-by-shard gating against the frozen gate equals the batch decisions") {
+    val root = Files.createTempDirectory("graft-gate-stream").toString
+    val decDir = s"$root/decisions"
+    val target = corpus.filter(col("doc_id") < 3)
+    val gated = corpus.filter(col("doc_id") >= 3)
+    Models.buildLmModel(target.unionByName(gated), s"$root/lm")
+    Models.buildLrModel(target, gated, s"$root/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildGateCuts(gated, root)
+    // two shards, gated independently against the frozen calibration
+    CurationStream.gateShard(gated.filter(col("doc_id") < 5), root, decDir, 0L)
+    CurationStream.gateShard(gated.filter(col("doc_id") >= 5), root, decDir, 1L)
+    val streamed = EventStreams.readUpsertTable(spark, decDir)
+      .orderBy("doc_id").collect().toSeq
+    val batch = Models.serveEnsembleGate(spark, root, gated)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    // replay of a committed batch is a no-op
+    CurationStream.gateShard(gated.filter(col("doc_id") < 5), root, decDir, 0L)
+    assert(EventStreams.readUpsertTable(spark, decDir)
+      .orderBy("doc_id").collect().toSeq === streamed)
+  }
+
+  test("committed tokenizer round-trips the inline train: merges, ids, separator") {
+    val dir = Files.createTempDirectory("graft-tok-model").toString
+    Models.buildTokenizer(corpus, dir, nMerges = 4)
+    val (merges, vocab, sepId) = Models.readTokenizer(spark, dir)
+    val inlineMerges = TextAnalysis.bpeTrainMerges(corpus, 4)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === inlineMerges)
+    val inlineVocab = TextAnalysis.bpeIdVocab(corpus, inlineMerges)
+    assert(vocab === inlineVocab.zipWithIndex.toMap)
+    assert(sepId === inlineVocab.size)
+  }
+
   test("streaming shard scoring against committed models equals batch scoring") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-score-stream").toString

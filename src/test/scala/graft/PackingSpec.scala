@@ -176,6 +176,58 @@ class PackingSpec extends SparkSpec {
     assert(run(1).toSeq === run(5).toSeq)
   }
 
+  test("materializeShardIncremental: shard passes equal the batch layout, replay no-ops") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inctok-spec").toString
+    val tableDir = s"$base/seqs"
+    // ragged id streams; seqLen 16 never divides the running totals, so
+    // every shard boundary leaves a half-filled carry sequence
+    val all = (0L until 30L).map(i =>
+      (i, (0 until (i % 11 + 1).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    val shards = Seq(df.filter(col("doc_id") < 9),
+      df.filter(col("doc_id") >= 9 && col("doc_id") < 21),
+      df.filter(col("doc_id") >= 21))
+    shards.zipWithIndex.foreach { case (s, i) =>
+      operators.Packing.materializeShardIncremental(
+        s, tableDir, seqLen = 16, sepId = -1, batchId = i.toLong)
+    }
+    // crash-replay of the LAST batch must not re-append the carry
+    operators.Packing.materializeShardIncremental(
+      shards(2), tableDir, seqLen = 16, sepId = -1, batchId = 2L)
+    // an empty shard advances the batchId without disturbing anything
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") < 0), tableDir, seqLen = 16, sepId = -1, batchId = 3L)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).sortBy(_._1).toSeq
+    val inc = canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens").collect())
+    val batch = canon(operators.Packing
+      .materializeTokenSequences(df, seqLen = 16, sepId = -1)
+      .select("seq_id", "tokens").collect())
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+  }
+
+  test("materializeShardIncremental fails fast on out-of-order arrival") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inctok-ooo").toString
+    val tableDir = s"$base/seqs"
+    val df = (0L until 10L).map(i => (i, Seq.tabulate(5)(j => (i * 10 + j).toInt)))
+      .toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") < 6), tableDir, seqLen = 16, sepId = -1, batchId = 0L)
+    val ex = intercept[IllegalStateException] {
+      operators.Packing.materializeShardIncremental(
+        df.filter(col("doc_id") === 3), tableDir, seqLen = 16, sepId = -1, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    // in-order continuation still works after the rejected backfill
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") >= 6), tableDir, seqLen = 16, sepId = -1, batchId = 1L)
+    assert(graft.streaming.EventStreams.readUpsertTable(spark, tableDir).count() > 0)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern

@@ -446,6 +446,24 @@ class PlanSpec extends SparkSpec {
       s"DSIR serving should scan documents + the ratio table only:\n$pDs")
   }
 
+  test("q166 served gate: no percentile, no training — cuts from the committed table") {
+    val p = planOf("q166_gate_serving")
+    // the calibration aggregate must be absent from the serving plan:
+    // cuts come from the committed |langs|-row table as a broadcast
+    assert(!p.toLowerCase.contains("percentile"),
+      s"serving must not recompute calibration cuts:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("graft-models")),
+      "expected committed model/cut table scans")
+    // every documents scan is a signal pass over the GATED slice — the
+    // pushed bound proves no hidden full-corpus training read
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(_.contains("GreaterThanOrEqual(doc_id,250")),
+      s"a documents scan without the slice bound:\n${docScans.mkString("\n")}")
+  }
+
   test("q140 gopher gate is one narrow projection — no Exchange at all") {
     // the gate's whole point: every feature and flag is a per-row
     // codegen'd expression over the scan, so it composes into any
