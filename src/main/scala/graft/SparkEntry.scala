@@ -3928,6 +3928,53 @@ object SparkEntry {
        |  md5(string_agg(tid::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
        |FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen""".stripMargin
 
+  /** Build-once-per-JVM GROWN IVF-PQ index (build on the even
+    * vec_ids, append the odd ones under the frozen artifacts — the
+    * FAISS `add` path, [[operators.Similarity.appendToIvfPqIndex]]).
+    */
+  private val ivfPqAppendStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIvfPqAppend(spark: SparkSession, dir: String): String =
+    ivfPqAppendStores.computeIfAbsent(dir, { _ =>
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-grow").toString + "/idx"
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(
+        e.filter(col("vec_id") % 2 === 0), idxDir)
+      operators.Similarity.appendToIvfPqIndex(
+        e.filter(col("vec_id") % 2 === 1), idxDir, batchId = 1L)
+      idxDir
+    })
+
+  /** INCREMENTAL IVF-PQ growth (the q162 recall convention over a
+    * GROWN index): the coarse centroids and residual codebooks train
+    * once on the even-id half, the odd-id half appends as an
+    * atomically-published sibling batch partition ENCODED UNDER THE
+    * FROZEN ARTIFACTS (retraining would re-interpret every committed
+    * code), and the cold probe answers from the combined codes — cell
+    * pruning applies within every batch dir. Verdict: top-50 from the
+    * grown index must contain ≥ 5 of the exact L2 top-10 over the FULL
+    * corpus, per probe.
+    */
+  def q168IvfPqAppendRecall(spark: SparkSession, dir: String): DataFrame = {
+    val probeIds = Seq(0L, 1L, 2L)
+    val e = Tables.embeddings(spark, dir)
+    val idxDir = ensureIvfPqAppend(spark, dir)
+    val probes = e
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cand = operators.Similarity
+      .queryIvfPqIndex(spark, idxDir, probes, 50, nprobe = 3)
+      .select(col("probe_id"), col("vec_id")).withColumn("__hit", lit(1))
+    cand.join(
+        operators.Similarity.exactL2TopK(e, probeIds, 10)
+          .select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"), "right")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4097,6 +4144,7 @@ object SparkEntry {
     "q165_mixpack_export" -> (q165MixPackExport _),
     "q166_gate_serving" -> (q166GateServing _),
     "q167_inc_token_seqs" -> (q167IncTokenSeqs _),
+    "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5286,6 +5334,9 @@ object SparkEntry {
     // committed shard passes, so the shared chain IS the incremental
     // ≡ batch proof at token granularity
     "q167_inc_token_seqs" -> incTokenSeqOracleSql(nMerges = 6, seqLen = 128),
+    "q168_ivfpq_append" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,

@@ -620,14 +620,86 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"))
       .localCheckpoint()
     val cbs = pqCodebooksOnVec(resid, m, codebookSize, dim, maxIter)
-    resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    // a BUILD is a full (re)definition of the index: clear the codes
+    // root first — stale batches would mix with the new batch 0 under
+    // freshly-trained artifacts and silently mis-score (their codes
+    // were encoded under the old centroids/codebooks)
+    locally {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(s"$indexDir/codes")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+    }
+    // batch=0 under the codes root: appends ([[appendToIvfPqIndex]])
+    // publish sibling batch dirs, and partition discovery prunes on
+    // BOTH partition columns — a probe's cell filter skips the
+    // non-probed cell dirs of every batch
+    publishCodesBatch(
+      resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell")),
+      indexDir, batchId = 0L)
     centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     (for { j <- 0 until m; c <- 0 until codebookSize }
       yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Atomic, replay-idempotent publish of one codes batch: write into a
+    * hidden inflight dir (partition discovery ignores dot-dirs), then
+    * RENAME to `batch=<id>` — one atomic metadata operation, so a
+    * reader never sees a half-written batch and a replayed batchId
+    * no-ops (the mergeBatchIntoTable contract, re-expressed for a
+    * hive-partitioned layout whose cell dirs must stay prunable).
+    */
+  private def publishCodesBatch(codes: DataFrame, indexDir: String,
+                                batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = codes.sparkSession
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(root, s"batch=$batchId")
+    if (fs.exists(dest)) return // replayed batch: already published
+    val inflight = new Path(root, s".inflight-$batchId")
+    if (fs.exists(inflight)) fs.delete(inflight, true) // crashed attempt
+    codes.write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+    // spark writes a _SUCCESS marker inside; the rename is the commit
+    if (!fs.rename(inflight, dest))
+      throw new IllegalStateException(
+        s"failed to publish codes batch $batchId at $dest")
+  }
+
+  /** INCREMENTAL index growth — the FAISS `add` path: new vectors
+    * assign to cells and PQ-encode under the FROZEN coarse centroids
+    * and residual codebooks read from the committed index (training
+    * artifacts never move after build — moving them would silently
+    * re-interpret every already-encoded code), and the encoded batch
+    * publishes as a sibling `batch=<id>` partition dir. Probes are
+    * untouched: [[queryIvfPqIndex]] reads the codes root, and cell
+    * pruning applies within every batch dir. No arrival watermark —
+    * encoding is per-row against frozen state, so any batch order
+    * yields the same index (the q163 argument). Append ≡ rebuild under
+    * the same artifacts is proven in DedupSimilaritySpec.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, indexDir: String,
+                         batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = cbRows.keys.map(_._1).max + 1
+    val codebookSize = cbRows.keys.map(_._2).max + 1
+    val cbs = Array.tabulate(m, codebookSize)((j, c) => cbRows((j, c)))
+    val centLit = array(centers.map(c => array(c.toSeq.map(lit): _*)).toSeq: _*)
+    val resid = assignCellsByCentroids(newVectors, centers)
+      .withColumn("v",
+        zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+    publishCodesBatch(
+      resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell")),
+      indexDir, batchId)
   }
 
   /** Build-once guard per JVM (the [[ensurePqIndex]] convention:

@@ -215,7 +215,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // layout: codes are hive-partitioned by the coarse cell, raw vectors
     // are NOT in the table (compression is the point)
     val codes = spark.read.parquet(s"$idx/codes")
-    assert(codes.columns.toSet === Set("vec_id", "codes", "cell"))
+    assert(codes.columns.toSet === Set("vec_id", "codes", "cell", "batch"))
     // cold-session probe with the raw vector of vec 0: the near-parallel
     // vec 1 shares its cell AND its residual codes rank it first
     val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
@@ -240,6 +240,37 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.queryIvfPqIndex(spark, idx, Seq((9L, Array(1.0, 2.0))), k = 1)
     }
     assert(err.getMessage.contains("expects 64"))
+  }
+
+  test("IVF-PQ append: frozen-artifact encoding, atomic batches, replay no-ops") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    // append a genuinely new direction AND an exact copy of vec 0 under
+    // a new id: the copy must encode to IDENTICAL (cell, codes) — the
+    // frozen-artifact contract (a retrain would silently re-interpret
+    // the codes)
+    val v0 = vecs.filter("vec_id = 0").head().getSeq[Float](1)
+    val appended = Seq(
+      (8L, (0 until 64).map(i => (2.0 + i * 0.02).toFloat), 1),
+      (9L, v0, 0)).toDF("vec_id", "embedding", "label")
+    Similarity.appendToIvfPqIndex(appended, idx, batchId = 1L)
+    val codes = spark.read.parquet(s"$idx/codes")
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2).toSeq)).toMap
+    assert(codes.keySet === Set(0L, 1L, 2L, 8L, 9L))
+    assert(codes(9L) === codes(0L))
+    // replayed batch publishes nothing twice
+    Similarity.appendToIvfPqIndex(appended, idx, batchId = 1L)
+    assert(spark.read.parquet(s"$idx/codes").count() === 5)
+    // probing the grown index still ranks the near-parallel vec first
+    // (probe plan unchanged: the appended batch dirs are just more
+    // prunable cell partitions)
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    val got = Similarity.queryIvfPqIndex(spark, idx, Seq((0L, pv)), k = 2, nprobe = 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.head === 9L || got.head === 1L) // the exact copy or the near-parallel twin
   }
 
   test("randomProjection is deterministic, right-sized, and keeps near-parallel pairs close") {
