@@ -3975,6 +3975,47 @@ object SparkEntry {
       .select(col("probe_id"), (col("hits") >= 5).as("recall_ok"))
   }
 
+  /** TWO-STAGE refined retrieval ([[operators.Similarity
+    * .queryIvfPqRefined]]): the grown IVF-PQ index nominates top-50
+    * candidates per probe from compressed codes alone, then ONLY those
+    * rows' raw vectors are fetched (isin-pushed scan of
+    * rerank × probes rows, never a corpus pass) for exact L2
+    * re-ranking. Verdict per probe: (a) monotone improvement — the
+    * refined top-10 hits at least as many of the exact top-10 as the
+    * unrefined ADC top-10 (provable: the ADC top-10 is a subset of the
+    * candidate set, and exact re-ranking surfaces every true
+    * top-10 member the candidates contain); (b) the q162 recall floor
+    * (≥ 5 of the exact top-10).
+    */
+  def q169RefinedRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val probeIds = Seq(0L, 1L, 2L)
+    val e = Tables.embeddings(spark, dir)
+    val idxDir = ensureIvfPqAppend(spark, dir)
+    val probes = e
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val exact = operators.Similarity.exactL2TopK(e, probeIds, 10)
+      .select(col("probe_id"), col("vec_id"))
+    def hits(cand: DataFrame): DataFrame =
+      cand.withColumn("__hit", lit(1))
+        .join(exact, Seq("probe_id", "vec_id"), "right")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+    val adc = hits(operators.Similarity
+      .queryIvfPqIndex(spark, idxDir, probes, 10, nprobe = 3)
+      .select(col("probe_id"), col("vec_id")))
+      .withColumnRenamed("hits", "adc_hits")
+    val refined = hits(operators.Similarity
+      .queryIvfPqRefined(spark, idxDir, e, probes, k = 10, rerank = 50, nprobe = 3)
+      .select(col("probe_id"), col("vec_id")))
+      .withColumnRenamed("hits", "refined_hits")
+    refined.join(adc, Seq("probe_id"))
+      .select(col("probe_id"),
+        (col("refined_hits") >= col("adc_hits")).as("no_worse"),
+        (col("refined_hits") >= 5).as("recall_ok"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4145,6 +4186,7 @@ object SparkEntry {
     "q166_gate_serving" -> (q166GateServing _),
     "q167_inc_token_seqs" -> (q167IncTokenSeqs _),
     "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
+    "q169_refined_retrieval" -> (q169RefinedRetrieval _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5336,6 +5378,9 @@ object SparkEntry {
     "q167_inc_token_seqs" -> incTokenSeqOracleSql(nMerges = 6, seqLen = 128),
     "q168_ivfpq_append" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q169_refined_retrieval" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS no_worse, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok

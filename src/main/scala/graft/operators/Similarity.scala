@@ -780,6 +780,47 @@ object Similarity {
             lit(0.0), (a, x) => a + x)), 6).as("dist")), k)
   }
 
+  /** TWO-STAGE refined retrieval — the standard serving refinement
+    * over a compressed index (FAISS's refine/re-rank stage): the
+    * IVF-PQ scan NOMINATES `rerank` candidates per probe from codes
+    * alone ([[queryIvfPqIndex]]), and only those rows' RAW vectors are
+    * fetched for EXACT L2 ordering. The candidate set is bounded by
+    * contract (rerank × probes rows — the bounded-collect convention),
+    * so the raw-vector fetch is an `isin`-pushed scan of
+    * O(rerank × probes) rows, never a corpus pass; at 100 TB this is
+    * the difference between "read m-byte codes for everything, raw
+    * floats for ~150 rows" and either extreme (all-raw = no
+    * compression win; all-codes = quantization error caps ranking
+    * quality). Exact re-ranking provably never loses recall vs the
+    * ADC ordering on the same candidates: the true nearest neighbors
+    * among the candidates are exactly the ones exact distances rank
+    * first (the q169 verdict asserts both the monotone-improvement
+    * bound and the q162 floor).
+    */
+  def queryIvfPqRefined(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, embeddings: DataFrame,
+                        probes: Seq[(Long, Array[Double])], k: Int,
+                        rerank: Int, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    // bounded by contract: rerank candidates per probe
+    val cand = queryIvfPqIndex(spark, indexDir, probes, rerank, nprobe)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = cand.map(_._2).distinct.toSeq
+    val candDf = cand.toSeq.toDF("probe_id", "vec_id")
+    val probeVecs = probes.map { case (pid, pv) => (pid, pv.toSeq) }
+      .toDF("probe_id", "qv")
+    // isin on the scan key: the raw-vector fetch reads the candidate
+    // rows only (pushed filter), then pairs re-attach by equi-join
+    val fetched = emb(embeddings)
+      .filter(col("vec_id").isin(ids: _*))
+      .join(broadcast(candDf), Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Vectors.l2(col("v"), col("qv")), 6).as("dist"))
+    topKPerProbeDist(fetched, k)
+  }
+
   /** CONTRASTIVE pair mining — (anchor, positive, hard-negative)
     * triplets for embedding-model training (the DPR / SimCSE data
     * recipe: positives are near-duplicates; HARD negatives are the

@@ -273,6 +273,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.head === 9L || got.head === 1L) // the exact copy or the near-parallel twin
   }
 
+  test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    val got = Similarity.queryIvfPqRefined(spark, idx, vecs,
+      Seq((0L, pv)), k = 2, rerank = 3, nprobe = 2).collect()
+    // the true nearest ranks first, and the refined distance is the
+    // EXACT L2 (bit-equal to the brute-force baseline), not the ADC
+    // approximation
+    assert(got.head.getLong(1) === 1L)
+    val exact = Similarity.exactL2TopK(vecs, Seq(0L), 1).collect().head
+    assert(got.head.getDouble(2) === exact.getDouble(2))
+  }
+
   test("randomProjection is deterministic, right-sized, and keeps near-parallel pairs close") {
     val proj = vecs.select(col("vec_id"),
       graft.functions.Vectors.asDouble(col("embedding")).as("v"))

@@ -143,6 +143,46 @@ class ModelsSpec extends SparkSpec {
     assert(sepId === inlineVocab.size)
   }
 
+  test("frozen-artifact incremental pipeline: gate -> encode -> materialize equals batch") {
+    // the COMPOSED production loop, every trained artifact frozen:
+    // committed LM/LR models + cuts gate each shard, the committed
+    // tokenizer encodes the survivors, and the committed sequence
+    // table grows through the carry — two shard passes must produce
+    // exactly the batch pipeline's token layout
+    val base = Files.createTempDirectory("graft-pipe-v2").toString
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val target = docs.filter(col("doc_id") < 250)
+    val gated = docs.filter(col("doc_id") >= 250)
+    Models.buildLmModel(docs, s"$base/lm")
+    Models.buildLrModel(target, gated, s"$base/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildGateCuts(gated, base)
+    Models.buildTokenizer(gated, s"$base/tok", nMerges = 4)
+    val (merges, vocab, sepId) = Models.readTokenizer(spark, s"$base/tok")
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeEncodeIds(
+        df.join(Models.serveEnsembleGate(spark, base, df)
+            .filter(col("keep")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        merges, vocab)
+    val tableDir = s"$base/seqs"
+    graft.operators.Packing.materializeShardIncremental(
+      keptIds(gated.filter(col("doc_id") < 400)), tableDir,
+      seqLen = 64, sepId = sepId, batchId = 0L)
+    graft.operators.Packing.materializeShardIncremental(
+      keptIds(gated.filter(col("doc_id") >= 400)), tableDir,
+      seqLen = 64, sepId = sepId, batchId = 1L)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).sortBy(_._1).toSeq
+    val inc = canon(EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens").collect())
+    val batch = canon(graft.operators.Packing
+      .materializeTokenSequences(keptIds(gated), seqLen = 64, sepId = sepId)
+      .select("seq_id", "tokens").collect())
+    assert(inc === batch)
+    assert(inc.nonEmpty)
+  }
+
   test("streaming shard scoring against committed models equals batch scoring") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-score-stream").toString
