@@ -4016,6 +4016,21 @@ object SparkEntry {
         (col("refined_hits") >= 5).as("recall_ok"))
   }
 
+  /** THRESHOLDED decontamination ([[operators.Curation
+    * .thresholdedDecontamination]]): the fraction form of the n-gram
+    * eval gate — per corpus doc, the share of its distinct 5-grams
+    * hitting the eval slice, dropped at tau = 0.2 (q132's binary
+    * any-hit gate is the tau → 0 special case). The oracle re-derives
+    * every count, ratio, and decision.
+    */
+  def q170ThresholdDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Curation.thresholdedDecontamination(
+      corpus = docs.filter(col("doc_id") >= 250),
+      evalSlice = docs.filter(col("doc_id") < 250),
+      n = 5, tau = 0.2)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4187,6 +4202,7 @@ object SparkEntry {
     "q167_inc_token_seqs" -> (q167IncTokenSeqs _),
     "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
     "q169_refined_retrieval" -> (q169RefinedRetrieval _),
+    "q170_threshold_decontam" -> (q170ThresholdDecontam _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5382,6 +5398,30 @@ object SparkEntry {
     "q169_refined_retrieval" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS no_worse, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q170_threshold_decontam" ->
+      """WITH ct AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id >= 250),
+        |cg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 4),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |  FROM ct WHERE len(toks) >= 5),
+        |et AS (
+        |  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 250),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |  FROM et WHERE len(toks) >= 5),
+        |a AS (
+        |  SELECT cg.doc_id, COUNT(*)::BIGINT AS n_grams,
+        |    COUNT(eg.gram)::BIGINT AS n_contaminated
+        |  FROM cg LEFT JOIN eg USING (gram) GROUP BY cg.doc_id)
+        |SELECT doc_id, n_grams, n_contaminated,
+        |  ROUND(n_contaminated::DOUBLE / n_grams, 6) AS contam_frac,
+        |  ROUND(n_contaminated::DOUBLE / n_grams, 6) >= 0.2 AS dropped
+        |FROM a""".stripMargin,
     "q162_ivfpq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,

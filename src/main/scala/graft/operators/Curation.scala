@@ -65,6 +65,37 @@ object Curation {
       s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
       .as("gram"))
 
+  /** THRESHOLDED n-gram decontamination — the published recipe's
+    * fraction form (Brown et al. 2020 appendix C remove training docs
+    * overlapping eval; the modern open reports threshold on the
+    * FRACTION of a document's distinct n-grams that hit the eval set,
+    * so a long article quoting one eval sentence survives while a
+    * paraphrased near-copy drops — the binary any-hit gate, stage 4 /
+    * q132, is the conservative special case tau → 0). Per corpus doc:
+    * distinct-gram count, contaminated-gram count, their ratio (6 dp,
+    * the rounding convention), and the decision at `tau`.
+    *
+    * Scale shape: one gram explode per side; the eval side collapses
+    * to DISTINCT grams and BROADCASTS (eval suites are small by
+    * construction — the stage-4 argument); the per-doc aggregate is
+    * map-side combinable, and the shuffle carries (doc_id, gram)
+    * pairs of the corpus side only. Nothing is all-pairs.
+    */
+  def thresholdedDecontamination(corpus: DataFrame, evalSlice: DataFrame,
+                                 n: Int = 5, tau: Double = 0.2): DataFrame = {
+    val evalGrams = grams(evalSlice, n).select(col("gram")).distinct()
+      .withColumn("__hit", lit(1))
+    grams(corpus, n)
+      .select(col("doc_id"), col("gram")).distinct()
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+      .withColumn("dropped", col("contam_frac") >= tau)
+  }
+
   /** Stage 1 ALTERNATIVE — the learned ensemble gate
     * ([[TextAnalysis.ensembleQualityGate]], q154): rule pass + two
     * per-language-calibrated learned scores, with `target` as the LR

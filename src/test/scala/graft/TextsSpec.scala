@@ -240,4 +240,31 @@ class TextsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(vocab === Map("bc" -> 13L, "ab" -> 6L, "a" -> 3L))
   }
+
+  test("thresholded decontamination counts distinct-gram overlap fractions exactly") {
+    import spark.implicits._
+    // eval holds one 6-token sentence (two distinct 5-grams).
+    // doc 10: a 7-token quote of it inside unique text — its two
+    //   eval grams out of many -> small fraction, kept at tau 0.5
+    // doc 11: the eval sentence verbatim -> 2/2 grams hit, dropped
+    // doc 12: disjoint text -> 0 hits
+    val evalSlice = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "one two three alpha beta gamma delta epsilon zeta four five six"),
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "entirely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .thresholdedDecontamination(corpus, evalSlice, n = 5, tau = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    // doc 10: 12 tokens -> 8 distinct 5-grams, 2 contaminated, kept
+    assert(got(10L) === ((8L, 2L, false)))
+    // doc 11: 6 tokens -> 2 grams, both contaminated, dropped
+    assert(got(11L) === ((2L, 2L, true)))
+    // doc 12: 9 tokens -> 5 grams, none contaminated
+    assert(got(12L) === ((5L, 0L, false)))
+  }
 }
