@@ -4031,6 +4031,75 @@ object SparkEntry {
       n = 5, tau = 0.2)
   }
 
+  /** Keep-BEST-of-cluster canonical selection
+    * ([[operators.Dedup.canonicalByQuality]]): the q115 LSH dup-cluster
+    * closure decides WHICH docs are copies; this decides WHICH COPY
+    * SURVIVES — the longest member (token count as the quality score,
+    * the RefinedWeb keep-the-longest recipe), ties to the smaller id;
+    * docs outside any cluster are their own singleton canonicals. The
+    * oracle re-derives the LSH edges, the recursive closure, every
+    * cluster's argmax, and every per-doc flag.
+    */
+  def q171CanonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = q89MinhashLshPortable(spark, dir).select(col("doc_id"), col("rep_id"))
+    val cc = operators.Dedup.connectedComponents(edges, "doc_id", "rep_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    operators.Dedup.canonicalByQuality(cc,
+      docs.select(col("doc_id"),
+        functions.Texts.tokenCount(col("text")).cast("long").as("n_tokens")),
+      qCol = "n_tokens")
+  }
+
+  /** q171 oracle: the q115 closure CTEs (LSH edges + recursive
+    * reachability), singleton extension via the left-join coalesce,
+    * and a per-cluster (n_tokens DESC, doc_id) argmax.
+    */
+  private def canonicalSelectionOracleSql: String =
+    s"""${minhashLshOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_id, MIN(anchor) AS rep_id
+       |  FROM v WHERE jaccard >= 0.8 GROUP BY doc_id),
+       |und AS (SELECT doc_id AS a, rep_id AS b FROM edges
+       |        UNION ALL SELECT rep_id, doc_id FROM edges),
+       |nodes AS (SELECT DISTINCT a AS n FROM und),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+       |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+       |tok2 AS (SELECT doc_id,
+       |    len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS nt
+       |  FROM documents),
+       |mm AS (SELECT t2.doc_id, COALESCE(cc.cluster_id, t2.doc_id) AS cluster_id,
+       |         t2.nt
+       |       FROM tok2 t2 LEFT JOIN cc ON t2.doc_id = cc.doc_id),
+       |best AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |        ORDER BY nt DESC, doc_id) AS rn
+       |    FROM mm) WHERE rn = 1)
+       |SELECT mm.doc_id, mm.cluster_id, b.canonical_id,
+       |  mm.doc_id = b.canonical_id AS is_canonical, mm.nt AS n_tokens
+       |FROM mm JOIN best b USING (cluster_id)""".stripMargin
+
+  /** Token-budget temperature mixing
+    * ([[operators.Sampling.temperatureMixByTokens]]): q134's recipe
+    * with the budget stated in TOKENS — per-language token masses feed
+    * the alpha-flattened waterfilling, and membership is drawn per doc
+    * so each language contributes ≈ its waterfilled token share in
+    * expectation. The oracle re-derives the masses, the exact
+    * waterfilling walk, every fraction, and every membership draw.
+    */
+  def q172TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        functions.Texts.tokenCount(col("text")).cast("long"))
+    operators.Sampling.temperatureMixByTokens(docs, "lang", "doc_id",
+        "n_tokens", alpha = 0.5, targetTokens = 20000L)
+      .select(col("doc_id"), col("lang"), col("keep_frac"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4203,6 +4272,8 @@ object SparkEntry {
     "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
     "q169_refined_retrieval" -> (q169RefinedRetrieval _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
+    "q171_canonical_selection" -> (q171CanonicalSelection _),
+    "q172_token_budget_mix" -> (q172TokenBudgetMix _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5251,6 +5322,36 @@ object SparkEntry {
     "q133_pq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q171_canonical_selection" -> canonicalSelectionOracleSql,
+    "q172_token_budget_mix" ->
+      // q134's exact-waterfilling walk over per-language TOKEN masses
+      // (same total order: integral mass, then name), target 20000
+      """WITH counts AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS n,
+        |    pow(CAST(SUM(len(list_filter(str_split(text, ' '), x -> x <> ''))) AS DOUBLE), 0.5) AS pn
+        |  FROM documents GROUP BY lang),
+        |ord AS (
+        |  SELECT lang, n, pn,
+        |         COALESCE(SUM(n) OVER (ORDER BY n, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n_before,
+        |         SUM(pn) OVER (ORDER BY n, lang
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pn_from,
+        |         ROW_NUMBER() OVER (ORDER BY n, lang) AS rk
+        |  FROM counts),
+        |cand AS (SELECT rk, lang, n, pn, (20000.0 - cum_n_before) / pn_from AS c FROM ord),
+        |kstar AS (SELECT MIN(rk) AS rk FROM cand WHERE c * pn <= n),
+        |fracs AS (
+        |  SELECT cand.lang,
+        |         CASE WHEN (SELECT rk FROM kstar) IS NULL
+        |                OR cand.rk < (SELECT rk FROM kstar) THEN 1.0
+        |              ELSE ROUND((SELECT c FROM cand WHERE rk = (SELECT rk FROM kstar))
+        |                     * cand.pn / cand.n, 6) END AS keep_frac
+        |  FROM cand)
+        |SELECT d.doc_id, d.lang, f.keep_frac
+        |FROM documents d JOIN fracs f USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':tokmix'), 1, 8))::BIGINT
+        |        / 4294967296.0 < f.keep_frac""".stripMargin,
     "q134_temperature_mix" ->
       // exact waterfilling, mirroring Sampling.temperatureFractions: walk
       // domains ascending by (n, lang); the first rank whose candidate

@@ -115,6 +115,37 @@ object Dedup {
     * When the blocklist broadcasts, neither side shuffles and the
     * question is moot.
     */
+  /** Keep-BEST-of-cluster canonical selection — production dedup's
+    * final decision: within each dup cluster, keep the HIGHEST-QUALITY
+    * member (longest copy, best quality score — RefinedWeb/FineWeb
+    * keep the longest or least-boilerplate version), not the
+    * smallest-id anchor the detection stages use internally. Ties
+    * break (quality desc, doc_id asc). Docs absent from `clusters` are
+    * their own singleton canonicals (the leakageSafeSplit coalesce
+    * convention).
+    *
+    * Input: `clusters` (doc_id, cluster_id) — any closure, e.g.
+    * [[connectedComponents]] over near-dup edges; `quality`
+    * (doc_id, qCol) for every doc. Returns per doc:
+    * (doc_id, cluster_id, canonical_id, is_canonical, qCol).
+    *
+    * Scale shape: one doc_id equi-join, one lexicographic
+    * `max(struct(q, −id))` hash aggregate per cluster (map-side
+    * partials — never a window over the corpus), and the |clusters|-row
+    * argmax table joins back on the cluster key. Nothing is all-pairs.
+    */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
+                         qCol: String): DataFrame = {
+    val m = quality.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val best = m.groupBy(col("cluster_id"))
+      .agg(max(struct(col(qCol), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("canonical_id"))
+    m.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"), col(qCol))
+  }
+
   def decontaminate(corpus: DataFrame, blocklist: DataFrame,
                     corpusText: String = "text", blockText: String = "text"): DataFrame = {
     val blockedFps = blocklist

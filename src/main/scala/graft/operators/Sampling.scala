@@ -182,6 +182,36 @@ object Sampling {
       .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
   }
 
+  /** [[temperatureMix]] budgeted in TOKENS rather than documents — the
+    * form the published recipes actually state (mixture proportions
+    * are fractions of the TRAINING-TOKEN budget; a doc-count budget
+    * over-weights domains with short documents): p_d ∝ T_d^alpha over
+    * per-domain token masses, keep fraction f_d = waterfilled
+    * min(1, targetTokens · p_d / T_d), membership drawn per DOCUMENT
+    * at f_d — so each domain contributes ≈ f_d · T_d tokens in
+    * expectation (the standard doc-level sampling of a token budget;
+    * exact-token packing is downstream's job, q153/q165). Same scale
+    * shape as [[temperatureMix]]: one tiny aggregate (now summing the
+    * token column), driver-side waterfilling on |domains| rows, a
+    * broadcast fraction table, one narrow portable-md5 membership
+    * predicate.
+    */
+  def temperatureMixByTokens(df: DataFrame, domainCol: String, idCol: String,
+                             nTokensCol: String, alpha: Double,
+                             targetTokens: Long,
+                             salt: String = "tokmix"): DataFrame = {
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(sum(col(nTokensCol)).cast("long").as("__n"))
+      .collect().filter(!_.isNullAt(0)).map(r => (r.getString(0), r.getLong(1)))
+    val fracs = temperatureFractions(counts.toSeq, alpha, targetTokens)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fracTable = fracs.toDF("__d", "keep_frac")
+    df.join(broadcast(fracTable), col(domainCol).cast("string") === col("__d"))
+      .drop("__d")
+      .filter(portableUnit(col(idCol), salt) < col("keep_frac"))
+  }
+
   /** Exact waterfilling over the (domain, count) table: walk domains in
     * DECREASING keep-fraction potential n^(alpha-1) — ascending count
     * for alpha <= 1 (small domains upweight, so they clamp first),

@@ -62,6 +62,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(0L))
   }
 
+  test("canonicalByQuality keeps the best member per cluster; singletons self-canonical") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 4L), (99L, 2L))
+      .toDF("doc_id", "q")
+    val out = Dedup.canonicalByQuality(clusters, quality, "q")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // cluster 1: docs 2 and 3 tie at q=9 — the SMALLER id wins
+    assert(out(1L) === ((2L, false)))
+    assert(out(2L) === ((2L, true)))
+    assert(out(3L) === ((2L, false)))
+    // cluster 7: tie at q=4 — min id 7 canonical
+    assert(out(7L) === ((7L, true)) && out(8L) === ((7L, false)))
+    // doc 99 is in no cluster: its own singleton canonical
+    assert(out(99L) === ((99L, true)))
+  }
+
   test("connectedComponents closes multi-hop chains into one cluster") {
     // chain 5-3-8 (3 never meets 8 directly), separate pair 10-11,
     // edges given in both orientations/orders to exercise symmetry

@@ -104,6 +104,30 @@ class SamplingSpec extends SparkSpec {
     assert(prop("books") > 25 && prop("books") < 80) // ~50 = 200 * 0.25
   }
 
+  test("temperatureMixByTokens budgets the mixture in token mass, not doc count") {
+    import spark.implicits._
+    // 'web': 100 docs of 100 tokens (10k tokens); 'books': 100 docs of
+    // 10 tokens (1k tokens). Equal DOC counts — a doc-count budget would
+    // treat the domains identically; the token budget must not.
+    val df = (0L until 200L).map(i =>
+        (i, if (i < 100) "web" else "books", if (i < 100) 100L else 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.temperatureMixByTokens(df, "source", "doc_id",
+      "n_tokens", alpha = 0.5, targetTokens = 5000L)
+    val fracs = out.select("source", "keep_frac").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.5 over masses (10k, 1k): p ∝ (100, ~31.6); books' raw
+    // share 5000·0.24/1000 > 1 clamps to 1.0 and web absorbs the rest
+    assert(fracs("books") === 1.0)
+    assert(fracs("web") > 0.3 && fracs("web") < 0.5)
+    // expected kept token mass ≈ the 5000-token target
+    val mass = out.groupBy("source").sum("n_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("books") === 1000L) // clamped domain keeps every doc
+    val total = mass.values.sum
+    assert(total > 4000L && total < 6000L)
+  }
+
   test("temperatureMix waterfills: clamped domains keep everything, total still ≈ targetN") {
     // 1800 web / 200 books, targetN=1500: books' unclamped share would be
     // 1500·sqrt(200)/(sqrt(1800)+sqrt(200))/200 ≈ 1.87 → clamps to 1.0,
