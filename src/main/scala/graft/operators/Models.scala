@@ -79,9 +79,13 @@ object Models {
                        documents: DataFrame): DataFrame = {
     val uni = EventStreams.readUpsertTable(spark, s"$modelDir/unigrams")
     val bi = EventStreams.readUpsertTable(spark, s"$modelDir/bigrams")
-    // one-row bounded read: the committed vocabulary size
-    val v = EventStreams.readUpsertTable(spark, s"$modelDir/meta")
-      .head().getAs[Long]("vocab").toDouble
+    // one-row bounded read: the committed vocabulary size. Fail with
+    // the remediation, not an opaque empty-iterator error, when the
+    // model was never committed (e.g. a crashed build's partial state)
+    val metaRows = EventStreams.readUpsertTable(spark, s"$modelDir/meta").collect()
+    require(metaRows.nonEmpty,
+      s"no committed LM model at $modelDir (meta table empty) - run buildLmModel first")
+    val v = metaRows.head.getAs[Long]("vocab").toDouble
     TextAnalysis.lmBigramKeys(TextAnalysis.lmTokenized(documents))
       .join(bi, Seq("kab"), "left")
       .join(uni, Seq("ka"), "left")
@@ -125,6 +129,8 @@ object Models {
                        idCol: String, textCol: String): DataFrame = {
     val rows = EventStreams.readUpsertTable(spark, s"$modelDir/weights")
       .collect() // bounded by contract: nBuckets + 1 rows
+    require(rows.nonEmpty,
+      s"no committed LR model at $modelDir (weights table empty) - run buildLrModel first")
     val w = new Array[Double](rows.length)
     rows.foreach(r => w(r.getInt(0) + 1) = r.getDouble(1))
     Sampling.lrScoreWith(docs, idCol, textCol, w)
@@ -196,6 +202,10 @@ object Models {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = EventStreams.readUpsertTable(spark, s"$tokDir/vocab")
       .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    // an empty vocab would make every encoded id null downstream —
+    // fail here with the cause (tokenizer never built / empty corpus)
+    require(vocab.nonEmpty,
+      s"no committed tokenizer at $tokDir (vocab table empty) - run buildTokenizer first")
     (merges, vocab, vocab.size)
   }
 
