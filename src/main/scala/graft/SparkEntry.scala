@@ -4100,6 +4100,35 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("keep_frac"))
   }
 
+  /** CORPUS DATA CARD — the per-language health report a data
+    * platform publishes with every corpus release: document and token
+    * volumes, the exact-duplicate rate (non-first copies per content
+    * sha — q04's keep-min-id convention), and the Gopher-rule pass
+    * rate (q140's full gate). One narrow projection + one sha
+    * aggregate + one per-language rollup; the oracle re-derives every
+    * figure (volumes, every duplicate flag, every per-doc rule
+    * evaluation) in one statement.
+    */
+  def q173CorpusDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gate = operators.TextAnalysis.gopherQualityGate(docs)
+      .select(col("doc_id"), col("pass"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      functions.Texts.tokenCount(col("text")).cast("long").as("n_toks"),
+      sha2(col("text"), 256).as("sha"))
+    val firstPerSha = base.groupBy(col("sha")).agg(min(col("doc_id")).as("first_id"))
+    base.join(firstPerSha, Seq("sha"))
+      .join(gate, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(avg(col("n_toks")), 6).as("avg_tokens"),
+        sum(when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        round(avg(when(col("pass"), 1.0).otherwise(0.0)), 6)
+          .as("quality_pass_rate"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4274,6 +4303,7 @@ object SparkEntry {
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
+    "q173_corpus_data_card" -> (q173CorpusDataCard _),
   )
 
   /** q137 oracle: signatures for history AND shard re-derived from the
@@ -5322,6 +5352,35 @@ object SparkEntry {
     "q133_pq_recall" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS recall_ok
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q173_corpus_data_card" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(str_split(text, ' '), x -> x <> ''))::BIGINT AS nt,
+        |    sha256(text) AS sha,
+        |    list_filter(str_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |fst AS (SELECT sha, MIN(doc_id) AS first_id FROM b GROUP BY sha),
+        |g AS (
+        |  SELECT doc_id,
+        |    (len(ts) BETWEEN 50 AND 100000)
+        |      AND (ROUND(list_sum(list_transform(ts, x -> len(x)))::DOUBLE
+        |             / NULLIF(len(ts), 0), 6) BETWEEN 3 AND 10)
+        |      AND (ROUND(len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |             / NULLIF(len(ts), 0), 6) >= 0.8)
+        |      AND (ROUND((len(text) - len(replace(text, '#', '')))::DOUBLE
+        |             / NULLIF(len(ts), 0), 6) <= 0.1)
+        |      AND (ROUND((len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0
+        |             / NULLIF(len(ts), 0), 6) <= 0.1)
+        |      AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+        |             s -> list_contains(ts, s))) >= 2) AS pass
+        |  FROM b)
+        |SELECT b.lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(b.nt)::BIGINT AS n_tokens,
+        |  ROUND(AVG(b.nt), 6) AS avg_tokens,
+        |  SUM(CASE WHEN b.doc_id <> fst.first_id THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |  ROUND(AVG(CASE WHEN g.pass THEN 1.0 ELSE 0.0 END), 6) AS quality_pass_rate
+        |FROM b JOIN fst USING (sha) JOIN g USING (doc_id)
+        |GROUP BY b.lang""".stripMargin,
     "q171_canonical_selection" -> canonicalSelectionOracleSql,
     "q172_token_budget_mix" ->
       // q134's exact-waterfilling walk over per-language TOKEN masses
