@@ -464,6 +464,24 @@ class PlanSpec extends SparkSpec {
       s"a documents scan without the slice bound:\n${docScans.mkString("\n")}")
   }
 
+  test("q170 thresholded decontam broadcasts the eval grams — corpus never joins corpus") {
+    val p = planOf("q170_threshold_decontam")
+    // the eval side must reach the join as a broadcast (eval suites are
+    // small by construction); a shuffle join here would move the corpus
+    // gram set against the eval gram set symmetrically
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval gram side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q173 data card aggregates partially before its one per-language rollup") {
+    val p = planOf("q173_corpus_data_card")
+    // partial + final pattern on the rollup; no window anywhere (the
+    // dup flag comes from the sha aggregate join, not a row_number)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial aggs:\n$p")
+    assert(!p.contains("Window("), s"data card must not sort the corpus:\n$p")
+  }
+
   test("q140 gopher gate is one narrow projection — no Exchange at all") {
     // the gate's whole point: every feature and flag is a per-row
     // codegen'd expression over the scan, so it composes into any
