@@ -71,7 +71,10 @@ object Curation {
     * FRACTION of a document's distinct n-grams that hit the eval set,
     * so a long article quoting one eval sentence survives while a
     * paraphrased near-copy drops — the binary any-hit gate, stage 4 /
-    * q132, is the conservative special case tau → 0). Per corpus doc:
+    * q132, is the conservative tau → 0+ LIMIT: dropped =
+    * contam_frac >= tau, so any positive tau below 1/max_grams drops
+    * exactly the any-hit docs, while tau = 0 itself drops EVERY doc,
+    * including uncontaminated ones). Per corpus doc:
     * distinct-gram count, contaminated-gram count, their ratio (6 dp,
     * the rounding convention), and the decision at `tau`.
     *

@@ -136,8 +136,13 @@ object Dedup {
     */
   def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
                          qCol: String): DataFrame = {
+    // barrier before the TWO consumers below (per-cluster argmax AND
+    // the final join-back — the q113/q136 convention): without it the
+    // whole quality lineage (corpus scan + tokenize) re-derives per
+    // consumer — the r9 plan dump showed the documents scan twice
     val m = quality.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .localCheckpoint()
     val best = m.groupBy(col("cluster_id"))
       .agg(max(struct(col(qCol), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("cluster_id"), (-col("b.nid")).as("canonical_id"))

@@ -52,6 +52,19 @@ object Models {
                    batchId: Long = 0L, nBuckets: Int = 8): Unit = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // ENFORCED train-once contract (not just documented): a re-run with
+    // a NEW batchId over a different corpus would silently upsert fresh
+    // counts over the stale rows (merge never deletes) while replacing
+    // meta/vocab — served scores would then match no corpus. A replay
+    // of the SAME batchId is safe (the merges below no-op on it);
+    // anything else requires a fresh modelDir.
+    EventStreams.latestCommittedBatchId(spark, s"$modelDir/meta").foreach { prev =>
+      require(prev == batchId,
+        s"a committed LM model already exists at $modelDir (batch $prev); " +
+          s"refusing to retrain as batch $batchId - counts merge additively " +
+          "and never delete, so retraining over a different corpus would " +
+          "serve scores matching no corpus. Use a fresh modelDir.")
+    }
     val toksAll = TextAnalysis.lmTokenized(documents).localCheckpoint()
     // vocab-sized; feeds the commit AND the vocab-size count
     val uni = TextAnalysis.lmUnigramCounts(toksAll).localCheckpoint()

@@ -179,10 +179,15 @@ object Packing {
     val shardCost = costs.agg(coalesce(sum(col("cost")), lit(0L))).head().getLong(0)
     EventStreams.mergeBatchIntoTable(out, tableDir,
       Seq("seq_id"), "__v", nBuckets = 8, batchId = batchId, retain = 2)
+    // state row versioned by batchId (monotone per commit), NOT by
+    // total_tokens: a non-empty shard whose docs all tokenize empty
+    // leaves the total unchanged, and equal versions would tie
+    // nondeterministically in the merge's max_by — the watermark
+    // advance must not depend on the tie-break
     EventStreams.mergeBatchIntoTable(
-      Seq((0, prevTotal + shardCost, shardMaxDoc))
-        .toDF("k", "total_tokens", "max_doc_id"), stateDir,
-      Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
+      Seq((0, prevTotal + shardCost, shardMaxDoc, batchId))
+        .toDF("k", "total_tokens", "max_doc_id", "__v"), stateDir,
+      Seq("k"), "__v", nBuckets = 1, batchId = batchId, retain = 2)
   }
 
   /** MATERIALIZED concat-and-chunk — [[packSequencesByCount]] reports
@@ -353,10 +358,13 @@ object Packing {
         .select(col("seq_id"), col("tokens")),
       tableDir, Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId,
       retain = 2)
+    // versioned by batchId, not total_tokens (see packShardIncremental:
+    // an all-empty-toks shard must still advance the watermark
+    // deterministically)
     EventStreams.mergeBatchIntoTable(
-      Seq((0, newTotal, shardMaxDoc, newCarry))
-        .toDF("k", "total_tokens", "max_doc_id", "carry"), stateDir,
-      Seq("k"), "total_tokens", nBuckets = 1, batchId = batchId, retain = 2)
+      Seq((0, newTotal, shardMaxDoc, newCarry, batchId))
+        .toDF("k", "total_tokens", "max_doc_id", "carry", "__v"), stateDir,
+      Seq("k"), "__v", nBuckets = 1, batchId = batchId, retain = 2)
   }
 
   /** Deterministic training-order SHUFFLE + shard assignment — the step

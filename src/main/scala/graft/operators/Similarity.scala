@@ -620,16 +620,32 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("v"))
       .localCheckpoint()
     val cbs = pqCodebooksOnVec(resid, m, codebookSize, dim, maxIter)
-    // a BUILD is a full (re)definition of the index: clear the codes
-    // root first — stale batches would mix with the new batch 0 under
+    // COMMIT ORDER is the atomicity contract: (1) clear the codes root
+    // — stale batches would mix with the new batch 0 under
     // freshly-trained artifacts and silently mis-score (their codes
-    // were encoded under the old centroids/codebooks)
+    // were encoded under the old centroids/codebooks), and with no
+    // readable codes a racing probe sees an empty index, never a wrong
+    // one; (2) publish BOTH training artifacts (staged dir + rename,
+    // the publishCodesBatch protocol — a reader/appender never sees a
+    // half-written artifact table); (3) publish the codes batch LAST.
+    // Invariant: a readable codes table always implies the matching
+    // committed centroids/codebooks — a crash anywhere in (1)-(3)
+    // leaves an index with no codes, which probes as empty and a
+    // re-run build repairs.
     locally {
       import org.apache.hadoop.fs.Path
       val root = new Path(s"$indexDir/codes")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.delete(root, true)
     }
+    publishArtifact(
+      centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid"),
+      s"$indexDir/centroids")
+    publishArtifact(
+      (for { j <- 0 until m; c <- 0 until codebookSize }
+        yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "centroid"),
+      s"$indexDir/codebooks")
     // batch=0 under the codes root: appends ([[appendToIvfPqIndex]])
     // publish sibling batch dirs, and partition discovery prunes on
     // BOTH partition columns — a probe's cell filter skips the
@@ -637,12 +653,25 @@ object Similarity {
     publishCodesBatch(
       resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell")),
       indexDir, batchId = 0L)
-    centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    (for { j <- 0 until m; c <- 0 until codebookSize }
-      yield (j, c, cbs(j)(c).toSeq)).toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Atomic publish of one tiny training-artifact table (centroids /
+    * codebooks): write staged under a dot-dir, then delete-old +
+    * RENAME — the reader-visible switch is the single rename, so an
+    * appender or probe never reads a half-written artifact file (the
+    * non-atomic `mode("overwrite")` it replaces could expose one).
+    */
+  private def publishArtifact(df: DataFrame, dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val staged = new Path(destPath.getParent, s".inflight-${destPath.getName}")
+    if (fs.exists(staged)) fs.delete(staged, true) // crashed attempt
+    df.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    if (!fs.rename(staged, destPath))
+      throw new IllegalStateException(s"failed to publish artifact at $dest")
   }
 
   /** Atomic, replay-idempotent publish of one codes batch: write into a

@@ -421,6 +421,18 @@ object EventStreams {
     latestManifest(fs, table).map(_._2).getOrElse(Map.empty)
   }
 
+  /** The newest committed batchId of an upsert table, None if nothing
+    * has committed. Exposed for train-once guards (a builder that must
+    * refuse to overwrite an existing committed model — Models q161/q166
+    * — checks this before merging) and for tests.
+    */
+  def latestCommittedBatchId(spark: SparkSession, tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, table).map(_._1)
+  }
+
   private def manifestsDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
 

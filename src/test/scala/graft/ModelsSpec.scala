@@ -53,6 +53,24 @@ class ModelsSpec extends SparkSpec {
     assert(got.getDouble(2) === expected)
   }
 
+  test("LM retrain under a new batchId fails fast (train-once is enforced)") {
+    val dir = Files.createTempDirectory("graft-lm-retrain").toString
+    Models.buildLmModel(corpus, dir)
+    // counts merge additively and never delete: a batch-1 retrain over a
+    // different corpus would serve scores matching no corpus — refuse it
+    val ex = intercept[IllegalArgumentException] {
+      Models.buildLmModel(docsDf(Seq((9L, "totally different corpus", "en"))),
+        dir, batchId = 1L)
+    }
+    assert(ex.getMessage.contains("refusing to retrain"))
+    // the committed model is untouched by the refused retrain
+    val served = Models.scoreWithLmModel(spark, dir, corpus)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val inline = TextAnalysis.bigramLmScore(corpus)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(served.toSeq === inline.toSeq)
+  }
+
   test("LR serving scores are bit-identical to the inline-trained scores") {
     val dir = Files.createTempDirectory("graft-lr-model").toString
     val target = corpus.filter(col("doc_id") < 3)

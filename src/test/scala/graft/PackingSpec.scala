@@ -228,6 +228,30 @@ class PackingSpec extends SparkSpec {
     assert(graft.streaming.EventStreams.readUpsertTable(spark, tableDir).count() > 0)
   }
 
+  test("an all-empty-toks shard still advances the arrival watermark deterministically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inctok-empty").toString
+    val tableDir = s"$base/seqs"
+    val df = (0L until 4L).map(i => (i, Seq.tabulate(5)(j => (i * 10 + j).toInt)))
+      .toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") < 2), tableDir, seqLen = 16, sepId = -1, batchId = 0L)
+    // docs 2-3 arrive with EMPTY token arrays: total_tokens is unchanged,
+    // so the state row must win the upsert by its batchId version (the
+    // pre-fix total_tokens versioning tied nondeterministically here)
+    val empties = Seq((2L, Seq.empty[Int]), (3L, Seq.empty[Int])).toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(
+      empties, tableDir, seqLen = 16, sepId = -1, batchId = 1L)
+    // the watermark advanced to 3: a doc_id-3 replay under a NEW batch
+    // must now be rejected as out-of-order
+    val ex = intercept[IllegalStateException] {
+      operators.Packing.materializeShardIncremental(
+        Seq((3L, Seq(1, 2, 3))).toDF("doc_id", "toks"),
+        tableDir, seqLen = 16, sepId = -1, batchId = 2L)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
