@@ -4129,6 +4129,80 @@ object SparkEntry {
           .as("quality_pass_rate"))
   }
 
+  /** Build-once-per-JVM COMPACTED IVF-PQ index: build on a quarter of
+    * the corpus, grow it with three appended batches (four `batch=`
+    * dirs — the unbounded-small-files shape production append cadence
+    * produces), snapshot the pre-compaction probe answers and file
+    * count, then [[operators.Similarity.compactIvfPqIndex]] folds every
+    * batch dir into ONE consolidated dir (one file per cell) under the
+    * codes-manifest commit.
+    */
+  private val ivfPqCompactStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqProbes(spark: SparkSession, dir: String,
+                          probeIds: Seq[Long]): Seq[(Long, Array[Double])] =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), functions.Vectors.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(probeIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+  private def ensureIvfPqCompact(spark: SparkSession, dir: String): String =
+    ivfPqCompactStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-compact").toString
+      val idx = s"$base/idx"
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 4 === 0), idx)
+      (1 to 3).foreach { b =>
+        operators.Similarity.appendToIvfPqIndex(
+          e.filter(col("vec_id") % 4 === b), idx, batchId = b.toLong)
+      }
+      def nFiles: Long = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/codes"))
+        try st.filter(p => p.toString.endsWith(".parquet")).count()
+        finally st.close()
+      }
+      val probes = ivfPqProbes(spark, dir, Seq(0L, 1L, 2L))
+      operators.Similarity.queryIvfPqIndex(spark, idx, probes, 50, nprobe = 3)
+        .write.mode("overwrite").parquet(s"$base/pre")
+      val filesPre = nFiles
+      operators.Similarity.compactIvfPqIndex(spark, idx, batchId = 4L)
+      Seq((filesPre, nFiles)).toDF("files_pre", "files_post")
+        .write.mode("overwrite").parquet(s"$base/files")
+      base
+    })
+
+  /** IVF-PQ codes COMPACTION
+    * ([[operators.Similarity.compactIvfPqIndex]]): the append path's
+    * small-files cure — every live `batch=` dir folds into one
+    * consolidated dir (one file per cell) published under the
+    * codes-manifest commit, with the manifest's high-water mark keeping
+    * folded-batch replays idempotent. Verdict per probe: the
+    * post-compaction top-50 ADC answers are BIT-identical to the
+    * pre-compaction snapshot (codes are pure rows — merging dirs can
+    * change no candidate and no distance; exceptAll both ways proves
+    * set equality with multiplicity), and the codes table holds
+    * strictly fewer files than the four-batch layout it replaced.
+    */
+  def q174IvfPqCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqCompact(spark, dir)
+    val probes = ivfPqProbes(spark, dir, Seq(0L, 1L, 2L))
+    val post = operators.Similarity
+      .queryIvfPqIndex(spark, s"$base/idx", probes, 50, nprobe = 3)
+      .select(col("probe_id"), col("vec_id"), col("dist"), col("rn"))
+    val pre = spark.read.parquet(s"$base/pre")
+      .select(col("probe_id"), col("vec_id"), col("dist"), col("rn"))
+    val diff = post.exceptAll(pre).select(col("probe_id"))
+      .unionByName(pre.exceptAll(post).select(col("probe_id")))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_diff"))
+    val files = spark.read.parquet(s"$base/files")
+    pre.select(col("probe_id")).distinct()
+      .join(diff, Seq("probe_id"), "left")
+      .crossJoin(broadcast(files)) // one-row file-count frame
+      .select(col("probe_id"),
+        (coalesce(col("n_diff"), lit(0L)) === 0L).as("identical"),
+        (col("files_post") < col("files_pre")).as("fewer_files"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4300,6 +4374,7 @@ object SparkEntry {
     "q167_inc_token_seqs" -> (q167IncTokenSeqs _),
     "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
     "q169_refined_retrieval" -> (q169RefinedRetrieval _),
+    "q174_ivfpq_compaction" -> (q174IvfPqCompaction _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5557,6 +5632,12 @@ object SparkEntry {
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q169_refined_retrieval" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS no_worse, TRUE AS recall_ok
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    // bit-identity through compaction is decided in-engine (exceptAll
+    // both ways against the pre-compaction snapshot); the oracle pins
+    // the verdict: identical answers, strictly fewer files
+    "q174_ivfpq_compaction" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS identical, TRUE AS fewer_files
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q170_threshold_decontam" ->
       """WITH ct AS (

@@ -680,6 +680,13 @@ object Similarity {
     * reader never sees a half-written batch and a replayed batchId
     * no-ops (the mergeBatchIntoTable contract, re-expressed for a
     * hive-partitioned layout whose cell dirs must stay prunable).
+    * The rename is followed by a codes-manifest commit naming the live
+    * batch dirs (see [[compactIvfPqIndex]]): the manifest's maxBatch is
+    * the applied-batch high-water mark, so a replay of a batch whose
+    * dir a compaction already FOLDED AND SWEPT still no-ops instead of
+    * resurrecting pre-compaction data. A crash between the rename and
+    * the manifest commit replays into the manifest publish alone (the
+    * dir-exists branch), completing the interrupted append.
     */
   private def publishCodesBatch(codes: DataFrame, indexDir: String,
                                 batchId: Long): Unit = {
@@ -687,15 +694,197 @@ object Similarity {
     val spark = codes.sparkSession
     val root = new Path(s"$indexDir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestCodesManifest(fs, root)
+    if (current.exists(_._2 >= batchId)) return // replayed batch (possibly already compacted away)
     val dest = new Path(root, s"batch=$batchId")
-    if (fs.exists(dest)) return // replayed batch: already published
-    val inflight = new Path(root, s".inflight-$batchId")
-    if (fs.exists(inflight)) fs.delete(inflight, true) // crashed attempt
-    codes.write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
-    // spark writes a _SUCCESS marker inside; the rename is the commit
-    if (!fs.rename(inflight, dest))
-      throw new IllegalStateException(
-        s"failed to publish codes batch $batchId at $dest")
+    if (!fs.exists(dest)) {
+      val inflight = new Path(root, s".inflight-$batchId")
+      if (fs.exists(inflight)) fs.delete(inflight, true) // crashed attempt
+      codes.write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+      // spark writes a _SUCCESS marker inside; the rename is the commit
+      if (!fs.rename(inflight, dest))
+        throw new IllegalStateException(
+          s"failed to publish codes batch $batchId at $dest")
+    }
+    val dirs = current match {
+      case Some((_, _, live)) => (live :+ dest.getName).distinct.sorted
+      // first manifest on a pre-manifest index adopts every existing
+      // batch dir as the initial live set (the mergeBatchIntoTable
+      // migration convention)
+      case None => discoverBatchDirs(fs, root)
+    }
+    publishCodesManifest(fs, root,
+      current.map(_._1 + 1).getOrElse(0L), batchId, dirs)
+  }
+
+  // --------------------------------------------------------------------
+  // Codes-root manifest: the live-batch-dir ledger of an IVF-PQ index
+  // --------------------------------------------------------------------
+
+  /** COMPACT the IVF-PQ codes table — the small-files cure for the
+    * [[appendToIvfPqIndex]] path (each append publishes one
+    * `batch=<id>` dir forever; at production cadence a probed cell
+    * opens one file PER APPEND). All live batch dirs merge into ONE
+    * consolidated `batch=<batchId>` dir written with one file per cell,
+    * so post-compaction a probe opens `nprobe` files regardless of how
+    * many appends built the index. The commit protocol is the
+    * manifest-chain recipe the upsert tables use
+    * (EventStreams.mergeBatchIntoTable), re-expressed for a
+    * hive-partitioned layout whose `cell=` dirs must stay prunable:
+    *
+    *   - the consolidated dir stages hidden and publishes by RENAME
+    *     (the [[appendToIvfPqIndex]] protocol — a racing probe never
+    *     sees a half-written dir);
+    *   - the COMMIT is the next `_batches/<seq>.json` manifest naming
+    *     the consolidated dir as the only live dir (tiny-object rename
+    *     — readers resolve the highest committed manifest, so a read
+    *     interleaving anywhere sees either the old batch-dir set or the
+    *     consolidated one, NEVER both → probe results are bit-identical
+    *     through the compaction, no duplicate candidates);
+    *   - superseded batch dirs are swept only AFTER the commit, and
+    *     only when unreferenced by the newest `retain` manifests
+    *     (retain > 1 keeps the pre-compaction snapshot's dirs readable
+    *     — the upsert tables' time-travel dial); a crash between
+    *     commit and sweep self-heals on the next compaction.
+    *
+    * Codes are pure (vec_id, codes, cell) rows encoded under the FROZEN
+    * artifacts, so merging batch dirs cannot change any probe's
+    * candidate set or ADC distances — DedupSimilaritySpec asserts
+    * bit-identical probe results and the file-count drop; q174 runs the
+    * append → compact → probe chain through the correctness gate.
+    * `batchId` must exceed every applied batch (it becomes the new
+    * high-water mark); a replayed compaction no-ops and re-sweeps.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, batchId: Long,
+                        retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestCodesManifest(fs, root)
+    if (current.exists(_._2 >= batchId)) { // replay: commit already landed
+      sweepUnreferencedCodes(fs, root, retain)
+      return
+    }
+    val dirs = current.map(_._3).getOrElse(discoverBatchDirs(fs, root))
+    if (dirs.size <= 1) return // nothing to consolidate
+    val merged = spark.read.option("basePath", root.toString)
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+      .select(col("vec_id"), col("codes"), col("cell"))
+    val dest = new Path(root, s"batch=$batchId")
+    if (!fs.exists(dest)) {
+      val inflight = new Path(root, s".inflight-$batchId")
+      if (fs.exists(inflight)) fs.delete(inflight, true)
+      // hash-repartition on cell: each cell lands in exactly one task,
+      // so partitionBy writes exactly ONE file per cell
+      merged.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+      if (!fs.rename(inflight, dest))
+        throw new IllegalStateException(
+          s"failed to publish compacted codes at $dest")
+    }
+    publishCodesManifest(fs, root,
+      current.map(_._1 + 1).getOrElse(0L), batchId, Seq(dest.getName))
+    sweepUnreferencedCodes(fs, root, retain)
+  }
+
+  /** The codes table of a composed index: exactly the batch dirs the
+    * latest committed manifest names (basePath keeps BOTH partition
+    * columns, so cell pruning still skips non-probed dirs), falling
+    * back to whole-root partition discovery for pre-manifest indexes.
+    */
+  private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestCodesManifest(fs, root) match {
+      case Some((_, _, dirs)) if dirs.nonEmpty =>
+        spark.read.option("basePath", root.toString)
+          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+      case _ => spark.read.parquet(root.toString)
+    }
+  }
+
+  private def codesManifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_batches")
+
+  private def discoverBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).sorted.toSeq
+
+  /** Committed codes manifests, oldest → newest (zero-padded names). */
+  private def codesManifestList(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = codesManifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  /** Parse one codes manifest: (seq, maxBatch, live batch-dir names).
+    * Same writer-owned no-escape JSON + two-regex parse as the upsert
+    * manifests (EventStreams.readManifest).
+    */
+  private def readCodesManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): (Long, Long, Seq[String]) = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def num(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"malformed codes manifest $p"))
+      .group(1).toLong
+    val dirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Seq.empty)
+    (num("seq"), num("maxBatch"), dirs)
+  }
+
+  private def latestCodesManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path): Option[(Long, Long, Seq[String])] =
+    codesManifestList(fs, root).lastOption.map(readCodesManifest(fs, _))
+
+  /** Atomic commit point of the codes ledger: temp write + one
+    * tiny-object rename (the EventStreams.publishManifest protocol).
+    */
+  private def publishCodesManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path, seq: Long,
+                                   maxBatch: Long, dirs: Seq[String]): Unit = {
+    val dir = codesManifestDir(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val body = s"""{"seq":$seq,"maxBatch":$maxBatch,"dirs":[""" +
+      dirs.sorted.map(d => "\"" + d + "\"").mkString(",") + "]}"
+    val name = f"$seq%019d.json"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, name)
+    if (fs.exists(dest)) { fs.delete(tmp, false); return } // replayed seq
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"failed to commit codes manifest $dest")
+  }
+
+  /** Delete batch dirs referenced by NONE of the newest `retain`
+    * manifests (plus stale inflight stages). Runs only after a commit;
+    * re-running is always safe (it re-derives the retained set).
+    */
+  private def sweepUnreferencedCodes(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path,
+                                     retain: Int): Unit = {
+    val manifests = codesManifestList(fs, root)
+    if (manifests.isEmpty) return
+    val keep = manifests.takeRight(retain)
+      .flatMap(readCodesManifest(fs, _)._3).toSet
+    discoverBatchDirs(fs, root).filterNot(keep)
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".inflight-"))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** INCREMENTAL index growth — the FAISS `add` path: new vectors
@@ -797,8 +986,10 @@ object Similarity {
     }
     val lutRows = lutRowsLocal.toDF("probe_id", "cell", "lut")
     val cells = lutRowsLocal.map(_._2).distinct.sorted
-    // isin on the partition column -> only the probed cell dirs are read
-    val cand = spark.read.parquet(s"$indexDir/codes")
+    // isin on the partition column -> only the probed cell dirs are
+    // read, within exactly the batch dirs the codes manifest names
+    // (post-compaction: one consolidated dir, one file per probed cell)
+    val cand = readIvfPqCodes(spark, indexDir)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
     topKPerProbeDist(
       cand.join(broadcast(lutRows), Seq("cell"))

@@ -290,6 +290,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.head === 9L || got.head === 1L) // the exact copy or the near-parallel twin
   }
 
+  test("IVF-PQ compaction: probe bit-identical, fewer files, folded-batch replay no-ops") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    // three appends -> four batch dirs, each with its own per-cell files
+    val batches = (1 to 3).map { b =>
+      Seq((10L * b, (0 until 64).map(i => (b + i * 0.01 * b).toFloat), b))
+        .toDF("vec_id", "embedding", "label")
+    }
+    batches.zipWithIndex.foreach { case (df, i) =>
+      Similarity.appendToIvfPqIndex(df, idx, batchId = i + 1L)
+    }
+    def parquetFiles() = {
+      val root = java.nio.file.Paths.get(s"$idx/codes")
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    def probe() = Similarity.queryIvfPqIndex(spark, idx, Seq((0L, pv)), k = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2).toSeq
+    val before = probe()
+    val filesBefore = parquetFiles()
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 4L)
+    // the consolidated layout opens strictly fewer files (one per cell)
+    // and the probe results are BIT-identical — codes are pure rows, so
+    // merging dirs cannot change candidates or ADC distances
+    assert(parquetFiles() < filesBefore,
+      s"expected fewer files after compaction, ${parquetFiles()} vs $filesBefore")
+    assert(probe() === before)
+    // a replay of an append the compaction folded must NOT resurrect
+    // its pre-compaction dir (the manifest high-water mark guards it)
+    Similarity.appendToIvfPqIndex(batches(0), idx, batchId = 1L)
+    assert(probe() === before)
+    val total = spark.read.parquet(s"$idx/codes").count()
+    // replayed compaction no-ops too
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 4L)
+    assert(spark.read.parquet(s"$idx/codes").count() === total)
+    // growth continues after compaction: a NEW append lands and probes
+    Similarity.appendToIvfPqIndex(
+      Seq((99L, vecs.filter("vec_id = 0").head().getSeq[Float](1), 0))
+        .toDF("vec_id", "embedding", "label"),
+      idx, batchId = 5L)
+    assert(probe().exists(_._2 == 99L)) // the exact copy of vec 0 ranks in top-4
+  }
+
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
     Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
