@@ -4203,6 +4203,80 @@ object SparkEntry {
         (col("files_post") < col("files_pre")).as("fewer_files"))
   }
 
+  /** PER-SEQUENCE DOCUMENT SPANS + padded tail
+    * ([[operators.Packing.materializeTokenSequences]] with
+    * `withSpans`/`padId`): the attention-reset metadata a trainer
+    * needs on a concat-and-chunk layout — each document's contiguous
+    * (start, len) region inside every sequence it touches (len
+    * includes the doc's separator where it lands), with the trailing
+    * partial sequence KEPT and padded to exactly seqLen instead of
+    * dropped. One row per (sequence, document) region, plus the
+    * sequence's padded length and real-token count. The oracle
+    * re-derives the entire q160 token layout (BPE train + encode,
+    * prefix-sum offsets, separator placement) and reads every span off
+    * the per-token global positions: start = MIN(gpos) mod L, len =
+    * COUNT(*) per (sequence, doc) — so a hash-match proves the span
+    * metadata is exactly the layout's truth, including the padded
+    * tail's real count.
+    */
+  def q175DocSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
+      .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = operators.TextAnalysis.bpeIdVocab(docs, merges)
+    val ids = operators.TextAnalysis.bpeEncodeIds(
+      docs, merges, vocab.zipWithIndex.toMap)
+    val seqs = operators.Packing.materializeTokenSequences(
+      ids, seqLen = 128, sepId = vocab.size,
+      withSpans = true, padId = Some(vocab.size + 1))
+    seqs.select(col("seq_id"),
+        size(col("tokens")).cast("long").as("seq_len"),
+        aggregate(col("doc_spans"), lit(0L),
+          (a, s) => a + s.getField("len")).as("n_real"),
+        explode(col("doc_spans")).as("sp"))
+      .select(col("seq_id"), col("seq_len"), col("n_real"),
+        col("sp.doc_id").as("doc_id"), col("sp.start").as("start"),
+        col("sp.len").as("len"))
+  }
+
+  /** q175 oracle: the q160/q167 CTE chain (BPE train + encode,
+    * per-token global positions incl. separators) with spans read off
+    * gp — per (sequence, doc): start = MIN(gpos) mod seqLen (every
+    * gpos of the group sits inside the sequence), len = COUNT(*); the
+    * padded tail keeps seq_len = seqLen with n_real = its real tokens.
+    */
+  private def docSpansOracleSql(nMerges: Int, seqLen: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
+       |         unnest(syms) AS sym
+       |       FROM (SELECT doc_id, wi, string_split(trim(s), ' ') AS syms
+       |             FROM e$nMerges)),
+       |dp AS (SELECT doc_id, sym,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS p
+       |       FROM dt),
+       |vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS tid
+       |          FROM (SELECT DISTINCT sym FROM dt)),
+       |vsz AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM dt GROUP BY 1),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM cnt),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |gp AS (SELECT d.doc_id, s.st + d.p AS gpos
+       |       FROM dp d JOIN s USING (doc_id)
+       |       UNION ALL SELECT s.doc_id, s.et AS gpos FROM s),
+       |spans AS (SELECT (gpos // $seqLen)::BIGINT AS seq_id, doc_id,
+       |            (MIN(gpos) % $seqLen)::BIGINT AS start,
+       |            COUNT(*)::BIGINT AS len
+       |          FROM gp GROUP BY 1, 2),
+       |sq AS (SELECT seq_id, SUM(len)::BIGINT AS n_real FROM spans GROUP BY 1)
+       |SELECT p.seq_id, CAST($seqLen AS BIGINT) AS seq_len, q.n_real,
+       |  p.doc_id, p.start, p.len
+       |FROM spans p JOIN sq q USING (seq_id)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4375,6 +4449,7 @@ object SparkEntry {
     "q168_ivfpq_append" -> (q168IvfPqAppendRecall _),
     "q169_refined_retrieval" -> (q169RefinedRetrieval _),
     "q174_ivfpq_compaction" -> (q174IvfPqCompaction _),
+    "q175_doc_spans" -> (q175DocSpans _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5639,6 +5714,7 @@ object SparkEntry {
     "q174_ivfpq_compaction" ->
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS identical, TRUE AS fewer_files
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q175_doc_spans" -> docSpansOracleSql(nMerges = 6, seqLen = 128),
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -215,9 +215,25 @@ object Packing {
     * O(total_tokens / seqLen + n_docs), payload O(total_tokens) —
     * the minimum any materialization pays. PlanSpec guards the
     * single-Generate shape.
+    *
+    * Trainer-facing metadata (both opt-in, zero cost when off):
+    *   - `withSpans = true` adds `doc_spans: array<struct<doc_id,
+    *     start, len>>` per sequence — each document's contiguous
+    *     region (within-sequence 0-based `start`, `len` including the
+    *     doc's separator when it lands in this sequence), sorted by
+    *     start. This is the attention-reset metadata every
+    *     concat-and-chunk consumer needs (a trainer masks attention
+    *     across span boundaries); the spans ride the pieces the layout
+    *     already computes — no extra shuffle, no extra scan.
+    *   - `padId = Some(p)` KEEPS the trailing partial sequence, padded
+    *     with `p` to exactly `seqLen` (the padded-mode export some
+    *     pipelines run instead of dropping the tail); its doc_spans
+    *     cover only the real tokens. Default None preserves the
+    *     drop-the-tail contract.
     */
   def materializeTokenSequences(docTokens: DataFrame, seqLen: Int, sepId: Int,
-                                nParts: Int = 8): DataFrame = {
+                                nParts: Int = 8, withSpans: Boolean = false,
+                                padId: Option[Int] = None): DataFrame = {
     require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
     val toks = docTokens
       .select(col("doc_id"), col("toks"))
@@ -225,6 +241,25 @@ object Packing {
     val costs = toks.select(col("doc_id"),
       (size(col("toks")).cast("long") + lit(1L)).as("cost"))
     val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
+    val assembled = assembleSequences(
+      tokenPieces(ends, toks, seqLen, sepId))
+    val full = padId match {
+      case Some(p) => assembled.withColumn("tokens",
+        concat(col("tokens"), array_repeat(lit(p),
+          (lit(seqLen) - size(col("tokens"))).cast("int"))))
+      case None => assembled.filter(size(col("tokens")) === seqLen)
+    }
+    if (withSpans) full else full.drop("doc_spans")
+  }
+
+  /** The per-(sequence, document) piece projection shared by the batch
+    * and incremental materializers: one bounded Generate over the
+    * sequences a doc touches, each row carrying the doc's array SLICE
+    * for that sequence (plus its separator when it lands there) and the
+    * piece's span struct (doc_id, within-seq start, len).
+    */
+  private def tokenPieces(ends: DataFrame, toks: DataFrame, seqLen: Int,
+                          sepId: Int): DataFrame = {
     val L = lit(seqLen.toLong)
     val empty = array().cast("array<int>")
     ends
@@ -234,23 +269,37 @@ object Packing {
       // et div L (not (et-1) div L as in the accounting variant): the
       // separator position et belongs to the layout here
       .withColumn("seq_id",
-        explode(sequence(expr(s"st div $seqLen"), expr(s"et div $seqLen"))))
+        explode(sequence(expr(s"st div $seqLen"), expr(s"(et) div $seqLen"))))
       .withColumn("lo", greatest(col("st"), col("seq_id") * L))
       .withColumn("hi", least(col("et"), (col("seq_id") + lit(1L)) * L))
-      .select(col("seq_id"), col("lo"),
+      .withColumn("piece",
         concat(
           when(col("hi") > col("lo"),
             slice(col("toks"), (col("lo") - col("st") + 1L).cast("int"),
               (col("hi") - col("lo")).cast("int"))).otherwise(empty),
           when(col("et") >= col("seq_id") * L &&
               col("et") < (col("seq_id") + lit(1L)) * L,
-            array(lit(sepId))).otherwise(empty)).as("piece"))
-      .groupBy(col("seq_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("lo"), col("piece")))),
-        x => x.getField("piece"))).as("tokens"))
-      .filter(size(col("tokens")) === seqLen)
+            array(lit(sepId))).otherwise(empty)))
+      .select(col("seq_id"), col("lo"), col("piece"),
+        array(struct(col("doc_id"),
+          (col("lo") - col("seq_id") * L).as("start"),
+          size(col("piece")).cast("long").as("len"))).as("spans"))
   }
+
+  /** Reassemble (seq_id, tokens, doc_spans) from piece rows: ONE
+    * array_sort of the collected (lo, piece, spans) structs orders both
+    * the token stream and the span list (pieces are disjoint, so lo is
+    * a total order within a sequence). `spans` is an ARRAY per piece —
+    * single-element for regular pieces, the full saved list for an
+    * incremental carry piece — flattened in collection order.
+    */
+  private def assembleSequences(pieces: DataFrame): DataFrame =
+    pieces.groupBy(col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("lo"), col("piece"), col("spans"))))
+        .as("ps"))
+      .select(col("seq_id"),
+        flatten(transform(col("ps"), x => x.getField("piece"))).as("tokens"),
+        flatten(transform(col("ps"), x => x.getField("spans"))).as("doc_spans"))
 
   /** INCREMENTAL token materialization — [[packShardIncremental]]'s
     * token-granular twin: each arriving shard of (doc_id, toks) id
@@ -276,6 +325,12 @@ object Packing {
     * are prefix sums in doc_id order). PackingSpec proves N shard
     * passes (including an empty one) produce exactly the batch
     * [[materializeTokenSequences]] table.
+    *
+    * The committed table carries the batch materializer's `doc_spans`
+    * metadata too: the carry row stores the partial trailing sequence's
+    * spans alongside its tokens (both bounded by seqLen), so a sequence
+    * completed across a shard boundary lands with exactly the spans the
+    * batch layout would give it (PackingSpec proves span equality).
     */
   def materializeShardIncremental(shard: DataFrame, tableDir: String,
                                   seqLen: Int, sepId: Int, batchId: Long,
@@ -287,10 +342,15 @@ object Packing {
     val stateDir = s"$tableDir/_tokstate"
     val prevState = EventStreams
       .readUpsertTableBefore(spark, stateDir, batchId)
-      .map(_.select(col("total_tokens"), col("max_doc_id"), col("carry")).head())
+      .map(_.select(col("total_tokens"), col("max_doc_id"), col("carry"),
+        col("carry_spans")).head())
     val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
     val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
     val carry: Seq[Int] = prevState.map(_.getSeq[Int](2)).getOrElse(Seq.empty)
+    val carrySpans: Seq[(Long, Long, Long)] = prevState
+      .map(_.getSeq[org.apache.spark.sql.Row](3)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .getOrElse(Seq.empty)
     val bounds = shard.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val shardMaxDoc: Long =
       if (bounds.isNullAt(0)) prevMaxDoc else bounds.getLong(1)
@@ -309,61 +369,47 @@ object Packing {
       (size(col("toks")).cast("long") + lit(1L)).as("cost"))
     val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
       .withColumn("fin", col("fin") + lit(prevTotal))
-    val L = lit(seqLen.toLong)
-    val empty = array().cast("array<int>")
-    val pieces = ends
-      .select(col("doc_id"),
-        (col("fin") - col("cost")).as("st"), (col("fin") - lit(1L)).as("et"))
-      .join(toks, Seq("doc_id"))
-      .withColumn("seq_id",
-        explode(sequence(expr(s"st div $seqLen"), expr(s"et div $seqLen"))))
-      .withColumn("lo", greatest(col("st"), col("seq_id") * L))
-      .withColumn("hi", least(col("et"), (col("seq_id") + lit(1L)) * L))
-      .select(col("seq_id"), col("lo"),
-        concat(
-          when(col("hi") > col("lo"),
-            slice(col("toks"), (col("lo") - col("st") + 1L).cast("int"),
-              (col("hi") - col("lo")).cast("int"))).otherwise(empty),
-          when(col("et") >= col("seq_id") * L &&
-              col("et") < (col("seq_id") + lit(1L)) * L,
-            array(lit(sepId))).otherwise(empty)).as("piece"))
+    val pieces = tokenPieces(ends, toks, seqLen, sepId)
     // the previous shard's half-filled trailing sequence joins as one
-    // more piece at the boundary sequence's base offset
+    // more piece (tokens AND spans) at the boundary sequence's base
     val withCarry =
       if (carry.isEmpty) pieces
       else pieces.unionByName(
-        Seq((prevTotal / seqLen, (prevTotal / seqLen) * seqLen, carry))
-          .toDF("seq_id", "lo", "piece"))
+        Seq((prevTotal / seqLen, (prevTotal / seqLen) * seqLen, carry, carrySpans))
+          .toDF("seq_id", "lo", "piece", "sp0")
+          .select(col("seq_id"), col("lo"), col("piece"),
+            expr("transform(sp0, s -> named_struct(" +
+              "'doc_id', s._1, 'start', s._2, 'len', s._3))").as("spans")))
     // materialize BEFORE the commits (the packShardIncremental rule):
     // two consumers below (full-sequence merge + new-carry extraction),
     // and the plan must not read files the merge sweeps
-    val seqsAll = withCarry
-      .groupBy(col("seq_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("lo"), col("piece")))),
-        x => x.getField("piece"))).as("tokens"))
-      .localCheckpoint()
+    val seqsAll = assembleSequences(withCarry).localCheckpoint()
     val shardCost = costs.agg(coalesce(sum(col("cost")), lit(0L))).head().getLong(0)
     val newTotal = prevTotal + shardCost
-    // the new trailing partial (< seqLen ids — a bounded driver-side
-    // artifact, like the cut tables): absent when the stream lands
-    // exactly on a boundary
-    val newCarry: Seq[Int] =
-      if (newTotal % seqLen == 0) Seq.empty
+    // the new trailing partial (< seqLen ids + its spans — a bounded
+    // driver-side artifact, like the cut tables): absent when the
+    // stream lands exactly on a boundary
+    val (newCarry, newCarrySpans): (Seq[Int], Seq[(Long, Long, Long)]) =
+      if (newTotal % seqLen == 0) (Seq.empty, Seq.empty)
       else seqsAll.filter(col("seq_id") === newTotal / seqLen)
-        .select(col("tokens")).collect()
-        .headOption.map(_.getSeq[Int](0)).getOrElse(Seq.empty)
+        .select(col("tokens"), col("doc_spans")).collect()
+        .headOption.map { r =>
+          (r.getSeq[Int](0).toSeq,
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq)
+        }.getOrElse((Seq.empty, Seq.empty))
     EventStreams.mergeBatchIntoTable(
       seqsAll.filter(size(col("tokens")) === seqLen)
-        .select(col("seq_id"), col("tokens")),
+        .select(col("seq_id"), col("tokens"), col("doc_spans")),
       tableDir, Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId,
       retain = 2)
     // versioned by batchId, not total_tokens (see packShardIncremental:
     // an all-empty-toks shard must still advance the watermark
     // deterministically)
     EventStreams.mergeBatchIntoTable(
-      Seq((0, newTotal, shardMaxDoc, newCarry, batchId))
-        .toDF("k", "total_tokens", "max_doc_id", "carry", "__v"), stateDir,
+      Seq((0, newTotal, shardMaxDoc, newCarry, newCarrySpans, batchId))
+        .toDF("k", "total_tokens", "max_doc_id", "carry", "carry_spans", "__v"),
+      stateDir,
       Seq("k"), "__v", nBuckets = 1, batchId = batchId, retain = 2)
   }
 

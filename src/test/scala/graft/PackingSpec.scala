@@ -155,6 +155,36 @@ class PackingSpec extends SparkSpec {
       1L -> Seq(8, 99, 9, 10, 11, 12, 13, 14)))
   }
 
+  test("doc spans: per-sequence attention-reset metadata, closed form; padded tail kept") {
+    import spark.implicits._
+    // same fixture as above; spans cover each doc's contiguous region
+    // INCLUDING its separator where it lands:
+    //   seq0: doc0 [0,6) (5 toks + sep), doc1 [6,8) (2 toks)
+    //   seq1: doc1 [0,2) (tok 8 + sep), doc2 [2,8)
+    //   seq2 (padded mode): doc2 [0,5) (4 toks + sep), then 3 pad slots
+    val df = Seq(
+      (0L, Seq(1, 2, 3, 4, 5)),
+      (1L, Seq(6, 7, 8)),
+      (2L, (9 to 18).toSeq)).toDF("doc_id", "toks")
+    def spans(padId: Option[Int]) = operators.Packing
+      .materializeTokenSequences(df, seqLen = 8, sepId = 99, nParts = 2,
+        withSpans = true, padId = padId)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toSeq,
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq)).toMap
+    val dropped = spans(None)
+    assert(dropped(0L)._2 === Seq((0L, 0L, 6L), (1L, 6L, 2L)))
+    assert(dropped(1L)._2 === Seq((1L, 0L, 2L), (2L, 2L, 6L)))
+    assert(!dropped.contains(2L))
+    val padded = spans(Some(-7))
+    assert(padded(0L) === dropped(0L))
+    assert(padded(1L) === dropped(1L))
+    // the trailing partial is KEPT, padded to exactly L, spans real-only
+    assert(padded(2L)._1 === Seq(15, 16, 17, 18, 99, -7, -7, -7))
+    assert(padded(2L)._2 === Seq((2L, 0L, 5L)))
+  }
+
   test("materializeTokenSequences: mass conservation, fixed length, partition invariance") {
     import spark.implicits._
     // 30 docs, ragged lengths; every kept sequence has exactly L tokens,
@@ -199,14 +229,23 @@ class PackingSpec extends SparkSpec {
     operators.Packing.materializeShardIncremental(
       df.filter(col("doc_id") < 0), tableDir, seqLen = 16, sepId = -1, batchId = 3L)
     def canon(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).sortBy(_._1).toSeq
+      rows.map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq))
+        .sortBy(_._1).toSeq
     val inc = canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
-      .select("seq_id", "tokens").collect())
+      .select("seq_id", "tokens", "doc_spans").collect())
+    // tokens AND doc_spans equal the batch layout — a sequence completed
+    // across a shard boundary gets its spans through the carry row
     val batch = canon(operators.Packing
-      .materializeTokenSequences(df, seqLen = 16, sepId = -1)
-      .select("seq_id", "tokens").collect())
+      .materializeTokenSequences(df, seqLen = 16, sepId = -1, withSpans = true)
+      .select("seq_id", "tokens", "doc_spans").collect())
     assert(inc === batch)
     assert(inc.nonEmpty)
+    // at least one committed sequence genuinely straddles a shard
+    // boundary with docs from both sides (the carry-span proof is vacuous
+    // otherwise): shard 1 starts at doc 9
+    assert(inc.exists(s => s._3.exists(_._1 < 9L) && s._3.exists(_._1 >= 9L)))
   }
 
   test("materializeShardIncremental fails fast on out-of-order arrival") {
