@@ -4277,6 +4277,92 @@ object SparkEntry {
        |  p.doc_id, p.start, p.len
        |FROM spans p JOIN sq q USING (seq_id)""".stripMargin
 
+  /** KEEP-BEST curation ([[operators.Curation.curate]] with
+    * `keepBest = true`): the q136 six-stage pipeline with stage 3's
+    * survivor policy switched from keep-the-anchor (min doc_id) to the
+    * q171 production policy — LSH rep edges close transitively, each
+    * dup cluster keeps its LONGEST member (n_tokens desc, doc_id asc
+    * tie-break). Same per-(lang, split) accounting as q136; the oracle
+    * re-derives the whole chain with the closure + argmax CTEs spliced
+    * in where q136's NOT-IN-dups stage sat, so the hash-match proves
+    * the composed keep-best decision document by document.
+    */
+  def q176KeepBestCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    operators.Curation.curate(
+        corpus = docs.filter(col("doc_id") >= 250),
+        evalSlice = docs.filter(col("doc_id") < 250),
+        keepBest = true)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** q176 oracle: the q136 chain with the keep-best stage-3 CTEs —
+    * LSH edges over d1, recursive reachability closure, singleton
+    * coalesce, per-cluster (n_toks DESC, doc_id) argmax — replacing
+    * the NOT-IN-dups survivor rule.
+    */
+  private def keepBestCurationOracleSql: String = {
+    val lshCtes = minhashLshOracleCtesOver("d1").replaceFirst("WITH ", "")
+    s"""WITH RECURSIVE qd AS (
+       |  SELECT doc_id, text, lang,
+       |         list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id >= 250),
+       |d1base AS (
+       |  SELECT doc_id, text, lang, toks, len(toks) AS n_toks FROM qd
+       |  WHERE len(toks) >= 10
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+       |    AND ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','from','it','this','that'))) AS DOUBLE) / len(toks), 6) <= 0.5),
+       |ex AS (SELECT MIN(doc_id) AS doc_id FROM d1base GROUP BY sha256(text)),
+       |d1 AS (SELECT b.* FROM d1base b JOIN ex USING (doc_id)),
+       |$lshCtes,
+       |edges AS (SELECT doc_id, MIN(anchor) AS rep_id
+       |          FROM v WHERE jaccard >= 0.8 GROUP BY doc_id),
+       |und AS (SELECT doc_id AS a, rep_id AS b FROM edges
+       |        UNION ALL SELECT rep_id, doc_id FROM edges),
+       |nodes AS (SELECT DISTINCT a AS n FROM und),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, u.b FROM reach r JOIN und u ON r.m = u.a),
+       |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY 1),
+       |mm AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       |         d.n_toks
+       |       FROM d1 d LEFT JOIN cc USING (doc_id)),
+       |best AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |        ORDER BY n_toks DESC, doc_id) AS rn
+       |    FROM mm) WHERE rn = 1),
+       |d2 AS (SELECT d1.* FROM d1
+       |       JOIN best b ON d1.doc_id = b.canonical_id),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+       |           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+       |  FROM d2 WHERE len(toks) >= 5),
+       |egbase AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+       |           i -> array_to_string(toks[i:i+4], ' '))) AS gram
+       |  FROM (SELECT list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id < 250)
+       |  WHERE len(toks) >= 5),
+       |eg AS (SELECT DISTINCT gram FROM egbase),
+       |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)),
+       |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |s AS (
+       |  SELECT lang, n_toks, doc_id,
+       |         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT / 4294967296.0 AS u
+       |  FROM d3)
+       |SELECT lang,
+       |       CASE WHEN u < 0.8 THEN 'train'
+       |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4450,6 +4536,7 @@ object SparkEntry {
     "q169_refined_retrieval" -> (q169RefinedRetrieval _),
     "q174_ivfpq_compaction" -> (q174IvfPqCompaction _),
     "q175_doc_spans" -> (q175DocSpans _),
+    "q176_keepbest_curation" -> (q176KeepBestCuration _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5715,6 +5802,7 @@ object SparkEntry {
       """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS identical, TRUE AS fewer_files
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q175_doc_spans" -> docSpansOracleSql(nMerges = 6, seqLen = 128),
+    "q176_keepbest_curation" -> keepBestCurationOracleSql,
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -120,9 +120,21 @@ object Curation {
     * frame (doc_id, text, lang, n_tokens, split) — q136 aggregates it
     * into the accounting table; the incremental spec compares survivor
     * SETS against it.
+    *
+    * `keepBest = true` switches stage 3's SURVIVOR POLICY from
+    * keep-the-anchor (min doc_id — detection's internal convention) to
+    * keep-the-BEST cluster member (the q171
+    * [[Dedup.canonicalByQuality]] production policy: RefinedWeb/
+    * FineWeb keep the longest copy): LSH rep edges close transitively
+    * ([[Dedup.connectedComponents]] — a doc may link to its cluster
+    * through a chain of band buckets), and each closed cluster keeps
+    * its max-n_tokens member, ties to the smaller doc_id. Same scale
+    * shape plus the closure's bounded pointer-jumping rounds and one
+    * per-cluster argmax aggregate — still nothing all-pairs.
     */
   def curate(corpus: DataFrame, evalSlice: DataFrame, n: Int = 5,
-             stage1: DataFrame => DataFrame = qualityGate): DataFrame = {
+             stage1: DataFrame => DataFrame = qualityGate,
+             keepBest: Boolean = false): DataFrame = {
     val qual = stage1(corpus)
     // materialize the quality+exact-dedup survivors ONCE (q113 pattern):
     // d1 feeds the LSH signature build, both verification token-set
@@ -132,8 +144,21 @@ object Curation {
     // per consumer (measured: 57 scan appearances in the logical plan,
     // best-of-5 2.55 -> 2.10 s at sf0.1 from this one barrier)
     val d1 = qual.join(exactUniqueIds(qual), Seq("doc_id"), "left_semi").localCheckpoint()
-    val d2 = d1.join(lshAssignments(d1).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+    val d2 =
+      if (!keepBest)
+        d1.join(lshAssignments(d1).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else {
+        val cc = Dedup.connectedComponents(
+            lshAssignments(d1).select(col("doc_id"), col("rep_id")),
+            "doc_id", "rep_id")
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val canon = Dedup.canonicalByQuality(cc,
+          d1.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+          "n_tokens")
+        d1.join(canon.filter(col("is_canonical")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
     val evalGrams = grams(evalSlice, n).select(col("gram")).distinct()
     val contaminated = grams(d2, n).join(broadcast(evalGrams), Seq("gram"))
       .select(col("doc_id")).distinct()

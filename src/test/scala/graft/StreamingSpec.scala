@@ -543,6 +543,26 @@ class StreamingSpec extends SparkSpec {
     assert(inc.exists(_.startsWith("[4")))
   }
 
+  test("curate keepBest keeps the longest near-dup member instead of the anchor") {
+    import spark.implicits._
+    // docs 10/11 share the exact token SET (identical minhash signatures
+    // -> guaranteed same LSH buckets, jaccard 1.0), but 11 repeats three
+    // words so it is LONGER (33 vs 30 tokens); doc 12 is unrelated
+    val words = (1 to 30).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words ++ Seq("w1", "w2", "w3")).mkString(" ")
+    val c = (100 to 114).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((10L, a, "en"), (11L, b, "en"), (12L, c, "en"))
+      .toDF("doc_id", "text", "lang")
+    val evalSlice = Seq((0L, "nothing shared here at all")).toDF("doc_id", "text")
+    def survivors(keepBest: Boolean) =
+      graft.operators.Curation.curate(corpus, evalSlice, keepBest = keepBest)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // min-id policy keeps the anchor 10; keep-best keeps the longer 11
+    assert(survivors(keepBest = false) === Set(10L, 12L))
+    assert(survivors(keepBest = true) === Set(11L, 12L))
+  }
+
   test("curateShard crash-replay between the state and sink commits loses nothing") {
     import graft.streaming.CurationStream
     val base = Files.createTempDirectory("graft-curation-replay").toString
