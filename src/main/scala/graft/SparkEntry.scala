@@ -4363,6 +4363,95 @@ object SparkEntry {
        |FROM s GROUP BY 1, 2""".stripMargin
   }
 
+  /** Build-once-per-JVM takedown chain: the q167 incremental sequence
+    * table (frozen tokenizer + two shard passes), then
+    * [[operators.Packing.deleteDocsFromSequences]] removes a takedown
+    * set spanning both shards — including an EARLY doc (id 5), so the
+    * cut lands near the stream's head and almost the whole layout
+    * re-derives — while the tokenizer artifact stays frozen.
+    */
+  private val delTokStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q177DeletedIds = Seq(5L, 123L, 260L)
+  private def ensureDeletedTokenSeqs(spark: SparkSession, dir: String): String =
+    delTokStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-tokdel").toString
+      val tokDir = s"$base/tokenizer"
+      val tableDir = s"$base/seqs"
+      val docs = Tables.documents(spark, dir)
+      operators.Models.buildTokenizer(docs, tokDir, nMerges = 6)
+      val (merges, vocab, sepId) = operators.Models.readTokenizer(spark, tokDir)
+      def enc(df: DataFrame): DataFrame =
+        operators.TextAnalysis.bpeEncodeIds(df, merges, vocab)
+      operators.Packing.materializeShardIncremental(
+        enc(docs.filter(col("doc_id") < 250)), tableDir,
+        seqLen = 128, sepId = sepId, batchId = 0L)
+      operators.Packing.materializeShardIncremental(
+        enc(docs.filter(col("doc_id") >= 250)), tableDir,
+        seqLen = 128, sepId = sepId, batchId = 1L)
+      operators.Packing.deleteDocsFromSequences(
+        enc(docs), q177DeletedIds, tableDir,
+        seqLen = 128, sepId = sepId, batchId = 2L)
+      tableDir
+    })
+
+  /** TAKEDOWN propagation ([[operators.Packing
+    * .deleteDocsFromSequences]]): a deletion request walks the
+    * committed artifacts — the sequence table re-lays its suffix from
+    * the first affected position (the prefix before the first deleted
+    * doc is provably untouched), under the FROZEN tokenizer, as two
+    * idempotent commits. The oracle is a FROM-SCRATCH derivation of
+    * the q167 layout with the deleted docs excluded (tokenizer still
+    * trained on the full corpus — deletion never retrains), so the
+    * hash-match proves post-delete artifacts ≡ a build that never saw
+    * the docs, token for token.
+    */
+  def q177DeletionPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val t = streaming.EventStreams.readUpsertTable(
+      spark, ensureDeletedTokenSeqs(spark, dir))
+    t.select(col("seq_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      md5(concat_ws(",", transform(col("tokens"), _.cast("string"))))
+        .as("tok_md5"))
+  }
+
+  /** q177 oracle: the q167 CTE chain with the takedown set excluded
+    * from the LAYOUT (the `cnt` filter — `gp` joins the filtered
+    * offsets, so deleted docs contribute neither tokens nor
+    * separators) while BPE training and the id vocab still see the
+    * full corpus (the frozen-tokenizer contract).
+    */
+  private def deletionPropagationOracleSql(nMerges: Int, seqLen: Int,
+                                           deleted: Seq[Long]): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
+       |         unnest(syms) AS sym
+       |       FROM (SELECT doc_id, wi, string_split(trim(s), ' ') AS syms
+       |             FROM e$nMerges)),
+       |dp AS (SELECT doc_id, sym,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS p
+       |       FROM dt),
+       |vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS tid
+       |          FROM (SELECT DISTINCT sym FROM dt)),
+       |vsz AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM dt
+       |        WHERE doc_id NOT IN (${deleted.mkString(", ")})
+       |        GROUP BY 1),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM cnt),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |gp AS (SELECT d.doc_id, s.st + d.p AS gpos, v.tid
+       |       FROM dp d JOIN s USING (doc_id) JOIN vocab v USING (sym)
+       |       UNION ALL SELECT s.doc_id, s.et AS gpos, vsz.v AS tid
+       |       FROM s, vsz)
+       |SELECT gpos // $seqLen AS seq_id,
+       |  COUNT(*)::BIGINT AS n_tokens,
+       |  md5(string_agg(tid::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
+       |FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4537,6 +4626,7 @@ object SparkEntry {
     "q174_ivfpq_compaction" -> (q174IvfPqCompaction _),
     "q175_doc_spans" -> (q175DocSpans _),
     "q176_keepbest_curation" -> (q176KeepBestCuration _),
+    "q177_deletion_propagation" -> (q177DeletionPropagation _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5803,6 +5893,8 @@ object SparkEntry {
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q175_doc_spans" -> docSpansOracleSql(nMerges = 6, seqLen = 128),
     "q176_keepbest_curation" -> keepBestCurationOracleSql,
+    "q177_deletion_propagation" -> deletionPropagationOracleSql(
+      nMerges = 6, seqLen = 128, deleted = q177DeletedIds),
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

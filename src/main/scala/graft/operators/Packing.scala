@@ -413,6 +413,104 @@ object Packing {
       Seq("k"), "__v", nBuckets = 1, batchId = batchId, retain = 2)
   }
 
+  /** TAKEDOWN propagation through the committed sequence table — the
+    * deletion path a right-to-be-forgotten request walks: remove a doc
+    * set from the [[materializeShardIncremental]] artifact so the table
+    * equals a FROM-SCRATCH build over the retained corpus (PackingSpec
+    * proves the equality; q177 proves it through the correctness gate),
+    * WITHOUT re-laying the whole stream.
+    *
+    * The cut-point argument: token offsets are prefix sums in doc_id
+    * order, so every position before the FIRST deleted doc's start is
+    * identical in the retained layout. With `cutSeq = firstDelStart div
+    * L`, sequences below cutSeq are untouched (they hold only positions
+    * < cutSeq·L <= firstDelStart); everything from cutSeq on is
+    * re-derived from the retained docs whose retained interval reaches
+    * cutSeq·L — docs wholly before the cut are never re-read, so the
+    * work is O(corpus after the first deletion), the minimum any
+    * offset-preserving layout pays (counts for the prefix sum are still
+    * one narrow pass over per-doc lengths).
+    *
+    * Commit protocol: the stale suffix (seq ids cutSeq..oldTotal/L)
+    * deletes under `batchId`, the rebuilt suffix + state commit under
+    * `batchId + 1` — both idempotent, nothing reads the table being
+    * rewritten (everything derives from `corpusToks`), so a crash
+    * anywhere replays to the same result. The state keeps the OLD
+    * arrival watermark (deletion must not re-open doc_id room below
+    * already-packed history) and versions by batchId. The tokenizer
+    * stays frozen — deletion never retrains (retraining would
+    * re-interpret every surviving sequence).
+    *
+    * `corpusToks` is the SAME (doc_id, toks) stream that built the
+    * table (production keeps it as a committed asset); `deletedIds`
+    * is the takedown set (bounded by contract — legal request lists,
+    * riding as a broadcast literal). Ids absent from the corpus are
+    * no-ops. Consumes batchId AND batchId+1; later appends must use
+    * ids above batchId+1.
+    */
+  def deleteDocsFromSequences(corpusToks: DataFrame, deletedIds: Seq[Long],
+                              tableDir: String, seqLen: Int, sepId: Int,
+                              batchId: Long, nParts: Int = 8): Unit = {
+    require(seqLen > 1, s"seqLen must be > 1, got $seqLen")
+    val spark = corpusToks.sparkSession
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val stateDir = s"$tableDir/_tokstate"
+    val prevState = EventStreams
+      .readUpsertTableBefore(spark, stateDir, batchId)
+      .map(_.select(col("total_tokens"), col("max_doc_id")).head())
+    val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
+    val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
+    val toksAll = corpusToks.select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+    val costsAll = toksAll.select(col("doc_id"),
+      (size(col("toks")).cast("long") + lit(1L)).as("cost"))
+    // ORIGINAL offsets locate the cut: the first deleted doc's start
+    val origEnds = TimeOps.runningTotalDistributed(
+      costsAll, "doc_id", "cost", nParts, "fin")
+    val delStarts = origEnds.filter(col("doc_id").isin(deletedIds: _*))
+      .agg(min(col("fin") - col("cost"))).head()
+    if (delStarts.isNullAt(0)) return // no deleted doc in the corpus: nothing moves
+    val cutSeq = delStarts.getLong(0) / seqLen
+    val cutPos = cutSeq * seqLen
+    // RETAINED layout: prefix sums over the surviving docs; only docs
+    // whose retained interval reaches the cut are re-laid
+    val retainedCosts = costsAll.filter(!col("doc_id").isin(deletedIds: _*))
+    val retEnds = TimeOps.runningTotalDistributed(
+      retainedCosts, "doc_id", "cost", nParts, "fin")
+    val suffixEnds = retEnds.filter(col("fin") > cutPos)
+    val pieces = tokenPieces(suffixEnds, toksAll, seqLen, sepId)
+      .filter(col("seq_id") >= cutSeq)
+    val seqsAll = assembleSequences(pieces).localCheckpoint()
+    val newTotal = retainedCosts.agg(coalesce(sum(col("cost")), lit(0L)))
+      .head().getLong(0)
+    val (newCarry, newCarrySpans): (Seq[Int], Seq[(Long, Long, Long)]) =
+      if (newTotal % seqLen == 0) (Seq.empty, Seq.empty)
+      else seqsAll.filter(col("seq_id") === newTotal / seqLen)
+        .select(col("tokens"), col("doc_spans")).collect()
+        .headOption.map { r =>
+          (r.getSeq[Int](0).toSeq,
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq)
+        }.getOrElse((Seq.empty, Seq.empty))
+    // (1) drop the stale suffix: every sequence id the OLD layout held
+    // from the cut on (bounded range frame, never collected)
+    EventStreams.deleteFromTable(spark, tableDir,
+      spark.range(cutSeq, prevTotal / seqLen + 1).select(col("id").as("seq_id")),
+      Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+    // (2) land the rebuilt suffix; (3) state LAST (the curateShard rule)
+    EventStreams.mergeBatchIntoTable(
+      seqsAll.filter(size(col("tokens")) === seqLen)
+        .select(col("seq_id"), col("tokens"), col("doc_spans")),
+      tableDir, Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1,
+      retain = 2)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0, newTotal, prevMaxDoc, newCarry, newCarrySpans, batchId + 1))
+        .toDF("k", "total_tokens", "max_doc_id", "carry", "carry_spans", "__v"),
+      stateDir,
+      Seq("k"), "__v", nBuckets = 1, batchId = batchId + 1, retain = 2)
+  }
+
   /** Deterministic training-order SHUFFLE + shard assignment — the step
     * after packing in every pre-training export: sequences are laid out
     * in a pseudo-random but fully reproducible global order (so a

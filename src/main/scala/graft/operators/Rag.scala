@@ -141,6 +141,27 @@ object Rag {
       batchId = batchId)
   }
 
+  /** TAKEDOWN tombstoning for the committed chunk index: every chunk of
+    * the deleted docs is removed as one committed delete generation
+    * (EventStreams.deleteFromTable — touched-buckets-only rewrite,
+    * manifest-atomic, replay-idempotent). Chunk derivations are
+    * per-document with no cross-document state, so — unlike the
+    * sequence table, which must re-lay its suffix — deleting a doc's
+    * chunks leaves every other row bit-identical to a from-scratch
+    * index over the retained corpus (RagSpec-proven). The key set is
+    * read off the index itself (chunk_key div 100000 recovers doc_id),
+    * checkpointed before the rewrite begins.
+    */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 deletedIds: Seq[Long], batchId: Long,
+                 nBuckets: Int = 8): Unit = {
+    val keys = graft.streaming.EventStreams.readUpsertTable(spark, indexDir)
+      .filter(expr("chunk_key div 100000").isin(deletedIds: _*))
+      .select(col("chunk_key"))
+    graft.streaming.EventStreams.deleteFromTable(spark, indexDir, keys,
+      Seq("chunk_key"), nBuckets, batchId)
+  }
+
   /** Retrieval against the COMMITTED chunk index: probe docs chunk +
     * embed + bucket exactly as [[retrieveTopK]]'s probe side, but the
     * corpus side reads the index table — no corpus text, no

@@ -346,6 +346,67 @@ object EventStreams {
       compactManifests(spark, tableDir, math.max(retain, compactEvery))
   }
 
+  /** Committed DELETE from a keyed upsert table — the takedown
+    * primitive ([[mergeBatchIntoTable]]'s inverse, same commit
+    * protocol): rows matching `keys` on `keyCols` are removed by
+    * rewriting ONLY the buckets containing those keys (per-delete I/O
+    * is O(touched buckets), not O(table)), and the COMMIT is the next
+    * manifest naming the rewritten files — a reader racing the delete
+    * sees the previous consistent snapshot until the tiny manifest
+    * rename lands. Replayed batchIds no-op; `retain` keeps the
+    * pre-delete snapshot's files readable for time travel (the
+    * takedown-audit window). An empty key set still advances the
+    * applied-batch watermark. A bucket whose rows all die leaves the
+    * manifest (empty buckets carry no files).
+    */
+  def deleteFromTable(spark: SparkSession, tableDir: String, keys: DataFrame,
+                      keyCols: Seq[String], nBuckets: Int, batchId: Long,
+                      retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(new Path(table, "_commits"), batchId.toString))) return
+    val committed = latestManifest(fs, table)
+    if (committed.exists(_._1 >= batchId)) return // replayed batch
+    val live: Map[Int, Seq[String]] = committed.map(_._2).getOrElse(Map.empty)
+    // barrier: the key frame feeds the touched-bucket collect AND the
+    // anti-join (two consumers, the curateShard rule)
+    val delKeys = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+      .localCheckpoint()
+    // bounded collect: at most nBuckets small ints
+    val touched = delKeys.select(upsertBucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted.filter(live.contains)
+    val newLive =
+      if (touched.isEmpty) live
+      else {
+        val currentFiles = touched.toSeq.flatMap(live.get).flatten
+          .map(rel => new Path(table, rel).toString)
+        val remaining = spark.read.parquet(currentFiles: _*)
+          .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+          .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val genName = s"gen_$batchId"
+        val genDir = new Path(table, genName)
+        remaining
+          .repartition(touched.length, col(upsertBucketCol))
+          .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(genDir.toString)
+        val rewritten = touched.flatMap { b =>
+          val d = new Path(genDir, s"$upsertBucketCol=$b")
+          if (!fs.exists(d)) None
+          else {
+            val fls = fs.listStatus(d)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+            if (fls.isEmpty) None else Some(b -> fls)
+          }
+        }.toMap
+        (live -- touched) ++ rewritten
+      }
+    publishManifest(fs, table, batchId, nBuckets, newLive)
+    sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
   /** Read back the logical table the upsert sink maintains: exactly the
     * files the latest committed manifest names (a consistent snapshot —
     * an in-flight merge's staged generation is invisible until its

@@ -291,6 +291,63 @@ class PackingSpec extends SparkSpec {
     assert(ex.getMessage.contains("out-of-order"))
   }
 
+  test("deleteDocsFromSequences: post-delete table equals a from-scratch build without the docs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tokdel").toString
+    val tableDir = s"$base/seqs"
+    val all = (0L until 30L).map(i =>
+      (i, (0 until (i % 11 + 1).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") < 15), tableDir, seqLen = 16, sepId = -1, batchId = 0L)
+    operators.Packing.materializeShardIncremental(
+      df.filter(col("doc_id") >= 15), tableDir, seqLen = 16, sepId = -1, batchId = 1L)
+    // takedown: a mid-stream doc and a late doc (plus an id not present)
+    val deleted = Seq(7L, 22L, 999L)
+    operators.Packing.deleteDocsFromSequences(
+      df, deleted, tableDir, seqLen = 16, sepId = -1, batchId = 2L)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq))
+        .sortBy(_._1).toSeq
+    val after = canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens", "doc_spans").collect())
+    val scratch = canon(operators.Packing
+      .materializeTokenSequences(
+        df.filter(!col("doc_id").isin(deleted: _*)), seqLen = 16, sepId = -1,
+        withSpans = true)
+      .select("seq_id", "tokens", "doc_spans").collect())
+    assert(after === scratch)
+    assert(after.nonEmpty)
+    assert(!after.exists(_._3.exists(s => deleted.contains(s._1))))
+    // replay of the whole takedown no-ops
+    operators.Packing.deleteDocsFromSequences(
+      df, deleted, tableDir, seqLen = 16, sepId = -1, batchId = 2L)
+    assert(canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens", "doc_spans").collect()) === scratch)
+    // the stream continues after the takedown: a new shard extends the
+    // REBUILT layout exactly as a from-scratch build would
+    val more = (30L until 36L).map(i =>
+      (i, (0 until 7).map(j => (i * 100 + j).toInt))).toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(
+      more, tableDir, seqLen = 16, sepId = -1, batchId = 4L)
+    val after2 = canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens", "doc_spans").collect())
+    val scratch2 = canon(operators.Packing
+      .materializeTokenSequences(
+        df.filter(!col("doc_id").isin(deleted: _*)).unionByName(more),
+        seqLen = 16, sepId = -1, withSpans = true)
+      .select("seq_id", "tokens", "doc_spans").collect())
+    assert(after2 === scratch2)
+    // deleting ids ABSENT from the corpus is a complete no-op
+    operators.Packing.deleteDocsFromSequences(
+      df.filter(!col("doc_id").isin(deleted: _*)).unionByName(more),
+      Seq(555L), tableDir, seqLen = 16, sepId = -1, batchId = 5L)
+    assert(canon(graft.streaming.EventStreams.readUpsertTable(spark, tableDir)
+      .select("seq_id", "tokens", "doc_spans").collect()) === scratch2)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern

@@ -497,6 +497,57 @@ class StreamingSpec extends SparkSpec {
     ()
   }
 
+  test("deleteFromTable: committed takedown, untouched buckets byte-identical, replay no-ops") {
+    val tableDir = Files.createTempDirectory("graft-upsert-del").toString + "/t"
+    val rows = (0L until 40L).map(k => (k, s"p$k", 1L))
+    EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 8, 0L, retain = 2)
+    val before = EventStreams.tableManifest(spark, tableDir)
+    val delKeys = Seq(3L, 17L, 999L) // 999 absent: must be a silent no-op
+    EventStreams.deleteFromTable(spark, tableDir,
+      delKeys.toDF("k"), Seq("k"), 8, batchId = 1L, retain = 2)
+    val after = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(after === (0L until 40L).toSet -- Set(3L, 17L))
+    // buckets not containing a deleted key keep their EXACT files (the
+    // touched-buckets-only contract)
+    val manifestAfter = EventStreams.tableManifest(spark, tableDir)
+    val touched = delKeys.map(k =>
+      math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(k, 42), 8))
+    before.keys.filterNot(touched.contains).foreach { b =>
+      assert(manifestAfter(b) === before(b), s"bucket $b should be untouched")
+    }
+    // replay no-ops; time travel still reads the pre-delete snapshot
+    EventStreams.deleteFromTable(spark, tableDir,
+      delKeys.toDF("k"), Seq("k"), 8, batchId = 1L, retain = 2)
+    assert(EventStreams.readUpsertTable(spark, tableDir).count() === 38)
+    assert(EventStreams.readUpsertTableAt(spark, tableDir, 0L).count() === 40)
+    // an empty key set still advances the applied-batch watermark
+    EventStreams.deleteFromTable(spark, tableDir,
+      Seq.empty[Long].toDF("k"), Seq("k"), 8, batchId = 2L)
+    assert(EventStreams.latestCommittedBatchId(spark, tableDir) === Some(2L))
+  }
+
+  test("RAG index takedown: tombstoned chunks equal a from-scratch index over the retained corpus") {
+    val base = Files.createTempDirectory("graft-rag-del").toString
+    val idxDir = s"$base/chunks"
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.Rag.indexShard(docs, idxDir,
+      window = 32, stride = 24, dim = 16, nPlanes = 4, batchId = 0L)
+    val deleted = Seq(3L, 11L)
+    graft.operators.Rag.deleteDocs(spark, idxDir, deleted, batchId = 1L)
+    val scratchDir = s"$base/scratch"
+    graft.operators.Rag.indexShard(docs.filter(!col("doc_id").isin(deleted: _*)),
+      scratchDir, window = 32, stride = 24, dim = 16, nPlanes = 4, batchId = 0L)
+    def canon(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(canon(idxDir) === canon(scratchDir))
+    assert(canon(idxDir).nonEmpty)
+    assert(!canon(idxDir).exists(c => deleted.contains(c._1 / 100000L)))
+  }
+
   test("incremental curation (two AvailableNow passes) equals one batch curation") {
     import graft.streaming.CurationStream
     val base = Files.createTempDirectory("graft-curation").toString
