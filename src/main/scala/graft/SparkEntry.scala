@@ -3456,11 +3456,24 @@ object SparkEntry {
       val ids = operators.TextAnalysis.bpeEncodeIds(
         docs, merges, vocab.zipWithIndex.toMap)
       val seqs = operators.Packing.materializeTokenSequences(
-        ids, seqLen = 128, sepId = vocab.size)
+        ids, seqLen = 128, sepId = vocab.size, withSpans = true)
+      // barrier: the sharded frame feeds the sequence-table commit AND
+      // the provenance explode (two consumers, the curateShard rule)
       val sharded = operators.Packing.trainingShards(seqs, seqsPerShard = 8)
-        .drop("u")
+        .drop("u").localCheckpoint()
       streaming.EventStreams.mergeBatchIntoTable(sharded, storeDir,
         Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      // the provenance manifest ships WITH the export, same batchId
+      // (the curateShard commit-pair convention): every (shard,
+      // sequence) row traces to its source documents' exact regions —
+      // the lineage a takedown or license audit walks backwards
+      streaming.EventStreams.mergeBatchIntoTable(
+        sharded.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+            col("sp.start").as("start"), col("sp.len").as("len")),
+        s"${storeDir}_prov",
+        Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
       storeDir
     })
 
@@ -4452,6 +4465,64 @@ object SparkEntry {
        |  md5(string_agg(tid::VARCHAR, ',' ORDER BY gpos)) AS tok_md5
        |FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen""".stripMargin
 
+  /** EXPORTED-SHARD PROVENANCE ([[ensureTokenShards]]'s second
+    * committed table): the lineage manifest shipping WITH the q160
+    * export — one row per (shard, sequence, source document) tracing
+    * every token region of every shard back to the exact (start, len)
+    * slice of the document that produced it (the #2 doc_spans,
+    * committed). This is the table a takedown request or license audit
+    * walks BACKWARDS: "which shards contain doc X" is one keyed
+    * lookup, not a re-derivation. The oracle re-derives the whole
+    * chain — BPE layout, per-token global positions, spans off gp, the
+    * md5 shuffle rank and shard chunking — and joins lineage to shard
+    * ids, so the hash-match proves every provenance row.
+    */
+  def q178ShardProvenance(spark: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.readUpsertTable(
+        spark, s"${ensureTokenShards(spark, dir)}_prov")
+      .select(col("shard_id"), col("seq_id"), col("doc_id"),
+        col("start"), col("len"))
+
+  /** q178 oracle: the q160 shuffle/shard CTEs joined to the q175 span
+    * CTEs on seq_id — full sequences only (the q160 cut), so lineage
+    * covers exactly the sequences the export landed.
+    */
+  private def shardProvenanceOracleSql(nMerges: Int, seqLen: Int,
+                                       seqsPerShard: Int): String =
+    s"""${bpeEncodeOracleCtes(nMerges)},
+       |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
+       |         unnest(syms) AS sym
+       |       FROM (SELECT doc_id, wi, string_split(trim(s), ' ') AS syms
+       |             FROM e$nMerges)),
+       |dp AS (SELECT doc_id, sym,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS p
+       |       FROM dt),
+       |cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS nt FROM dt GROUP BY 1),
+       |c AS (SELECT doc_id, nt,
+       |        SUM(nt + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS fin
+       |      FROM cnt),
+       |s AS (SELECT doc_id, (fin - (nt + 1))::BIGINT AS st,
+       |             (fin - 1)::BIGINT AS et
+       |      FROM c),
+       |gp AS (SELECT d.doc_id, s.st + d.p AS gpos
+       |       FROM dp d JOIN s USING (doc_id)
+       |       UNION ALL SELECT s.doc_id, s.et AS gpos FROM s),
+       |agg AS (SELECT gpos // $seqLen AS seq_id
+       |        FROM gp GROUP BY 1 HAVING COUNT(*) = $seqLen),
+       |sh AS (SELECT seq_id,
+       |    ('0x' || substr(md5(seq_id::VARCHAR || ':tshuffle'), 1, 8))::BIGINT / 4294967296.0 AS su
+       |  FROM agg),
+       |rk AS (SELECT seq_id,
+       |         (ROW_NUMBER() OVER (ORDER BY su, seq_id) - 1)::BIGINT AS rank
+       |       FROM sh),
+       |sd AS (SELECT seq_id, rank // $seqsPerShard AS shard_id FROM rk),
+       |spans AS (SELECT (gpos // $seqLen)::BIGINT AS seq_id, doc_id,
+       |            (MIN(gpos) % $seqLen)::BIGINT AS start,
+       |            COUNT(*)::BIGINT AS len
+       |          FROM gp GROUP BY 1, 2)
+       |SELECT d.shard_id, p.seq_id, p.doc_id, p.start, p.len
+       |FROM spans p JOIN sd d USING (seq_id)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4627,6 +4698,7 @@ object SparkEntry {
     "q175_doc_spans" -> (q175DocSpans _),
     "q176_keepbest_curation" -> (q176KeepBestCuration _),
     "q177_deletion_propagation" -> (q177DeletionPropagation _),
+    "q178_shard_provenance" -> (q178ShardProvenance _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5895,6 +5967,8 @@ object SparkEntry {
     "q176_keepbest_curation" -> keepBestCurationOracleSql,
     "q177_deletion_propagation" -> deletionPropagationOracleSql(
       nMerges = 6, seqLen = 128, deleted = q177DeletedIds),
+    "q178_shard_provenance" -> shardProvenanceOracleSql(
+      nMerges = 6, seqLen = 128, seqsPerShard = 8),
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
