@@ -3521,6 +3521,10 @@ object SparkEntry {
       // gate calibration last: the cuts score the calibration corpus
       // against the just-committed LM/LR models (q154's corpus slice)
       operators.Models.buildGateCuts(docs.filter(col("doc_id") >= 250), root)
+      // the drift monitor's reference distribution, same calibration
+      // corpus, fixed grids (q179)
+      operators.Models.buildScoreHistograms(
+        docs.filter(col("doc_id") >= 250), root)
       root
     })
 
@@ -4523,6 +4527,95 @@ object SparkEntry {
        |SELECT d.shard_id, p.seq_id, p.doc_id, p.start, p.len
        |FROM spans p JOIN sd d USING (seq_id)""".stripMargin
 
+  /** CALIBRATION DRIFT MONITOR ([[operators.Models.scoreDrift]]): the
+    * "is the frozen calibration stale" signal the q161/q166 serving
+    * story needs — PSI per (language, signal) between the COMMITTED
+    * calibration score histograms (fixed grids, |langs|×2×8 rows) and
+    * an arriving shard (docs ≥ 400, a sub-slice of the calibration
+    * corpus, scored against the same frozen models). Laplace-smoothed
+    * on both sides so every bucket is well-defined and the figure is
+    * engine-portable. The oracle re-derives BOTH distributions from
+    * scratch — the full LM/LR training replay, every score, every
+    * bucket count, the smoothing, and the PSI sum — so the hash-match
+    * proves the monitor end to end.
+    */
+  def q179ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureQualityModels(spark, dir)
+    operators.Models.scoreDrift(spark, root,
+      Tables.documents(spark, dir).filter(col("doc_id") >= 400))
+  }
+
+  /** q179 oracle: the q154 LM/LR scoring CTEs over the calibration
+    * corpus, fixed-grid bucketing (LM on [-10, 0), LR on [0, 1)), the
+    * complete (lang, signal, bucket) grid with zero buckets, the
+    * shard-side counts, add-one smoothing, and the PSI sum.
+    */
+  private def scoreDriftOracleSql(nBuckets: Int, lrate: Double, rounds: Int,
+                                  nB: Int, threshold: Double): String = {
+    val lmW = 10.0 / nB
+    val lrW = 1.0 / nB
+    s"""WITH ${lrScoresOracleCtes(nBuckets, lrate, rounds)},
+       |lr AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS lr_quality
+       |       FROM zf WHERE y = 0.0),
+       |lmtoks AS (
+       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |lmtok AS (
+       |  SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+       |  FROM lmtoks),
+       |uni AS (SELECT w, COUNT(*) AS cw FROM lmtok GROUP BY w),
+       |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+       |bi AS (
+       |  SELECT a.doc_id, a.w AS wa, b.w AS wb
+       |  FROM lmtok a JOIN lmtok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |lbc AS (SELECT wa, wb, COUNT(*) AS cab FROM bi GROUP BY wa, wb),
+       |lm AS (
+       |  SELECT bi.doc_id,
+       |         ROUND(AVG(LN(CAST(lbc.cab + 1 AS DOUBLE) / (uni.cw + v.v))), 6)
+       |           AS lm_score
+       |  FROM bi
+       |  JOIN lbc USING (wa, wb)
+       |  JOIN uni ON bi.wa = uni.w
+       |  CROSS JOIN v
+       |  GROUP BY bi.doc_id),
+       |base AS (
+       |  SELECT d.doc_id, d.lang, lm.lm_score, lr.lr_quality
+       |  FROM documents d
+       |  JOIN lm USING (doc_id)
+       |  JOIN lr USING (doc_id)
+       |  WHERE d.doc_id >= 250),
+       |bkt AS (SELECT lang, doc_id,
+       |    CAST(LEAST(GREATEST(FLOOR((lm_score + 10.0) / $lmW), 0), ${nB - 1}) AS BIGINT) AS lmb,
+       |    CAST(LEAST(GREATEST(FLOOR(lr_quality / $lrW), 0), ${nB - 1}) AS BIGINT) AS lrb
+       |  FROM base),
+       |lng AS (SELECT lang, 'lm' AS signal, lmb AS b, doc_id FROM bkt
+       |        UNION ALL SELECT lang, 'lr' AS signal, lrb AS b, doc_id FROM bkt),
+       |grid AS (SELECT DISTINCT base.lang, s.signal, gs.b
+       |         FROM base
+       |         CROSS JOIN (VALUES ('lm'), ('lr')) s(signal)
+       |         CROSS JOIN (SELECT unnest(generate_series(0, ${nB - 1}))::BIGINT AS b) gs),
+       |refc AS (SELECT g.lang, g.signal, g.b, COUNT(l.doc_id)::BIGINT AS cnt
+       |         FROM grid g LEFT JOIN lng l
+       |           ON g.lang = l.lang AND g.signal = l.signal AND g.b = l.b
+       |         GROUP BY 1, 2, 3),
+       |newc AS (SELECT lang, signal, b, COUNT(*)::BIGINT AS ncnt
+       |         FROM lng WHERE doc_id >= 400 GROUP BY 1, 2, 3),
+       |j AS (SELECT r.lang, r.signal, r.b, r.cnt, COALESCE(n.ncnt, 0) AS ncnt
+       |      FROM refc r LEFT JOIN newc n
+       |        ON r.lang = n.lang AND r.signal = n.signal AND r.b = n.b),
+       |tot AS (SELECT lang, signal, SUM(cnt)::BIGINT AS n_ref,
+       |          SUM(ncnt)::BIGINT AS n_new
+       |        FROM j GROUP BY 1, 2),
+       |terms AS (SELECT j.lang, j.signal, t.n_ref, t.n_new,
+       |    (j.cnt + 1)::DOUBLE / (t.n_ref + $nB) AS p,
+       |    (j.ncnt + 1)::DOUBLE / (t.n_new + $nB) AS q
+       |  FROM j JOIN tot t ON j.lang = t.lang AND j.signal = t.signal)
+       |SELECT lang, signal, MAX(n_ref) AS n_ref, MAX(n_new) AS n_new,
+       |  ROUND(SUM((p - q) * LN(p / q)), 6) AS psi,
+       |  ROUND(SUM((p - q) * LN(p / q)), 6) >= $threshold AS drifted
+       |FROM terms GROUP BY 1, 2""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4699,6 +4792,7 @@ object SparkEntry {
     "q176_keepbest_curation" -> (q176KeepBestCuration _),
     "q177_deletion_propagation" -> (q177DeletionPropagation _),
     "q178_shard_provenance" -> (q178ShardProvenance _),
+    "q179_score_drift" -> (q179ScoreDrift _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -5969,6 +6063,8 @@ object SparkEntry {
       nMerges = 6, seqLen = 128, deleted = q177DeletedIds),
     "q178_shard_provenance" -> shardProvenanceOracleSql(
       nMerges = 6, seqLen = 128, seqsPerShard = 8),
+    "q179_score_drift" -> scoreDriftOracleSql(nBuckets = 64, lrate = 0.5,
+      rounds = 3, nB = 8, threshold = 0.2),
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -270,6 +270,100 @@ object Models {
       Seq("lang"), "lang", nBuckets = 1, batchId = batchId)
   }
 
+  // --------------------------------------------------------------------
+  // Calibration drift monitor (PSI over fixed score buckets)
+  // --------------------------------------------------------------------
+
+  /** Fixed-grid histogram bucket for a learned score: `nB` equal-width
+    * buckets over [lo, hi), clamped at both ends. The grid is FIXED
+    * (not quantile-derived), so reference and arriving histograms are
+    * comparable without recomputing any percentile — the one-aggregate-
+    * each-side property that makes the monitor one narrow pass.
+    */
+  private def histBucket(signal: org.apache.spark.sql.Column, lo: Double,
+                         hi: Double, nB: Int): org.apache.spark.sql.Column =
+    least(greatest(floor((signal - lit(lo)) / lit((hi - lo) / nB)), lit(0.0)),
+      lit((nB - 1).toDouble)).cast("long")
+
+  /** The two learned signals in histogram-long form: one row per doc
+    * per signal, bucketed on the fixed grids (LM avg-log-prob on
+    * [-10, 0), LR probability on [0, 1)).
+    */
+  private def signalBuckets(spark: SparkSession, modelRoot: String,
+                            docs: DataFrame, nB: Int): DataFrame = {
+    val b = gateSignals(spark, modelRoot, docs)
+      .select(col("lang"),
+        histBucket(col("lm_score"), -10.0, 0.0, nB).as("lmb"),
+        histBucket(col("lr_quality"), 0.0, 1.0, nB).as("lrb"))
+    b.select(col("lang"), lit("lm").as("signal"), col("lmb").as("b"))
+      .unionByName(
+        b.select(col("lang"), lit("lr").as("signal"), col("lrb").as("b")))
+  }
+
+  /** Commit the CALIBRATION score histograms — the reference
+    * distribution the drift monitor compares every arriving shard
+    * against: per (lang, signal, bucket) counts over the fixed grids,
+    * with the FULL grid materialized (zero buckets included), so
+    * serving is a pure keyed join. |langs| × 2 × nB tiny rows.
+    */
+  def buildScoreHistograms(calibration: DataFrame, modelRoot: String,
+                           nHistBuckets: Int = 8, batchId: Long = 0L): Unit = {
+    val spark = calibration.sparkSession
+    import spark.implicits._
+    val counts = signalBuckets(spark, modelRoot, calibration, nHistBuckets)
+      .groupBy(col("lang"), col("signal"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = calibration.select(col("lang")).distinct()
+      .crossJoin(Seq("lm", "lr").toDF("signal"))
+      .crossJoin(spark.range(nHistBuckets).select(col("id").as("b")))
+    EventStreams.mergeBatchIntoTable(
+      grid.join(counts, Seq("lang", "signal", "b"), "left")
+        .select(col("lang"), col("signal"), col("b"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("__v", lit(batchId)),
+      s"$modelRoot/hist", Seq("lang", "signal", "b"), "__v",
+      nBuckets = 1, batchId = batchId)
+  }
+
+  /** "Is the calibration stale?" — the drift signal the frozen-model
+    * serving story (q161/q166) was missing: Population Stability Index
+    * per (language, signal) between the COMMITTED calibration
+    * histogram and an arriving shard, over the same fixed buckets.
+    * PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) with add-one (Laplace)
+    * smoothing on both sides, so empty buckets are well-defined and
+    * the figure is engine-portable; the conventional alert threshold
+    * is 0.2 (drifted) with 0.1 as "watch". One narrow scoring pass
+    * over the shard + a broadcast-sized join against |langs|×2×nB
+    * committed rows — at 100 TB the monitor costs one shard scan,
+    * which the gating pass is already paying. Langs absent from the
+    * calibration cannot be compared and are dropped (the serving-gate
+    * inner-join convention).
+    */
+  def scoreDrift(spark: SparkSession, modelRoot: String, shard: DataFrame,
+                 nHistBuckets: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val ref = EventStreams.readUpsertTable(spark, s"$modelRoot/hist")
+      .select(col("lang"), col("signal"), col("b"), col("cnt"))
+    val newCounts = signalBuckets(spark, modelRoot, shard, nHistBuckets)
+      .groupBy(col("lang"), col("signal"), col("b"))
+      .agg(count(lit(1)).as("ncnt"))
+    // the committed grid is complete, so a left join pins every bucket
+    val joined = ref.join(newCounts, Seq("lang", "signal", "b"), "left")
+      .withColumn("ncnt", coalesce(col("ncnt"), lit(0L)))
+      .localCheckpoint() // two consumers: the totals and the PSI terms
+    val tot = joined.groupBy(col("lang"), col("signal"))
+      .agg(sum(col("cnt")).as("n_ref"), sum(col("ncnt")).as("n_new"))
+    joined.join(tot, Seq("lang", "signal"))
+      .withColumn("p", (col("cnt") + 1).cast("double")
+        / (col("n_ref") + lit(nHistBuckets)))
+      .withColumn("q", (col("ncnt") + 1).cast("double")
+        / (col("n_new") + lit(nHistBuckets)))
+      .groupBy(col("lang"), col("signal"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_new")).as("n_new"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+      .withColumn("drifted", col("psi") >= threshold)
+  }
+
   /** SERVE the calibrated ensemble gate entirely from frozen state:
     * signals score against the committed models, cuts come from the
     * committed |langs|-row table as a broadcast — NO percentile

@@ -241,6 +241,42 @@ object CurationStream {
       }
       .start()
 
+  /** DRIFT-monitor one arriving shard against the committed calibration
+    * histograms ([[graft.operators.Models.scoreDrift]]) and log the
+    * per-(lang, signal) PSI verdicts keyed by the shard's batchId — the
+    * "is the calibration stale" ledger the frozen-gate serving story
+    * needs: when a shard's PSI crosses the alert threshold, the
+    * committed drift table says so durably, per shard, without anyone
+    * re-deriving a distribution. Idempotent per batchId; no arrival
+    * watermark (per-shard derivation against frozen state).
+    */
+  def driftShard(shard: DataFrame, modelRoot: String, driftDir: String,
+                 batchId: Long): Unit = {
+    val spark = shard.sparkSession
+    EventStreams.mergeBatchIntoTable(
+      graft.operators.Models.scoreDrift(spark, modelRoot, shard)
+        .withColumn("batch_id", lit(batchId)).localCheckpoint(),
+      driftDir, Seq("batch_id", "lang", "signal"), "batch_id",
+      nBuckets = 1, batchId = batchId)
+  }
+
+  /** The streaming wrapper for [[driftShard]] (`Trigger.AvailableNow`,
+    * the [[start]] convention): gate-serving pipelines run this beside
+    * [[startGating]] so every drained shard leaves a drift row.
+    */
+  def startDriftMonitor(spark: SparkSession, corpusDir: String,
+                        schema: StructType, modelRoot: String,
+                        driftDir: String,
+                        checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(corpusDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftShard(batch, modelRoot, driftDir, batchId)
+      }
+      .start()
+
   /** GATE one arriving shard with the fully-served calibrated ensemble
     * (`Models.serveEnsembleGate` — committed LM/LR models + committed
     * per-language cuts) and upsert the per-doc decisions. The frozen

@@ -148,6 +148,38 @@ class ModelsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq === streamed)
   }
 
+  test("drift monitor: self-comparison is exactly zero; a shifted shard drifts; ledger per shard") {
+    val root = Files.createTempDirectory("graft-drift").toString
+    val target = corpus.filter(col("doc_id") < 3)
+    val gated = corpus.filter(col("doc_id") >= 3)
+    Models.buildLmModel(target.unionByName(gated), s"$root/lm")
+    Models.buildLrModel(target, gated, s"$root/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildScoreHistograms(gated, root)
+    // the calibration corpus against itself: every bucket count equal,
+    // so every PSI term is (p - p)·ln(1) = 0 — exactly 0.0, not "small"
+    val self = Models.scoreDrift(spark, root, gated).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Double]("psi") === 0.0))
+    assert(self.forall(!_.getAs[Boolean]("drifted")))
+    // a shard from a DIFFERENT distribution (the target slice, which the
+    // calibration histograms never saw) moves mass across buckets
+    val shifted = Models.scoreDrift(spark, root,
+      target.withColumn("lang", lit("en"))).collect()
+      .filter(_.getString(0) == "en")
+    assert(shifted.nonEmpty)
+    assert(shifted.exists(_.getAs[Double]("psi") > 0.0))
+    // the streaming hook commits one verdict row set per shard batchId
+    val driftDir = s"$root/drift"
+    CurationStream.driftShard(gated.filter(col("doc_id") < 5), root, driftDir, 0L)
+    CurationStream.driftShard(gated.filter(col("doc_id") >= 5), root, driftDir, 1L)
+    val ledger = EventStreams.readUpsertTable(spark, driftDir).collect()
+    assert(ledger.map(_.getAs[Long]("batch_id")).toSet === Set(0L, 1L))
+    // replay no-ops
+    CurationStream.driftShard(gated.filter(col("doc_id") < 5), root, driftDir, 0L)
+    assert(EventStreams.readUpsertTable(spark, driftDir).count() === ledger.length)
+  }
+
   test("committed tokenizer round-trips the inline train: merges, ids, separator") {
     val dir = Files.createTempDirectory("graft-tok-model").toString
     Models.buildTokenizer(corpus, dir, nMerges = 4)
