@@ -4616,6 +4616,72 @@ object SparkEntry {
        |FROM terms GROUP BY 1, 2""".stripMargin
   }
 
+  /** MULTIMODAL PAIR GATE ([[operators.Multimodal.pairAlignmentGate]]):
+    * the CLIP-filtering shape over planted (image, caption) pairs (the
+    * q105/q164 closed-form fixture convention). Image tower: 8-bin
+    * luminance histogram through the REAL ImageIO decode; text tower:
+    * the q156 hashed-BOW over caption tokens; keep = cosine ≥ 0.9.
+    * Fixtures pin every branch — pair 0 ALIGNED (solid gray-16 image →
+    * all 16 px in luma bin 0 → [16,0,…]; caption "coal dog sea", all
+    * three words md5-hash to BOW bucket 0 → cosine 1.0); pair 1
+    * MISALIGNED (same dark image; "snow moon beam" all hash to bucket
+    * 7 → orthogonal, cosine 0.0); pair 2 PARTIAL (4×4 two-tone, 8 px
+    * gray 16 + 8 px gray 240 → [8,0,…,8]; "coal moon ash" → buckets
+    * (0,7,7) → cosine 24/(8√2·√5) = 3/√10 ≈ 0.948683, just clearing
+    * the gate); pair 3 CORRUPT (3 junk bytes → decode fails → NULL
+    * cosine and keep — inspectable, not dropped). The oracle states
+    * the image vectors as the closed-form literals derived above and
+    * genuinely re-derives the text towers and every cosine.
+    */
+  def q180PairGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import operators.Multimodal.{pixelPng, solidPng}
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val dark = solidPng(4, 4, gray(16))
+    val twoTone = pixelPng(4, 4, (x, _) => if (x < 2) gray(16) else gray(240))
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, dark, "coal dog sea"),
+      (1L, dark, "snow moon beam"),
+      (2L, twoTone, "coal moon ash"),
+      (3L, Array[Byte](1, 2, 3), "coal dog sea"))
+    operators.Multimodal.pairAlignmentGate(
+      rows.toDF("pair_id", "payload", "caption"),
+      "pair_id", "payload", "caption", dim = 8, minCos = 0.9)
+  }
+
+  /** q180 oracle: image vectors as the doc-comment's closed-form
+    * literals; text vectors re-derived from the captions with the q149
+    * md5-bucket convention; cosine per pair over the 8 positions.
+    */
+  private def pairGateOracleSql: String =
+    """WITH pairs(pair_id, caption, img_v) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'coal dog sea',
+      |     [16.0, 0, 0, 0, 0, 0, 0, 0]),
+      |    (CAST(1 AS BIGINT), 'snow moon beam',
+      |     [16.0, 0, 0, 0, 0, 0, 0, 0]),
+      |    (CAST(2 AS BIGINT), 'coal moon ash',
+      |     [8.0, 0, 0, 0, 0, 0, 0, 8.0]),
+      |    (CAST(3 AS BIGINT), 'coal dog sea', CAST(NULL AS DOUBLE[]))),
+      |tok AS (SELECT pair_id,
+      |    unnest(list_filter(str_split(caption, ' '), x -> x <> '')) AS w
+      |  FROM pairs),
+      |tv AS (SELECT pair_id,
+      |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 8 AS b,
+      |    COUNT(*)::DOUBLE AS y
+      |  FROM tok GROUP BY 1, 2),
+      |iv AS (SELECT pair_id, generate_subscripts(img_v, 1) AS i,
+      |         unnest(img_v) AS x
+      |       FROM pairs),
+      |j AS (SELECT iv.pair_id, iv.x, COALESCE(tv.y, 0) AS y
+      |      FROM iv LEFT JOIN tv
+      |        ON iv.pair_id = tv.pair_id AND iv.i = tv.b + 1),
+      |c AS (SELECT pair_id,
+      |        ROUND(SUM(x * y)
+      |          / NULLIF(SQRT(SUM(x * x)) * SQRT(SUM(y * y)), 0), 6) AS cosine
+      |      FROM j GROUP BY 1)
+      |SELECT p.pair_id, c.cosine, c.cosine >= 0.9 AS keep
+      |FROM pairs p LEFT JOIN c USING (pair_id)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4793,6 +4859,7 @@ object SparkEntry {
     "q177_deletion_propagation" -> (q177DeletionPropagation _),
     "q178_shard_provenance" -> (q178ShardProvenance _),
     "q179_score_drift" -> (q179ScoreDrift _),
+    "q180_pair_gate" -> (q180PairGate _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6065,6 +6132,7 @@ object SparkEntry {
       nMerges = 6, seqLen = 128, seqsPerShard = 8),
     "q179_score_drift" -> scoreDriftOracleSql(nBuckets = 64, lrate = 0.5,
       rounds = 3, nB = 8, threshold = 0.2),
+    "q180_pair_gate" -> pairGateOracleSql,
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -211,6 +211,79 @@ object Multimodal {
       .toDF(idCol, "width", "height", "mean_luma")
   }
 
+  /** Luminance-histogram image embedding through the REAL ImageIO seam
+    * (the [[dHash64]] convention — mapPartitions is correct here: a JDK
+    * codec call, no Expression fits): decode, Rec.601 luminance per
+    * pixel, `bins` equal-width buckets over [0, 256) as raw counts
+    * (`array<double>` — cosine is scale-invariant, so no normalization
+    * pass). Undecodable/null payloads yield a NULL vector — corrupt
+    * bytes are data, not exceptions. A learned image encoder (CLIP
+    * image tower) swaps into exactly this seam with a per-partition
+    * model handle; schema and batch shape stay identical. One narrow
+    * pass; at 100 TB the shape is scan → `bins` doubles, nothing else
+    * shuffles.
+    */
+  def lumaHistogram(df: DataFrame, idCol: String, binCol: String,
+                    bins: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, Option.empty[Seq[Double]])
+          else {
+            val h = new Array[Double](bins)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                val b = math.min((luma * bins / 256.0).toInt, bins - 1)
+                h(b) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(h.toSeq))
+          }
+        }
+      }
+      .toDF(idCol, "img_v")
+  }
+
+  /** MULTIMODAL PAIR GATE — the CLIP-filtering shape (LAION's recipe:
+    * embed image and caption into one space, keep pairs whose cosine
+    * clears a threshold) with deterministic proxy towers: the image
+    * side is the [[lumaHistogram]] through the real decode seam, the
+    * text side the q156 hashed-BOW ([[Rag.hashedBow]]) over the
+    * caption tokens, both `dim`-dimensional. The PLUMBING is the
+    * product — paired binary + text columns, two embedding seams, a
+    * per-pair cosine, a threshold decision; swapping in real CLIP
+    * towers changes only the two encoder seams. Pairs whose image
+    * fails to decode gate NULL (cosine and keep) — undecodable data
+    * must be inspectable, not silently dropped. One narrow pass per
+    * side + a doc-keyed join; nothing shuffles but (id, vector).
+    */
+  def pairAlignmentGate(pairs: DataFrame, idCol: String, binCol: String,
+                        textCol: String, dim: Int = 8,
+                        minCos: Double = 0.9): DataFrame = {
+    val img = lumaHistogram(pairs, idCol, binCol, dim)
+    val txt = pairs.select(col(idCol),
+      Rag.hashedBow(graft.functions.Texts.tokens(col(textCol)), dim).as("txt_v"))
+    img.join(txt, Seq(idCol))
+      .withColumn("cosine",
+        round(graft.functions.Vectors.cosine(col("img_v"), col("txt_v")), 6))
+      .select(col(idCol), col("cosine"), (col("cosine") >= minCos).as("keep"))
+  }
+
   /** STUB resize: fix a feature vector to `n` dims — truncate long,
     * zero-pad short (what an image-resize step does to the model-input
     * shape; a real resampler replaces the expression).

@@ -85,6 +85,35 @@ class MultimodalSpec extends SparkSpec {
     assert(r(3L) === ((None, None, None)))
   }
 
+  test("luma histogram and pair gate: closed-form bins, aligned/misaligned/corrupt") {
+    import Multimodal.{pixelPng, solidPng}
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (0L, solidPng(4, 4, gray(16)), "coal dog sea"),       // aligned: cosine 1
+      (1L, solidPng(4, 4, gray(16)), "snow moon beam"),     // orthogonal: cosine 0
+      (2L, pixelPng(4, 4, (x, _) => if (x < 2) gray(16) else gray(240)),
+        "coal moon ash"),                                    // 3/sqrt(10)
+      (3L, Array[Byte](9, 9, 9), "coal dog sea"))            // corrupt: null
+    val pairs = rows.toDF("pair_id", "payload", "caption")
+    val hist = Multimodal.lumaHistogram(pairs, "pair_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Double](1)).map(_.toSeq)).toMap
+    assert(hist(0L) === Some(Seq(16.0, 0, 0, 0, 0, 0, 0, 0)))
+    assert(hist(2L) === Some(Seq(8.0, 0, 0, 0, 0, 0, 0, 8.0)))
+    assert(hist(3L) === None)
+    val gate = Multimodal.pairAlignmentGate(pairs,
+        "pair_id", "payload", "caption", dim = 8, minCos = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Boolean]))).toMap
+    assert(gate(0L) === ((Some(1.0), Some(true))))
+    assert(gate(1L) === ((Some(0.0), Some(false))))
+    assert(gate(2L)._1.get === BigDecimal(3.0 / math.sqrt(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(gate(2L)._2 === Some(true))
+    assert(gate(3L) === ((None, None)))
+  }
+
   test("frame sampling yields one row per stride") {
     val frames = Multimodal.sampledFrames(media, "id", "payload", stride = 4)
       .filter(col("id") === 1L).collect().map(_.getInt(1)).sorted
