@@ -75,7 +75,12 @@ object ScaleCurve {
       "q160_token_shards", "q161_model_serving", "q163_incremental_rag",
       "q165_mixpack_export", "q166_gate_serving", "q167_inc_token_seqs",
       "q170_threshold_decontam", "q171_canonical_selection",
-      "q172_token_budget_mix", "q173_corpus_data_card")
+      "q172_token_budget_mix", "q173_corpus_data_card",
+      // round 10 (documents-based only: the scaled dirs carry no
+      // embeddings table, so q174/q180 stay out)
+      "q175_doc_spans", "q176_keepbest_curation",
+      "q177_deletion_propagation", "q178_shard_provenance",
+      "q179_score_drift")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
