@@ -401,7 +401,21 @@ object EventStreams {
             if (fls.isEmpty) None else Some(b -> fls)
           }
         }.toMap
-        (live -- touched) ++ rewritten
+        if ((live -- touched).isEmpty && rewritten.isEmpty) {
+          // the delete emptied the whole table: partitionBy writes no
+          // file for an empty bucket, and a fileless manifest would
+          // strand readers on schema inference — land ONE explicit
+          // empty (schema-carrying) file instead, so the table reads
+          // back as zero rows and later merges work normally
+          val b = touched.head
+          val d = new Path(genDir, s"$upsertBucketCol=$b")
+          remaining.drop(upsertBucketCol).limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(d.toString)
+          val fls = fs.listStatus(d)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+          Map(b -> fls)
+        } else (live -- touched) ++ rewritten
       }
     publishManifest(fs, table, batchId, nBuckets, newLive)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))

@@ -290,6 +290,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.head === 9L || got.head === 1L) // the exact copy or the near-parallel twin
   }
 
+  test("signature-store takedown: a deleted doc stops suppressing arriving near-dups") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sig-del").toString + "/store"
+    // history: doc 10 (the future takedown target) + unrelated doc 11
+    val hist = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six")).toDF("doc_id", "text")
+    EventStreams.mergeBatchIntoTable(Dedup.portableMinhashSignatures(hist),
+      store, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = 0L)
+    // arriving doc 50 duplicates doc 10's token set exactly (identical
+    // signatures by construction) — the store suppresses it
+    val shardSigs = Dedup.portableMinhashSignatures(
+      Seq((50L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+    def decide() = Dedup.signatureAgreementDedup(shardSigs,
+        EventStreams.readUpsertTable(spark, store))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(decide() === Seq((50L, 10L)))
+    // takedown: doc 10 leaves the committed store; the SAME arriving
+    // shard now survives — the deleted doc no longer suppresses
+    // look-alikes (the store carries no other trace of it)
+    EventStreams.deleteFromTable(spark, store, Seq(10L).toDF("doc_id"),
+      Seq("doc_id"), nBuckets = 8, batchId = 1L)
+    assert(decide() === Seq.empty)
+    // the store still works: doc 11 remains and future merges land
+    assert(EventStreams.readUpsertTable(spark, store).count() === 1)
+  }
+
   test("IVF-PQ compaction: probe bit-identical, fewer files, folded-batch replay no-ops") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-compact").toString

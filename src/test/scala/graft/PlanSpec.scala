@@ -381,6 +381,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window may appear in the build:\n$p")
   }
 
+  test("q175 spans keep the single-Generate shape; q178 reads only the provenance table") {
+    // doc_spans ride the piece rows the layout already computes: adding
+    // them (and the padded tail) must not introduce a second Generate
+    // (one-row-per-token or per-span fanout) or a Window
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf)
+    val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 2)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = operators.TextAnalysis.bpeIdVocab(docs, merges)
+    val seqs = operators.Packing.materializeTokenSequences(
+      operators.TextAnalysis.bpeEncodeIds(docs, merges, vocab.zipWithIndex.toMap),
+      seqLen = 128, sepId = vocab.size, withSpans = true,
+      padId = Some(vocab.size + 1))
+    val p = seqs.queryExecution.executedPlan.toString
+    val generates = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(generates.size === 1,
+      s"spans/padding added a Generate:\n${generates.mkString("\n")}")
+    assert(!p.contains("Window"), s"no window may appear in the build:\n$p")
+    // the provenance read-back is a pure committed-table scan — a
+    // documents scan would mean the whole lineage chain re-runs
+    val pp = planOf("q178_shard_provenance")
+    assert(!pp.contains("documents"), s"provenance re-derives the chain:\n$pp")
+    assert(pp.linesIterator.count(_.contains("FileScan")) === 1,
+      s"expected exactly one provenance-table scan:\n$pp")
+  }
+
+  test("q179 drift plan: one materialized bucket-join frame, no quantile anywhere") {
+    // the q154 convention: the (committed-histogram ⟕ shard-counts)
+    // frame — whose lineage holds the ONLY corpus/model scans —
+    // materializes ONCE behind a checkpoint and feeds both the totals
+    // and the PSI terms; a FileScan in the returned plan would mean a
+    // scoring pass re-derives per consumer. Fixed grids mean no
+    // percentile may appear in ANY drift plan (the whole point of not
+    // calibrating buckets per shard).
+    val p = planOf("q179_score_drift")
+    assert(!p.contains("FileScan"),
+      s"bucket-join frame not materialized once:\n$p")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"fixed grids must not recompute any quantile:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q154 ensemble decision plan: one materialized signal frame, broadcast cuts") {
     // the signal frame (three joined signals) materializes ONCE behind
     // a checkpoint; the returned plan joins it with the |langs|-row cut

@@ -527,6 +527,18 @@ class StreamingSpec extends SparkSpec {
     EventStreams.deleteFromTable(spark, tableDir,
       Seq.empty[Long].toDF("k"), Seq("k"), 8, batchId = 2L)
     assert(EventStreams.latestCommittedBatchId(spark, tableDir) === Some(2L))
+    // deleting EVERY remaining key leaves a readable zero-row table
+    // (one schema-carrying empty file — not a fileless manifest that
+    // strands schema inference), and later merges land normally
+    EventStreams.deleteFromTable(spark, tableDir,
+      (0L until 40L).toDF("k"), Seq("k"), 8, batchId = 3L)
+    val emptied = EventStreams.readUpsertTable(spark, tableDir)
+    assert(emptied.count() === 0)
+    assert(emptied.columns.toSet === Set("k", "payload", "version"))
+    EventStreams.mergeBatchIntoTable(
+      Seq((7L, "back", 9L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 8, 4L)
+    assert(EventStreams.readUpsertTable(spark, tableDir).count() === 1)
   }
 
   test("RAG index takedown: tombstoned chunks equal a from-scratch index over the retained corpus") {
