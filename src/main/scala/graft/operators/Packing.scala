@@ -365,8 +365,11 @@ object Packing {
           "(reads are as-of the previous batch).")
     val toks = shard.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
+    // barrier: costs feeds the prefix sum AND the shardCost aggregate —
+    // without it the shard's tokenization lineage evaluates per consumer
     val costs = toks.select(col("doc_id"),
       (size(col("toks")).cast("long") + lit(1L)).as("cost"))
+      .localCheckpoint()
     val ends = TimeOps.runningTotalDistributed(costs, "doc_id", "cost", nParts, "fin")
       .withColumn("fin", col("fin") + lit(prevTotal))
     val pieces = tokenPieces(ends, toks, seqLen, sepId)
@@ -463,8 +466,12 @@ object Packing {
     val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
     val toksAll = corpusToks.select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
+    // barrier: the cost frame feeds BOTH prefix sums (original +
+    // retained) and the retained-total aggregate — two Longs per doc,
+    // materialized once, versus re-tokenizing the corpus per consumer
     val costsAll = toksAll.select(col("doc_id"),
       (size(col("toks")).cast("long") + lit(1L)).as("cost"))
+      .localCheckpoint()
     // ORIGINAL offsets locate the cut: the first deleted doc's start
     val origEnds = TimeOps.runningTotalDistributed(
       costsAll, "doc_id", "cost", nParts, "fin")

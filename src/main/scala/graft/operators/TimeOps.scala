@@ -112,6 +112,13 @@ object TimeOps {
       .as[(Long, Long)]
       .repartitionByRange(nParts, col(tCol))
       .sortWithinPartitions(col(tCol))
+      // barrier: BOTH jobs below consume this frame (per-partition sums,
+      // then the offset pass) — without it the whole input lineage runs
+      // twice per call; for token packing that lineage is the tokenize/
+      // BPE-encode projection. Two Longs per row — the cheapest possible
+      // materialization (no measurable cost at sf0.1; the win is the
+      // halved lineage evaluation, which grows with the input's cost).
+      .localCheckpoint()
     val partSums = parted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
