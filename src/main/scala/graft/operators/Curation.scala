@@ -131,6 +131,16 @@ object Curation {
     * its max-n_tokens member, ties to the smaller doc_id. Same scale
     * shape plus the closure's bounded pointer-jumping rounds and one
     * per-cluster argmax aggregate — still nothing all-pairs.
+    *
+    * Keep-best is a BATCH policy by construction: a later, better
+    * cluster member would have to RETRACT an already-committed
+    * survivor, which the incremental pipeline's append-only sink
+    * cannot express — this is why `CurationStream.curateShard` keeps
+    * the first-seen/min-id rule (a new arrival matching history can
+    * only be dropped, never replace it), and why production systems
+    * that want keep-best run it as a periodic batch re-selection over
+    * the committed clusters (exactly [[Dedup.canonicalByQuality]] over
+    * the accumulated closure — the q171 path).
     */
   def curate(corpus: DataFrame, evalSlice: DataFrame, n: Int = 5,
              stage1: DataFrame => DataFrame = qualityGate,

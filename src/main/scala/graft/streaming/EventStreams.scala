@@ -369,7 +369,32 @@ object EventStreams {
     if (fs.exists(new Path(new Path(table, "_commits"), batchId.toString))) return
     val committed = latestManifest(fs, table)
     if (committed.exists(_._1 >= batchId)) return // replayed batch
-    val live: Map[Int, Seq[String]] = committed.map(_._2).getOrElse(Map.empty)
+    // pre-manifest tables: adopt __bucket=* dirs as the live set (the
+    // mergeBatchIntoTable migration convention). Root-level FLAT legacy
+    // files cannot be adopted without a full rewrite — and publishing a
+    // manifest that omits them would let the post-commit sweep DELETE
+    // them — so they fail fast: run one merge (which folds them into
+    // buckets) before deleting.
+    val live: Map[Int, Seq[String]] = committed.map(_._2).getOrElse {
+      if (!fs.exists(table)) Map.empty
+      else {
+        require(!fs.listStatus(table).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")),
+          s"$tableDir has a flat pre-manifest layout; run one " +
+            "mergeBatchIntoTable (which migrates it into buckets) before " +
+            "deleteFromTable - deleting from the flat layout would sweep " +
+            "unmigrated data files")
+        fs.listStatus(table)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$upsertBucketCol="))
+          .flatMap { d =>
+            val b = d.getPath.getName.stripPrefix(s"$upsertBucketCol=").toInt
+            val fls = fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => s"${d.getPath.getName}/${f.getPath.getName}").toSeq
+            if (fls.isEmpty) None else Some(b -> fls)
+          }.toMap
+      }
+    }
     // barrier: the key frame feeds the touched-bucket collect AND the
     // anti-join (two consumers, the curateShard rule)
     val delKeys = keys.select(keyCols.map(col): _*).distinct()

@@ -541,6 +541,33 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.readUpsertTable(spark, tableDir).count() === 1)
   }
 
+  test("deleteFromTable adopts pre-manifest buckets; flat legacy layout fails fast") {
+    def bucketOf(k: Long) = math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42), 8)
+    // legacy __bucket=* layout (the dir-swap-era sink), no manifest
+    val dir = Files.createTempDirectory("graft-del-legacy").toString + "/t"
+    Seq((1L, "a")).toDF("k", "payload")
+      .write.parquet(s"$dir/__bucket=${bucketOf(1L)}")
+    Seq((2L, "b")).toDF("k", "payload")
+      .write.parquet(s"$dir/__bucket=${bucketOf(2L)}")
+    EventStreams.deleteFromTable(spark, dir, Seq(1L).toDF("k"), Seq("k"),
+      8, batchId = 0L)
+    val rows = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((2L, "b"))) // adopted, deleted, untouched kept
+    // root-level FLAT legacy files cannot be safely deleted from — the
+    // sweep would remove unmigrated data — so the call must refuse
+    val flat = Files.createTempDirectory("graft-del-flat").toString + "/t"
+    Seq((3L, "c")).toDF("k", "payload").write.parquet(flat)
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.deleteFromTable(spark, flat, Seq(3L).toDF("k"), Seq("k"),
+        8, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("flat pre-manifest layout"))
+    // and the refused call destroyed nothing
+    assert(spark.read.parquet(flat).count() === 1)
+  }
+
   test("RAG index takedown: tombstoned chunks equal a from-scratch index over the retained corpus") {
     val base = Files.createTempDirectory("graft-rag-del").toString
     val idxDir = s"$base/chunks"
