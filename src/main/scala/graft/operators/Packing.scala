@@ -438,7 +438,11 @@ object Packing {
     * deletes under `batchId`, the rebuilt suffix + state commit under
     * `batchId + 1` — both idempotent, nothing reads the table being
     * rewritten (everything derives from `corpusToks`), so a crash
-    * anywhere replays to the same result. The state keeps the OLD
+    * anywhere replays to the same result. As with every multi-commit
+    * operation here (the curateShard pair rule), a CRASHED takedown
+    * must be replayed to completion BEFORE new shards append: an
+    * append between the crash and the replay would read the
+    * not-yet-updated state row and extend the pre-delete layout. The state keeps the OLD
     * arrival watermark (deletion must not re-open doc_id room below
     * already-packed history) and versions by batchId. The tokenizer
     * stays frozen — deletion never retrains (retraining would
