@@ -4493,6 +4493,15 @@ object SparkEntry {
     */
   private def shardProvenanceOracleSql(nMerges: Int, seqLen: Int,
                                        seqsPerShard: Int): String =
+    s"""${provenanceOracleCtes(nMerges, seqLen, seqsPerShard)}
+       |SELECT d.shard_id, p.seq_id, p.doc_id, p.start, p.len
+       |FROM spans p JOIN sd d USING (seq_id)""".stripMargin
+
+  /** The shared q178/q182 CTE prefix: full layout, spans off gp, the
+    * shuffle rank, and the shard assignment, ending at `spans` + `sd`.
+    */
+  private def provenanceOracleCtes(nMerges: Int, seqLen: Int,
+                                   seqsPerShard: Int): String =
     s"""${bpeEncodeOracleCtes(nMerges)},
        |dt AS (SELECT doc_id, wi, generate_subscripts(syms, 1) AS si,
        |         unnest(syms) AS sym
@@ -4523,9 +4532,7 @@ object SparkEntry {
        |spans AS (SELECT (gpos // $seqLen)::BIGINT AS seq_id, doc_id,
        |            (MIN(gpos) % $seqLen)::BIGINT AS start,
        |            COUNT(*)::BIGINT AS len
-       |          FROM gp GROUP BY 1, 2)
-       |SELECT d.shard_id, p.seq_id, p.doc_id, p.start, p.len
-       |FROM spans p JOIN sd d USING (seq_id)""".stripMargin
+       |          FROM gp GROUP BY 1, 2)""".stripMargin
 
   /** CALIBRATION DRIFT MONITOR ([[operators.Models.scoreDrift]]): the
     * "is the frozen calibration stale" signal the q161/q166 serving
@@ -4681,6 +4688,99 @@ object SparkEntry {
       |      FROM j GROUP BY 1)
       |SELECT p.pair_id, c.cosine, c.cosine >= 0.9 AS keep
       |FROM pairs p LEFT JOIN c USING (pair_id)""".stripMargin
+
+  /** Build-once-per-JVM takedown'd IVF-PQ index: grow the index (the
+    * q168 even/odd shape), snapshot the pre-delete FULL ranking per
+    * probe (k covers the whole candidate pool, so removing rows cannot
+    * pull unseen candidates into frame), then
+    * [[operators.Similarity.deleteFromIvfPqIndex]] removes a fixed
+    * vector set as one committed filter-and-republish generation.
+    */
+  private val ivfPqTakedownStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q181DeletedVecs = Seq(5L, 6L, 7L)
+  private def ensureIvfPqTakedown(spark: SparkSession, dir: String): String =
+    ivfPqTakedownStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-takedown").toString
+      val idx = s"$base/idx"
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0), idx)
+      operators.Similarity.appendToIvfPqIndex(
+        e.filter(col("vec_id") % 2 === 1), idx, batchId = 1L)
+      operators.Similarity
+        .queryIvfPqIndex(spark, idx,
+          ivfPqProbes(spark, dir, Seq(0L, 1L, 2L)), 10000, nprobe = 3)
+        .write.mode("overwrite").parquet(s"$base/pre")
+      operators.Similarity.deleteFromIvfPqIndex(
+        spark, idx, q181DeletedVecs, batchId = 2L)
+      base
+    })
+
+  /** IVF-PQ TAKEDOWN ([[operators.Similarity.deleteFromIvfPqIndex]]):
+    * deletion propagated through the composed ANN index — the q177
+    * contract, ANN flavor. Codes are per-row encodings under frozen
+    * artifacts, so deletion is a committed filter-and-republish, and
+    * every surviving vector's ADC distance is BIT-identical to before.
+    * Verdict per probe: the post-delete full ranking equals the
+    * pre-delete ranking with the deleted ids removed (exceptAll both
+    * ways over (vec_id, dist) — rank positions shift, distances may
+    * not), and no deleted id survives anywhere.
+    */
+  def q181IvfPqTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqTakedown(spark, dir)
+    val probes = ivfPqProbes(spark, dir, Seq(0L, 1L, 2L))
+    val post = operators.Similarity
+      .queryIvfPqIndex(spark, s"$base/idx", probes, 10000, nprobe = 3)
+      .select(col("probe_id"), col("vec_id"), col("dist"))
+    val preSurvivors = spark.read.parquet(s"$base/pre")
+      .filter(!col("vec_id").isin(q181DeletedVecs: _*))
+      .select(col("probe_id"), col("vec_id"), col("dist"))
+    val diff = post.exceptAll(preSurvivors).select(col("probe_id"))
+      .unionByName(preSurvivors.exceptAll(post).select(col("probe_id")))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_diff"))
+    val leaked = post.filter(col("vec_id").isin(q181DeletedVecs: _*))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_leaked"))
+    preSurvivors.select(col("probe_id")).distinct()
+      .join(diff, Seq("probe_id"), "left")
+      .join(leaked, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        (coalesce(col("n_diff"), lit(0L)) === 0L).as("survivors_identical"),
+        (coalesce(col("n_leaked"), lit(0L)) === 0L).as("none_deleted"))
+  }
+
+  /** TAKEDOWN AUDIT over the provenance manifest (q178's table doing
+    * its job): "which exported shards does a takedown of docs X touch,
+    * and how much of each" — per affected shard, the distinct
+    * sequences, regions, and token mass the q177 takedown set occupies.
+    * ONE keyed lookup against the committed lineage (a broadcast-sized
+    * id predicate pushed into the provenance scan) instead of
+    * re-deriving any layout — the audit every deletion request runs
+    * before deciding which shards to re-export. The oracle re-derives
+    * the full chain and the same aggregation.
+    */
+  def q182TakedownAudit(spark: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.readUpsertTable(
+        spark, s"${ensureTokenShards(spark, dir)}_prov")
+      .filter(col("doc_id").isin(q177DeletedIds: _*))
+      .groupBy(col("shard_id"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_regions"),
+        sum(col("len")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  /** q182 oracle: the q178 lineage chain filtered to the takedown set,
+    * aggregated per shard.
+    */
+  private def takedownAuditOracleSql(nMerges: Int, seqLen: Int,
+                                     seqsPerShard: Int,
+                                     deleted: Seq[Long]): String =
+    s"""${provenanceOracleCtes(nMerges, seqLen, seqsPerShard)}
+       |SELECT d.shard_id, COUNT(DISTINCT p.seq_id)::BIGINT AS n_seqs,
+       |  COUNT(*)::BIGINT AS n_regions, SUM(p.len)::BIGINT AS n_tokens,
+       |  MIN(p.doc_id) AS min_doc, MAX(p.doc_id) AS max_doc
+       |FROM spans p JOIN sd d USING (seq_id)
+       |WHERE p.doc_id IN (${deleted.mkString(", ")})
+       |GROUP BY 1""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4860,6 +4960,8 @@ object SparkEntry {
     "q178_shard_provenance" -> (q178ShardProvenance _),
     "q179_score_drift" -> (q179ScoreDrift _),
     "q180_pair_gate" -> (q180PairGate _),
+    "q181_ivfpq_takedown" -> (q181IvfPqTakedown _),
+    "q182_takedown_audit" -> (q182TakedownAudit _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6133,6 +6235,14 @@ object SparkEntry {
     "q179_score_drift" -> scoreDriftOracleSql(nBuckets = 64, lrate = 0.5,
       rounds = 3, nB = 8, threshold = 0.2),
     "q180_pair_gate" -> pairGateOracleSql,
+    // survivor-identity and no-leak are decided in-engine (exceptAll
+    // against the pre-delete snapshot); the oracle pins the verdict
+    "q181_ivfpq_takedown" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS survivors_identical,
+        |  TRUE AS none_deleted
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
+    "q182_takedown_audit" -> takedownAuditOracleSql(nMerges = 6,
+      seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

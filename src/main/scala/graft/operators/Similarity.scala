@@ -789,6 +789,67 @@ object Similarity {
     sweepUnreferencedCodes(fs, root, retain)
   }
 
+  /** TAKEDOWN for the composed IVF-PQ index — the deletion path the
+    * committed-artifact family needed here too (q177's argument, ANN
+    * flavor): remove a vector set from the codes table so probes can
+    * never return them. Codes are per-row encodings under FROZEN
+    * artifacts — no offsets, no cross-row state — so deletion is a
+    * filter, not a re-lay: all live batch dirs merge minus the deleted
+    * ids into one consolidated dir ([[compactIvfPqIndex]]'s machinery
+    * and commit protocol: staged rename, manifest commit, retained
+    * sweep — a racing probe sees the old set or the new set, never a
+    * half-delete), and every surviving vector's codes — hence its ADC
+    * distance to any probe — are bit-identical to before
+    * (DedupSimilaritySpec asserts survivors' probe results equal the
+    * pre-delete results with the deleted ids removed). Deleting
+    * everything leaves a readable empty index (probes return no rows,
+    * not an error). `vecIds` is the takedown set (bounded by contract —
+    * request lists, riding as a plan literal). Replays no-op via the
+    * manifest high-water mark; later appends must use higher batchIds.
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, vecIds: Seq[Long],
+                           batchId: Long, retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestCodesManifest(fs, root)
+    if (current.exists(_._2 >= batchId)) { // replay: commit already landed
+      sweepUnreferencedCodes(fs, root, retain)
+      return
+    }
+    val dirs = current.map(_._3).getOrElse(discoverBatchDirs(fs, root))
+    if (dirs.isEmpty) return // nothing committed: nothing to delete
+    val remaining = spark.read.option("basePath", root.toString)
+      .parquet(dirs.map(d => new Path(root, d).toString): _*)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .filter(!col("vec_id").isin(vecIds: _*))
+      // barrier: the emptiness check below and the write are two
+      // consumers of the filtered frame
+      .localCheckpoint()
+    val dest = new Path(root, s"batch=$batchId")
+    if (!fs.exists(dest)) {
+      val inflight = new Path(root, s".inflight-$batchId")
+      if (fs.exists(inflight)) fs.delete(inflight, true)
+      if (remaining.isEmpty)
+        // partitionBy writes nothing for an empty frame, and a fileless
+        // dir strands readers on schema inference: land one explicit
+        // empty (schema-carrying) file under a cell dir instead
+        remaining.drop("cell").coalesce(1)
+          .write.mode("overwrite").parquet(s"$inflight/cell=0")
+      else
+        remaining.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+      if (!fs.rename(inflight, dest))
+        throw new IllegalStateException(
+          s"failed to publish post-takedown codes at $dest")
+    }
+    publishCodesManifest(fs, root,
+      current.map(_._1 + 1).getOrElse(0L), batchId, Seq(dest.getName))
+    sweepUnreferencedCodes(fs, root, retain)
+  }
+
   /** The codes table of a composed index: exactly the batch dirs the
     * latest committed manifest names (basePath keeps BOTH partition
     * columns, so cell pruning still skips non-probed dirs), falling

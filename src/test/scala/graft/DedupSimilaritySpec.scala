@@ -366,6 +366,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe().exists(_._2 == 99L)) // the exact copy of vec 0 ranks in top-4
   }
 
+  test("IVF-PQ takedown: deleted vectors vanish, survivors' ADC answers bit-identical") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    Similarity.appendToIvfPqIndex(
+      Seq((8L, (0 until 64).map(i => (2.0 + i * 0.02).toFloat), 1))
+        .toDF("vec_id", "embedding", "label"),
+      idx, batchId = 1L)
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    def probe(k: Int) = Similarity
+      .queryIvfPqIndex(spark, idx, Seq((0L, pv)), k, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe(10)
+    val deleted = Seq(1L, 8L)
+    Similarity.deleteFromIvfPqIndex(spark, idx, deleted, batchId = 2L)
+    // survivors answer with EXACTLY their pre-delete ADC distances and
+    // order (codes untouched by the filter-and-republish)
+    val after = probe(10)
+    assert(after === before.filterNot(c => deleted.contains(c._1)))
+    assert(after.nonEmpty)
+    // replayed takedown no-ops; a replayed FOLDED append cannot
+    // resurrect the deleted vectors (manifest high-water mark)
+    Similarity.deleteFromIvfPqIndex(spark, idx, deleted, batchId = 2L)
+    Similarity.appendToIvfPqIndex(
+      Seq((8L, (0 until 64).map(i => (2.0 + i * 0.02).toFloat), 1))
+        .toDF("vec_id", "embedding", "label"),
+      idx, batchId = 1L)
+    assert(probe(10) === after)
+    // total takedown leaves a READABLE empty index: probes return no
+    // rows, not a schema error
+    val all = spark.read.parquet(s"$idx/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    Similarity.deleteFromIvfPqIndex(spark, idx, all, batchId = 3L)
+    assert(probe(5) === Seq.empty)
+  }
+
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
     Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
