@@ -366,6 +366,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe().exists(_._2 == 99L)) // the exact copy of vec 0 ranks in top-4
   }
 
+  test("flat PQ index takedown: deleteFromTable on the codes upsert table, survivors identical") {
+    // the q155 index's codes table IS a keyed upsert table, so the
+    // generic committed delete covers it with no index-specific code —
+    // the takedown-primitive composition argument
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    Similarity.buildPqIndex(vecs, idx, m = 8, codebookSize = 2, dim = 64)
+    val pv = vecs.selectExpr("cast(embedding as array<double>) as v")
+      .filter("vec_id = 0").head().getSeq[Double](0).toArray
+    def probe() = Similarity.queryPqIndex(spark, idx, Seq((0L, pv)), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe()
+    import spark.implicits._
+    graft.streaming.EventStreams.deleteFromTable(spark, s"$idx/codes",
+      Seq(1L).toDF("vec_id"), Seq("vec_id"), nBuckets = 8, batchId = 1L)
+    assert(probe() === before.filterNot(_._1 == 1L))
+  }
+
   test("IVF-PQ takedown: deleted vectors vanish, survivors' ADC answers bit-identical") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
