@@ -4782,6 +4782,33 @@ object SparkEntry {
        |WHERE p.doc_id IN (${deleted.mkString(", ")})
        |GROUP BY 1""".stripMargin
 
+  /** ANN CELL-OCCUPANCY DRIFT
+    * ([[operators.Similarity.cellOccupancyDrift]]): the q179 staleness
+    * question asked of the composed IVF-PQ index — the committed codes
+    * table is the reference occupancy histogram (the index maintains
+    * it by existing), an arriving shard assigns cells under the frozen
+    * centroids, and the PSI over nlist cells is the retrain signal
+    * (occupancy skew is what degrades cell pruning, not correctness).
+    * Two slices prove both directions deterministically: the indexed
+    * corpus itself re-assigns to EXACTLY its committed cells (every
+    * PSI term (p−p)·ln(1) — psi is 0.0, not "small"), and a
+    * constant-shifted copy concentrates mass away from the training
+    * distribution (psi strictly positive). The oracle re-derives the
+    * corpus count and pins both verdicts.
+    */
+  def q183CellDrift(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIvfPqAppend(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val shifted = e.withColumn("embedding",
+      expr("transform(embedding, x -> x + cast(2.0 as float))"))
+    def slice(name: String, shard: DataFrame) =
+      operators.Similarity.cellOccupancyDrift(spark, idx, shard)
+        .select(lit(name).as("slice"), col("n_ref"), col("n_new"),
+          (col("psi") === 0.0).as("psi_zero"),
+          (col("psi") > 0.0).as("psi_positive"))
+    slice("self", e).unionByName(slice("shifted", shifted))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4962,6 +4989,7 @@ object SparkEntry {
     "q180_pair_gate" -> (q180PairGate _),
     "q181_ivfpq_takedown" -> (q181IvfPqTakedown _),
     "q182_takedown_audit" -> (q182TakedownAudit _),
+    "q183_cell_drift" -> (q183CellDrift _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6243,6 +6271,14 @@ object SparkEntry {
         |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q182_takedown_audit" -> takedownAuditOracleSql(nMerges = 6,
       seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
+    // psi values are KMeans-cell-dependent; the deterministic facts are
+    // the corpus counts and the zero/positive verdicts
+    "q183_cell_drift" ->
+      """WITH n AS (SELECT COUNT(*)::BIGINT AS c FROM embeddings)
+        |SELECT 'self' AS slice, c AS n_ref, c AS n_new,
+        |  TRUE AS psi_zero, FALSE AS psi_positive FROM n
+        |UNION ALL
+        |SELECT 'shifted', c, c, FALSE, TRUE FROM n""".stripMargin,
     "q170_threshold_decontam" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

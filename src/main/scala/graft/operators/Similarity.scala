@@ -850,6 +850,49 @@ object Similarity {
     sweepUnreferencedCodes(fs, root, retain)
   }
 
+  /** ANN-side CALIBRATION DRIFT — the q179 staleness question asked of
+    * the composed index: "is the frozen coarse quantizer still a good
+    * partitioner for what is arriving?". The committed codes table IS
+    * the reference distribution (per-cell occupancy — no extra state to
+    * maintain, the index maintains it by existing); an arriving shard
+    * assigns to cells under the FROZEN centroids (one narrow argmin
+    * pass, the append path's own first step) and the two occupancy
+    * histograms compare by PSI over the nlist cells (add-one smoothed,
+    * the q179 arithmetic — engine-portable, exactly 0 for an identical
+    * distribution). A drifted verdict is the retrain signal: probes
+    * still answer correctly (encoding is exact under any centroids),
+    * but cell pruning degrades as mass concentrates away from the
+    * training distribution — occupancy skew is precisely what breaks
+    * the corpus·nprobe/nlist probe-I/O model. Cost: one aggregate over
+    * codes (which probes already scan) + one shard pass the append is
+    * already paying. Returns ONE row: (n_ref, n_new, psi, drifted).
+    */
+  def cellOccupancyDrift(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, shard: DataFrame,
+                         threshold: Double = 0.2): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    val nlist = centers.length
+    val ref = readIvfPqCodes(spark, indexDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val neu = assignCellsByCentroids(shard, centers)
+      .groupBy(col("cell")).agg(count(lit(1)).as("ncnt"))
+    val joined = spark.range(nlist).select(col("id").cast("int").as("cell"))
+      .join(ref, Seq("cell"), "left").join(neu, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("ncnt"), lit(0L)).as("ncnt"))
+      .localCheckpoint() // two consumers: totals + PSI terms (q179 rule)
+    val t = joined.agg(sum(col("cnt")), sum(col("ncnt"))).head()
+    val (nRef, nNew) = (t.getLong(0), t.getLong(1))
+    joined
+      .withColumn("p", (col("cnt") + 1).cast("double") / (nRef + nlist))
+      .withColumn("q", (col("ncnt") + 1).cast("double") / (nNew + nlist))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+        .as("psi"))
+      .select(lit(nRef).as("n_ref"), lit(nNew).as("n_new"), col("psi"),
+        (col("psi") >= threshold).as("drifted"))
+  }
+
   /** The codes table of a composed index: exactly the batch dirs the
     * latest committed manifest names (basePath keeps BOTH partition
     * columns, so cell pruning still skips non-probed dirs), falling

@@ -587,6 +587,40 @@ class StreamingSpec extends SparkSpec {
     assert(!canon(idxDir).exists(c => deleted.contains(c._1 / 100000L)))
   }
 
+  test("streaming ANN ingest (two AvailableNow passes) equals direct appends") {
+    import graft.streaming.IndexStream
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft-annstream").toString
+    val corpusDir = s"$base/arrivals"
+    val idx = s"$base/idx"
+    val ckpt = s"$base/ckpt"
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 250), idx)
+    val s1 = e.filter(col("vec_id") >= 250 && col("vec_id") < 400)
+    val s2 = e.filter(col("vec_id") >= 400)
+    s1.coalesce(1).write.mode("append").parquet(corpusDir)
+    IndexStream.startIngest(spark, corpusDir, e.schema, idx, ckpt)
+      .awaitTermination()
+    s2.coalesce(1).write.mode("append").parquet(corpusDir)
+    IndexStream.startIngest(spark, corpusDir, e.schema, idx, ckpt)
+      .awaitTermination()
+    def codesOf(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    // the direct twin: same fixed-seed build over the same slice yields
+    // the same frozen artifacts, so codes must be SET-identical
+    val idx2 = s"$base/idx2"
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 250), idx2)
+    Similarity.appendToIvfPqIndex(s1, idx2, batchId = 1L)
+    Similarity.appendToIvfPqIndex(s2, idx2, batchId = 2L)
+    assert(codesOf(idx) === codesOf(idx2))
+    assert(codesOf(idx).nonEmpty)
+    // a re-run with no new arrivals drains nothing and changes nothing
+    IndexStream.startIngest(spark, corpusDir, e.schema, idx, ckpt)
+      .awaitTermination()
+    assert(codesOf(idx) === codesOf(idx2))
+  }
+
   test("incremental curation (two AvailableNow passes) equals one batch curation") {
     import graft.streaming.CurationStream
     val base = Files.createTempDirectory("graft-curation").toString
