@@ -4398,16 +4398,19 @@ object SparkEntry {
       val docs = Tables.documents(spark, dir)
       operators.Models.buildTokenizer(docs, tokDir, nMerges = 6)
       val (merges, vocab, sepId) = operators.Models.readTokenizer(spark, tokDir)
-      def enc(df: DataFrame): DataFrame =
-        operators.TextAnalysis.bpeEncodeIds(df, merges, vocab)
+      // the encoded-ids frame is the COMMITTED ASSET a production
+      // pipeline keeps (it feeds the build AND the takedown's suffix
+      // re-lay): materialize it once, not once per consumer
+      val ids = operators.TextAnalysis.bpeEncodeIds(docs, merges, vocab)
+        .localCheckpoint()
       operators.Packing.materializeShardIncremental(
-        enc(docs.filter(col("doc_id") < 250)), tableDir,
+        ids.filter(col("doc_id") < 250), tableDir,
         seqLen = 128, sepId = sepId, batchId = 0L)
       operators.Packing.materializeShardIncremental(
-        enc(docs.filter(col("doc_id") >= 250)), tableDir,
+        ids.filter(col("doc_id") >= 250), tableDir,
         seqLen = 128, sepId = sepId, batchId = 1L)
       operators.Packing.deleteDocsFromSequences(
-        enc(docs), q177DeletedIds, tableDir,
+        ids, q177DeletedIds, tableDir,
         seqLen = 128, sepId = sepId, batchId = 2L)
       tableDir
     })

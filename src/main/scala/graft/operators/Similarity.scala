@@ -911,6 +911,18 @@ object Similarity {
     }
   }
 
+  /** The codes manifest's applied-batch high-water mark and live dirs,
+    * None when the index has no manifest yet. Exposed for
+    * [[graft.streaming.IndexStream]]'s fail-fast base check.
+    */
+  private[graft] def codesHighWater(spark: org.apache.spark.sql.SparkSession,
+                                    indexDir: String): Option[(Long, Seq[String])] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestCodesManifest(fs, root).map { case (_, maxBatch, dirs) => (maxBatch, dirs) }
+  }
+
   private def codesManifestDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "_batches")
 

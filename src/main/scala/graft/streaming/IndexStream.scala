@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.StructType
   * replays. One stream per index (the single-writer convention all
   * committed sinks here share); after an out-of-band compaction or
   * takedown, restart the stream with a fresh checkpoint and a base
-  * above the maintenance ids.
+  * above the maintenance ids. The contract is ENFORCED, not just
+  * documented: a stream's FIRST batch fails fast when its effective id
+  * sits at or below the committed high-water mark without being a
+  * genuine replay (its own batch dir still live) — the misconfigured
+  * alternative is fresh shards silently no-opping as replays.
   */
 object IndexStream {
 
@@ -48,6 +52,25 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fail-fast base check on the stream's first batch: effective
+        // id at/below the high-water mark is only legitimate when it is
+        // a same-checkpoint replay — i.e. its own batch dir is still in
+        // the live set. A stale base after compaction/takedown (whose
+        // consolidated commit swept the old dirs) trips this instead of
+        // silently dropping every drained shard as a "replay".
+        if (batchId == 0L) {
+          graft.operators.Similarity.codesHighWater(spark, indexDir)
+            .foreach { case (maxBatch, liveDirs) =>
+              require(batchIdBase > maxBatch ||
+                  liveDirs.contains(s"batch=$batchIdBase"),
+                s"batchIdBase $batchIdBase is at or below the index's " +
+                  s"committed high-water mark $maxBatch and batch=$batchIdBase " +
+                  "is not a live dir (it was compacted or taken down): fresh " +
+                  "shards would silently no-op as replays. Restart the ingest " +
+                  "with a fresh checkpoint and a base above the maintenance " +
+                  "batch ids.")
+            }
+        }
         ingestShard(batch, indexDir, batchIdBase + batchId)
       }
       .start()

@@ -619,6 +619,23 @@ class StreamingSpec extends SparkSpec {
     IndexStream.startIngest(spark, corpusDir, e.schema, idx, ckpt)
       .awaitTermination()
     assert(codesOf(idx) === codesOf(idx2))
+    // ENFORCED base contract: compaction raises the high-water mark to
+    // 4; a fresh checkpoint with the stale default base must FAIL FAST
+    // (fresh shards would otherwise silently no-op as replays)
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 4L)
+    val arrivals2 = s"$base/arrivals2"
+    val extra = e.filter(col("vec_id") === 0).withColumn("vec_id", lit(9000L))
+    extra.coalesce(1).write.mode("append").parquet(arrivals2)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+        s"$base/ckpt-stale", batchIdBase = 1L).awaitTermination()
+    }
+    assert(ex.getMessage.contains("high-water") ||
+      Option(ex.getCause).exists(_.getMessage.contains("high-water")))
+    // with a base above the maintenance ids the shard lands normally
+    IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+      s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
+    assert(codesOf(idx).exists(_._1 == 9000L))
   }
 
   test("incremental curation (two AvailableNow passes) equals one batch curation") {
