@@ -266,8 +266,51 @@ object Models {
       .groupBy(col("lang"))
       .agg(round(expr(s"percentile(lm_score, $lmQ)"), 6).as("lm_cut"),
         round(expr(s"percentile(lr_quality, $lrQ)"), 6).as("lr_cut"))
-    EventStreams.mergeBatchIntoTable(cuts, s"$modelRoot/cuts",
-      Seq("lang"), "lang", nBuckets = 1, batchId = batchId)
+    // versioned by batchId, NOT by the key itself: a RECALIBRATION
+    // ([[recalibrateGate]]) re-commits the same lang keys, and
+    // key-as-version would tie nondeterministically in the merge's
+    // max_by (the packing-state lesson) — the newest calibration must
+    // win deterministically
+    EventStreams.mergeBatchIntoTable(cuts.withColumn("__v", lit(batchId)),
+      s"$modelRoot/cuts", Seq("lang"), "__v", nBuckets = 1, batchId = batchId)
+  }
+
+  /** RECALIBRATE the served gate — the "drifted → act" maintenance
+    * transaction the monitors (q179/q183) point at: recompute the
+    * per-language cuts AND the drift-reference histograms against a
+    * NEW calibration corpus, committed as one batchId generation over
+    * the same frozen LM/LR models (recalibration re-draws the
+    * DECISION BOUNDARIES and the reference distribution; it never
+    * retrains the models — that contract stays enforced by
+    * [[buildLmModel]]). Serving picks up the new cuts on its next
+    * read (the manifest flip); drift monitoring compares against the
+    * new reference, so a post-recalibration self-check is exactly
+    * zero again. Languages the new calibration does NOT cover are
+    * RETIRED (committed deletes via EventStreams.deleteFromTable) —
+    * an upsert alone would keep serving their STALE cuts silently,
+    * and a gate must refuse what it cannot calibrate (the serving
+    * inner-join convention: uncovered langs drop). Replays no-op per
+    * table; consumes batchId AND batchId + 1 (the new generations,
+    * then the retirements); as with every multi-commit operation (the
+    * q177 sentence), a crashed recalibration must be replayed to
+    * completion before trusting the gate.
+    */
+  def recalibrateGate(calibration: DataFrame, modelRoot: String,
+                      batchId: Long, lmQ: Double = 0.25,
+                      lrQ: Double = 0.25, nHistBuckets: Int = 8): Unit = {
+    val spark = calibration.sparkSession
+    buildGateCuts(calibration, modelRoot, lmQ, lrQ, batchId)
+    buildScoreHistograms(calibration, modelRoot, nHistBuckets, batchId)
+    val langs = calibration.select(col("lang")).distinct()
+    EventStreams.deleteFromTable(spark, s"$modelRoot/cuts",
+      EventStreams.readUpsertTable(spark, s"$modelRoot/cuts")
+        .join(langs, Seq("lang"), "left_anti").select(col("lang")),
+      Seq("lang"), nBuckets = 1, batchId = batchId + 1)
+    EventStreams.deleteFromTable(spark, s"$modelRoot/hist",
+      EventStreams.readUpsertTable(spark, s"$modelRoot/hist")
+        .join(langs, Seq("lang"), "left_anti")
+        .select(col("lang"), col("signal"), col("b")),
+      Seq("lang", "signal", "b"), nBuckets = 1, batchId = batchId + 1)
   }
 
   // --------------------------------------------------------------------

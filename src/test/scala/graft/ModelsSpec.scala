@@ -180,6 +180,46 @@ class ModelsSpec extends SparkSpec {
     assert(EventStreams.readUpsertTable(spark, driftDir).count() === ledger.length)
   }
 
+  test("recalibrateGate: cuts + drift reference re-land as one generation; serving follows") {
+    val root = Files.createTempDirectory("graft-recal").toString
+    val target = corpus.filter(col("doc_id") < 3)
+    val gated = corpus.filter(col("doc_id") >= 3)
+    Models.buildLmModel(target.unionByName(gated), s"$root/lm")
+    Models.buildLrModel(target, gated, s"$root/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildGateCuts(gated, root)
+    Models.buildScoreHistograms(gated, root)
+    // recalibrate on a different slice, same frozen models, batch 1
+    val calib2 = gated.filter(col("doc_id") >= 4)
+    Models.recalibrateGate(calib2, root, batchId = 1L)
+    // the served decisions now equal a gate calibrated on calib2 from
+    // scratch (same models, fresh cut dir) — bit-identically
+    val root2 = Files.createTempDirectory("graft-recal2").toString
+    Models.buildLmModel(target.unionByName(gated), s"$root2/lm")
+    Models.buildLrModel(target, gated, s"$root2/lr", "doc_id", "text",
+      nBuckets = 64, lrate = 0.5, rounds = 3)
+    Models.buildGateCuts(calib2, root2)
+    val after = Models.serveEnsembleGate(spark, root, gated)
+      .orderBy("doc_id").collect().toSeq
+    val expected = Models.serveEnsembleGate(spark, root2, gated)
+      .orderBy("doc_id").collect().toSeq
+    assert(after === expected)
+    assert(after.nonEmpty)
+    // the language calib2 does NOT cover (fr, doc 3) is RETIRED, not
+    // served against its stale batch-0 cut — a gate must refuse what
+    // it cannot calibrate
+    assert(!after.exists(_.getString(1) == "fr"))
+    // the drift reference moved with the calibration: the NEW corpus
+    // self-compares to exactly zero against the re-committed histograms
+    val self = Models.scoreDrift(spark, root, calib2).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Double]("psi") === 0.0))
+    // replayed recalibration no-ops (both tables)
+    Models.recalibrateGate(calib2, root, batchId = 1L)
+    assert(Models.serveEnsembleGate(spark, root, gated)
+      .orderBy("doc_id").collect().toSeq === after)
+  }
+
   test("committed tokenizer round-trips the inline train: merges, ids, separator") {
     val dir = Files.createTempDirectory("graft-tok-model").toString
     Models.buildTokenizer(corpus, dir, nMerges = 4)
