@@ -126,8 +126,12 @@ object CurationStream {
     val newUnique = hist.fold(shardUnique)(h =>
       shardUnique.join(h.select(col("sha")), Seq("sha"), "left_anti"))
     val slotCols = (0 until 8).map(i => s"s$i")
+    // n_tokens rides in state for [[reselectCanonicals]]: the keep-best
+    // quality score must cover DROPPED members too (they are exactly
+    // the candidates a re-selection may promote), and their text —
+    // hence their token count — is gone after this shard
     val shardState = newUnique
-      .select(col("doc_id"), col("sha"),
+      .select(col("doc_id"), col("sha"), col("n_tokens"),
         array_distinct(Texts.tokens(col("text"))).as("toks"))
       .join(Dedup.portableMinhashSignatures(
         newUnique.select(col("doc_id"), col("text"))), Seq("doc_id"))
@@ -169,8 +173,8 @@ object CurationStream {
     // snapshot's files through this batch's sweep for exactly that
     // replay read.
     EventStreams.mergeBatchIntoTable(
-      shardState.select((col("doc_id") +: col("sha") +: col("toks") +:
-        slotCols.map(col)): _*),
+      shardState.select((col("doc_id") +: col("sha") +: col("n_tokens") +:
+        col("toks") +: slotCols.map(col)): _*),
       stateDir, Seq("doc_id"), "doc_id", nBuckets = 8, batchId = batchId,
       retain = 2)
     EventStreams.mergeBatchIntoTable(out, sinkDir,
@@ -240,6 +244,46 @@ object CurationStream {
         scoreShard(batch, lmModelDir, lrModelDir, scoresDir, batchId)
       }
       .start()
+
+  /** PERIODIC keep-best RE-SELECTION — the batch half of the survivor
+    * policy the append-only stream cannot express inline (see
+    * `Curation.curate`'s keepBest note: a later, better cluster member
+    * would have to RETRACT a committed survivor). This runs the q171
+    * canonical selection over the ACCUMULATED committed state —
+    * entirely text-free: LSH bands re-derive from the STORED
+    * signatures, the Jaccard verify from the STORED token sets, the
+    * quality score from the STORED n_tokens (dropped members carry all
+    * three precisely so this pass can promote them) — and commits a
+    * (doc_id, cluster_id, canonical_id, is_canonical, n_tokens)
+    * decision table as one idempotent generation. Downstream exporters
+    * consume the decision table to swap survivors; the curation sink
+    * itself stays append-only (the retraction happens at READ/export
+    * time, the lakehouse convention). Scale shape: the banding/verify/
+    * closure/argmax chain of q89+q115+q171 over state rows that never
+    * carry text.
+    */
+  def reselectCanonicals(spark: SparkSession, stateDir: String,
+                         decisionsDir: String, batchId: Long,
+                         minJaccard: Double = 0.8): Unit = {
+    val slotCols = (0 until 8).map(i => s"s$i")
+    val st = EventStreams.readUpsertTable(spark, stateDir)
+      // barrier: state feeds banding, both verify sides, and the
+      // quality frame (the q136 fan-out rule)
+      .localCheckpoint()
+    val edges = Dedup.verifiedAnchorPairs(
+        Dedup.bandedAnchorCandidates(
+          st.select((col("doc_id") +: slotCols.map(col)): _*)),
+        st.select(col("doc_id"), col("toks").as("ts")), minJaccard)
+      .groupBy(col("doc_id")).agg(min(col("anchor")).as("rep_id"))
+    val cc = Dedup.connectedComponents(edges, "doc_id", "rep_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    EventStreams.mergeBatchIntoTable(
+      Dedup.canonicalByQuality(cc,
+          st.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+          "n_tokens")
+        .withColumn("__v", lit(batchId)).localCheckpoint(),
+      decisionsDir, Seq("doc_id"), "__v", nBuckets = 8, batchId = batchId)
+  }
 
   /** DRIFT-monitor one arriving shard against the committed calibration
     * histograms ([[graft.operators.Models.scoreDrift]]) and log the

@@ -704,6 +704,44 @@ class StreamingSpec extends SparkSpec {
     assert(survivors(keepBest = true) === Set(11L, 12L))
   }
 
+  test("reselectCanonicals promotes a later longer copy the min-id stream dropped") {
+    import graft.streaming.CurationStream
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-reselect").toString
+    val stateDir = s"$base/state"
+    val sinkDir = s"$base/sink"
+    val decDir = s"$base/decisions"
+    // docs 10/13 share the exact token SET (same signatures, jaccard 1)
+    // but 13 is LONGER; 12 is unrelated. Ascending arrival puts the
+    // SHORT copy first, so the stream's min-id policy keeps 10.
+    val words = (1 to 30).map(i => s"w$i")
+    val shard1 = Seq(
+      (10L, words.mkString(" "), "en"),
+      (12L, (100 to 114).map(i => s"z$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val shard2 = Seq(
+      (13L, (words ++ Seq("w1", "w2", "w3")).mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val evalSlice = Seq((0L, "nothing shared here at all")).toDF("doc_id", "text")
+    CurationStream.curateShard(shard1, evalSlice, stateDir, sinkDir, batchId = 0L)
+    CurationStream.curateShard(shard2, evalSlice, stateDir, sinkDir, batchId = 1L)
+    val survivors = EventStreams.readUpsertTable(spark, sinkDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(10L, 12L)) // append-only stream kept the anchor
+    // the periodic batch re-selection runs text-free over the state and
+    // PROMOTES the longer dropped member
+    CurationStream.reselectCanonicals(spark, stateDir, decDir, batchId = 0L)
+    def decisions() = EventStreams.readUpsertTable(spark, decDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val d = decisions()
+    assert(d(10L) === ((13L, false)))
+    assert(d(13L) === ((13L, true)))
+    assert(d(12L) === ((12L, true))) // singleton self-canonical
+    // replay no-ops
+    CurationStream.reselectCanonicals(spark, stateDir, decDir, batchId = 0L)
+    assert(decisions() === d)
+  }
+
   test("curateShard crash-replay between the state and sink commits loses nothing") {
     import graft.streaming.CurationStream
     val base = Files.createTempDirectory("graft-curation-replay").toString
