@@ -342,8 +342,13 @@ object Packing {
     val stateDir = s"$tableDir/_tokstate"
     val prevState = EventStreams
       .readUpsertTableBefore(spark, stateDir, batchId)
-      .map(_.select(col("total_tokens"), col("max_doc_id"), col("carry"),
-        col("carry_spans")).head())
+      // carry_spans post-dates early state tables: adopt with an empty
+      // span list (the schema-adoption convention; a pre-widening carry
+      // genuinely had no tracked spans)
+      .map(df => EventStreams.withColumnDefault(df, "carry_spans",
+          expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
+        .select(col("total_tokens"), col("max_doc_id"), col("carry"),
+          col("carry_spans")).head())
     val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
     val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
     val carry: Seq[Int] = prevState.map(_.getSeq[Int](2)).getOrElse(Seq.empty)
@@ -449,11 +454,15 @@ object Packing {
     * re-interpret every surviving sequence).
     *
     * `corpusToks` is the SAME (doc_id, toks) stream that built the
-    * table (production keeps it as a committed asset); `deletedIds`
-    * is the takedown set (bounded by contract — legal request lists,
-    * riding as a broadcast literal). Ids absent from the corpus are
-    * no-ops. Consumes batchId AND batchId+1; later appends must use
-    * ids above batchId+1.
+    * table — the ORIGINAL, UNFILTERED asset (production keeps it
+    * committed): a replay of a crashed takedown must pass it
+    * unchanged, because a pre-filtered stream (deleted docs already
+    * absent) makes the request resolve to "nothing to delete" and the
+    * replay completes as an empty state generation instead of
+    * applying the cut. Ids absent from the corpus are no-ops that
+    * still advance the state ledger to batchId+1 (so the no-op and
+    * applied paths agree on "later appends use ids above batchId+1").
+    * Consumes batchId AND batchId+1.
     */
   def deleteDocsFromSequences(corpusToks: DataFrame, deletedIds: Seq[Long],
                               tableDir: String, seqLen: Int, sepId: Int,
@@ -465,7 +474,13 @@ object Packing {
     val stateDir = s"$tableDir/_tokstate"
     val prevState = EventStreams
       .readUpsertTableBefore(spark, stateDir, batchId)
-      .map(_.select(col("total_tokens"), col("max_doc_id")).head())
+      // carry_spans post-dates early state tables: adopt with an empty
+      // span list (the schema-adoption convention; a pre-widening carry
+      // genuinely had no tracked spans)
+      .map(df => EventStreams.withColumnDefault(df, "carry_spans",
+          expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
+        .select(col("total_tokens"), col("max_doc_id"), col("carry"),
+          col("carry_spans")).head())
     val prevTotal: Long = prevState.map(_.getLong(0)).getOrElse(0L)
     val prevMaxDoc: Long = prevState.map(_.getLong(1)).getOrElse(Long.MinValue)
     val toksAll = corpusToks.select(col("doc_id"), col("toks"))
@@ -481,7 +496,29 @@ object Packing {
       costsAll, "doc_id", "cost", nParts, "fin")
     val delStarts = origEnds.filter(col("doc_id").isin(deletedIds: _*))
       .agg(min(col("fin") - col("cost"))).head()
-    if (delStarts.isNullAt(0)) return // no deleted doc in the corpus: nothing moves
+    if (delStarts.isNullAt(0)) {
+      // no deleted doc in the corpus: nothing moves, but the batch-id
+      // ledger must still match the applied path (ADVICE r10) — a
+      // crashed takedown replayed against an already-filtered corpus
+      // stream lands here, and a bare return would leave the delete
+      // half-applied-looking forever (state stuck below batchId + 1
+      // while appends are told to start above it). Re-commit the
+      // UNCHANGED state as an empty generation under batchId + 1 so
+      // the replay completes; a table with no committed state at all
+      // has nothing half-applied and stays a pure no-op.
+      prevState.foreach { s =>
+        val carry = s.getSeq[Int](2).toSeq
+        val carrySpans = s.getSeq[org.apache.spark.sql.Row](3)
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        EventStreams.mergeBatchIntoTable(
+          Seq((0, prevTotal, prevMaxDoc, carry, carrySpans, batchId + 1))
+            .toDF("k", "total_tokens", "max_doc_id", "carry", "carry_spans",
+              "__v"),
+          stateDir,
+          Seq("k"), "__v", nBuckets = 1, batchId = batchId + 1, retain = 2)
+      }
+      return
+    }
     val cutSeq = delStarts.getLong(0) / seqLen
     val cutPos = cutSeq * seqLen
     // RETAINED layout: prefix sums over the surviving docs; only docs

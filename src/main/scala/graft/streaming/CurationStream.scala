@@ -137,7 +137,11 @@ object CurationStream {
         newUnique.select(col("doc_id"), col("text"))), Seq("doc_id"))
       .localCheckpoint()
     val allState = hist.fold(shardState)(h =>
-      h.select(shardState.columns.map(col): _*).unionByName(shardState))
+      // n_tokens post-dates early state tables: adopt legacy rows with
+      // 0 (length unknown — any member with a known length outranks
+      // them in keep-best; ties keep min doc_id as always)
+      EventStreams.withColumnDefault(h, "n_tokens", lit(0L))
+        .select(shardState.columns.map(col): _*).unionByName(shardState))
     // q89/q136 banding over (state ∪ shard) — anchors are stable
     // under ascending arrival, so these decisions equal batch
     // decisions. The banding/anchor rule and the Jaccard verify are
@@ -266,7 +270,8 @@ object CurationStream {
                          decisionsDir: String, batchId: Long,
                          minJaccard: Double = 0.8): Unit = {
     val slotCols = (0 until 8).map(i => s"s$i")
-    val st = EventStreams.readUpsertTable(spark, stateDir)
+    val st = EventStreams.withColumnDefault(
+        EventStreams.readUpsertTable(spark, stateDir), "n_tokens", lit(0L))
       // barrier: state feeds banding, both verify sides, and the
       // quality frame (the q136 fan-out rule)
       .localCheckpoint()
@@ -279,7 +284,10 @@ object CurationStream {
       .select(col("node").as("doc_id"), col("cluster_id"))
     EventStreams.mergeBatchIntoTable(
       Dedup.canonicalByQuality(cc,
-          st.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+          // coalesce: rows adopted from a pre-widening state generation
+          // carry NULL n_tokens (schema adoption) and score as 0
+          st.select(col("doc_id"),
+            coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens")),
           "n_tokens")
         .withColumn("__v", lit(batchId)).localCheckpoint(),
       decisionsDir, Seq("doc_id"), "__v", nBuckets = 8, batchId = batchId)

@@ -247,6 +247,35 @@ object EventStreams {
     * pre-manifest `__bucket=*` dirs are adopted as the initial live set
     * (their `_commits/<id>` markers still honored for replay).
     */
+  /** Schema adoption, merge side (the legacy-LAYOUT adoption
+    * convention applied to WIDENED schemas — ADVICE r10): align an
+    * on-disk frame to the incoming batch's schema by defaulting
+    * columns the table was committed without — NULL for data columns;
+    * -1 for the version column, so adopted rows always LOSE version
+    * ties to any real batch instead of turning null-versioned
+    * (max_by drops all-null groups, which would null out untouched
+    * legacy keys). Columns the table has but the batch lacks still
+    * fail loudly — narrowing is a writer bug, not a migration.
+    */
+  private def alignTo(onDisk: DataFrame, target: DataFrame,
+                      versionCol: String): DataFrame =
+    target.schema.fields.foldLeft(onDisk) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name,
+        (if (f.name == versionCol) lit(-1) else lit(null)).cast(f.dataType))
+    }
+
+  /** Schema adoption, read side: default one column a committed table
+    * may pre-date (e.g. `carry_spans` on packing state, `n_tokens` on
+    * curation state). Only fills a WHOLLY absent column; tables with
+    * mixed-generation files surface the widened column with NULLs in
+    * pre-widening rows (the manifest reads merge schemas), which
+    * consumers default with coalesce where a semantic zero exists.
+    */
+  private[graft] def withColumnDefault(df: DataFrame, name: String,
+                                       default: org.apache.spark.sql.Column): DataFrame =
+    if (df.columns.contains(name)) df else df.withColumn(name, default)
+
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long,
                           retain: Int = 1, compactEvery: Int = 0): Unit = {
@@ -290,10 +319,11 @@ object EventStreams {
     val toMerge =
       if (legacyFiles.isEmpty) compacted
       else {
-        val legacy = spark.read
+        val legacy = spark.read.option("mergeSchema", "true")
           .parquet(legacyFiles.map(_.getPath.toString).toIndexedSeq: _*)
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-        graft.operators.Load.upsertLatest(legacy, compacted, keyCols, versionCol)
+        graft.operators.Load.upsertLatest(
+          alignTo(legacy, compacted, versionCol), compacted, keyCols, versionCol)
       }
     // bounded collect: at most nBuckets small ints
     val touched = toMerge.select(upsertBucketCol).distinct()
@@ -310,9 +340,11 @@ object EventStreams {
         val merged =
           if (currentFiles.isEmpty) toMerge
           else {
-            val current = spark.read.parquet(currentFiles: _*)
+            val current = spark.read.option("mergeSchema", "true")
+              .parquet(currentFiles: _*)
               .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-            graft.operators.Load.upsertLatest(current, toMerge, keyCols, versionCol)
+            graft.operators.Load.upsertLatest(
+              alignTo(current, toMerge, versionCol), toMerge, keyCols, versionCol)
           }
         val genName = s"gen_$batchId"
         val genDir = new Path(table, genName)
@@ -408,7 +440,8 @@ object EventStreams {
       else {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
-        val remaining = spark.read.parquet(currentFiles: _*)
+        val remaining = spark.read.option("mergeSchema", "true")
+          .parquet(currentFiles: _*)
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
           .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
         val genName = s"gen_$batchId"
@@ -458,7 +491,10 @@ object EventStreams {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestManifest(fs, table) match {
       case Some((_, live)) if live.nonEmpty =>
-        spark.read.parquet(
+        // mergeSchema: live sets may mix pre- and post-widening files
+        // (schema adoption); the file list is manifest-bounded, so the
+        // footer cost is O(buckets), not O(history)
+        spark.read.option("mergeSchema", "true").parquet(
           live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
       case _ => spark.read.parquet(tableDir).drop(upsertBucketCol)
     }
@@ -481,7 +517,7 @@ object EventStreams {
       .filter(_._1 <= batchId).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot at or before batch $batchId in $tableDir"))
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
       snap._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
   }
 
@@ -504,7 +540,7 @@ object EventStreams {
     manifestList(fs, table).map(readManifest(fs, _))
       .filter(_._1 < batchId).lastOption
       .collect { case (_, live) if live.valuesIterator.exists(_.nonEmpty) =>
-        spark.read.parquet(
+        spark.read.option("mergeSchema", "true").parquet(
           live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
       }
   }

@@ -26,10 +26,20 @@ import org.apache.spark.sql.types.StructType
   * committed sinks here share); after an out-of-band compaction or
   * takedown, restart the stream with a fresh checkpoint and a base
   * above the maintenance ids. The contract is ENFORCED, not just
-  * documented: a stream's FIRST batch fails fast when its effective id
-  * sits at or below the committed high-water mark without being a
-  * genuine replay (its own batch dir still live) — the misconfigured
-  * alternative is fresh shards silently no-opping as replays.
+  * documented, and it distinguishes a genuine same-checkpoint restart
+  * from a fresh checkpoint with a stale base (the two look alike to
+  * the manifest — both present effective ids at or below the
+  * high-water mark, but only the former may no-op them as replays):
+  * the stream records its own base in a token file INSIDE the
+  * checkpoint dir before applying its first batch. Token absent
+  * (fresh checkpoint) → the base must sit STRICTLY ABOVE the
+  * committed high-water mark, live batch dirs notwithstanding — a
+  * default base of 1 against an index with three prior appends is
+  * exactly the silent-data-loss misconfiguration this trips on.
+  * Token present (restart) → the base must EQUAL the recorded one
+  * (changing the base mid-checkpoint would re-map already-applied
+  * stream ids onto different index ids), and at/below-high-water
+  * effective ids are then genuine replays that correctly no-op.
   */
 object IndexStream {
 
@@ -52,26 +62,59 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // fail-fast base check on the stream's first batch: effective
-        // id at/below the high-water mark is only legitimate when it is
-        // a same-checkpoint replay — i.e. its own batch dir is still in
-        // the live set. A stale base after compaction/takedown (whose
-        // consolidated commit swept the old dirs) trips this instead of
-        // silently dropping every drained shard as a "replay".
-        if (batchId == 0L) {
-          graft.operators.Similarity.codesHighWater(spark, indexDir)
-            .foreach { case (maxBatch, liveDirs) =>
-              require(batchIdBase > maxBatch ||
-                  liveDirs.contains(s"batch=$batchIdBase"),
-                s"batchIdBase $batchIdBase is at or below the index's " +
-                  s"committed high-water mark $maxBatch and batch=$batchIdBase " +
-                  "is not a live dir (it was compacted or taken down): fresh " +
-                  "shards would silently no-op as replays. Restart the ingest " +
-                  "with a fresh checkpoint and a base above the maintenance " +
-                  "batch ids.")
-            }
-        }
+        // fail-fast base check on the stream's first batch (see the
+        // object doc): the checkpoint-local token tells a genuine
+        // same-checkpoint restart (token present, base must match;
+        // at/below-high-water ids are then real replays) apart from a
+        // fresh checkpoint with a stale base (token absent, base must
+        // exceed the committed high-water mark) — the latter would
+        // otherwise silently no-op every drained shard as a "replay".
+        checkBase(spark, indexDir, checkpointDir, batchIdBase, batchId)
         ingestShard(batch, indexDir, batchIdBase + batchId)
       }
       .start()
+
+  /** Per-batch base guard + token commit. The token is written AFTER
+    * the checks pass and BEFORE the shard applies, so a crash on
+    * either side replays safely: before the write, nothing applied and
+    * the fresh-checkpoint check re-runs; after it, the restart path
+    * sees its own recorded base and proceeds. Runs on EVERY batch (not
+    * just the first) because a restart that already applied batch 0
+    * would otherwise never re-check a changed base. A token-less
+    * checkpoint that is already mid-stream (batchId > 0) pre-dates
+    * this guard and adopts its configured base (the legacy-layout
+    * adoption convention).
+    */
+  private def checkBase(spark: SparkSession, indexDir: String,
+                        checkpointDir: String, batchIdBase: Long,
+                        batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val token = new Path(checkpointDir, "_graft_base")
+    val fs = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(token)) {
+      val in = fs.open(token)
+      val recorded =
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      require(recorded == batchIdBase,
+        s"this checkpoint was started with batchIdBase $recorded but is " +
+          s"being restarted with $batchIdBase: changing the base mid-" +
+          "checkpoint re-maps already-applied stream ids onto different " +
+          "index ids. Keep the original base, or use a fresh checkpoint " +
+          "with a base above the committed high-water mark.")
+    } else {
+      if (batchId == 0L)
+        graft.operators.Similarity.codesHighWater(spark, indexDir)
+          .foreach { case (maxBatch, _) =>
+            require(batchIdBase > maxBatch,
+              s"fresh checkpoint with batchIdBase $batchIdBase at or below " +
+                s"the index's committed high-water mark $maxBatch: fresh " +
+                "shards would silently no-op as replays (live batch dirs do " +
+                "not make a stale base safe — batch=<base> being live just " +
+                "means some EARLIER append used that id). Start fresh " +
+                "checkpoints with a base above every applied batch id.")
+          }
+      val out = fs.create(token, true)
+      try out.write(batchIdBase.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

@@ -195,6 +195,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink adopts a WIDENED schema: old rows default new columns (ADVICE r10)") {
+    val tableDir = Files.createTempDirectory("graft-widen").toString + "/t"
+    // generation 1 of the writer: no `extra` column yet
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 0L))
+        .toDF("k", "v", "__v"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 0L)
+    // generation 2 widened the schema; its batch touches SOME buckets —
+    // the merge must align the on-disk rows instead of failing the
+    // union, and untouched buckets' narrow files must still read
+    EventStreams.mergeBatchIntoTable(
+      Seq((2L, "b2", 1L, 7L)).toDF("k", "v", "__v", "extra"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 1L)
+    val rows = EventStreams.readUpsertTable(spark, tableDir)
+      .select(col("k"), col("v"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b2", Some(7L)),
+      (3L, "c", None), (4L, "d", None)))
+    // a widened VERSION column (the cuts-table case): adopted rows get
+    // version -1, so they lose ties to any real batch but survive when
+    // their key is absent from the new batch
+    val cutsDir = Files.createTempDirectory("graft-widen-v").toString + "/cuts"
+    EventStreams.mergeBatchIntoTable(
+      Seq(("en", 0.1), ("de", 0.2)).toDF("lang", "cut"),
+      cutsDir, Seq("lang"), "cut", nBuckets = 1, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      Seq(("en", 0.3, 5L)).toDF("lang", "cut", "__v"),
+      cutsDir, Seq("lang"), "__v", nBuckets = 1, batchId = 1L)
+    val cuts = EventStreams.readUpsertTable(spark, cutsDir)
+      .select(col("lang"), col("cut")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cuts === Map("en" -> 0.3, "de" -> 0.2))
+  }
+
   test("upsert sink migrates a legacy flat-layout table into buckets on first merge") {
     val tableDir = Files.createTempDirectory("graft-upsert-legacy").toString
     // simulate the pre-bucketed sink: keyed rows as root-level part files
@@ -619,6 +654,20 @@ class StreamingSpec extends SparkSpec {
     IndexStream.startIngest(spark, corpusDir, e.schema, idx, ckpt)
       .awaitTermination()
     assert(codesOf(idx) === codesOf(idx2))
+    // ADVICE r10: a FRESH checkpoint with a stale base must fail even
+    // while batch=<base> is still a live dir (that dir belongs to an
+    // EARLIER append, not to this stream) — previously this silently
+    // no-opped every drained shard as a "replay"
+    val arrivalsLive = s"$base/arrivals-live"
+    e.filter(col("vec_id") === 1).withColumn("vec_id", lit(9100L))
+      .coalesce(1).write.mode("append").parquet(arrivalsLive)
+    val exLive = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IndexStream.startIngest(spark, arrivalsLive, e.schema, idx,
+        s"$base/ckpt-stale-live", batchIdBase = 1L).awaitTermination()
+    }
+    assert(exLive.getMessage.contains("high-water") ||
+      Option(exLive.getCause).exists(_.getMessage.contains("high-water")))
+    assert(!codesOf(idx).exists(_._1 == 9100L))
     // ENFORCED base contract: compaction raises the high-water mark to
     // 4; a fresh checkpoint with the stale default base must FAIL FAST
     // (fresh shards would otherwise silently no-op as replays)
@@ -636,6 +685,19 @@ class StreamingSpec extends SparkSpec {
     IndexStream.startIngest(spark, arrivals2, e.schema, idx,
       s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
     assert(codesOf(idx).exists(_._1 == 9000L))
+    // a same-checkpoint RESTART must keep its recorded base (checked on
+    // every batch, not just the first — this restart is at stream id 1)
+    e.filter(col("vec_id") === 2).withColumn("vec_id", lit(9200L))
+      .coalesce(1).write.mode("append").parquet(arrivals2)
+    val exBase = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+        s"$base/ckpt-fresh", batchIdBase = 7L).awaitTermination()
+    }
+    assert(exBase.getMessage.contains("restarted with") ||
+      Option(exBase.getCause).exists(_.getMessage.contains("restarted with")))
+    IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+      s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
+    assert(codesOf(idx).exists(_._1 == 9200L))
   }
 
   test("incremental curation (two AvailableNow passes) equals one batch curation") {
