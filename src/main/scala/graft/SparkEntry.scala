@@ -4812,6 +4812,82 @@ object SparkEntry {
     slice("self", e).unionByName(slice("shifted", shifted))
   }
 
+  /** Build-once-per-JVM rebuilt IVF-PQ index: the drifted premise
+    * (quantizer trained on a biased third of the corpus, committed
+    * corpus grown to the full table via appends), the pre-rebuild
+    * probe snapshot, the generation-1 rebuild over the committed
+    * corpus, and the from-scratch twin built from the same semi-join
+    * source frame (same fixed seed + same rows => bit-identical
+    * artifacts).
+    */
+  private val ivfPqRebuildStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIvfPqRebuild(spark: SparkSession, dir: String): String =
+    ivfPqRebuildStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-rebuild").toString
+      val idx = s"$base/idx"
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 3 === 0), idx)
+      operators.Similarity.appendToIvfPqIndex(
+        e.filter(col("vec_id") % 3 =!= 0), idx, batchId = 1L)
+      operators.Similarity.queryIvfPqIndex(spark, idx,
+          ivfPqProbes(spark, dir, Seq(0L, 1L, 2L)), 50, nprobe = 3)
+        .write.mode("overwrite").parquet(s"$base/pre")
+      operators.Similarity.rebuildIvfPqIndex(e, idx, generation = 1L)
+      operators.Similarity.buildIvfPqIndex(
+        e.join(operators.Similarity.indexedVecIds(spark, idx),
+          Seq("vec_id"), "left_semi"),
+        s"$base/scratch")
+      base
+    })
+
+  /** IVF-PQ index REBUILD as a versioned generation
+    * ([[operators.Similarity.rebuildIvfPqIndex]]): the operation that
+    * ACTS on q183's drift signal — centroids and residual codebooks
+    * retrain over the committed corpus and publish as generation 1
+    * under the index's generation ledger (one manifest commit flips
+    * every probe/append/maintenance path atomically; generation 0
+    * stays retained for rollback and [[q184]]'s time-travel read).
+    * Verdict per probe: the rebuilt index's top-50 ADC answers are
+    * BIT-identical to a from-scratch build over the same source
+    * vectors (exceptAll both ways — same fixed-seed training on the
+    * same rows must yield the same artifacts); the RETAINED generation
+    * 0 still reproduces the pre-rebuild snapshot bit-identically
+    * (time travel); and the q183 loop CLOSES — re-assigning the
+    * index's own corpus under the new frozen centroids reproduces the
+    * committed occupancy exactly, PSI provably 0.0.
+    */
+  def q184IvfPqRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqRebuild(spark, dir)
+    val probes = ivfPqProbes(spark, dir, Seq(0L, 1L, 2L))
+    def ps(df: DataFrame) =
+      df.select(col("probe_id"), col("vec_id"), col("dist"), col("rn"))
+    val post = ps(operators.Similarity
+      .queryIvfPqIndex(spark, s"$base/idx", probes, 50, nprobe = 3))
+    val scratch = ps(operators.Similarity
+      .queryIvfPqIndex(spark, s"$base/scratch", probes, 50, nprobe = 3))
+    val oldGen = ps(operators.Similarity
+      .queryIvfPqIndexAt(spark, s"$base/idx", 0L, probes, 50, nprobe = 3))
+    val pre = ps(spark.read.parquet(s"$base/pre"))
+    def diff(a: DataFrame, b: DataFrame, name: String) =
+      a.exceptAll(b).select(col("probe_id"))
+        .unionByName(b.exceptAll(a).select(col("probe_id")))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+    val dScratch = diff(post, scratch, "n_scratch_diff")
+    val dOld = diff(oldGen, pre, "n_old_diff")
+    val drift = operators.Similarity
+      .cellOccupancyDrift(spark, s"$base/idx", Tables.embeddings(spark, dir))
+      .select((col("psi") === 0.0).as("self_psi_zero"))
+    pre.select(col("probe_id")).distinct()
+      .join(dScratch, Seq("probe_id"), "left")
+      .join(dOld, Seq("probe_id"), "left")
+      .crossJoin(broadcast(drift)) // one-row drift verdict
+      .select(col("probe_id"),
+        (coalesce(col("n_scratch_diff"), lit(0L)) === 0L).as("rebuilt_eq_scratch"),
+        (coalesce(col("n_old_diff"), lit(0L)) === 0L).as("old_gen_identical"),
+        col("self_psi_zero"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -4993,6 +5069,7 @@ object SparkEntry {
     "q181_ivfpq_takedown" -> (q181IvfPqTakedown _),
     "q182_takedown_audit" -> (q182TakedownAudit _),
     "q183_cell_drift" -> (q183CellDrift _),
+    "q184_ivfpq_rebuild" -> (q184IvfPqRebuild _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6276,6 +6353,12 @@ object SparkEntry {
       seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
     // psi values are KMeans-cell-dependent; the deterministic facts are
     // the corpus counts and the zero/positive verdicts
+    // rebuild-vs-scratch / time-travel / self-drift verdicts are
+    // KMeans-backed and decided in-engine; the oracle pins them
+    "q184_ivfpq_rebuild" ->
+      """SELECT CAST(c AS BIGINT) AS probe_id, TRUE AS rebuilt_eq_scratch,
+        |  TRUE AS old_gen_identical, TRUE AS self_psi_zero
+        |FROM (VALUES (0), (1), (2)) t(c)""".stripMargin,
     "q183_cell_drift" ->
       """WITH n AS (SELECT COUNT(*)::BIGINT AS c FROM embeddings)
         |SELECT 'self' AS slice, c AS n_ref, c AS n_new,

@@ -760,7 +760,7 @@ object Similarity {
                         retain: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val root = new Path(s"$indexDir/codes")
+    val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = latestCodesManifest(fs, root)
     if (current.exists(_._2 >= batchId)) { // replay: commit already landed
@@ -812,7 +812,7 @@ object Similarity {
                            batchId: Long, retain: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val root = new Path(s"$indexDir/codes")
+    val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = latestCodesManifest(fs, root)
     if (current.exists(_._2 >= batchId)) { // replay: commit already landed
@@ -870,10 +870,11 @@ object Similarity {
   def cellOccupancyDrift(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String, shard: DataFrame,
                          threshold: Double = 0.2): DataFrame = {
-    val centers = spark.read.parquet(s"$indexDir/centroids")
+    val aRoot = activeIndexRoot(spark, indexDir)
+    val centers = spark.read.parquet(s"$aRoot/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val nlist = centers.length
-    val ref = readIvfPqCodes(spark, indexDir)
+    val ref = readIvfPqCodes(spark, aRoot)
       .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
     val neu = assignCellsByCentroids(shard, centers)
       .groupBy(col("cell")).agg(count(lit(1)).as("ncnt"))
@@ -893,10 +894,12 @@ object Similarity {
         (col("psi") >= threshold).as("drifted"))
   }
 
-  /** The codes table of a composed index: exactly the batch dirs the
-    * latest committed manifest names (basePath keeps BOTH partition
-    * columns, so cell pruning still skips non-probed dirs), falling
-    * back to whole-root partition discovery for pre-manifest indexes.
+  /** The codes table of ONE RESOLVED generation root: exactly the
+    * batch dirs the latest committed codes manifest names (basePath
+    * keeps BOTH partition columns, so cell pruning still skips
+    * non-probed dirs), falling back to whole-root partition discovery
+    * for pre-manifest indexes. Callers resolve the generation first
+    * ([[activeIndexRoot]]).
     */
   private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String): DataFrame = {
@@ -918,7 +921,7 @@ object Similarity {
   private[graft] def codesHighWater(spark: org.apache.spark.sql.SparkSession,
                                     indexDir: String): Option[(Long, Seq[String])] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(s"$indexDir/codes")
+    val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestCodesManifest(fs, root).map { case (_, maxBatch, dirs) => (maxBatch, dirs) }
   }
@@ -1003,6 +1006,274 @@ object Similarity {
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  // --------------------------------------------------------------------
+  // Index GENERATIONS: versioned rebuilds of the composed IVF-PQ index
+  // --------------------------------------------------------------------
+
+  /** ACT on the q183 drift signal — the retrain step [[cellOccupancyDrift]]
+    * was raising for nobody (the recalibrateGate template, ANN flavor:
+    * monitors must have an operation that consumes them, or a drifted
+    * index keeps its degraded probe-I/O model forever). A rebuild
+    * retrains the coarse centroids AND the residual codebooks over the
+    * CURRENT committed corpus — the vectors the index actually serves,
+    * including every append since the last training — and publishes the
+    * result as a NEW index GENERATION:
+    *
+    *   - `indexDir/gen=<g>/{centroids, codebooks, codes}`: a complete,
+    *     self-contained index built by the [[buildIvfPqIndex]] protocol
+    *     (staged hidden, ONE rename publishes the whole generation);
+    *   - `indexDir/_generations/<seq>.json`: the generation ledger —
+    *     the COMMIT is the next manifest naming the new generation
+    *     ACTIVE (`readers resolve the highest committed manifest, so a
+    *     probe interleaving anywhere serves the old generation or the
+    *     new one, never a mix of artifacts — exactly the codes-manifest
+    *     argument, one level up);
+    *   - prior generations stay readable within `retain` manifests
+    *     (rollback + [[queryIvfPqIndexAt]] time travel); an index that
+    *     pre-dates generations is adopted as generation 0 at the flat
+    *     root (the legacy-layout adoption convention; the flat root is
+    *     never swept).
+    *
+    * Post-rebuild, [[appendToIvfPqIndex]] / [[compactIvfPqIndex]] /
+    * [[deleteFromIvfPqIndex]] / [[cellOccupancyDrift]] /
+    * [[queryIvfPqIndex]] all resolve the ACTIVE generation first, so
+    * appends encode under the NEW artifacts (each generation has its
+    * own codes manifest, starting at batch 0) and the q183 self-check
+    * CLOSES: re-assigning the index's own source vectors under the new
+    * frozen centroids reproduces the committed occupancy exactly — PSI
+    * is 0.0, not "small" (DedupSimilaritySpec asserts it, and that the
+    * rebuilt index is bit-identical to a from-scratch build over the
+    * same vectors; q184 runs drift → rebuild → self-drift-zero through
+    * the correctness gate).
+    *
+    * `embeddings` is the committed corpus asset holding (at least) the
+    * indexed vectors' raw embeddings — the same keep-the-source
+    * contract [[Packing.deleteDocsFromSequences]] documents; the
+    * rebuild semi-joins it to the committed vec_ids, so extra corpus
+    * rows are ignored and a MISSING indexed vector simply drops out
+    * (deletion-by-omission is not supported here: takedown goes
+    * through [[deleteFromIvfPqIndex]]). `generation` must exceed every
+    * committed generation id; replays no-op via the ledger.
+    *
+    * 100 TB shape: one semi-join (32-byte ids broadcast against the
+    * corpus scan), then exactly the build cost — sampled KMeans fits,
+    * one narrow assignment/encode pass, one partitioned write. The old
+    * generation serves probes untouched throughout.
+    */
+  def rebuildIvfPqIndex(embeddings: DataFrame, indexDir: String,
+                        generation: Long, nlist: Int = 8, m: Int = 8,
+                        codebookSize: Int = 16, dim: Int = 64,
+                        maxIter: Int = 5, retain: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(generation > 0, s"generation must be > 0, got $generation")
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val spark = embeddings.sparkSession
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestGenManifest(fs, root)
+    // replay guard on the HIGHEST generation ever committed (active OR
+    // retained), not just the active one: after a rollback the active
+    // id is lower, and a replayed rebuild of an already-committed
+    // generation must no-op, not silently re-activate it (re-activation
+    // is [[rollbackIvfPqIndex]]'s explicit job)
+    if (current.exists(c =>
+        math.max(c._2, c._3.map(genIdOf).max) >= generation)) {
+      sweepUnreferencedGens(fs, root, retain)
+      return
+    }
+    val ids = indexedVecIds(spark, indexDir)
+    val src = embeddings.join(ids, Seq("vec_id"), "left_semi")
+    val dest = new Path(root, s"gen=$generation")
+    if (!fs.exists(dest)) {
+      val inflight = new Path(root, s".inflight-gen-$generation")
+      if (fs.exists(inflight)) fs.delete(inflight, true) // crashed attempt
+      buildIvfPqIndex(src, inflight.toString, nlist, m, codebookSize, dim,
+        maxIter)
+      if (!fs.rename(inflight, dest))
+        throw new IllegalStateException(
+          s"failed to publish index generation $generation at $dest")
+    }
+    val live = current match {
+      case Some((_, _, l)) => l
+      // first manifest on a pre-generation index adopts the flat root
+      // as generation 0 ("." — the legacy-layout adoption convention)
+      case None => Seq(".")
+    }
+    // the ledger names the RETAINED generations only (newest `retain`
+    // by id) — an unbounded dirs list would defeat the sweep; dropping
+    // "." from the ledger retires legacy generation 0 from reads but
+    // never deletes the flat root (see [[sweepUnreferencedGens]])
+    val dirs = (live :+ dest.getName).distinct
+      .sortBy(genIdOf).takeRight(retain)
+    publishGenManifest(fs, root, current.map(_._1 + 1).getOrElse(0L),
+      generation, dirs)
+    sweepUnreferencedGens(fs, root, retain)
+  }
+
+  /** ROLLBACK: re-activate a retained prior generation — the cheap half
+    * of the rebuild story (a bad retrain must be one tiny manifest
+    * commit away from undone, or nobody rebuilds in production). Pure
+    * ledger operation: the target generation's artifacts are still on
+    * disk (within `retain`), so the commit is one manifest naming it
+    * active again. Appends after a rollback extend the re-activated
+    * generation's own codes manifest.
+    */
+  def rollbackIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, generation: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (seq, active, dirs) = latestGenManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no generation ledger; nothing to roll back"))
+    if (active == generation) return // replay / already active
+    require(dirs.exists(d => genIdOf(d) == generation),
+      s"generation $generation of $indexDir is not retained " +
+        s"(live: ${dirs.map(genIdOf).sorted.mkString(", ")}); it was swept " +
+        "past the retain window and cannot be re-activated")
+    publishGenManifest(fs, root, seq + 1, generation, dirs)
+  }
+
+  /** TIME TRAVEL probe: run [[queryIvfPqIndex]] against a RETAINED
+    * prior generation — the mirror of EventStreams.readUpsertTableAt
+    * for the ANN family, and the audit read the rebuild story needs
+    * (reproduce a pre-rebuild probe's results while the retention
+    * window still covers that generation's artifacts).
+    */
+  def queryIvfPqIndexAt(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, generation: Long,
+                        probes: Seq[(Long, Array[Double])], k: Int,
+                        nprobe: Int = 2): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = latestGenManifest(fs, root) match {
+      case Some((_, _, live)) => live
+      case None => Seq(".") // pre-generation index: generation 0 only
+    }
+    val dir = dirs.find(d => genIdOf(d) == generation).getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $generation of $indexDir is not retained " +
+          s"(live: ${dirs.map(genIdOf).sorted.mkString(", ")})"))
+    queryIvfPqAtRoot(spark, resolveGenDir(indexDir, dir), probes, k, nprobe)
+  }
+
+  /** The committed vector ids of the ACTIVE generation (distinct
+    * vec_id column, never collected) — the semi-join side a rebuild
+    * trains against, and the id universe a cross-artifact audit checks.
+    */
+  def indexedVecIds(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String): DataFrame =
+    readIvfPqCodes(spark, activeIndexRoot(spark, indexDir))
+      .select(col("vec_id")).distinct()
+
+  /** The ACTIVE generation's root dir: the generation ledger's active
+    * entry, or the flat `indexDir` itself for a pre-generation index.
+    * Every maintenance/read path of the composed index resolves through
+    * this, so a rebuild's manifest commit atomically re-points them all.
+    */
+  private[graft] def activeIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                                     indexDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestGenManifest(fs, root) match {
+      case Some((_, active, dirs)) =>
+        val dir = dirs.find(d => genIdOf(d) == active).getOrElse(
+          throw new IllegalStateException(
+            s"generation ledger of $indexDir names active generation " +
+              s"$active but no matching dir (live: ${dirs.mkString(", ")})"))
+        resolveGenDir(indexDir, dir)
+      case None => indexDir
+    }
+  }
+
+  /** Generation id encoded in a ledger dir name: "." (the adopted flat
+    * root) is generation 0; `gen=<g>` carries its id.
+    */
+  private def genIdOf(dir: String): Long =
+    if (dir == ".") 0L else dir.stripPrefix("gen=").toLong
+
+  private def resolveGenDir(indexDir: String, dir: String): String =
+    if (dir == ".") indexDir else s"$indexDir/$dir"
+
+  private def genManifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_generations")
+
+  /** Parse one generation manifest: (seq, active gen id, live dirs).
+    * Same writer-owned no-escape JSON + regex parse as the codes
+    * manifests ([[readCodesManifest]]).
+    */
+  private def readGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): (Long, Long, Seq[String]) = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def num(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"malformed generation manifest $p"))
+      .group(1).toLong
+    val dirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Seq.empty)
+    (num("seq"), num("active"), dirs)
+  }
+
+  private def genManifestList(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = genManifestDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  private def latestGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Option[(Long, Long, Seq[String])] =
+    genManifestList(fs, root).lastOption.map(readGenManifest(fs, _))
+
+  /** Atomic commit point of the generation ledger (the
+    * [[publishCodesManifest]] protocol, one level up).
+    */
+  private def publishGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path, seq: Long,
+                                 active: Long, dirs: Seq[String]): Unit = {
+    val dir = genManifestDir(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val body = s"""{"seq":$seq,"active":$active,"dirs":[""" +
+      dirs.sorted.map(d => "\"" + d + "\"").mkString(",") + "]}"
+    val name = f"$seq%019d.json"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, name)
+    if (fs.exists(dest)) { fs.delete(tmp, false); return } // replayed seq
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"failed to commit generation manifest $dest")
+  }
+
+  /** Delete `gen=<g>` dirs referenced by NONE of the newest `retain`
+    * generation manifests (plus stale inflight stages). The adopted
+    * flat root (".") is NEVER swept — its artifacts live at the index
+    * root itself, and automatic deletion there is not worth the blast
+    * radius (an operator retires a legacy generation explicitly).
+    */
+  private def sweepUnreferencedGens(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path,
+                                    retain: Int): Unit = {
+    val manifests = genManifestList(fs, root)
+    if (manifests.isEmpty) return
+    val keep = manifests.takeRight(retain)
+      .flatMap(readGenManifest(fs, _)._3).toSet
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("gen=") ||
+          s.getPath.getName.startsWith(".inflight-gen-")))
+      .filter(s => !keep.contains(s.getPath.getName) ||
+        s.getPath.getName.startsWith(".inflight-gen-"))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** INCREMENTAL index growth — the FAISS `add` path: new vectors
     * assign to cells and PQ-encode under the FROZEN coarse centroids
     * and residual codebooks read from the committed index (training
@@ -1018,9 +1289,13 @@ object Similarity {
   def appendToIvfPqIndex(newVectors: DataFrame, indexDir: String,
                          batchId: Long): Unit = {
     val spark = newVectors.sparkSession
-    val centers = spark.read.parquet(s"$indexDir/centroids")
+    // resolve the ACTIVE generation: post-rebuild appends must encode
+    // under the NEW artifacts and extend the new generation's codes
+    // manifest (its batch ids start fresh at the rebuild's batch 0)
+    val aRoot = activeIndexRoot(spark, indexDir)
+    val centers = spark.read.parquet(s"$aRoot/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+    val cbRows = spark.read.parquet(s"$aRoot/codebooks")
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
@@ -1033,7 +1308,7 @@ object Similarity {
         zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
     publishCodesBatch(
       resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell")),
-      indexDir, batchId)
+      aRoot, batchId)
   }
 
   /** Build-once guard per JVM (the [[ensurePqIndex]] convention:
@@ -1062,11 +1337,21 @@ object Similarity {
     */
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       probes: Seq[(Long, Array[Double])], k: Int,
-                      nprobe: Int = 2): DataFrame = {
+                      nprobe: Int = 2): DataFrame =
+    queryIvfPqAtRoot(spark, activeIndexRoot(spark, indexDir), probes, k, nprobe)
+
+  /** [[queryIvfPqIndex]] against one RESOLVED generation root (the
+    * shared body of the active-generation probe and the
+    * [[queryIvfPqIndexAt]] time-travel probe).
+    */
+  private def queryIvfPqAtRoot(spark: org.apache.spark.sql.SparkSession,
+                               indexRoot: String,
+                               probes: Seq[(Long, Array[Double])], k: Int,
+                               nprobe: Int): DataFrame = {
     import spark.implicits._
-    val centers = spark.read.parquet(s"$indexDir/centroids")
+    val centers = spark.read.parquet(s"$indexRoot/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+    val cbRows = spark.read.parquet(s"$indexRoot/codebooks")
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
@@ -1076,7 +1361,7 @@ object Similarity {
     val sub = cbs(0)(0).length
     probes.foreach { case (pid, pv) =>
       require(pv.length == m * sub,
-        s"probe $pid has dimension ${pv.length}; index at $indexDir expects " +
+        s"probe $pid has dimension ${pv.length}; index at $indexRoot expects " +
           s"${m * sub} (m=$m subspaces x $sub-wide, from the codebooks table)")
     }
     val lutRowsLocal = probes.flatMap { case (pid, pv) =>
@@ -1105,7 +1390,7 @@ object Similarity {
     // isin on the partition column -> only the probed cell dirs are
     // read, within exactly the batch dirs the codes manifest names
     // (post-compaction: one consolidated dir, one file per probed cell)
-    val cand = readIvfPqCodes(spark, indexDir)
+    val cand = readIvfPqCodes(spark, indexRoot)
       .filter(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
     topKPerProbeDist(
       cand.join(broadcast(lutRows), Seq("cell"))

@@ -420,6 +420,74 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe(5) === Seq.empty)
   }
 
+  test("IVF-PQ rebuild: committed generation ≡ from-scratch, self-drift 0.0, time travel, rollback") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the drifted premise: the quantizer trained on a biased slice, the
+    // committed corpus has since grown to the full table via appends
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 3 === 0), idx)
+    Similarity.appendToIvfPqIndex(e.filter(col("vec_id") % 3 =!= 0), idx,
+      batchId = 1L)
+    val probes = e.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "dist", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val pre = probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 50, nprobe = 3))
+    // REBUILD as generation 1: retrain over the committed corpus
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 1L)
+    // (a) rebuild ≡ from-scratch: a twin built from the same semi-join
+    // source frame (same fixed seed, same rows) probes bit-identically
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-scr").toString
+    Similarity.buildIvfPqIndex(
+      e.join(Similarity.indexedVecIds(spark, idx), Seq("vec_id"), "left_semi"),
+      scratch)
+    val reb = probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 50, nprobe = 3))
+    assert(reb === probeSet(
+      Similarity.queryIvfPqIndex(spark, scratch, probes, 50, nprobe = 3)))
+    assert(reb.nonEmpty)
+    // (b) the q183 loop CLOSES: re-assigning the index's own corpus
+    // under the new frozen centroids reproduces the committed occupancy
+    // exactly — PSI is 0.0, not "small"
+    val drift = Similarity.cellOccupancyDrift(spark, idx, e).head()
+    assert(drift.getDouble(2) === 0.0 && !drift.getBoolean(3))
+    // (c) TIME TRAVEL: the retained generation 0 reproduces the
+    // pre-rebuild probe results bit-identically
+    assert(probeSet(Similarity.queryIvfPqIndexAt(spark, idx, 0L, probes,
+      50, nprobe = 3)) === pre)
+    // (d) appends extend the ACTIVE generation only
+    val extra = e.filter(col("vec_id") === 0).withColumn("vec_id", lit(9000L))
+    Similarity.appendToIvfPqIndex(extra, idx, batchId = 1L)
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 10000,
+      nprobe = 8)).exists(_._2 == 9000L))
+    assert(probeSet(Similarity.queryIvfPqIndexAt(spark, idx, 0L, probes,
+      50, nprobe = 3)) === pre)
+    // (e) a replayed rebuild no-ops (the appended vector survives)
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 1L)
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 10000,
+      nprobe = 8)).exists(_._2 == 9000L))
+    // (f) ROLLBACK is one ledger commit: generation 0 serves again,
+    // bit-identical to the pre-rebuild snapshot; a replayed rebuild of
+    // generation 1 after the rollback must NOT silently re-activate it
+    Similarity.rollbackIvfPqIndex(spark, idx, generation = 0L)
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 50,
+      nprobe = 3)) === pre)
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 1L)
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 50,
+      nprobe = 3)) === pre)
+    // roll forward again: the appended vector is still in generation 1
+    Similarity.rollbackIvfPqIndex(spark, idx, generation = 1L)
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 10000,
+      nprobe = 8)).exists(_._2 == 9000L))
+    // a never-retained generation fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexAt(spark, idx, 7L, probes, 5)
+    }
+    assert(err.getMessage.contains("not retained"))
+  }
+
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
     Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
