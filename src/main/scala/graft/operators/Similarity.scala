@@ -721,12 +721,61 @@ object Similarity {
   // Codes-root manifest: the live-batch-dir ledger of an IVF-PQ index
   // --------------------------------------------------------------------
 
+  /** Consolidated-codes writer shared by [[compactIvfPqIndex]] and
+    * [[deleteFromIvfPqIndex]] — the skew-safe half of "one file per
+    * cell": a flat `repartition(cell)` makes a HOT cell (exactly the
+    * occupancy skew [[cellOccupancyDrift]] exists to detect) one
+    * straggler task writing one oversized file. With a finite
+    * `maxRowsPerFile`, each cell splits into ceil(rows / maxRowsPerFile)
+    * salted writer tasks — per-cell counts are a bounded collect (nlist
+    * rows, the coarse-quantizer contract that already bounds the
+    * centroid collects) riding as a map literal — so the hot cell's dir
+    * holds several bounded files instead of one giant one, and a probe
+    * of that cell fans across them. Salting is WRITE-layout only: rows,
+    * codes and the `cell=` dirs are unchanged, so probe answers are
+    * bit-identical whatever the salt (DedupSimilaritySpec asserts it
+    * with a planted hot cell). The default (MaxValue) keeps the exact
+    * one-file-per-cell layout. File counts are upper bounds — salted
+    * tasks that hash-collide merge their files, never split further.
+    */
+  private def writeConsolidatedCodes(codes: DataFrame, dest: String,
+                                     maxRowsPerFile: Long): Unit = {
+    require(maxRowsPerFile > 0, s"maxRowsPerFile must be > 0, got $maxRowsPerFile")
+    val salted =
+      if (maxRowsPerFile == Long.MaxValue) None
+      else {
+        // barrier: the occupancy count and the write both consume the
+        // merged frame
+        val c = codes.localCheckpoint()
+        // bounded collect: nlist (cell, splits) pairs
+        val splits = c.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            math.max(1L, (r.getLong(1) + maxRowsPerFile - 1) / maxRowsPerFile))
+          .toMap
+        if (splits.isEmpty) None
+        else {
+          val splitLit = map(splits.toSeq.sortBy(_._1)
+            .flatMap { case (cell, n) => Seq(lit(cell), lit(n.toInt)) }: _*)
+          val nParts = math.max(1L, splits.values.sum).toInt
+          Some(c.withColumn("__salt",
+              pmod(hash(col("vec_id")), element_at(splitLit, col("cell"))))
+            .repartition(nParts, col("cell"), col("__salt"))
+            .drop("__salt"))
+        }
+      }
+    salted.getOrElse(codes.repartition(col("cell")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dest)
+  }
+
   /** COMPACT the IVF-PQ codes table — the small-files cure for the
     * [[appendToIvfPqIndex]] path (each append publishes one
     * `batch=<id>` dir forever; at production cadence a probed cell
     * opens one file PER APPEND). All live batch dirs merge into ONE
-    * consolidated `batch=<batchId>` dir written with one file per cell,
-    * so post-compaction a probe opens `nprobe` files regardless of how
+    * consolidated `batch=<batchId>` dir written with one file per cell
+    * (or, with a finite `maxRowsPerFile`, a bounded handful per HOT
+    * cell — the skew dial, see [[writeConsolidatedCodes]]), so
+    * post-compaction a probe opens O(nprobe) files regardless of how
     * many appends built the index. The commit protocol is the
     * manifest-chain recipe the upsert tables use
     * (EventStreams.mergeBatchIntoTable), re-expressed for a
@@ -757,7 +806,8 @@ object Similarity {
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, batchId: Long,
-                        retain: Int = 1): Unit = {
+                        retain: Int = 1,
+                        maxRowsPerFile: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
@@ -776,10 +826,10 @@ object Similarity {
     if (!fs.exists(dest)) {
       val inflight = new Path(root, s".inflight-$batchId")
       if (fs.exists(inflight)) fs.delete(inflight, true)
-      // hash-repartition on cell: each cell lands in exactly one task,
-      // so partitionBy writes exactly ONE file per cell
-      merged.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+      // default: one task (hence ONE file) per cell; a finite
+      // maxRowsPerFile splits hot cells into bounded salted files
+      // (see [[writeConsolidatedCodes]])
+      writeConsolidatedCodes(merged, inflight.toString, maxRowsPerFile)
       if (!fs.rename(inflight, dest))
         throw new IllegalStateException(
           s"failed to publish compacted codes at $dest")
@@ -809,7 +859,8 @@ object Similarity {
     */
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, vecIds: Seq[Long],
-                           batchId: Long, retain: Int = 1): Unit = {
+                           batchId: Long, retain: Int = 1,
+                           maxRowsPerFile: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
@@ -839,8 +890,7 @@ object Similarity {
         remaining.drop("cell").coalesce(1)
           .write.mode("overwrite").parquet(s"$inflight/cell=0")
       else
-        remaining.repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(inflight.toString)
+        writeConsolidatedCodes(remaining, inflight.toString, maxRowsPerFile)
       if (!fs.rename(inflight, dest))
         throw new IllegalStateException(
           s"failed to publish post-takedown codes at $dest")

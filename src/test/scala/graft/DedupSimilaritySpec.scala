@@ -420,6 +420,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe(5) === Seq.empty)
   }
 
+  test("skew-safe compaction: a planted hot cell splits into bounded files, probes bit-identical") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-skew").toString
+    // planted skew: 90 vectors crowd one direction (one hot cell), 6
+    // spread the other — small per-vector jitter keeps KMeans fits
+    // non-degenerate (distinct points per cluster)
+    val hot = (0 until 90).map(i =>
+      (i.toLong, (0 until 64).map(d => (1.0 + d * 0.01 + i * 0.001).toFloat), 0))
+    val cold = (0 until 6).map(i =>
+      (100L + i, (0 until 64).map(d =>
+        (if (d % 2 == 0) 1.0f else -1.0f) + i * 0.01f), 1))
+    val vs = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    Similarity.buildIvfPqIndex(vs.filter(col("vec_id") < 50), idx,
+      nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    Similarity.appendToIvfPqIndex(
+      vs.filter(col("vec_id") >= 50), idx, batchId = 1L)
+    val pv = hot.head._2.map(_.toDouble).toArray
+    def probe() = Similarity
+      .queryIvfPqIndex(spark, idx, Seq((0L, pv)), k = 200, nprobe = 2)
+      .select("probe_id", "vec_id", "dist", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val pre = probe()
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 2L, maxRowsPerFile = 20L)
+    assert(probe() === pre) // salting is write-layout only
+    // the hot cell's dir holds SEVERAL bounded files, not one giant one
+    val hotCell = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") === 0L).head().getAs[Int]("cell")
+    def filesIn(cell: Int): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/codes"))
+      try st.filter(p => p.toString.contains(s"cell=$cell") &&
+        p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    assert(filesIn(hotCell) > 1,
+      s"hot cell $hotCell should split under maxRowsPerFile=20, " +
+        s"got ${filesIn(hotCell)} file(s)")
+  }
+
   test("IVF-PQ rebuild: committed generation ≡ from-scratch, self-drift 0.0, time travel, rollback") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
     val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
