@@ -4888,6 +4888,77 @@ object SparkEntry {
         col("self_psi_zero"))
   }
 
+  /** Build-once-per-JVM fully-orchestrated takedown: the five committed
+    * artifact kinds built over the same corpus (upsert table, signature
+    * store, packed sequence table over cheap hashed token ids, RAG
+    * chunk index, composed IVF-PQ index over the embeddings), then ONE
+    * [[operators.Takedown.deleteDocs]] request removes a fixed doc set
+    * from all of them under one batchId window with the committed
+    * completion ledger.
+    */
+  private val takedownAllStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q185DeletedIds = Seq(3L, 11L, 17L)
+  private def ensureTakedownAll(spark: SparkSession, dir: String): String =
+    takedownAllStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-takedown-all").toString
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x <> ''), " +
+          "t -> cast(pmod(xxhash64(t), 1000) as int))").as("toks"))
+      streaming.EventStreams.mergeBatchIntoTable(
+        docs.select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("__v", lit(0L)),
+        s"$base/corpus", Seq("doc_id"), "__v", nBuckets = 8, batchId = 0L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        operators.Dedup.portableMinhashSignatures(docs),
+        s"$base/sigstore", Seq("doc_id"), "doc_id", nBuckets = 8, batchId = 0L)
+      operators.Packing.materializeShardIncremental(toks, s"$base/seqs",
+        seqLen = 128, sepId = 1000, batchId = 0L)
+      operators.Rag.indexShard(docs, s"$base/rag", window = 16, stride = 8,
+        dim = 16, nPlanes = 4, batchId = 0L)
+      operators.Similarity.buildIvfPqIndex(
+        Tables.embeddings(spark, dir), s"$base/idx")
+      operators.Takedown.deleteDocs(spark, q185DeletedIds, batchId = 10L,
+        ledgerDir = s"$base/ledger",
+        sequences = Some((toks, s"$base/seqs", 128, 1000)),
+        keyedTables = Seq((s"$base/corpus", "doc_id", 8),
+          (s"$base/sigstore", "doc_id", 8)),
+        ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"))
+      base
+    })
+
+  /** ONE-CALL TAKEDOWN ORCHESTRATION + cross-artifact audit
+    * ([[operators.Takedown.deleteDocs]] / [[operators.Takedown.auditDocs]]):
+    * q182's audit widened to the whole artifact family — after a single
+    * orchestrated request, NO committed artifact anywhere still
+    * references the deleted docs: the corpus table and signature store
+    * by key, the sequence table by span metadata (committed sequences
+    * AND the state row's carry spans), the RAG index by chunk-key
+    * arithmetic, the ANN index by vector id — each checked with one
+    * pushed keyed lookup, never a layout re-derivation — and the
+    * committed completion ledger seals the request (every artifact
+    * token present under the batch, `_complete` landed). Verdict per
+    * artifact: (n_refs, clean, ledger_complete). Crash-replay semantics
+    * are TakedownSpec's job (mid-walk crash + same-args replay ==
+    * from-scratch-without-docs on every artifact).
+    */
+  def q185TakedownOrchestration(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureTakedownAll(spark, dir)
+    val audit = operators.Takedown.auditDocs(spark, q185DeletedIds,
+      sequenceTable = Some(s"$base/seqs"),
+      keyedTables = Seq((s"$base/corpus", "doc_id"),
+        (s"$base/sigstore", "doc_id")),
+      ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"))
+    val sealedLedger = operators.Takedown.ledger(spark, s"$base/ledger", 10L)
+      // 5 artifact tokens (the state-row audit has no token of its own)
+      .agg((count(lit(1)) === 5L && min(col("complete").cast("int")) === 1)
+        .as("ledger_complete"))
+    audit.crossJoin(broadcast(sealedLedger)) // one-row ledger verdict
+      .select(col("artifact"), col("n_refs"),
+        (col("n_refs") === 0L).as("clean"), col("ledger_complete"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5070,6 +5141,7 @@ object SparkEntry {
     "q182_takedown_audit" -> (q182TakedownAudit _),
     "q183_cell_drift" -> (q183CellDrift _),
     "q184_ivfpq_rebuild" -> (q184IvfPqRebuild _),
+    "q185_takedown_orchestration" -> (q185TakedownOrchestration _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6353,6 +6425,14 @@ object SparkEntry {
       seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
     // psi values are KMeans-cell-dependent; the deterministic facts are
     // the corpus counts and the zero/positive verdicts
+    // the audit counts are exact keyed lookups; the oracle pins the
+    // all-clean verdict per artifact
+    "q185_takedown_orchestration" ->
+      """SELECT a AS artifact, 0::BIGINT AS n_refs, TRUE AS clean,
+        |  TRUE AS ledger_complete
+        |FROM (VALUES ('sequences-seqs'), ('sequences-state-seqs'),
+        |  ('table-corpus'), ('table-sigstore'), ('rag-rag'),
+        |  ('ivfpq-idx')) t(a)""".stripMargin,
     // rebuild-vs-scratch / time-travel / self-drift verdicts are
     // KMeans-backed and decided in-engine; the oracle pins them
     "q184_ivfpq_rebuild" ->

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE-CALL takedown across every committed artifact — the
+  * orchestration layer the per-artifact primitives were missing: a
+  * right-to-be-forgotten request names DOCUMENTS, but by export time a
+  * document's traces live in several independently-committed artifacts
+  * (the corpus upsert table, the dedup signature store, the packed
+  * sequence table, the RAG chunk index, the ANN codes table), each with
+  * its own delete call — and a MISSED call silently leaves the doc
+  * resurrectable from whichever artifact was skipped. [[deleteDocs]]
+  * walks the full artifact set under ONE batchId window with a
+  * committed per-artifact completion LEDGER, so the request is one
+  * transaction boundary:
+  *
+  *   - each artifact's delete is the existing idempotent primitive
+  *     (EventStreams.deleteFromTable / Packing.deleteDocsFromSequences /
+  *     Rag.deleteDocs / Similarity.deleteFromIvfPqIndex) — the
+  *     orchestrator adds no new mutation machinery;
+  *   - after each primitive commits, a ledger token lands
+  *     (`ledgerDir/batch=<id>/<artifact>.done`, the tiny-file commit
+  *     convention); the final `_complete` token seals the request;
+  *   - a crash mid-walk replays with the SAME arguments: completed
+  *     artifacts skip via their tokens (their primitives would no-op
+  *     anyway — the tokens also spare the corpus re-read the sequence
+  *     primitive needs), the remainder completes, `_complete` lands —
+  *     the q177 two-commit rule generalized across artifacts
+  *     (TakedownSpec proves a mid-walk crash + replay leaves every
+  *     artifact equal to its from-scratch-without-docs build).
+  *
+  * Artifacts are LABELED by their directory basename (`.../corpus` →
+  * `table-corpus`) — callers keep basenames unique across the artifact
+  * set (they name the ledger tokens and the audit rows).
+  *
+  * Batch-id contract: every artifact family has its own id space; the
+  * request consumes `batchId` AND `batchId + 1` in each (the sequence
+  * primitive uses both; the others leave id `batchId + 1` unconsumed
+  * but reserved), so later operations on ANY of the artifacts must use
+  * ids above `batchId + 1`. As with every multi-commit operation here,
+  * a crashed request must be replayed to completion before new batches
+  * append.
+  *
+  * 100 TB shape: the walk is sequential over a handful of artifacts,
+  * but each step is the primitive's own bounded work — touched-buckets
+  * rewrite, suffix re-lay from the cut point, codes filter-and-republish
+  * — never a full-corpus pass beyond what the primitive itself pays.
+  */
+object Takedown {
+
+  /** Walk the artifact set (see object doc). Parameters:
+    *   - `sequences`: (corpusToks, tableDir, seqLen, sepId) for the
+    *     packed sequence table — `corpusToks` must be the ORIGINAL
+    *     unfiltered corpus asset (the
+    *     [[Packing.deleteDocsFromSequences]] replay contract);
+    *   - `keyedTables`: (tableDir, docIdCol, nBuckets) upsert tables
+    *     whose rows key by a doc-id column (corpus table, signature
+    *     store, curation state, provenance, ...);
+    *   - `ragIndex`: committed chunk-index root;
+    *   - `ivfPqIndex` + `vecIds`: composed-ANN index root and the
+    *     vector ids to remove (defaults to `docIds` — the
+    *     one-embedding-per-doc convention of the embeddings table).
+    * `docIds` is the legal request set (bounded by contract).
+    */
+  def deleteDocs(spark: SparkSession, docIds: Seq[Long], batchId: Long,
+                 ledgerDir: String,
+                 sequences: Option[(DataFrame, String, Int, Int)] = None,
+                 keyedTables: Seq[(String, String, Int)] = Seq.empty,
+                 ragIndex: Option[String] = None,
+                 ivfPqIndex: Option[String] = None,
+                 vecIds: Option[Seq[Long]] = None): Unit = {
+    import spark.implicits._
+    val steps: Seq[(String, () => Unit)] =
+      sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
+        (s"sequences-${baseName(dir)}", () =>
+          Packing.deleteDocsFromSequences(toks, docIds, dir, seqLen, sepId,
+            batchId))
+      } ++
+      keyedTables.map { case (dir, keyCol, nBuckets) =>
+        (s"table-${baseName(dir)}", () =>
+          graft.streaming.EventStreams.deleteFromTable(spark, dir,
+            docIds.toDF(keyCol), Seq(keyCol), nBuckets, batchId))
+      } ++
+      ragIndex.toSeq.map { dir =>
+        (s"rag-${baseName(dir)}", () =>
+          Rag.deleteDocs(spark, dir, docIds, batchId))
+      } ++
+      ivfPqIndex.toSeq.map { dir =>
+        (s"ivfpq-${baseName(dir)}", () =>
+          Similarity.deleteFromIvfPqIndex(spark, dir,
+            vecIds.getOrElse(docIds), batchId))
+      }
+    require(steps.nonEmpty, "takedown request names no artifacts")
+    require(steps.map(_._1).distinct.size == steps.size,
+      s"artifact labels collide (${steps.map(_._1).mkString(", ")}): " +
+        "keep artifact directory basenames unique across the set")
+    steps.foreach { case (label, run) =>
+      if (!tokenExists(spark, ledgerDir, batchId, label)) {
+        run()
+        writeToken(spark, ledgerDir, batchId, label)
+      }
+    }
+    writeToken(spark, ledgerDir, batchId, completeToken)
+  }
+
+  /** The request's committed ledger: one row per artifact token under
+    * `batch=<batchId>` plus the completion row — (artifact, complete).
+    * `complete` is TRUE on every row once `_complete` sealed the
+    * request; a crashed request reads back with the finished artifacts
+    * listed and complete = FALSE (the replay-me signal).
+    */
+  def ledger(spark: SparkSession, ledgerDir: String, batchId: Long): DataFrame = {
+    import spark.implicits._
+    val done = listTokens(spark, ledgerDir, batchId)
+    val complete = done.contains(completeToken)
+    done.filterNot(_ == completeToken).sorted
+      .map(a => (a, complete)).toDF("artifact", "complete")
+  }
+
+  /** CROSS-ARTIFACT audit — q182's question widened from "which shards
+    * does this takedown touch" to "does ANY committed artifact still
+    * reference these docs": one keyed lookup per artifact (pushed id
+    * predicates — never a re-derivation of any layout), unioned into
+    * (artifact, n_refs) rows. Zero everywhere = the request is fully
+    * forgotten; a nonzero row names exactly the artifact that missed
+    * its delete. The sequence-table check covers both the committed
+    * sequences' span metadata AND the carry spans in its state row.
+    */
+  def auditDocs(spark: SparkSession, docIds: Seq[Long],
+                sequenceTable: Option[String] = None,
+                keyedTables: Seq[(String, String)] = Seq.empty,
+                ragIndex: Option[String] = None,
+                ivfPqIndex: Option[String] = None,
+                vecIds: Option[Seq[Long]] = None): DataFrame = {
+    import graft.streaming.EventStreams
+    val boxed = docIds.map(java.lang.Long.valueOf)
+    def cnt(label: String, refs: DataFrame): DataFrame =
+      refs.agg(count(lit(1)).cast("long").as("n_refs"))
+        .select(lit(label).as("artifact"), col("n_refs"))
+    val parts: Seq[DataFrame] =
+      sequenceTable.toSeq.flatMap { dir =>
+        val tbl = cnt(s"sequences-${baseName(dir)}",
+          EventStreams.readUpsertTable(spark, dir)
+            .filter(exists(col("doc_spans"),
+              s => s.getField("doc_id").isin(boxed: _*))))
+        val stateDir = s"$dir/_tokstate"
+        val st =
+          if (!dirExists(spark, stateDir)) Seq.empty
+          else Seq(cnt(s"sequences-state-${baseName(dir)}",
+            EventStreams.readUpsertTable(spark, stateDir)
+              .filter(exists(col("carry_spans"),
+                s => s.getField("_1").isin(boxed: _*)))))
+        tbl +: st
+      } ++
+      keyedTables.map { case (dir, keyCol) =>
+        cnt(s"table-${baseName(dir)}",
+          EventStreams.readUpsertTable(spark, dir)
+            .filter(col(keyCol).isin(docIds: _*)))
+      } ++
+      ragIndex.toSeq.map { dir =>
+        cnt(s"rag-${baseName(dir)}",
+          EventStreams.readUpsertTable(spark, dir)
+            .filter(expr("chunk_key div 100000").isin(docIds: _*)))
+      } ++
+      ivfPqIndex.toSeq.map { dir =>
+        cnt(s"ivfpq-${baseName(dir)}",
+          Similarity.indexedVecIds(spark, dir)
+            .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)))
+      }
+    require(parts.nonEmpty, "audit names no artifacts")
+    parts.reduce(_.unionByName(_))
+  }
+
+  private val completeToken = "_complete"
+
+  private def baseName(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).getName
+
+  private def batchDir(ledgerDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(ledgerDir, s"batch=$batchId")
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fsOf(spark, p).exists(p)
+  }
+
+  private def tokenExists(spark: SparkSession, ledgerDir: String,
+                          batchId: Long, label: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(batchDir(ledgerDir, batchId),
+      s"$label.done")
+    fsOf(spark, p).exists(p)
+  }
+
+  /** Token commit: create-and-close of one empty file (the rename-free
+    * degenerate of the manifest protocol — an empty file either exists
+    * or does not; there is no half-written state to observe).
+    */
+  private def writeToken(spark: SparkSession, ledgerDir: String,
+                         batchId: Long, label: String): Unit = {
+    val dir = batchDir(ledgerDir, batchId)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"$label.done"), true).close()
+  }
+
+  private def listTokens(spark: SparkSession, ledgerDir: String,
+                         batchId: Long): Seq[String] = {
+    val dir = batchDir(ledgerDir, batchId)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".done"))
+      .map(_.getPath.getName.stripSuffix(".done")).toSeq
+  }
+}

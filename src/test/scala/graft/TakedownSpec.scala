@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing, Rag, Similarity, Takedown}
+import graft.streaming.EventStreams
+import graft.functions.Texts
+
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs = (0L until 12L).map { i =>
+    (i, (0 until 20).map(j => s"w${i}_$j").mkString(" "), "en")
+  }.toDF("doc_id", "text", "lang")
+
+  private def cheapToks(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+      expr("transform(filter(split(text, ' '), x -> x <> ''), " +
+        "t -> cast(pmod(xxhash64(t), 50) as int))").as("toks"))
+
+  test("one-call takedown: mid-walk crash + replay leaves every artifact from-scratch-equal") {
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val docs = mkDocs
+    val deleted = Seq(2L, 5L)
+    val retained = docs.filter(!col("doc_id").isin(deleted: _*))
+    val toks = cheapToks(docs)
+    // ---- build the five artifact kinds + one flat legacy table ------
+    val corpus = s"$base/corpus"
+    EventStreams.mergeBatchIntoTable(docs.withColumn("__v", lit(0L)),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L)
+    val sigstore = s"$base/sigstore"
+    EventStreams.mergeBatchIntoTable(Dedup.portableMinhashSignatures(docs),
+      sigstore, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    val seqs = s"$base/seqs"
+    Packing.materializeShardIncremental(toks, seqs, seqLen = 16, sepId = 99,
+      batchId = 0L)
+    val rag = s"$base/rag"
+    Rag.indexShard(docs, rag, window = 8, stride = 4, dim = 16, nPlanes = 4,
+      batchId = 0L)
+    val idx = s"$base/idx"
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e, idx)
+    val preCodes = spark.read.parquet(s"$idx/codes")
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    // the crash injection: a FLAT legacy keyed table — deleteFromTable
+    // fails fast on it by design (migration required), killing the walk
+    // after sequences/corpus/sigstore completed
+    val flat = s"$base/flat"
+    docs.select(col("doc_id"), col("lang")).coalesce(1)
+      .write.mode("append").parquet(flat)
+    val ledgerDir = s"$base/ledger"
+    def request(): Unit = Takedown.deleteDocs(spark, deleted, batchId = 10L,
+      ledgerDir = ledgerDir,
+      sequences = Some((toks, seqs, 16, 99)),
+      keyedTables = Seq((corpus, "doc_id", 4), (sigstore, "doc_id", 4),
+        (flat, "doc_id", 4)),
+      ragIndex = Some(rag), ivfPqIndex = Some(idx))
+    // ---- crash mid-walk ---------------------------------------------
+    val ex = intercept[IllegalArgumentException] { request() }
+    assert(ex.getMessage.contains("flat pre-manifest layout"))
+    val after1 = Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(after1 === Map("sequences-seqs" -> false, "table-corpus" -> false,
+      "table-sigstore" -> false))
+    // ---- repair (the documented migration) + replay SAME args -------
+    EventStreams.mergeBatchIntoTable(
+      docs.select(col("doc_id"), col("lang")).limit(0),
+      flat, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    request()
+    val after2 = Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(after2.keySet === Set("sequences-seqs", "table-corpus",
+      "table-sigstore", "table-flat", "rag-rag", "ivfpq-idx"))
+    assert(after2.values.forall(identity))
+    // ---- every artifact equals its from-scratch-without-docs build --
+    def keyedRows(dir: String, cols: String*) =
+      EventStreams.readUpsertTable(spark, dir).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(keyedRows(corpus, "doc_id", "text", "lang") ===
+      retained.select("doc_id", "text", "lang").collect().map(_.toSeq).toSet)
+    assert(keyedRows(sigstore, "doc_id") ===
+      retained.select("doc_id").collect().map(_.toSeq).toSet)
+    assert(keyedRows(flat, "doc_id") ===
+      retained.select("doc_id").collect().map(_.toSeq).toSet)
+    // sequences: exact layout equality vs a fresh build over retained
+    val freshSeqs = s"$base/seqs-scratch"
+    Packing.materializeShardIncremental(cheapToks(retained), freshSeqs,
+      seqLen = 16, sepId = 99, batchId = 0L)
+    def seqRows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .select("seq_id", "tokens", "doc_spans").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq))
+      .toSet
+    assert(seqRows(seqs) === seqRows(freshSeqs))
+    assert(seqRows(seqs).nonEmpty)
+    // rag: per-doc chunk derivations — survivors bit-identical to a
+    // fresh index over the retained corpus
+    val freshRag = s"$base/rag-scratch"
+    Rag.indexShard(retained, freshRag, window = 8, stride = 4, dim = 16,
+      nPlanes = 4, batchId = 0L)
+    def ragRows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .select("chunk_key", "v", "bucket").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2))).toSet
+    assert(ragRows(rag) === ragRows(freshRag))
+    assert(ragRows(rag).nonEmpty)
+    // ivfpq: frozen artifacts — post-delete codes are exactly the
+    // pre-delete codes minus the deleted vectors
+    val postCodes = spark.read.option("basePath", s"$idx/codes")
+      .parquet(s"$idx/codes/batch=10")
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(postCodes === preCodes.filterNot(c => deleted.contains(c._1)))
+    // ---- audit: no committed artifact anywhere still references them
+    val audit = Takedown.auditDocs(spark, deleted,
+      sequenceTable = Some(seqs),
+      keyedTables = Seq((corpus, "doc_id"), (sigstore, "doc_id"),
+        (flat, "doc_id")),
+      ragIndex = Some(rag), ivfPqIndex = Some(idx))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.keySet === Set("sequences-seqs", "sequences-state-seqs",
+      "table-corpus", "table-sigstore", "table-flat", "rag-rag", "ivfpq-idx"))
+    assert(audit.values.forall(_ === 0L), s"dangling references: $audit")
+    // a retained doc still audits as present (the probe works both ways)
+    val present = Takedown.auditDocs(spark, Seq(3L),
+      keyedTables = Seq((corpus, "doc_id"))).head().getLong(1)
+    assert(present === 1L)
+    // ---- a completed request replays as a pure no-op ----------------
+    request()
+    assert(keyedRows(corpus, "doc_id").size === 10)
+  }
+}
