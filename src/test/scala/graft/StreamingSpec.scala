@@ -804,6 +804,71 @@ class StreamingSpec extends SparkSpec {
     assert(decisions() === d)
   }
 
+  test("takedown of a canonical composes with keep-best re-selection in both orders") {
+    import graft.streaming.CurationStream
+    import graft.operators.Takedown
+    import spark.implicits._
+    // docs 10/13/14 share one token SET (one dup cluster); 13 is the
+    // longest (the keep-best canonical), 14 middle, 10 shortest but
+    // first-arrived; 12 is unrelated. The request deletes 13 — the
+    // cluster's CANONICAL — so re-selection must promote the best
+    // SURVIVOR (14), and no export surface may reference 13 after.
+    val words = (1 to 30).map(i => s"w$i")
+    val shard1 = Seq(
+      (10L, words.mkString(" "), "en"),
+      (12L, (100 to 114).map(i => s"z$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val shard2 = Seq(
+      (13L, (words ++ Seq("w1", "w2", "w3")).mkString(" "), "en"),
+      (14L, (words ++ Seq("w1", "w2")).mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val evalSlice = Seq((0L, "nothing shared here at all")).toDF("doc_id", "text")
+    def build(tag: String): (String, String, String, String) = {
+      val base = Files.createTempDirectory(s"graft-tdres-$tag").toString
+      val (state, sink, dec) = (s"$base/state", s"$base/sink", s"$base/decisions")
+      CurationStream.curateShard(shard1, evalSlice, state, sink, batchId = 0L)
+      CurationStream.curateShard(shard2, evalSlice, state, sink, batchId = 1L)
+      (base, state, sink, dec)
+    }
+    def decisions(dec: String) = EventStreams.readUpsertTable(spark, dec)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // ---- order A: takedown, then re-selection -----------------------
+    val (baseA, stateA, sinkA, decA) = build("a")
+    Takedown.deleteDocs(spark, Seq(13L), batchId = 10L,
+      ledgerDir = s"$baseA/ledger",
+      keyedTables = Seq((stateA, "doc_id", 8), (sinkA, "doc_id", 8)))
+    CurationStream.reselectCanonicals(spark, stateA, decA, batchId = 11L)
+    val dA = decisions(decA)
+    assert(dA === Map(10L -> ((14L, false)), 14L -> ((14L, true)),
+      12L -> ((12L, true))))
+    // ---- order B: re-selection, then takedown, then re-selection ----
+    // (after the delete the committed decisions still NAME 13 as a
+    // canonical — exactly why the decisions table rides in the request
+    // as a keyed artifact and the audit gates the export)
+    val (baseB, stateB, sinkB, decB) = build("b")
+    CurationStream.reselectCanonicals(spark, stateB, decB, batchId = 2L)
+    assert(decisions(decB)(10L) === ((13L, false))) // pre-delete keep-best
+    Takedown.deleteDocs(spark, Seq(13L), batchId = 10L,
+      ledgerDir = s"$baseB/ledger",
+      keyedTables = Seq((stateB, "doc_id", 8), (sinkB, "doc_id", 8),
+        (decB, "doc_id", 8)))
+    // 13's own rows are gone everywhere, but surviving members' rows
+    // still point at it — the audit catches the dangling canonical
+    val dangling = EventStreams.readUpsertTable(spark, decB)
+      .filter(col("canonical_id") === 13L).count()
+    assert(dangling === 2L)
+    CurationStream.reselectCanonicals(spark, stateB, decB, batchId = 11L)
+    // ---- both orders converge, and nothing references the deleted doc
+    assert(decisions(decB) === dA)
+    for (tbl <- Seq(stateA, sinkA, stateB, sinkB))
+      assert(Takedown.auditDocs(spark, Seq(13L),
+        keyedTables = Seq((tbl, "doc_id"))).head().getLong(1) === 0L)
+    assert(EventStreams.readUpsertTable(spark, decB)
+      .filter(col("canonical_id") === 13L).count() === 0L)
+    assert(EventStreams.readUpsertTable(spark, decA)
+      .filter(col("canonical_id") === 13L).count() === 0L)
+  }
+
   test("curateShard crash-replay between the state and sink commits loses nothing") {
     import graft.streaming.CurationStream
     val base = Files.createTempDirectory("graft-curation-replay").toString
