@@ -591,4 +591,156 @@ object Packing {
         Seq(col("u"), col("seq_id")), nParts)
       .withColumn("shard_id", expr(s"rank div $seqsPerShard"))
   }
+
+  // --------------------------------------------------------------------
+  // Shard-file export + provenance-driven selective re-export
+  // --------------------------------------------------------------------
+
+  /** Materialize the committed sharded sequence table as TRAINING SHARD
+    * FILES: one `shard_id=<id>/` dir per shard, one parquet file each,
+    * rows sorted by rank inside the file — the artifact a trainer
+    * streams front to back. One shuffle (hash on shard_id — every
+    * shard's rows gather in exactly one task), one partitioned write;
+    * never a per-shard driver loop of jobs.
+    */
+  def exportShardFiles(spark: org.apache.spark.sql.SparkSession,
+                       shardTableDir: String, exportDir: String): Unit =
+    graft.streaming.EventStreams.readUpsertTable(spark, shardTableDir)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("rank"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(exportDir)
+
+  /** The first sequence a takedown's re-lay touches, read off the
+    * PROVENANCE manifest: the deleted docs' earliest span sits in
+    * exactly the cut sequence (`cutSeq = firstDelStart div L`, and the
+    * first span's start IS firstDelStart), so `min(seq_id)` over the
+    * deleted docs' provenance rows equals the cut point — no layout
+    * re-derivation, one pushed keyed lookup (the q182 read). None when
+    * no committed region references the docs.
+    */
+  def firstTouchedSeq(spark: org.apache.spark.sql.SparkSession,
+                      provDir: String, deletedIds: Seq[Long]): Option[Long] = {
+    val r = graft.streaming.EventStreams.readUpsertTable(spark, provDir)
+      .filter(col("doc_id").isin(deletedIds: _*))
+      .agg(min(col("seq_id"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** PROVENANCE-DRIVEN SELECTIVE RE-EXPORT — the remediation step after
+    * a sequence-table takedown ([[deleteDocsFromSequences]]), which
+    * re-lays every sequence from the cut point on: the exported shard
+    * files holding any re-laid sequence are stale, but re-materializing
+    * the WHOLE export re-writes (and re-uploads, at 100 TB) mostly
+    * unchanged bytes. This rewrites EXACTLY the touched shards:
+    *
+    *   - the TOUCHED set is `distinct shard_id` of provenance rows with
+    *     `seq_id >= fromSeq` (use [[firstTouchedSeq]] for `fromSeq`) —
+    *     the pre-takedown lineage still names every shard whose member
+    *     sequences the re-lay moved OR removed; committed as a tiny
+    *     `.reexport-<batchId>.json` manifest FIRST, so a crash after
+    *     the provenance update cannot lose the set (replays load it
+    *     instead of recomputing);
+    *   - the shard MAP is FROZEN: surviving sequences keep their
+    *     committed (rank, shard_id) — re-running [[trainingShards]]
+    *     over the shrunken id set would re-rank the entire corpus and
+    *     touch every shard, defeating selectivity (vanished tail
+    *     sequences leave short shards, the standard tombstone trade);
+    *   - the sharded table and the provenance manifest update under the
+    *     batchId window (stale region deleted at `batchId`, refreshed
+    *     rows merged at `batchId + 1` — the [[deleteDocsFromSequences]]
+    *     commit pair), then ONLY the touched `shard_id=` dirs re-stage
+    *     and swap by rename; untouched shard dirs are never opened, so
+    *     their files stay BYTE-identical (PackingSpec asserts content
+    *     hashes).
+    *
+    * `updatedSeqs` is the post-takedown sequence table read
+    * (seq_id, tokens, doc_spans). Every commit is idempotent, so a
+    * crash anywhere replays to completion with the same arguments;
+    * as with every multi-commit operation here, replay a crashed
+    * re-export before trusting the export. Returns the touched shard
+    * ids (bounded by the shard count — the per-dir swap is a driver
+    * FS loop over exactly those dirs).
+    */
+  def reexportShards(updatedSeqs: DataFrame, shardTableDir: String,
+                     provDir: String, exportDir: String, fromSeq: Long,
+                     batchId: Long): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.EventStreams
+    val spark = updatedSeqs.sparkSession
+    val exp = new Path(exportDir)
+    val fs = exp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(exp, s".reexport-$batchId.json")
+    val touched: Seq[Long] =
+      if (fs.exists(manifest)) { // replay: the committed touched set
+        val in = fs.open(manifest)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        """-?\d+""".r.findAllIn(body).map(_.toLong).toSeq
+      } else {
+        // bounded collect: distinct shard ids of the re-laid region
+        val t = EventStreams.readUpsertTable(spark, provDir)
+          .filter(col("seq_id") >= fromSeq)
+          .select(col("shard_id")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        if (t.nonEmpty) {
+          val tmp = new Path(exp, s".reexport-$batchId.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(s"[${t.mkString(",")}]".getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, manifest) && !fs.exists(manifest))
+            throw new IllegalStateException(
+              s"failed to commit re-export manifest $manifest")
+        }
+        t
+      }
+    if (touched.isEmpty) return Seq.empty
+    val oldMap = EventStreams.readUpsertTable(spark, shardTableDir)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+    // refreshed region: new content joined with the FROZEN map (inner —
+    // vanished sequences drop); barrier: feeds the table merge, the
+    // provenance merge and nothing reads files the deletes sweep
+    val refreshed = updatedSeqs
+      .select(col("seq_id"), col("tokens"), col("doc_spans"))
+      .filter(col("seq_id") >= fromSeq)
+      .join(oldMap.filter(col("seq_id") >= fromSeq), Seq("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("doc_spans"), col("rank"),
+        col("shard_id"))
+      .localCheckpoint()
+    EventStreams.deleteFromTable(spark, shardTableDir,
+      oldMap.filter(col("seq_id") >= fromSeq).select(col("seq_id")),
+      Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+    EventStreams.mergeBatchIntoTable(refreshed, shardTableDir,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1, retain = 2)
+    EventStreams.deleteFromTable(spark, provDir,
+      EventStreams.readUpsertTable(spark, provDir)
+        .filter(col("seq_id") >= fromSeq)
+        .select(col("seq_id"), col("doc_id")),
+      Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
+    EventStreams.mergeBatchIntoTable(
+      refreshed.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
+      batchId = batchId + 1, retain = 2)
+    // re-stage ONLY the touched shard dirs from the updated table, then
+    // swap each by rename; a touched shard whose sequences all vanished
+    // ends as a deleted dir
+    val stage = new Path(exp, s".inflight-reexport-$batchId")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    EventStreams.readUpsertTable(spark, shardTableDir)
+      .filter(col("shard_id").isin(touched: _*))
+      .repartition(touched.length, col("shard_id"))
+      .sortWithinPartitions(col("rank"))
+      .write.partitionBy("shard_id").parquet(stage.toString)
+    touched.foreach { id =>
+      val dest = new Path(exp, s"shard_id=$id")
+      val src = new Path(stage, s"shard_id=$id")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (fs.exists(src) && !fs.rename(src, dest))
+        throw new IllegalStateException(
+          s"failed to swap re-exported shard dir $dest")
+    }
+    fs.delete(stage, true)
+    touched
+  }
 }

@@ -348,6 +348,101 @@ class PackingSpec extends SparkSpec {
       .select("seq_id", "tokens", "doc_spans").collect()) === scratch2)
   }
 
+  test("selective re-export: untouched shard files byte-identical, touched shards refreshed") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-reexport").toString
+    val (seqTable, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    val all = (0L until 40L).map(i =>
+      (i, (0 until (i % 9 + 2).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(df, seqTable,
+      seqLen = 16, sepId = -1, batchId = 0L)
+    // sharded export table + provenance (the ensureTokenShards shape)
+    val sharded = operators.Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqTable), seqsPerShard = 2)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    operators.Packing.exportShardFiles(spark, shardTable, export)
+    import scala.jdk.CollectionConverters._
+    def fileState(): Map[String, (Long, Long)] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(export))
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally st.close()
+    }
+    val pre = fileState()
+    // takedown a LATE doc so the cut leaves an untouched prefix
+    val deleted = Seq(33L)
+    operators.Packing.deleteDocsFromSequences(df, deleted, seqTable,
+      seqLen = 16, sepId = -1, batchId = 10L)
+    val fromSeq = operators.Packing.firstTouchedSeq(spark, prov, deleted).get
+    assert(fromSeq > 0L) // the fixture really has an untouched prefix
+    val touched = operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L)
+    assert(touched.nonEmpty)
+    val post = fileState()
+    // untouched shard dirs: same files, same sizes, same mtimes
+    val touchedDirs = touched.map(id => s"shard_id=$id").toSet
+    def untouchedOf(m: Map[String, (Long, Long)]) =
+      m.filterNot { case (p, _) => touchedDirs.exists(p.contains) }
+    assert(untouchedOf(post) === untouchedOf(pre))
+    assert(untouchedOf(pre).nonEmpty)
+    // the export equals the frozen-map expectation everywhere: updated
+    // sequence content joined with the committed (rank, shard) map
+    val expected = EventStreams.readUpsertTable(spark, seqTable)
+      .join(sharded.select(col("seq_id"), col("rank"), col("shard_id")),
+        Seq("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    val got = spark.read.parquet(export)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // provenance: refreshed, and no trace of the deleted doc anywhere
+    assert(EventStreams.readUpsertTable(spark, prov)
+      .filter(col("doc_id").isin(deleted: _*)).count() === 0L)
+    val provRows = EventStreams.readUpsertTable(spark, prov)
+      .select("seq_id", "doc_id", "start", "len").collect().map(_.toSeq).toSet
+    val provExpected = EventStreams.readUpsertTable(spark, seqTable)
+      .select(col("seq_id"), explode(col("doc_spans")).as("sp"))
+      .select(col("seq_id"), col("sp.doc_id"), col("sp.start"), col("sp.len"))
+      .collect().map(_.toSeq).toSet
+    assert(provRows === provExpected)
+    // crash-replay: lose a touched dir, replay with the same args — the
+    // committed touched-set manifest restores it; untouched still intact
+    val lostDir = java.nio.file.Paths.get(export, s"shard_id=${touched.head}")
+    val lost = java.nio.file.Files.walk(lostDir)
+    try lost.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally lost.close()
+    val replayTouched = operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L)
+    assert(replayTouched === touched)
+    assert(untouchedOf(fileState()) === untouchedOf(pre))
+    val got2 = spark.read.parquet(export)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got2 === expected)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
