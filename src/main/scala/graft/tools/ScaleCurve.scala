@@ -60,6 +60,29 @@ object ScaleCurve {
           .repartition(32)
           .write.mode(SaveMode.Overwrite).parquet(target.toString)
       }
+      // embeddings replicate with shifted vec_ids and a TINY
+      // deterministic per-element jitter (±0.005, xxhash-derived): the
+      // distribution is preserved but replicas are distinct points, so
+      // the scaled corpus is k independent copies of the original's
+      // neighbor structure — a plain copy would plant k exact
+      // duplicates of every vector (candidate volume quadratic in k by
+      // construction, the same artifact the token suffix avoids)
+      val etarget = new java.io.File(s"$dir/embeddings.parquet")
+      if (!etarget.exists()) {
+        val base = spark.read.parquet(s"$src/embeddings.parquet")
+        val replicas = (0 until k).map { r =>
+          if (r == 0) base
+          else base.select(
+            (col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> cast(x + " +
+              s"(pmod(xxhash64(concat(vec_id, '_', i, '_', $r)), 1000) " +
+              "/ 1000.0 - 0.5) * 0.01 as float))").as("embedding"),
+            col("label"))
+        }
+        replicas.reduce(_ unionByName _)
+          .repartition(8)
+          .write.mode(SaveMode.Overwrite).parquet(etarget.toString)
+      }
       dir
     }
 
@@ -76,11 +99,16 @@ object ScaleCurve {
       "q165_mixpack_export", "q166_gate_serving", "q167_inc_token_seqs",
       "q170_threshold_decontam", "q171_canonical_selection",
       "q172_token_budget_mix", "q173_corpus_data_card",
-      // round 10 (documents-based only: the scaled dirs carry no
-      // embeddings table, so q174/q180 stay out)
       "q175_doc_spans", "q176_keepbest_curation",
       "q177_deletion_propagation", "q178_shard_provenance",
-      "q179_score_drift")
+      "q179_score_drift",
+      // ANN family (round 11: the scaled dirs now carry a replicated
+      // embeddings table, closing the round-10 "structural only" gap)
+      "q24_cosine_topk", "q29_ann_lsh", "q44_embedding_dedup",
+      "q133_pq_recall", "q138_semantic_dedup", "q162_ivfpq_recall",
+      "q168_ivfpq_append", "q169_refined_retrieval",
+      "q174_ivfpq_compaction", "q181_ivfpq_takedown", "q183_cell_drift",
+      "q184_ivfpq_rebuild")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
