@@ -265,6 +265,12 @@ object EventStreams {
         (if (f.name == versionCol) lit(-1) else lit(null)).cast(f.dataType))
     }
 
+  /** True when the batch carries columns the on-disk frame lacks — the
+    * widening event that flips the manifest's sticky `mixed` flag.
+    */
+  private def widens(onDisk: DataFrame, target: DataFrame): Boolean =
+    target.schema.fieldNames.exists(f => !onDisk.columns.contains(f))
+
   /** Schema adoption, read side: default one column a committed table
     * may pre-date (e.g. `carry_spans` on packing state, `n_tokens` on
     * curation state). Only fills a WHOLLY absent column; tables with
@@ -288,6 +294,10 @@ object EventStreams {
     if (fs.exists(new Path(new Path(table, "_commits"), batchId.toString))) return
     val committed = latestManifest(fs, table)
     if (committed.exists(_._1 >= batchId)) return // replayed batch: already merged
+    // sticky mixed-schema flag: once a widening merge commits, narrow
+    // files may linger in untouched buckets, so readers must merge
+    // schemas until the table is rebuilt (conservative, rare)
+    var mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
 
     // live file set: the committed manifest, or (first manifest commit
     // on an older table) the pre-manifest __bucket=* dirs adopted as-is
@@ -322,6 +332,8 @@ object EventStreams {
         val legacy = spark.read.option("mergeSchema", "true")
           .parquet(legacyFiles.map(_.getPath.toString).toIndexedSeq: _*)
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+        // folded wholly into this merge, so legacy widening does not
+        // leave narrow files behind: no flag flip needed here
         graft.operators.Load.upsertLatest(
           alignTo(legacy, compacted, versionCol), compacted, keyCols, versionCol)
       }
@@ -338,11 +350,21 @@ object EventStreams {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
         val merged =
-          if (currentFiles.isEmpty) toMerge
-          else {
-            val current = spark.read.option("mergeSchema", "true")
+          if (currentFiles.isEmpty) {
+            // a widening merge can still strand narrow files in
+            // UNTOUCHED buckets; probe one live footer (rare branch:
+            // touched buckets empty while others are not)
+            val probe = live.values.flatten.headOption
+            if (probe.exists(f => widens(
+                spark.read.parquet(new Path(table, f).toString), toMerge)))
+              mixed = true
+            toMerge
+          } else {
+            val current = spark.read
+              .option("mergeSchema", (mixed || legacyFiles.nonEmpty).toString)
               .parquet(currentFiles: _*)
               .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+            if (widens(current, toMerge)) mixed = true
             graft.operators.Load.upsertLatest(
               alignTo(current, toMerge, versionCol), toMerge, keyCols, versionCol)
           }
@@ -363,7 +385,7 @@ object EventStreams {
         }.toMap
         (live -- touched) ++ rewritten
       }
-    publishManifest(fs, table, batchId, nBuckets, newLive)
+    publishManifest(fs, table, batchId, nBuckets, newLive, mixed)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -427,6 +449,7 @@ object EventStreams {
           }.toMap
       }
     }
+    val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
     // barrier: the key frame feeds the touched-bucket collect AND the
     // anti-join (two consumers, the curateShard rule)
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
@@ -440,7 +463,7 @@ object EventStreams {
       else {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
-        val remaining = spark.read.option("mergeSchema", "true")
+        val remaining = spark.read.option("mergeSchema", mixed.toString)
           .parquet(currentFiles: _*)
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
           .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
@@ -475,7 +498,7 @@ object EventStreams {
           Map(b -> fls)
         } else (live -- touched) ++ rewritten
       }
-    publishManifest(fs, table, batchId, nBuckets, newLive)
+    publishManifest(fs, table, batchId, nBuckets, newLive, mixed)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -489,12 +512,13 @@ object EventStreams {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    latestManifest(fs, table) match {
-      case Some((_, live)) if live.nonEmpty =>
-        // mergeSchema: live sets may mix pre- and post-widening files
-        // (schema adoption); the file list is manifest-bounded, so the
-        // footer cost is O(buckets), not O(history)
-        spark.read.option("mergeSchema", "true").parquet(
+    manifestList(fs, table).lastOption
+      .map(p => (manifestMixed(fs, p), readManifest(fs, p))) match {
+      case Some((mixed, (_, live))) if live.valuesIterator.exists(_.nonEmpty) =>
+        // mergeSchema only for snapshots the sticky flag marks as
+        // mixing pre- and post-widening files (schema adoption); the
+        // unflagged common case reads one footer
+        spark.read.option("mergeSchema", mixed.toString).parquet(
           live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
       case _ => spark.read.parquet(tableDir).drop(upsertBucketCol)
     }
@@ -513,12 +537,13 @@ object EventStreams {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = manifestList(fs, table).map(readManifest(fs, _))
-      .filter(_._1 <= batchId).lastOption
+    val snap = manifestList(fs, table)
+      .map(p => (p, readManifest(fs, p)))
+      .filter(_._2._1 <= batchId).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot at or before batch $batchId in $tableDir"))
-    spark.read.option("mergeSchema", "true").parquet(
-      snap._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+    spark.read.option("mergeSchema", manifestMixed(fs, snap._1).toString).parquet(
+      snap._2._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
   }
 
   /** The table as of the newest committed manifest STRICTLY BEFORE
@@ -537,10 +562,11 @@ object EventStreams {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    manifestList(fs, table).map(readManifest(fs, _))
-      .filter(_._1 < batchId).lastOption
-      .collect { case (_, live) if live.valuesIterator.exists(_.nonEmpty) =>
-        spark.read.option("mergeSchema", "true").parquet(
+    manifestList(fs, table)
+      .map(p => (p, readManifest(fs, p)))
+      .filter(_._2._1 < batchId).lastOption
+      .collect { case (p, (_, live)) if live.valuesIterator.exists(_.nonEmpty) =>
+        spark.read.option("mergeSchema", manifestMixed(fs, p).toString).parquet(
           live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
       }
   }
@@ -604,6 +630,19 @@ object EventStreams {
     (batchId, buckets)
   }
 
+  /** Does this manifest mark the table's live set as MIXED-schema —
+    * i.e. some committed file pre-dates a schema widening? Set sticky
+    * by the first widening merge; readers pay the parquet schema-merge
+    * only for flagged snapshots (unflagged tables read one footer, the
+    * common case — the ADVICE-r10 adoption without a per-read tax).
+    */
+  private def manifestMixed(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Boolean = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    s.contains(""""mixed":1""")
+  }
+
   /** Highest committed manifest, if any. */
   private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
                              table: org.apache.hadoop.fs.Path): Option[(Long, Map[Int, Seq[String]])] =
@@ -617,10 +656,12 @@ object EventStreams {
     */
   private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               table: org.apache.hadoop.fs.Path, batchId: Long,
-                              nBuckets: Int, live: Map[Int, Seq[String]]): Unit = {
+                              nBuckets: Int, live: Map[Int, Seq[String]],
+                              mixed: Boolean = false): Unit = {
+    val mixedTag = if (mixed) ""","mixed":1""" else ""
     val body = live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets,"buckets":{""", ",", "}}")
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag,"buckets":{""", ",", "}}")
     val dir = manifestsDir(table)
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
