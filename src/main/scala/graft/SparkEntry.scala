@@ -4959,6 +4959,134 @@ object SparkEntry {
         (col("n_refs") === 0L).as("clean"), col("ledger_complete"))
   }
 
+  /** Build-once-per-JVM selective re-export fixture: sequence table over
+    * cheap hashed token ids, frozen shard map + provenance + shard-file
+    * export, then a LATE-doc takedown (untouched prefix guaranteed) and
+    * the provenance-driven re-export of exactly the touched shards. The
+    * pre-re-export file state of the untouched dirs snapshots to
+    * parquet so the verdict can compare sizes+mtimes after.
+    */
+  private val reexportStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureReexport(spark: SparkSession, dir: String): String =
+    reexportStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-reexport-q").toString
+      val (seqTable, shardTable, prov, export) =
+        (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+      val docs = Tables.documents(spark, dir)
+      // LATE docs relative to THIS corpus (the prefix before the cut
+      // must be non-trivial at every SF, so the ids derive from max)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val deleted = Seq(maxId - 19, maxId - 5)
+      deleted.toDF("doc_id")
+        .write.mode("overwrite").parquet(s"$base/deleted")
+      val toks = docs.select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x <> ''), " +
+          "t -> cast(pmod(xxhash64(t), 1000) as int))").as("toks"))
+      operators.Packing.materializeShardIncremental(toks, seqTable,
+        seqLen = 128, sepId = 1000, batchId = 0L)
+      val sharded = operators.Packing.trainingShards(
+          streaming.EventStreams.readUpsertTable(spark, seqTable),
+          seqsPerShard = 8)
+        .drop("u").localCheckpoint()
+      streaming.EventStreams.mergeBatchIntoTable(sharded, shardTable,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        sharded.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"),
+            col("sp.doc_id").as("doc_id"), col("sp.start").as("start"),
+            col("sp.len").as("len")),
+        prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      operators.Packing.exportShardFiles(spark, shardTable, export)
+      def fileState: Seq[(String, Long, Long)] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(export))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(p => (p.toString.stripPrefix(export),
+              java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq
+        } finally st.close()
+      }
+      fileState.toDF("file", "bytes", "mtime")
+        .write.mode("overwrite").parquet(s"$base/files_pre")
+      operators.Packing.deleteDocsFromSequences(toks, deleted,
+        seqTable, seqLen = 128, sepId = 1000, batchId = 10L)
+      val fromSeq = operators.Packing
+        .firstTouchedSeq(spark, prov, deleted).get
+      val touched = operators.Packing.reexportShards(
+        streaming.EventStreams.readUpsertTable(spark, seqTable), shardTable,
+        prov, export, fromSeq, batchId = 12L)
+      fileState.toDF("file", "bytes", "mtime")
+        .write.mode("overwrite").parquet(s"$base/files_post")
+      touched.toDF("shard_id")
+        .write.mode("overwrite").parquet(s"$base/touched")
+      base
+    })
+
+  /** PROVENANCE-DRIVEN SELECTIVE RE-EXPORT
+    * ([[operators.Packing.reexportShards]]): the takedown's export
+    * remediation — only the shards whose committed lineage sits
+    * at/after the cut re-materialize under the FROZEN shard map, and
+    * every untouched shard file survives BYTE-identical (same path,
+    * same size, same mtime — the dirs are never opened). Verdict rows,
+    * one per property: untouched files identical (pre/post file-state
+    * snapshots compare as sets); the whole export equals the frozen-map
+    * expectation (updated sequence table joined with the committed
+    * (rank, shard) map — exceptAll both ways over exploded tokens
+    * paired with their map row); the refreshed provenance carries no
+    * trace of the deleted docs AND equals the re-derived span lineage;
+    * and the touched set is non-trivial in both directions (some shards
+    * touched, some spared).
+    */
+  def q186SelectiveReexport(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureReexport(spark, dir)
+    val export = s"$base/export"
+    val touched = spark.read.parquet(s"$base/touched")
+      .collect().map(_.getLong(0)).toSet
+    val pre = spark.read.parquet(s"$base/files_pre")
+    val post = spark.read.parquet(s"$base/files_post")
+    val touchedLit = touched.toSeq.sorted.map(id => s"/shard_id=$id/")
+    def untouched(df: DataFrame) = df.filter(
+      !touchedLit.map(t => col("file").contains(t)).reduce(_ || _))
+    val untouchedDiff = untouched(pre).exceptAll(untouched(post))
+      .unionByName(untouched(post).exceptAll(untouched(pre))).count() == 0
+    val seqs = streaming.EventStreams
+      .readUpsertTable(spark, s"$base/seqs")
+    val expected = seqs
+      .join(streaming.EventStreams.readUpsertTable(spark, s"$base/shards")
+        .select(col("seq_id"), col("rank"), col("shard_id")), Seq("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("rank"), col("shard_id"))
+    val got = spark.read.parquet(export)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+    val exportMatches = got.exceptAll(expected)
+      .unionByName(expected.exceptAll(got)).count() == 0
+    val deleted = spark.read.parquet(s"$base/deleted")
+      .collect().map(_.getLong(0)).toSeq
+    val prov = streaming.EventStreams.readUpsertTable(spark, s"$base/prov")
+      .select(col("seq_id"), col("doc_id"), col("start"), col("len"))
+    val provClean = prov.filter(col("doc_id").isin(deleted: _*))
+      .count() == 0
+    val provExpected = seqs
+      .select(col("seq_id"), explode(col("doc_spans")).as("sp"))
+      .select(col("seq_id"), col("sp.doc_id").as("doc_id"),
+        col("sp.start").as("start"), col("sp.len").as("len"))
+    val provMatches = prov.exceptAll(provExpected)
+      .unionByName(provExpected.exceptAll(prov)).count() == 0
+    val nUntouched = untouched(pre).count()
+    import spark.implicits._
+    Seq(
+      ("untouched_files_identical", untouchedDiff && nUntouched > 0),
+      ("export_matches_frozen_map", exportMatches && got.count() > 0),
+      ("prov_no_deleted_docs", provClean),
+      ("prov_matches_layout", provMatches),
+      ("touch_set_selective", touched.nonEmpty))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5142,6 +5270,7 @@ object SparkEntry {
     "q183_cell_drift" -> (q183CellDrift _),
     "q184_ivfpq_rebuild" -> (q184IvfPqRebuild _),
     "q185_takedown_orchestration" -> (q185TakedownOrchestration _),
+    "q186_selective_reexport" -> (q186SelectiveReexport _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6425,6 +6554,13 @@ object SparkEntry {
       seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
     // psi values are KMeans-cell-dependent; the deterministic facts are
     // the corpus counts and the zero/positive verdicts
+    // byte-identity and frozen-map equality are decided in-engine
+    // (exceptAll over committed snapshots); the oracle pins the verdicts
+    "q186_selective_reexport" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('untouched_files_identical'),
+        |  ('export_matches_frozen_map'), ('prov_no_deleted_docs'),
+        |  ('prov_matches_layout'), ('touch_set_selective')) t(c)""".stripMargin,
     // the audit counts are exact keyed lookups; the oracle pins the
     // all-clean verdict per artifact
     "q185_takedown_orchestration" ->
