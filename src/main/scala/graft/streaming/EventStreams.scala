@@ -675,6 +675,66 @@ object EventStreams {
         "the sink contract is one writer per table")
   }
 
+  /** FULL-REWRITE compaction of a keyed upsert table — the maintenance
+    * transaction that re-homogenizes a table the incremental merges
+    * deliberately leave heterogeneous: every bucket rewrites as one
+    * fresh file under the CURRENT schema (adopted columns materialize
+    * their defaults into the data files), and the commit manifest drops
+    * the sticky `mixed` flag — post-compaction reads return to the
+    * single-footer path. Also the file-layout refresh dial: whatever
+    * generation debris retention kept readable, the new snapshot is one
+    * file per bucket. Same commit protocol as a merge (staged
+    * generation dir, tiny manifest rename, post-commit sweep), so a
+    * racing reader sees the old snapshot or the new one, never a mix;
+    * rows are untouched (a pure rewrite — StreamingSpec asserts
+    * read-back equality and the flag drop). Replayed batchIds no-op.
+    * `nBuckets` must match the table's bucketing (the deleteFromTable
+    * convention); pre-manifest tables migrate via one merge first.
+    */
+  def compactUpsertTable(spark: SparkSession, tableDir: String,
+                         keyCols: Seq[String], nBuckets: Int, batchId: Long,
+                         retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = latestManifest(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; run one mergeBatchIntoTable " +
+          "(which migrates legacy layouts) before compacting"))
+    if (committed._1 >= batchId) { // replayed batch
+      sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+      return
+    }
+    val live = committed._2
+    if (live.valuesIterator.forall(_.isEmpty)) return // empty table
+    val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    // leaf-file reads carry no partition column: the bucket is
+    // recomputed from the keys (deterministic, the merge convention)
+    val current = spark.read.option("mergeSchema", mixed.toString)
+      .parquet(live.values.flatten
+        .map(rel => new Path(table, rel).toString).toSeq: _*)
+      .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    val genName = s"gen_$batchId"
+    val genDir = new Path(table, genName)
+    current
+      .repartition(math.max(1, live.size), col(upsertBucketCol))
+      .write.mode("overwrite").partitionBy(upsertBucketCol)
+      .parquet(genDir.toString)
+    val rewritten = (0 until nBuckets).flatMap { b =>
+      val d = new Path(genDir, s"$upsertBucketCol=$b")
+      if (!fs.exists(d)) None
+      else {
+        val fls = fs.listStatus(d)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+        if (fls.isEmpty) None else Some(b -> fls)
+      }
+    }.toMap
+    publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false)
+    sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
   /** Bound the manifest CHAIN: drop manifest files older than the newest
     * `keepLast`. Every manifest is a COMPLETE snapshot (it names every
     * live file of every bucket — there is no delta chain to fold), so

@@ -228,6 +228,30 @@ class StreamingSpec extends SparkSpec {
       .select(col("lang"), col("cut")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(cuts === Map("en" -> 0.3, "de" -> 0.2))
+    // compaction re-homogenizes: every bucket rewrites under the
+    // current schema and the sticky mixed flag CLEARS (post-compaction
+    // reads return to the single-footer path), rows untouched
+    def latestManifestText(dir: String): String = {
+      val d = java.nio.file.Paths.get(dir, "_manifests")
+      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
+    }
+    assert(latestManifestText(tableDir).contains("\"mixed\":1"))
+    EventStreams.compactUpsertTable(spark, tableDir, Seq("k"), nBuckets = 4,
+      batchId = 2L)
+    assert(!latestManifestText(tableDir).contains("\"mixed\":1"))
+    val rows2 = EventStreams.readUpsertTable(spark, tableDir)
+      .select(col("k"), col("v"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows2 === rows)
+    // a later widened-again merge re-flips the flag independently
+    EventStreams.mergeBatchIntoTable(
+      Seq((3L, "c3", 9L, 1L, "x")).toDF("k", "v", "__v", "extra", "extra2"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 3L)
+    assert(latestManifestText(tableDir).contains("\"mixed\":1"))
+    assert(EventStreams.readUpsertTable(spark, tableDir)
+      .filter(col("extra2").isNotNull).count() === 1L)
   }
 
   test("upsert sink migrates a legacy flat-layout table into buckets on first merge") {
