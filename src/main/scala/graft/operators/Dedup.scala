@@ -238,6 +238,37 @@ object Dedup {
       .agg(min(col("vec_a")).as("rep_id"), max(col("cosine")).as("cosine"))
   }
 
+  /** [[semanticDedup]] with the CORPUS-SCALED cluster count — acting on
+    * the measured q138 scale curve (PLANS.md round 11: 13.7x at 10x):
+    * with `nClusters` FIXED, per-cell candidate pairs grow
+    * quadratically in corpus size, because every cell's population is
+    * n/k. The production dial holds the EXPECTED cell size constant
+    * instead: k = clamp(ceil(n / targetCellSize), 1, kMax) — one
+    * corpus count (the KMeans fit already pays a full pass), then
+    * exactly [[semanticDedup]]. With k so chosen, expected per-cell
+    * pairs are O(targetCellSize²) and total candidate volume is LINEAR
+    * in n. KMeans balances cells only in expectation — a hot cell is
+    * the occupancy-drift monitor's job ([[Similarity.cellOccupancyDrift]]),
+    * not this dial's. `kMax` caps the fit cost (centroids are a
+    * bounded driver-side artifact, the coarse-quantizer contract).
+    */
+  def semanticDedupBounded(embeddings: DataFrame, targetCellSize: Int = 1000,
+                           minCos: Double = 0.99, maxIter: Int = 5,
+                           kMax: Int = 4096): DataFrame =
+    semanticDedup(embeddings,
+      nClusters = boundedClusterCount(embeddings.count(), targetCellSize, kMax),
+      minCos = minCos, maxIter = maxIter)
+
+  /** The [[semanticDedupBounded]] cluster-count rule, exposed so specs
+    * and capacity planning share the arithmetic.
+    */
+  def boundedClusterCount(n: Long, targetCellSize: Int, kMax: Int = 4096): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be > 0, got $targetCellSize")
+    require(kMax > 0, s"kMax must be > 0, got $kMax")
+    math.max(1L, math.min(kMax.toLong,
+      (n + targetCellSize - 1) / targetCellSize)).toInt
+  }
+
   /** SimHash fingerprints (custom Catalyst expression) + hamming-bucket
     * near-dup pairs: candidates share at least one 16-bit quarter of the
     * fingerprint (pigeonhole: hamming <= 3 guarantees a shared quarter).

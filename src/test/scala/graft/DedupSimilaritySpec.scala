@@ -420,6 +420,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probe(5) === Seq.empty)
   }
 
+  test("semanticDedupBounded scales k with the corpus and still finds planted clones") {
+    import spark.implicits._
+    // the q138 curve's named cause, as an operator dial: expected cell
+    // size held constant => candidate volume linear in n
+    assert(Dedup.boundedClusterCount(500L, 100) === 5)
+    assert(Dedup.boundedClusterCount(5000L, 100) === 50)
+    assert(Dedup.boundedClusterCount(5000L, 100, kMax = 16) === 16)
+    assert(Dedup.boundedClusterCount(3L, 100) === 1)
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant clones of vectors 0..9 (scaled 1.001 — same direction,
+    // near-identical coords: the L2 quantizer must co-cluster each with
+    // its original; the q138 fixture argument)
+    val clones = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 9000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 1.001 as float))")
+          .as("embedding"),
+        col("label"))
+    val out = Dedup.semanticDedupBounded(e.unionByName(clones),
+        targetCellSize = 64, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === (0L until 10L).map(i => (i + 9000L) -> i).toMap)
+  }
+
   test("skew-safe compaction: a planted hot cell splits into bounded files, probes bit-identical") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-skew").toString
