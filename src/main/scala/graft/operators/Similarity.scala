@@ -1301,11 +1301,42 @@ object Similarity {
       throw new IllegalStateException(s"failed to commit generation manifest $dest")
   }
 
+  /** Explicitly RETIRE the adopted flat-root generation ("."): delete
+    * the legacy `centroids`/`codebooks`/`codes` dirs at the index root
+    * once the generation ledger no longer retains ".". The automatic
+    * sweep never touches the flat root (deleting at the root the
+    * ledger itself lives under is not worth the blast radius on a
+    * maintenance path), so reclaiming the storage of a rebuilt legacy
+    * index is this one deliberate call. Fails fast while "." is still
+    * retained (readable history must not be pulled out from under
+    * [[queryIvfPqIndexAt]]); no-ops when the artifacts are already
+    * gone or no ledger exists (a flat index with no generations is
+    * live, not legacy).
+    */
+  def retireLegacyIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestGenManifest(fs, root) match {
+      case None => // flat index with no generations: live, not legacy
+      case Some((_, _, dirs)) =>
+        require(!dirs.contains("."),
+          s"the flat root of $indexDir is still a retained generation " +
+            s"(live: ${dirs.mkString(", ")}); rebuild past the retain " +
+            "window before retiring it")
+        Seq("centroids", "codebooks", "codes").foreach { d =>
+          val p = new Path(root, d)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+    }
+  }
+
   /** Delete `gen=<g>` dirs referenced by NONE of the newest `retain`
     * generation manifests (plus stale inflight stages). The adopted
     * flat root (".") is NEVER swept — its artifacts live at the index
     * root itself, and automatic deletion there is not worth the blast
-    * radius (an operator retires a legacy generation explicitly).
+    * radius ([[retireLegacyIndexRoot]] is the explicit call).
     */
   private def sweepUnreferencedGens(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,

@@ -547,6 +547,34 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.queryIvfPqIndexAt(spark, idx, 7L, probes, 5)
     }
     assert(err.getMessage.contains("not retained"))
+    // (g) streaming ingest resolves the ACTIVE generation too: the
+    // drained shard encodes under generation 1's artifacts and never
+    // leaks into the retained generation 0
+    val arr = java.nio.file.Files.createTempDirectory("graft-reb-arr").toString
+    e.filter(col("vec_id") === 5).withColumn("vec_id", lit(9500L))
+      .coalesce(1).write.mode("append").parquet(arr)
+    graft.streaming.IndexStream.startIngest(spark, arr, e.schema, idx,
+        java.nio.file.Files.createTempDirectory("graft-reb-ck").toString,
+        batchIdBase = 5L)
+      .awaitTermination()
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 10000,
+      nprobe = 8)).exists(_._2 == 9500L))
+    assert(!probeSet(Similarity.queryIvfPqIndexAt(spark, idx, 0L, probes,
+      10000, nprobe = 8)).exists(_._2 == 9500L))
+    // (h) the flat root retires only once the ledger stops retaining it
+    val exRet = intercept[IllegalArgumentException] {
+      Similarity.retireLegacyIndexRoot(spark, idx)
+    }
+    assert(exRet.getMessage.contains("retained"))
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 2L, retain = 1)
+    Similarity.retireLegacyIndexRoot(spark, idx)
+    assert(!new java.io.File(s"$idx/codes").exists())
+    val exTT = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexAt(spark, idx, 0L, probes, 5)
+    }
+    assert(exTT.getMessage.contains("not retained"))
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 50,
+      nprobe = 3)).nonEmpty)
   }
 
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
