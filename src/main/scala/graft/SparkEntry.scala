@@ -5087,6 +5087,65 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** Build-once-per-JVM closed-loop maintenance fixture: an index over
+    * the full embeddings, one stable pass (self shard — provably no
+    * drift, no rebuild, no ledger), one drifted pass (constant-shifted
+    * shard — the q183 premise) that rebuilds generation 1 over the
+    * committed corpus.
+    */
+  private val driftLoopStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureDriftLoop(spark: SparkSession, dir: String): String =
+    driftLoopStores.computeIfAbsent(dir, { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-driftloop").toString
+      val idx = s"$base/idx"
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e, idx)
+      operators.Similarity
+        .rebuildIfDrifted(spark, idx, e, e, generation = 1L)
+        .write.mode("overwrite").parquet(s"$base/stable")
+      val shifted = e.withColumn("embedding",
+        expr("transform(embedding, x -> x + cast(2.0 as float))"))
+      operators.Similarity
+        .rebuildIfDrifted(spark, idx, e, shifted, generation = 1L)
+        .write.mode("overwrite").parquet(s"$base/drifted")
+      base
+    })
+
+  /** CLOSED DRIFT→REBUILD LOOP
+    * ([[operators.Similarity.rebuildIfDrifted]]): monitor and operation
+    * composed — the scheduled-maintenance call a production index
+    * actually runs. Verdicts: a STABLE shard (the index's own corpus)
+    * measures PSI provably 0.0 and commits nothing (no generation
+    * ledger appears — the monitor-only cost path); a DRIFTED shard
+    * (constant-shifted copy, the q183 premise) measures strictly
+    * positive, rebuilds generation 1 over the committed corpus, and
+    * the post-rebuild self-drift is exactly 0.0 again with the new
+    * generation serving probes (time-travel read of generation 1
+    * returns rows).
+    */
+  def q187DriftLoop(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureDriftLoop(spark, dir)
+    val stable = spark.read.parquet(s"$base/stable").head()
+    val drifted = spark.read.parquet(s"$base/drifted").head()
+    val post = operators.Similarity
+      .cellOccupancyDrift(spark, s"$base/idx", Tables.embeddings(spark, dir))
+      .head()
+    val gen1Serves = operators.Similarity.queryIvfPqIndexAt(
+      spark, s"$base/idx", 1L,
+      ivfPqProbes(spark, dir, Seq(0L)), 5, nprobe = 2).count() > 0
+    import spark.implicits._
+    Seq(
+      ("stable_shard_monitor_only",
+        !stable.getBoolean(4) && stable.getDouble(2) == 0.0),
+      ("drifted_shard_rebuilt",
+        drifted.getBoolean(3) && drifted.getBoolean(4) &&
+          drifted.getDouble(2) > 0.0),
+      ("post_rebuild_self_drift_zero", post.getDouble(2) == 0.0),
+      ("new_generation_serves", gen1Serves))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5271,6 +5330,7 @@ object SparkEntry {
     "q184_ivfpq_rebuild" -> (q184IvfPqRebuild _),
     "q185_takedown_orchestration" -> (q185TakedownOrchestration _),
     "q186_selective_reexport" -> (q186SelectiveReexport _),
+    "q187_drift_loop" -> (q187DriftLoop _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6554,6 +6614,13 @@ object SparkEntry {
       seqLen = 128, seqsPerShard = 8, deleted = q177DeletedIds),
     // psi values are KMeans-cell-dependent; the deterministic facts are
     // the corpus counts and the zero/positive verdicts
+    // monitor/rebuild verdicts are KMeans-backed and decided in-engine;
+    // the oracle pins them
+    "q187_drift_loop" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('stable_shard_monitor_only'),
+        |  ('drifted_shard_rebuilt'), ('post_rebuild_self_drift_zero'),
+        |  ('new_generation_serves')) t(c)""".stripMargin,
     // byte-identity and frozen-map equality are decided in-engine
     // (exceptAll over committed snapshots); the oracle pins the verdicts
     "q186_selective_reexport" ->

@@ -1160,6 +1160,36 @@ object Similarity {
     sweepUnreferencedGens(fs, root, retain)
   }
 
+  /** The CLOSED maintenance loop — monitor and operation in one call:
+    * measure [[cellOccupancyDrift]] of the arriving shard against the
+    * committed index and, when the PSI crosses `threshold`, run
+    * [[rebuildIvfPqIndex]] as `generation` over the committed corpus
+    * (`embeddings` is the corpus asset, the rebuild contract). The
+    * scheduled-maintenance shape: a stable shard costs exactly the
+    * monitor's one aggregate + one argmin pass and commits NOTHING; a
+    * drifted shard pays the retrain once and the ledger flips probes
+    * atomically. Returns ONE row — the drift verdict plus what was
+    * done: (n_ref, n_new, psi, drifted, rebuilt, generation).
+    * Replay-safe: the rebuild's own generation guard makes a repeated
+    * call with the same `generation` a no-op.
+    */
+  def rebuildIfDrifted(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, embeddings: DataFrame,
+                       shard: DataFrame, generation: Long,
+                       threshold: Double = 0.2, nlist: Int = 8, m: Int = 8,
+                       codebookSize: Int = 16, dim: Int = 64,
+                       maxIter: Int = 5, retain: Int = 2): DataFrame = {
+    import spark.implicits._
+    val d = cellOccupancyDrift(spark, indexDir, shard, threshold).head()
+    val drifted = d.getBoolean(3)
+    if (drifted)
+      rebuildIvfPqIndex(embeddings, indexDir, generation, nlist, m,
+        codebookSize, dim, maxIter, retain)
+    Seq((d.getLong(0), d.getLong(1), d.getDouble(2), drifted, drifted,
+        generation))
+      .toDF("n_ref", "n_new", "psi", "drifted", "rebuilt", "generation")
+  }
+
   /** ROLLBACK: re-activate a retained prior generation — the cheap half
     * of the rebuild story (a bad retrain must be one tiny manifest
     * commit away from undone, or nobody rebuilds in production). Pure

@@ -577,6 +577,23 @@ class DedupSimilaritySpec extends SparkSpec {
       nprobe = 3)).nonEmpty)
   }
 
+  test("rebuildIfDrifted: stable shard commits nothing, drifted shard flips the ledger") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-driftloop-s").toString
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e, idx)
+    val r1 = Similarity.rebuildIfDrifted(spark, idx, e, e, generation = 1L).head()
+    assert(r1.getDouble(2) === 0.0 && !r1.getBoolean(3) && !r1.getBoolean(4))
+    // the monitor-only path leaves NO generation ledger behind
+    assert(!new java.io.File(s"$idx/_generations").exists())
+    val shifted = e.withColumn("embedding",
+      expr("transform(embedding, x -> x + cast(2.0 as float))"))
+    val r2 = Similarity.rebuildIfDrifted(spark, idx, e, shifted, generation = 1L).head()
+    assert(r2.getDouble(2) > 0.0 && r2.getBoolean(3) && r2.getBoolean(4))
+    assert(new java.io.File(s"$idx/_generations").exists())
+    // the loop closed: the new generation's self-drift is exactly zero
+    assert(Similarity.cellOccupancyDrift(spark, idx, e).head().getDouble(2) === 0.0)
+  }
+
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
     Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
