@@ -108,7 +108,10 @@ object ScaleCurve {
       "q133_pq_recall", "q138_semantic_dedup", "q162_ivfpq_recall",
       "q168_ivfpq_append", "q169_refined_retrieval",
       "q174_ivfpq_compaction", "q181_ivfpq_takedown", "q183_cell_drift",
-      "q184_ivfpq_rebuild")
+      "q184_ivfpq_rebuild",
+      // late round 11: the orchestration/maintenance verdicts
+      "q185_takedown_orchestration", "q186_selective_reexport",
+      "q187_drift_loop")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
