@@ -297,7 +297,17 @@ object EventStreams {
     // sticky mixed-schema flag: once a widening merge commits, narrow
     // files may linger in untouched buckets, so readers must merge
     // schemas until the table is rebuilt (conservative, rare)
-    var mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    // maintenance cadence (round-11 debt #2): a sink that opted into
+    // compaction (`compactEvery > 0`) HEALS a flagged table on its next
+    // merge — every live bucket joins the touched set, so the whole
+    // table rewrites under the current schema in this same commit (one
+    // batchId, one manifest) and the flag drops. One-shot by
+    // construction: the flag is gone afterwards, so only the first
+    // merge after a widening pays the full rewrite. Tables without a
+    // cadence keep the flag until an explicit [[compactUpsertTable]].
+    val homogenize = compactEvery > 0 && mixed
+    var widenedThisBatch = false
 
     // live file set: the committed manifest, or (first manifest commit
     // on an older table) the pre-manifest __bucket=* dirs adopted as-is
@@ -338,8 +348,11 @@ object EventStreams {
           alignTo(legacy, compacted, versionCol), compacted, keyCols, versionCol)
       }
     // bounded collect: at most nBuckets small ints
-    val touched = toMerge.select(upsertBucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val batchTouched = toMerge.select(upsertBucketCol).distinct()
+      .collect().map(_.getInt(0))
+    val touched =
+      (if (homogenize) batchTouched ++ live.keys else batchTouched)
+        .distinct.sorted
     val newLive =
       if (touched.isEmpty) live // empty batch: manifest advances the watermark only
       else {
@@ -357,14 +370,14 @@ object EventStreams {
             val probe = live.values.flatten.headOption
             if (probe.exists(f => widens(
                 spark.read.parquet(new Path(table, f).toString), toMerge)))
-              mixed = true
+              widenedThisBatch = true
             toMerge
           } else {
             val current = spark.read
               .option("mergeSchema", (mixed || legacyFiles.nonEmpty).toString)
               .parquet(currentFiles: _*)
               .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
-            if (widens(current, toMerge)) mixed = true
+            if (widens(current, toMerge)) widenedThisBatch = true
             graft.operators.Load.upsertLatest(
               alignTo(current, toMerge, versionCol), toMerge, keyCols, versionCol)
           }
@@ -385,7 +398,13 @@ object EventStreams {
         }.toMap
         (live -- touched) ++ rewritten
       }
-    publishManifest(fs, table, batchId, nBuckets, newLive, mixed)
+    // a homogenizing merge rewrote EVERY live bucket under the batch's
+    // schema — no narrow file can remain (even if this batch widened
+    // again), so the flag drops in this same commit
+    val outMixed =
+      if (homogenize && touched.nonEmpty) false
+      else mixed || widenedThisBatch
+    publishManifest(fs, table, batchId, nBuckets, newLive, outMixed)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -395,7 +414,8 @@ object EventStreams {
     // default would silently prune existing sinks' commit history and
     // time travel past ~compactEvery batches. Long-lived sinks should
     // pass compactEvery explicitly (or call compactManifests on a
-    // schedule) once the O(batches) listing cost matters.
+    // schedule) once the O(batches) listing cost matters. The same
+    // opt-in also enables the mixed-schema healing rewrite above.
     if (compactEvery > 0 && manifestList(fs, table).size > compactEvery)
       compactManifests(spark, tableDir, math.max(retain, compactEvery))
   }

@@ -254,6 +254,77 @@ class StreamingSpec extends SparkSpec {
       .filter(col("extra2").isNotNull).count() === 1L)
   }
 
+  test("a compactEvery sink self-heals the mixed-schema flag on its next merge") {
+    val tableDir = Files.createTempDirectory("graft-heal").toString + "/t"
+    def latestManifestText(): String = {
+      val d = java.nio.file.Paths.get(tableDir, "_manifests")
+      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
+    }
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "__v"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 0L, compactEvery = 10)
+    // widening batch flips the flag (it touches SOME buckets; narrow
+    // files linger in the others)
+    EventStreams.mergeBatchIntoTable(
+      Seq((2L, "b2", 1L, 7L)).toDF("k", "v", "__v", "extra"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 1L, compactEvery = 10)
+    assert(latestManifestText().contains("\"mixed\":1"))
+    // the NEXT merge on a cadence-enabled sink homogenizes in the SAME
+    // commit: every live bucket rewrites under the wide schema and the
+    // flag drops — no separate compactUpsertTable call needed (the
+    // round-11 mixed-flag debt)
+    EventStreams.mergeBatchIntoTable(
+      Seq((4L, "d", 2L, 8L)).toDF("k", "v", "__v", "extra"),
+      tableDir, Seq("k"), "__v", nBuckets = 4, batchId = 2L, compactEvery = 10)
+    assert(!latestManifestText().contains("\"mixed\":1"))
+    val rows = EventStreams.readUpsertTable(spark, tableDir)
+      .select(col("k"), col("v"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b2", Some(7L)),
+      (3L, "c", None), (4L, "d", Some(8L))))
+    // every data file now carries the wide schema: each bucket's files
+    // read standalone (no schema merging) with the `extra` column
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("gen_") ||
+        s.getPath.getName.startsWith(EventStreams.upsertBucketCol + "=")))
+      .flatMap(d => listParquetRecursive(fs, d.getPath))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      assert(spark.read.parquet(f).columns.contains("extra"),
+        s"$f was not rewritten under the current schema")
+    }
+    // a sink WITHOUT the cadence keeps the sticky flag (the documented
+    // conservative default; explicit compactUpsertTable still clears it)
+    val sticky = Files.createTempDirectory("graft-sticky").toString + "/t"
+    def stickyManifest(): String = {
+      val d = java.nio.file.Paths.get(sticky, "_manifests")
+      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
+    }
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "__v"),
+      sticky, Seq("k"), "__v", nBuckets = 4, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      Seq((2L, "b2", 1L, 7L)).toDF("k", "v", "__v", "extra"),
+      sticky, Seq("k"), "__v", nBuckets = 4, batchId = 1L)
+    EventStreams.mergeBatchIntoTable(
+      Seq((2L, "b3", 2L, 9L)).toDF("k", "v", "__v", "extra"),
+      sticky, Seq("k"), "__v", nBuckets = 4, batchId = 2L)
+    assert(stickyManifest().contains("\"mixed\":1"))
+  }
+
+  private def listParquetRecursive(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      if (s.isDirectory) listParquetRecursive(fs, s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath.toString)
+      else Seq.empty
+    }
+
   test("upsert sink migrates a legacy flat-layout table into buckets on first merge") {
     val tableDir = Files.createTempDirectory("graft-upsert-legacy").toString
     // simulate the pre-bucketed sink: keyed rows as root-level part files
