@@ -42,10 +42,12 @@ import org.apache.spark.sql.functions._
   * a crashed request must be replayed to completion before new batches
   * append.
   *
-  * 100 TB shape: the walk is sequential over a handful of artifacts,
-  * but each step is the primitive's own bounded work — touched-buckets
-  * rewrite, suffix re-lay from the cut point, codes filter-and-republish
-  * — never a full-corpus pass beyond what the primitive itself pays.
+  * 100 TB shape: each step is the primitive's own bounded work —
+  * touched-buckets rewrite, suffix re-lay from the cut point, codes
+  * filter-and-republish — never a full-corpus pass beyond what the
+  * primitive itself pays; and because the artifacts' roots and id
+  * spaces are independent, `concurrency` > 1 overlaps the steps so the
+  * request's wall-clock is the slowest artifact, not the sum.
   */
 object Takedown {
 
@@ -62,6 +64,17 @@ object Takedown {
     *     vector ids to remove (defaults to `docIds` — the
     *     one-embedding-per-doc convention of the embeddings table).
     * `docIds` is the legal request set (bounded by contract).
+    *
+    * `concurrency` > 1 walks the artifacts from a driver-side thread
+    * pool (round-11 debt #1): the primitives mutate INDEPENDENT roots
+    * in independent batch-id spaces, so their Spark jobs interleave
+    * safely under the scheduler and wall-clock drops to roughly the
+    * slowest artifact instead of the sum. The ledger protocol is
+    * unchanged — each token still commits only after ITS primitive, so
+    * one failed artifact leaves exactly its token absent while the
+    * others complete; `_complete` lands only when every step succeeded,
+    * and a replay (at any concurrency) finishes the remainder. The
+    * first failure is rethrown after all in-flight steps settle.
     */
   def deleteDocs(spark: SparkSession, docIds: Seq[Long], batchId: Long,
                  ledgerDir: String,
@@ -69,7 +82,8 @@ object Takedown {
                  keyedTables: Seq[(String, String, Int)] = Seq.empty,
                  ragIndex: Option[String] = None,
                  ivfPqIndex: Option[String] = None,
-                 vecIds: Option[Seq[Long]] = None): Unit = {
+                 vecIds: Option[Seq[Long]] = None,
+                 concurrency: Int = 1): Unit = {
     import spark.implicits._
     val steps: Seq[(String, () => Unit)] =
       sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
@@ -95,11 +109,34 @@ object Takedown {
     require(steps.map(_._1).distinct.size == steps.size,
       s"artifact labels collide (${steps.map(_._1).mkString(", ")}): " +
         "keep artifact directory basenames unique across the set")
-    steps.foreach { case (label, run) =>
-      if (!tokenExists(spark, ledgerDir, batchId, label)) {
-        run()
-        writeToken(spark, ledgerDir, batchId, label)
-      }
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
+    val pending = steps.filterNot { case (label, _) =>
+      tokenExists(spark, ledgerDir, batchId, label)
+    }
+    def runOne(label: String, run: () => Unit): Unit = {
+      run()
+      writeToken(spark, ledgerDir, batchId, label)
+    }
+    if (concurrency == 1 || pending.size <= 1) {
+      pending.foreach { case (label, run) => runOne(label, run) }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(concurrency, pending.size))
+      try {
+        val futures = pending.map { case (label, run) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = runOne(label, run)
+          })
+        }
+        // settle EVERY step before deciding the request's fate: a slow
+        // successful sibling must still land its token so the replay
+        // skips it
+        val failures = futures.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+        failures.headOption.foreach {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e => throw e
+        }
+      } finally pool.shutdownNow()
     }
     writeToken(spark, ledgerDir, batchId, completeToken)
   }

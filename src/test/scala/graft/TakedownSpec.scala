@@ -129,4 +129,85 @@ class TakedownSpec extends SparkSpec {
     request()
     assert(keyedRows(corpus, "doc_id").size === 10)
   }
+
+  test("parallel takedown walk: same committed end state, failures settle per-artifact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-par").toString
+    val docs = mkDocs
+    val deleted = Seq(1L, 7L)
+    val retained = docs.filter(!col("doc_id").isin(deleted: _*))
+    val toks = cheapToks(docs)
+    val corpus = s"$base/corpus"
+    EventStreams.mergeBatchIntoTable(docs.withColumn("__v", lit(0L)),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L)
+    val sigstore = s"$base/sigstore"
+    EventStreams.mergeBatchIntoTable(Dedup.portableMinhashSignatures(docs),
+      sigstore, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    val seqs = s"$base/seqs"
+    Packing.materializeShardIncremental(toks, seqs, seqLen = 16, sepId = 99,
+      batchId = 0L)
+    val rag = s"$base/rag"
+    Rag.indexShard(docs, rag, window = 8, stride = 4, dim = 16, nPlanes = 4,
+      batchId = 0L)
+    // a flat legacy table makes ONE artifact fail while its siblings
+    // run concurrently: the walk must settle every in-flight step (the
+    // survivors' tokens land), rethrow, and leave _complete absent
+    val flat = s"$base/flat"
+    docs.select(col("doc_id"), col("lang")).coalesce(1)
+      .write.mode("append").parquet(flat)
+    val ledgerDir = s"$base/ledger"
+    def request(): Unit = Takedown.deleteDocs(spark, deleted, batchId = 10L,
+      ledgerDir = ledgerDir,
+      sequences = Some((toks, seqs, 16, 99)),
+      keyedTables = Seq((corpus, "doc_id", 4), (sigstore, "doc_id", 4),
+        (flat, "doc_id", 4)),
+      ragIndex = Some(rag), concurrency = 4)
+    val ex = intercept[IllegalArgumentException] { request() }
+    assert(ex.getMessage.contains("flat pre-manifest layout"))
+    val after1 = Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(after1 === Map("sequences-seqs" -> false, "table-corpus" -> false,
+      "table-sigstore" -> false, "rag-rag" -> false),
+      "every concurrent sibling of the failed artifact must settle and token")
+    // repair + parallel replay completes exactly the remainder
+    EventStreams.mergeBatchIntoTable(
+      docs.select(col("doc_id"), col("lang")).limit(0),
+      flat, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    request()
+    val after2 = Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(after2.keySet === Set("sequences-seqs", "table-corpus",
+      "table-sigstore", "table-flat", "rag-rag"))
+    assert(after2.values.forall(identity))
+    // end state identical to the serial walk's contract: every artifact
+    // equals its from-scratch-without-docs build
+    def keyedRows(dir: String, cols: String*) =
+      EventStreams.readUpsertTable(spark, dir).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(keyedRows(corpus, "doc_id", "text", "lang") ===
+      retained.select("doc_id", "text", "lang").collect().map(_.toSeq).toSet)
+    assert(keyedRows(sigstore, "doc_id") ===
+      retained.select("doc_id").collect().map(_.toSeq).toSet)
+    assert(keyedRows(flat, "doc_id") ===
+      retained.select("doc_id").collect().map(_.toSeq).toSet)
+    val freshSeqs = s"$base/seqs-scratch"
+    Packing.materializeShardIncremental(cheapToks(retained), freshSeqs,
+      seqLen = 16, sepId = 99, batchId = 0L)
+    def seqRows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .select("seq_id", "tokens", "doc_spans").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq))
+      .toSet
+    assert(seqRows(seqs) === seqRows(freshSeqs) && seqRows(seqs).nonEmpty)
+    val audit = Takedown.auditDocs(spark, deleted,
+      sequenceTable = Some(seqs),
+      keyedTables = Seq((corpus, "doc_id"), (sigstore, "doc_id"),
+        (flat, "doc_id")),
+      ragIndex = Some(rag))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.values.forall(_ === 0L), s"dangling references: $audit")
+    // completed request replays as a no-op at full concurrency
+    request()
+    assert(keyedRows(corpus, "doc_id").size === 10)
+  }
 }
