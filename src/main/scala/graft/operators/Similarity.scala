@@ -596,19 +596,35 @@ object Similarity {
     * it feeds the m subspace fits AND the encode), m subspace KMeans
     * fits, one partitioned write. At 100 TB every fit trains on a
     * sample; assignment/encode are one narrow codegen'd pass.
+    *
+    * `trainFraction` is the explicit sampling dial for that trade
+    * (round-11 debt #4, the standard FAISS `train on a sample, add
+    * everything` shape): both the coarse fit and the codebook fits
+    * train on a deterministic Bernoulli sample of the corpus, while
+    * assignment and encoding still cover EVERY vector — the codes
+    * table is complete regardless. 1.0 (the default) is bit-identical
+    * to the unsampled build. The caller keeps the sample comfortably
+    * above nlist (and codebookSize per subspace) rows; at real corpus
+    * sizes a fraction like 0.01 is the point of the knob.
     */
   def buildIvfPqIndex(embeddings: DataFrame, indexDir: String,
                       nlist: Int = 8, m: Int = 8, codebookSize: Int = 16,
-                      dim: Int = 64, maxIter: Int = 5): Unit = {
+                      dim: Int = 64, maxIter: Int = 5,
+                      trainFraction: Double = 1.0): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = emb(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val trainE =
+      if (trainFraction >= 1.0) e
+      else e.sample(withReplacement = false, trainFraction, 42L)
     val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e.select(col("fv")))
+      .fit(trainE.select(col("fv")))
     val centers = coarse.clusterCenters.map(_.toArray)
     // residual per row, narrowly: v - centroid[cell] with the nlist×dim
     // centroid matrix riding as a plan literal; checkpointed because it
@@ -619,7 +635,10 @@ object Similarity {
         zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("v"))
       .localCheckpoint()
-    val cbs = pqCodebooksOnVec(resid, m, codebookSize, dim, maxIter)
+    val residTrain =
+      if (trainFraction >= 1.0) resid
+      else resid.sample(withReplacement = false, trainFraction, 43L)
+    val cbs = pqCodebooksOnVec(residTrain, m, codebookSize, dim, maxIter)
     // COMMIT ORDER is the atomicity contract: (1) clear the codes root
     // — stale batches would mix with the new batch 0 under
     // freshly-trained artifacts and silently mis-score (their codes
@@ -1107,13 +1126,18 @@ object Similarity {
     *
     * 100 TB shape: one semi-join (32-byte ids broadcast against the
     * corpus scan), then exactly the build cost — sampled KMeans fits,
-    * one narrow assignment/encode pass, one partitioned write. The old
-    * generation serves probes untouched throughout.
+    * one narrow assignment/encode pass, one partitioned write
+    * (`trainFraction` < 1 trains the fits on a deterministic sample
+    * while still encoding every committed vector — the
+    * [[buildIvfPqIndex]] dial, which is where a real-corpus rebuild's
+    * cost actually lives). The old generation serves probes untouched
+    * throughout.
     */
   def rebuildIvfPqIndex(embeddings: DataFrame, indexDir: String,
                         generation: Long, nlist: Int = 8, m: Int = 8,
                         codebookSize: Int = 16, dim: Int = 64,
-                        maxIter: Int = 5, retain: Int = 2): Unit = {
+                        maxIter: Int = 5, retain: Int = 2,
+                        trainFraction: Double = 1.0): Unit = {
     import org.apache.hadoop.fs.Path
     require(generation > 0, s"generation must be > 0, got $generation")
     require(retain >= 1, s"retain must be >= 1, got $retain")
@@ -1138,7 +1162,7 @@ object Similarity {
       val inflight = new Path(root, s".inflight-gen-$generation")
       if (fs.exists(inflight)) fs.delete(inflight, true) // crashed attempt
       buildIvfPqIndex(src, inflight.toString, nlist, m, codebookSize, dim,
-        maxIter)
+        maxIter, trainFraction)
       if (!fs.rename(inflight, dest))
         throw new IllegalStateException(
           s"failed to publish index generation $generation at $dest")
@@ -1178,13 +1202,14 @@ object Similarity {
                        shard: DataFrame, generation: Long,
                        threshold: Double = 0.2, nlist: Int = 8, m: Int = 8,
                        codebookSize: Int = 16, dim: Int = 64,
-                       maxIter: Int = 5, retain: Int = 2): DataFrame = {
+                       maxIter: Int = 5, retain: Int = 2,
+                       trainFraction: Double = 1.0): DataFrame = {
     import spark.implicits._
     val d = cellOccupancyDrift(spark, indexDir, shard, threshold).head()
     val drifted = d.getBoolean(3)
     if (drifted)
       rebuildIvfPqIndex(embeddings, indexDir, generation, nlist, m,
-        codebookSize, dim, maxIter, retain)
+        codebookSize, dim, maxIter, retain, trainFraction)
     Seq((d.getLong(0), d.getLong(1), d.getDouble(2), drifted, drifted,
         generation))
       .toDF("n_ref", "n_new", "psi", "drifted", "rebuilt", "generation")

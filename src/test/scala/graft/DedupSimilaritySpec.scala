@@ -481,6 +481,42 @@ class DedupSimilaritySpec extends SparkSpec {
         s"got ${filesIn(hotCell)} file(s)")
   }
 
+  test("IVF-PQ trainFraction: sampled fits still encode every vector; 1.0 is bit-identical") {
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val nVecs = e.count()
+    val sampled = java.nio.file.Files.createTempDirectory("graft-ivfpq-tf").toString
+    Similarity.buildIvfPqIndex(e, sampled, trainFraction = 0.5)
+    // the dial trades TRAINING data only: the codes table is complete
+    // and the artifact shapes are unchanged
+    val codes = spark.read.parquet(s"$sampled/codes")
+    assert(codes.select("vec_id").distinct().count() === nVecs)
+    assert(spark.read.parquet(s"$sampled/centroids").count() === 8L)
+    assert(spark.read.parquet(s"$sampled/codebooks").count() === 8L * 16L)
+    // an exact-copy probe still retrieves its source vector first: the
+    // sampled quantizer is coarser, not broken
+    val pv = e.selectExpr("cast(embedding as array<double>) as v")
+      .filter(col("vec_id") === 0).head().getSeq[Double](0).toArray
+    val top = Similarity.queryIvfPqIndex(spark, sampled, Seq((9999L, pv)),
+      k = 5, nprobe = 8).collect()
+    assert(top.length === 5 && top.head.getLong(1) === 0L)
+    // trainFraction = 1.0 takes the unsampled path: bit-identical
+    // artifacts to the default build (existing indexes never shift)
+    val a = java.nio.file.Files.createTempDirectory("graft-ivfpq-tfa").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-ivfpq-tfb").toString
+    Similarity.buildIvfPqIndex(vecs, a, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    Similarity.buildIvfPqIndex(vecs, b, nlist = 2, m = 8, codebookSize = 2,
+      dim = 64, trainFraction = 1.0)
+    def dump(dir: String, what: String) =
+      spark.read.parquet(s"$dir/$what").collect().map(_.toSeq).toSet
+    Seq("centroids", "codebooks", "codes").foreach { w =>
+      assert(dump(a, w) === dump(b, w), s"$w differ between 1.0 and default")
+    }
+    val err = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPqIndex(vecs, a, trainFraction = 0.0)
+    }
+    assert(err.getMessage.contains("trainFraction"))
+  }
+
   test("IVF-PQ rebuild: committed generation ≡ from-scratch, self-drift 0.0, time travel, rollback") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-reb").toString
     val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
