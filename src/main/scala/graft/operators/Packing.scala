@@ -693,35 +693,61 @@ object Packing {
         t
       }
     if (touched.isEmpty) return Seq.empty
-    val oldMap = EventStreams.readUpsertTable(spark, shardTableDir)
+    // replay guards: each table's half of the commit pair is skipped
+    // once its merge landed — recomputing inputs after a completed pair
+    // can read a snapshot retention already swept
+    val tableDone = EventStreams.appliedBatch(spark, shardTableDir)
+      .exists(_ >= batchId + 1)
+    val provDone = EventStreams.appliedBatch(spark, provDir)
+      .exists(_ >= batchId + 1)
+    // the frozen map reads AS-OF the pre-delete snapshot (the
+    // read-before-batch replay rule): a crash between the table's
+    // delete and its merge replays with the stale region's rows already
+    // gone — re-reading the LATEST snapshot would re-derive an EMPTY
+    // refresh and commit it, truncating every touched shard
+    lazy val mapBefore = EventStreams
+      .readUpsertTableBefore(spark, shardTableDir, batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"$shardTableDir has no committed snapshot before batch $batchId"))
       .select(col("seq_id"), col("rank"), col("shard_id"))
+      .filter(col("seq_id") >= fromSeq)
+      .localCheckpoint()
     // refreshed region: new content joined with the FROZEN map (inner —
     // vanished sequences drop); barrier: feeds the table merge, the
     // provenance merge and nothing reads files the deletes sweep
-    val refreshed = updatedSeqs
+    lazy val refreshed = updatedSeqs
       .select(col("seq_id"), col("tokens"), col("doc_spans"))
       .filter(col("seq_id") >= fromSeq)
-      .join(oldMap.filter(col("seq_id") >= fromSeq), Seq("seq_id"))
+      .join(mapBefore, Seq("seq_id"))
       .select(col("seq_id"), col("tokens"), col("doc_spans"), col("rank"),
         col("shard_id"))
       .localCheckpoint()
-    EventStreams.deleteFromTable(spark, shardTableDir,
-      oldMap.filter(col("seq_id") >= fromSeq).select(col("seq_id")),
-      Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
-    EventStreams.mergeBatchIntoTable(refreshed, shardTableDir,
-      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1, retain = 2)
-    EventStreams.deleteFromTable(spark, provDir,
-      EventStreams.readUpsertTable(spark, provDir)
-        .filter(col("seq_id") >= fromSeq)
-        .select(col("seq_id"), col("doc_id")),
-      Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
-    EventStreams.mergeBatchIntoTable(
-      refreshed.select(col("shard_id"), col("seq_id"),
-          explode(col("doc_spans")).as("sp"))
-        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
-          col("sp.start").as("start"), col("sp.len").as("len")),
-      provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
-      batchId = batchId + 1, retain = 2)
+    if (!tableDone) {
+      EventStreams.deleteFromTable(spark, shardTableDir,
+        mapBefore.select(col("seq_id")),
+        Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+      // retain = 3 keeps the pre-delete snapshot readable while the
+      // provenance half may still need mapBefore on a replay
+      EventStreams.mergeBatchIntoTable(refreshed, shardTableDir,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1,
+        retain = 3)
+    }
+    if (!provDone) {
+      EventStreams.deleteFromTable(spark, provDir,
+        EventStreams.readUpsertTableBefore(spark, provDir, batchId)
+          .getOrElse(throw new IllegalStateException(
+            s"$provDir has no committed snapshot before batch $batchId"))
+          .filter(col("seq_id") >= fromSeq)
+          .select(col("seq_id"), col("doc_id")),
+        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
+      EventStreams.mergeBatchIntoTable(
+        refreshed.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+            col("sp.start").as("start"), col("sp.len").as("len")),
+        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
+        batchId = batchId + 1, retain = 2)
+    }
     // re-stage ONLY the touched shard dirs from the updated table, then
     // swap each by rename; a touched shard whose sequences all vanished
     // ends as a deleted dir
@@ -739,6 +765,145 @@ object Packing {
       if (fs.exists(src) && !fs.rename(src, dest))
         throw new IllegalStateException(
           s"failed to swap re-exported shard dir $dest")
+    }
+    fs.delete(stage, true)
+    touched
+  }
+
+  /** FOLD UNDERSIZED SHARDS — the maintenance transaction behind the
+    * tombstone trade [[reexportShards]] documents: takedowns make
+    * sequences vanish, the frozen map leaves their ranks as holes, and
+    * the touched shards come out SHORT — a trainer streaming
+    * shard-by-shard sees progressively smaller files, and after enough
+    * takedowns a shard can be nearly empty. A rebalance re-freezes the
+    * map DENSE while preserving the streaming order exactly:
+    *
+    *   - surviving sequences re-number by their committed rank order
+    *     (`new_rank` = dense index ORDER BY rank — the order a trainer
+    *     streams is untouched, only the holes close up), and shards
+    *     re-chunk as `new_rank div seqsPerShard` — every non-final
+    *     shard is full again;
+    *   - rows whose (rank, shard) did not move are NOT rewritten: the
+    *     changed set is the suffix from the FIRST hole (ranks before it
+    *     are already dense), so the prefix shards' table rows, their
+    *     provenance rows AND their exported files stay byte-identical —
+    *     the [[deleteDocsFromSequences]] cut-point argument applied to
+    *     the shard map;
+    *   - the TOUCHED export set (old ∪ new homes of every moved row) is
+    *     committed FIRST as `.rebalance-<batchId>.json` (the
+    *     [[reexportShards]] manifest convention): a crash after the
+    *     table merges would otherwise recompute an empty changed set
+    *     and strand stale export dirs — replays load the set instead;
+    *   - the sharded table and provenance update under the
+    *     delete-at-`batchId` / merge-at-`batchId + 1` commit pair (the
+    *     [[reexportShards]] protocol, including its read-before-batch
+    *     replay rule — the moved rows' NEW map derives from the
+    *     pre-delete snapshot, so a crash between the halves replays
+    *     identically), then only the touched `shard_id=` dirs re-stage
+    *     and swap by rename; an old shard id whose rows all moved down
+    *     folds away (its dir is deleted).
+    *
+    * Every commit is idempotent — a crash anywhere replays to
+    * completion with the same arguments; later operations on either
+    * table must use ids above `batchId + 1`. A table with no holes and
+    * no short shards returns empty and commits NOTHING (the
+    * monitor-only-cost path). Returns the touched shard ids.
+    */
+  def rebalanceShards(spark: org.apache.spark.sql.SparkSession,
+                      shardTableDir: String, provDir: String,
+                      exportDir: String, seqsPerShard: Int, batchId: Long,
+                      nParts: Int = 8): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.EventStreams
+    require(seqsPerShard > 0, s"seqsPerShard must be > 0, got $seqsPerShard")
+    val exp = new Path(exportDir)
+    val fs = exp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(exp, s".rebalance-$batchId.json")
+    // replay guards, the reexportShards convention
+    val tableDone = EventStreams.appliedBatch(spark, shardTableDir)
+      .exists(_ >= batchId + 1)
+    val provDone = EventStreams.appliedBatch(spark, provDir)
+      .exists(_ >= batchId + 1)
+    // the moved set derives from the PRE-delete snapshot (the
+    // read-before-batch replay rule): after the delete half commits,
+    // the latest snapshot lacks the moved rows and would re-derive a
+    // different (wrong) numbering
+    lazy val changed = Sampling.denseGlobalIndex(
+        EventStreams.readUpsertTableBefore(spark, shardTableDir, batchId)
+          .getOrElse(throw new IllegalStateException(
+            s"$shardTableDir has no committed snapshot before batch $batchId"))
+          .select(col("seq_id"), col("tokens"), col("doc_spans"),
+            col("rank"), col("shard_id")),
+        "new_rank", Seq(col("rank")), nParts)
+      .withColumn("new_shard", expr(s"new_rank div $seqsPerShard"))
+      .filter(col("new_rank") =!= col("rank") ||
+        col("new_shard") =!= col("shard_id"))
+      .localCheckpoint() // barrier: feeds the touched collect + 2 pairs
+    val touched: Seq[Long] =
+      if (fs.exists(manifest)) { // replay: the committed touched set
+        val in = fs.open(manifest)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        """-?\d+""".r.findAllIn(body).map(_.toLong).toSeq
+      } else {
+        // bounded collect: old + new homes of the moved rows, each
+        // bounded by the shard count
+        val t = changed.select(col("shard_id"))
+          .union(changed.select(col("new_shard")))
+          .distinct().collect().map(_.getLong(0)).sorted.toSeq
+        if (t.nonEmpty) {
+          val tmp = new Path(exp, s".rebalance-$batchId.json.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(s"[${t.mkString(",")}]".getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, manifest) && !fs.exists(manifest))
+            throw new IllegalStateException(
+              s"failed to commit rebalance manifest $manifest")
+        }
+        t
+      }
+    if (touched.isEmpty) return Seq.empty
+    if (!tableDone) {
+      EventStreams.deleteFromTable(spark, shardTableDir,
+        changed.select(col("seq_id")),
+        Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+      // retain = 3 keeps the pre-delete snapshot readable while the
+      // provenance half may still need `changed` on a replay
+      EventStreams.mergeBatchIntoTable(
+        changed.select(col("seq_id"), col("tokens"), col("doc_spans"),
+          col("new_rank").as("rank"), col("new_shard").as("shard_id")),
+        shardTableDir, Seq("seq_id"), "seq_id", nBuckets = 8,
+        batchId = batchId + 1, retain = 3)
+    }
+    if (!provDone) {
+      EventStreams.deleteFromTable(spark, provDir,
+        changed.select(col("seq_id"), explode(col("doc_spans")).as("sp"))
+          .select(col("seq_id"), col("sp.doc_id").as("doc_id")),
+        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
+      EventStreams.mergeBatchIntoTable(
+        changed.select(col("new_shard").as("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+            col("sp.start").as("start"), col("sp.len").as("len")),
+        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
+        batchId = batchId + 1, retain = 2)
+    }
+    // re-stage ONLY the touched shard dirs from the updated table, then
+    // swap each by rename; an old shard emptied by the fold ends as a
+    // deleted dir
+    val stage = new Path(exp, s".inflight-rebalance-$batchId")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    EventStreams.readUpsertTable(spark, shardTableDir)
+      .filter(col("shard_id").isin(touched: _*))
+      .repartition(touched.length, col("shard_id"))
+      .sortWithinPartitions(col("rank"))
+      .write.partitionBy("shard_id").parquet(stage.toString)
+    touched.foreach { id =>
+      val dest = new Path(exp, s"shard_id=$id")
+      val src = new Path(stage, s"shard_id=$id")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (fs.exists(src) && !fs.rename(src, dest))
+        throw new IllegalStateException(
+          s"failed to swap rebalanced shard dir $dest")
     }
     fs.delete(stage, true)
     touched

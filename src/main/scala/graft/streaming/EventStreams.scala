@@ -591,6 +591,18 @@ object EventStreams {
       }
   }
 
+  /** Highest committed batchId of a keyed upsert table — the
+    * applied-batch watermark (None for pre-manifest or absent tables).
+    * The guard multi-commit operations use to decide, on replay,
+    * whether a half of their commit pair already landed.
+    */
+  def appliedBatch(spark: SparkSession, tableDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, table).map(_._1)
+  }
+
   /** The live (bucket -> data files) map of the latest committed
     * manifest — empty for pre-manifest tables. Exposed for inspection
     * and tests (e.g. asserting a merge left untouched buckets'

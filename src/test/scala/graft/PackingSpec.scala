@@ -443,6 +443,189 @@ class PackingSpec extends SparkSpec {
     assert(got2 === expected)
   }
 
+  test("re-export crash window: replay between the delete and merge halves loses nothing") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-reexport-cw").toString
+    val (seqTable, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    val all = (0L until 40L).map(i =>
+      (i, (0 until (i % 9 + 2).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(df, seqTable,
+      seqLen = 16, sepId = -1, batchId = 0L)
+    val sharded = operators.Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqTable), seqsPerShard = 2)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    operators.Packing.exportShardFiles(spark, shardTable, export)
+    operators.Packing.deleteDocsFromSequences(df, Seq(33L), seqTable,
+      seqLen = 16, sepId = -1, batchId = 10L)
+    val fromSeq = operators.Packing.firstTouchedSeq(spark, prov, Seq(33L)).get
+    // the CRASH STATE the old code truncated shards from: the touched
+    // manifest and the shard table's DELETE half are committed, the
+    // merge half is not — simulate it with the same commits the
+    // operation itself issues
+    val expFs = new org.apache.hadoop.fs.Path(export)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touchedSet = EventStreams.readUpsertTable(spark, prov)
+      .filter(col("seq_id") >= fromSeq)
+      .select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val manifest = new org.apache.hadoop.fs.Path(export, ".reexport-12.json")
+    val out = expFs.create(manifest, true)
+    try out.write(s"[${touchedSet.mkString(",")}]".getBytes("UTF-8"))
+    finally out.close()
+    EventStreams.deleteFromTable(spark, shardTable,
+      EventStreams.readUpsertTable(spark, shardTable)
+        .filter(col("seq_id") >= fromSeq).select(col("seq_id")),
+      Seq("seq_id"), nBuckets = 8, batchId = 12L, retain = 2)
+    // replay with the same arguments must COMPLETE the pair from the
+    // pre-delete snapshot, not re-derive an empty refresh
+    val touched = operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L)
+    assert(touched === touchedSet)
+    val expected = EventStreams.readUpsertTable(spark, seqTable)
+      .join(sharded.select(col("seq_id"), col("rank"), col("shard_id")),
+        Seq("seq_id"))
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    val got = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // and the export agrees with the healed table everywhere
+    val gotExport = spark.read.parquet(export)
+      .select(col("seq_id"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(gotExport === expected)
+  }
+
+  test("rebalanceShards folds short shards dense, preserving the streaming order") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-rebalance").toString
+    val (seqTable, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    val all = (0L until 40L).map(i =>
+      (i, (0 until (i % 9 + 2).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(df, seqTable,
+      seqLen = 16, sepId = -1, batchId = 0L)
+    val sharded = operators.Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqTable), seqsPerShard = 2)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    operators.Packing.exportShardFiles(spark, shardTable, export)
+    // takedown + selective re-export: the frozen map now has HOLES
+    // (vanished tail seq_ids held scattered shuffle-order ranks) —
+    // three docs ≈ 30 token slots, enough to shrink the layout by
+    // whole sequences
+    val deleted = Seq(33L, 34L, 35L)
+    operators.Packing.deleteDocsFromSequences(df, deleted, seqTable,
+      seqLen = 16, sepId = -1, batchId = 10L)
+    val fromSeq = operators.Packing.firstTouchedSeq(spark, prov, deleted).get
+    operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L)
+    val holeStats = EventStreams.readUpsertTable(spark, shardTable)
+      .agg(count(lit(1)), max(col("rank"))).head()
+    assert(holeStats.getLong(0) < holeStats.getLong(1) + 1,
+      "the fixture must actually leave rank holes")
+    // streaming order BEFORE: surviving sequences by committed rank
+    val orderPre = EventStreams.readUpsertTable(spark, shardTable)
+      .orderBy(col("rank")).select(col("seq_id"))
+      .collect().map(_.getLong(0)).toSeq
+    import scala.jdk.CollectionConverters._
+    def fileState(): Map[String, (Long, Long)] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(export))
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      finally st.close()
+    }
+    val pre = fileState()
+    val touched = operators.Packing.rebalanceShards(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 20L)
+    assert(touched.nonEmpty)
+    // (a) DENSE again: ranks are exactly 0..n-1, every non-final shard
+    // holds exactly seqsPerShard sequences
+    val table = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = table.length
+    assert(table.map(_._2).sorted.toSeq === (0L until n.toLong))
+    val maxShard = table.map(_._3).max
+    table.groupBy(_._3).foreach { case (s, rows) =>
+      if (s != maxShard)
+        assert(rows.length === 2, s"shard $s should be full after the fold")
+    }
+    // (b) ORDER preserved: sequences by new rank == sequences by old rank
+    val orderPost = table.sortBy(_._2).map(_._1).toSeq
+    assert(orderPost === orderPre)
+    // (c) prefix shards before the first hole: untouched, byte-identical
+    val touchedDirs = touched.map(id => s"shard_id=$id").toSet
+    def untouchedOf(m: Map[String, (Long, Long)]) =
+      m.filterNot { case (p, _) => touchedDirs.exists(p.contains) }
+    assert(untouchedOf(fileState()) === untouchedOf(pre))
+    // (d) export equals the rebalanced table everywhere; folded-away
+    // old shard ids have no dir
+    val expected = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("tokens"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    val got = spark.read.parquet(export)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected && got.nonEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(export, s"shard_id=${maxShard + 1}")))
+    // (e) provenance tracks the new homes exactly
+    val provRows = EventStreams.readUpsertTable(spark, prov)
+      .select("shard_id", "seq_id", "doc_id", "start", "len")
+      .collect().map(_.toSeq).toSet
+    val provExpected = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("shard_id"), col("seq_id"), explode(col("doc_spans")).as("sp"))
+      .select(col("shard_id"), col("seq_id"), col("sp.doc_id"),
+        col("sp.start"), col("sp.len"))
+      .collect().map(_.toSeq).toSet
+    assert(provRows === provExpected)
+    // (f) replay with the same batchId is a pure no-op on the data
+    val replayTouched = operators.Packing.rebalanceShards(spark, shardTable,
+      prov, export, seqsPerShard = 2, batchId = 20L)
+    assert(replayTouched === touched)
+    assert(EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === table.toSet)
+    // (g) a rebalance of an already-dense table commits NOTHING
+    val again = operators.Packing.rebalanceShards(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 30L)
+    assert(again === Seq.empty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(export, ".rebalance-30.json")))
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
