@@ -5146,6 +5146,173 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** Build-once-per-JVM shard-rebalance fixture: frozen shard map +
+    * provenance + export, then two MID-RANK sequences vanish (the
+    * committed keyed delete any takedown path bottoms out in — ranks
+    * n/4 and n/2, picked off the committed map so holes are guaranteed
+    * at every SF and the prefix before the first hole is non-trivial),
+    * then [[operators.Packing.rebalanceShards]] folds the map dense. A
+    * second rebalance call proves convergence (commits nothing). The
+    * pre-rebalance map stats, rank order, file state and both touched
+    * sets snapshot to parquet for the verdict.
+    */
+  private val rebalanceStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureRebalance(spark: SparkSession, dir: String): String =
+    rebalanceStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-rebalance-q").toString
+      val (seqTable, shardTable, prov, export) =
+        (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+      val toks = Tables.documents(spark, dir).select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x <> ''), " +
+          "t -> cast(pmod(xxhash64(t), 1000) as int))").as("toks"))
+      operators.Packing.materializeShardIncremental(toks, seqTable,
+        seqLen = 128, sepId = 1000, batchId = 0L)
+      val sharded = operators.Packing.trainingShards(
+          streaming.EventStreams.readUpsertTable(spark, seqTable),
+          seqsPerShard = 8)
+        .drop("u").localCheckpoint()
+      streaming.EventStreams.mergeBatchIntoTable(sharded, shardTable,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        sharded.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"),
+            col("sp.doc_id").as("doc_id"), col("sp.start").as("start"),
+            col("sp.len").as("len")),
+        prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      operators.Packing.exportShardFiles(spark, shardTable, export)
+      // the vanished set: bounded collect of exactly 2 ids by contract
+      val n = sharded.count()
+      val vanished = sharded
+        .filter(col("rank").isin(n / 4, n / 2))
+        .select(col("seq_id")).collect().map(_.getLong(0)).toSeq
+      streaming.EventStreams.deleteFromTable(spark, shardTable,
+        vanished.toDF("seq_id"), Seq("seq_id"), nBuckets = 8,
+        batchId = 2L, retain = 2)
+      streaming.EventStreams.deleteFromTable(spark, prov,
+        streaming.EventStreams.readUpsertTable(spark, prov)
+          .filter(col("seq_id").isin(vanished: _*))
+          .select(col("seq_id"), col("doc_id")),
+        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = 2L, retain = 2)
+      streaming.EventStreams.readUpsertTable(spark, shardTable)
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("max_rank"))
+        .write.mode("overwrite").parquet(s"$base/stats_pre")
+      streaming.EventStreams.readUpsertTable(spark, shardTable)
+        .select(col("seq_id"), col("rank"))
+        .write.mode("overwrite").parquet(s"$base/order_pre")
+      def fileState: Seq[(String, Long, Long)] = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(export))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(p => (p.toString.stripPrefix(export),
+              java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq
+        } finally st.close()
+      }
+      fileState.toDF("file", "bytes", "mtime")
+        .write.mode("overwrite").parquet(s"$base/files_pre")
+      val touched = operators.Packing.rebalanceShards(spark, shardTable,
+        prov, export, seqsPerShard = 8, batchId = 10L)
+      touched.toDF("shard_id")
+        .write.mode("overwrite").parquet(s"$base/touched")
+      val second = operators.Packing.rebalanceShards(spark, shardTable,
+        prov, export, seqsPerShard = 8, batchId = 20L)
+      Seq(second.isEmpty).toDF("noop")
+        .write.mode("overwrite").parquet(s"$base/second")
+      base
+    })
+
+  /** SHARD-MAP REBALANCE ([[operators.Packing.rebalanceShards]]): the
+    * maintenance transaction closing the tombstone trade q186's frozen
+    * map makes — takedowns leave rank holes and short shards; the fold
+    * re-numbers survivors dense BY COMMITTED RANK ORDER (the trainer's
+    * streaming order is untouched) and rewrites only the suffix from
+    * the first hole. Verdict rows, one per property: the fixture had
+    * real holes; ranks are exactly 0..n-1 after; every non-final shard
+    * is full again; the new order equals the old order (new rank ==
+    * dense index of old rank, re-derived in-engine via the same
+    * two-job pattern — zero mismatches); the prefix shards' export
+    * files survive byte-identical; export and provenance equal the
+    * rebalanced table everywhere; and a second rebalance commits
+    * nothing (convergence).
+    */
+  def q188ShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureRebalance(spark, dir)
+    val stats = spark.read.parquet(s"$base/stats_pre").head()
+    val hadHoles = stats.getLong(0) < stats.getLong(1) + 1
+    val table = streaming.EventStreams
+      .readUpsertTable(spark, s"$base/shards").localCheckpoint()
+    val post = table.agg(count(lit(1)), max(col("rank")), min(col("rank")))
+      .head()
+    val denseAfter = post.getLong(0) == post.getLong(1) + 1 &&
+      post.getLong(2) == 0L
+    val maxShard = table.agg(max(col("shard_id"))).head().getLong(0)
+    val shortShards = table.groupBy(col("shard_id")).count()
+      .filter(col("shard_id") =!= maxShard && col("count") =!= 8L).count()
+    val expectedRank = operators.Sampling.denseGlobalIndex(
+      spark.read.parquet(s"$base/order_pre")
+        .select(col("seq_id"), col("rank").as("rank_old")),
+      "expected_rank", Seq(col("rank_old")), 8)
+    val orderMismatches = table.select(col("seq_id"), col("rank"))
+      .join(expectedRank, Seq("seq_id"), "full_outer")
+      .filter(col("rank").isNull || col("expected_rank").isNull ||
+        col("rank") =!= col("expected_rank")).count()
+    val touched = spark.read.parquet(s"$base/touched")
+      .collect().map(_.getLong(0)).toSet
+    val touchedLit = touched.toSeq.sorted.map(id => s"/shard_id=$id/")
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/export"))
+    val filesNow = try {
+      import spark.implicits._
+      st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.toString.stripPrefix(s"$base/export"),
+          java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq
+        .toDF("file", "bytes", "mtime")
+    } finally st.close()
+    def untouched(df: DataFrame) = df.filter(
+      !touchedLit.map(t => col("file").contains(t)).reduce(_ || _))
+    val pre = spark.read.parquet(s"$base/files_pre")
+    val untouchedDiff = untouched(pre).exceptAll(untouched(filesNow))
+      .unionByName(untouched(filesNow).exceptAll(untouched(pre)))
+      .count() == 0
+    val nUntouched = untouched(pre).count()
+    val expected = table.select(col("seq_id"), col("tokens"),
+      col("rank"), col("shard_id"))
+    val got = spark.read.parquet(s"$base/export")
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+    val exportMatches = got.exceptAll(expected)
+      .unionByName(expected.exceptAll(got)).count() == 0
+    val provRows = streaming.EventStreams.readUpsertTable(spark, s"$base/prov")
+      .select(col("seq_id"), col("doc_id"), col("start"), col("len"),
+        col("shard_id"))
+    val provExpected = table
+      .select(col("shard_id"), col("seq_id"),
+        explode(col("doc_spans")).as("sp"))
+      .select(col("seq_id"), col("sp.doc_id").as("doc_id"),
+        col("sp.start").as("start"), col("sp.len").as("len"),
+        col("shard_id"))
+    val provMatches = provRows.exceptAll(provExpected)
+      .unionByName(provExpected.exceptAll(provRows)).count() == 0
+    val secondNoop = spark.read.parquet(s"$base/second")
+      .head().getBoolean(0)
+    import spark.implicits._
+    Seq(
+      ("fixture_had_holes", hadHoles),
+      ("ranks_dense_after", denseAfter),
+      ("non_final_shards_full", shortShards == 0L),
+      ("streaming_order_preserved", orderMismatches == 0L),
+      ("untouched_prefix_identical", untouchedDiff && nUntouched > 0),
+      ("export_matches_table", exportMatches && post.getLong(0) > 0),
+      ("prov_matches_table", provMatches),
+      ("second_rebalance_noop", secondNoop))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5331,6 +5498,7 @@ object SparkEntry {
     "q185_takedown_orchestration" -> (q185TakedownOrchestration _),
     "q186_selective_reexport" -> (q186SelectiveReexport _),
     "q187_drift_loop" -> (q187DriftLoop _),
+    "q188_shard_rebalance" -> (q188ShardRebalance _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6616,6 +6784,15 @@ object SparkEntry {
     // the corpus counts and the zero/positive verdicts
     // monitor/rebuild verdicts are KMeans-backed and decided in-engine;
     // the oracle pins them
+    // hole/density/order/byte-identity facts are decided in-engine
+    // (exceptAll + dense-index re-derivation over committed snapshots);
+    // the oracle pins the verdicts
+    "q188_shard_rebalance" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('fixture_had_holes'), ('ranks_dense_after'),
+        |  ('non_final_shards_full'), ('streaming_order_preserved'),
+        |  ('untouched_prefix_identical'), ('export_matches_table'),
+        |  ('prov_matches_table'), ('second_rebalance_noop')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),
