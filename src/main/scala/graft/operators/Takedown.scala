@@ -75,6 +75,22 @@ object Takedown {
     * others complete; `_complete` lands only when every step succeeded,
     * and a replay (at any concurrency) finishes the remainder. The
     * first failure is rethrown after all in-flight steps settle.
+    *
+    * `export` = (shardTableDir, provDir, exportDir) folds the EXPORT
+    * REMEDIATION into the same transaction boundary (requires
+    * `sequences` — the re-stage reads the takedown's updated sequence
+    * table): without it, [[Packing.reexportShards]] is a separate
+    * manual call and the exported shard FILES keep serving deleted
+    * text until someone remembers. The step runs as a SECOND phase
+    * after every primary artifact settles (it depends on the sequence
+    * re-lay), under its own ledger token — and because the cut point
+    * derives from provenance rows the re-export itself deletes, the
+    * cut is COMMITTED FIRST as `<label>.cut` inside the batch dir: a
+    * replay that crashed anywhere inside the re-export re-reads the
+    * committed cut instead of re-deriving a now-vanished (or worse,
+    * different) one. Docs that never reached any committed sequence
+    * commit a no-op token (the export is already clean). The provDir
+    * belongs to this step — do NOT also list it in `keyedTables`.
     */
   def deleteDocs(spark: SparkSession, docIds: Seq[Long], batchId: Long,
                  ledgerDir: String,
@@ -83,7 +99,8 @@ object Takedown {
                  ragIndex: Option[String] = None,
                  ivfPqIndex: Option[String] = None,
                  vecIds: Option[Seq[Long]] = None,
-                 concurrency: Int = 1): Unit = {
+                 concurrency: Int = 1,
+                 export: Option[(String, String, String)] = None): Unit = {
     import spark.implicits._
     val steps: Seq[(String, () => Unit)] =
       sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
@@ -106,8 +123,26 @@ object Takedown {
             vecIds.getOrElse(docIds), batchId))
       }
     require(steps.nonEmpty, "takedown request names no artifacts")
-    require(steps.map(_._1).distinct.size == steps.size,
-      s"artifact labels collide (${steps.map(_._1).mkString(", ")}): " +
+    require(export.isEmpty || sequences.nonEmpty,
+      "export remediation requires the sequences artifact (the re-stage " +
+        "reads the takedown's updated sequence table)")
+    val exportSteps: Seq[(String, () => Unit)] = export.toSeq.map {
+      case (shardTableDir, provDir, exportDir) =>
+        val seqTableDir = sequences.get._2
+        (s"export-${baseName(exportDir)}", () => {
+          val cut = readOrCommitCut(spark, ledgerDir, batchId,
+            s"export-${baseName(exportDir)}",
+            () => Packing.firstTouchedSeq(spark, provDir, docIds))
+          cut.foreach { fromSeq =>
+            Packing.reexportShards(
+              graft.streaming.EventStreams.readUpsertTable(spark, seqTableDir),
+              shardTableDir, provDir, exportDir, fromSeq, batchId)
+          }
+        })
+    }
+    val allLabels = steps.map(_._1) ++ exportSteps.map(_._1)
+    require(allLabels.distinct.size == allLabels.size,
+      s"artifact labels collide (${allLabels.mkString(", ")}): " +
         "keep artifact directory basenames unique across the set")
     require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     val pending = steps.filterNot { case (label, _) =>
@@ -138,7 +173,42 @@ object Takedown {
         }
       } finally pool.shutdownNow()
     }
+    // phase 2: export remediation depends on the sequence re-lay, so it
+    // runs only after every primary artifact settled
+    exportSteps.filterNot { case (label, _) =>
+      tokenExists(spark, ledgerDir, batchId, label)
+    }.foreach { case (label, run) => runOne(label, run) }
     writeToken(spark, ledgerDir, batchId, completeToken)
+  }
+
+  /** The committed CUT POINT of an export-remediation step: read
+    * `<label>.cut` if a prior attempt committed it, else derive via
+    * `compute` and commit (tmp + rename — the content matters, unlike
+    * the empty `.done` tokens). `None` (committed as `-`) means the
+    * docs never reached a committed sequence and the export is clean.
+    */
+  private def readOrCommitCut(spark: SparkSession, ledgerDir: String,
+                              batchId: Long, label: String,
+                              compute: () => Option[Long]): Option[Long] = {
+    val dir = batchDir(ledgerDir, batchId)
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"$label.cut")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      if (body == "-") None else Some(body.toLong)
+    } else {
+      val cut = compute()
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"$label.cut.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(cut.map(_.toString).getOrElse("-").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new IllegalStateException(s"failed to commit cut token $p")
+      cut
+    }
   }
 
   /** The request's committed ledger: one row per artifact token under
@@ -163,13 +233,18 @@ object Takedown {
     * forgotten; a nonzero row names exactly the artifact that missed
     * its delete. The sequence-table check covers both the committed
     * sequences' span metadata AND the carry spans in its state row.
+    * `exportProv` audits the exported shard files through their
+    * committed provenance manifest (the q182 lineage read — the
+    * export's rows carry token ids, not doc ids, so provenance IS its
+    * reference index).
     */
   def auditDocs(spark: SparkSession, docIds: Seq[Long],
                 sequenceTable: Option[String] = None,
                 keyedTables: Seq[(String, String)] = Seq.empty,
                 ragIndex: Option[String] = None,
                 ivfPqIndex: Option[String] = None,
-                vecIds: Option[Seq[Long]] = None): DataFrame = {
+                vecIds: Option[Seq[Long]] = None,
+                exportProv: Option[String] = None): DataFrame = {
     import graft.streaming.EventStreams
     val boxed = docIds.map(java.lang.Long.valueOf)
     def cnt(label: String, refs: DataFrame): DataFrame =
@@ -204,6 +279,11 @@ object Takedown {
         cnt(s"ivfpq-${baseName(dir)}",
           Similarity.indexedVecIds(spark, dir)
             .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)))
+      } ++
+      exportProv.toSeq.map { dir =>
+        cnt(s"export-${baseName(dir)}",
+          EventStreams.readUpsertTable(spark, dir)
+            .filter(col("doc_id").isin(docIds: _*)))
       }
     require(parts.nonEmpty, "audit names no artifacts")
     parts.reduce(_.unionByName(_))

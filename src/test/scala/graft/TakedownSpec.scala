@@ -210,4 +210,80 @@ class TakedownSpec extends SparkSpec {
     request()
     assert(keyedRows(corpus, "doc_id").size === 10)
   }
+
+  test("takedown with export remediation: one call forgets docs in the exported shard files too") {
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-exp").toString
+    val docs = mkDocs
+    val deleted = Seq(5L)
+    val toks = cheapToks(docs)
+    val (seqs, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    Packing.materializeShardIncremental(toks, seqs, seqLen = 16, sepId = 99,
+      batchId = 0L)
+    val sharded = Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqs), seqsPerShard = 4)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    Packing.exportShardFiles(spark, shardTable, export)
+    val ledgerDir = s"$base/ledger"
+    val cutExpected = Packing.firstTouchedSeq(spark, prov, deleted).get
+    def request(): Unit = Takedown.deleteDocs(spark, deleted, batchId = 10L,
+      ledgerDir = ledgerDir,
+      sequences = Some((toks, seqs, 16, 99)),
+      export = Some((shardTable, prov, export)))
+    request()
+    // ledger sealed, cut committed with the pre-takedown lineage value
+    val ledger = Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ledger === Map("sequences-seqs" -> true, "export-export" -> true))
+    val cutPath = java.nio.file.Paths.get(ledgerDir, "batch=10",
+      "export-export.cut")
+    assert(java.nio.file.Files.readString(cutPath).trim
+      === cutExpected.toString)
+    // the export equals the frozen-map expectation and carries no
+    // deleted text anywhere
+    def exportState() = spark.read.parquet(export)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    val expected = EventStreams.readUpsertTable(spark, seqs)
+      .join(EventStreams.readUpsertTable(spark, shardTable)
+        .select(col("seq_id"), col("rank"), col("shard_id")), Seq("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(exportState() === expected && expected.nonEmpty)
+    val audit = Takedown.auditDocs(spark, deleted,
+      sequenceTable = Some(seqs), exportProv = Some(prov))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.keySet === Set("sequences-seqs", "sequences-state-seqs",
+      "export-prov"))
+    assert(audit.values.forall(_ === 0L), s"dangling references: $audit")
+    // the nastiest crash window: the re-export COMPLETED but its token
+    // never landed — provenance no longer holds the deleted docs'
+    // lineage, so a replay that re-derived the cut would see None and
+    // skip the (already-done) work with a DIFFERENT recorded cut; the
+    // committed .cut token must drive the replay to the identical state
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ledgerDir, "batch=10", "export-export.done"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ledgerDir, "batch=10", "_complete.done"))
+    request()
+    assert(exportState() === expected)
+    assert(java.nio.file.Files.readString(cutPath).trim
+      === cutExpected.toString)
+    assert(Takedown.ledger(spark, ledgerDir, 10L).collect()
+      .forall(_.getBoolean(1)))
+    // a full replay of the sealed request is a pure no-op
+    request()
+    assert(exportState() === expected)
+  }
 }
