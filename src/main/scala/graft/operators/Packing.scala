@@ -908,4 +908,70 @@ object Packing {
     fs.delete(stage, true)
     touched
   }
+
+  /** Shard-map HEALTH MONITOR — the cheap aggregate that decides
+    * whether [[rebalanceShards]] is worth its rewrite: one pass over
+    * the committed map's (rank, shard_id) projection returning a
+    * single row (n_seqs, n_slots, n_holes, fill_ratio, short_shards)
+    * where `n_slots` = max rank + 1 (the rank space takedowns
+    * punched holes into) and `short_shards` counts non-final shards
+    * below `seqsPerShard`. A healthy map reads fill_ratio 1.0 /
+    * short_shards 0. Monitor-only cost: no text, no tokens, no
+    * commits — the q179/q183 monitor convention.
+    */
+  def shardFillStats(spark: org.apache.spark.sql.SparkSession,
+                     shardTableDir: String, seqsPerShard: Int): DataFrame = {
+    require(seqsPerShard > 0, s"seqsPerShard must be > 0, got $seqsPerShard")
+    val map = graft.streaming.EventStreams
+      .readUpsertTable(spark, shardTableDir)
+      .select(col("rank"), col("shard_id"))
+    val perShard = map.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+    val maxShard = perShard.agg(max(col("shard_id")).as("m"))
+    val short = perShard.crossJoin(broadcast(maxShard))
+      .filter(col("shard_id") =!= col("m") &&
+        col("n") < lit(seqsPerShard.toLong))
+      .agg(count(lit(1)).cast("long").as("short_shards"))
+    map.agg(count(lit(1)).as("n_seqs"), (max(col("rank")) + 1L).as("n_slots"))
+      .withColumn("n_holes", col("n_slots") - col("n_seqs"))
+      .withColumn("fill_ratio",
+        col("n_seqs").cast("double") / col("n_slots").cast("double"))
+      .crossJoin(broadcast(short))
+      .select(col("n_seqs"), col("n_slots"), col("n_holes"),
+        col("fill_ratio"), col("short_shards"))
+  }
+
+  /** The CLOSED monitor→fold loop — [[shardFillStats]] and
+    * [[rebalanceShards]] in one scheduled-maintenance call: measure
+    * the committed map's fill ratio and fold ONLY when it drops below
+    * `minFill` (a map with a few scattered holes is not worth the
+    * suffix rewrite — the dial [[rebalanceShards]] alone lacks, which
+    * folds ANY hole unconditionally). A healthy map costs exactly the
+    * monitor's one aggregate and commits NOTHING — not even the
+    * rebalance's changed-set derivation runs. Returns ONE row: the
+    * monitor's verdict plus what was done —
+    * (n_seqs, n_slots, fill_ratio, sparse, rebalanced, n_touched).
+    * Replay-safe: the fold's own manifest + commit guards make a
+    * repeated call with the same `batchId` idempotent.
+    */
+  def rebalanceIfSparse(spark: org.apache.spark.sql.SparkSession,
+                        shardTableDir: String, provDir: String,
+                        exportDir: String, seqsPerShard: Int, batchId: Long,
+                        minFill: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    require(minFill > 0.0 && minFill <= 1.0,
+      s"minFill must be in (0, 1], got $minFill")
+    val s = shardFillStats(spark, shardTableDir, seqsPerShard).head()
+    val (nSeqs, nSlots, fill) =
+      (s.getLong(0), s.getLong(1), s.getDouble(3))
+    val sparse = fill < minFill
+    val touched =
+      if (sparse)
+        rebalanceShards(spark, shardTableDir, provDir, exportDir,
+          seqsPerShard, batchId)
+      else Seq.empty[Long]
+    Seq((nSeqs, nSlots, fill, sparse, touched.nonEmpty, touched.length))
+      .toDF("n_seqs", "n_slots", "fill_ratio", "sparse", "rebalanced",
+        "n_touched")
+  }
 }

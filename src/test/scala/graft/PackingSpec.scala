@@ -626,6 +626,67 @@ class PackingSpec extends SparkSpec {
       java.nio.file.Paths.get(export, ".rebalance-30.json")))
   }
 
+  test("rebalanceIfSparse: healthy maps pay only the monitor, sparse maps fold") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-fillgate").toString
+    val (seqTable, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    val all = (0L until 40L).map(i =>
+      (i, (0 until (i % 9 + 2).toInt).map(j => (i * 100 + j).toInt)))
+    operators.Packing.materializeShardIncremental(all.toDF("doc_id", "toks"),
+      seqTable, seqLen = 16, sepId = -1, batchId = 0L)
+    val sharded = operators.Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqTable), seqsPerShard = 2)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+    operators.Packing.exportShardFiles(spark, shardTable, export)
+    // punch ONE mid-rank hole via the committed keyed delete
+    val n = sharded.count()
+    val vanish = sharded.filter(col("rank") === n / 2)
+      .select(col("seq_id")).collect().map(_.getLong(0)).toSeq
+    EventStreams.deleteFromTable(spark, shardTable, vanish.toDF("seq_id"),
+      Seq("seq_id"), nBuckets = 8, batchId = 2L, retain = 2)
+    EventStreams.deleteFromTable(spark, prov,
+      EventStreams.readUpsertTable(spark, prov)
+        .filter(col("seq_id").isin(vanish: _*))
+        .select(col("seq_id"), col("doc_id")),
+      Seq("seq_id", "doc_id"), nBuckets = 8, batchId = 2L, retain = 2)
+    val stats = operators.Packing.shardFillStats(spark, shardTable, 2).head()
+    assert(stats.getLong(0) === n - 1)          // n_seqs
+    assert(stats.getLong(1) === n)              // n_slots
+    assert(stats.getLong(2) === 1L)             // n_holes
+    assert(stats.getLong(4) >= 1L)              // short_shards
+    val preRows = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    // one hole over ~20 slots: fill ≈ 0.95 — a 0.9 gate holds the fold
+    val healthy = operators.Packing.rebalanceIfSparse(spark, shardTable,
+      prov, export, seqsPerShard = 2, batchId = 10L, minFill = 0.9).head()
+    assert(!healthy.getBoolean(3) && !healthy.getBoolean(4))
+    assert(EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet === preRows)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(export, ".rebalance-10.json")),
+      "a healthy map must not even derive the changed set")
+    // a 0.99 gate trips: the fold runs and the map reads dense after
+    val folded = operators.Packing.rebalanceIfSparse(spark, shardTable,
+      prov, export, seqsPerShard = 2, batchId = 20L, minFill = 0.99).head()
+    assert(folded.getBoolean(3) && folded.getBoolean(4))
+    assert(folded.getInt(5) > 0)
+    val post = operators.Packing.shardFillStats(spark, shardTable, 2).head()
+    assert(post.getDouble(3) === 1.0 && post.getLong(2) === 0L &&
+      post.getLong(4) === 0L)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern
