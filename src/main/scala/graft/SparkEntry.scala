@@ -5048,9 +5048,12 @@ object SparkEntry {
       .collect().map(_.getLong(0)).toSet
     val pre = spark.read.parquet(s"$base/files_pre")
     val post = spark.read.parquet(s"$base/files_post")
-    val touchedLit = touched.toSeq.sorted.map(id => s"/shard_id=$id/")
+    // one isin predicate, never a reduce(_ || _) Or-chain — a big
+    // touched set would nest the boolean tree |touched| deep and blow
+    // the analyzer's recursion
     def untouched(df: DataFrame) = df.filter(
-      !touchedLit.map(t => col("file").contains(t)).reduce(_ || _))
+      !regexp_extract(col("file"), "shard_id=(\\d+)/", 1).cast("long")
+        .isin(touched.toSeq: _*))
     val untouchedDiff = untouched(pre).exceptAll(untouched(post))
       .unionByName(untouched(post).exceptAll(untouched(pre))).count() == 0
     val seqs = streaming.EventStreams
@@ -5262,7 +5265,6 @@ object SparkEntry {
         col("rank") =!= col("expected_rank")).count()
     val touched = spark.read.parquet(s"$base/touched")
       .collect().map(_.getLong(0)).toSet
-    val touchedLit = touched.toSeq.sorted.map(id => s"/shard_id=$id/")
     import scala.jdk.CollectionConverters._
     val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/export"))
     val filesNow = try {
@@ -5273,8 +5275,12 @@ object SparkEntry {
           java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSeq
         .toDF("file", "bytes", "mtime")
     } finally st.close()
+    // one isin predicate, never a reduce(_ || _) Or-chain — the fold's
+    // touched set is most of the shards (holes sit mid-rank), and an
+    // |touched|-deep boolean tree blows the analyzer's recursion
     def untouched(df: DataFrame) = df.filter(
-      !touchedLit.map(t => col("file").contains(t)).reduce(_ || _))
+      !regexp_extract(col("file"), "shard_id=(\\d+)/", 1).cast("long")
+        .isin(touched.toSeq: _*))
     val pre = spark.read.parquet(s"$base/files_pre")
     val untouchedDiff = untouched(pre).exceptAll(untouched(filesNow))
       .unionByName(untouched(filesNow).exceptAll(untouched(pre)))

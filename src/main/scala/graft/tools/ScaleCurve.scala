@@ -111,7 +111,7 @@ object ScaleCurve {
       "q184_ivfpq_rebuild",
       // late round 11: the orchestration/maintenance verdicts
       "q185_takedown_orchestration", "q186_selective_reexport",
-      "q187_drift_loop")
+      "q187_drift_loop", "q188_shard_rebalance")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
