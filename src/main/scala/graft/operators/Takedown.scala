@@ -91,6 +91,16 @@ object Takedown {
     * different) one. Docs that never reached any committed sequence
     * commit a no-op token (the export is already clean). The provDir
     * belongs to this step — do NOT also list it in `keyedTables`.
+    *
+    * `rebalance` = (seqsPerShard, minFill) adds the FOLD as a third
+    * phase after the re-export (requires `export`): the re-export's
+    * frozen map leaves rank holes, and once enough takedowns
+    * accumulate the shards run short — [[Packing.rebalanceIfSparse]]
+    * measures the fill ratio and folds only below `minFill`, under
+    * its own ledger token. With both remediations on, the request
+    * consumes batch ids `batchId` through `batchId + 3` in the shard
+    * map's and provenance's id spaces (re-export pair, then fold
+    * pair); later operations there must use ids above `batchId + 3`.
     */
   def deleteDocs(spark: SparkSession, docIds: Seq[Long], batchId: Long,
                  ledgerDir: String,
@@ -100,7 +110,8 @@ object Takedown {
                  ivfPqIndex: Option[String] = None,
                  vecIds: Option[Seq[Long]] = None,
                  concurrency: Int = 1,
-                 export: Option[(String, String, String)] = None): Unit = {
+                 export: Option[(String, String, String)] = None,
+                 rebalance: Option[(Int, Double)] = None): Unit = {
     import spark.implicits._
     val steps: Seq[(String, () => Unit)] =
       sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
@@ -126,6 +137,9 @@ object Takedown {
     require(export.isEmpty || sequences.nonEmpty,
       "export remediation requires the sequences artifact (the re-stage " +
         "reads the takedown's updated sequence table)")
+    require(rebalance.isEmpty || export.nonEmpty,
+      "the fold requires export remediation (it operates on the same " +
+        "shard map / provenance / export triple)")
     val exportSteps: Seq[(String, () => Unit)] = export.toSeq.map {
       case (shardTableDir, provDir, exportDir) =>
         val seqTableDir = sequences.get._2
@@ -178,6 +192,18 @@ object Takedown {
     exportSteps.filterNot { case (label, _) =>
       tokenExists(spark, ledgerDir, batchId, label)
     }.foreach { case (label, run) => runOne(label, run) }
+    // phase 3: the fold runs on the re-exported map (ids +2/+3 — above
+    // the re-export pair)
+    for {
+      (seqsPerShard, minFill) <- rebalance
+      (shardTableDir, provDir, exportDir) <- export
+      label = s"rebalance-${baseName(exportDir)}"
+      if !tokenExists(spark, ledgerDir, batchId, label)
+    } runOne(label, () => {
+      Packing.rebalanceIfSparse(spark, shardTableDir, provDir, exportDir,
+        seqsPerShard, batchId + 2, minFill).collect()
+      ()
+    })
     writeToken(spark, ledgerDir, batchId, completeToken)
   }
 

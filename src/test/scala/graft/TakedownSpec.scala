@@ -285,5 +285,34 @@ class TakedownSpec extends SparkSpec {
     // a full replay of the sealed request is a pure no-op
     request()
     assert(exportState() === expected)
+    // ---- second request with the FOLD enabled: whatever holes the
+    // re-lay left, the map must read dense after (fold ran) or have
+    // been dense already (fold no-oped behind its monitor) — and the
+    // export must equal the table either way
+    def request2(): Unit = Takedown.deleteDocs(spark, Seq(9L), batchId = 20L,
+      ledgerDir = ledgerDir,
+      sequences = Some((toks, seqs, 16, 99)),
+      export = Some((shardTable, prov, export)),
+      rebalance = Some((4, 1.0)))
+    request2()
+    val ledger2 = Takedown.ledger(spark, ledgerDir, 20L).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ledger2 === Map("sequences-seqs" -> true, "export-export" -> true,
+      "rebalance-export" -> true))
+    val mapNow = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mapNow.map(_._2).sorted.toSeq === (0L until mapNow.length.toLong),
+      "map must be dense after a minFill=1.0 fold request")
+    val expected2 = EventStreams.readUpsertTable(spark, seqs)
+      .join(EventStreams.readUpsertTable(spark, shardTable)
+        .select(col("seq_id"), col("rank"), col("shard_id")), Seq("seq_id"))
+      .select(col("seq_id"), col("tokens"), col("rank"), col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(exportState() === expected2 && expected2.nonEmpty)
+    // the composed request replays as a pure no-op too
+    request2()
+    assert(exportState() === expected2)
   }
 }
