@@ -659,11 +659,15 @@ object Packing {
     * as with every multi-commit operation here, replay a crashed
     * re-export before trusting the export. Returns the touched shard
     * ids (bounded by the shard count — the per-dir swap is a driver
-    * FS loop over exactly those dirs).
+    * FS loop over exactly those dirs). `nBuckets` MUST match the
+    * bucket count the shard table and provenance were committed with —
+    * delete keys hash under this modulus, so a mismatch leaves stale
+    * rows alive in the unmatched buckets while refreshed rows merge
+    * elsewhere, silently duplicating seq_ids.
     */
   def reexportShards(updatedSeqs: DataFrame, shardTableDir: String,
                      provDir: String, exportDir: String, fromSeq: Long,
-                     batchId: Long): Seq[Long] = {
+                     batchId: Long, nBuckets: Int = 8): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     import graft.streaming.EventStreams
     val spark = updatedSeqs.sparkSession
@@ -725,11 +729,11 @@ object Packing {
     if (!tableDone) {
       EventStreams.deleteFromTable(spark, shardTableDir,
         mapBefore.select(col("seq_id")),
-        Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+        Seq("seq_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
       // retain = 3 keeps the pre-delete snapshot readable while the
       // provenance half may still need mapBefore on a replay
       EventStreams.mergeBatchIntoTable(refreshed, shardTableDir,
-        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1,
+        Seq("seq_id"), "seq_id", nBuckets = nBuckets, batchId = batchId + 1,
         retain = 3)
     }
     if (!provDone) {
@@ -739,13 +743,13 @@ object Packing {
             s"$provDir has no committed snapshot before batch $batchId"))
           .filter(col("seq_id") >= fromSeq)
           .select(col("seq_id"), col("doc_id")),
-        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
+        Seq("seq_id", "doc_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
       EventStreams.mergeBatchIntoTable(
         refreshed.select(col("shard_id"), col("seq_id"),
             explode(col("doc_spans")).as("sp"))
           .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
             col("sp.start").as("start"), col("sp.len").as("len")),
-        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
+        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = nBuckets,
         batchId = batchId + 1, retain = 2)
     }
     // re-stage ONLY the touched shard dirs from the updated table, then
@@ -812,7 +816,7 @@ object Packing {
   def rebalanceShards(spark: org.apache.spark.sql.SparkSession,
                       shardTableDir: String, provDir: String,
                       exportDir: String, seqsPerShard: Int, batchId: Long,
-                      nParts: Int = 8): Seq[Long] = {
+                      nParts: Int = 8, nBuckets: Int = 8): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     import graft.streaming.EventStreams
     require(seqsPerShard > 0, s"seqsPerShard must be > 0, got $seqsPerShard")
@@ -865,26 +869,26 @@ object Packing {
     if (!tableDone) {
       EventStreams.deleteFromTable(spark, shardTableDir,
         changed.select(col("seq_id")),
-        Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
+        Seq("seq_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
       // retain = 3 keeps the pre-delete snapshot readable while the
       // provenance half may still need `changed` on a replay
       EventStreams.mergeBatchIntoTable(
         changed.select(col("seq_id"), col("tokens"), col("doc_spans"),
           col("new_rank").as("rank"), col("new_shard").as("shard_id")),
-        shardTableDir, Seq("seq_id"), "seq_id", nBuckets = 8,
+        shardTableDir, Seq("seq_id"), "seq_id", nBuckets = nBuckets,
         batchId = batchId + 1, retain = 3)
     }
     if (!provDone) {
       EventStreams.deleteFromTable(spark, provDir,
         changed.select(col("seq_id"), explode(col("doc_spans")).as("sp"))
           .select(col("seq_id"), col("sp.doc_id").as("doc_id")),
-        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = batchId, retain = 2)
+        Seq("seq_id", "doc_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
       EventStreams.mergeBatchIntoTable(
         changed.select(col("new_shard").as("shard_id"), col("seq_id"),
             explode(col("doc_spans")).as("sp"))
           .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
             col("sp.start").as("start"), col("sp.len").as("len")),
-        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8,
+        provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = nBuckets,
         batchId = batchId + 1, retain = 2)
     }
     // re-stage ONLY the touched shard dirs from the updated table, then
@@ -932,10 +936,16 @@ object Packing {
       .filter(col("shard_id") =!= col("m") &&
         col("n") < lit(seqsPerShard.toLong))
       .agg(count(lit(1)).cast("long").as("short_shards"))
-    map.agg(count(lit(1)).as("n_seqs"), (max(col("rank")) + 1L).as("n_slots"))
+    // empty map (a total-corpus takedown removed every sequence):
+    // max(rank) is NULL — report the healthy zero row (0 slots, fill
+    // 1.0) instead of NULL slots that NPE the monitor's readers
+    map.agg(count(lit(1)).as("n_seqs"),
+        (coalesce(max(col("rank")), lit(-1L)) + 1L).as("n_slots"))
       .withColumn("n_holes", col("n_slots") - col("n_seqs"))
       .withColumn("fill_ratio",
-        col("n_seqs").cast("double") / col("n_slots").cast("double"))
+        when(col("n_slots") > 0L,
+          col("n_seqs").cast("double") / col("n_slots").cast("double"))
+          .otherwise(lit(1.0)))
       .crossJoin(broadcast(short))
       .select(col("n_seqs"), col("n_slots"), col("n_holes"),
         col("fill_ratio"), col("short_shards"))
@@ -951,24 +961,39 @@ object Packing {
     * rebalance's changed-set derivation runs. Returns ONE row: the
     * monitor's verdict plus what was done —
     * (n_seqs, n_slots, fill_ratio, sparse, rebalanced, n_touched).
-    * Replay-safe: the fold's own manifest + commit guards make a
-    * repeated call with the same `batchId` idempotent.
+    * Replay-safe INCLUDING the gate: a committed
+    * `.rebalance-<batchId>.json` manifest means a prior attempt at
+    * THIS batchId got past its first commit, so the fold runs
+    * UNCONDITIONALLY and its own guards drive the replay to
+    * completion — without this, a crash after the table/provenance
+    * merges but before the export re-stage would read fill_ratio 1.0
+    * on replay, skip the fold, and strand exported shard files
+    * permanently inconsistent with the committed map. The manifest
+    * commits before any mutation, so its existence covers every
+    * crash window the gate could otherwise mask. The returned
+    * `sparse` is always the CURRENT measured verdict (false on a
+    * replay whose merges already landed); `rebalanced` reports
+    * whether this call touched shards.
     */
   def rebalanceIfSparse(spark: org.apache.spark.sql.SparkSession,
                         shardTableDir: String, provDir: String,
                         exportDir: String, seqsPerShard: Int, batchId: Long,
-                        minFill: Double = 0.9): DataFrame = {
+                        minFill: Double = 0.9, nBuckets: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(minFill > 0.0 && minFill <= 1.0,
       s"minFill must be in (0, 1], got $minFill")
+    val exp = new Path(exportDir)
+    val fs = exp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inFlight = fs.exists(new Path(exp, s".rebalance-$batchId.json"))
     val s = shardFillStats(spark, shardTableDir, seqsPerShard).head()
     val (nSeqs, nSlots, fill) =
       (s.getLong(0), s.getLong(1), s.getDouble(3))
     val sparse = fill < minFill
     val touched =
-      if (sparse)
+      if (inFlight || sparse)
         rebalanceShards(spark, shardTableDir, provDir, exportDir,
-          seqsPerShard, batchId)
+          seqsPerShard, batchId, nBuckets = nBuckets)
       else Seq.empty[Long]
     Seq((nSeqs, nSlots, fill, sparse, touched.nonEmpty, touched.length))
       .toDF("n_seqs", "n_slots", "fill_ratio", "sparse", "rebalanced",

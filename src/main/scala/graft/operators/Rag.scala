@@ -29,6 +29,23 @@ import graft.functions.{Texts, Vectors}
   */
 object Rag {
 
+  /** The chunk-key stride: `chunk_key = doc_id * ChunkStride +
+    * chunk_idx` (valid while docs stay under `stride * ChunkStride`
+    * tokens — far beyond any real document). ONE definition shared by
+    * the key builder ([[chunkVectors]]) and every reader that inverts
+    * it ([[docIdOf]], used by [[deleteDocs]] and Takedown.auditDocs) —
+    * the two sides must never drift apart, or the audit whose whole
+    * job is "nothing was missed" silently checks the wrong doc ids.
+    */
+  val ChunkStride: Long = 100000L
+
+  /** Recover the doc id from a composite chunk key — the inverse of
+    * [[chunkVectors]]'s key construction, shared so a stride change
+    * cannot break one side silently (RagSpec pins the round-trip).
+    */
+  def docIdOf(chunkKey: Column): Column =
+    call_function("div", chunkKey, lit(ChunkStride))
+
   /** Deterministic hashed bag-of-words embedding: `v[i]` = count of
     * tokens whose portable md5 bucket (the q149 feature-hash
     * convention) is `i`, as `array<double>` of length `dim`. A narrow
@@ -55,10 +72,9 @@ object Rag {
   /** Sliding chunks WITH content vectors: q148's chunk layout
     * (`window`-token chunks every `stride` tokens, 1-based slice)
     * plus the hashed-BOW embedding and a composite chunk key
-    * `doc_id * 100000 + chunk_idx` (valid while docs stay under
-    * `stride * 100000` tokens — far beyond any real document; the key
-    * exists so probe/candidate ids stay single Longs through the
-    * typed top-k aggregator).
+    * `doc_id * [[ChunkStride]] + chunk_idx` (the key exists so
+    * probe/candidate ids stay single Longs through the typed top-k
+    * aggregator; [[docIdOf]] is the shared inverse).
     */
   def chunkVectors(documents: DataFrame, window: Int, stride: Int,
                    dim: Int): DataFrame = {
@@ -74,7 +90,7 @@ object Rag {
         slice(col("ws"), (col("chunk_idx") * stride + 1).cast("int"),
           lit(window)).as("cw"))
       .select(col("doc_id"), col("chunk_idx"),
-        (col("doc_id") * lit(100000L) + col("chunk_idx")).as("chunk_key"),
+        (col("doc_id") * lit(ChunkStride) + col("chunk_idx")).as("chunk_key"),
         hashedBow(col("cw"), dim).as("v"))
   }
 
@@ -149,14 +165,14 @@ object Rag {
     * sequence table, which must re-lay its suffix — deleting a doc's
     * chunks leaves every other row bit-identical to a from-scratch
     * index over the retained corpus (RagSpec-proven). The key set is
-    * read off the index itself (chunk_key div 100000 recovers doc_id),
+    * read off the index itself ([[docIdOf]] recovers doc_id),
     * checkpointed before the rewrite begins.
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  deletedIds: Seq[Long], batchId: Long,
                  nBuckets: Int = 8): Unit = {
     val keys = graft.streaming.EventStreams.readUpsertTable(spark, indexDir)
-      .filter(expr("chunk_key div 100000").isin(deletedIds: _*))
+      .filter(docIdOf(col("chunk_key")).isin(deletedIds: _*))
       .select(col("chunk_key"))
     graft.streaming.EventStreams.deleteFromTable(spark, indexDir, keys,
       Seq("chunk_key"), nBuckets, batchId)

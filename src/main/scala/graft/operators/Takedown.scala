@@ -101,6 +101,11 @@ object Takedown {
     * consumes batch ids `batchId` through `batchId + 3` in the shard
     * map's and provenance's id spaces (re-export pair, then fold
     * pair); later operations there must use ids above `batchId + 3`.
+    *
+    * `exportNBuckets` is the bucket count the shard map and its
+    * provenance were COMMITTED with (the `keyedTables` nBuckets
+    * contract applied to the export pair): delete keys hash under
+    * this modulus, so a mismatch silently leaves stale rows alive.
     */
   def deleteDocs(spark: SparkSession, docIds: Seq[Long], batchId: Long,
                  ledgerDir: String,
@@ -111,7 +116,8 @@ object Takedown {
                  vecIds: Option[Seq[Long]] = None,
                  concurrency: Int = 1,
                  export: Option[(String, String, String)] = None,
-                 rebalance: Option[(Int, Double)] = None): Unit = {
+                 rebalance: Option[(Int, Double)] = None,
+                 exportNBuckets: Int = 8): Unit = {
     import spark.implicits._
     val steps: Seq[(String, () => Unit)] =
       sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
@@ -150,7 +156,8 @@ object Takedown {
           cut.foreach { fromSeq =>
             Packing.reexportShards(
               graft.streaming.EventStreams.readUpsertTable(spark, seqTableDir),
-              shardTableDir, provDir, exportDir, fromSeq, batchId)
+              shardTableDir, provDir, exportDir, fromSeq, batchId,
+              nBuckets = exportNBuckets)
           }
         })
     }
@@ -201,7 +208,7 @@ object Takedown {
       if !tokenExists(spark, ledgerDir, batchId, label)
     } runOne(label, () => {
       Packing.rebalanceIfSparse(spark, shardTableDir, provDir, exportDir,
-        seqsPerShard, batchId + 2, minFill).collect()
+        seqsPerShard, batchId + 2, minFill, nBuckets = exportNBuckets).collect()
       ()
     })
     writeToken(spark, ledgerDir, batchId, completeToken)
@@ -285,8 +292,14 @@ object Takedown {
         val stateDir = s"$dir/_tokstate"
         val st =
           if (!dirExists(spark, stateDir)) Seq.empty
+          // legacy states pre-date the carry_spans widening — adopt
+          // with the empty span list (the Packing read convention), so
+          // the OLDEST tables, the ones most likely to harbor missed
+          // deletes, stay auditable instead of throwing
           else Seq(cnt(s"sequences-state-${baseName(dir)}",
-            EventStreams.readUpsertTable(spark, stateDir)
+            EventStreams.withColumnDefault(
+                EventStreams.readUpsertTable(spark, stateDir), "carry_spans",
+                expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
               .filter(exists(col("carry_spans"),
                 s => s.getField("_1").isin(boxed: _*)))))
         tbl +: st
@@ -299,7 +312,7 @@ object Takedown {
       ragIndex.toSeq.map { dir =>
         cnt(s"rag-${baseName(dir)}",
           EventStreams.readUpsertTable(spark, dir)
-            .filter(expr("chunk_key div 100000").isin(docIds: _*)))
+            .filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*)))
       } ++
       ivfPqIndex.toSeq.map { dir =>
         cnt(s"ivfpq-${baseName(dir)}",

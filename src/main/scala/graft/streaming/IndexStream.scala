@@ -93,8 +93,19 @@ object IndexStream {
     val fs = token.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(token)) {
       val in = fs.open(token)
-      val recorded =
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      val body =
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      // the token commits via tmp + rename below, so an unparseable
+      // body means external damage, not a crash window — name the
+      // recovery instead of leaking a NumberFormatException (whose
+      // "obvious" fix, deleting the token, routes the restart into the
+      // fresh-checkpoint branch and bricks the checkpoint on its
+      // base-vs-high-water require)
+      val recorded = body.toLongOption.getOrElse(throw new IllegalStateException(
+        s"checkpoint base token $token is corrupt (read '$body'): restore " +
+          "it to this checkpoint's original batchIdBase (the value the " +
+          "stream was first started with) — do NOT delete it, a fresh-" +
+          "checkpoint restart would re-map already-applied stream ids"))
       require(recorded == batchIdBase,
         s"this checkpoint was started with batchIdBase $recorded but is " +
           s"being restarted with $batchIdBase: changing the base mid-" +
@@ -113,8 +124,15 @@ object IndexStream {
                 "means some EARLIER append used that id). Start fresh " +
                 "checkpoints with a base above every applied batch id.")
           }
-      val out = fs.create(token, true)
+      // tmp + rename (the ledger/manifest commit convention): a crash
+      // mid-write must not leave a truncated token for the next restart
+      // to choke on
+      val tmp = new Path(checkpointDir, "_graft_base.tmp")
+      val out = fs.create(tmp, true)
       try out.write(batchIdBase.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, token) && !fs.exists(token))
+        throw new IllegalStateException(
+          s"failed to commit checkpoint base token $token")
     }
   }
 }

@@ -687,6 +687,175 @@ class PackingSpec extends SparkSpec {
       post.getLong(4) === 0L)
   }
 
+  // the shared shard-map fixture of the rebalance tests: 40 docs packed,
+  // sharded, committed (table + provenance, `nBuckets` buckets), exported
+  private def shardFixture(base: String, nBuckets: Int):
+      (String, String, String, String, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val (seqTable, shardTable, prov, export) =
+      (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export")
+    val all = (0L until 40L).map(i =>
+      (i, (0 until (i % 9 + 2).toInt).map(j => (i * 100 + j).toInt)))
+    val df = all.toDF("doc_id", "toks")
+    operators.Packing.materializeShardIncremental(df, seqTable,
+      seqLen = 16, sepId = -1, batchId = 0L)
+    val sharded = operators.Packing.trainingShards(
+        EventStreams.readUpsertTable(spark, seqTable), seqsPerShard = 2)
+      .drop("u").localCheckpoint()
+    EventStreams.mergeBatchIntoTable(sharded, shardTable,
+      Seq("seq_id"), "seq_id", nBuckets = nBuckets, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      sharded.select(col("shard_id"), col("seq_id"),
+          explode(col("doc_spans")).as("sp"))
+        .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
+          col("sp.start").as("start"), col("sp.len").as("len")),
+      prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = nBuckets,
+      batchId = 0L)
+    operators.Packing.exportShardFiles(spark, shardTable, export)
+    (seqTable, shardTable, prov, export, df)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(src)
+    try st.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally st.close()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally st.close()
+    }
+
+  test("rebalanceIfSparse replays a fold that crashed between the merges and the export swap") {
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-fold-cw").toString
+    val (seqTable, shardTable, prov, export, df) = shardFixture(base, 8)
+    // punch rank holes: takedown + selective re-export (the frozen map)
+    val deleted = Seq(33L, 34L, 35L)
+    operators.Packing.deleteDocsFromSequences(df, deleted, seqTable,
+      seqLen = 16, sepId = -1, batchId = 10L)
+    val fromSeq = operators.Packing.firstTouchedSeq(spark, prov, deleted).get
+    operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L)
+    // snapshot the pre-fold export, run the fold to completion, then
+    // reconstruct the ADVICE crash window: table + provenance merges
+    // committed, touched manifest committed, export swap NOT run —
+    // byte-equivalent to a crash between rebalanceShards' merges and
+    // its re-stage (restore the pre-fold export, keep the manifest)
+    val backup = java.nio.file.Paths.get(s"$base/export-prefold")
+    copyTree(java.nio.file.Paths.get(export), backup)
+    val touched = operators.Packing.rebalanceShards(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 20L)
+    assert(touched.nonEmpty)
+    val manifest = java.nio.file.Paths.get(export, ".rebalance-20.json")
+    val manifestBytes = java.nio.file.Files.readAllBytes(manifest)
+    deleteTree(java.nio.file.Paths.get(export))
+    copyTree(backup, java.nio.file.Paths.get(export))
+    java.nio.file.Files.write(manifest, manifestBytes)
+    // the naked fill gate reads HEALTHY here (the merges landed) — this
+    // is exactly the window a fill-only gate can never recover through
+    val stats = operators.Packing.shardFillStats(spark, shardTable, 2).head()
+    assert(stats.getDouble(3) === 1.0)
+    // the gated entry point must detect the in-flight manifest and
+    // drive the replay to completion anyway
+    val row = operators.Packing.rebalanceIfSparse(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 20L, minFill = 0.9).head()
+    assert(!row.getBoolean(3), "current measured verdict: not sparse")
+    assert(row.getBoolean(4), "but the in-flight fold must have replayed")
+    // the export again equals the committed table everywhere, and old
+    // shard ids folded away by the rebalance have no dir
+    val expected = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(export)
+      .select(col("seq_id"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected && got.nonEmpty)
+    val maxShard = expected.map(_(2).asInstanceOf[Long]).max
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(export, s"shard_id=${maxShard + 1}")))
+  }
+
+  test("a total-corpus takedown leaves an empty map: monitor healthy, gate no-ops") {
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-fold-empty").toString
+    val (_, shardTable, prov, export, _) = shardFixture(base, 8)
+    val allSeqs = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id")).localCheckpoint()
+    EventStreams.deleteFromTable(spark, shardTable, allSeqs,
+      Seq("seq_id"), nBuckets = 8, batchId = 2L, retain = 2)
+    EventStreams.deleteFromTable(spark, prov,
+      EventStreams.readUpsertTable(spark, prov)
+        .select(col("seq_id"), col("doc_id")).localCheckpoint(),
+      Seq("seq_id", "doc_id"), nBuckets = 8, batchId = 2L, retain = 2)
+    // max(rank) over zero rows is NULL — the monitor must report the
+    // healthy zero row, not NULL slots (and the gate must not NPE)
+    val s = operators.Packing.shardFillStats(spark, shardTable, 2).head()
+    assert(s.getLong(0) === 0L && s.getLong(1) === 0L &&
+      s.getLong(2) === 0L && s.getDouble(3) === 1.0 && s.getLong(4) === 0L)
+    val row = operators.Packing.rebalanceIfSparse(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 10L, minFill = 0.9).head()
+    assert(!row.getBoolean(3) && !row.getBoolean(4) && row.getInt(5) === 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(export, ".rebalance-10.json")))
+  }
+
+  test("re-export and fold honor a non-default bucket count") {
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-nb3").toString
+    // tables committed with 3 buckets: a delete hashing mod 8 would
+    // silently skip the unmatched buckets and leave stale rows alive,
+    // duplicating seq_ids after the refresh merges
+    val (seqTable, shardTable, prov, export, df) = shardFixture(base, 3)
+    val deleted = Seq(33L, 34L, 35L)
+    operators.Packing.deleteDocsFromSequences(df, deleted, seqTable,
+      seqLen = 16, sepId = -1, batchId = 10L)
+    val fromSeq = operators.Packing.firstTouchedSeq(spark, prov, deleted).get
+    operators.Packing.reexportShards(
+      EventStreams.readUpsertTable(spark, seqTable), shardTable, prov,
+      export, fromSeq, batchId = 12L, nBuckets = 3)
+    def dups(dir: String, keys: Seq[String]): Long =
+      EventStreams.readUpsertTable(spark, dir)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    assert(dups(shardTable, Seq("seq_id")) === 0L)
+    assert(dups(prov, Seq("seq_id", "doc_id")) === 0L)
+    assert(EventStreams.readUpsertTable(spark, prov)
+      .filter(col("doc_id").isin(deleted: _*)).count() === 0L)
+    // fold the holes dense under the same bucket count
+    val row = operators.Packing.rebalanceIfSparse(spark, shardTable, prov,
+      export, seqsPerShard = 2, batchId = 20L, minFill = 0.999,
+      nBuckets = 3).head()
+    assert(row.getBoolean(4))
+    assert(dups(shardTable, Seq("seq_id")) === 0L)
+    val post = operators.Packing.shardFillStats(spark, shardTable, 2).head()
+    assert(post.getDouble(3) === 1.0 && post.getLong(4) === 0L)
+    // and the export matches the healed table
+    val expected = EventStreams.readUpsertTable(spark, shardTable)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(export)
+      .select(col("seq_id"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("packSequences is invariant to the partition count") {
     // the two-job prefix sum must give identical offsets whatever the
     // range-partitioning — determinism contract of the pattern

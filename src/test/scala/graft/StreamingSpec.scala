@@ -793,6 +793,26 @@ class StreamingSpec extends SparkSpec {
     IndexStream.startIngest(spark, arrivals2, e.schema, idx,
       s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
     assert(codesOf(idx).exists(_._1 == 9200L))
+    // a corrupted base token (externally damaged — the commit itself is
+    // tmp+rename) must fail with the NAMED recovery, not a bare
+    // NumberFormatException whose "obvious" fix (deleting the token)
+    // bricks the checkpoint on the fresh-base require
+    val tokenPath = java.nio.file.Paths.get(s"$base/ckpt-fresh/_graft_base")
+    val good = java.nio.file.Files.readAllBytes(tokenPath)
+    java.nio.file.Files.write(tokenPath, "".getBytes("UTF-8"))
+    e.filter(col("vec_id") === 3).withColumn("vec_id", lit(9300L))
+      .coalesce(1).write.mode("append").parquet(arrivals2)
+    val exTok = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+        s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
+    }
+    assert(exTok.getMessage.contains("corrupt") ||
+      Option(exTok.getCause).exists(_.getMessage.contains("corrupt")))
+    // restoring the original token recovers the checkpoint
+    java.nio.file.Files.write(tokenPath, good)
+    IndexStream.startIngest(spark, arrivals2, e.schema, idx,
+      s"$base/ckpt-fresh", batchIdBase = 5L).awaitTermination()
+    assert(codesOf(idx).exists(_._1 == 9300L))
   }
 
   test("incremental curation (two AvailableNow passes) equals one batch curation") {

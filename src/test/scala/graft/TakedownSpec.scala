@@ -315,4 +315,47 @@ class TakedownSpec extends SparkSpec {
     request2()
     assert(exportState() === expected2)
   }
+
+  test("auditDocs audits a legacy sequence state that pre-dates carry_spans") {
+    val base = java.nio.file.Files.createTempDirectory("graft-legacyaudit").toString
+    val seqs = s"$base/seqs"
+    Packing.materializeShardIncremental(cheapToks(mkDocs), seqs,
+      seqLen = 16, sepId = 99, batchId = 0L)
+    // replace the state with the PRE-WIDENING schema (no carry_spans) —
+    // the oldest committed tables, exactly the ones most likely to
+    // harbor missed deletes, look like this
+    val stateDir = s"$seqs/_tokstate"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+      try st.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally st.close()
+    }
+    EventStreams.mergeBatchIntoTable(
+      Seq((0, 100L, 39L, Seq(1, 2), 0L))
+        .toDF("k", "total_tokens", "max_doc_id", "carry", "__v"),
+      stateDir, Seq("k"), "__v", nBuckets = 1, batchId = 0L)
+    // the audit must ADOPT the missing column (empty span list), not
+    // throw AnalysisException — a legacy carry genuinely tracked no spans
+    val audit = Takedown.auditDocs(spark, Seq(3L),
+      sequenceTable = Some(seqs)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit(s"sequences-state-seqs") === 0L)
+    assert(audit(s"sequences-seqs") > 0L, "doc 3 is still in the table")
+  }
+
+  test("Rag chunk keys round-trip through the one shared stride definition") {
+    // the audit (Takedown.auditDocs) and the index takedown
+    // (Rag.deleteDocs) both recover doc ids via Rag.docIdOf — pin the
+    // inverse against the builder so a stride change cannot break one
+    // side silently
+    val docs = Seq((7L, (0 until 13).map(i => s"w$i").mkString(" ")),
+      (123456789L, (0 until 6).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Rag.chunkVectors(docs, window = 4, stride = 2, dim = 8)
+      .localCheckpoint()
+    assert(chunks.count() > 2)
+    assert(chunks.filter(Rag.docIdOf(col("chunk_key")) =!= col("doc_id"))
+      .count() === 0L)
+  }
 }
