@@ -2998,6 +2998,45 @@ object SparkEntry {
         (col("cos_ok") === 1).as("drops_verified"))
   }
 
+  /** [[q138SemanticDedup]] through the PRODUCTION DIAL
+    * ([[operators.Dedup.semanticDedupBounded]] semantics): the cluster
+    * count scales with the corpus (k = ceil(n / targetCellSize),
+    * clamped) so the expected cell size — hence per-cell candidate
+    * volume — stays CONSTANT as the corpus grows, the fix for q138's
+    * measured 13.7x slope at 10x (fixed k makes cells n/k wide and
+    * pairs quadratic). Same planted-clone verdict as q138: 50 clones
+    * at cosine ≈ 1 are the only pairs above threshold, so the dial
+    * must drop all of them, only them, each with its original as rep —
+    * now independent of corpus scale, which is exactly what puts the
+    * bounded variant on the measured ScaleCurve next to the fixed-k
+    * row. Train-once per (dir, k) via the shared centroid cache; the
+    * one extra corpus count is the dial's documented cost.
+    */
+  def q189SemanticDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+    val clones = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus = base.unionByName(clones)
+    val k = operators.Dedup.boundedClusterCount(
+      corpus.count(), targetCellSize = 250)
+    val cents = operators.Similarity.ensureCellCentroids(
+      corpus, s"semdedupb:$k:$dir", nlist = k)
+    val dropped = operators.Dedup.semanticDedup(
+      corpus, nClusters = k, minCos = 0.99, centroids = Some(cents))
+    dropped.agg(
+        count(lit(1)).as("n"),
+        min(when(col("vec_id") >= 100000L, 1).otherwise(0)).as("only_clones"),
+        min(when(col("rep_id") === col("vec_id") - 100000L, 1).otherwise(0))
+          .as("reps_orig"),
+        min(when(col("cosine") >= 0.99, 1).otherwise(0)).as("cos_ok"))
+      .select(
+        (col("n") === 50).as("all_planted_caught"),
+        (col("only_clones") === 1).as("no_false_positives"),
+        (col("reps_orig") === 1).as("reps_are_originals"),
+        (col("cos_ok") === 1).as("drops_verified"))
+  }
+
   /** Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr
     * semantics, Spark-native positional-fingerprint shape — see
     * [[operators.Dedup.duplicatedSpans]]): every maximal run of 5-token
@@ -4939,9 +4978,14 @@ object SparkEntry {
     * pushed keyed lookup, never a layout re-derivation — and the
     * committed completion ledger seals the request (every artifact
     * token present under the batch, `_complete` landed). Verdict per
-    * artifact: (n_refs, clean, ledger_complete). Crash-replay semantics
-    * are TakedownSpec's job (mid-walk crash + same-args replay ==
-    * from-scratch-without-docs on every artifact).
+    * artifact: (n_refs, clean, pinned_clean, ledger_complete), where
+    * `pinned_clean` re-answers the question through
+    * [[operators.Takedown.auditDocsAt]] — the batch-pinned audit whose
+    * per-artifact time-travel reads stay stable racing a concurrent
+    * walk (the mixed-answer race the latest-snapshot audit loses;
+    * TakedownSpec proves the mid-walk stability). Crash-replay
+    * semantics are TakedownSpec's job (mid-walk crash + same-args
+    * replay == from-scratch-without-docs on every artifact).
     */
   def q185TakedownOrchestration(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureTakedownAll(spark, dir)
@@ -4950,13 +4994,27 @@ object SparkEntry {
       keyedTables = Seq((s"$base/corpus", "doc_id"),
         (s"$base/sigstore", "doc_id")),
       ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"))
+    // the PINNED audit at a boundary past the request's id window must
+    // agree artifact-by-artifact: the time-travel reads compose to the
+    // same all-clean answer the latest-snapshot audit gives (and unlike
+    // it, they stay stable racing a concurrent walk — TakedownSpec)
+    val auditPinned = operators.Takedown.auditDocsAt(spark, q185DeletedIds,
+      asOfBatch = 12L,
+      sequenceTable = Some(s"$base/seqs"),
+      keyedTables = Seq((s"$base/corpus", "doc_id"),
+        (s"$base/sigstore", "doc_id")),
+      ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"))
+      .withColumnRenamed("n_refs", "n_refs_pinned")
     val sealedLedger = operators.Takedown.ledger(spark, s"$base/ledger", 10L)
       // 5 artifact tokens (the state-row audit has no token of its own)
       .agg((count(lit(1)) === 5L && min(col("complete").cast("int")) === 1)
         .as("ledger_complete"))
-    audit.crossJoin(broadcast(sealedLedger)) // one-row ledger verdict
+    audit.join(auditPinned, Seq("artifact"))
+      .crossJoin(broadcast(sealedLedger)) // one-row ledger verdict
       .select(col("artifact"), col("n_refs"),
-        (col("n_refs") === 0L).as("clean"), col("ledger_complete"))
+        (col("n_refs") === 0L).as("clean"),
+        (col("n_refs_pinned") === 0L).as("pinned_clean"),
+        col("ledger_complete"))
   }
 
   /** Build-once-per-JVM selective re-export fixture: sequence table over
@@ -5023,6 +5081,59 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$base/files_post")
       touched.toDF("shard_id")
         .write.mode("overwrite").parquet(s"$base/touched")
+      // CRASH-REPLAY TWIN (round-11 debt 5: the crash/replay semantics
+      // must reach the correctness gate, not just PackingSpec): a
+      // second lineage over the SAME corpus, built identically
+      // (materialize/trainingShards/merge are deterministic in their
+      // inputs), whose re-export CRASHES in the worst window — touched
+      // manifest committed, the shard table's delete half committed,
+      // the merge half not — and is then replayed with the same
+      // arguments. q186 compares the two committed exports IN-QUERY:
+      // crash+replay must land byte-for-row on the clean lineage.
+      val (seqB, shardB, provB, exportB) =
+        (s"$base/seqs2", s"$base/shards2", s"$base/prov2", s"$base/export2")
+      operators.Packing.materializeShardIncremental(toks, seqB,
+        seqLen = 128, sepId = 1000, batchId = 0L)
+      val shardedB = operators.Packing.trainingShards(
+          streaming.EventStreams.readUpsertTable(spark, seqB),
+          seqsPerShard = 8)
+        .drop("u").localCheckpoint()
+      streaming.EventStreams.mergeBatchIntoTable(shardedB, shardB,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        shardedB.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"),
+            col("sp.doc_id").as("doc_id"), col("sp.start").as("start"),
+            col("sp.len").as("len")),
+        provB, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      operators.Packing.exportShardFiles(spark, shardB, exportB)
+      operators.Packing.deleteDocsFromSequences(toks, deleted,
+        seqB, seqLen = 128, sepId = 1000, batchId = 10L)
+      val fromSeqB = operators.Packing
+        .firstTouchedSeq(spark, provB, deleted).get
+      // the crash state, reconstructed with the operation's OWN commits
+      // (the PackingSpec convention): manifest first, then the delete
+      // half at batchId — the merge half never runs
+      val expFs = new org.apache.hadoop.fs.Path(exportB)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val touchedB = streaming.EventStreams.readUpsertTable(spark, provB)
+        .filter(col("seq_id") >= fromSeqB)
+        .select(col("shard_id")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val manifestB = new org.apache.hadoop.fs.Path(exportB, ".reexport-12.json")
+      val outB = expFs.create(manifestB, true)
+      try outB.write(s"[${touchedB.mkString(",")}]".getBytes("UTF-8"))
+      finally outB.close()
+      streaming.EventStreams.deleteFromTable(spark, shardB,
+        streaming.EventStreams.readUpsertTable(spark, shardB)
+          .filter(col("seq_id") >= fromSeqB).select(col("seq_id")),
+        Seq("seq_id"), nBuckets = 8, batchId = 12L, retain = 2)
+      // the same-arguments replay must complete the pair from the
+      // pre-delete snapshot and re-stage the touched dirs
+      operators.Packing.reexportShards(
+        streaming.EventStreams.readUpsertTable(spark, seqB), shardB,
+        provB, exportB, fromSeqB, batchId = 12L)
       base
     })
 
@@ -5039,7 +5150,10 @@ object SparkEntry {
     * paired with their map row); the refreshed provenance carries no
     * trace of the deleted docs AND equals the re-derived span lineage;
     * and the touched set is non-trivial in both directions (some shards
-    * touched, some spared).
+    * touched, some spared). Two crash-replay rows (round-11 debt 5)
+    * compare a SECOND committed lineage — identical corpus, re-export
+    * crashed between its commit halves and replayed — against the
+    * clean lineage's export and table, in-query.
     */
   def q186SelectiveReexport(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureReexport(spark, dir)
@@ -5080,13 +5194,34 @@ object SparkEntry {
     val provMatches = prov.exceptAll(provExpected)
       .unionByName(provExpected.exceptAll(prov)).count() == 0
     val nUntouched = untouched(pre).count()
+    // crash-replay twin (debt 5): the second lineage's re-export
+    // crashed between its commit halves and was replayed — its
+    // committed export and shard table must equal the clean lineage's,
+    // compared IN-QUERY over the committed artifacts (exceptAll both
+    // ways), not as a build-time boolean
+    val exportRows = (e: String) => spark.read.parquet(e)
+      .select(col("seq_id"), col("tokens"), col("rank"),
+        col("shard_id").cast("long").as("shard_id"))
+    val gotB = exportRows(s"$base/export2")
+    val crashExportEq = gotB.exceptAll(got)
+      .unionByName(got.exceptAll(gotB)).count() == 0
+    val tblRows = (d: String) => streaming.EventStreams
+      .readUpsertTable(spark, d)
+      .select(col("seq_id"), col("rank"), col("shard_id"))
+    val tblB = tblRows(s"$base/shards2")
+    val tblA = tblRows(s"$base/shards")
+    val crashTableEq = tblB.exceptAll(tblA)
+      .unionByName(tblA.exceptAll(tblB)).count() == 0
     import spark.implicits._
     Seq(
       ("untouched_files_identical", untouchedDiff && nUntouched > 0),
       ("export_matches_frozen_map", exportMatches && got.count() > 0),
       ("prov_no_deleted_docs", provClean),
       ("prov_matches_layout", provMatches),
-      ("touch_set_selective", touched.nonEmpty))
+      ("touch_set_selective", touched.nonEmpty),
+      ("crash_replay_export_equals_clean",
+        crashExportEq && gotB.count() > 0),
+      ("crash_replay_table_equals_clean", crashTableEq))
       .toDF("check", "ok")
   }
 
@@ -5112,6 +5247,19 @@ object SparkEntry {
       operators.Similarity
         .rebuildIfDrifted(spark, idx, e, shifted, generation = 1L)
         .write.mode("overwrite").parquet(s"$base/drifted")
+      // ROLLBACK-THEN-REPLAY lineage (round-11 debt 5: the crash/replay
+      // semantics must reach the correctness gate, not just the specs):
+      // roll back to generation 0, REPLAY the same drift→rebuild call
+      // (the monitor re-measures real drift against gen 0, but the
+      // rebuild's generation guard must commit NOTHING — silent
+      // re-activation is rollback's explicit job, not a replay's), then
+      // roll forward to 1. The committed ledger manifests record the
+      // whole cycle; q187 re-derives the verdict from them IN-QUERY.
+      operators.Similarity.rollbackIvfPqIndex(spark, idx, 0L)
+      operators.Similarity
+        .rebuildIfDrifted(spark, idx, e, shifted, generation = 1L)
+        .write.mode("overwrite").parquet(s"$base/replay")
+      operators.Similarity.rollbackIvfPqIndex(spark, idx, 1L)
       base
     })
 
@@ -5125,7 +5273,12 @@ object SparkEntry {
     * positive, rebuilds generation 1 over the committed corpus, and
     * the post-rebuild self-drift is exactly 0.0 again with the new
     * generation serving probes (time-travel read of generation 1
-    * returns rows).
+    * returns rows). The rollback-then-replay verdicts are decided
+    * IN-QUERY from the committed generation ledger (round-11 debt 5):
+    * the manifests on disk must record exactly the [1, 0, 1] active
+    * cycle — rebuild, rollback, explicit roll-forward — with NO extra
+    * commit from the replayed rebuild, even though its monitor
+    * measured real drift against the rolled-back generation.
     */
   def q187DriftLoop(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureDriftLoop(spark, dir)
@@ -5137,6 +5290,16 @@ object SparkEntry {
     val gen1Serves = operators.Similarity.queryIvfPqIndexAt(
       spark, s"$base/idx", 1L,
       ivfPqProbes(spark, dir, Seq(0L)), 5, nprobe = 2).count() > 0
+    // the rollback-then-replay cycle, re-derived from the COMMITTED
+    // ledger at query time (not a build-time boolean): active ids in
+    // commit order must read exactly [1, 0, 1] — rebuild, rollback,
+    // roll-forward — with no fourth manifest (the replayed rebuild,
+    // whose monitor DID measure drift against gen 0, committed nothing)
+    val ledger = operators.Similarity
+      .generationLedger(spark, s"$base/idx")
+      .orderBy(col("seq")).select(col("active"))
+      .collect().map(_.getLong(0)).toSeq
+    val replay = spark.read.parquet(s"$base/replay").head()
     import spark.implicits._
     Seq(
       ("stable_shard_monitor_only",
@@ -5145,7 +5308,10 @@ object SparkEntry {
         drifted.getBoolean(3) && drifted.getBoolean(4) &&
           drifted.getDouble(2) > 0.0),
       ("post_rebuild_self_drift_zero", post.getDouble(2) == 0.0),
-      ("new_generation_serves", gen1Serves))
+      ("new_generation_serves", gen1Serves),
+      ("ledger_records_rollback_cycle", ledger == Seq(1L, 0L, 1L)),
+      ("replayed_rebuild_commits_nothing",
+        ledger.length == 3 && replay.getBoolean(3)))
       .toDF("check", "ok")
   }
 
@@ -5459,6 +5625,7 @@ object SparkEntry {
     "q136_curation_pipeline" -> (q136CurationPipeline _),
     "q137_incremental_dedup" -> (q137IncrementalDedup _),
     "q138_semantic_dedup" -> (q138SemanticDedup _),
+    "q189_semantic_dedup_bounded" -> (q189SemanticDedupBounded _),
     "q139_dup_spans" -> (q139DupSpans _),
     "q140_gopher_gate" -> (q140GopherGate _),
     "q141_leakage_split" -> (q141LeakageSplit _),
@@ -6678,6 +6845,10 @@ object SparkEntry {
     "q138_semantic_dedup" ->
       """SELECT TRUE AS all_planted_caught, TRUE AS no_false_positives,
         |TRUE AS reps_are_originals, TRUE AS drops_verified""".stripMargin,
+    // the bounded-k dial: same planted-outcome verdict, k scaled to n
+    "q189_semantic_dedup_bounded" ->
+      """SELECT TRUE AS all_planted_caught, TRUE AS no_false_positives,
+        |TRUE AS reps_are_originals, TRUE AS drops_verified""".stripMargin,
     "q139_dup_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
@@ -6803,19 +6974,22 @@ object SparkEntry {
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),
         |  ('drifted_shard_rebuilt'), ('post_rebuild_self_drift_zero'),
-        |  ('new_generation_serves')) t(c)""".stripMargin,
+        |  ('new_generation_serves'), ('ledger_records_rollback_cycle'),
+        |  ('replayed_rebuild_commits_nothing')) t(c)""".stripMargin,
     // byte-identity and frozen-map equality are decided in-engine
     // (exceptAll over committed snapshots); the oracle pins the verdicts
     "q186_selective_reexport" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('untouched_files_identical'),
         |  ('export_matches_frozen_map'), ('prov_no_deleted_docs'),
-        |  ('prov_matches_layout'), ('touch_set_selective')) t(c)""".stripMargin,
+        |  ('prov_matches_layout'), ('touch_set_selective'),
+        |  ('crash_replay_export_equals_clean'),
+        |  ('crash_replay_table_equals_clean')) t(c)""".stripMargin,
     // the audit counts are exact keyed lookups; the oracle pins the
     // all-clean verdict per artifact
     "q185_takedown_orchestration" ->
       """SELECT a AS artifact, 0::BIGINT AS n_refs, TRUE AS clean,
-        |  TRUE AS ledger_complete
+        |  TRUE AS pinned_clean, TRUE AS ledger_complete
         |FROM (VALUES ('sequences-seqs'), ('sequences-state-seqs'),
         |  ('table-corpus'), ('table-sigstore'), ('rag-rag'),
         |  ('ivfpq-idx')) t(a)""".stripMargin,

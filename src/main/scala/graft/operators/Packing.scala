@@ -546,12 +546,18 @@ object Packing {
     EventStreams.deleteFromTable(spark, tableDir,
       spark.range(cutSeq, prevTotal / seqLen + 1).select(col("id").as("seq_id")),
       Seq("seq_id"), nBuckets = 8, batchId = batchId, retain = 2)
-    // (2) land the rebuilt suffix; (3) state LAST (the curateShard rule)
+    // (2) land the rebuilt suffix; (3) state LAST (the curateShard rule).
+    // retain = 3 on the merge half: the request spans manifests
+    // (pre, delete, merge) — retaining all three keeps the PRE-request
+    // snapshot readable after the pair completes, which is what lets
+    // Takedown.auditDocsAt pin an audit at this request's batchId (the
+    // audit-window contract; retain = 2 would sweep the pre snapshot
+    // the moment the merge commits)
     EventStreams.mergeBatchIntoTable(
       seqsAll.filter(size(col("tokens")) === seqLen)
         .select(col("seq_id"), col("tokens"), col("doc_spans")),
       tableDir, Seq("seq_id"), "seq_id", nBuckets = 8, batchId = batchId + 1,
-      retain = 2)
+      retain = 3)
     EventStreams.mergeBatchIntoTable(
       Seq((0, newTotal, prevMaxDoc, newCarry, newCarrySpans, batchId + 1))
         .toDF("k", "total_tokens", "max_doc_id", "carry", "carry_spans", "__v"),

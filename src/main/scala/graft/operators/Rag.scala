@@ -170,12 +170,12 @@ object Rag {
     */
   def deleteDocs(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  deletedIds: Seq[Long], batchId: Long,
-                 nBuckets: Int = 8): Unit = {
+                 nBuckets: Int = 8, retain: Int = 1): Unit = {
     val keys = graft.streaming.EventStreams.readUpsertTable(spark, indexDir)
       .filter(docIdOf(col("chunk_key")).isin(deletedIds: _*))
       .select(col("chunk_key"))
     graft.streaming.EventStreams.deleteFromTable(spark, indexDir, keys,
-      Seq("chunk_key"), nBuckets, batchId)
+      Seq("chunk_key"), nBuckets, batchId, retain)
   }
 
   /** Retrieval against the COMMITTED chunk index: probe docs chunk +

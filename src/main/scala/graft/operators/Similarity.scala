@@ -1263,6 +1263,55 @@ object Similarity {
     queryIvfPqAtRoot(spark, resolveGenDir(indexDir, dir), probes, k, nprobe)
   }
 
+  /** [[indexedVecIds]] AS OF a codes batch boundary: the ACTIVE
+    * generation's codes read from the last codes manifest committed
+    * strictly BELOW `batchId` — the ANN side of the pinned
+    * cross-artifact audit ([[Takedown.auditDocsAt]]). The pin must sit
+    * within the codes retention window (the delete/compact `retain`
+    * dial); a pre-manifest index is one frozen snapshot, valid at any
+    * pin. Fails fast when manifests exist but none pre-dates the pin.
+    */
+  def indexedVecIdsBefore(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, batchId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val aRoot = activeIndexRoot(spark, indexDir)
+    val root = new Path(s"$aRoot/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = codesManifestList(fs, root).map(readCodesManifest(fs, _))
+    val codes =
+      if (manifests.isEmpty) spark.read.parquet(root.toString)
+      else {
+        val (_, _, dirs) = manifests.filter(_._2 < batchId).lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"$indexDir has no codes commit before batch $batchId " +
+              "(the pinned audit needs a snapshot below its pin)"))
+        spark.read.option("basePath", root.toString)
+          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+      }
+    codes.select(col("vec_id")).distinct()
+  }
+
+  /** The COMMITTED generation ledger as a DataFrame — one row per
+    * ledger manifest in commit order: (seq, active, dirs). The audit
+    * read of the rebuild/rollback story: the manifests are never
+    * swept (only generation DIRS are), so the full lifecycle — which
+    * generation was active when, and crucially which operations
+    * committed NOTHING (a replayed rebuild after a rollback must not
+    * re-activate; q187 pins the [1, 0, 1] cycle through the
+    * correctness gate) — is re-derivable from disk at query time.
+    */
+  def generationLedger(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bounded driver-side read: one tiny JSON per ledger commit,
+    // bounded by the number of rebuild/rollback operations ever run
+    genManifestList(fs, root).map(readGenManifest(fs, _))
+      .toDF("seq", "active", "dirs")
+  }
+
   /** The committed vector ids of the ACTIVE generation (distinct
     * vec_id column, never collected) — the semi-join side a rebuild
     * trains against, and the id universe a cross-artifact audit checks.
@@ -1421,6 +1470,17 @@ object Similarity {
     * encoding is per-row against frozen state, so any batch order
     * yields the same index (the q163 argument). Append ≡ rebuild under
     * the same artifacts is proven in DedupSimilaritySpec.
+    *
+    * CROSS-OPERATION writer contract: within a generation the codes
+    * manifest enforces single-writer, but a [[rebuildIvfPqIndex]] is a
+    * different protocol one level up — it can flip the ACTIVE
+    * generation while an append (which resolved its generation at
+    * start) is mid-flight, leaving the batch committed to a root no
+    * probe resolves anymore. The append re-checks the active
+    * generation AFTER its publish and fails loudly with the
+    * remediation instead of silently losing the vectors; schedule
+    * rebuilds and appends in non-overlapping maintenance windows to
+    * avoid the wasted encode.
     */
   def appendToIvfPqIndex(newVectors: DataFrame, indexDir: String,
                          batchId: Long): Unit = {
@@ -1429,6 +1489,16 @@ object Similarity {
     // under the NEW artifacts and extend the new generation's codes
     // manifest (its batch ids start fresh at the rebuild's batch 0)
     val aRoot = activeIndexRoot(spark, indexDir)
+    appendAtRoot(newVectors, indexDir, aRoot, batchId)
+  }
+
+  /** [[appendToIvfPqIndex]] against a pre-resolved generation root —
+    * split out so the append-vs-rebuild race is provable (the spec
+    * resolves a root, rebuilds past it, then publishes here).
+    */
+  private[graft] def appendAtRoot(newVectors: DataFrame, indexDir: String,
+                                  aRoot: String, batchId: Long): Unit = {
+    val spark = newVectors.sparkSession
     val centers = spark.read.parquet(s"$aRoot/centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val cbRows = spark.read.parquet(s"$aRoot/codebooks")
@@ -1445,6 +1515,19 @@ object Similarity {
     publishCodesBatch(
       resid.select(col("vec_id"), pqCodes(col("v"), cbs).as("codes"), col("cell")),
       aRoot, batchId)
+    // the race post-condition (see appendToIvfPqIndex doc): a rebuild
+    // that flipped the active generation mid-append retired this
+    // publish — fail with the replay remediation, never lose it silently
+    val aRootAfter = activeIndexRoot(spark, indexDir)
+    if (aRootAfter != aRoot)
+      throw new IllegalStateException(
+        s"concurrent rebuild re-pointed $indexDir while batch $batchId " +
+          s"was appending (resolved $aRoot, active is now $aRootAfter): " +
+          "the batch landed in the superseded generation and is invisible " +
+          "to probes. Re-run the append with the same arguments - the new " +
+          "active generation's codes manifest has no record of this batch, " +
+          "so the replay applies instead of no-oping. Schedule rebuilds " +
+          "and appends in non-overlapping maintenance windows.")
   }
 
   /** Build-once guard per JVM (the [[ensurePqIndex]] convention:

@@ -125,19 +125,23 @@ object Takedown {
           Packing.deleteDocsFromSequences(toks, docIds, dir, seqLen, sepId,
             batchId))
       } ++
+      // retain = 2 on every primitive: the pre-request snapshot stays
+      // readable through (and after) the walk, so [[auditDocsAt]] pinned
+      // at this request's batchId has its snapshots to read — the
+      // audit-window contract
       keyedTables.map { case (dir, keyCol, nBuckets) =>
         (s"table-${baseName(dir)}", () =>
           graft.streaming.EventStreams.deleteFromTable(spark, dir,
-            docIds.toDF(keyCol), Seq(keyCol), nBuckets, batchId))
+            docIds.toDF(keyCol), Seq(keyCol), nBuckets, batchId, retain = 2))
       } ++
       ragIndex.toSeq.map { dir =>
         (s"rag-${baseName(dir)}", () =>
-          Rag.deleteDocs(spark, dir, docIds, batchId))
+          Rag.deleteDocs(spark, dir, docIds, batchId, retain = 2))
       } ++
       ivfPqIndex.toSeq.map { dir =>
         (s"ivfpq-${baseName(dir)}", () =>
           Similarity.deleteFromIvfPqIndex(spark, dir,
-            vecIds.getOrElse(docIds), batchId))
+            vecIds.getOrElse(docIds), batchId, retain = 2))
       }
     require(steps.nonEmpty, "takedown request names no artifacts")
     require(export.isEmpty || sequences.nonEmpty,
@@ -269,7 +273,9 @@ object Takedown {
     * `exportProv` audits the exported shard files through their
     * committed provenance manifest (the q182 lineage read — the
     * export's rows carry token ids, not doc ids, so provenance IS its
-    * reference index).
+    * reference index). Reads each artifact's LATEST snapshot — racing
+    * a concurrent [[deleteDocs]] walk this returns a mixed answer; use
+    * [[auditDocsAt]] to pin one batch boundary across every artifact.
     */
   def auditDocs(spark: SparkSession, docIds: Seq[Long],
                 sequenceTable: Option[String] = None,
@@ -277,7 +283,55 @@ object Takedown {
                 ragIndex: Option[String] = None,
                 ivfPqIndex: Option[String] = None,
                 vecIds: Option[Seq[Long]] = None,
-                exportProv: Option[String] = None): DataFrame = {
+                exportProv: Option[String] = None): DataFrame =
+    auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
+      ivfPqIndex, vecIds, exportProv,
+      read = dir => graft.streaming.EventStreams.readUpsertTable(spark, dir),
+      vecIdsRead = dir => Similarity.indexedVecIds(spark, dir))
+
+  /** PINNED cross-artifact audit — [[auditDocs]] AS OF one batch
+    * boundary: every artifact reads its latest snapshot committed
+    * STRICTLY BELOW `asOfBatch`, composing the per-artifact time-travel
+    * primitives (EventStreams.readUpsertTableBefore,
+    * Similarity.indexedVecIdsBefore). The race [[auditDocs]] cannot
+    * win: racing a concurrent [[deleteDocs]] walk, the LATEST-snapshot
+    * audit returns a MIXED answer (artifact A post-delete, artifact B
+    * pre) that neither confirms nor denies the takedown — the pinned
+    * audit is stable at every point of the walk (pin at the request's
+    * `batchId` for the pre-request world, at `batchId + 2` — past the
+    * request's id window — for the post-request world).
+    *
+    * Retention contract: the pin must sit within every artifact's
+    * retention window. [[deleteDocs]] retains the pre-request snapshot
+    * on each primitive (retain = 2) precisely so both pins above stay
+    * readable through and after the walk; an artifact with no commit
+    * below the pin fails fast rather than guessing.
+    */
+  def auditDocsAt(spark: SparkSession, docIds: Seq[Long], asOfBatch: Long,
+                  sequenceTable: Option[String] = None,
+                  keyedTables: Seq[(String, String)] = Seq.empty,
+                  ragIndex: Option[String] = None,
+                  ivfPqIndex: Option[String] = None,
+                  vecIds: Option[Seq[Long]] = None,
+                  exportProv: Option[String] = None): DataFrame =
+    auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
+      ivfPqIndex, vecIds, exportProv,
+      read = dir => graft.streaming.EventStreams
+        .readUpsertTableBefore(spark, dir, asOfBatch)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dir has no committed snapshot before batch $asOfBatch " +
+            "(the pinned audit needs a snapshot below its pin)")),
+      vecIdsRead = dir => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch))
+
+  private def auditWith(spark: SparkSession, docIds: Seq[Long],
+                        sequenceTable: Option[String],
+                        keyedTables: Seq[(String, String)],
+                        ragIndex: Option[String],
+                        ivfPqIndex: Option[String],
+                        vecIds: Option[Seq[Long]],
+                        exportProv: Option[String],
+                        read: String => DataFrame,
+                        vecIdsRead: String => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
     val boxed = docIds.map(java.lang.Long.valueOf)
     def cnt(label: String, refs: DataFrame): DataFrame =
@@ -286,7 +340,7 @@ object Takedown {
     val parts: Seq[DataFrame] =
       sequenceTable.toSeq.flatMap { dir =>
         val tbl = cnt(s"sequences-${baseName(dir)}",
-          EventStreams.readUpsertTable(spark, dir)
+          read(dir)
             .filter(exists(col("doc_spans"),
               s => s.getField("doc_id").isin(boxed: _*))))
         val stateDir = s"$dir/_tokstate"
@@ -298,7 +352,7 @@ object Takedown {
           // deletes, stay auditable instead of throwing
           else Seq(cnt(s"sequences-state-${baseName(dir)}",
             EventStreams.withColumnDefault(
-                EventStreams.readUpsertTable(spark, stateDir), "carry_spans",
+                read(stateDir), "carry_spans",
                 expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
               .filter(exists(col("carry_spans"),
                 s => s.getField("_1").isin(boxed: _*)))))
@@ -306,23 +360,20 @@ object Takedown {
       } ++
       keyedTables.map { case (dir, keyCol) =>
         cnt(s"table-${baseName(dir)}",
-          EventStreams.readUpsertTable(spark, dir)
-            .filter(col(keyCol).isin(docIds: _*)))
+          read(dir).filter(col(keyCol).isin(docIds: _*)))
       } ++
       ragIndex.toSeq.map { dir =>
         cnt(s"rag-${baseName(dir)}",
-          EventStreams.readUpsertTable(spark, dir)
-            .filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*)))
+          read(dir).filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*)))
       } ++
       ivfPqIndex.toSeq.map { dir =>
         cnt(s"ivfpq-${baseName(dir)}",
-          Similarity.indexedVecIds(spark, dir)
+          vecIdsRead(dir)
             .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)))
       } ++
       exportProv.toSeq.map { dir =>
         cnt(s"export-${baseName(dir)}",
-          EventStreams.readUpsertTable(spark, dir)
-            .filter(col("doc_id").isin(docIds: _*)))
+          read(dir).filter(col("doc_id").isin(docIds: _*)))
       }
     require(parts.nonEmpty, "audit names no artifacts")
     parts.reduce(_.unionByName(_))

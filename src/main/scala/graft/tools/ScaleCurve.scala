@@ -32,7 +32,6 @@ object ScaleCurve {
     val outBase = args.headOption.getOrElse("/root/repo/target/scale")
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
-    val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,47 +43,7 @@ object ScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def ensureScaled(k: Int): String = {
-      val dir = s"$outBase/x$k"
-      val target = new java.io.File(s"$dir/documents.parquet")
-      if (!target.exists()) {
-        val base = spark.read.parquet(s"$src/documents.parquet")
-        val replicas = (0 until k).map { r =>
-          if (r == 0) base
-          else base.select(
-            (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(\\w+)", s"$$1r$r").as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }
-        replicas.reduce(_ unionByName _)
-          .repartition(32)
-          .write.mode(SaveMode.Overwrite).parquet(target.toString)
-      }
-      // embeddings replicate with shifted vec_ids and a TINY
-      // deterministic per-element jitter (±0.005, xxhash-derived): the
-      // distribution is preserved but replicas are distinct points, so
-      // the scaled corpus is k independent copies of the original's
-      // neighbor structure — a plain copy would plant k exact
-      // duplicates of every vector (candidate volume quadratic in k by
-      // construction, the same artifact the token suffix avoids)
-      val etarget = new java.io.File(s"$dir/embeddings.parquet")
-      if (!etarget.exists()) {
-        val base = spark.read.parquet(s"$src/embeddings.parquet")
-        val replicas = (0 until k).map { r =>
-          if (r == 0) base
-          else base.select(
-            (col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-            expr("transform(embedding, (x, i) -> cast(x + " +
-              s"(pmod(xxhash64(concat(vec_id, '_', i, '_', $r)), 1000) " +
-              "/ 1000.0 - 0.5) * 0.01 as float))").as("embedding"),
-            col("label"))
-        }
-        replicas.reduce(_ unionByName _)
-          .repartition(8)
-          .write.mode(SaveMode.Overwrite).parquet(etarget.toString)
-      }
-      dir
-    }
+    def ensureScaled(k: Int): String = ScaleCurve.ensureScaled(spark, outBase, k)
 
     val allQueries = Seq("q89_minhash_lsh_portable", "q113_neardup_decontam",
       "q115_lsh_clusters", "q109_dup_clusters",
@@ -105,7 +64,8 @@ object ScaleCurve {
       // ANN family (round 11: the scaled dirs now carry a replicated
       // embeddings table, closing the round-10 "structural only" gap)
       "q24_cosine_topk", "q29_ann_lsh", "q44_embedding_dedup",
-      "q133_pq_recall", "q138_semantic_dedup", "q162_ivfpq_recall",
+      "q133_pq_recall", "q138_semantic_dedup", "q189_semantic_dedup_bounded",
+      "q162_ivfpq_recall",
       "q168_ivfpq_append", "q169_refined_retrieval",
       "q174_ivfpq_compaction", "q181_ivfpq_takedown", "q183_cell_drift",
       "q184_ivfpq_rebuild",
@@ -141,4 +101,53 @@ object ScaleCurve {
     }
     spark.stop()
   }
+
+  /** Build (once) the x`k` scaled corpus dir — documents with
+    * suffix-rewritten token replicas, embeddings with jittered
+    * replicas (see the object doc). Shared by the per-query curve and
+    * the takedown-orchestration scale sweep ([[TakedownScale]]).
+    */
+  def ensureScaled(spark: SparkSession, outBase: String, k: Int): String = {
+    val src = "/root/testdata/sf0.1"
+    val dir = s"$outBase/x$k"
+    val target = new java.io.File(s"$dir/documents.parquet")
+    if (!target.exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val replicas = (0 until k).map { r =>
+        if (r == 0) base
+        else base.select(
+          (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\w+)", s"$$1r$r").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(target.toString)
+    }
+    // embeddings replicate with shifted vec_ids and a TINY
+    // deterministic per-element jitter (±0.005, xxhash-derived): the
+    // distribution is preserved but replicas are distinct points, so
+    // the scaled corpus is k independent copies of the original's
+    // neighbor structure — a plain copy would plant k exact
+    // duplicates of every vector (candidate volume quadratic in k by
+    // construction, the same artifact the token suffix avoids)
+    val etarget = new java.io.File(s"$dir/embeddings.parquet")
+    if (!etarget.exists()) {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val replicas = (0 until k).map { r =>
+        if (r == 0) base
+        else base.select(
+          (col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(x + " +
+            s"(pmod(xxhash64(concat(vec_id, '_', i, '_', $r)), 1000) " +
+            "/ 1000.0 - 0.5) * 0.01 as float))").as("embedding"),
+          col("label"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode(SaveMode.Overwrite).parquet(etarget.toString)
+    }
+    dir
+  }
+
 }

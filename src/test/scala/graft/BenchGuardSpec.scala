@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench noise guard's pure pieces — the r11 lesson was a PROCESS
+  * bug (a contention-corrupted sweep committed as the round's number),
+  * so the guard's parsing and drift arithmetic get pinned here where
+  * they can't silently rot.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("parseHistoryQueries reads timings, skips plan hashes and top-level fields") {
+    val line = """{"ts":1,"metric":"total","value":94.48,"unit":"sec",""" +
+      """"probe":0.186,"queries":{"q01_agg":0.1234,"q181_x":4.89,"q59_props_map":-1},""" +
+      """"plans":{"q01_agg":"ab12cd34","q181_x":"ef56ab78"},"sf":"/x"}"""
+    val m = Bench.parseHistoryQueries(line)
+    assert(m === Map("q01_agg" -> 0.1234, "q181_x" -> 4.89,
+      "q59_props_map" -> -1.0))
+  }
+
+  test("historyDriftRatio: median common-total ratio; mid-sweep contention trips >1.2") {
+    val names = (1 to 40).map(i => f"q$i%02d_x")
+    def entry(scale: Double) = names.map(_ -> 0.5 * scale).toMap
+    val hist = Seq(entry(1.0), entry(0.98), entry(1.02))
+    // a clean sweep sits at ~1.0
+    val clean = Bench.historyDriftRatio(entry(1.01), hist)
+    assert(clean.exists(r => r > 0.95 && r < 1.10))
+    // the r11 shape: broad 3x slowdowns read straight through the total
+    val contended = Bench.historyDriftRatio(entry(3.0), hist)
+    assert(contended.exists(_ > 1.2))
+    // errored queries (-1) are excluded from both sides
+    val withErr = entry(1.0) + ("q01_x" -> -1.0)
+    assert(Bench.historyDriftRatio(withErr, hist).exists(r => r > 0.9 && r < 1.1))
+    // too few shared queries -> no verdict (never judge on a sliver)
+    val tiny = names.take(5).map(_ -> 0.5).toMap
+    assert(Bench.historyDriftRatio(tiny, hist).isEmpty)
+    assert(Bench.historyDriftRatio(entry(1.0), Seq.empty).isEmpty)
+  }
+}

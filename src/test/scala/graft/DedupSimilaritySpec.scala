@@ -630,6 +630,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.cellOccupancyDrift(spark, idx, e).head().getDouble(2) === 0.0)
   }
 
+  test("append racing a rebuild fails loudly with the replay remediation, never loses the batch") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-race").toString
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 400), idx)
+    val late = e.filter(col("vec_id") >= 400)
+    // the race, deterministically provoked: the append resolves its
+    // generation root, then a rebuild flips the active generation
+    // before the append's publish lands
+    val staleRoot = Similarity.activeIndexRoot(spark, idx)
+    Similarity.rebuildIvfPqIndex(e.filter(col("vec_id") < 400), idx,
+      generation = 1L)
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendAtRoot(late, idx, staleRoot, batchId = 5L)
+    }
+    assert(ex.getMessage.contains("concurrent rebuild"))
+    assert(ex.getMessage.contains("Re-run the append"))
+    // the remediation works: the same-args replay encodes under the NEW
+    // active generation (whose codes manifest has no record of batch 5)
+    Similarity.appendToIvfPqIndex(late, idx, batchId = 5L)
+    val served = Similarity.indexedVecIds(spark, idx)
+      .filter(col("vec_id") >= 400).count()
+    assert(served === late.count())
+  }
+
   test("two-stage refine: exact re-rank returns exact distances over the ADC candidates") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref").toString
     Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)

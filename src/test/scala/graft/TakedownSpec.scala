@@ -316,6 +316,65 @@ class TakedownSpec extends SparkSpec {
     assert(exportState() === expected2)
   }
 
+  test("auditDocsAt pins one batch boundary: stable mid-walk where the latest audit is mixed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-auditat").toString
+    val docs = mkDocs
+    val deleted = Seq(2L, 5L)
+    val toks = cheapToks(docs)
+    val corpus = s"$base/corpus"
+    EventStreams.mergeBatchIntoTable(docs.withColumn("__v", lit(0L)),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L)
+    val seqs = s"$base/seqs"
+    Packing.materializeShardIncremental(toks, seqs, seqLen = 16, sepId = 99,
+      batchId = 0L)
+    val rag = s"$base/rag"
+    Rag.indexShard(docs, rag, window = 8, stride = 4, dim = 16, nPlanes = 4,
+      batchId = 0L)
+    val idx = s"$base/idx"
+    Similarity.buildIvfPqIndex(
+      sources.Tables.embeddings(spark, "/root/testdata/sf0.001"), idx)
+    // the crash injection (flat legacy table): the walk completes
+    // sequences + corpus, fails on flat, never reaches rag/ivfpq
+    val flat = s"$base/flat"
+    docs.select(col("doc_id"), col("lang")).coalesce(1)
+      .write.mode("append").parquet(flat)
+    val ledgerDir = s"$base/ledger"
+    def request(): Unit = Takedown.deleteDocs(spark, deleted, batchId = 10L,
+      ledgerDir = ledgerDir,
+      sequences = Some((toks, seqs, 16, 99)),
+      keyedTables = Seq((corpus, "doc_id", 4), (flat, "doc_id", 4)),
+      ragIndex = Some(rag), ivfPqIndex = Some(idx))
+    def auditAt(pin: Long) = Takedown.auditDocsAt(spark, deleted, pin,
+      sequenceTable = Some(seqs), keyedTables = Seq((corpus, "doc_id")),
+      ragIndex = Some(rag), ivfPqIndex = Some(idx))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def auditLatest() = Takedown.auditDocs(spark, deleted,
+      sequenceTable = Some(seqs), keyedTables = Seq((corpus, "doc_id")),
+      ragIndex = Some(rag), ivfPqIndex = Some(idx))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val preAt = auditAt(10L)
+    assert(preAt("sequences-seqs") > 0 && preAt("table-corpus") > 0 &&
+      preAt("rag-rag") > 0 && preAt("ivfpq-idx") > 0)
+    intercept[IllegalArgumentException] { request() } // crash mid-walk
+    // the LATEST audit is now MIXED — it neither confirms nor denies
+    val mid = auditLatest()
+    assert(mid("sequences-seqs") === 0L && mid("table-corpus") === 0L)
+    assert(mid("rag-rag") > 0L && mid("ivfpq-idx") > 0L)
+    // the PINNED audit is stable through the walk: identical to before
+    assert(auditAt(10L) === preAt)
+    // repair + replay to completion (the documented migration)
+    EventStreams.mergeBatchIntoTable(
+      docs.select(col("doc_id"), col("lang")).limit(0),
+      flat, Seq("doc_id"), "doc_id", nBuckets = 4, batchId = 0L)
+    request()
+    // post-walk: the pre pin STILL reads the pre-request world; a pin
+    // past the request's id window reads the post-request world
+    assert(auditAt(10L) === preAt)
+    val post = auditAt(12L)
+    assert(post.values.forall(_ === 0L), s"dangling at pin 12: $post")
+    assert(auditLatest().values.forall(_ === 0L))
+  }
+
   test("auditDocs audits a legacy sequence state that pre-dates carry_spans") {
     val base = java.nio.file.Files.createTempDirectory("graft-legacyaudit").toString
     val seqs = s"$base/seqs"
