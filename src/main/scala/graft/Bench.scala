@@ -59,8 +59,12 @@ object Bench {
     times.sorted.apply(2)
   }
 
-  /** Last recorded probe value in the history file, if any. */
-  private def lastHistoryProbe(histPath: String): Option[Double] =
+  /** Last recorded probe value in the history file, if any —
+    * same-sf-dir lines only (the probe is data-independent but scales
+    * with the configured core count, and sf is the recorded proxy for
+    * a run's configuration).
+    */
+  private def lastHistoryProbe(histPath: String, sfDir: String): Option[Double] =
     try {
       val p = java.nio.file.Paths.get(histPath)
       if (!java.nio.file.Files.exists(p)) None
@@ -68,6 +72,7 @@ object Bench {
         val re = """"probe":([0-9.]+)""".r
         scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala
+          .filter(_.contains(s""""sf":"$sfDir""""))
           .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
           .lastOption
       }
@@ -86,13 +91,18 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** The last up-to-`n` history entries' per-query timing maps. */
-  private def lastHistoryEntries(histPath: String, n: Int): Seq[Map[String, Double]] =
+  /** The last up-to-`n` history entries' per-query timing maps,
+    * restricted to runs at the SAME sf dir — a local sf0.01 iteration
+    * line must not poison the sf0.1 close's drift baseline.
+    */
+  private def lastHistoryEntries(histPath: String, n: Int,
+                                 sfDir: String): Seq[Map[String, Double]] =
     try {
       val p = java.nio.file.Paths.get(histPath)
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(_.contains(s""""sf":"$sfDir""""))
         .map(parseHistoryQueries).filter(_.nonEmpty).takeRight(n)
     } catch { case _: Throwable => Seq.empty }
 
@@ -239,8 +249,8 @@ object Bench {
     // same point in every run's lifecycle, so history comparisons are
     // like-with-like even when the guard triggers a second sweep
     val probe = hostProbe(spark)
-    val prevProbe = lastHistoryProbe(histPath)
-    val histEntries = lastHistoryEntries(histPath, 5)
+    val prevProbe = lastHistoryProbe(histPath, sfDir)
+    val histEntries = lastHistoryEntries(histPath, 5, sfDir)
     var results = sweep()
     var probePost = hostProbe(spark)
     var resweeps = 0

@@ -750,13 +750,16 @@ object Packing {
           .filter(col("seq_id") >= fromSeq)
           .select(col("seq_id"), col("doc_id")),
         Seq("seq_id", "doc_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
+      // retain = 3: the pair spans manifests (pre, delete, merge) —
+      // keeping all three leaves the PRE-re-export provenance snapshot
+      // readable for a batch-pinned audit (Takedown.auditDocsAt)
       EventStreams.mergeBatchIntoTable(
         refreshed.select(col("shard_id"), col("seq_id"),
             explode(col("doc_spans")).as("sp"))
           .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
             col("sp.start").as("start"), col("sp.len").as("len")),
         provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = nBuckets,
-        batchId = batchId + 1, retain = 2)
+        batchId = batchId + 1, retain = 3)
     }
     // re-stage ONLY the touched shard dirs from the updated table, then
     // swap each by rename; a touched shard whose sequences all vanished
@@ -889,13 +892,15 @@ object Packing {
         changed.select(col("seq_id"), explode(col("doc_spans")).as("sp"))
           .select(col("seq_id"), col("sp.doc_id").as("doc_id")),
         Seq("seq_id", "doc_id"), nBuckets = nBuckets, batchId = batchId, retain = 2)
+      // retain = 3: the reexportShards convention — keep the pre-fold
+      // provenance snapshot readable for batch-pinned audits
       EventStreams.mergeBatchIntoTable(
         changed.select(col("new_shard").as("shard_id"), col("seq_id"),
             explode(col("doc_spans")).as("sp"))
           .select(col("shard_id"), col("seq_id"), col("sp.doc_id").as("doc_id"),
             col("sp.start").as("start"), col("sp.len").as("len")),
         provDir, Seq("seq_id", "doc_id"), "seq_id", nBuckets = nBuckets,
-        batchId = batchId + 1, retain = 2)
+        batchId = batchId + 1, retain = 3)
     }
     // re-stage ONLY the touched shard dirs from the updated table, then
     // swap each by rename; an old shard emptied by the fold ends as a
