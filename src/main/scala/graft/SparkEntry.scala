@@ -5485,6 +5485,181 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val pinStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the retention-pin lineages q190 decides its verdicts over:
+    * three identical upsert-table lifecycles (pinned; unpinned twin;
+    * pinned-then-released-and-vacuumed), a pinned vs unpinned index
+    * generation pair, and a pinned vs unpinned codes pair — each
+    * aftermath running retain=1 commits that sweep everything a pin
+    * does not hold. Only operation OUTPUTS commit here (the pre-pin
+    * snapshot expectations); every verdict is decided in-query from
+    * the committed tables, ledgers, and filesystem state (the debt-5
+    * convention).
+    */
+  private def ensureRetentionPins(spark: SparkSession, dir: String): String =
+    pinStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-retention-pins").toString
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
+      def lineage(t: String, pin: Boolean, snapTo: Option[String] = None): Unit = {
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.withColumn("__v", lit(0L)), t, Seq("doc_id"), "__v",
+          nBuckets = 4, batchId = 0L)
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.filter(col("doc_id") < 6)
+            .withColumn("text", upper(col("text"))).withColumn("__v", lit(1L)),
+          t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L)
+        if (pin) streaming.EventStreams.pinBatch(spark, t, "audit", 1L)
+        // the pin-time snapshot expectation (an operation output, not
+        // a verdict) commits BEFORE the retention-consuming aftermath —
+        // the in-query comparison must not read through the very pin
+        // it verifies
+        snapTo.foreach(s => streaming.EventStreams
+          .readUpsertTable(spark, t).write.mode("overwrite").parquet(s))
+        streaming.EventStreams.deleteFromTable(spark, t,
+          Seq(2L, 3L).toDF("doc_id"), Seq("doc_id"), 4, batchId = 2L,
+          retain = 1)
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.filter(col("doc_id").isin(4L, 5L))
+            .withColumn("__v", lit(3L)),
+          t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 3L, retain = 1)
+      }
+      lineage(s"$base/t", pin = true, snapTo = Some(s"$base/snap_b1"))
+      streaming.EventStreams.compactManifests(spark, s"$base/t", keepLast = 1)
+      lineage(s"$base/u", pin = false)
+      lineage(s"$base/v", pin = true)
+      streaming.EventStreams.unpinBatch(spark, s"$base/v", "audit")
+      streaming.EventStreams.vacuumUpsertTable(spark, s"$base/v", retain = 1)
+      // generation pair: gen 1 trains on a biased slice (observably
+      // different artifacts), then retain=1 rebuilds retire everything
+      // a pin does not hold in the ledger
+      val e = Tables.embeddings(spark, dir)
+      def genLineage(d: String, pin: Boolean): Unit = {
+        operators.Similarity.buildIvfPqIndex(e, d, nlist = 2, m = 8,
+          codebookSize = 2, dim = 64)
+        operators.Similarity.rebuildIvfPqIndex(
+          e.filter(col("vec_id") % 2 === 0), d, generation = 1L, nlist = 2,
+          m = 8, codebookSize = 2, dim = 64, retain = 1)
+        if (pin) operators.Similarity.pinGeneration(spark, d, "hold", 1L)
+        operators.Similarity.rebuildIvfPqIndex(e, d, generation = 2L,
+          nlist = 2, m = 8, codebookSize = 2, dim = 64, retain = 1)
+        operators.Similarity.rebuildIvfPqIndex(
+          e.filter(col("vec_id") % 3 === 0), d, generation = 3L, nlist = 2,
+          m = 8, codebookSize = 2, dim = 64, retain = 1)
+      }
+      genLineage(s"$base/gidx", pin = true)
+      genLineage(s"$base/gidx2", pin = false)
+      // codes pair: the delete consolidates every live dir; retain=1
+      // sweeps the pre-delete dirs unless the codes pin holds them
+      def codesLineage(d: String, pin: Boolean,
+                       snapTo: Option[String] = None): Unit = {
+        operators.Similarity.buildIvfPqIndex(
+          e.filter(col("vec_id") % 2 === 0), d, nlist = 2, m = 8,
+          codebookSize = 2, dim = 64)
+        operators.Similarity.appendToIvfPqIndex(
+          e.filter(col("vec_id") % 2 =!= 0), d, batchId = 1L)
+        if (pin) operators.Similarity.pinCodes(spark, d, "audit", 2L)
+        // expectation commits pre-delete (the snapTo convention above)
+        snapTo.foreach(s => operators.Similarity
+          .indexedVecIdsBefore(spark, d, 2L)
+          .write.mode("overwrite").parquet(s))
+        operators.Similarity.deleteFromIvfPqIndex(spark, d, Seq(0L, 1L),
+          batchId = 2L, retain = 1)
+      }
+      codesLineage(s"$base/cidx", pin = true,
+        snapTo = Some(s"$base/codes_pre"))
+      codesLineage(s"$base/cidx2", pin = false)
+      base
+    })
+
+  /** RETENTION PINS ([[streaming.EventStreams.pinBatch]] /
+    * [[operators.Similarity.pinGeneration]]/[[operators.Similarity.pinCodes]]
+    * + [[streaming.EventStreams.vacuumUpsertTable]]): durable named
+    * holds on committed snapshots — the audit-window contract upgraded
+    * from a rolling `retain` window later commits consume to a
+    * boundary held until released ([[operators.Takedown.pinForAudit]]).
+    * Verdict rows, one per property, each decided in-query against
+    * committed state: the pinned snapshot reads back exactly through
+    * retain=1 sweeps AND a keepLast=1 manifest compaction; the
+    * unpinned twin's identical lineage is swept (the pin is causal);
+    * both latest snapshots are untouched; release + vacuum reclaims
+    * the held files (time travel gone, fewer data files than the
+    * still-pinned table, latest intact); the pinned index generation
+    * stays in the committed ledger through retain=1 rebuilds while the
+    * unpinned generations retire; the pinned codes snapshot still
+    * serves the batch-pinned audit read after a retain=1 takedown
+    * sweep that reclaims the unpinned twin's.
+    */
+  def q190RetentionPins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureRetentionPins(spark, dir)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    def fails(f: => Unit): Boolean =
+      try { f; false } catch { case _: Exception => true }
+    def parquetCount(d: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(p =>
+          p.toString.endsWith(".parquet") && !p.toString.contains("_manifests"))
+      } finally st.close()
+    }
+    val snap = spark.read.parquet(s"$base/snap_b1")
+    val pinnedTT = streaming.EventStreams
+      .readUpsertTableAt(spark, s"$base/t", 1L)
+    val ttExact = eq(pinnedTT, snap) && snap.count() > 0
+    // manifest chain after keepLast=1 compaction: exactly the pin's
+    // resolving manifest and the latest survive
+    val manifestIds = new java.io.File(s"$base/t/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(_.getName.takeWhile(_ != '.').toLong).sorted.toSeq
+    val compactionKept = manifestIds == Seq(1L, 3L) &&
+      streaming.EventStreams.listPins(spark, s"$base/t") == Map("audit" -> 1L)
+    val twinSwept = fails(
+      streaming.EventStreams.readUpsertTableAt(spark, s"$base/u", 1L).count())
+    val latestUnaffected = eq(
+      streaming.EventStreams.readUpsertTable(spark, s"$base/t"),
+      streaming.EventStreams.readUpsertTable(spark, s"$base/u"))
+    val vacuumed = fails(
+        streaming.EventStreams.readUpsertTableAt(spark, s"$base/v", 1L).count()) &&
+      eq(streaming.EventStreams.readUpsertTable(spark, s"$base/v"),
+        streaming.EventStreams.readUpsertTable(spark, s"$base/t")) &&
+      streaming.EventStreams.listPins(spark, s"$base/v").isEmpty &&
+      parquetCount(s"$base/v") < parquetCount(s"$base/t")
+    // the generation verdicts read the COMMITTED ledger, not build-time
+    // state: pinned ledger retains gen 1 + the active gen 3 and retired
+    // gen 2; the unpinned twin retains gen 3 alone and gen 1 is gone
+    def latestDirs(d: String): Set[String] = {
+      val rows = operators.Similarity.generationLedger(spark, d)
+        .orderBy(col("seq").desc).head()
+      rows.getSeq[String](2).toSet
+    }
+    val genPinned = latestDirs(s"$base/gidx") == Set("gen=1", "gen=3") &&
+      new java.io.File(s"$base/gidx/gen=1").exists() &&
+      !new java.io.File(s"$base/gidx/gen=2").exists() &&
+      latestDirs(s"$base/gidx2") == Set("gen=3") &&
+      !new java.io.File(s"$base/gidx2/gen=1").exists()
+    val codesPre = spark.read.parquet(s"$base/codes_pre")
+    val codesPinned = eq(
+        operators.Similarity.indexedVecIdsBefore(spark, s"$base/cidx", 2L),
+        codesPre) && codesPre.count() > 0 &&
+      fails(operators.Similarity
+        .indexedVecIdsBefore(spark, s"$base/cidx2", 2L).count())
+    Seq(
+      ("pinned_time_travel_exact", ttExact),
+      ("pin_survives_manifest_compaction", compactionKept),
+      ("unpinned_twin_swept", twinSwept),
+      ("latest_snapshots_unaffected", latestUnaffected),
+      ("vacuum_reclaims_after_release", vacuumed),
+      ("pinned_generation_retained", genPinned),
+      ("codes_pin_holds_audit_read", codesPinned))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5672,6 +5847,7 @@ object SparkEntry {
     "q186_selective_reexport" -> (q186SelectiveReexport _),
     "q187_drift_loop" -> (q187DriftLoop _),
     "q188_shard_rebalance" -> (q188ShardRebalance _),
+    "q190_retention_pins" -> (q190RetentionPins _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6970,6 +7146,16 @@ object SparkEntry {
         |  ('non_final_shards_full'), ('streaming_order_preserved'),
         |  ('untouched_prefix_identical'), ('export_matches_table'),
         |  ('prov_matches_table'), ('second_rebalance_noop')) t(c)""".stripMargin,
+    // pin/sweep/compaction/vacuum facts are decided in-engine
+    // (exceptAll vs pre-aftermath snapshots, committed ledger reads,
+    // FS state over committed lineages); the oracle pins the verdicts
+    "q190_retention_pins" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('pinned_time_travel_exact'),
+        |  ('pin_survives_manifest_compaction'), ('unpinned_twin_swept'),
+        |  ('latest_snapshots_unaffected'), ('vacuum_reclaims_after_release'),
+        |  ('pinned_generation_retained'),
+        |  ('codes_pin_holds_audit_read')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -1058,16 +1058,22 @@ object Similarity {
   }
 
   /** Delete batch dirs referenced by NONE of the newest `retain`
-    * manifests (plus stale inflight stages). Runs only after a commit;
-    * re-running is always safe (it re-derives the retained set).
+    * manifests (plus stale inflight stages). A PINNED codes snapshot's
+    * resolving manifest ([[pinCodes]]: last committed strictly below
+    * the pinned batch) keeps its dirs regardless of `retain`. Runs only
+    * after a commit; re-running is always safe (it re-derives the
+    * retained set).
     */
   private def sweepUnreferencedCodes(fs: org.apache.hadoop.fs.FileSystem,
                                      root: org.apache.hadoop.fs.Path,
                                      retain: Int): Unit = {
     val manifests = codesManifestList(fs, root)
     if (manifests.isEmpty) return
-    val keep = manifests.takeRight(retain)
-      .flatMap(readCodesManifest(fs, _)._3).toSet
+    val parsed = manifests.map(readCodesManifest(fs, _))
+    val pinnedDirs = readCodesPins(fs, root).values.toSeq.distinct
+      .flatMap(b => parsed.filter(_._2 < b).lastOption.toSeq.flatMap(_._3))
+    val keep = (manifests.takeRight(retain)
+      .flatMap(readCodesManifest(fs, _)._3) ++ pinnedDirs).toSet
     discoverBatchDirs(fs, root).filterNot(keep)
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
     fs.listStatus(root)
@@ -1174,11 +1180,15 @@ object Similarity {
       case None => Seq(".")
     }
     // the ledger names the RETAINED generations only (newest `retain`
-    // by id) — an unbounded dirs list would defeat the sweep; dropping
-    // "." from the ledger retires legacy generation 0 from reads but
-    // never deletes the flat root (see [[sweepUnreferencedGens]])
-    val dirs = (live :+ dest.getName).distinct
-      .sortBy(genIdOf).takeRight(retain)
+    // by id, plus every PINNED generation — pins must stay in the
+    // ledger or queryIvfPqIndexAt/rollback lose them) — an unbounded
+    // dirs list would defeat the sweep; dropping "." from the ledger
+    // retires legacy generation 0 from reads but never deletes the
+    // flat root (see [[sweepUnreferencedGens]])
+    val all = (live :+ dest.getName).distinct
+    val pinnedGens = readGenPins(fs, root).values.toSet
+    val dirs = (all.filter(d => pinnedGens.contains(genIdOf(d))) ++
+      all.sortBy(genIdOf).takeRight(retain)).distinct.sortBy(genIdOf)
     publishGenManifest(fs, root, current.map(_._1 + 1).getOrElse(0L),
       generation, dirs)
     sweepUnreferencedGens(fs, root, retain)
@@ -1312,6 +1322,220 @@ object Similarity {
       .toDF("seq", "active", "dirs")
   }
 
+  // --------------------------------------------------------------------
+  // Index PINS: durable retention holds (the EventStreams.pinBatch
+  // contract applied to the ANN family's two retention layers)
+  // --------------------------------------------------------------------
+
+  private def genPinsDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(genManifestDir(root), "_pins")
+
+  private def codesPinsDir(codesRoot: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(codesManifestDir(codesRoot), "_pins")
+
+  private val pinLabelRe = "^[A-Za-z0-9._-]{1,64}$".r
+
+  /** PIN a generation: rebuild/rollback dirs-bounding and the
+    * generation sweep keep it — and keep it IN THE LEDGER, so
+    * [[queryIvfPqIndexAt]] and [[rollbackIvfPqIndex]] stay valid on it —
+    * until [[unpinGeneration]], regardless of the maintenance calls'
+    * `retain`. The durable form of the rebuild story's audit window:
+    * `retain = N` is a rolling hold the next N rebuilds consume; a pin
+    * holds one named generation. Must be taken while the generation is
+    * still retained (pinning a swept generation is unrecoverable — fail
+    * fast); token commits tmp + rename; same-label re-pin at the same
+    * generation no-ops, at a different one fails loudly (unpin first).
+    */
+  def pinGeneration(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, label: String, generation: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(pinLabelRe.findFirstIn(label).isDefined,
+      s"pin label '$label' must match ${pinLabelRe.regex}")
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, _, dirs) = latestGenManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no generation ledger; a pre-generation index is " +
+          "one frozen root (never swept) — nothing to pin"))
+    require(dirs.exists(d => genIdOf(d) == generation),
+      s"generation $generation of $indexDir is not retained " +
+        s"(live: ${dirs.map(genIdOf).sorted.mkString(", ")}); only a " +
+        "still-retained generation can be pinned")
+    readGenPins(fs, root).get(label) match {
+      case Some(g) if g == generation => return // replay
+      case Some(g) => throw new IllegalStateException(
+        s"pin '$label' on $indexDir already holds generation $g; " +
+          s"unpinGeneration it before re-pinning at $generation")
+      case None =>
+    }
+    writePinToken(fs, genPinsDir(root), label, "generation", generation)
+  }
+
+  /** Release a generation pin; the NEXT maintenance commit's
+    * dirs-bounding drops it from the ledger and the sweep reclaims it
+    * (once outside the rolling `retain` window). Returns whether the
+    * pin existed.
+    */
+  def unpinGeneration(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, label: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(genPinsDir(root), s"$label.pin"), false)
+  }
+
+  /** The committed generation pins: label -> generation id. */
+  def listGenerationPins(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readGenPins(fs, root)
+  }
+
+  /** PIN the ACTIVE generation's codes snapshot strictly below
+    * `batchId` — exactly what [[indexedVecIdsBefore]] resolves — so
+    * later [[deleteFromIvfPqIndex]]/[[compactIvfPqIndex]] sweeps
+    * (whatever their `retain`) keep the pinned audit readable. Returns
+    * the resolving codes manifest's seq, or -1 for a pre-manifest
+    * (frozen) index where no sweep can ever run. Fails fast when
+    * manifests exist but none pre-dates the pin (the
+    * [[indexedVecIdsBefore]] contract).
+    */
+  def pinCodes(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+               label: String, batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    require(pinLabelRe.findFirstIn(label).isDefined,
+      s"pin label '$label' must match ${pinLabelRe.regex}")
+    val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = codesManifestList(fs, codesRoot).map(readCodesManifest(fs, _))
+    if (manifests.isEmpty) return -1L // frozen pre-manifest index
+    val resolving = manifests.filter(_._2 < batchId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$indexDir has no codes commit before batch $batchId; " +
+          "nothing to pin"))
+    readCodesPins(fs, codesRoot).get(label) match {
+      case Some(b) if b == batchId => return resolving._1 // replay
+      case Some(b) => throw new IllegalStateException(
+        s"codes pin '$label' on $indexDir already holds batch $b; " +
+          s"unpinCodes it before re-pinning at $batchId")
+      case None =>
+    }
+    writePinToken(fs, codesPinsDir(codesRoot), label, "batchId", batchId)
+    resolving._1
+  }
+
+  /** Release a codes pin ON THE ACTIVE GENERATION. Returns whether the
+    * pin existed. A pin taken on a generation that has since been
+    * retired needs no release: a retired generation receives no
+    * maintenance commits, so nothing ever sweeps inside it.
+    */
+  def unpinCodes(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 label: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(codesPinsDir(codesRoot), s"$label.pin"), false)
+  }
+
+  /** One-call audit hold on the composed index ([[Takedown.auditDocsAt]]
+    * durability): pin the ACTIVE generation (so a rebuild's retention
+    * cannot retire the artifacts the audit reads) and its codes
+    * snapshot strictly below `batchId` (so delete/compact sweeps keep
+    * the pre-pin batch dirs). A pre-generation flat index skips the
+    * generation half (the flat root is never swept by design).
+    */
+  def pinIndexForAudit(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, label: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestGenManifest(fs, root).foreach { case (_, active, _) =>
+      pinGeneration(spark, indexDir, label, active)
+    }
+    pinCodes(spark, indexDir, label, batchId)
+    ()
+  }
+
+  /** Release both halves of [[pinIndexForAudit]]. The codes half must
+    * release BEFORE the generation half: unpinCodes resolves through
+    * the active root, and dropping the generation pin first could let
+    * a concurrent rebuild retire the generation the codes pin lives in.
+    */
+  def unpinIndexForAudit(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, label: String): Unit = {
+    unpinCodes(spark, indexDir, label)
+    unpinGeneration(spark, indexDir, label)
+    ()
+  }
+
+  /** EXPLICIT retention sweep for the composed index — the
+    * EventStreams.vacuumUpsertTable analog: inline sweeps ride
+    * maintenance commits (rebuild/append/delete/compact), so an index
+    * that stopped receiving them holds whatever its released pins were
+    * protecting forever. Re-runs both sweeps against the COMMITTED
+    * ledgers (generation dirs at the index root, codes batch dirs of
+    * the active generation) honoring the pins still held; re-running
+    * is always safe (the retained sets re-derive from the manifests).
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepUnreferencedGens(fs, root, retain)
+    val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
+    sweepUnreferencedCodes(fs, codesRoot, retain)
+  }
+
+  /** Tmp + rename pin token (the manifest commit convention — no torn
+    * token can exist). Body is writer-owned single-key JSON.
+    */
+  private def writePinToken(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path, label: String,
+                            key: String, value: Long): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$label.pin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"$key":$value}""".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"$label.pin")))
+      throw new IllegalStateException(
+        s"failed to commit pin '$label' under $dir — concurrent pinner " +
+          "with the same label?")
+  }
+
+  /** Parse pin tokens under `dir` for `key`. Unparseable tokens fail
+    * LOUDLY (refusing to sweep beats sweeping a held snapshot); the
+    * error names the file and the recovery.
+    */
+  private def readPinTokens(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path,
+                            key: String): Map[String, Long] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val v = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"unparseable pin token ${s.getPath} (pins commit via " +
+              "tmp+rename, so this is external corruption); restore it " +
+              s"from '{\"$key\":<id>}' or delete it ONLY if the hold is " +
+              "no longer needed")).group(1).toLong
+        s.getPath.getName.stripSuffix(".pin") -> v
+      }.toMap
+
+  private def readGenPins(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Map[String, Long] =
+    readPinTokens(fs, genPinsDir(root), "generation")
+
+  private def readCodesPins(fs: org.apache.hadoop.fs.FileSystem,
+                            codesRoot: org.apache.hadoop.fs.Path): Map[String, Long] =
+    readPinTokens(fs, codesPinsDir(codesRoot), "batchId")
+
   /** The committed vector ids of the ACTIVE generation (distinct
     * vec_id column, never collected) — the semi-join side a rebuild
     * trains against, and the id universe a cross-artifact audit checks.
@@ -1437,7 +1661,11 @@ object Similarity {
   }
 
   /** Delete `gen=<g>` dirs referenced by NONE of the newest `retain`
-    * generation manifests (plus stale inflight stages). The adopted
+    * generation manifests (plus stale inflight stages). PINNED
+    * generations ([[pinGeneration]]) are kept regardless — defense in
+    * depth: the publishers already keep pins in the ledger's dirs, so
+    * a pinned dir is normally still manifest-referenced, but a pin
+    * taken between a publish and its sweep must hold too. The adopted
     * flat root (".") is NEVER swept — its artifacts live at the index
     * root itself, and automatic deletion there is not worth the blast
     * radius ([[retireLegacyIndexRoot]] is the explicit call).
@@ -1447,8 +1675,9 @@ object Similarity {
                                     retain: Int): Unit = {
     val manifests = genManifestList(fs, root)
     if (manifests.isEmpty) return
-    val keep = manifests.takeRight(retain)
-      .flatMap(readGenManifest(fs, _)._3).toSet
+    val keep = (manifests.takeRight(retain)
+      .flatMap(readGenManifest(fs, _)._3) ++
+      readGenPins(fs, root).values.map(g => s"gen=$g")).toSet
     if (!fs.exists(root)) return
     fs.listStatus(root)
       .filter(s => s.isDirectory &&

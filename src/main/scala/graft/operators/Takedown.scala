@@ -303,9 +303,20 @@ object Takedown {
     *
     * Retention contract: the pin must sit within every artifact's
     * retention window. [[deleteDocs]] retains the pre-request snapshot
-    * on each primitive (retain = 2) precisely so both pins above stay
+    * on each primitive (retain = 2; the sequence/export pairs retain
+    * their full manifest span) precisely so both pins above stay
     * readable through and after the walk; an artifact with no commit
-    * below the pin fails fast rather than guessing.
+    * below the pin fails fast rather than guessing. One documented
+    * limit: a request composing export remediation AND the fold
+    * consumes up to four manifests on the shard map and provenance
+    * (delete/merge twice) — the pre-REQUEST pin over those two tables
+    * is only guaranteed for touched buckets through the re-export
+    * pair, not past the fold (untouched buckets' files persist across
+    * manifests regardless). Audit exported files pre-request BEFORE
+    * scheduling a fold, pin post-request (`batchId + 4`, always
+    * readable) — or take DURABLE pins with [[pinForAudit]], which
+    * holds every artifact's resolving snapshot against any number of
+    * later commits until [[releaseAudit]].
     */
   def auditDocsAt(spark: SparkSession, docIds: Seq[Long], asOfBatch: Long,
                   sequenceTable: Option[String] = None,
@@ -322,6 +333,71 @@ object Takedown {
           s"$dir has no committed snapshot before batch $asOfBatch " +
             "(the pinned audit needs a snapshot below its pin)")),
       vecIdsRead = dir => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch))
+
+  /** DURABLE hold for a pinned audit — the retention-contract upgrade:
+    * [[auditDocsAt]]'s pin is readable only while every artifact's
+    * ROLLING `retain` window still covers it, and the scaladoc above
+    * documents the composition that consumes it (export remediation +
+    * fold = four manifests on the shard map and provenance). This call
+    * replaces that bookkeeping with named pins: every artifact the
+    * audit will read gets a retention pin at the snapshot
+    * `auditDocsAt(asOfBatch)` resolves (strictly below `asOfBatch` —
+    * upsert tables pin `asOfBatch - 1`, the index pins its codes
+    * manifest below the boundary plus the ACTIVE generation), and
+    * every later sweep — whatever its `retain`, however many commit
+    * pairs the request composes — keeps those snapshots until
+    * [[releaseAudit]]. Take the pins BEFORE scheduling the request,
+    * audit at leisure (days later, racing nothing), release, and the
+    * next sweep reclaims the storage.
+    *
+    * Returns (artifact label -> resolved pin id) — the same labels
+    * [[auditDocs]] reports, so a verdict can join them. Fails fast on
+    * an artifact with no snapshot below the boundary (nothing to
+    * audit there — the [[auditDocsAt]] contract).
+    */
+  def pinForAudit(spark: SparkSession, label: String, asOfBatch: Long,
+                  sequenceTable: Option[String] = None,
+                  keyedTables: Seq[String] = Seq.empty,
+                  ragIndex: Option[String] = None,
+                  ivfPqIndex: Option[String] = None,
+                  exportProv: Option[String] = None): Map[String, Long] = {
+    import graft.streaming.EventStreams
+    def pinTable(dir: String) = EventStreams.pinBatch(spark, dir, label, asOfBatch - 1)
+    val seqPins = sequenceTable.toSeq.flatMap { dir =>
+      val state = s"$dir/_tokstate"
+      Seq(s"sequences-${baseName(dir)}" -> pinTable(dir)) ++
+        (if (dirExists(spark, state))
+          Seq(s"sequences-state-${baseName(dir)}" -> pinTable(state))
+        else Seq.empty)
+    }
+    val tablePins = keyedTables.map(dir => s"table-${baseName(dir)}" -> pinTable(dir))
+    val ragPins = ragIndex.toSeq.map(dir => s"rag-${baseName(dir)}" -> pinTable(dir))
+    val provPins = exportProv.toSeq.map(dir => s"export-${baseName(dir)}" -> pinTable(dir))
+    val indexPins = ivfPqIndex.toSeq.map { dir =>
+      Similarity.pinIndexForAudit(spark, dir, label, asOfBatch)
+      s"ivfpq-${baseName(dir)}" -> asOfBatch
+    }
+    (seqPins ++ tablePins ++ ragPins ++ provPins ++ indexPins).toMap
+  }
+
+  /** Release every pin [[pinForAudit]] took under `label`; the next
+    * sweep on each artifact (or an explicit
+    * EventStreams.vacuumUpsertTable) reclaims the held storage.
+    * Idempotent — releasing an absent pin is a no-op.
+    */
+  def releaseAudit(spark: SparkSession, label: String,
+                   sequenceTable: Option[String] = None,
+                   keyedTables: Seq[String] = Seq.empty,
+                   ragIndex: Option[String] = None,
+                   ivfPqIndex: Option[String] = None,
+                   exportProv: Option[String] = None): Unit = {
+    import graft.streaming.EventStreams
+    val tables = sequenceTable.toSeq.flatMap(dir =>
+        Seq(dir, s"$dir/_tokstate").filter(d => dirExists(spark, d))) ++
+      keyedTables ++ ragIndex.toSeq ++ exportProv.toSeq
+    tables.foreach(dir => EventStreams.unpinBatch(spark, dir, label))
+    ivfPqIndex.foreach(dir => Similarity.unpinIndexForAudit(spark, dir, label))
+  }
 
   private def auditWith(spark: SparkSession, docIds: Seq[Long],
                         sequenceTable: Option[String],

@@ -778,7 +778,9 @@ object EventStreams {
     * micro-batch forever and every read pays an O(batches) listing; at
     * one batch a minute that is half a million objects a year.
     * Call periodically, or let the sinks do it via their
-    * `compactEvery` parameter. Returns the number of pruned manifests.
+    * `compactEvery` parameter. A PINNED snapshot's resolving manifest
+    * is never pruned (time travel to the pin needs the manifest, not
+    * just its files). Returns the number of pruned manifests.
     */
   def compactManifests(spark: SparkSession, tableDir: String, keepLast: Int): Int = {
     import org.apache.hadoop.fs.Path
@@ -786,34 +788,191 @@ object EventStreams {
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = manifestList(fs, table)
-    val prune = all.dropRight(keepLast)
+    val pinned = pinnedManifests(fs, table).toSet
+    val prune = all.dropRight(keepLast).filterNot(pinned)
     prune.foreach(p => fs.delete(p, false))
     prune.size
   }
 
+  // --------------------------------------------------------------------
+  // Batch PINS: durable retention holds for audits
+  // --------------------------------------------------------------------
+
+  private def pinsDir(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_pins")
+
+  /** Pin labels become filenames: portable charset only (Hadoop Path
+    * rejects ':', and a '/' would escape the pins dir).
+    */
+  private val pinLabelRe = "^[A-Za-z0-9._-]{1,64}$".r
+
+  /** PIN a committed snapshot: every retention sweep and manifest
+    * compaction from now on must keep the snapshot
+    * [[readUpsertTableAt]] resolves for `batchId` — its manifest AND
+    * its data files — regardless of the `retain` the sweeping writer
+    * passes. This is the durable form of the audit-window contract:
+    * `retain = N` holds a ROLLING window that later operations consume
+    * (the [[graft.operators.Takedown.auditDocsAt]] four-manifest
+    * composition limit), while a pin holds ONE boundary until
+    * explicitly [[unpinBatch]]ned — take it before scheduling the
+    * request, audit at leisure, release, and the next sweep (or an
+    * explicit [[vacuumUpsertTable]]) reclaims the storage.
+    *
+    * The token is `_pins/<label>.pin`, committed tmp + rename (the
+    * manifest convention — no torn token can exist). Pinning a batch
+    * with no committed snapshot at or below it fails fast (there is
+    * nothing to hold); re-pinning the same label at the same batch
+    * no-ops, at a different batch fails loudly (unpin first — silently
+    * moving a hold someone else relies on is the bug this layer
+    * exists to prevent). Returns the resolved manifest's batchId.
+    *
+    * 100 TB posture: a pin is one tiny object; sweeps already list
+    * `_manifests/`, so honoring pins adds one `_pins/` listing per
+    * commit — O(pins), not O(data).
+    */
+  def pinBatch(spark: SparkSession, tableDir: String, label: String,
+               batchId: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    require(pinLabelRe.findFirstIn(label).isDefined,
+      s"pin label '$label' must match ${pinLabelRe.regex}")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolving = manifestList(fs, table).map(readManifest(fs, _)._1)
+      .filter(_ <= batchId).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed snapshot at or before batch $batchId in $tableDir; " +
+            "nothing to pin"))
+    readPins(fs, table).get(label) match {
+      case Some(existing) if existing == batchId => return resolving // replay
+      case Some(existing) => throw new IllegalStateException(
+        s"pin '$label' on $tableDir already holds batch $existing; " +
+          s"unpinBatch it before re-pinning at $batchId")
+      case None =>
+    }
+    val dir = pinsDir(table)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$label.pin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"batchId":$batchId}""".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"$label.pin")))
+      throw new IllegalStateException(
+        s"failed to commit pin '$label' on $tableDir — concurrent pinner " +
+          "with the same label?")
+    resolving
+  }
+
+  /** Release a pin; the storage it held is reclaimed by the NEXT
+    * retention sweep (any merge/delete/compaction) or an explicit
+    * [[vacuumUpsertTable]]. Returns whether the pin existed.
+    */
+  def unpinBatch(spark: SparkSession, tableDir: String, label: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(pinLabelRe.findFirstIn(label).isDefined,
+      s"pin label '$label' must match ${pinLabelRe.regex}")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(pinsDir(table), s"$label.pin"), false)
+  }
+
+  /** The committed pins: label -> pinned batchId. */
+  def listPins(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readPins(fs, table)
+  }
+
+  /** Parse the pin tokens. An unparseable token fails LOUDLY (refusing
+    * to sweep beats sweeping a held snapshot): tokens commit via
+    * tmp + rename, so a torn one can only be manual corruption — the
+    * error names the file and the recovery.
+    */
+  private def readPins(fs: org.apache.hadoop.fs.FileSystem,
+                       table: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val dir = pinsDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val id = """"batchId":(-?\d+)""".r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"unparseable pin token ${s.getPath} (pins commit via " +
+              "tmp+rename, so this is external corruption); restore it " +
+              "from '{\"batchId\":<id>}' or delete it ONLY if the hold " +
+              "is no longer needed")).group(1).toLong
+        s.getPath.getName.stripSuffix(".pin") -> id
+      }.toMap
+  }
+
+  /** The manifests pinned snapshots resolve to — for each pin, the
+    * newest committed manifest at or below its batchId (exactly what
+    * [[readUpsertTableAt]] would read). Monotonic batchIds make the
+    * resolution stable: no later commit can land between a pin and its
+    * resolving manifest.
+    */
+  private def pinnedManifests(fs: org.apache.hadoop.fs.FileSystem,
+                              table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val pins = readPins(fs, table)
+    if (pins.isEmpty) Seq.empty
+    else {
+      val withIds = manifestList(fs, table).map(p => (p, readManifest(fs, p)._1))
+      pins.values.toSeq.distinct.flatMap(b =>
+        withIds.filter(_._2 <= b).lastOption.map(_._1)).distinct
+    }
+  }
+
+  /** EXPLICIT retention sweep + optional manifest compaction — the
+    * reclaim call for a table that stopped receiving writes (inline
+    * sweeps ride commits; a quiesced table whose pins were just
+    * released would otherwise hold its audit storage forever). Honors
+    * pins like every sweep. `keepManifests > 0` also prunes the
+    * manifest chain (never a pin's resolving manifest). Returns the
+    * number of data files deleted.
+    */
+  def vacuumUpsertTable(spark: SparkSession, tableDir: String,
+                        retain: Int = 1, keepManifests: Int = 0): Int = {
+    import org.apache.hadoop.fs.Path
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (manifestList(fs, table).isEmpty) return 0 // pre-manifest: nothing committed to vacuum against
+    val deleted = sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+    if (keepManifests > 0) compactManifests(spark, tableDir, keepManifests)
+    deleted
+  }
+
   /** Union of the data files referenced by the newest `retain`
-    * manifests — the retention set a sweep must preserve. retain = 1 is
+    * manifests PLUS every pinned snapshot's resolving manifest — the
+    * retention set a sweep must preserve. retain = 1 is
     * current-snapshot-only; larger values keep older snapshots readable
-    * via [[readUpsertTableAt]] (time travel).
+    * via [[readUpsertTableAt]] (time travel); pins hold named
+    * boundaries regardless of the writer's retain.
     */
   private def retainedFiles(fs: org.apache.hadoop.fs.FileSystem,
                             table: org.apache.hadoop.fs.Path, retain: Int): Set[String] =
-    manifestList(fs, table).takeRight(math.max(1, retain))
+    (manifestList(fs, table).takeRight(math.max(1, retain)) ++
+        pinnedManifests(fs, table))
       .flatMap(p => readManifest(fs, p)._2.values.flatten).toSet
 
   /** Post-commit GC: delete every data file the retained manifests do
     * not reference — superseded generation files, folded-in legacy flat
     * files, stray staging leftovers — then drop emptied dirs. Runs
     * after EVERY commit over the whole table, so a crash between a
-    * publish and its sweep self-heals on the next batch.
+    * publish and its sweep self-heals on the next batch. Returns the
+    * number of data files deleted (the [[vacuumUpsertTable]] report).
     */
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
                                 table: org.apache.hadoop.fs.Path,
-                                referenced: Set[String]): Unit = {
+                                referenced: Set[String]): Int = {
+    var deleted = 0
     fs.listStatus(table).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) {
         fs.delete(st.getPath, false) // legacy flat layout: folded into this commit
+        deleted += 1
       } else if (st.isDirectory && name.startsWith("_staging_")) {
         fs.delete(st.getPath, true) // dir-swap-era staging leftovers
       } else if (st.isDirectory &&
@@ -828,7 +987,10 @@ object EventStreams {
           var bdLive = 0
           fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
             if (referenced.contains(s"$relPrefix/${f.getPath.getName}")) { bdLive += 1; liveFiles += 1 }
-            else fs.delete(f.getPath, false)
+            else {
+              fs.delete(f.getPath, false)
+              if (f.getPath.getName.endsWith(".parquet")) deleted += 1
+            }
           }
           // recursive: checksum FS litter (.crc) hides from listStatus
           if (bdLive == 0) fs.delete(bd.getPath, true)
@@ -837,6 +999,7 @@ object EventStreams {
         if (name.startsWith("gen_") && liveFiles == 0) fs.delete(st.getPath, true)
       }
     }
+    deleted
   }
 
   /** Streaming frequency sketch: each micro-batch's items fold into a

@@ -757,4 +757,95 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clean(2L) === ((8L, 0L, "p q r s t u v w"))) // untouched
     assert(clean(3L) === ((14L, 10L, "z y x w")))
   }
+
+  test("index pins: a codes pin holds the pre-delete snapshot through retain=1 sweeps") {
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def freshIdx(tag: String): String = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ivfpq-pin$tag").toString
+      Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 40), idx,
+        nlist = 2, m = 8, codebookSize = 2, dim = 64)
+      Similarity.appendToIvfPqIndex(
+        e.filter(col("vec_id") >= 40 && col("vec_id") < 60), idx, batchId = 1L)
+      idx
+    }
+    def idsBefore(idx: String, b: Long) =
+      Similarity.indexedVecIdsBefore(spark, idx, b)
+        .collect().map(_.getLong(0)).toSet
+    val idx = freshIdx("a")
+    val preIds = idsBefore(idx, 2L)
+    assert(preIds === (0L until 60L).toSet)
+    // pin BELOW the takedown's batch; the delete consolidates every
+    // live dir into one and retain=1 would sweep the pre-delete dirs
+    assert(Similarity.pinCodes(spark, idx, "audit", 2L) >= 0L)
+    Similarity.deleteFromIvfPqIndex(spark, idx, Seq(0L, 41L),
+      batchId = 2L, retain = 1)
+    assert(idsBefore(idx, 2L) === preIds, "pinned codes snapshot must survive")
+    assert(Similarity.indexedVecIds(spark, idx).collect()
+      .map(_.getLong(0)).toSet === preIds -- Set(0L, 41L))
+    // sibling, identical lineage, NO pin: the pre-delete dirs are
+    // swept — the pin above is causal
+    val sib = freshIdx("b")
+    Similarity.deleteFromIvfPqIndex(spark, sib, Seq(0L, 41L),
+      batchId = 2L, retain = 1)
+    intercept[Exception] { idsBefore(sib, 2L) }
+    // released: the NEXT codes commit's sweep reclaims the held dirs
+    assert(Similarity.unpinCodes(spark, idx, "audit"))
+    Similarity.deleteFromIvfPqIndex(spark, idx, Seq(45L),
+      batchId = 3L, retain = 1)
+    intercept[Exception] { idsBefore(idx, 2L) }
+    // pinning with no codes commit below the boundary fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.pinCodes(spark, freshIdx("c"), "early", 0L)
+    }
+  }
+
+  test("index pins: a generation pin keeps its generation in the ledger through rebuilds") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-genpin").toString
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e, idx, nlist = 2, m = 8, codebookSize = 2,
+      dim = 64)
+    val probes = e.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter(col("vec_id") < 3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "dist", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // gen 1 trains on a biased slice so its probes differ observably
+    Similarity.rebuildIvfPqIndex(e.filter(col("vec_id") % 2 === 0), idx,
+      generation = 1L, nlist = 2, m = 8, codebookSize = 2, dim = 64,
+      retain = 1)
+    val atGen1 = probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 20,
+      nprobe = 2))
+    // a pin of a generation the ledger no longer retains fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.pinGeneration(spark, idx, "late", 0L)
+    }
+    Similarity.pinGeneration(spark, idx, "hold", 1L)
+    assert(Similarity.listGenerationPins(spark, idx) === Map("hold" -> 1L))
+    // retain=1 rebuilds would retire gen 1; the pin keeps it in the
+    // ledger, so time travel AND rollback stay valid on it
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 2L, retain = 1)
+    Similarity.rebuildIvfPqIndex(e.filter(col("vec_id") % 3 === 0), idx,
+      generation = 3L, retain = 1)
+    assert(probeSet(Similarity.queryIvfPqIndexAt(spark, idx, 1L, probes, 20,
+      nprobe = 2)) === atGen1, "pinned generation must keep serving")
+    // the UNpinned generation 2 was retired by the same retention
+    val err = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexAt(spark, idx, 2L, probes, 5)
+    }
+    assert(err.getMessage.contains("not retained"))
+    assert(!new java.io.File(s"$idx/gen=2").exists())
+    // released: the next rebuild's dirs-bounding drops gen 1 and the
+    // sweep reclaims its artifacts
+    assert(Similarity.unpinGeneration(spark, idx, "hold"))
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 4L, retain = 1)
+    intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexAt(spark, idx, 1L, probes, 5)
+    }
+    assert(!new java.io.File(s"$idx/gen=1").exists())
+    assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 20,
+      nprobe = 2)).nonEmpty)
+  }
 }

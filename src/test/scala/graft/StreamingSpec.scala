@@ -1121,4 +1121,104 @@ class StreamingSpec extends SparkSpec {
     merge(Seq((0L, "SHOULD_NOT_APPLY", 99L)), 5L)
     assert(asMap(EventStreams.readUpsertTable(spark, tableDir)) === cur)
   }
+
+  test("batch pins: a pinned snapshot survives retain=1 sweeps; unpin + vacuum reclaims") {
+    val tableDir = Files.createTempDirectory("graft-upsert-pin").toString + "/t"
+    // every batch updates the SAME key, so each retain=1 commit would
+    // sweep the previous generation's file — the hardest case for a pin
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 1)
+    merge(0L, 0L)
+    merge(1L, 1L)
+    // pin the batch-1 snapshot; the resolved manifest id comes back
+    assert(EventStreams.pinBatch(spark, tableDir, "audit", 1L) === 1L)
+    assert(EventStreams.listPins(spark, tableDir) === Map("audit" -> 1L))
+    // two more retain=1 commits on the same bucket — without the pin,
+    // batch 1's data file is swept (the sibling proves it below)
+    EventStreams.deleteFromTable(spark, tableDir, Seq(999L).toDF("k"),
+      Seq("k"), 4, batchId = 2L, retain = 1)
+    merge(3L, 3L)
+    def payloadAt(dir: String, b: Long) =
+      EventStreams.readUpsertTableAt(spark, dir, b).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(payloadAt(tableDir, 1L) === Map(1L -> "p1"), "pinned snapshot must stay readable")
+    assert(payloadAt(tableDir, Long.MaxValue) === Map(1L -> "p3"))
+    // sibling with the identical lineage but NO pin: the batch-1
+    // snapshot's file is swept (manifest remains; its data is gone) —
+    // the pin above is causal, not incidental
+    val sibling = Files.createTempDirectory("graft-upsert-nopin").toString + "/t"
+    def mergeS(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        sibling, Seq("k"), "version", 4, id, retain = 1)
+    mergeS(0L, 0L); mergeS(1L, 1L)
+    EventStreams.deleteFromTable(spark, sibling, Seq(999L).toDF("k"),
+      Seq("k"), 4, batchId = 2L, retain = 1)
+    mergeS(3L, 3L)
+    intercept[Exception] { payloadAt(sibling, 1L) }
+    // release + explicit vacuum: the held file is reclaimed, the
+    // latest snapshot is untouched, time travel to the pin is gone
+    assert(EventStreams.unpinBatch(spark, tableDir, "audit"))
+    assert(EventStreams.listPins(spark, tableDir) === Map.empty)
+    val reclaimed = EventStreams.vacuumUpsertTable(spark, tableDir, retain = 1)
+    assert(reclaimed > 0, "vacuum after unpin must reclaim the held files")
+    intercept[Exception] { payloadAt(tableDir, 1L) }
+    assert(payloadAt(tableDir, Long.MaxValue) === Map(1L -> "p3"))
+    // vacuum is idempotent and a second run reclaims nothing
+    assert(EventStreams.vacuumUpsertTable(spark, tableDir, retain = 1) === 0)
+  }
+
+  test("batch pins: manifest compaction never prunes a pin's resolving manifest") {
+    val tableDir = Files.createTempDirectory("graft-upsert-pinc").toString + "/t"
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 8)
+    (0L until 6L).foreach(i => merge(i, i))
+    EventStreams.pinBatch(spark, tableDir, "hold", 2L)
+    // keepLast=1 would prune manifests 0..4; the pin keeps manifest 2
+    val pruned = EventStreams.compactManifests(spark, tableDir, keepLast = 1)
+    assert(pruned === 4, s"expected 4 pruned (0,1,3,4), got $pruned")
+    val names = new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).map(_.getName).sorted
+    assert(names.map(_.takeWhile(_ != '.').toLong).toSeq === Seq(2L, 5L))
+    // time travel to the pin still resolves through the kept manifest
+    assert(EventStreams.readUpsertTableAt(spark, tableDir, 2L).collect()
+      .map(_.getString(1)).toSeq === Seq("p2"))
+    // released: the next compaction prunes it
+    EventStreams.unpinBatch(spark, tableDir, "hold")
+    assert(EventStreams.compactManifests(spark, tableDir, keepLast = 1) === 1)
+  }
+
+  test("batch pins: validation and corruption fail fast") {
+    val tableDir = Files.createTempDirectory("graft-upsert-pinv").toString + "/t"
+    EventStreams.mergeBatchIntoTable(Seq((1L, "p", 1L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 4, 5L)
+    // labels are filenames: portable charset only
+    intercept[IllegalArgumentException] {
+      EventStreams.pinBatch(spark, tableDir, "bad:label", 5L)
+    }
+    // nothing committed at or below the requested batch
+    intercept[IllegalArgumentException] {
+      EventStreams.pinBatch(spark, tableDir, "early", 4L)
+    }
+    EventStreams.pinBatch(spark, tableDir, "a", 5L)
+    // same label + same batch replays as a no-op; a different batch is
+    // a silent hold-move and fails loudly
+    EventStreams.pinBatch(spark, tableDir, "a", 5L)
+    EventStreams.mergeBatchIntoTable(Seq((1L, "q", 2L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 4, 6L)
+    intercept[IllegalStateException] {
+      EventStreams.pinBatch(spark, tableDir, "a", 6L)
+    }
+    // a torn/corrupted token (impossible via the tmp+rename writer)
+    // makes sweeps REFUSE rather than sweep a held snapshot
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/_pins/torn.pin"), "garbage")
+    intercept[IllegalStateException] {
+      EventStreams.vacuumUpsertTable(spark, tableDir, retain = 1)
+    }
+    // unpinning an absent label reports false and changes nothing
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tableDir/_pins/torn.pin"))
+    assert(!EventStreams.unpinBatch(spark, tableDir, "absent"))
+  }
 }

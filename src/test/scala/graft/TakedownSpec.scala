@@ -375,6 +375,69 @@ class TakedownSpec extends SparkSpec {
     assert(auditLatest().values.forall(_ === 0L))
   }
 
+  test("pinForAudit: durable pins hold the pinned audit past retention-consuming commits") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pinaudit").toString
+    val docs = mkDocs
+    val deleted = Seq(2L)
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def mkCorpus(dir: String): Unit =
+      EventStreams.mergeBatchIntoTable(docs.withColumn("__v", lit(0L)),
+        dir, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L)
+    val corpus = s"$base/corpus"
+    mkCorpus(corpus)
+    val idx = s"$base/idx"
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 40), idx,
+      nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    Similarity.appendToIvfPqIndex(
+      e.filter(col("vec_id") >= 40 && col("vec_id") < 60), idx, batchId = 1L)
+    // pins FIRST (the contract: take the hold before scheduling the
+    // request), labeled by the request, at the request's boundary
+    val pins = Takedown.pinForAudit(spark, "req10", 10L,
+      keyedTables = Seq(corpus), ivfPqIndex = Some(idx))
+    assert(pins.keySet === Set("table-corpus", "ivfpq-idx"))
+    Takedown.deleteDocs(spark, deleted, batchId = 10L,
+      ledgerDir = s"$base/ledger",
+      keyedTables = Seq((corpus, "doc_id", 4)), ivfPqIndex = Some(idx))
+    // retention-consuming aftermath: retain=1 commits whose sweeps
+    // would reclaim the pre-request snapshot on an unpinned artifact
+    EventStreams.mergeBatchIntoTable(
+      docs.filter(col("doc_id") === 0L).withColumn("__v", lit(11L)),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 11L, retain = 1)
+    Similarity.deleteFromIvfPqIndex(spark, idx, Seq(55L), batchId = 11L,
+      retain = 1)
+    def auditAt(pin: Long) = Takedown.auditDocsAt(spark, deleted, pin,
+      keyedTables = Seq((corpus, "doc_id")), ivfPqIndex = Some(idx))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pinned audit still reads the pre-request world, days later
+    val pre = auditAt(10L)
+    assert(pre === Map("table-corpus" -> 1L, "ivfpq-idx" -> 1L))
+    // ... and the post-request world is clean
+    assert(auditAt(12L).values.forall(_ === 0L))
+    // twin corpus, identical lineage, NO pin: the same aftermath sweeps
+    // the pre-request snapshot — the pin is causal, not incidental
+    val twin = s"$base/twin"
+    mkCorpus(twin)
+    EventStreams.deleteFromTable(spark, twin, deleted.toDF("doc_id"),
+      Seq("doc_id"), 4, batchId = 10L, retain = 2)
+    EventStreams.mergeBatchIntoTable(
+      docs.filter(col("doc_id") === 0L).withColumn("__v", lit(11L)),
+      twin, Seq("doc_id"), "__v", nBuckets = 4, batchId = 11L, retain = 1)
+    intercept[Exception] {
+      Takedown.auditDocsAt(spark, deleted, 10L,
+        keyedTables = Seq((twin, "doc_id"))).collect()
+    }
+    // release (idempotent) + explicit vacuum reclaims the held storage;
+    // the pre-request snapshot is gone, the latest is untouched
+    Takedown.releaseAudit(spark, "req10", keyedTables = Seq(corpus),
+      ivfPqIndex = Some(idx))
+    Takedown.releaseAudit(spark, "req10", keyedTables = Seq(corpus),
+      ivfPqIndex = Some(idx))
+    assert(EventStreams.vacuumUpsertTable(spark, corpus, retain = 1) > 0)
+    intercept[Exception] { auditAt(10L) }
+    assert(EventStreams.readUpsertTable(spark, corpus)
+      .filter(col("doc_id").isin(deleted: _*)).count() === 0L)
+  }
+
   test("auditDocs audits a legacy sequence state that pre-dates carry_spans") {
     val base = java.nio.file.Files.createTempDirectory("graft-legacyaudit").toString
     val seqs = s"$base/seqs"
