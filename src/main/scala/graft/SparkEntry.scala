@@ -5660,6 +5660,104 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val fsckStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the artifact pairs q191 fscks: a healthy keyed table and
+    * composed index, plus damaged twins with the same committed
+    * lineages and three kinds of OUT-OF-BAND filesystem damage (a
+    * live data file deleted under the manifest, orphan debris, stale
+    * inflight staging). The damage is planted at build time as
+    * committed state; every verdict is decided in-query by running
+    * fsck against it (the debt-5 convention).
+    */
+  private def ensureFsck(spark: SparkSession, dir: String): String =
+    fsckStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-fsck-q").toString
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
+      def mkTable(t: String): Unit = {
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.withColumn("__v", lit(0L)), t, Seq("doc_id"), "__v",
+          nBuckets = 4, batchId = 0L, retain = 2)
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.filter(col("doc_id") < 6).withColumn("__v", lit(1L)),
+          t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 2)
+      }
+      mkTable(s"$base/t")
+      mkTable(s"$base/t2")
+      // out-of-band damage on the twin: a live file vanishes under the
+      // manifest; stray debris appears
+      val victim = streaming.EventStreams.tableManifest(spark, s"$base/t2")
+        .values.flatten.head
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$base/t2/$victim"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/t2/stray.parquet"), "junk")
+      val e = Tables.embeddings(spark, dir)
+      def mkIdx(d: String): Unit = {
+        operators.Similarity.buildIvfPqIndex(
+          e.filter(col("vec_id") % 2 === 0), d, nlist = 2, m = 8,
+          codebookSize = 2, dim = 64)
+        operators.Similarity.appendToIvfPqIndex(
+          e.filter(col("vec_id") % 2 =!= 0), d, batchId = 1L)
+      }
+      mkIdx(s"$base/idx")
+      mkIdx(s"$base/idx2")
+      // out-of-band damage on the index twin: a committed codes dir
+      // vanishes, crash litter and an unreferenced batch dir appear
+      def rmrf(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      rmrf(java.nio.file.Paths.get(s"$base/idx2/codes/batch=1"))
+      assert(new java.io.File(s"$base/idx2/.inflight-gen-9").mkdirs())
+      assert(new java.io.File(s"$base/idx2/codes/batch=99").mkdirs())
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/idx2/codes/batch=99/junk.parquet"),
+        "junk")
+      base
+    })
+
+  /** ARTIFACT FSCK ([[streaming.EventStreams.fsckUpsertTable]] /
+    * [[operators.Similarity.fsckIndex]]): explicit integrity
+    * verification of the committed metadata against the filesystem —
+    * the read completing the retention triad (hold = pins, reclaim =
+    * vacuum, verify = fsck). Verdict rows decided in-query by running
+    * fsck over committed lineages: a healthy table and index pass
+    * every invariant; twins with identical commits but out-of-band
+    * damage (live file deleted under the manifest, orphan debris,
+    * stale inflight staging, a vanished committed codes dir) have
+    * exactly the damaged invariants flagged while the untouched ones
+    * — the manifest chains themselves — still pass, and fsck REPORTS
+    * rather than throws on all of it.
+    */
+  def q191ArtifactFsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureFsck(spark, dir)
+    def rows(df: DataFrame): Map[String, (Boolean, Long)] =
+      df.collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val t = rows(streaming.EventStreams.fsckUpsertTable(spark, s"$base/t"))
+    val t2 = rows(streaming.EventStreams.fsckUpsertTable(spark, s"$base/t2"))
+    val i = rows(operators.Similarity.fsckIndex(spark, s"$base/idx"))
+    val i2 = rows(operators.Similarity.fsckIndex(spark, s"$base/idx2"))
+    Seq(
+      ("table_fsck_clean", t.values.forall(_._1) && t("manifests_parseable")._2 == 2L),
+      ("table_damage_detected",
+        !t2("live_files_exist")._1 && t2("live_files_exist")._2 == 1L &&
+        !t2("no_orphan_data")._1 && t2("manifests_parseable")._1),
+      // build + append = two codes-manifest commits on a healthy index
+      ("index_fsck_clean", i.values.forall(_._1) &&
+        i("codes_manifests_parseable")._2 == 2L),
+      ("index_damage_detected",
+        !i2("codes_dirs_exist")._1 && !i2("no_stale_inflight")._1 &&
+        !i2("no_orphan_codes")._1 && i2("ledger_parseable")._1 &&
+        i2("codes_manifests_parseable")._1))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5848,6 +5946,7 @@ object SparkEntry {
     "q187_drift_loop" -> (q187DriftLoop _),
     "q188_shard_rebalance" -> (q188ShardRebalance _),
     "q190_retention_pins" -> (q190RetentionPins _),
+    "q191_artifact_fsck" -> (q191ArtifactFsck _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -7156,6 +7255,12 @@ object SparkEntry {
         |  ('latest_snapshots_unaffected'), ('vacuum_reclaims_after_release'),
         |  ('pinned_generation_retained'),
         |  ('codes_pin_holds_audit_read')) t(c)""".stripMargin,
+    // fsck invariants are decided in-engine against committed lineages
+    // with planted out-of-band damage; the oracle pins the verdicts
+    "q191_artifact_fsck" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('table_fsck_clean'), ('table_damage_detected'),
+        |  ('index_fsck_clean'), ('index_damage_detected')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

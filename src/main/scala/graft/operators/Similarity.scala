@@ -1490,6 +1490,123 @@ object Similarity {
     sweepUnreferencedCodes(fs, codesRoot, retain)
   }
 
+  /** FSCK for the composed IVF-PQ index: verify both committed ledgers
+    * (generations at the root, codes batches of the ACTIVE generation)
+    * against the filesystem — the EventStreams.fsckUpsertTable analog,
+    * one row per invariant (check, ok, n). Checks:
+    *
+    *   - `ledger_parseable`: every generation manifest parses, filename
+    *     seq matches body, seqs strictly increasing, the latest ACTIVE
+    *     generation is among its own live dirs (n = ledger commits);
+    *   - `generation_dirs_exist`: every dir the latest ledger names,
+    *     plus every pinned generation, exists (n = missing);
+    *   - `active_artifacts_complete`: the active root has its
+    *     centroids / codebooks / codes (n = missing parts);
+    *   - `codes_manifests_parseable`: the active generation's codes
+    *     manifests parse with strictly increasing seqs (n = commits);
+    *   - `codes_dirs_exist`: the latest codes manifest's dirs plus
+    *     every codes pin's resolving dirs exist (n = missing);
+    *   - `pins_resolvable`: generation pins name still-live
+    *     generations and codes pins resolve to a committed manifest
+    *     (n = pins);
+    *   - `no_orphan_codes`: no `batch=` dir unreferenced by every
+    *     codes manifest (n = orphans — crash litter; a sweep is due);
+    *   - `no_stale_inflight`: no `.inflight-*` staging dirs remain at
+    *     the root or under codes (n = stale dirs).
+    *
+    * Never throws on what it can report (fsck must run on corrupt
+    * indexes). Driver-side listings bounded by dir/manifest counts —
+    * an explicit maintenance read.
+    */
+  def fsckIndex(spark: org.apache.spark.sql.SparkSession,
+                indexDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genPaths = genManifestList(fs, root)
+    val gens: Seq[(Long, Long, Long, Seq[String])] = genPaths.flatMap { p =>
+      try {
+        val (seq, active, dirs) = readGenManifest(fs, p)
+        Some((p.getName.takeWhile(_ != '.').toLong, seq, active, dirs))
+      } catch { case _: Exception => None }
+    }
+    val ledgerOk = gens.size == genPaths.size &&
+      gens.forall { case (name, seq, _, _) => name == seq } &&
+      gens.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1)) &&
+      gens.lastOption.forall { case (_, _, active, dirs) =>
+        dirs.exists(d => genIdOf(d) == active) }
+    val (genPins, genPinsParseable) =
+      try (readGenPins(fs, root), true)
+      catch { case _: IllegalStateException => (Map.empty[String, Long], false) }
+    val liveDirs = gens.lastOption.map(_._4).getOrElse(Seq.empty)
+    val wantDirs = (liveDirs ++ genPins.values.map(g => s"gen=$g")).distinct
+    val missingGens = wantDirs.filterNot { d =>
+      if (d == ".") fs.exists(new Path(root, "codes"))
+      else fs.exists(new Path(root, d))
+    }
+    // resolve the active root WITHOUT activeIndexRoot (which throws on
+    // a ledger naming a vanished active dir — exactly a state fsck
+    // must report, not die on)
+    val aRoot = gens.lastOption match {
+      case Some((_, _, active, dirs)) =>
+        dirs.find(d => genIdOf(d) == active)
+          .map(d => resolveGenDir(indexDir, d))
+      case None => Some(indexDir)
+    }
+    val missingParts = aRoot.toSeq.flatMap(r =>
+      Seq("centroids", "codebooks", "codes")
+        .filterNot(p => fs.exists(new Path(s"$r/$p"))))
+    val activeOk = aRoot.isDefined && missingParts.isEmpty
+    val codesRoot = aRoot.map(r => new Path(s"$r/codes"))
+    val codesPaths = codesRoot.map(codesManifestList(fs, _)).getOrElse(Seq.empty)
+    val codesParsed: Seq[(Long, Long, Long, Seq[String])] = codesPaths.flatMap { p =>
+      try {
+        val (seq, maxBatch, dirs) = readCodesManifest(fs, p)
+        Some((p.getName.takeWhile(_ != '.').toLong, seq, maxBatch, dirs))
+      } catch { case _: Exception => None }
+    }
+    val codesManifestsOk = codesParsed.size == codesPaths.size &&
+      codesParsed.forall { case (name, seq, _, _) => name == seq } &&
+      codesParsed.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1))
+    val (codesPins, codesPinsParseable) = codesRoot match {
+      case Some(cr) =>
+        try (readCodesPins(fs, cr), true)
+        catch { case _: IllegalStateException => (Map.empty[String, Long], false) }
+      case None => (Map.empty[String, Long], true)
+    }
+    val pinnedCodesDirs = codesPins.values.toSeq.distinct.map(b =>
+      b -> codesParsed.filter(_._3 < b).lastOption)
+    val pinsOk = genPinsParseable && codesPinsParseable &&
+      genPins.values.forall(g => liveDirs.exists(d => genIdOf(d) == g)) &&
+      pinnedCodesDirs.forall(_._2.isDefined)
+    val wantCodesDirs = (codesParsed.lastOption.map(_._4).getOrElse(Seq.empty) ++
+      pinnedCodesDirs.flatMap(_._2).flatMap(_._4)).distinct
+    val missingCodes = codesRoot.toSeq.flatMap(cr =>
+      wantCodesDirs.filterNot(d => fs.exists(new Path(cr, d))))
+    val referencedEver = codesParsed.flatMap(_._4).toSet
+    val orphanCodes = codesRoot.toSeq.flatMap(cr =>
+      discoverBatchDirs(fs, cr).filterNot(referencedEver)
+        .filter(_ => codesParsed.nonEmpty)) // pre-manifest: batch=0 is live, not orphan
+    val inflight =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith(".inflight-")) ++
+        codesRoot.toSeq.flatMap(cr =>
+          if (fs.exists(cr)) fs.listStatus(cr).toSeq.filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith(".inflight-"))
+          else Seq.empty)
+    Seq(
+      ("ledger_parseable", ledgerOk, gens.size.toLong),
+      ("generation_dirs_exist", missingGens.isEmpty, missingGens.size.toLong),
+      ("active_artifacts_complete", activeOk, missingParts.size.toLong),
+      ("codes_manifests_parseable", codesManifestsOk, codesParsed.size.toLong),
+      ("codes_dirs_exist", missingCodes.isEmpty, missingCodes.size.toLong),
+      ("pins_resolvable", pinsOk, (genPins.size + codesPins.size).toLong),
+      ("no_orphan_codes", orphanCodes.isEmpty, orphanCodes.size.toLong),
+      ("no_stale_inflight", inflight.isEmpty, inflight.size.toLong))
+      .toDF("check", "ok", "n")
+  }
+
   /** Tmp + rename pin token (the manifest commit convention — no torn
     * token can exist). Body is writer-owned single-key JSON.
     */

@@ -944,6 +944,93 @@ object EventStreams {
     deleted
   }
 
+  /** FSCK for a keyed upsert table: verify the committed metadata
+    * against the filesystem and report one row per invariant —
+    * (check, ok, n). The explicit integrity read completing the
+    * retention triad (hold = [[pinBatch]], reclaim =
+    * [[vacuumUpsertTable]], verify = this): run it before trusting a
+    * restored/replicated table, after an out-of-band incident, or on
+    * a maintenance schedule. Checks:
+    *
+    *   - `manifests_parseable`: every manifest JSON under `_manifests`
+    *     parses and its filename id matches its body batchId, ids
+    *     strictly increasing (n = manifests);
+    *   - `live_files_exist`: every data file the LATEST manifest names
+    *     exists (n = missing — the table serves wrong/failed reads);
+    *   - `pins_resolvable`: every pin token parses and resolves to a
+    *     committed manifest (n = pins);
+    *   - `pinned_files_exist`: every file a pin's resolving manifest
+    *     names exists (n = missing — a held audit would fail);
+    *   - `no_orphan_data`: no data file on disk is unreferenced by
+    *     EVERY manifest (n = orphans). Orphans are legal crash litter
+    *     mid-protocol; a nonzero count on a quiesced table means a
+    *     sweep/vacuum is due, not corruption.
+    *
+    * Never throws on what it can report (an unparseable manifest or
+    * pin fails its check row instead of the call — fsck must run ON
+    * corrupt tables). Cost: driver-side listings bounded by the
+    * table's file and manifest counts — the same class as one sweep;
+    * an explicit maintenance read, never on a hot path.
+    */
+  def fsckUpsertTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPaths = manifestList(fs, table)
+    val parsed: Seq[(Long, Long, Map[Int, Seq[String]])] =
+      manifestPaths.flatMap { p =>
+        try {
+          val (b, live) = readManifest(fs, p)
+          Some((p.getName.takeWhile(_ != '.').toLong, b, live))
+        } catch { case _: Exception => None }
+      }
+    val manifestsOk = parsed.size == manifestPaths.size &&
+      parsed.forall { case (name, body, _) => name == body } &&
+      parsed.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1))
+    def missing(live: Map[Int, Seq[String]]): Seq[String] =
+      live.values.flatten.toSeq.filterNot(rel => fs.exists(new Path(table, rel)))
+    val liveMissing = parsed.lastOption.map(m => missing(m._3)).getOrElse(Seq.empty)
+    val (pins, pinsParseable) =
+      try (readPins(fs, table), true)
+      catch { case _: IllegalStateException => (Map.empty[String, Long], false) }
+    val resolving = pins.values.toSeq.distinct.map(b =>
+      b -> parsed.filter(_._2 <= b).lastOption)
+    val pinsOk = pinsParseable && resolving.forall(_._2.isDefined)
+    val pinnedMissing = resolving.flatMap(_._2).flatMap(m => missing(m._3)).distinct
+    val referencedEver = parsed.flatMap(_._3.values).flatten.toSet
+    val orphans = scala.collection.mutable.ArrayBuffer[String]()
+    // pre-manifest (legacy flat / bucket-dir) tables have no committed
+    // reference set — their unmigrated files are live data, not orphans
+    if (parsed.nonEmpty && fs.exists(table)) fs.listStatus(table).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) orphans += name
+      else if (st.isDirectory &&
+          (name.startsWith("gen_") || name.startsWith(s"$upsertBucketCol="))) {
+        val bucketDirs =
+          if (name.startsWith("gen_")) fs.listStatus(st.getPath).filter(_.isDirectory).toSeq
+          else Seq(st)
+        bucketDirs.foreach { bd =>
+          val relPrefix =
+            if (name.startsWith("gen_")) s"$name/${bd.getPath.getName}" else name
+          fs.listStatus(bd.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val rel = s"$relPrefix/${f.getPath.getName}"
+              if (!referencedEver.contains(rel)) orphans += rel
+            }
+        }
+      }
+    }
+    Seq(
+      ("manifests_parseable", manifestsOk, parsed.size.toLong),
+      ("live_files_exist", liveMissing.isEmpty, liveMissing.size.toLong),
+      ("pins_resolvable", pinsOk, pins.size.toLong),
+      ("pinned_files_exist", pinnedMissing.isEmpty, pinnedMissing.size.toLong),
+      ("no_orphan_data", orphans.isEmpty, orphans.size.toLong))
+      .toDF("check", "ok", "n")
+  }
+
   /** Union of the data files referenced by the newest `retain`
     * manifests PLUS every pinned snapshot's resolving manifest — the
     * retention set a sweep must preserve. retain = 1 is

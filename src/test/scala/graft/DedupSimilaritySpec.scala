@@ -848,4 +848,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 20,
       nprobe = 2)).nonEmpty)
   }
+
+  test("fsckIndex: healthy flat and generational indexes all-ok; damage reported, never thrown") {
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft-fsck-idx").toString
+    Similarity.buildIvfPqIndex(e.filter(col("vec_id") < 40), idx,
+      nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    def fsck(d: String) = Similarity.fsckIndex(spark, d)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    // flat pre-generation index: zero ledger commits, still all-ok
+    val flat = fsck(idx)
+    assert(flat.values.forall(_._1), s"healthy flat index must pass: $flat")
+    assert(flat("ledger_parseable") === ((true, 0L)))
+    // appends + a rebuild: the generational shape passes too
+    Similarity.appendToIvfPqIndex(
+      e.filter(col("vec_id") >= 40 && col("vec_id") < 60), idx, batchId = 1L)
+    Similarity.rebuildIvfPqIndex(e.filter(col("vec_id") < 60), idx,
+      generation = 1L, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    Similarity.appendToIvfPqIndex(
+      e.filter(col("vec_id") >= 60 && col("vec_id") < 70), idx, batchId = 1L)
+    val healthy = fsck(idx)
+    assert(healthy.values.forall(_._1), s"healthy gen index must pass: $healthy")
+    assert(healthy("ledger_parseable")._2 === 1L)
+    // damage #1: stale inflight litter (a crashed stage)
+    assert(new java.io.File(s"$idx/.inflight-gen-9").mkdirs())
+    // damage #2: an unreferenced batch dir under the active codes
+    assert(new java.io.File(s"$idx/gen=1/codes/batch=99").mkdirs())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$idx/gen=1/codes/batch=99/junk.parquet"), "junk")
+    // damage #3: a dir the latest codes manifest names vanishes
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$idx/gen=1/codes/batch=1"))
+    val damaged = fsck(idx)
+    assert(!damaged("no_stale_inflight")._1)
+    assert(!damaged("no_orphan_codes")._1 && damaged("no_orphan_codes")._2 === 1L)
+    assert(!damaged("codes_dirs_exist")._1)
+    assert(damaged("ledger_parseable")._1 && damaged("codes_manifests_parseable")._1)
+    // damage #4: the active generation's artifacts vanish wholesale
+    rmrf(java.nio.file.Paths.get(s"$idx/gen=1/centroids"))
+    val worse = fsck(idx)
+    assert(!worse("active_artifacts_complete")._1)
+  }
 }

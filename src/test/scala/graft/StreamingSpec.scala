@@ -1221,4 +1221,51 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tableDir/_pins/torn.pin"))
     assert(!EventStreams.unpinBatch(spark, tableDir, "absent"))
   }
+
+  test("fsckUpsertTable: healthy table all-ok; planted damage is reported, never thrown") {
+    val tableDir = Files.createTempDirectory("graft-fsck").toString + "/t"
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 2)
+    merge(0L, 0L)
+    EventStreams.pinBatch(spark, tableDir, "hold", 0L)
+    merge(1L, 1L)
+    def fsck() = EventStreams.fsckUpsertTable(spark, tableDir)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val healthy = fsck()
+    assert(healthy.values.forall(_._1), s"healthy table must pass: $healthy")
+    assert(healthy("manifests_parseable") === ((true, 2L)))
+    assert(healthy("pins_resolvable") === ((true, 1L)))
+    // out-of-band damage #1: a file the LATEST manifest names vanishes
+    // (but not one the pin's manifest needs — gen_1 vs gen_0)
+    val gen1 = new java.io.File(s"$tableDir/gen_1")
+    val victim = java.nio.file.Files.walk(gen1.toPath).iterator()
+    val toDelete = {
+      import scala.jdk.CollectionConverters._
+      victim.asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.delete(toDelete)
+    // out-of-band damage #2: a stray root-level parquet (orphan)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/stray.parquet"), "junk")
+    // out-of-band damage #3: a corrupted pin token
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/_pins/torn.pin"), "garbage")
+    val damaged = fsck() // reports, never throws
+    assert(!damaged("live_files_exist")._1 && damaged("live_files_exist")._2 === 1L)
+    assert(!damaged("no_orphan_data")._1)
+    assert(!damaged("pins_resolvable")._1)
+    assert(damaged("manifests_parseable")._1) // the chain itself is intact
+    assert(damaged("pinned_files_exist")._1) // gen_0 untouched
+    // the pinned snapshot's own file vanishing flips its check too
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tableDir/_pins/torn.pin"))
+    val gen0 = new java.io.File(s"$tableDir/gen_0")
+    val victim0 = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(gen0.toPath).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.delete(victim0)
+    assert(!fsck()("pinned_files_exist")._1)
+  }
 }
