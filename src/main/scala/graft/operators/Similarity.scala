@@ -1369,6 +1369,21 @@ object Similarity {
       case None =>
     }
     writePinToken(fs, genPinsDir(root), label, "generation", generation)
+    // pin-vs-maintenance race post-condition: a rebuild sweeping
+    // concurrently read the pins BEFORE this token landed — re-check
+    // the generation survived (still in the ledger, dir on disk) and
+    // fail with the token removed rather than hold nothing
+    val stillLive = latestGenManifest(fs, root).exists(_._3.exists(d =>
+      genIdOf(d) == generation &&
+        (d == "." || fs.exists(new org.apache.hadoop.fs.Path(root, d)))))
+    if (!stillLive) {
+      fs.delete(new org.apache.hadoop.fs.Path(genPinsDir(root), s"$label.pin"), false)
+      throw new IllegalStateException(
+        s"pin '$label' on $indexDir raced a concurrent rebuild's " +
+          s"retention: generation $generation was retired before the pin " +
+          "landed. Pin a generation the current retain window still " +
+          "covers (or pause maintenance for the pin).")
+    }
   }
 
   /** Release a generation pin; the NEXT maintenance commit's
@@ -1423,6 +1438,19 @@ object Similarity {
       case None =>
     }
     writePinToken(fs, codesPinsDir(codesRoot), label, "batchId", batchId)
+    // pin-vs-sweep race post-condition (the pinBatch contract shape):
+    // re-check the resolving manifest's dirs survived a sweep that
+    // read pins before this token landed
+    val sweptAway = resolving._3.filterNot(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(codesRoot, d)))
+    if (sweptAway.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(codesPinsDir(codesRoot), s"$label.pin"), false)
+      throw new IllegalStateException(
+        s"codes pin '$label' on $indexDir raced a concurrent retention " +
+          s"sweep: ${sweptAway.size} dir(s) of the snapshot below batch " +
+          s"$batchId were reclaimed before the pin landed. Pin a boundary " +
+          "the current retain window still covers (or pause writers).")
+    }
     resolving._1
   }
 

@@ -859,6 +859,23 @@ object EventStreams {
       throw new IllegalStateException(
         s"failed to commit pin '$label' on $tableDir — concurrent pinner " +
           "with the same label?")
+    // pin-vs-sweep race post-condition (the appendToIvfPqIndex
+    // contract shape): a writer sweeping concurrently reads pins
+    // BEFORE this token landed and may already have reclaimed the
+    // snapshot — re-check the held files AFTER publishing and fail
+    // with the token removed rather than hand back a hold on nothing
+    val resolvingFiles = manifestList(fs, table).map(p => readManifest(fs, p))
+      .filter(_._1 <= batchId).lastOption.toSeq
+      .flatMap(_._2.values.flatten)
+    val sweptAway = resolvingFiles.filterNot(rel => fs.exists(new Path(table, rel)))
+    if (sweptAway.nonEmpty) {
+      fs.delete(new Path(dir, s"$label.pin"), false)
+      throw new IllegalStateException(
+        s"pin '$label' on $tableDir raced a concurrent retention sweep: " +
+          s"${sweptAway.size} file(s) of the batch-$batchId snapshot were " +
+          "reclaimed before the pin landed. Pin a boundary the current " +
+          "retain window still covers (or pause writers for the pin).")
+    }
     resolving
   }
 

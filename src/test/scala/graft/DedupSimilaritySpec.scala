@@ -798,6 +798,20 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.pinCodes(spark, freshIdx("c"), "early", 0L)
     }
+    // pin-vs-sweep race guard: a snapshot whose dirs a sweep already
+    // reclaimed cannot be pinned — the post-publish re-check removes
+    // the token and fails with remediation
+    val raced = freshIdx("d")
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$raced/codes/batch=0"))
+    val err = intercept[IllegalStateException] {
+      Similarity.pinCodes(spark, raced, "late", 2L)
+    }
+    assert(err.getMessage.contains("raced a concurrent retention sweep"))
   }
 
   test("index pins: a generation pin keeps its generation in the ledger through rebuilds") {
@@ -847,6 +861,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/gen=1").exists())
     assert(probeSet(Similarity.queryIvfPqIndex(spark, idx, probes, 20,
       nprobe = 2)).nonEmpty)
+    // pin-vs-maintenance race guard: the ledger names a generation
+    // whose dir a concurrent sweep reclaimed — the post-publish
+    // re-check removes the token and fails with remediation
+    Similarity.rebuildIvfPqIndex(e, idx, generation = 5L, retain = 2)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$idx/gen=4"))
+    val raceErr = intercept[IllegalStateException] {
+      Similarity.pinGeneration(spark, idx, "late", 4L)
+    }
+    assert(raceErr.getMessage.contains("raced a concurrent rebuild"))
+    assert(Similarity.listGenerationPins(spark, idx) === Map.empty)
   }
 
   test("fsckIndex: healthy flat and generational indexes all-ok; damage reported, never thrown") {

@@ -1222,6 +1222,25 @@ class StreamingSpec extends SparkSpec {
     assert(!EventStreams.unpinBatch(spark, tableDir, "absent"))
   }
 
+  test("batch pins: pinning a snapshot a sweep already reclaimed fails with the token removed") {
+    val tableDir = Files.createTempDirectory("graft-upsert-pinr").toString + "/t"
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 1)
+    merge(0L, 0L)
+    merge(1L, 1L) // retain=1: batch 0's data file is already swept
+    // the manifest still exists, so resolution succeeds — but the
+    // post-publish re-check (the pin-vs-sweep race guard) sees the
+    // reclaimed file, removes the token, and fails with remediation
+    val err = intercept[IllegalStateException] {
+      EventStreams.pinBatch(spark, tableDir, "late", 0L)
+    }
+    assert(err.getMessage.contains("raced a concurrent retention sweep"))
+    assert(EventStreams.listPins(spark, tableDir) === Map.empty)
+    // a boundary the retain window still covers pins fine
+    assert(EventStreams.pinBatch(spark, tableDir, "live", 1L) === 1L)
+  }
+
   test("fsckUpsertTable: healthy table all-ok; planted damage is reported, never thrown") {
     val tableDir = Files.createTempDirectory("graft-fsck").toString + "/t"
     def merge(v: Long, id: Long) =
