@@ -5758,6 +5758,135 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val maintenanceStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the maintenance lineage q192 decides its verdicts over:
+    * a full artifact set (shard map + provenance + export, keyed
+    * corpus table, composed IVF-PQ index), a HEALTHY pass (runId 1 —
+    * monitors measure, nothing acts), a takedown aftermath that drops
+    * the shard fill below the gate, a SECOND pass (runId 2 — the fold
+    * and the drift rebuild both act), and a replay of runId 2. Only
+    * operation outputs commit (each pass's returned report); the
+    * committed report table and artifact state decide every verdict
+    * in-query.
+    */
+  private def ensureMaintenance(spark: SparkSession, dir: String): String =
+    maintenanceStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-maintenance-q").toString
+      val (seqTable, shardTable, prov, export, corpus, idx, report) =
+        (s"$base/seqs", s"$base/shards", s"$base/prov", s"$base/export",
+          s"$base/corpus", s"$base/idx", s"$base/report")
+      val toks = Tables.documents(spark, dir).select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), x -> x <> ''), " +
+          "t -> cast(pmod(xxhash64(t), 1000) as int))").as("toks"))
+      operators.Packing.materializeShardIncremental(toks, seqTable,
+        seqLen = 128, sepId = 1000, batchId = 0L)
+      val sharded = operators.Packing.trainingShards(
+          streaming.EventStreams.readUpsertTable(spark, seqTable),
+          seqsPerShard = 8)
+        .drop("u").localCheckpoint()
+      streaming.EventStreams.mergeBatchIntoTable(sharded, shardTable,
+        Seq("seq_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        sharded.select(col("shard_id"), col("seq_id"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("shard_id"), col("seq_id"),
+            col("sp.doc_id").as("doc_id"), col("sp.start").as("start"),
+            col("sp.len").as("len")),
+        prov, Seq("seq_id", "doc_id"), "seq_id", nBuckets = 8, batchId = 0L)
+      operators.Packing.exportShardFiles(spark, shardTable, export)
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
+      streaming.EventStreams.mergeBatchIntoTable(
+        docs.withColumn("__v", lit(0L)), corpus, Seq("doc_id"), "__v",
+        nBuckets = 4, batchId = 0L, retain = 2)
+      streaming.EventStreams.mergeBatchIntoTable(
+        docs.filter(col("doc_id") < 6).withColumn("__v", lit(1L)),
+        corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 2)
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e, idx, nlist = 2, m = 8,
+        codebookSize = 2, dim = 64)
+      def pass(runId: Long, foldBatch: Long, shard: DataFrame) =
+        operators.Maintenance.runOnce(spark, runId, report,
+          tables = Seq((corpus, 1)), indexes = Seq((idx, 1)),
+          rebalance = Some((shardTable, prov, export, 8, 0.9, foldBatch, 8)),
+          drift = Some((idx, e, shard, runId, 0.2)))
+      pass(1L, 10L, e).write.mode("overwrite").parquet(s"$base/run1")
+      // takedown aftermath: ~1/7 of the map's ranks vanish (never the
+      // final rank, so the slot count is unchanged and the fill
+      // provably drops below the 0.9 gate) — keys flow as DataFrames,
+      // nothing collects
+      val maxRank = sharded.agg(max(col("rank"))).head().getLong(0)
+      val vanished = streaming.EventStreams
+        .readUpsertTable(spark, shardTable)
+        .filter(pmod(col("rank"), lit(7L)) === 0L && col("rank") =!= maxRank)
+        .select(col("seq_id")).localCheckpoint()
+      streaming.EventStreams.deleteFromTable(spark, shardTable, vanished,
+        Seq("seq_id"), nBuckets = 8, batchId = 2L, retain = 2)
+      streaming.EventStreams.deleteFromTable(spark, prov,
+        streaming.EventStreams.readUpsertTable(spark, prov)
+          .join(vanished, Seq("seq_id"), "left_semi")
+          .select(col("seq_id"), col("doc_id")),
+        Seq("seq_id", "doc_id"), nBuckets = 8, batchId = 2L, retain = 2)
+      val shifted = e.withColumn("embedding",
+        expr("transform(embedding, x -> x + cast(2.0 as float))"))
+      pass(2L, 20L, shifted).write.mode("overwrite").parquet(s"$base/run2")
+      pass(2L, 20L, shifted) // replay: idempotent steps, no new commits
+      base
+    })
+
+  /** ONE-CALL SCHEDULED MAINTENANCE ([[operators.Maintenance.runOnce]]):
+    * the nightly pass composing the engine's monitor-gated operations
+    * in act → reclaim → verify order (fill-gated fold, PSI-gated
+    * rebuild, pin-honoring vacuum, artifact fsck) with the report
+    * committed exactly-once per runId into a keyed upsert table.
+    * Verdicts, each decided in-query from the committed report and
+    * artifact state: the healthy pass measured healthy and acted
+    * nothing; the post-takedown pass's monitors flagged and both
+    * actions ran; fsck is green after each pass's own mutations; the
+    * fold left the committed map dense (re-derived in-query); and the
+    * replayed runId committed nothing (report ≡ the two passes'
+    * returned rows exactly).
+    */
+  def q192MaintenanceRun(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureMaintenance(spark, dir)
+    val report = streaming.EventStreams
+      .readUpsertTable(spark, s"$base/report").localCheckpoint()
+    def m(runId: Long) = report.filter(col("run_id") === runId)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(3), r.getLong(4)))).toMap
+    val m1 = m(1L)
+    val m2 = m(2L)
+    val run1Healthy = m1.values.forall(_._1) &&
+      m1(("export-export", "fold_rebalanced"))._2 == 0L &&
+      m1(("ivfpq-idx", "drift_rebuilt"))._2 == 0L &&
+      m1(("ivfpq-idx", "drift_healthy")) == ((true, 0L))
+    val run2Flagged = !m2(("export-export", "fill_healthy"))._1 &&
+      !m2(("ivfpq-idx", "drift_healthy"))._1
+    val run2Acted = m2(("export-export", "fold_rebalanced"))._2 > 0L &&
+      m2(("ivfpq-idx", "drift_rebuilt"))._2 == 1L
+    val fsckGreen = (m1 ++ m2).view
+      .filterKeys(_._2.startsWith("fsck_")).values.forall(_._1)
+    val t = streaming.EventStreams.readUpsertTable(spark, s"$base/shards")
+      .agg(count(lit(1)), max(col("rank"))).head()
+    val dense = t.getLong(0) == t.getLong(1) + 1
+    val expected = spark.read.parquet(s"$base/run1")
+      .unionByName(spark.read.parquet(s"$base/run2"))
+    val replayNoop = report.exceptAll(expected)
+      .unionByName(expected.exceptAll(report)).count() == 0
+    Seq(
+      ("run1_healthy_no_action", run1Healthy),
+      ("run2_monitors_flag", run2Flagged),
+      ("run2_actions_ran", run2Acted),
+      ("fsck_green_both_runs", fsckGreen),
+      ("post_fold_dense", dense),
+      ("replay_commits_nothing", replayNoop))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -5947,6 +6076,7 @@ object SparkEntry {
     "q188_shard_rebalance" -> (q188ShardRebalance _),
     "q190_retention_pins" -> (q190RetentionPins _),
     "q191_artifact_fsck" -> (q191ArtifactFsck _),
+    "q192_maintenance_run" -> (q192MaintenanceRun _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -7261,6 +7391,13 @@ object SparkEntry {
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('table_fsck_clean'), ('table_damage_detected'),
         |  ('index_fsck_clean'), ('index_damage_detected')) t(c)""".stripMargin,
+    // monitor/fold/rebuild/report facts are decided in-engine from the
+    // committed report table and artifact state; the oracle pins them
+    "q192_maintenance_run" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('run1_healthy_no_action'), ('run2_monitors_flag'),
+        |  ('run2_actions_ran'), ('fsck_green_both_runs'),
+        |  ('post_fold_dense'), ('replay_commits_nothing')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -1066,19 +1066,20 @@ object Similarity {
     */
   private def sweepUnreferencedCodes(fs: org.apache.hadoop.fs.FileSystem,
                                      root: org.apache.hadoop.fs.Path,
-                                     retain: Int): Unit = {
+                                     retain: Int): Int = {
     val manifests = codesManifestList(fs, root)
-    if (manifests.isEmpty) return
+    if (manifests.isEmpty) return 0
     val parsed = manifests.map(readCodesManifest(fs, _))
     val pinnedDirs = readCodesPins(fs, root).values.toSeq.distinct
       .flatMap(b => parsed.filter(_._2 < b).lastOption.toSeq.flatMap(_._3))
     val keep = (manifests.takeRight(retain)
       .flatMap(readCodesManifest(fs, _)._3) ++ pinnedDirs).toSet
-    discoverBatchDirs(fs, root).filterNot(keep)
-      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+    val sweep = discoverBatchDirs(fs, root).filterNot(keep)
+    sweep.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".inflight-"))
       .foreach(s => fs.delete(s.getPath, true))
+    sweep.size
   }
 
   // --------------------------------------------------------------------
@@ -1508,14 +1509,14 @@ object Similarity {
     * is always safe (the retained sets re-derive from the manifests).
     */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
-                  indexDir: String, retain: Int = 1): Unit = {
+                  indexDir: String, retain: Int = 1): Int = {
     import org.apache.hadoop.fs.Path
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sweepUnreferencedGens(fs, root, retain)
+    val gens = sweepUnreferencedGens(fs, root, retain)
     val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
-    sweepUnreferencedCodes(fs, codesRoot, retain)
+    gens + sweepUnreferencedCodes(fs, codesRoot, retain)
   }
 
   /** FSCK for the composed IVF-PQ index: verify both committed ledgers
@@ -1817,20 +1818,21 @@ object Similarity {
     */
   private def sweepUnreferencedGens(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,
-                                    retain: Int): Unit = {
+                                    retain: Int): Int = {
     val manifests = genManifestList(fs, root)
-    if (manifests.isEmpty) return
+    if (manifests.isEmpty) return 0
     val keep = (manifests.takeRight(retain)
       .flatMap(readGenManifest(fs, _)._3) ++
       readGenPins(fs, root).values.map(g => s"gen=$g")).toSet
-    if (!fs.exists(root)) return
-    fs.listStatus(root)
+    if (!fs.exists(root)) return 0
+    val sweep = fs.listStatus(root)
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith("gen=") ||
           s.getPath.getName.startsWith(".inflight-gen-")))
       .filter(s => !keep.contains(s.getPath.getName) ||
         s.getPath.getName.startsWith(".inflight-gen-"))
-      .foreach(s => fs.delete(s.getPath, true))
+    sweep.foreach(s => fs.delete(s.getPath, true))
+    sweep.length
   }
 
   /** INCREMENTAL index growth — the FAISS `add` path: new vectors
