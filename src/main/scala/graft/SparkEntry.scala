@@ -5887,6 +5887,105 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val backupStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the backup/restore lineages q193 decides its verdicts
+    * over: a committed snapshot expectation, a self-contained backup,
+    * a table damaged out-of-band and RESTORED (twice — the replay),
+    * a twin damaged and left damaged, a DR clone restored into an
+    * empty dir, and a torn backup (data without a committed
+    * manifest). All verdicts decide in-query from the committed
+    * state (the debt-5 convention).
+    */
+  private def ensureBackup(spark: SparkSession, dir: String): String =
+    backupStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-backup-q").toString
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
+      def lineage(t: String): Unit = {
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.withColumn("__v", lit(0L)), t, Seq("doc_id"), "__v",
+          nBuckets = 4, batchId = 0L, retain = 2)
+        streaming.EventStreams.mergeBatchIntoTable(
+          docs.filter(col("doc_id") < 6)
+            .withColumn("text", upper(col("text"))).withColumn("__v", lit(1L)),
+          t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 2)
+      }
+      lineage(s"$base/t")
+      streaming.EventStreams.readUpsertTable(spark, s"$base/t")
+        .write.mode("overwrite").parquet(s"$base/snap")
+      streaming.EventStreams.backupUpsertTable(spark, s"$base/t", s"$base/bak")
+      def damage(t: String): Unit = {
+        val victim = streaming.EventStreams.tableManifest(spark, t)
+          .toSeq.sortBy(_._1).head._2.head
+        java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+      }
+      damage(s"$base/t")
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
+        s"$base/t", batchId = 5L)
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
+        s"$base/t", batchId = 5L) // replay: must not re-commit
+      lineage(s"$base/u")
+      damage(s"$base/u")
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
+        s"$base/clone", batchId = 10L)
+      val torn = s"$base/torn"
+      new java.io.File(torn).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$torn/orphan.parquet"), "junk")
+      base
+    })
+
+  /** SNAPSHOT BACKUP + RESTORE
+    * ([[streaming.EventStreams.backupUpsertTable]] /
+    * [[streaming.EventStreams.restoreUpsertTable]]): the heal that
+    * makes fsck actionable and the DR clone path — a backup is the
+    * resolving manifest plus its byte-copied files (manifest committed
+    * LAST, so a torn backup reads as nothing and restore refuses it),
+    * itself a readable single-snapshot table; a restore re-publishes
+    * it as a NEW commit (history preserved, watermark advanced,
+    * replays no-op). Verdicts decided in-query: backup ≡ the committed
+    * pre-damage snapshot; the damaged unrestored twin fails fsck
+    * exactly on the vanished live file; the restored table is fsck
+    * green and row-identical to the backup; history preserved (three
+    * manifests, watermark at the restore id, even after the replayed
+    * restore); the DR clone into an empty dir is exact; a torn backup
+    * is refused loudly.
+    */
+  def q193BackupRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureBackup(spark, dir)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    def fails(f: => Unit): Boolean =
+      try { f; false } catch { case _: Exception => true }
+    val snap = spark.read.parquet(s"$base/snap")
+    val bak = streaming.EventStreams.readUpsertTable(spark, s"$base/bak")
+    val t = streaming.EventStreams.readUpsertTable(spark, s"$base/t")
+    def fsck(d: String) = streaming.EventStreams.fsckUpsertTable(spark, d)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val fsckT = fsck(s"$base/t")
+    val fsckU = fsck(s"$base/u")
+    val manifests = new java.io.File(s"$base/t/_manifests")
+      .listFiles().count(_.getName.endsWith(".json"))
+    Seq(
+      ("backup_matches_snapshot", eq(bak, snap) && snap.count() > 0),
+      ("damage_detected",
+        !fsckU("live_files_exist") && fsckU("manifests_parseable")),
+      ("restore_heals", fsckT.values.forall(identity) && eq(t, snap)),
+      ("history_preserved", manifests == 3 &&
+        streaming.EventStreams.latestCommittedBatchId(spark, s"$base/t")
+          .contains(5L)),
+      ("dr_clone_exact", eq(
+        streaming.EventStreams.readUpsertTable(spark, s"$base/clone"), snap)),
+      ("torn_backup_refused", fails(
+        streaming.EventStreams.restoreUpsertTable(spark, s"$base/torn",
+          s"$base/never", batchId = 1L))))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -6077,6 +6176,7 @@ object SparkEntry {
     "q190_retention_pins" -> (q190RetentionPins _),
     "q191_artifact_fsck" -> (q191ArtifactFsck _),
     "q192_maintenance_run" -> (q192MaintenanceRun _),
+    "q193_backup_restore" -> (q193BackupRestore _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -7398,6 +7498,14 @@ object SparkEntry {
         |FROM (VALUES ('run1_healthy_no_action'), ('run2_monitors_flag'),
         |  ('run2_actions_ran'), ('fsck_green_both_runs'),
         |  ('post_fold_dense'), ('replay_commits_nothing')) t(c)""".stripMargin,
+    // backup/restore facts are decided in-engine (exceptAll vs the
+    // committed snapshot, fsck rows, manifest listings over committed
+    // lineages); the oracle pins the verdicts
+    "q193_backup_restore" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('backup_matches_snapshot'), ('damage_detected'),
+        |  ('restore_heals'), ('history_preserved'), ('dr_clone_exact'),
+        |  ('torn_backup_refused')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

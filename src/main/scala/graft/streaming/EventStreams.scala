@@ -1048,6 +1048,107 @@ object EventStreams {
       .toDF("check", "ok", "n")
   }
 
+  /** BACKUP one committed snapshot of a keyed upsert table into a
+    * self-contained dir: the data files the resolving manifest (newest
+    * at or below `batchId`; latest by default) names, byte-copied
+    * under their table-relative paths, plus that manifest — written
+    * LAST, tmp + rename, so a torn backup has no manifest and
+    * [[restoreUpsertTable]] refuses it. The result is itself a valid
+    * single-snapshot table ([[readUpsertTable]] reads it directly),
+    * which is what makes it a backup rather than an export: restore is
+    * a re-publish, not a re-encode, and rows round-trip bit-identical.
+    *
+    * Returns the backed-up batchId. Driver-side copy loop, bounded by
+    * the snapshot's file count (the sweep cost class) — the reference
+    * implementation of the shape; at real scale the byte movement
+    * belongs to a bulk copier, with the manifest-last commit unchanged.
+    */
+  def backupUpsertTable(spark: SparkSession, tableDir: String,
+                        backupDir: String,
+                        batchId: Long = Long.MaxValue): Long = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = manifestList(fs, table).map(p => (p, readManifest(fs, p)))
+      .filter(_._2._1 <= batchId).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed snapshot at or before batch $batchId in $tableDir; " +
+            "nothing to back up"))
+    val dest = new Path(backupDir)
+    fs.mkdirs(dest)
+    src._2._2.values.flatten.foreach { rel =>
+      val from = new Path(table, rel)
+      val to = new Path(dest, rel)
+      fs.mkdirs(to.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, true,
+          spark.sparkContext.hadoopConfiguration))
+        throw new IllegalStateException(s"backup copy failed: $from -> $to")
+    }
+    // manifest LAST (the commit): a crash above leaves no manifest and
+    // the backup reads as nothing / restore refuses
+    val mDest = new Path(manifestsDir(dest), src._1.getName)
+    fs.mkdirs(mDest.getParent)
+    val tmp = new Path(mDest.getParent, s".${src._1.getName}.tmp")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src._1, fs, tmp, false, true,
+        spark.sparkContext.hadoopConfiguration) || !fs.rename(tmp, mDest))
+      throw new IllegalStateException(s"backup manifest commit failed at $mDest")
+    src._2._1
+  }
+
+  /** RESTORE a backup into a table as a NEW commit — the heal for what
+    * [[fsckUpsertTable]] finds (a live file vanished out-of-band) and
+    * the DR clone (restore into an empty dir). History is preserved,
+    * never rewritten: the backup's files byte-copy under a fresh
+    * `gen_<batchId>` generation, the commit is the next manifest, and
+    * the post-commit sweep reclaims whatever the damaged snapshot left
+    * (pins honored as ever). `batchId` must exceed the target's
+    * applied watermark (a restore is an ordinary commit in the
+    * table's id space); replays no-op on it. A backup without a
+    * committed manifest — a torn copy — is refused loudly.
+    */
+  def restoreUpsertTable(spark: SparkSession, backupDir: String,
+                         tableDir: String, batchId: Long,
+                         retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    val backup = new Path(backupDir)
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (srcBatch, live) = latestManifest(fs, backup).getOrElse(
+      throw new IllegalArgumentException(
+        s"$backupDir has no committed backup manifest (torn backup?); " +
+          "refusing to restore from it"))
+    if (latestManifest(fs, table).exists(_._1 >= batchId)) return // replay
+    require(srcBatch <= batchId,
+      s"restoring a snapshot committed at batch $srcBatch under the " +
+        s"EARLIER id $batchId would run the watermark backwards; restore " +
+        "under an id at or above the backup's")
+    val mixed = manifestList(fs, backup).lastOption.exists(manifestMixed(fs, _))
+    val nBuckets = {
+      val in = fs.open(manifestList(fs, backup).last)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"nBuckets":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"backup manifest in $backupDir lacks nBuckets"))
+    }
+    val genName = s"gen_$batchId"
+    val restored = live.map { case (b, fls) =>
+      b -> fls.map { rel =>
+        val bucketPart = rel.split('/').dropRight(1).lastOption.getOrElse(
+          throw new IllegalStateException(s"unexpected backup path $rel"))
+        val name = rel.split('/').last
+        val to = new Path(table, s"$genName/$bucketPart/$name")
+        fs.mkdirs(to.getParent)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(backup, rel),
+            fs, to, false, true, spark.sparkContext.hadoopConfiguration))
+          throw new IllegalStateException(
+            s"restore copy failed: $rel -> $to")
+        s"$genName/$bucketPart/$name"
+      }
+    }
+    publishManifest(fs, table, batchId, nBuckets, restored, mixed)
+    sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
   /** Union of the data files referenced by the newest `retain`
     * manifests PLUS every pinned snapshot's resolving manifest — the
     * retention set a sweep must preserve. retain = 1 is

@@ -71,7 +71,12 @@ object ScaleCurve {
       "q184_ivfpq_rebuild",
       // late round 11: the orchestration/maintenance verdicts
       "q185_takedown_orchestration", "q186_selective_reexport",
-      "q187_drift_loop", "q188_shard_rebalance")
+      "q187_drift_loop", "q188_shard_rebalance",
+      // round 12: retention triad + the scheduled pass (builders run
+      // once per dir via computeIfAbsent; best-of-3 measures the
+      // verdict read — the steady-state cost, metadata-bound)
+      "q190_retention_pins", "q191_artifact_fsck", "q192_maintenance_run",
+      "q193_backup_restore")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

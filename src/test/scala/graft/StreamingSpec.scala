@@ -1241,6 +1241,57 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.pinBatch(spark, tableDir, "live", 1L) === 1L)
   }
 
+  test("backup + restore: snapshots round-trip; restore heals fsck damage as a NEW commit") {
+    val base = Files.createTempDirectory("graft-bak").toString
+    val tableDir = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 2)
+    merge((0L until 12L).map(k => (k, s"p$k", 0L)), 0L)
+    merge((0L until 6L).map(k => (k, s"q$k", 1L)), 1L)
+    def rows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = rows(tableDir)
+    // the backup commits its manifest LAST and reads as a table itself
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak") === 1L)
+    assert(rows(s"$base/bak") === expected)
+    // out-of-band damage: a live file vanishes; fsck sees it
+    val victim = EventStreams.tableManifest(spark, tableDir).values.flatten.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tableDir/$victim"))
+    def fsck(dir: String) = EventStreams.fsckUpsertTable(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!fsck(tableDir)("live_files_exist"))
+    // RESTORE heals as a new commit: rows back, fsck green, history
+    // preserved (watermark advanced, prior manifests still listed)
+    EventStreams.restoreUpsertTable(spark, s"$base/bak", tableDir, batchId = 5L)
+    assert(rows(tableDir) === expected)
+    assert(fsck(tableDir).values.forall(identity))
+    assert(EventStreams.latestCommittedBatchId(spark, tableDir) === Some(5L))
+    def manifestCount = new java.io.File(s"$tableDir/_manifests")
+      .listFiles().count(_.getName.endsWith(".json"))
+    assert(manifestCount === 3)
+    // replays no-op
+    EventStreams.restoreUpsertTable(spark, s"$base/bak", tableDir, batchId = 5L)
+    assert(manifestCount === 3)
+    // DR clone: restore into an empty dir
+    EventStreams.restoreUpsertTable(spark, s"$base/bak", s"$base/clone",
+      batchId = 10L)
+    assert(rows(s"$base/clone") === expected)
+    // running the watermark backwards is refused
+    intercept[IllegalArgumentException] {
+      EventStreams.restoreUpsertTable(spark, s"$base/bak", s"$base/clone2",
+        batchId = 0L)
+    }
+    // a torn backup (data landed, manifest never committed) is refused
+    val torn = s"$base/torn"
+    new java.io.File(torn).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$torn/orphan.parquet"), "junk")
+    intercept[IllegalArgumentException] {
+      EventStreams.restoreUpsertTable(spark, torn, s"$base/clone3", 1L)
+    }
+  }
+
   test("fsckUpsertTable: healthy table all-ok; planted damage is reported, never thrown") {
     val tableDir = Files.createTempDirectory("graft-fsck").toString + "/t"
     def merge(v: Long, id: Long) =
