@@ -1348,7 +1348,8 @@ object Similarity {
     * generation no-ops, at a different one fails loudly (unpin first).
     */
   def pinGeneration(spark: org.apache.spark.sql.SparkSession,
-                    indexDir: String, label: String, generation: Long): Unit = {
+                    indexDir: String, label: String, generation: Long,
+                    expiresAtMillis: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     require(pinLabelRe.findFirstIn(label).isDefined,
       s"pin label '$label' must match ${pinLabelRe.regex}")
@@ -1369,7 +1370,8 @@ object Similarity {
           s"unpinGeneration it before re-pinning at $generation")
       case None =>
     }
-    writePinToken(fs, genPinsDir(root), label, "generation", generation)
+    writePinToken(fs, genPinsDir(root), label, "generation", generation,
+      expiresAtMillis)
     // pin-vs-maintenance race post-condition: a rebuild sweeping
     // concurrently read the pins BEFORE this token landed — re-check
     // the generation survived (still in the ledger, dir on disk) and
@@ -1419,7 +1421,8 @@ object Similarity {
     * [[indexedVecIdsBefore]] contract).
     */
   def pinCodes(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-               label: String, batchId: Long): Long = {
+               label: String, batchId: Long,
+               expiresAtMillis: Long = Long.MaxValue): Long = {
     import org.apache.hadoop.fs.Path
     require(pinLabelRe.findFirstIn(label).isDefined,
       s"pin label '$label' must match ${pinLabelRe.regex}")
@@ -1438,7 +1441,8 @@ object Similarity {
           s"unpinCodes it before re-pinning at $batchId")
       case None =>
     }
-    writePinToken(fs, codesPinsDir(codesRoot), label, "batchId", batchId)
+    writePinToken(fs, codesPinsDir(codesRoot), label, "batchId", batchId,
+      expiresAtMillis)
     // pin-vs-sweep race post-condition (the pinBatch contract shape):
     // re-check the resolving manifest's dirs survived a sweep that
     // read pins before this token landed
@@ -1476,14 +1480,15 @@ object Similarity {
     * generation half (the flat root is never swept by design).
     */
   def pinIndexForAudit(spark: org.apache.spark.sql.SparkSession,
-                       indexDir: String, label: String, batchId: Long): Unit = {
+                       indexDir: String, label: String, batchId: Long,
+                       expiresAtMillis: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestGenManifest(fs, root).foreach { case (_, active, _) =>
-      pinGeneration(spark, indexDir, label, active)
+      pinGeneration(spark, indexDir, label, active, expiresAtMillis)
     }
-    pinCodes(spark, indexDir, label, batchId)
+    pinCodes(spark, indexDir, label, batchId, expiresAtMillis)
     ()
   }
 
@@ -1641,11 +1646,14 @@ object Similarity {
     */
   private def writePinToken(fs: org.apache.hadoop.fs.FileSystem,
                             dir: org.apache.hadoop.fs.Path, label: String,
-                            key: String, value: Long): Unit = {
+                            key: String, value: Long,
+                            expiresAtMillis: Long = Long.MaxValue): Unit = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$label.pin.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"$key":$value}""".getBytes("UTF-8")) finally out.close()
+    try out.write(
+      s"""{"$key":$value,"expiresAt":$expiresAtMillis}""".getBytes("UTF-8"))
+    finally out.close()
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"$label.pin")))
       throw new IllegalStateException(
         s"failed to commit pin '$label' under $dir — concurrent pinner " +
@@ -1658,11 +1666,12 @@ object Similarity {
     */
   private def readPinTokens(fs: org.apache.hadoop.fs.FileSystem,
                             dir: org.apache.hadoop.fs.Path,
-                            key: String): Map[String, Long] =
+                            key: String): Map[String, Long] = {
+    val now = System.currentTimeMillis()
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
-      .map { s =>
+      .flatMap { s =>
         val in = fs.open(s.getPath)
         val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val v = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(body)
@@ -1671,8 +1680,15 @@ object Similarity {
               "tmp+rename, so this is external corruption); restore it " +
               s"from '{\"$key\":<id>}' or delete it ONLY if the hold is " +
               "no longer needed")).group(1).toLong
-        s.getPath.getName.stripSuffix(".pin") -> v
+        // expiry = a release that already happened (the leak guard):
+        // drop the hold and collect the token; legacy tokens without
+        // an expiresAt never expire
+        val expired = """"expiresAt":(-?\d+)""".r.findFirstMatchIn(body)
+          .exists(_.group(1).toLong <= now)
+        if (expired) { fs.delete(s.getPath, false); None }
+        else Some(s.getPath.getName.stripSuffix(".pin") -> v)
       }.toMap
+  }
 
   private def readGenPins(fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path): Map[String, Long] =

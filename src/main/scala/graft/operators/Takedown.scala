@@ -360,9 +360,11 @@ object Takedown {
                   keyedTables: Seq[String] = Seq.empty,
                   ragIndex: Option[String] = None,
                   ivfPqIndex: Option[String] = None,
-                  exportProv: Option[String] = None): Map[String, Long] = {
+                  exportProv: Option[String] = None,
+                  expiresAtMillis: Long = Long.MaxValue): Map[String, Long] = {
     import graft.streaming.EventStreams
-    def pinTable(dir: String) = EventStreams.pinBatch(spark, dir, label, asOfBatch - 1)
+    def pinTable(dir: String) = EventStreams.pinBatch(spark, dir, label,
+      asOfBatch - 1, expiresAtMillis)
     val seqPins = sequenceTable.toSeq.flatMap { dir =>
       val state = s"$dir/_tokstate"
       Seq(s"sequences-${baseName(dir)}" -> pinTable(dir)) ++
@@ -374,7 +376,7 @@ object Takedown {
     val ragPins = ragIndex.toSeq.map(dir => s"rag-${baseName(dir)}" -> pinTable(dir))
     val provPins = exportProv.toSeq.map(dir => s"export-${baseName(dir)}" -> pinTable(dir))
     val indexPins = ivfPqIndex.toSeq.map { dir =>
-      Similarity.pinIndexForAudit(spark, dir, label, asOfBatch)
+      Similarity.pinIndexForAudit(spark, dir, label, asOfBatch, expiresAtMillis)
       s"ivfpq-${baseName(dir)}" -> asOfBatch
     }
     (seqPins ++ tablePins ++ ragPins ++ provPins ++ indexPins).toMap

@@ -831,7 +831,7 @@ object EventStreams {
     * commit — O(pins), not O(data).
     */
   def pinBatch(spark: SparkSession, tableDir: String, label: String,
-               batchId: Long): Long = {
+               batchId: Long, expiresAtMillis: Long = Long.MaxValue): Long = {
     import org.apache.hadoop.fs.Path
     require(pinLabelRe.findFirstIn(label).isDefined,
       s"pin label '$label' must match ${pinLabelRe.regex}")
@@ -853,7 +853,12 @@ object EventStreams {
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".$label.pin.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"batchId":$batchId}""".getBytes("UTF-8"))
+    // expiry is the leak guard: a forgotten audit hold must not grow
+    // the table forever — past the deadline the pin stops holding
+    // (readers ignore it, the next sweep collects the token). Default
+    // is no expiry (compliance holds are explicit releases).
+    try out.write(
+      s"""{"batchId":$batchId,"expiresAt":$expiresAtMillis}""".getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(dir, s"$label.pin")))
       throw new IllegalStateException(
@@ -900,18 +905,21 @@ object EventStreams {
     readPins(fs, table)
   }
 
-  /** Parse the pin tokens. An unparseable token fails LOUDLY (refusing
-    * to sweep beats sweeping a held snapshot): tokens commit via
-    * tmp + rename, so a torn one can only be manual corruption — the
-    * error names the file and the recovery.
+  /** Parse the pin tokens, dropping EXPIRED ones (and collecting their
+    * token files — expiry is a release that already happened; legacy
+    * tokens without an expiresAt never expire). An unparseable token
+    * fails LOUDLY (refusing to sweep beats sweeping a held snapshot):
+    * tokens commit via tmp + rename, so a torn one can only be manual
+    * corruption — the error names the file and the recovery.
     */
   private def readPins(fs: org.apache.hadoop.fs.FileSystem,
                        table: org.apache.hadoop.fs.Path): Map[String, Long] = {
     val dir = pinsDir(table)
+    val now = System.currentTimeMillis()
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
-      .map { s =>
+      .flatMap { s =>
         val in = fs.open(s.getPath)
         val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val id = """"batchId":(-?\d+)""".r.findFirstMatchIn(body)
@@ -920,7 +928,10 @@ object EventStreams {
               "tmp+rename, so this is external corruption); restore it " +
               "from '{\"batchId\":<id>}' or delete it ONLY if the hold " +
               "is no longer needed")).group(1).toLong
-        s.getPath.getName.stripSuffix(".pin") -> id
+        val expired = """"expiresAt":(-?\d+)""".r.findFirstMatchIn(body)
+          .exists(_.group(1).toLong <= now)
+        if (expired) { fs.delete(s.getPath, false); None }
+        else Some(s.getPath.getName.stripSuffix(".pin") -> id)
       }.toMap
   }
 

@@ -876,6 +876,9 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(raceErr.getMessage.contains("raced a concurrent rebuild"))
     assert(Similarity.listGenerationPins(spark, idx) === Map.empty)
+    // an expired generation pin stops holding and its token collects
+    Similarity.pinGeneration(spark, idx, "leak", 5L, expiresAtMillis = 1L)
+    assert(Similarity.listGenerationPins(spark, idx) === Map.empty)
   }
 
   test("fsckIndex: healthy flat and generational indexes all-ok; damage reported, never thrown") {

@@ -1292,6 +1292,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("batch pins: an expired pin stops holding and its token is collected") {
+    val tableDir = Files.createTempDirectory("graft-upsert-ttl").toString + "/t"
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 2)
+    merge(0L, 0L)
+    merge(1L, 1L)
+    // a hold whose deadline already passed: the leak guard — readers
+    // ignore it immediately and the next pin-set read collects it
+    EventStreams.pinBatch(spark, tableDir, "leak", 0L, expiresAtMillis = 1L)
+    assert(EventStreams.listPins(spark, tableDir) === Map.empty)
+    assert(!new java.io.File(s"$tableDir/_pins/leak.pin").exists())
+    assert(EventStreams.vacuumUpsertTable(spark, tableDir, retain = 1) > 0)
+    intercept[Exception] {
+      EventStreams.readUpsertTableAt(spark, tableDir, 0L).count()
+    }
+    // the default (no deadline) holds like before
+    EventStreams.pinBatch(spark, tableDir, "held", 1L)
+    assert(EventStreams.listPins(spark, tableDir) === Map("held" -> 1L))
+  }
+
   test("fsckUpsertTable: healthy table all-ok; planted damage is reported, never thrown") {
     val tableDir = Files.createTempDirectory("graft-fsck").toString + "/t"
     def merge(v: Long, id: Long) =
