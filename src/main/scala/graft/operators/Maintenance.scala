@@ -61,6 +61,18 @@ object Maintenance {
     import spark.implicits._
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Boolean, Long)]()
     def name(dir: String) = dir.stripSuffix("/").split('/').last
+    // report rows key by (run_id, artifact, check) and artifacts label
+    // by directory BASENAME (the deleteDocs ledger convention) — two
+    // same-named dirs would silently merge onto one key and the losing
+    // artifact's red fsck row could vanish behind the winner's green
+    val tableLabels = tables.map(t => s"table-${name(t._1)}")
+    require(tableLabels.distinct.size == tableLabels.size,
+      s"table labels collide (${tableLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
+    val indexLabels = indexes.map(i => s"ivfpq-${name(i._1)}")
+    require(indexLabels.distinct.size == indexLabels.size,
+      s"index labels collide (${indexLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
     // ---- 1. ACT (monitor-gated; healthy systems commit nothing) ----
     rebalance.foreach { case (shardTable, prov, export, seqsPerShard, minFill, batchId, nBuckets) =>
       val r = Packing.rebalanceIfSparse(spark, shardTable, prov, export,

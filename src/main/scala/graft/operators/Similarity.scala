@@ -1072,8 +1072,9 @@ object Similarity {
     val parsed = manifests.map(readCodesManifest(fs, _))
     val pinnedDirs = readCodesPins(fs, root).values.toSeq.distinct
       .flatMap(b => parsed.filter(_._2 < b).lastOption.toSeq.flatMap(_._3))
-    val keep = (manifests.takeRight(retain)
-      .flatMap(readCodesManifest(fs, _)._3) ++ pinnedDirs).toSet
+    // reuse the already-parsed chain — a second read of the retained
+    // manifests would be a round trip per object store commit
+    val keep = (parsed.takeRight(retain).flatMap(_._3) ++ pinnedDirs).toSet
     val sweep = discoverBatchDirs(fs, root).filterNot(keep)
     sweep.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
     fs.listStatus(root)
@@ -1283,9 +1284,54 @@ object Similarity {
     * pin. Fails fast when manifests exist but none pre-dates the pin.
     */
   def indexedVecIdsBefore(spark: org.apache.spark.sql.SparkSession,
-                          indexDir: String, batchId: Long): DataFrame = {
+                          indexDir: String, batchId: Long): DataFrame =
+    vecIdsBeforeAtRoot(spark, indexDir,
+      activeIndexRoot(spark, indexDir), batchId)
+
+  /** [[indexedVecIdsBefore]] resolved through a RETENTION PIN instead
+    * of the ACTIVE generation — the read that makes
+    * [[graft.operators.Takedown.pinForAudit]]'s "audit at leisure,
+    * days later" durable across rebuilds: a rebuild flips the active
+    * generation and the new generation's codes batch-ids restart at 0,
+    * so an active-resolved `before batch B` read would silently answer
+    * from the wrong epoch (typically the post-takedown universe — the
+    * one answer a pre-request audit must never return). Resolves the
+    * generation the pin holds; an index with no generation pin under
+    * this label (a flat pre-generation index, where nothing can flip)
+    * falls back to the active root.
+    */
+  def indexedVecIdsBeforePinned(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, label: String,
+                                batchId: Long): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val aRoot = activeIndexRoot(spark, indexDir)
+    graft.streaming.PinTokens.requireLabel(label)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aRoot = readGenPins(fs, root).get(label) match {
+      case Some(g) => latestGenManifest(fs, root) match {
+        case Some((_, _, dirs)) =>
+          val d = dirs.find(dd => genIdOf(dd) == g).getOrElse(
+            throw new IllegalStateException(
+              s"pin '$label' holds generation $g of $indexDir but the " +
+                "ledger no longer retains it — was the pin released (or " +
+                "expired) while this audit still needed it?"))
+          resolveGenDir(indexDir, d)
+        case None =>
+          // pinned flat (generation 0) and nothing rebuilt since: the
+          // flat root IS the pinned generation
+          require(g == 0L, s"pin '$label' holds generation $g of " +
+            s"$indexDir but no generation ledger exists")
+          indexDir
+      }
+      case None => activeIndexRoot(spark, indexDir)
+    }
+    vecIdsBeforeAtRoot(spark, indexDir, aRoot, batchId)
+  }
+
+  private def vecIdsBeforeAtRoot(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, aRoot: String,
+                                 batchId: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val root = new Path(s"$aRoot/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifests = codesManifestList(fs, root).map(readCodesManifest(fs, _))
@@ -1334,7 +1380,7 @@ object Similarity {
   private def codesPinsDir(codesRoot: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(codesManifestDir(codesRoot), "_pins")
 
-  private val pinLabelRe = "^[A-Za-z0-9._-]{1,64}$".r
+  private val pinLabelRe = graft.streaming.PinTokens.labelRe
 
   /** PIN a generation: rebuild/rollback dirs-bounding and the
     * generation sweep keep it — and keep it IN THE LEDGER, so
@@ -1397,6 +1443,7 @@ object Similarity {
   def unpinGeneration(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, label: String): Boolean = {
     import org.apache.hadoop.fs.Path
+    graft.streaming.PinTokens.requireLabel(label) // '/'-free: no traversal
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(genPinsDir(root), s"$label.pin"), false)
@@ -1467,6 +1514,7 @@ object Similarity {
   def unpinCodes(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  label: String): Boolean = {
     import org.apache.hadoop.fs.Path
+    graft.streaming.PinTokens.requireLabel(label) // '/'-free: no traversal
     val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(codesPinsDir(codesRoot), s"$label.pin"), false)
@@ -1485,10 +1533,28 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    latestGenManifest(fs, root).foreach { case (_, active, _) =>
-      pinGeneration(spark, indexDir, label, active, expiresAtMillis)
+    latestGenManifest(fs, root) match {
+      case Some((_, active, _)) =>
+        pinGeneration(spark, indexDir, label, active, expiresAtMillis)
+      case None =>
+        // flat pre-generation index: pin generation 0 (the adopted
+        // root) DIRECTLY — pinGeneration requires a ledger, but the
+        // hold must outlive a LATER rebuild that creates one: the
+        // rebuild's dirs-bounding unions this pin so "." stays in the
+        // ledger, and [[indexedVecIdsBeforePinned]] keeps resolving
+        // the flat epoch the audit was pinned against
+        writePinToken(fs, genPinsDir(root), label, "generation", 0L,
+          expiresAtMillis)
     }
-    pinCodes(spark, indexDir, label, batchId, expiresAtMillis)
+    // a failed second half must not strand the first: an unreleased
+    // generation pin (default: no expiry) is exactly the leak the
+    // layer guards against, created by this API's own partial failure
+    try pinCodes(spark, indexDir, label, batchId, expiresAtMillis)
+    catch {
+      case e: Exception =>
+        unpinGeneration(spark, indexDir, label)
+        throw e
+    }
     ()
   }
 
@@ -1574,7 +1640,7 @@ object Similarity {
       try (readGenPins(fs, root), true)
       catch { case _: IllegalStateException => (Map.empty[String, Long], false) }
     val liveDirs = gens.lastOption.map(_._4).getOrElse(Seq.empty)
-    val wantDirs = (liveDirs ++ genPins.values.map(g => s"gen=$g")).distinct
+    val wantDirs = (liveDirs ++ genPins.values.map(genDirName)).distinct
     val missingGens = wantDirs.filterNot { d =>
       if (d == ".") fs.exists(new Path(root, "codes"))
       else fs.exists(new Path(root, d))
@@ -1611,8 +1677,11 @@ object Similarity {
     }
     val pinnedCodesDirs = codesPins.values.toSeq.distinct.map(b =>
       b -> codesParsed.filter(_._3 < b).lastOption)
+    // a generation-0 pin on a pre-ledger index is the flat-root hold
+    // (pinIndexForAudit writes it so a later rebuild keeps "." live)
     val pinsOk = genPinsParseable && codesPinsParseable &&
-      genPins.values.forall(g => liveDirs.exists(d => genIdOf(d) == g)) &&
+      genPins.values.forall(g => liveDirs.exists(d => genIdOf(d) == g) ||
+        (g == 0L && gens.isEmpty)) &&
       pinnedCodesDirs.forall(_._2.isDefined)
     val wantCodesDirs = (codesParsed.lastOption.map(_._4).getOrElse(Seq.empty) ++
       pinnedCodesDirs.flatMap(_._2).flatMap(_._4)).distinct
@@ -1641,54 +1710,20 @@ object Similarity {
       .toDF("check", "ok", "n")
   }
 
-  /** Tmp + rename pin token (the manifest commit convention — no torn
-    * token can exist). Body is writer-owned single-key JSON.
+  /** Tmp + rename pin token — the ONE shared definition
+    * ([[graft.streaming.PinTokens]]), so expiry/corruption semantics
+    * cannot drift between the table and index layers.
     */
   private def writePinToken(fs: org.apache.hadoop.fs.FileSystem,
                             dir: org.apache.hadoop.fs.Path, label: String,
                             key: String, value: Long,
-                            expiresAtMillis: Long = Long.MaxValue): Unit = {
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$label.pin.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"$key":$value,"expiresAt":$expiresAtMillis}""".getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"$label.pin")))
-      throw new IllegalStateException(
-        s"failed to commit pin '$label' under $dir — concurrent pinner " +
-          "with the same label?")
-  }
+                            expiresAtMillis: Long = Long.MaxValue): Unit =
+    graft.streaming.PinTokens.write(fs, dir, label, key, value, expiresAtMillis)
 
-  /** Parse pin tokens under `dir` for `key`. Unparseable tokens fail
-    * LOUDLY (refusing to sweep beats sweeping a held snapshot); the
-    * error names the file and the recovery.
-    */
   private def readPinTokens(fs: org.apache.hadoop.fs.FileSystem,
                             dir: org.apache.hadoop.fs.Path,
-                            key: String): Map[String, Long] = {
-    val now = System.currentTimeMillis()
-    if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val v = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(body)
-          .getOrElse(throw new IllegalStateException(
-            s"unparseable pin token ${s.getPath} (pins commit via " +
-              "tmp+rename, so this is external corruption); restore it " +
-              s"from '{\"$key\":<id>}' or delete it ONLY if the hold is " +
-              "no longer needed")).group(1).toLong
-        // expiry = a release that already happened (the leak guard):
-        // drop the hold and collect the token; legacy tokens without
-        // an expiresAt never expire
-        val expired = """"expiresAt":(-?\d+)""".r.findFirstMatchIn(body)
-          .exists(_.group(1).toLong <= now)
-        if (expired) { fs.delete(s.getPath, false); None }
-        else Some(s.getPath.getName.stripSuffix(".pin") -> v)
-      }.toMap
-  }
+                            key: String): Map[String, Long] =
+    graft.streaming.PinTokens.read(fs, dir, key)
 
   private def readGenPins(fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path): Map[String, Long] =
@@ -1733,6 +1768,13 @@ object Similarity {
     */
   private def genIdOf(dir: String): Long =
     if (dir == ".") 0L else dir.stripPrefix("gen=").toLong
+
+  /** [[genIdOf]]'s inverse: generation 0 is the adopted flat root "."
+    * (rebuilds require generation > 0, so `gen=0` never exists on
+    * disk — mapping 0 to "gen=0" would make a pinned legacy
+    * generation look missing).
+    */
+  private def genDirName(g: Long): String = if (g == 0L) "." else s"gen=$g"
 
   private def resolveGenDir(indexDir: String, dir: String): String =
     if (dir == ".") indexDir else s"$indexDir/$dir"
@@ -1839,7 +1881,7 @@ object Similarity {
     if (manifests.isEmpty) return 0
     val keep = (manifests.takeRight(retain)
       .flatMap(readGenManifest(fs, _)._3) ++
-      readGenPins(fs, root).values.map(g => s"gen=$g")).toSet
+      readGenPins(fs, root).values.map(genDirName)).toSet
     if (!fs.exists(root)) return 0
     val sweep = fs.listStatus(root)
       .filter(s => s.isDirectory &&

@@ -324,7 +324,8 @@ object Takedown {
                   ragIndex: Option[String] = None,
                   ivfPqIndex: Option[String] = None,
                   vecIds: Option[Seq[Long]] = None,
-                  exportProv: Option[String] = None): DataFrame =
+                  exportProv: Option[String] = None,
+                  pinLabel: Option[String] = None): DataFrame =
     auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
       ivfPqIndex, vecIds, exportProv,
       read = dir => graft.streaming.EventStreams
@@ -332,7 +333,17 @@ object Takedown {
         .getOrElse(throw new IllegalArgumentException(
           s"$dir has no committed snapshot before batch $asOfBatch " +
             "(the pinned audit needs a snapshot below its pin)")),
-      vecIdsRead = dir => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch))
+      // a [[pinForAudit]]-held audit MUST name its pin: a rebuild
+      // committed since the request flips the active generation (whose
+      // codes batch-ids restart at 0), so the active-resolved read
+      // would silently answer from the wrong epoch — the pinned
+      // generation is where the audit's universe lives. Table reads
+      // need no label: their resolution is by batch id over manifests
+      // the pin keeps readable.
+      vecIdsRead = dir => pinLabel match {
+        case Some(l) => Similarity.indexedVecIdsBeforePinned(spark, dir, l, asOfBatch)
+        case None => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch)
+      })
 
   /** DURABLE hold for a pinned audit — the retention-contract upgrade:
     * [[auditDocsAt]]'s pin is readable only while every artifact's
@@ -365,21 +376,33 @@ object Takedown {
     import graft.streaming.EventStreams
     def pinTable(dir: String) = EventStreams.pinBatch(spark, dir, label,
       asOfBatch - 1, expiresAtMillis)
-    val seqPins = sequenceTable.toSeq.flatMap { dir =>
-      val state = s"$dir/_tokstate"
-      Seq(s"sequences-${baseName(dir)}" -> pinTable(dir)) ++
-        (if (dirExists(spark, state))
-          Seq(s"sequences-state-${baseName(dir)}" -> pinTable(state))
-        else Seq.empty)
+    // a partial failure must not strand the pins already taken — an
+    // unreleased hold the caller never learns the shape of is exactly
+    // the leak this layer guards against; release everything under the
+    // label and rethrow (releaseAudit is idempotent on absent pins)
+    try {
+      val seqPins = sequenceTable.toSeq.flatMap { dir =>
+        val state = s"$dir/_tokstate"
+        Seq(s"sequences-${baseName(dir)}" -> pinTable(dir)) ++
+          (if (dirExists(spark, state))
+            Seq(s"sequences-state-${baseName(dir)}" -> pinTable(state))
+          else Seq.empty)
+      }
+      val tablePins = keyedTables.map(dir => s"table-${baseName(dir)}" -> pinTable(dir))
+      val ragPins = ragIndex.toSeq.map(dir => s"rag-${baseName(dir)}" -> pinTable(dir))
+      val provPins = exportProv.toSeq.map(dir => s"export-${baseName(dir)}" -> pinTable(dir))
+      val indexPins = ivfPqIndex.toSeq.map { dir =>
+        Similarity.pinIndexForAudit(spark, dir, label, asOfBatch, expiresAtMillis)
+        s"ivfpq-${baseName(dir)}" -> asOfBatch
+      }
+      (seqPins ++ tablePins ++ ragPins ++ provPins ++ indexPins).toMap
+    } catch {
+      case e: Exception =>
+        try releaseAudit(spark, label, sequenceTable, keyedTables, ragIndex,
+          ivfPqIndex, exportProv)
+        catch { case r: Exception => e.addSuppressed(r) }
+        throw e
     }
-    val tablePins = keyedTables.map(dir => s"table-${baseName(dir)}" -> pinTable(dir))
-    val ragPins = ragIndex.toSeq.map(dir => s"rag-${baseName(dir)}" -> pinTable(dir))
-    val provPins = exportProv.toSeq.map(dir => s"export-${baseName(dir)}" -> pinTable(dir))
-    val indexPins = ivfPqIndex.toSeq.map { dir =>
-      Similarity.pinIndexForAudit(spark, dir, label, asOfBatch, expiresAtMillis)
-      s"ivfpq-${baseName(dir)}" -> asOfBatch
-    }
-    (seqPins ++ tablePins ++ ragPins ++ provPins ++ indexPins).toMap
   }
 
   /** Release every pin [[pinForAudit]] took under `label`; the next

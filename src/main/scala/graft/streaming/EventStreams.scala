@@ -804,7 +804,7 @@ object EventStreams {
   /** Pin labels become filenames: portable charset only (Hadoop Path
     * rejects ':', and a '/' would escape the pins dir).
     */
-  private val pinLabelRe = "^[A-Za-z0-9._-]{1,64}$".r
+  private val pinLabelRe = PinTokens.labelRe
 
   /** PIN a committed snapshot: every retention sweep and manifest
     * compaction from now on must keep the snapshot
@@ -849,35 +849,32 @@ object EventStreams {
           s"unpinBatch it before re-pinning at $batchId")
       case None =>
     }
-    val dir = pinsDir(table)
-    fs.mkdirs(dir)
-    val tmp = new Path(dir, s".$label.pin.tmp")
-    val out = fs.create(tmp, true)
     // expiry is the leak guard: a forgotten audit hold must not grow
     // the table forever — past the deadline the pin stops holding
     // (readers ignore it, the next sweep collects the token). Default
     // is no expiry (compliance holds are explicit releases).
-    try out.write(
-      s"""{"batchId":$batchId,"expiresAt":$expiresAtMillis}""".getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, new Path(dir, s"$label.pin")))
-      throw new IllegalStateException(
-        s"failed to commit pin '$label' on $tableDir — concurrent pinner " +
-          "with the same label?")
+    PinTokens.write(fs, pinsDir(table), label, "batchId", batchId,
+      expiresAtMillis)
     // pin-vs-sweep race post-condition (the appendToIvfPqIndex
-    // contract shape): a writer sweeping concurrently reads pins
-    // BEFORE this token landed and may already have reclaimed the
-    // snapshot — re-check the held files AFTER publishing and fail
-    // with the token removed rather than hand back a hold on nothing
-    val resolvingFiles = manifestList(fs, table).map(p => readManifest(fs, p))
-      .filter(_._1 <= batchId).lastOption.toSeq
-      .flatMap(_._2.values.flatten)
-    val sweptAway = resolvingFiles.filterNot(rel => fs.exists(new Path(table, rel)))
+    // contract shape): a writer sweeping or compacting concurrently
+    // read the pin set BEFORE this token landed and may already have
+    // reclaimed the snapshot — or pruned its manifest. Re-check AFTER
+    // publishing that the SAME manifest still resolves and its files
+    // exist; on a miss remove the token and fail rather than hand back
+    // a hold on nothing (or on a different, older snapshot).
+    val reResolved = manifestList(fs, table).map(p => (p, readManifest(fs, p)))
+      .filter(_._2._1 <= batchId).lastOption
+    val sweptAway = reResolved match {
+      case Some((_, (id, live))) if id == resolving =>
+        live.values.flatten.toSeq
+          .filterNot(rel => fs.exists(new Path(table, rel)))
+      case _ => Seq(s"manifest $resolving") // pruned by a concurrent compaction
+    }
     if (sweptAway.nonEmpty) {
-      fs.delete(new Path(dir, s"$label.pin"), false)
+      fs.delete(new Path(pinsDir(table), s"$label.pin"), false)
       throw new IllegalStateException(
         s"pin '$label' on $tableDir raced a concurrent retention sweep: " +
-          s"${sweptAway.size} file(s) of the batch-$batchId snapshot were " +
+          s"${sweptAway.size} object(s) of the batch-$batchId snapshot were " +
           "reclaimed before the pin landed. Pin a boundary the current " +
           "retain window still covers (or pause writers for the pin).")
     }
@@ -905,48 +902,30 @@ object EventStreams {
     readPins(fs, table)
   }
 
-  /** Parse the pin tokens, dropping EXPIRED ones (and collecting their
-    * token files — expiry is a release that already happened; legacy
-    * tokens without an expiresAt never expire). An unparseable token
-    * fails LOUDLY (refusing to sweep beats sweeping a held snapshot):
-    * tokens commit via tmp + rename, so a torn one can only be manual
-    * corruption — the error names the file and the recovery.
+  /** Parse the pin tokens (the shared [[PinTokens]] semantics: expired
+    * pins are dropped and best-effort collected; unparseable tokens
+    * fail loudly).
     */
   private def readPins(fs: org.apache.hadoop.fs.FileSystem,
-                       table: org.apache.hadoop.fs.Path): Map[String, Long] = {
-    val dir = pinsDir(table)
-    val now = System.currentTimeMillis()
-    if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val id = """"batchId":(-?\d+)""".r.findFirstMatchIn(body)
-          .getOrElse(throw new IllegalStateException(
-            s"unparseable pin token ${s.getPath} (pins commit via " +
-              "tmp+rename, so this is external corruption); restore it " +
-              "from '{\"batchId\":<id>}' or delete it ONLY if the hold " +
-              "is no longer needed")).group(1).toLong
-        val expired = """"expiresAt":(-?\d+)""".r.findFirstMatchIn(body)
-          .exists(_.group(1).toLong <= now)
-        if (expired) { fs.delete(s.getPath, false); None }
-        else Some(s.getPath.getName.stripSuffix(".pin") -> id)
-      }.toMap
-  }
+                       table: org.apache.hadoop.fs.Path): Map[String, Long] =
+    PinTokens.read(fs, pinsDir(table), "batchId")
 
   /** The manifests pinned snapshots resolve to — for each pin, the
     * newest committed manifest at or below its batchId (exactly what
     * [[readUpsertTableAt]] would read). Monotonic batchIds make the
     * resolution stable: no later commit can land between a pin and its
-    * resolving manifest.
+    * resolving manifest. Resolution reads FILENAMES only (the
+    * zero-padded name IS the batchId — the same fact manifestList's
+    * sort relies on), keeping the advertised per-commit pin cost at
+    * one `_pins/` listing, never O(chain) manifest-body reads.
     */
   private def pinnedManifests(fs: org.apache.hadoop.fs.FileSystem,
                               table: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     val pins = readPins(fs, table)
     if (pins.isEmpty) Seq.empty
     else {
-      val withIds = manifestList(fs, table).map(p => (p, readManifest(fs, p)._1))
+      val withIds = manifestList(fs, table)
+        .map(p => (p, p.getName.takeWhile(_ != '.').toLong))
       pins.values.toSeq.distinct.flatMap(b =>
         withIds.filter(_._2 <= b).lastOption.map(_._1)).distinct
     }
@@ -1394,5 +1373,79 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+}
+
+/** The ONE pin-token definition every retention layer shares (upsert
+  * tables here; index generations and codes batches in
+  * [[graft.operators.Similarity]]): a `<label>.pin` file committed
+  * tmp + rename, body `{"<key>":<value>,"expiresAt":<millis>}`. One
+  * definition so the semantics — expiry, corruption posture, the
+  * portable label charset — cannot drift between layers.
+  */
+private[graft] object PinTokens {
+
+  /** Labels become filenames: portable charset only (Hadoop Path
+    * rejects ':', and a '/' would escape the pins dir — a traversal
+    * on release paths, not just a bad name).
+    */
+  val labelRe: scala.util.matching.Regex = "^[A-Za-z0-9._-]{1,64}$".r
+
+  def requireLabel(label: String): Unit =
+    require(labelRe.findFirstIn(label).isDefined,
+      s"pin label '$label' must match ${labelRe.regex}")
+
+  /** Tmp + rename token commit (the manifest convention — no torn
+    * token can exist).
+    */
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+            dir: org.apache.hadoop.fs.Path, label: String, key: String,
+            value: Long, expiresAtMillis: Long): Unit = {
+    requireLabel(label)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$label.pin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"$key":$value,"expiresAt":$expiresAtMillis}""".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"$label.pin")))
+      throw new IllegalStateException(
+        s"failed to commit pin '$label' under $dir — concurrent pinner " +
+          "with the same label?")
+  }
+
+  /** Parse the tokens under `dir` for `key`. EXPIRED pins are dropped
+    * (expiry is a release that already happened) and their tokens
+    * collected BEST-EFFORT — a reader on a read-only filesystem (an
+    * fsck of a replica, a listPins) still gets the filtered answer
+    * instead of dying on the delete; legacy tokens without an
+    * expiresAt never expire. An UNPARSEABLE token fails LOUDLY
+    * (refusing to sweep beats sweeping a held snapshot): tokens commit
+    * via tmp + rename, so a torn one can only be external corruption —
+    * the error names the file and the recovery.
+    */
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+           dir: org.apache.hadoop.fs.Path, key: String): Map[String, Long] = {
+    val now = System.currentTimeMillis()
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".pin"))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val v = ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"unparseable pin token ${s.getPath} (pins commit via " +
+              "tmp+rename, so this is external corruption); restore it " +
+              s"from '{\"$key\":<id>}' or delete it ONLY if the hold is " +
+              "no longer needed")).group(1).toLong
+        val expired = """"expiresAt":(-?\d+)""".r.findFirstMatchIn(body)
+          .exists(_.group(1).toLong <= now)
+        if (expired) {
+          try fs.delete(s.getPath, false)
+          catch { case _: java.io.IOException => } // read-only reader: filter only
+          None
+        } else Some(s.getPath.getName.stripSuffix(".pin") -> v)
+      }.toMap
   }
 }

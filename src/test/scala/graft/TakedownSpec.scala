@@ -413,6 +413,26 @@ class TakedownSpec extends SparkSpec {
     assert(pre === Map("table-corpus" -> 1L, "ivfpq-idx" -> 1L))
     // ... and the post-request world is clean
     assert(auditAt(12L).values.forall(_ === 0L))
+    // a REBUILD flips the active generation and its codes batch-ids
+    // restart at 0: the UNLABELED audit silently answers from the new
+    // epoch (0 refs — the one answer a pre-request audit must never
+    // return), while the audit NAMING ITS PIN keeps resolving the
+    // pinned flat epoch the request was taken against
+    Similarity.rebuildIvfPqIndex(e.filter(col("vec_id") < 60), idx,
+      generation = 1L, nlist = 2, m = 8, codebookSize = 2, dim = 64,
+      retain = 1)
+    val unlabeled = Takedown.auditDocsAt(spark, deleted, 10L,
+      ivfPqIndex = Some(idx))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unlabeled("ivfpq-idx") === 0L) // the wrong-epoch hazard, live
+    val labeled = Takedown.auditDocsAt(spark, deleted, 10L,
+      keyedTables = Seq((corpus, "doc_id")), ivfPqIndex = Some(idx),
+      pinLabel = Some("req10"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled === pre, "the labeled audit must survive the rebuild")
+    // the generation-0 pin keeps the adopted flat root in the ledger
+    // and fsck stays green on the pinned shape
+    assert(Similarity.fsckIndex(spark, idx).collect().forall(_.getBoolean(1)))
     // twin corpus, identical lineage, NO pin: the same aftermath sweeps
     // the pre-request snapshot — the pin is causal, not incidental
     val twin = s"$base/twin"
@@ -436,6 +456,22 @@ class TakedownSpec extends SparkSpec {
     intercept[Exception] { auditAt(10L) }
     assert(EventStreams.readUpsertTable(spark, corpus)
       .filter(col("doc_id").isin(deleted: _*)).count() === 0L)
+  }
+
+  test("pinForAudit: a partial failure releases the pins already taken") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pinfail").toString
+    val good = s"$base/good"
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, 0L)).toDF("doc_id", "__v"), good, Seq("doc_id"), "__v",
+      nBuckets = 4, batchId = 0L)
+    // the second table has no committed snapshot below the boundary:
+    // its pin fails fast — and the FIRST table's already-taken pin
+    // must not be stranded as an unreleased (never-expiring) hold
+    val empty = s"$base/empty"
+    intercept[IllegalArgumentException] {
+      Takedown.pinForAudit(spark, "req", 5L, keyedTables = Seq(good, empty))
+    }
+    assert(EventStreams.listPins(spark, good) === Map.empty)
   }
 
   test("auditDocs audits a legacy sequence state that pre-dates carry_spans") {
