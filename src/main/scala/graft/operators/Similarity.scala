@@ -1469,11 +1469,25 @@ object Similarity {
     */
   def pinCodes(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                label: String, batchId: Long,
-               expiresAtMillis: Long = Long.MaxValue): Long = {
+               expiresAtMillis: Long = Long.MaxValue): Long =
+    pinCodesAtRoot(spark, activeIndexRoot(spark, indexDir), indexDir,
+      label, batchId, expiresAtMillis)
+
+  /** [[pinCodes]] against a PRE-RESOLVED generation root —
+    * [[pinIndexForAudit]] resolves the active root ONCE and passes it
+    * through both halves, so a rebuild landing between the generation
+    * pin and the codes pin cannot split them across epochs (ADVICE
+    * r12: the independent re-resolution left the generation pin on the
+    * old generation and the codes pin inside the new one).
+    */
+  private def pinCodesAtRoot(spark: org.apache.spark.sql.SparkSession,
+                             genRoot: String, indexDir: String,
+                             label: String, batchId: Long,
+                             expiresAtMillis: Long): Long = {
     import org.apache.hadoop.fs.Path
     require(pinLabelRe.findFirstIn(label).isDefined,
       s"pin label '$label' must match ${pinLabelRe.regex}")
-    val codesRoot = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
+    val codesRoot = new Path(s"$genRoot/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifests = codesManifestList(fs, codesRoot).map(readCodesManifest(fs, _))
     if (manifests.isEmpty) return -1L // frozen pre-manifest index
@@ -1526,16 +1540,28 @@ object Similarity {
     * snapshot strictly below `batchId` (so delete/compact sweeps keep
     * the pre-pin batch dirs). A pre-generation flat index skips the
     * generation half (the flat root is never swept by design).
+    *
+    * The two halves pin ONE epoch: the active root resolves once, the
+    * codes pin lands inside that same root, and a post-condition
+    * re-checks the active generation did not flip in between — a
+    * concurrent rebuild racing the two halves releases both and fails
+    * loudly (retry against the new epoch) instead of leaving the
+    * generation pin on the old epoch and the codes pin in the new one
+    * (ADVICE r12).
+    *
+    * Returns the resolved codes-manifest seq the audit will read (-1
+    * for a frozen pre-manifest index, which no sweep can ever touch).
     */
   def pinIndexForAudit(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, label: String, batchId: Long,
-                       expiresAtMillis: Long = Long.MaxValue): Unit = {
+                       expiresAtMillis: Long = Long.MaxValue): Long = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    latestGenManifest(fs, root) match {
+    val pinnedGen = latestGenManifest(fs, root) match {
       case Some((_, active, _)) =>
         pinGeneration(spark, indexDir, label, active, expiresAtMillis)
+        active
       case None =>
         // flat pre-generation index: pin generation 0 (the adopted
         // root) DIRECTLY — pinGeneration requires a ledger, but the
@@ -1545,17 +1571,46 @@ object Similarity {
         // the flat epoch the audit was pinned against
         writePinToken(fs, genPinsDir(root), label, "generation", 0L,
           expiresAtMillis)
+        0L
     }
     // a failed second half must not strand the first: an unreleased
     // generation pin (default: no expiry) is exactly the leak the
     // layer guards against, created by this API's own partial failure
-    try pinCodes(spark, indexDir, label, batchId, expiresAtMillis)
-    catch {
-      case e: Exception =>
-        unpinGeneration(spark, indexDir, label)
-        throw e
+    val resolvedSeq =
+      try pinCodesAtRoot(spark, resolveGenDir(indexDir, genDirName(pinnedGen)),
+        indexDir, label, batchId, expiresAtMillis)
+      catch {
+        case e: Exception =>
+          unpinGeneration(spark, indexDir, label)
+          throw e
+      }
+    // epoch post-condition: both pins landed — verify no rebuild flipped
+    // the active generation between the resolve and the codes pin
+    val activeNow = latestGenManifest(fs, root).map(_._2).getOrElse(0L)
+    if (activeNow != pinnedGen) {
+      unpinCodesAtRoot(spark, resolveGenDir(indexDir, genDirName(pinnedGen)), label)
+      unpinGeneration(spark, indexDir, label)
+      throw new IllegalStateException(
+        s"pinIndexForAudit '$label' on $indexDir raced a concurrent " +
+          s"rebuild: generation $pinnedGen was active when the pin began " +
+          s"but $activeNow is active now — the two halves would hold " +
+          "different epochs. Both pins were released; retry the pin " +
+          "against the new active generation.")
     }
-    ()
+    resolvedSeq
+  }
+
+  /** Release a codes pin inside a SPECIFIC generation root (the
+    * [[pinIndexForAudit]] race-unwind path, where the pinned epoch may
+    * no longer be the active one [[unpinCodes]] resolves).
+    */
+  private def unpinCodesAtRoot(spark: org.apache.spark.sql.SparkSession,
+                               genRoot: String, label: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    graft.streaming.PinTokens.requireLabel(label)
+    val codesRoot = new Path(s"$genRoot/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(codesPinsDir(codesRoot), s"$label.pin"), false)
   }
 
   /** Release both halves of [[pinIndexForAudit]]. The codes half must

@@ -286,7 +286,7 @@ object Takedown {
                 exportProv: Option[String] = None): DataFrame =
     auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
       ivfPqIndex, vecIds, exportProv,
-      read = dir => graft.streaming.EventStreams.readUpsertTable(spark, dir),
+      read = dir => Some(graft.streaming.EventStreams.readUpsertTable(spark, dir)),
       vecIdsRead = dir => Similarity.indexedVecIds(spark, dir))
 
   /** PINNED cross-artifact audit — [[auditDocs]] AS OF one batch
@@ -328,8 +328,13 @@ object Takedown {
                   pinLabel: Option[String] = None): DataFrame =
     auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
       ivfPqIndex, vecIds, exportProv,
+      // COMMITTED-EMPTY is a real snapshot (ADVICE r12): a takedown
+      // that emptied a keyed artifact leaves its resolving manifest
+      // with no files, and the pinned audit's answer there is 0 refs —
+      // the total-takedown case's primary verdict — not an error. Only
+      // "no manifest below the pin" fails fast.
       read = dir => graft.streaming.EventStreams
-        .readUpsertTableBefore(spark, dir, asOfBatch)
+        .readUpsertTableBeforeOpt(spark, dir, asOfBatch)
         .getOrElse(throw new IllegalArgumentException(
           s"$dir has no committed snapshot before batch $asOfBatch " +
             "(the pinned audit needs a snapshot below its pin)")),
@@ -362,9 +367,15 @@ object Takedown {
     * next sweep reclaims the storage.
     *
     * Returns (artifact label -> resolved pin id) — the same labels
-    * [[auditDocs]] reports, so a verdict can join them. Fails fast on
-    * an artifact with no snapshot below the boundary (nothing to
-    * audit there — the [[auditDocsAt]] contract).
+    * [[auditDocs]] reports, so a verdict can join them. Table-family
+    * entries carry the RESOLVED manifest batchId their pin holds; the
+    * ivfpq entry carries the resolved codes-manifest seq
+    * ([[Similarity.pinIndexForAudit]]'s return; -1 for a frozen
+    * pre-manifest index, which no sweep can ever touch) — each entry
+    * is the id of the snapshot the pinned audit actually reads
+    * (ADVICE r12: never the raw boundary). Fails fast on an artifact
+    * with no snapshot below the boundary (nothing to audit there —
+    * the [[auditDocsAt]] contract).
     */
   def pinForAudit(spark: SparkSession, label: String, asOfBatch: Long,
                   sequenceTable: Option[String] = None,
@@ -374,12 +385,22 @@ object Takedown {
                   exportProv: Option[String] = None,
                   expiresAtMillis: Long = Long.MaxValue): Map[String, Long] = {
     import graft.streaming.EventStreams
-    def pinTable(dir: String) = EventStreams.pinBatch(spark, dir, label,
-      asOfBatch - 1, expiresAtMillis)
     // a partial failure must not strand the pins already taken — an
     // unreleased hold the caller never learns the shape of is exactly
-    // the leak this layer guards against; release everything under the
-    // label and rethrow (releaseAudit is idempotent on absent pins)
+    // the leak this layer guards against. Release ONLY the pins THIS
+    // call took (ADVICE r12: a blanket releaseAudit(label) would also
+    // delete a PRE-EXISTING hold under the same label — e.g. when
+    // pinBatch throws "already holds batch N, unpinBatch it first" the
+    // earlier audit's pins on every artifact — destroying the very
+    // hold whose existence caused the failure) and rethrow.
+    val takenTables = scala.collection.mutable.ArrayBuffer[String]()
+    var takenIndex: Option[String] = None
+    def pinTable(dir: String): Long = {
+      val resolved = EventStreams.pinBatch(spark, dir, label,
+        asOfBatch - 1, expiresAtMillis)
+      takenTables += dir
+      resolved
+    }
     try {
       val seqPins = sequenceTable.toSeq.flatMap { dir =>
         val state = s"$dir/_tokstate"
@@ -392,15 +413,18 @@ object Takedown {
       val ragPins = ragIndex.toSeq.map(dir => s"rag-${baseName(dir)}" -> pinTable(dir))
       val provPins = exportProv.toSeq.map(dir => s"export-${baseName(dir)}" -> pinTable(dir))
       val indexPins = ivfPqIndex.toSeq.map { dir =>
-        Similarity.pinIndexForAudit(spark, dir, label, asOfBatch, expiresAtMillis)
-        s"ivfpq-${baseName(dir)}" -> asOfBatch
+        val resolvedSeq = Similarity.pinIndexForAudit(spark, dir, label,
+          asOfBatch, expiresAtMillis)
+        takenIndex = Some(dir)
+        s"ivfpq-${baseName(dir)}" -> resolvedSeq
       }
       (seqPins ++ tablePins ++ ragPins ++ provPins ++ indexPins).toMap
     } catch {
       case e: Exception =>
-        try releaseAudit(spark, label, sequenceTable, keyedTables, ragIndex,
-          ivfPqIndex, exportProv)
-        catch { case r: Exception => e.addSuppressed(r) }
+        try {
+          takenTables.foreach(dir => EventStreams.unpinBatch(spark, dir, label))
+          takenIndex.foreach(dir => Similarity.unpinIndexForAudit(spark, dir, label))
+        } catch { case r: Exception => e.addSuppressed(r) }
         throw e
     }
   }
@@ -431,19 +455,25 @@ object Takedown {
                         ivfPqIndex: Option[String],
                         vecIds: Option[Seq[Long]],
                         exportProv: Option[String],
-                        read: String => DataFrame,
+                        read: String => Option[DataFrame],
                         vecIdsRead: String => DataFrame): DataFrame = {
     import graft.streaming.EventStreams
     val boxed = docIds.map(java.lang.Long.valueOf)
-    def cnt(label: String, refs: DataFrame): DataFrame =
-      refs.agg(count(lit(1)).cast("long").as("n_refs"))
+    // `refs` is None for a COMMITTED-EMPTY artifact (the resolving
+    // snapshot exists but holds zero rows — a total takedown): the
+    // audit's answer is 0 refs, emitted as a literal row
+    def cnt(label: String, refs: Option[DataFrame]): DataFrame = refs match {
+      case Some(df) => df.agg(count(lit(1)).cast("long").as("n_refs"))
         .select(lit(label).as("artifact"), col("n_refs"))
+      case None => spark.range(1)
+        .select(lit(label).as("artifact"), lit(0L).cast("long").as("n_refs"))
+    }
     val parts: Seq[DataFrame] =
       sequenceTable.toSeq.flatMap { dir =>
         val tbl = cnt(s"sequences-${baseName(dir)}",
-          read(dir)
+          read(dir).map(_
             .filter(exists(col("doc_spans"),
-              s => s.getField("doc_id").isin(boxed: _*))))
+              s => s.getField("doc_id").isin(boxed: _*)))))
         val stateDir = s"$dir/_tokstate"
         val st =
           if (!dirExists(spark, stateDir)) Seq.empty
@@ -452,29 +482,29 @@ object Takedown {
           // the OLDEST tables, the ones most likely to harbor missed
           // deletes, stay auditable instead of throwing
           else Seq(cnt(s"sequences-state-${baseName(dir)}",
-            EventStreams.withColumnDefault(
-                read(stateDir), "carry_spans",
+            read(stateDir).map(df => EventStreams.withColumnDefault(
+                df, "carry_spans",
                 expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
               .filter(exists(col("carry_spans"),
-                s => s.getField("_1").isin(boxed: _*)))))
+                s => s.getField("_1").isin(boxed: _*))))))
         tbl +: st
       } ++
       keyedTables.map { case (dir, keyCol) =>
         cnt(s"table-${baseName(dir)}",
-          read(dir).filter(col(keyCol).isin(docIds: _*)))
+          read(dir).map(_.filter(col(keyCol).isin(docIds: _*))))
       } ++
       ragIndex.toSeq.map { dir =>
         cnt(s"rag-${baseName(dir)}",
-          read(dir).filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*)))
+          read(dir).map(_.filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*))))
       } ++
       ivfPqIndex.toSeq.map { dir =>
         cnt(s"ivfpq-${baseName(dir)}",
-          vecIdsRead(dir)
-            .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)))
+          Some(vecIdsRead(dir)
+            .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*))))
       } ++
       exportProv.toSeq.map { dir =>
         cnt(s"export-${baseName(dir)}",
-          read(dir).filter(col("doc_id").isin(docIds: _*)))
+          read(dir).map(_.filter(col("doc_id").isin(docIds: _*))))
       }
     require(parts.nonEmpty, "audit names no artifacts")
     parts.reduce(_.unionByName(_))

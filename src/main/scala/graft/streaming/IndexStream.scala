@@ -130,9 +130,26 @@ object IndexStream {
       val tmp = new Path(checkpointDir, "_graft_base.tmp")
       val out = fs.create(tmp, true)
       try out.write(batchIdBase.toString.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, token) && !fs.exists(token))
-        throw new IllegalStateException(
-          s"failed to commit checkpoint base token $token")
+      if (!fs.rename(tmp, token)) {
+        // HDFS-semantics rename-to-existing returns false: a token that
+        // appeared since the exists() check above (a retried batch of
+        // this same run) must CARRY OUR BASE to be benign — verify, and
+        // collect the tmp either way so restarts never trip over a
+        // stale _graft_base.tmp (ADVICE r12)
+        val existing =
+          if (!fs.exists(token)) None
+          else {
+            val in2 = fs.open(token)
+            try Some(new String(in2.readAllBytes(), "UTF-8").trim)
+            finally in2.close()
+          }
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        if (!existing.contains(batchIdBase.toString))
+          throw new IllegalStateException(
+            s"failed to commit checkpoint base token $token" +
+              existing.fold("")(v => s" (an existing token reads '$v', " +
+                s"not this stream's base $batchIdBase)"))
+      }
     }
   }
 }

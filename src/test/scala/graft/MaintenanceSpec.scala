@@ -97,4 +97,112 @@ class MaintenanceSpec extends SparkSpec {
     assert(after === before, "a replayed runId must not change the report")
     assert(after.size === r1.count() + r2.count())
   }
+
+  test("heal leg: a red fsck with a readable backup restores, re-verifies, and reports") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-heal").toString
+    val (t, bak, report) = (s"$base/t", s"$base/bak", s"$base/report")
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "v", "__v"),
+        t, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 2)
+    merge((0L until 12L).map(k => (k, s"p$k", 0L)), 0L)
+    merge(Seq((1L, "q1", 1L)), 1L)
+    EventStreams.backupUpsertTable(spark, t, bak)
+    def rows() = EventStreams.readUpsertTable(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = rows()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(2), (r.getBoolean(3), r.getLong(4)))).toMap
+    // healthy pass with heal configured: NO heal rows (nothing to do)
+    val r1 = asMap(Maintenance.runOnce(spark, 1L, report,
+      tables = Seq((t, 2)), heal = Some(_ => bak)))
+    assert(!r1.contains("heal_restored") && !r1.contains("heal_verified"))
+    // out-of-band damage: a live file vanishes; the nightly pass heals
+    val victim = EventStreams.tableManifest(spark, t).values.flatten.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+    val r2 = asMap(Maintenance.runOnce(spark, 2L, report,
+      tables = Seq((t, 2)), heal = Some(_ => bak)))
+    assert(!r2("fsck_live_files_exist")._1, "VERIFY must record the pre-heal red")
+    assert(r2("heal_restored") === ((true, 2L))) // the table watermark (1) + 1
+    assert(r2("heal_verified") === ((true, 0L)))
+    assert(rows() === expected, "heal must restore the backed-up rows")
+    assert(EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1)))
+    // a table damaged with NO readable backup reports red, never throws
+    val t2 = s"$base/t2"
+    EventStreams.mergeBatchIntoTable(Seq((1L, "a", 0L)).toDF("k", "v", "__v"),
+      t2, Seq("k"), "__v", nBuckets = 2, batchId = 0L)
+    val victim2 = EventStreams.tableManifest(spark, t2).values.flatten.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t2/$victim2"))
+    val r3 = asMap(Maintenance.runOnce(spark, 3L, report,
+      tables = Seq((t2, 1)), heal = Some(_ => s"$base/nosuch")))
+    assert(r3("heal_restored") === ((false, 0L)))
+    assert(!r3.contains("heal_verified"))
+  }
+
+  test("backup rotation: nightly backups rotate to keepLast and fsck red flags a rotted one") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-rot").toString
+    val (t, root, report) = (s"$base/t", s"$base/baks", s"$base/report")
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "v", "__v"),
+        t, Seq("k"), "__v", nBuckets = 2, batchId = id, retain = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(2), (r.getBoolean(3), r.getLong(4)))).toMap
+    merge(0L, 0L)
+    val r1 = asMap(Maintenance.runOnce(spark, 1L, report,
+      backups = Seq((t, root, 2))))
+    assert(r1("backup_committed") === ((true, 0L)))
+    assert(r1("backup_rotated") === ((true, 0L)))
+    assert(r1("fsck_backup_manifests_parseable")._1 &&
+      r1("fsck_backup_live_files_exist")._1)
+    merge(1L, 1L)
+    asMap(Maintenance.runOnce(spark, 2L, report, backups = Seq((t, root, 2))))
+    merge(2L, 2L)
+    val r3 = asMap(Maintenance.runOnce(spark, 3L, report,
+      backups = Seq((t, root, 2))))
+    assert(r3("backup_rotated") === ((true, 1L))) // b1 pruned, b2+b3 retained
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq(f"b${2L}%020d", f"b${3L}%020d"))
+    // a retained backup rots out-of-band: the NEXT pass flags it red
+    // BEFORE it's needed
+    val b2files = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/b${"%020d".format(2L)}"))
+    val rotted = {
+      import scala.jdk.CollectionConverters._
+      b2files.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.delete(rotted)
+    merge(3L, 3L)
+    val r4 = asMap(Maintenance.runOnce(spark, 4L, report,
+      backups = Seq((t, root, 3))))
+    assert(!r4("fsck_backup_live_files_exist")._1)
+    assert(r4("fsck_backup_live_files_exist")._2 === 1L)
+  }
+
+  test("run lock: a concurrent pass under another runId fails loudly; our own replay adopts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-lock").toString
+    val (t, report) = (s"$base/t", s"$base/report")
+    EventStreams.mergeBatchIntoTable(Seq((1L, "a", 0L)).toDF("k", "v", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L)
+    // another scheduler's in-flight (or crashed, unreplayed) pass
+    val lockDir = new java.io.File(s"$report/_maintenance")
+    lockDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$report/_maintenance/lock"), "99")
+    val e = intercept[IllegalStateException] {
+      Maintenance.runOnce(spark, 1L, report, tables = Seq((t, 1)))
+    }
+    assert(e.getMessage.contains("held by run '99'"))
+    // our OWN runId's stale lock (a crashed attempt of this run): adopt,
+    // complete, release
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$report/_maintenance/lock"), "1")
+    val r = Maintenance.runOnce(spark, 1L, report, tables = Seq((t, 1)))
+    assert(r.count() > 0)
+    assert(!new java.io.File(s"$report/_maintenance/lock").exists(),
+      "a completed pass must release the lock")
+    // and a fresh runId takes the lock cleanly afterwards
+    Maintenance.runOnce(spark, 2L, report, tables = Seq((t, 1)))
+    assert(!new java.io.File(s"$report/_maintenance/lock").exists())
+  }
 }

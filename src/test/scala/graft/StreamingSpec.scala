@@ -233,7 +233,9 @@ class StreamingSpec extends SparkSpec {
     // reads return to the single-footer path), rows untouched
     def latestManifestText(dir: String): String = {
       val d = java.nio.file.Paths.get(dir, "_manifests")
-      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      val last = java.nio.file.Files.list(d)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .sorted().reduce((_, b) => b).get()
       new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
     }
     assert(latestManifestText(tableDir).contains("\"mixed\":1"))
@@ -258,7 +260,9 @@ class StreamingSpec extends SparkSpec {
     val tableDir = Files.createTempDirectory("graft-heal").toString + "/t"
     def latestManifestText(): String = {
       val d = java.nio.file.Paths.get(tableDir, "_manifests")
-      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      val last = java.nio.file.Files.list(d)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .sorted().reduce((_, b) => b).get()
       new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
     }
     EventStreams.mergeBatchIntoTable(
@@ -302,7 +306,9 @@ class StreamingSpec extends SparkSpec {
     val sticky = Files.createTempDirectory("graft-sticky").toString + "/t"
     def stickyManifest(): String = {
       val d = java.nio.file.Paths.get(sticky, "_manifests")
-      val last = java.nio.file.Files.list(d).sorted().reduce((_, b) => b).get()
+      val last = java.nio.file.Files.list(d)
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .sorted().reduce((_, b) => b).get()
       new String(java.nio.file.Files.readAllBytes(last), "UTF-8")
     }
     EventStreams.mergeBatchIntoTable(
@@ -1358,5 +1364,111 @@ class StreamingSpec extends SparkSpec {
     }
     java.nio.file.Files.delete(victim0)
     assert(!fsck()("pinned_files_exist")._1)
+  }
+
+  test("sharded manifests: a 1-bucket merge commits O(1) metadata; legacy inline lists adopt on read") {
+    val tableDir = Files.createTempDirectory("graft-shardman").toString + "/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 8, id, retain = 2)
+    merge((0L until 64L).map(k => (k, s"p$k", 0L)), 0L)
+    def metaFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tableDir/_manifests"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.endsWith(".json")).toSet // .crc litter excluded
+    }
+    val before = metaFiles()
+    // the O(changed) proof: a single-key merge into an 8-bucket table
+    // commits EXACTLY 2 metadata objects — the touched bucket's shard
+    // and the list — regardless of how many buckets are live
+    merge(Seq((1L, "x", 1L)), 1L)
+    val added = metaFiles() -- before
+    assert(added.size === 2, s"1-bucket merge added ${added.size} metadata files: $added")
+    assert(metaFiles().intersect(before) === before) // untouched shards shared, not rewritten
+    val rows = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "x" && rows(0L) === "p0" && rows.size === 64)
+    // legacy INLINE manifests (the pre-r13 single-file shape) adopt on
+    // read: rewrite the committed list inline, drop the shards dir
+    val live = EventStreams.tableManifest(spark, tableDir)
+    val inline = live.toSeq.sortBy(_._1).map { case (b, fls) =>
+      "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
+    }.mkString("{\"batchId\":1,\"nBuckets\":8,\"buckets\":{", ",", "}}")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .foreach(f => if (f.getName != "00000000000000000001.json") f.delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/_manifests/00000000000000000001.json"), inline)
+    // the java.nio rewrite bypassed Hadoop's checksum layer: drop the
+    // stale .crc sidecars or the local FS refuses the re-read
+    new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/_manifests/shards"), true)
+    assert(EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === rows)
+    // the first commit after adoption migrates to the sharded shape
+    merge(Seq((2L, "y", 2L)), 2L)
+    val latest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tableDir/_manifests/00000000000000000002.json")), "UTF-8")
+    assert(latest.contains("\"shards\":{"))
+    val rows2 = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2(2L) === "y" && rows2(0L) === "p0" && rows2.size === 64)
+    // fsck sees the sharded shape whole (incl. the orphan-shard check)
+    val f = EventStreams.fsckUpsertTable(spark, tableDir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(f.values.forall(identity), s"fsck red on sharded table: $f")
+    assert(f.contains("no_orphan_shards"))
+    // compaction GCs shards no surviving list references
+    EventStreams.compactManifests(spark, tableDir, keepLast = 1)
+    val pointed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tableDir/_manifests/00000000000000000002.json")), "UTF-8")
+    val kept = new java.io.File(s"$tableDir/_manifests/shards").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).toSet
+    assert(kept.forall(pointed.contains), s"unreferenced shards survived GC: $kept")
+  }
+
+  test("backup is self-contained; restore reports replay vs stale-id honestly") {
+    val base = Files.createTempDirectory("graft-bak2").toString
+    val tableDir = s"$base/t"
+    def merge(dir: String, rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        dir, Seq("k"), "version", 4, id, retain = 2)
+    merge(tableDir, (0L until 12L).map(k => (k, s"p$k", 0L)), 0L)
+    merge(tableDir, Seq((3L, "q3", 1L)), 1L)
+    def rows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = rows(tableDir)
+    // byte-level parity of the distributed copier with the snapshot
+    val live = EventStreams.tableManifest(spark, tableDir)
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak") === 1L)
+    live.values.flatten.foreach { rel =>
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$tableDir/$rel")) ===
+        java.nio.file.Files.size(java.nio.file.Paths.get(s"$base/bak/$rel")),
+        s"backup copy of $rel differs in size")
+    }
+    // a replayed backup into the same dir no-ops on the committed manifest
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak") === 1L)
+    // SELF-CONTAINED: the source table vanishes entirely (incl. its
+    // sharded manifest metadata); the backup still reads and restores
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
+    assert(rows(s"$base/bak") === expected)
+    // explicit restore outcome: fresh commit TRUE, verified replay FALSE
+    assert(EventStreams.restoreUpsertTable(spark, s"$base/bak", s"$base/c", 10L))
+    assert(!EventStreams.restoreUpsertTable(spark, s"$base/bak", s"$base/c", 10L))
+    assert(rows(s"$base/c") === expected)
+    // a STALE id that never ran this restore must not look like success:
+    // the clone advances past 11 with different content, then a restore
+    // under 11 finds no matching manifest and throws (r12 verdict #2)
+    merge(s"$base/c", Seq((0L, "z0", 9L)), 11L)
+    val e = intercept[IllegalStateException] {
+      EventStreams.restoreUpsertTable(spark, s"$base/bak", s"$base/c", 11L)
+    }
+    assert(e.getMessage.contains("did NOT run"))
   }
 }

@@ -516,4 +516,51 @@ class TakedownSpec extends SparkSpec {
     assert(chunks.filter(Rag.docIdOf(col("chunk_key")) =!= col("doc_id"))
       .count() === 0L)
   }
+  test("pinned audit reads a committed-EMPTY artifact as 0 refs, not an error (ADVICE r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-audit-empty").toString
+    val t = s"$base/t"
+    // a watermark-advance-only first commit: the resolving manifest
+    // EXISTS but names no files — committed-empty, not nothing-committed
+    EventStreams.mergeBatchIntoTable(Seq.empty[(Long, Long)].toDF("doc_id", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L)
+    def audit(asOf: Long) = Takedown.auditDocsAt(spark, Seq(1L, 2L), asOf,
+      keyedTables = Seq((t, "doc_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit(1L) === Map("table-t" -> 0L))
+    // total takedown: every row dies; the post-request pinned audit's
+    // PRIMARY verdict is the 0 that confirms the takedown
+    EventStreams.mergeBatchIntoTable(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 1L, retain = 2)
+    EventStreams.deleteFromTable(spark, t, Seq(1L, 2L).toDF("doc_id"),
+      Seq("doc_id"), nBuckets = 2, batchId = 2L, retain = 2)
+    assert(audit(3L) === Map("table-t" -> 0L))
+    // pre-request boundary still sees the rows; no-manifest-below still
+    // fails fast (the auditDocsAt contract is unchanged there)
+    assert(audit(2L) === Map("table-t" -> 2L))
+    intercept[IllegalArgumentException] {
+      Takedown.auditDocsAt(spark, Seq(1L), 0L, keyedTables = Seq((t, "doc_id")))
+        .collect()
+    }
+  }
+
+  test("pinForAudit failure never releases a PRE-EXISTING hold under the same label (ADVICE r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pin-keep").toString
+    val t = s"$base/t"
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("doc_id", "v", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 2, batchId = id, retain = 4)
+    merge(0L, 0L); merge(1L, 1L); merge(2L, 2L)
+    val first = Takedown.pinForAudit(spark, "aud", asOfBatch = 2L,
+      keyedTables = Seq(t))
+    assert(first === Map("table-t" -> 1L))
+    // a second pinForAudit under the SAME label at a DIFFERENT boundary
+    // fails loudly — and must leave the earlier audit's hold intact
+    // (the old blanket releaseAudit deleted it while the error message
+    // implied it still existed)
+    intercept[IllegalStateException] {
+      Takedown.pinForAudit(spark, "aud", asOfBatch = 3L, keyedTables = Seq(t))
+    }
+    assert(EventStreams.listPins(spark, t) === Map("aud" -> 1L),
+      "the pre-existing hold must survive the failed re-pin")
+  }
 }
