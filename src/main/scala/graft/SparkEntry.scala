@@ -228,15 +228,113 @@ object SparkEntry {
   def q26JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.jaccardPairsCapped(Tables.documents(spark, dir), 300L, 0.9)
 
-  /** MinHash+LSH near-dup pairs — rows-only (hash-family specific);
-    * recall vs q26 is asserted in the scalatest suite.
+  /** MinHash+LSH near-dup assignment, retired from rows-only to a full
+    * VERDICT query (r13): the engine-native pipeline (xxhash64 hash
+    * family — q88/q89 carry the portable twin) runs unchanged, and the
+    * query decides its correctness properties in-plan against exact
+    * re-derivations on the same corpus:
+    *   - every emitted (doc_id, rep_id) pair re-verifies at exact
+    *     token-set Jaccard >= 0.9 (the operator's own floor, recomputed
+    *     from text — precision is checked, not trusted);
+    *   - rep_id < doc_id on every row (the anchor rule);
+    *   - capped LSH banding recall (the q26 oracle shape: doc_id <
+    *     300, lang-blocked): every pair at exact Jaccard >= 0.9 SHARES
+    *     at least one minhash band bucket (re-banded in-plan with the
+    *     operator's own signature+band functions). This is the
+    *     property banded LSH actually promises — P(all 16 bands
+    *     differ at j >= 0.9) = (1-j^4)^16 < 4e-8 per pair, and
+    *     deterministic for a fixed corpus+hash family. PAIR-level
+    *     assignment is deliberately weaker: members verify only
+    *     against bucket ANCHORS (the O(docs x bands) bound), so on a
+    *     vocabulary-saturated corpus a j=0.9 pair may both fail vs a
+    *     closer anchor — the closure (q109) and keep-best (q171) own
+    *     cluster-level decisions.
+    * Verdict work is gate-priced (O(assignments) recompute + the
+    * capped quadratic); the production operator itself is unchanged
+    * and plan-checked in PlanSpec. The oracle pins the all-TRUE rows.
     */
-  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.minhashNearDups(Tables.documents(spark, dir))
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val out = operators.Dedup.minhashNearDups(docs).localCheckpoint()
+    val toks = docs.select(col("doc_id"),
+        array_distinct(functions.Texts.shingles(col("text"), 1)).as("ts"))
+      .filter(size(col("ts")) > 0).localCheckpoint()
+    val n = out.count()
+    val repOk = out.filter(col("rep_id") >= col("doc_id")).count() == 0
+    val re = out
+      .join(toks.select(col("doc_id").as("rep_id"), col("ts").as("ta")), Seq("rep_id"))
+      .join(toks.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
+      .withColumn("j", round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6))
+    val precision = re.filter(col("j") < 0.9).count() == 0 && re.count() == n
+    val capped = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(functions.Texts.shingles(col("text"), 1)).as("ts"))
+      .filter(size(col("ts")) > 0).localCheckpoint()
+    val mustCatch = capped
+      .select(col("doc_id").as("da"), col("lang"), col("ts").as("ta"))
+      .join(capped.select(col("doc_id").as("db"), col("lang"), col("ts").as("tb")),
+        Seq("lang"))
+      .filter(col("da") < col("db"))
+      .filter(round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6) >= 0.9)
+      .select(col("da"), col("db"))
+    // re-band with the operator's own signature/band functions (k=64,
+    // 16 bands of 4 rows, xxhash64 band keys)
+    val banded = capped
+      .withColumn("sig", functions.Hashes.minhashSignature(col("ts"), 64))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(15))).as("band"))
+      .withColumn("bkey",
+        xxhash64(slice(col("sig"), col("band") * 4 + 1, lit(4)), col("band")))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val sharing = banded.select(col("doc_id").as("da"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("db"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val missedPairs = mustCatch.join(sharing, Seq("da", "db"), "left_anti").count()
+    Seq(
+      ("assignments_nonempty", n > 0),
+      ("rep_precedes_member", repOk),
+      ("pairs_verified_exact", precision),
+      ("banding_catches_exact_pairs", missedPairs == 0L))
+      .toDF("check", "ok")
+  }
 
-  /** SimHash fingerprints via the custom Catalyst expression — rows-only. */
-  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.simhashFingerprints(Tables.documents(spark, dir))
+  /** SimHash fingerprints via the custom Catalyst expression, retired
+    * from rows-only to a full VERDICT query (r13): the codegen'd
+    * expression (plans.SimHash64) is re-derived IN-PLAN from built-ins
+    * — explode(tokens) -> xxhash64(tok) (the expression's exact hash
+    * family, seed 42) -> 64 per-bit vote sums -> bit recombination —
+    * and compared doc-by-doc (the q121 native≡HOF vec-kernel
+    * convention). Docs with no tokens fingerprint to 0 in both forms
+    * (empty counters). The oracle pins the all-TRUE rows.
+    */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val native = operators.Dedup.simhashFingerprints(docs)
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1L, 1).otherwise(-1)).as(s"c$j"))
+    val votes = docs
+      .select(col("doc_id"), explode(functions.Texts.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val recombined = votes.select(col("doc_id"),
+      (0 until 64).map(j =>
+          when(col(s"c$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("builtin"))
+    val joined = native.join(recombined, Seq("doc_id"), "left")
+      .select(coalesce(col("simhash"), lit(0L)).as("nat"),
+        coalesce(col("builtin"), lit(0L)).as("bi"))
+    val n = joined.count()
+    val mismatches = joined.filter(col("nat") =!= col("bi")).count()
+    Seq(
+      ("fingerprints_nonempty", n > 0),
+      ("native_equals_builtin_rederivation", mismatches == 0L))
+      .toDF("check", "ok")
+  }
 
   /** LSH-bucketed approximate top-k for a probe set — fully
     * oracle-checked: the hyperplane constants are plain doubles, so the
@@ -383,15 +481,56 @@ object SparkEntry {
         functions.TypedAggs.weightedMeanUdaf(col("l_extendedprice"), col("l_quantity")),
         6).as("wmean_price"))
 
-  /** IVF ANN (k-means coarse quantizer + in-cell exact re-rank) —
-    * rows-only: cell assignment depends on the trained quantizer.
+  /** IVF ANN (k-means coarse quantizer + in-cell exact re-rank),
+    * retired from rows-only to a full VERDICT query (r13, the q99
+    * shape): the serving probe (train-once centroids, nprobe=2) runs
+    * unchanged and the query decides its properties in-plan —
+    *   - exactly k rows come back per probe;
+    *   - per-probe recall vs the EXACT cosine top-k (computed with the
+    *     bounded typed-topK aggregator, never a window) clears the
+    *     floor. nprobe=2 of nlist=8 visits a quarter of the cells, so
+    *     the floor (>= 1 of 5) is deliberately below q99's nprobe=4
+    *     threshold (>= 2) — the dial q99 measures is visible here too.
+    * The oracle pins the all-TRUE rows.
     */
   def q43IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
+    val probeIds = Seq(0L, 1L, 2L)
     // train-once (the q133/q138 convention): the probe, not the fit,
     // is what repeats in serving — and what Bench should time
     val cents = operators.Similarity.ensureCellCentroids(e, s"ivf:$dir", nlist = 8)
-    operators.Similarity.ivfTopK(e, Seq(0L, 1L, 2L), 5, centroids = Some(cents))
+    val ivf = operators.Similarity
+      .ivfTopK(e, probeIds, 5, centroids = Some(cents)).localCheckpoint()
+    // bounded collect: one row per probe (3 by contract)
+    val perProbe = ivf.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    val kOk = perProbe.length == probeIds.size &&
+      perProbe.forall(_.getLong(1) == 5L)
+    val ev = e.select(col("vec_id"),
+      functions.Vectors.asDouble(col("embedding")).as("v"))
+    val probes = ev.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+    implicit val ord: Ordering[ProbeHit] = Ordering.by(h => (-h.cosine, h.vec_id))
+    val exact = ev.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(functions.Vectors.cosine(col("v"), col("qv")), 6).as("cosine"))
+      .as[ProbeHit]
+      .groupByKey(_.probe_id)
+      .agg(functions.TypedAggs.topK[ProbeHit](5).toColumn.name("top"))
+      .toDF("key", "top")
+      .select(explode(col("top")).as("r"))
+      .select(col("r.probe_id"), col("r.vec_id"))
+    // bounded collect: one row per probe
+    val hits = ivf.select(col("probe_id"), col("vec_id"))
+      .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits")).collect()
+    val recallOk = hits.length == probeIds.size &&
+      hits.forall(_.getLong(1) >= 1L)
+    Seq(
+      ("returns_k_rows_per_probe", kOk),
+      ("recall_vs_exact_cosine", recallOk))
+      .toDF("check", "ok")
   }
 
   /** Embedding-cosine near-dup dedup (hyperplane buckets + anchor) —
@@ -699,13 +838,70 @@ object SparkEntry {
         array_position(toks, "the").as("pos_the"))
   }
 
-  /** SimHash near-dup cluster assignment via banded hamming buckets,
-    * anchor pattern (candidates O(docs x bands), never a bucket
-    * self-join) — rows-only (engine-private 64-bit hash family); the
-    * portable twin q91 hash-checks the identical pipeline shape.
+  /** SimHash near-dup cluster assignment, retired from rows-only to a
+    * full VERDICT query (r13; the portable twin q91 hash-checks the
+    * same pipeline shape): the engine-native assignment (xxhash64
+    * fingerprints, banded hamming anchors) runs unchanged and the
+    * query decides its properties in-plan —
+    *   - every emitted (doc_id, rep_id) re-verifies at exact hamming
+    *     <= 3 (recomputed from the fingerprints);
+    *   - rep_id < doc_id on every row (the anchor rule);
+    *   - CAPPED SEMANTICS EQUIVALENCE: the operator's output restricted
+    *     to doc_id < 300 equals (exceptAll, both ways) an independent
+    *     in-plan re-derivation of the documented anchor semantics on
+    *     the capped fingerprints alone. Sound because assignment is
+    *     LOCAL to the cap: a bucket's anchor is its min doc_id, which
+    *     is <= any capped member, so every anchor a capped doc can see
+    *     is itself capped — the restriction of the corpus-wide run IS
+    *     the capped run, and the equivalence exercises the distributed
+    *     shape (banding shuffle, anchor aggregate, verification joins)
+    *     against a from-scratch recomputation.
+    * The oracle pins the all-TRUE rows.
     */
-  def q61SimhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.simhashNearDups(Tables.documents(spark, dir), maxHamming = 3)
+  def q61SimhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val out = operators.Dedup.simhashNearDups(docs, maxHamming = 3)
+      .localCheckpoint()
+    val fp = operators.Dedup.simhashFingerprints(docs).localCheckpoint()
+    val n = out.count()
+    val repOk = out.filter(col("rep_id") >= col("doc_id")).count() == 0
+    val re = out
+      .join(fp.select(col("doc_id").as("rep_id"), col("simhash").as("ha")),
+        Seq("rep_id"))
+      .join(fp.select(col("doc_id"), col("simhash").as("hb")), Seq("doc_id"))
+      .withColumn("h", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val precision = re.filter(col("h") > 3).count() == 0 && re.count() == n
+    val cappedFp = fp.filter(col("doc_id") < 300).localCheckpoint()
+    val banded = cappedFp
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("q"))
+      .withColumn("k", expr("shiftright(simhash, q * 16) & 65535"))
+      .select(col("doc_id"), col("q"), col("k"))
+    val anchors = banded.groupBy(col("q"), col("k"))
+      .agg(min(col("doc_id")).as("anchor"))
+    val assignC = banded.join(anchors, Seq("q", "k"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id")).distinct()
+      .join(cappedFp.select(col("doc_id").as("anchor"),
+        col("simhash").as("ha")), Seq("anchor"))
+      .join(cappedFp.select(col("doc_id"), col("simhash").as("hb")), Seq("doc_id"))
+      .withColumn("h", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("h") <= 3)
+      .groupBy(col("doc_id"))
+      .agg(min(col("anchor")).as("rep_id"), min(col("h")).as("hamming"))
+      .select(col("doc_id"), col("rep_id"), col("hamming"))
+    val restricted = out.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("rep_id"), col("hamming"))
+    val equal = restricted.exceptAll(assignC)
+      .unionByName(assignC.exceptAll(restricted)).count() == 0
+    Seq(
+      ("assignments_nonempty", n > 0),
+      ("rep_precedes_member", repOk),
+      ("pairs_within_hamming", precision),
+      ("capped_semantics_equivalent", equal))
+      .toDF("check", "ok")
+  }
 
   /** Window analytics: lag + running total per customer order history.
     * The running sum accumulates in DECIMAL so the result is
@@ -5812,7 +6008,11 @@ object SparkEntry {
         operators.Maintenance.runOnce(spark, runId, report,
           tables = Seq((corpus, 1)), indexes = Seq((idx, 1)),
           rebalance = Some((shardTable, prov, export, 8, 0.9, foldBatch, 8)),
-          drift = Some((idx, e, shard, runId, 0.2)))
+          drift = Some((idx, e, shard, runId, 0.2)),
+          // nightly backup rotation (r13): each pass backs the corpus up
+          // into baks/b<runId> and keepLast=1 prunes the older dir — run
+          // 2 exercises a real rotation and every retained backup fscks
+          backups = Seq((corpus, s"$base/baks", 1)))
       pass(1L, 10L, e).write.mode("overwrite").parquet(s"$base/run1")
       // takedown aftermath: ~1/7 of the map's ranks vanish (never the
       // final rank, so the slot count is unchanged and the fill
@@ -5846,9 +6046,11 @@ object SparkEntry {
     * artifact state: the healthy pass measured healthy and acted
     * nothing; the post-takedown pass's monitors flagged and both
     * actions ran; fsck is green after each pass's own mutations; the
-    * fold left the committed map dense (re-derived in-query); and the
+    * fold left the committed map dense (re-derived in-query); the
     * replayed runId committed nothing (report ≡ the two passes'
-    * returned rows exactly).
+    * returned rows exactly); and the nightly backup rotation kept
+    * exactly `keepLast` backup dirs with every retained backup fsck
+    * green (`fsck_backup_*` rows ride the same report).
     */
   def q192MaintenanceRun(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -5877,13 +6079,23 @@ object SparkEntry {
       .unionByName(spark.read.parquet(s"$base/run2"))
     val replayNoop = report.exceptAll(expected)
       .unionByName(expected.exceptAll(report)).count() == 0
+    // rotation: run 1 had nothing to prune, run 2 pruned run 1's dir,
+    // and exactly keepLast(=1) backup dir remains on disk
+    val rotated = m1(("table-corpus", "backup_rotated"))._2 == 0L &&
+      m2(("table-corpus", "backup_rotated"))._2 == 1L &&
+      new java.io.File(s"$base/baks").listFiles().count(_.isDirectory) == 1
+    val backupFsckGreen = (m1 ++ m2).view
+      .filterKeys(_._2.startsWith("fsck_backup_")).values.forall(_._1) &&
+      m2.keys.exists(_._2.startsWith("fsck_backup_"))
     Seq(
       ("run1_healthy_no_action", run1Healthy),
       ("run2_monitors_flag", run2Flagged),
       ("run2_actions_ran", run2Acted),
       ("fsck_green_both_runs", fsckGreen),
       ("post_fold_dense", dense),
-      ("replay_commits_nothing", replayNoop))
+      ("replay_commits_nothing", replayNoop),
+      ("backups_rotate_to_keep_last", rotated),
+      ("retained_backups_fsck_green", backupFsckGreen))
       .toDF("check", "ok")
   }
 
@@ -5983,6 +6195,97 @@ object SparkEntry {
       ("torn_backup_refused", fails(
         streaming.EventStreams.restoreUpsertTable(spark, s"$base/torn",
           s"$base/never", batchId = 1L))))
+      .toDF("check", "ok")
+  }
+
+  private val healStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the heal lineage q194 decides its verdicts over: a keyed
+    * table with a committed backup and a committed pre-damage snapshot
+    * expectation (snapshot FIRST — the q190 snapTo convention: the
+    * expectation must not read through the aftermath it verifies), a
+    * HEALTHY maintenance pass with the heal leg configured (runId 1 —
+    * nothing to heal), out-of-band damage to a live file, a SECOND
+    * pass (runId 2 — VERIFY records the red, HEAL restores from the
+    * backup as a new commit and re-verifies), and a replay of runId 2.
+    * Only operation outputs commit; the committed report table and the
+    * healed table decide every verdict in-query.
+    */
+  private def ensureHeal(spark: SparkSession, dir: String): String =
+    healStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-heal-q").toString
+      val (t, bak, report) = (s"$base/t", s"$base/bak", s"$base/report")
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
+      streaming.EventStreams.mergeBatchIntoTable(
+        docs.withColumn("__v", lit(0L)), t, Seq("doc_id"), "__v",
+        nBuckets = 4, batchId = 0L, retain = 2)
+      streaming.EventStreams.mergeBatchIntoTable(
+        docs.filter(col("doc_id") < 6)
+          .withColumn("text", upper(col("text"))).withColumn("__v", lit(1L)),
+        t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 2)
+      streaming.EventStreams.backupUpsertTable(spark, t, bak)
+      streaming.EventStreams.readUpsertTable(spark, t)
+        .write.mode("overwrite").parquet(s"$base/snap")
+      def pass(runId: Long) = operators.Maintenance.runOnce(spark, runId,
+        report, tables = Seq((t, 2)), heal = Some(_ => bak))
+      pass(1L).write.mode("overwrite").parquet(s"$base/run1")
+      // out-of-band damage: one live file vanishes (the fsck-red +
+      // readable-backup case the heal leg exists for)
+      val victim = streaming.EventStreams.tableManifest(spark, t)
+        .toSeq.sortBy(_._1).head._2.head
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+      pass(2L).write.mode("overwrite").parquet(s"$base/run2")
+      pass(2L) // replay: the healed table is green, nothing commits
+      base
+    })
+
+  /** MAINTENANCE HEAL LEG ([[operators.Maintenance.runOnce]]'s opt-in
+    * `heal`): the nightly pass turns a red fsck into a restore — VERIFY
+    * records the damage, HEAL restores from the table's backup as a
+    * NEW commit and re-fscks, and the report carries `heal_restored` /
+    * `heal_verified` rows under the same exactly-once runId merge.
+    * Verdicts, each decided in-query from the committed report, the
+    * healed table, and the committed pre-damage snapshot: the healthy
+    * pass wrote no heal rows; the damaged pass recorded the red and
+    * healed it (restore committed at watermark + 1, post-heal fsck
+    * green); the healed rows equal the pre-damage snapshot exactly;
+    * and the replayed runId committed nothing.
+    */
+  def q194MaintenanceHeal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureHeal(spark, dir)
+    val report = streaming.EventStreams
+      .readUpsertTable(spark, s"$base/report").localCheckpoint()
+    def m(runId: Long) = report.filter(col("run_id") === runId)
+      .collect().map(r => r.getString(2) -> ((r.getBoolean(3), r.getLong(4))))
+      .toMap
+    val m1 = m(1L)
+    val m2 = m(2L)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val noHealRows = !m1.contains("heal_restored") &&
+      !m1.contains("heal_verified") && m1("fsck_live_files_exist")._1
+    val damageRecorded = !m2("fsck_live_files_exist")._1
+    val healed = m2("heal_restored") == ((true, 2L)) &&
+      m2("heal_verified") == ((true, 0L))
+    val rowsMatch = eq(
+      streaming.EventStreams.readUpsertTable(spark, s"$base/t"),
+      spark.read.parquet(s"$base/snap"))
+    val fsckNow = streaming.EventStreams.fsckUpsertTable(spark, s"$base/t")
+      .collect().forall(_.getBoolean(1))
+    val expected = spark.read.parquet(s"$base/run1")
+      .unionByName(spark.read.parquet(s"$base/run2"))
+    val replayNoop = eq(report, expected)
+    Seq(
+      ("healthy_pass_no_heal_rows", noHealRows),
+      ("verify_recorded_damage", damageRecorded),
+      ("heal_restored_and_verified", healed),
+      ("healed_rows_match_backup", rowsMatch),
+      ("post_heal_fsck_green", fsckNow),
+      ("replay_commits_nothing", replayNoop))
       .toDF("check", "ok")
   }
 
@@ -6177,6 +6480,7 @@ object SparkEntry {
     "q191_artifact_fsck" -> (q191ArtifactFsck _),
     "q192_maintenance_run" -> (q192MaintenanceRun _),
     "q193_backup_restore" -> (q193BackupRestore _),
+    "q194_maintenance_heal" -> (q194MaintenanceHeal _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6226,6 +6530,26 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // r13: the four formerly rows-only engine-native queries
+    // (q27/q28/q43/q61) are verdict queries now — properties decided
+    // in-plan against exact re-derivations on the same corpus; the
+    // oracles pin the all-TRUE rows (the q185-q194 convention)
+    "q27_minhash_lsh" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('assignments_nonempty'), ('rep_precedes_member'),
+        |  ('pairs_verified_exact'), ('banding_catches_exact_pairs')) t(c)""".stripMargin,
+    "q28_simhash" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('fingerprints_nonempty'),
+        |  ('native_equals_builtin_rederivation')) t(c)""".stripMargin,
+    "q43_ivf_ann" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('returns_k_rows_per_probe'),
+        |  ('recall_vs_exact_cosine')) t(c)""".stripMargin,
+    "q61_simhash_neardups" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('assignments_nonempty'), ('rep_precedes_member'),
+        |  ('pairs_within_hamming'), ('capped_semantics_equivalent')) t(c)""".stripMargin,
     "q01_daily_agg" ->
       """SELECT CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
@@ -7497,7 +7821,9 @@ object SparkEntry {
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('run1_healthy_no_action'), ('run2_monitors_flag'),
         |  ('run2_actions_ran'), ('fsck_green_both_runs'),
-        |  ('post_fold_dense'), ('replay_commits_nothing')) t(c)""".stripMargin,
+        |  ('post_fold_dense'), ('replay_commits_nothing'),
+        |  ('backups_rotate_to_keep_last'),
+        |  ('retained_backups_fsck_green')) t(c)""".stripMargin,
     // backup/restore facts are decided in-engine (exceptAll vs the
     // committed snapshot, fsck rows, manifest listings over committed
     // lineages); the oracle pins the verdicts
@@ -7506,6 +7832,15 @@ object SparkEntry {
         |FROM (VALUES ('backup_matches_snapshot'), ('damage_detected'),
         |  ('restore_heals'), ('history_preserved'), ('dr_clone_exact'),
         |  ('torn_backup_refused')) t(c)""".stripMargin,
+    // heal-leg facts are decided in-engine from the committed report,
+    // the healed table, and the committed pre-damage snapshot; the
+    // oracle pins the verdicts
+    "q194_maintenance_heal" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('healthy_pass_no_heal_rows'),
+        |  ('verify_recorded_damage'), ('heal_restored_and_verified'),
+        |  ('healed_rows_match_backup'), ('post_heal_fsck_green'),
+        |  ('replay_commits_nothing')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -76,7 +76,10 @@ object ScaleCurve {
       // once per dir via computeIfAbsent; best-of-3 measures the
       // verdict read — the steady-state cost, metadata-bound)
       "q190_retention_pins", "q191_artifact_fsck", "q192_maintenance_run",
-      "q193_backup_restore")
+      "q193_backup_restore",
+      // round 13: the heal leg + the retired-no-oracle verdict queries
+      "q194_maintenance_heal", "q27_minhash_lsh", "q28_simhash",
+      "q43_ivf_ann", "q61_simhash_neardups")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
