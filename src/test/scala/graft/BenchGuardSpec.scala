@@ -36,4 +36,14 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.historyDriftRatio(tiny, hist).isEmpty)
     assert(Bench.historyDriftRatio(entry(1.0), Seq.empty).isEmpty)
   }
+
+  test("parseHistoryPlans reads the plans object, never timings or top-level fields") {
+    val line = """{"ts":1,"metric":"total","value":9.5,"probe":0.2,""" +
+      """"queries":{"q01_x":0.5123,"q02_y":1.0},""" +
+      """"plans":{"q01_x":"ab12cd34","q02_y":"00ff00ff"},"sf":"/d"}"""
+    val plans = Bench.parseHistoryPlans(line)
+    assert(plans === Map("q01_x" -> "ab12cd34", "q02_y" -> "00ff00ff"))
+    // a line with no plans object (pre-r7 history) parses to empty
+    assert(Bench.parseHistoryPlans("""{"queries":{"q01_x":0.5}}""") === Map.empty)
+  }
 }
