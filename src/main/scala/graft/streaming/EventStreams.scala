@@ -1264,16 +1264,21 @@ object EventStreams {
     * manifest-last commit above never lands on a partial copy. The
     * driver holds only the PATH list (bounded by the snapshot's file
     * count, the sweep cost class); bytes never visit the driver.
-    * Executors open filesystems from the task-side default
-    * Configuration (cluster site configs ride the executor classpath).
+    * The SESSION's Hadoop configuration ships to the tasks (via
+    * [[SerializableHadoopConf]]) — object-store credentials and
+    * endpoints set through `spark.hadoop.*` must reach the executor-
+    * side filesystems, which a fresh task-side `Configuration()`
+    * (site files only) would silently drop.
     */
   private def bulkCopy(spark: SparkSession,
                        pairs: Seq[(String, String)]): Unit = {
     if (pairs.isEmpty) return
     val slices = math.max(1, math.min(pairs.size,
       spark.sparkContext.defaultParallelism))
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.conf
       it.foreach { case (from, to) =>
         val src = new org.apache.hadoop.fs.Path(from)
         val dst = new org.apache.hadoop.fs.Path(to)
@@ -1327,9 +1332,12 @@ object EventStreams {
     if (latestManifest(fs, table).exists(_._1 >= batchId)) {
       // replay-vs-caller-bug discrimination: a genuine replay left a
       // manifest at exactly this id naming exactly this restore's files
+      // (resolved by FILENAME — the zero-padded name IS the batchId —
+      // so the no-op branch reads one manifest, never the whole chain)
       val expected = live.values.flatten.map(destRel).toSet
-      val matches = manifestList(fs, table).map(p => readManifest(fs, p))
-        .find(_._1 == batchId)
+      val matches = manifestList(fs, table)
+        .filter(_.getName.takeWhile(_ != '.').toLong == batchId)
+        .map(p => readManifest(fs, p))
         .exists(_._2.values.flatten.toSet == expected)
       if (matches) return false
       throw new IllegalStateException(
@@ -1362,12 +1370,30 @@ object EventStreams {
     * current-snapshot-only; larger values keep older snapshots readable
     * via [[readUpsertTableAt]] (time travel); pins hold named
     * boundaries regardless of the writer's retain.
+    *
+    * Shard-read dedupe: consecutive snapshots SHARE untouched buckets'
+    * shard files (the pointer-reuse design), so each distinct shard is
+    * read once across the whole retention window — the read cost per
+    * sweep is O(distinct shards), not O(window × buckets).
     */
   private def retainedFiles(fs: org.apache.hadoop.fs.FileSystem,
-                            table: org.apache.hadoop.fs.Path, retain: Int): Set[String] =
-    (manifestList(fs, table).takeRight(math.max(1, retain)) ++
-        pinnedManifests(fs, table))
-      .flatMap(p => readManifest(fs, p)._2.values.flatten).toSet
+                            table: org.apache.hadoop.fs.Path, retain: Int): Set[String] = {
+    val lists = (manifestList(fs, table).takeRight(math.max(1, retain)) ++
+      pinnedManifests(fs, table)).distinct
+    val shardsDir = new org.apache.hadoop.fs.Path(manifestsDir(table), shardsDirName)
+    val out = Set.newBuilder[String]
+    val shardNames = Set.newBuilder[String]
+    lists.foreach { p =>
+      readShardPointers(fs, p) match {
+        case Some(ptrs) => shardNames ++= ptrs.values
+        case None => out ++= readManifest(fs, p)._2.values.flatten // legacy inline
+      }
+    }
+    shardNames.result().foreach { name =>
+      out ++= readShardFiles(fs, new org.apache.hadoop.fs.Path(shardsDir, name))
+    }
+    out.result()
+  }
 
   /** Post-commit GC: delete every data file the retained manifests do
     * not reference — superseded generation files, folded-in legacy flat
@@ -1590,6 +1616,29 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+}
+
+/** Java-serializable Hadoop Configuration carrier for the distributed
+  * bulk-copy job (the standard Spark pattern — Spark's own wrapper is
+  * `private[spark]`): serializes through the Configuration's own
+  * write/readFields, so `spark.hadoop.*` session overrides (object-
+  * store credentials, endpoints) reach the executor-side filesystem
+  * opens instead of being silently dropped by a fresh task-side
+  * `Configuration()`.
+  */
+private[graft] class SerializableHadoopConf(
+    @transient private var _conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def conf: org.apache.hadoop.conf.Configuration = _conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    _conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    _conf = new org.apache.hadoop.conf.Configuration(false)
+    _conf.readFields(in)
   }
 }
 
