@@ -6203,20 +6203,25 @@ object SparkEntry {
   /** Commit the heal lineage q194 decides its verdicts over: a keyed
     * table with a committed backup and a committed pre-damage snapshot
     * expectation (snapshot FIRST — the q190 snapTo convention: the
-    * expectation must not read through the aftermath it verifies), a
-    * HEALTHY maintenance pass with the heal leg configured (runId 1 —
-    * nothing to heal), out-of-band damage to a live file, a SECOND
-    * pass (runId 2 — VERIFY records the red, HEAL restores from the
-    * backup as a new commit and re-verifies), and a replay of runId 2.
-    * Only operation outputs commit; the committed report table and the
-    * healed table decide every verdict in-query.
+    * expectation must not read through the aftermath it verifies),
+    * plus a composed IVF-PQ index, a HEALTHY maintenance pass with
+    * both heal legs configured (runId 1 — nothing to heal),
+    * out-of-band damage to a table live file AND a committed codes
+    * batch dir, a SECOND pass (runId 2 — VERIFY records both reds;
+    * the table HEAL restores from the backup as a new commit, the
+    * index HEAL rebuilds from the committed corpus as a new
+    * generation; both re-verify), and a replay of runId 2. Only
+    * operation outputs commit; the committed report table, the healed
+    * artifacts, and the generation ledger decide every verdict
+    * in-query.
     */
   private def ensureHeal(spark: SparkSession, dir: String): String =
     healStores.computeIfAbsent(dir, { _ =>
       import spark.implicits._
       val base = java.nio.file.Files
         .createTempDirectory("graft-heal-q").toString
-      val (t, bak, report) = (s"$base/t", s"$base/bak", s"$base/report")
+      val (t, bak, idx, report) =
+        (s"$base/t", s"$base/bak", s"$base/idx", s"$base/report")
       val docs = Tables.documents(spark, dir)
         .filter(col("doc_id") < 12).select(col("doc_id"), col("text"))
       streaming.EventStreams.mergeBatchIntoTable(
@@ -6229,16 +6234,29 @@ object SparkEntry {
       streaming.EventStreams.backupUpsertTable(spark, t, bak)
       streaming.EventStreams.readUpsertTable(spark, t)
         .write.mode("overwrite").parquet(s"$base/snap")
+      val e = Tables.embeddings(spark, dir)
+      operators.Similarity.buildIvfPqIndex(e, idx, nlist = 2, m = 8,
+        codebookSize = 2, dim = 64)
       def pass(runId: Long) = operators.Maintenance.runOnce(spark, runId,
-        report, tables = Seq((t, 2)), heal = Some(_ => bak))
+        report, tables = Seq((t, 2)), indexes = Seq((idx, 1)),
+        heal = Some(_ => bak), indexHeal = Some((e, 2, 8, 2, 64)))
       pass(1L).write.mode("overwrite").parquet(s"$base/run1")
-      // out-of-band damage: one live file vanishes (the fsck-red +
-      // readable-backup case the heal leg exists for)
+      // out-of-band damage: a table live file AND a committed codes
+      // batch dir vanish (the fsck-red + healable cases both legs
+      // exist for)
       val victim = streaming.EventStreams.tableManifest(spark, t)
         .toSeq.sortBy(_._1).head._2.head
       java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+      val codesVictim = new java.io.File(s"$idx/codes").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+        .minBy(_.getName)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(codesVictim)
       pass(2L).write.mode("overwrite").parquet(s"$base/run2")
-      pass(2L) // replay: the healed table is green, nothing commits
+      pass(2L) // replay: both artifacts are green, nothing commits
       base
     })
 
@@ -6248,10 +6266,13 @@ object SparkEntry {
     * NEW commit and re-fscks, and the report carries `heal_restored` /
     * `heal_verified` rows under the same exactly-once runId merge.
     * Verdicts, each decided in-query from the committed report, the
-    * healed table, and the committed pre-damage snapshot: the healthy
-    * pass wrote no heal rows; the damaged pass recorded the red and
-    * healed it (restore committed at watermark + 1, post-heal fsck
-    * green); the healed rows equal the pre-damage snapshot exactly;
+    * healed artifacts, the committed pre-damage snapshot, and the
+    * generation ledger: the healthy pass wrote no heal rows; the
+    * damaged pass recorded both reds and healed both (table restore
+    * committed at watermark + 1, index rebuilt as generation 1, both
+    * re-verified green); the healed rows equal the pre-damage
+    * snapshot exactly; the healed index serves the full corpus
+    * membership again; the ledger shows exactly the one heal rebuild;
     * and the replayed runId committed nothing.
     */
   def q194MaintenanceHeal(spark: SparkSession, dir: String): DataFrame = {
@@ -6260,22 +6281,37 @@ object SparkEntry {
     val report = streaming.EventStreams
       .readUpsertTable(spark, s"$base/report").localCheckpoint()
     def m(runId: Long) = report.filter(col("run_id") === runId)
-      .collect().map(r => r.getString(2) -> ((r.getBoolean(3), r.getLong(4))))
-      .toMap
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(3), r.getLong(4)))).toMap
     val m1 = m(1L)
     val m2 = m(2L)
     def eq(a: DataFrame, b: DataFrame): Boolean =
       a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
-    val noHealRows = !m1.contains("heal_restored") &&
-      !m1.contains("heal_verified") && m1("fsck_live_files_exist")._1
-    val damageRecorded = !m2("fsck_live_files_exist")._1
-    val healed = m2("heal_restored") == ((true, 2L)) &&
-      m2("heal_verified") == ((true, 0L))
+    val noHealRows = !m1.keys.exists(_._2.startsWith("heal_")) &&
+      m1(("table-t", "fsck_live_files_exist"))._1 &&
+      m1(("ivfpq-idx", "fsck_codes_dirs_exist"))._1
+    val damageRecorded = !m2(("table-t", "fsck_live_files_exist"))._1 &&
+      !m2(("ivfpq-idx", "fsck_codes_dirs_exist"))._1
+    val healed = m2(("table-t", "heal_restored")) == ((true, 2L)) &&
+      m2(("table-t", "heal_verified")) == ((true, 0L))
+    val indexHealed = m2(("ivfpq-idx", "heal_rebuilt")) == ((true, 1L)) &&
+      m2(("ivfpq-idx", "heal_verified")) == ((true, 0L))
     val rowsMatch = eq(
       streaming.EventStreams.readUpsertTable(spark, s"$base/t"),
       spark.read.parquet(s"$base/snap"))
+    // the healed index's membership is the full corpus again, and the
+    // committed ledger shows exactly the one heal rebuild (gen 0
+    // adopted flat root superseded by the rebuilt generation 1)
+    val membership = operators.Similarity.indexedVecIds(spark, s"$base/idx")
+      .count() == Tables.embeddings(spark, dir).count()
+    val ledger = operators.Similarity.generationLedger(spark, s"$base/idx")
+      .select(col("seq"), col("active")).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+    val oneRebuild = ledger == Seq((0L, 1L)) && membership
     val fsckNow = streaming.EventStreams.fsckUpsertTable(spark, s"$base/t")
-      .collect().forall(_.getBoolean(1))
+      .collect().forall(_.getBoolean(1)) &&
+      operators.Similarity.fsckIndex(spark, s"$base/idx")
+        .collect().forall(_.getBoolean(1))
     val expected = spark.read.parquet(s"$base/run1")
       .unionByName(spark.read.parquet(s"$base/run2"))
     val replayNoop = eq(report, expected)
@@ -6283,7 +6319,9 @@ object SparkEntry {
       ("healthy_pass_no_heal_rows", noHealRows),
       ("verify_recorded_damage", damageRecorded),
       ("heal_restored_and_verified", healed),
+      ("index_heal_rebuilt_and_verified", indexHealed),
       ("healed_rows_match_backup", rowsMatch),
+      ("index_ledger_single_heal_rebuild", oneRebuild),
       ("post_heal_fsck_green", fsckNow),
       ("replay_commits_nothing", replayNoop))
       .toDF("check", "ok")
@@ -7839,7 +7877,10 @@ object SparkEntry {
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('healthy_pass_no_heal_rows'),
         |  ('verify_recorded_damage'), ('heal_restored_and_verified'),
-        |  ('healed_rows_match_backup'), ('post_heal_fsck_green'),
+        |  ('index_heal_rebuilt_and_verified'),
+        |  ('healed_rows_match_backup'),
+        |  ('index_ledger_single_heal_rebuild'),
+        |  ('post_heal_fsck_green'),
         |  ('replay_commits_nothing')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok

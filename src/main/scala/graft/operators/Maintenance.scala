@@ -59,6 +59,19 @@ object Maintenance {
     *     remaining red checks). A missing/torn backup reports
     *     `heal_restored` red instead of killing the pass (the fsck
     *     posture: report, don't throw);
+    *   - `indexHeal`: opt-in HEAL leg for the composed indexes —
+    *     (committed corpus embeddings, nlist, m, codebookSize, dim).
+    *     An index whose VERIFY fsck is red on an artifact-existence
+    *     invariant (`generation_dirs_exist` / `codes_dirs_exist` /
+    *     `active_artifacts_complete`) REBUILDS from the corpus as a
+    *     new generation ([[Similarity.rebuildIvfPqIndex]] with
+    *     `fromCorpus = true` — the damaged index's own membership may
+    *     be unreadable, and the corpus is the source of truth derived
+    *     state regenerates from; appends not yet merged back into the
+    *     corpus roll back, the same semantic as the table heal), then
+    *     re-fscks; rows `heal_rebuilt` (n = the new generation) and
+    *     `heal_verified`. An unreadable ledger reports red instead of
+    *     killing the pass;
     *   - `backups`: (tableDir, backupRoot, keepLast) NIGHTLY BACKUP
     *     ROTATION — after VERIFY/HEAL, back the table's current
     *     snapshot up into `backupRoot/b<runId>`, prune all but the
@@ -88,7 +101,8 @@ object Maintenance {
               drift: Option[(String, DataFrame, DataFrame, Long, Double)] = None,
               reportNBuckets: Int = 4,
               heal: Option[String => String] = None,
-              backups: Seq[(String, String, Int)] = Seq.empty): DataFrame = {
+              backups: Seq[(String, String, Int)] = Seq.empty,
+              indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None): DataFrame = {
     import spark.implicits._
     takeRunLock(spark, reportDir, runId)
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Boolean, Long)]()
@@ -166,10 +180,38 @@ object Maintenance {
         }
       }
     }
-    indexes.foreach { case (dir, _) =>
-      Similarity.fsckIndex(spark, dir).collect().foreach(r =>
+    indexes.foreach { case (dir, retain) =>
+      // bounded collect: at most the fsck invariant count (~8 rows)
+      val fsckRows = Similarity.fsckIndex(spark, dir).collect()
+      fsckRows.foreach(r =>
         rows += ((runId, s"ivfpq-${name(dir)}", s"fsck_${r.getString(0)}",
           r.getBoolean(1), r.getLong(2))))
+      val artifactsRed = fsckRows.exists(r =>
+        Set("generation_dirs_exist", "codes_dirs_exist",
+          "active_artifacts_complete").contains(r.getString(0)) &&
+          !r.getBoolean(1))
+      indexHeal.filter(_ => artifactsRed).foreach {
+        case (corpus, nlist, m, codebookSize, dim) =>
+          val label = s"ivfpq-${name(dir)}"
+          // rebuild as the next generation above everything committed;
+          // an unreadable ledger (or a failed build) reports red, never
+          // throws (the fsck posture)
+          val rebuilt =
+            try {
+              val gen = Similarity.maxCommittedGeneration(spark, dir)
+                .getOrElse(0L) + 1
+              Similarity.rebuildIvfPqIndex(corpus, dir, gen, nlist, m,
+                codebookSize, dim, retain = retain, fromCorpus = true)
+              Some(gen)
+            } catch { case _: Exception => None }
+          rows += ((runId, label, "heal_rebuilt", rebuilt.isDefined,
+            rebuilt.getOrElse(0L)))
+          rebuilt.foreach { _ =>
+            val re = Similarity.fsckIndex(spark, dir).collect()
+            val reds = re.count(r => !r.getBoolean(1)).toLong
+            rows += ((runId, label, "heal_verified", reds == 0L, reds))
+          }
+      }
     }
     // ---- 4. BACKUP + ROTATE + VERIFY the backups ----------------------
     backups.foreach { case (dir, backupRoot, keepLast) =>

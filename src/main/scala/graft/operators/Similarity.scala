@@ -1132,6 +1132,13 @@ object Similarity {
     * through [[deleteFromIvfPqIndex]]). `generation` must exceed every
     * committed generation id; replays no-op via the ledger.
     *
+    * `fromCorpus = true` skips the membership semi-join and indexes
+    * the passed corpus AS the membership — the HEAL mode: a DAMAGED
+    * index's committed vec_ids may be unreadable (that is what is
+    * being healed), and the committed corpus is the source of truth
+    * the derived index regenerates from
+    * ([[graft.operators.Maintenance.runOnce]]'s index heal leg).
+    *
     * 100 TB shape: one semi-join (32-byte ids broadcast against the
     * corpus scan), then exactly the build cost — sampled KMeans fits,
     * one narrow assignment/encode pass, one partitioned write
@@ -1145,7 +1152,8 @@ object Similarity {
                         generation: Long, nlist: Int = 8, m: Int = 8,
                         codebookSize: Int = 16, dim: Int = 64,
                         maxIter: Int = 5, retain: Int = 2,
-                        trainFraction: Double = 1.0): Unit = {
+                        trainFraction: Double = 1.0,
+                        fromCorpus: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     require(generation > 0, s"generation must be > 0, got $generation")
     require(retain >= 1, s"retain must be >= 1, got $retain")
@@ -1163,8 +1171,11 @@ object Similarity {
       sweepUnreferencedGens(fs, root, retain)
       return
     }
-    val ids = indexedVecIds(spark, indexDir)
-    val src = embeddings.join(ids, Seq("vec_id"), "left_semi")
+    val src =
+      if (fromCorpus) embeddings // heal mode: the damaged index's
+        // membership may be unreadable; the corpus IS the membership
+      else embeddings.join(indexedVecIds(spark, indexDir),
+        Seq("vec_id"), "left_semi")
     val dest = new Path(root, s"gen=$generation")
     if (!fs.exists(dest)) {
       val inflight = new Path(root, s".inflight-gen-$generation")
@@ -1367,6 +1378,20 @@ object Similarity {
     // bounded by the number of rebuild/rollback operations ever run
     genManifestList(fs, root).map(readGenManifest(fs, _))
       .toDF("seq", "active", "dirs")
+  }
+
+  /** The highest generation id ever committed (active OR retained in
+    * any ledger entry) — None for a pre-generation flat index. What a
+    * caller needs to pick the next rebuild's `generation`
+    * (rebuildIvfPqIndex's replay guard no-ops at or below this).
+    */
+  def maxCommittedGeneration(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestGenManifest(fs, root).map(c =>
+      math.max(c._2, c._3.map(genIdOf).max))
   }
 
   // --------------------------------------------------------------------

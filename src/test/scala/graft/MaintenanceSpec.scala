@@ -179,6 +179,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(r4("fsck_backup_live_files_exist")._2 === 1L)
   }
 
+  test("index heal leg: a red index fsck rebuilds from the corpus as a new generation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-idxheal").toString
+    val (idx, report) = (s"$base/idx", s"$base/report")
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e, idx, nlist = 2, m = 8, codebookSize = 2,
+      dim = 64)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(2), (r.getBoolean(3), r.getLong(4)))).toMap
+    val healArg = Some((e, 2, 8, 2, 64))
+    // healthy pass: fsck green, no heal rows
+    val r1 = asMap(Maintenance.runOnce(spark, 1L, report,
+      indexes = Seq((idx, 1)), indexHeal = healArg))
+    assert(r1("fsck_codes_dirs_exist")._1)
+    assert(!r1.contains("heal_rebuilt"))
+    // out-of-band damage: a committed codes batch dir vanishes
+    val codesDir = new java.io.File(s"$idx/codes")
+    val victim = codesDir.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("batch=")).head
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(victim)
+    val r2 = asMap(Maintenance.runOnce(spark, 2L, report,
+      indexes = Seq((idx, 1)), indexHeal = healArg))
+    assert(!r2("fsck_codes_dirs_exist")._1, "VERIFY must record the pre-heal red")
+    assert(r2("heal_rebuilt") === ((true, 1L))) // flat index -> generation 1
+    assert(r2("heal_verified") === ((true, 0L)))
+    // the healed index serves the full corpus again
+    val nVecs = Similarity.indexedVecIds(spark, idx).count()
+    assert(nVecs === e.count(), "heal must regenerate membership from the corpus")
+    assert(Similarity.fsckIndex(spark, idx).collect().forall(_.getBoolean(1)))
+    // replay of the healed pass: fsck green, nothing rebuilt
+    val r3 = asMap(Maintenance.runOnce(spark, 3L, report,
+      indexes = Seq((idx, 1)), indexHeal = healArg))
+    assert(!r3.contains("heal_rebuilt"))
+  }
+
   test("run lock: a concurrent pass under another runId fails loudly; our own replay adopts") {
     val base = java.nio.file.Files.createTempDirectory("graft-maint-lock").toString
     val (t, report) = (s"$base/t", s"$base/report")
