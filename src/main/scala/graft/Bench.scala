@@ -325,9 +325,18 @@ object Bench {
     // future min-merges never ratchet on already-merged minima.
     val histFull = lastHistoryFull(histPath, 10, sfDir)
     val committed = results.map { case (k, (t, h, str)) =>
-      val best = histFull.flatMap { case (q, pl) =>
-        if (h != "err" && pl.get(k).contains(h)) q.get(k).filter(_ > 0) else None
-      }
+      // VERDICT queries' optimized plan is a bare LocalRelation (the
+      // (check, ok) rows) — their real work happens in builders and
+      // driver-side verdict reads OUTSIDE the hashed plan, so an
+      // identical hash does NOT pin identical work there. Never
+      // min-merge those; the plan hash is only an identity witness for
+      // queries whose work IS the plan.
+      val mergeable = h != "err" && !str.startsWith("LocalRelation")
+      val best =
+        if (!mergeable) Seq.empty
+        else histFull.flatMap { case (q, pl) =>
+          if (pl.get(k).contains(h)) q.get(k).filter(_ > 0) else None
+        }
       val t2 = if (t > 0 && best.nonEmpty) math.min(t, best.min) else t
       k -> ((t2, h, str))
     }
