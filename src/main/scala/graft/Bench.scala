@@ -119,7 +119,8 @@ object Bench {
   /** The last up-to-`n` same-sf history entries as (timings, plan
     * hashes) pairs — what the close-artifact min-merge consumes.
     */
-  private def lastHistoryFull(histPath: String, n: Int, sfDir: String)
+  private def lastHistoryFull(histPath: String, n: Int, sfDir: String,
+                              cpus: String)
       : Seq[(Map[String, Double], Map[String, String])] =
     try {
       val p = java.nio.file.Paths.get(histPath)
@@ -127,9 +128,32 @@ object Bench {
       else scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq
         .filter(_.contains(s""""sf":"$sfDir""""))
+        // ENVIRONMENT FINGERPRINT gate (ADVICE r13): the plan hash pins
+        // the WORK, not the machine — a timing measured under a
+        // different core count (SPARK_GRAFT_CPUS; shuffle partitions
+        // track it) is not comparable, and lines predating the
+        // fingerprint can't prove theirs, so only lines recording THIS
+        // run's cpus join the min-merge pool
+        .filter(_.contains(s""""cpus":$cpus,"""))
         .map(l => (parseHistoryQueries(l), parseHistoryPlans(l)))
         .filter(_._1.nonEmpty).takeRight(n)
     } catch { case _: Throwable => Seq.empty }
+
+  /** DEADBAND-BOUNDED history min (ADVICE r13): merge a same-plan
+    * historical minimum into the committed artifact ONLY when this
+    * run's own timing is within `deadband` of it — the min-merge
+    * exists to cancel the guard's 1.2x contention deadband, not to
+    * mask a genuine same-plan regression (slower UDF internals, config
+    * drift) for as long as the history window reaches. A run slower
+    * than `deadband` x the historical best commits ITS OWN number and
+    * the regression stays visible.
+    */
+  private[graft] def boundedHistoryMin(t: Double, candidates: Seq[Double],
+                                       deadband: Double = 1.2): Double = {
+    if (t <= 0 || candidates.isEmpty) return t
+    val m = candidates.min
+    if (m < t && t <= m * deadband) m else t
+  }
 
   /** Median ratio of this sweep's COMMON-query total vs each recent
     * history entry (r11 lesson: the probe rides at sweep start, so
@@ -150,10 +174,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the fingerprint lands unquoted in JSON — a non-numeric override
+    // (local[*]) quotes so the line stays parseable
+    val cpus =
+      if (cpusRaw.nonEmpty && cpusRaw.forall(_.isDigit)) cpusRaw
+      else "\"" + cpusRaw + "\""
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cpusRaw]")
+      .config("spark.sql.shuffle.partitions", cpusRaw)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -323,7 +352,7 @@ object Bench {
     // outliers). The HISTORY line keeps this sweep's RAW timings:
     // history stays a record of actual runs, so the drift baseline and
     // future min-merges never ratchet on already-merged minima.
-    val histFull = lastHistoryFull(histPath, 10, sfDir)
+    val histFull = lastHistoryFull(histPath, 10, sfDir, cpus)
     val committed = results.map { case (k, (t, h, str)) =>
       // VERDICT queries' optimized plan is a bare LocalRelation (the
       // (check, ok) rows) — their real work happens in builders and
@@ -337,10 +366,16 @@ object Bench {
         else histFull.flatMap { case (q, pl) =>
           if (pl.get(k).contains(h)) q.get(k).filter(_ > 0) else None
         }
-      val t2 = if (t > 0 && best.nonEmpty) math.min(t, best.min) else t
-      k -> ((t2, h, str))
+      k -> ((boundedHistoryMin(t, best), h, str))
     }
     val historyMin = committed.count { case (k, v) => v._1 < results(k)._1 }
+    // per-query provenance (ADVICE r13): every merged query, with the
+    // raw timing THIS sweep measured — the committed number's origin is
+    // reconstructable from the artifact alone, not just a count
+    val mergedProv = committed.toSeq.sortBy(_._1)
+      .filter { case (k, v) => v._1 < results(k)._1 }
+      .map { case (k, _) => s"\"" + k + "\":" + f"${results(k)._1}%.4f" }
+      .mkString("{", ",", "}")
     // 4-decimal rounding keeps the stdout line compact (the r3 line was
     // long enough to get tail-truncated in the driver's log capture)
     def r4(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
@@ -352,10 +387,11 @@ object Bench {
         .map { case (k, (_, h, _)) => s"\"" + k + "\":\"" + h + "\"" }
         .mkString("{", ",", "}")
       val t = if (res.nonEmpty) res.values.map(_._1).filter(_ > 0).sum else 0.0
-      s"""{"metric":"total","value":${r4(t)},"unit":"sec","probe":${r4(probe)},"probe_post":${r4(probePost)},"probe_rerun":$probeRerun,"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved"$extra,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(t)},"unit":"sec","probe":${r4(probe)},"probe_post":${r4(probePost)},"probe_rerun":$probeRerun,"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved","cpus":$cpus$extra,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     }
     val total = if (committed.nonEmpty) committed.values.map(_._1).filter(_ > 0).sum else 0.0
-    val json = jsonOf(committed, s""","history_min":$historyMin""")
+    val json = jsonOf(committed,
+      s""","history_min":$historyMin,"history_merged":$mergedProv""")
     val jsonRaw = jsonOf(results, "")
     // stdout FIRST: the artifact writes below can fail on a read-only
     // checkout / bad override path, and the JSON line is the one output

@@ -46,4 +46,22 @@ class BenchGuardSpec extends AnyFunSuite {
     // a line with no plans object (pre-r7 history) parses to empty
     assert(Bench.parseHistoryPlans("""{"queries":{"q01_x":0.5}}""") === Map.empty)
   }
+
+  test("boundedHistoryMin: merges inside the deadband, never past it") {
+    // inside the 1.2x contention deadband: the least-contended same-plan
+    // measurement wins
+    assert(Bench.boundedHistoryMin(1.1, Seq(1.0)) === 1.0)
+    assert(Bench.boundedHistoryMin(1.19, Seq(1.0, 1.5)) === 1.0)
+    // AT the boundary still merges (<=)
+    assert(Bench.boundedHistoryMin(1.2, Seq(1.0)) === 1.0)
+    // a genuine same-plan regression beyond the deadband commits its
+    // own number — a slower implementation is not maskable for 10 rounds
+    assert(Bench.boundedHistoryMin(1.21, Seq(1.0)) === 1.21)
+    assert(Bench.boundedHistoryMin(3.0, Seq(1.0, 1.1)) === 3.0)
+    // faster than all history: keep this run's number
+    assert(Bench.boundedHistoryMin(0.9, Seq(1.0, 1.2)) === 0.9)
+    // errored / empty inputs pass through
+    assert(Bench.boundedHistoryMin(-1.0, Seq(1.0)) === -1.0)
+    assert(Bench.boundedHistoryMin(1.5, Seq.empty) === 1.5)
+  }
 }
