@@ -49,7 +49,21 @@ object Maintenance {
     *     contract: `embeddings` is the committed corpus asset, `shard`
     *     the arriving sample, `generation` must exceed every committed
     *     one — a replay no-ops on the generation guard);
-    *   - `heal`: opt-in HEAL leg (tableDir -> its backup dir). A table
+    *   - `folds`: (tableDir, keyCols, nBuckets, maxDepth) DELTA-FOLD
+    *     monitor-gated compaction for delta-merged upsert tables: the
+    *     monitor reads the live manifest's per-bucket file counts (one
+    *     metadata read, never the corpus); a table whose deepest
+    *     bucket exceeds `maxDepth` files folds via
+    *     [[graft.streaming.EventStreams.compactUpsertTable]] at the
+    *     watermark + 1 — reconcile reads return to the plain-scan fast
+    *     path. Rows `delta_backlog` (ok = within depth; n = deepest
+    *     bucket) and `fold_compacted` (n = 1 acted / 0 healthy). A
+    *     replay sees the folded depth and acts nothing (the
+    *     rebalance-leg idempotence shape);
+    *   - `heal`: opt-in HEAL leg (tableDir -> its backup dir, or the
+    *     backups leg's rotation ROOT — [[resolveBackup]] picks the
+    *     newest committed backup under a root, so the mapping stays
+    *     valid across nightly rotation). A table
     *     whose VERIFY fsck is red on a file-existence invariant
     *     (`live_files_exist` / `pinned_files_exist`) restores from its
     *     backup as a NEW commit (rows landed after the backup roll
@@ -83,8 +97,10 @@ object Maintenance {
     * Returns the report rows (also committed to `reportDir`).
     *
     * CONCURRENCY: the pass takes a `_maintenance/lock` token inside
-    * `reportDir` at entry (atomic create-exclusive) and releases it
-    * after the report commits. A second scheduler racing it fails
+    * `reportDir` after argument validation (atomic create-exclusive)
+    * and releases it after the report commits — or on the way out of a
+    * THROWN failure in this JVM, so a bad pass never wedges the
+    * scheduler behind a hand-removed token. A second scheduler racing it fails
     * loudly naming the holder; a replay of OUR OWN crashed runId
     * adopts the stale lock and completes the pass (the crash-replay
     * contract). A stale lock from a crashed run under a DIFFERENT
@@ -102,12 +118,16 @@ object Maintenance {
               reportNBuckets: Int = 4,
               heal: Option[String => String] = None,
               backups: Seq[(String, String, Int)] = Seq.empty,
-              indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None): DataFrame = {
+              indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None,
+              folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty): DataFrame = {
     import spark.implicits._
-    takeRunLock(spark, reportDir, runId)
-    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Boolean, Long)]()
     def name(dir: String) = dir.stripSuffix("/").split('/').last
-    // report rows key by (run_id, artifact, check) and artifacts label
+    // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
+    // deterministic bad-argument error after takeRunLock would leave
+    // `_maintenance/lock` held — retries of the same bad call adopt the
+    // lock and die again, and every other runId is refused until an
+    // operator removes the token by hand.
+    // Report rows key by (run_id, artifact, check) and artifacts label
     // by directory BASENAME (the deleteDocs ledger convention) — two
     // same-named dirs would silently merge onto one key and the losing
     // artifact's red fsck row could vanish behind the winner's green
@@ -119,6 +139,24 @@ object Maintenance {
     require(indexLabels.distinct.size == indexLabels.size,
       s"index labels collide (${indexLabels.mkString(", ")}): keep " +
         "artifact directory basenames unique across the set")
+    backups.foreach { case (_, _, keepLast) =>
+      require(keepLast >= 1, s"backup keepLast must be >= 1, got $keepLast")
+    }
+    val foldLabels = folds.map(f => s"table-${name(f._1)}")
+    require(foldLabels.distinct.size == foldLabels.size,
+      s"fold labels collide (${foldLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
+    folds.foreach { case (_, _, _, maxDepth) =>
+      require(maxDepth >= 1, s"fold maxDepth must be >= 1, got $maxDepth")
+    }
+    takeRunLock(spark, reportDir, runId)
+    // a THROWN failure in this JVM is not a crash: release the lock on
+    // the way out so a corrected retry (or another runId) is not wedged
+    // behind a token only an operator can remove. A real crash (JVM
+    // death) still leaves the token, and the same-runId replay adopts
+    // it — the crash-replay contract is unchanged.
+    try {
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Boolean, Long)]()
     // ---- 1. ACT (monitor-gated; healthy systems commit nothing) ----
     rebalance.foreach { case (shardTable, prov, export, seqsPerShard, minFill, batchId, nBuckets) =>
       val r = Packing.rebalanceIfSparse(spark, shardTable, prov, export,
@@ -136,6 +174,23 @@ object Maintenance {
         !r.getBoolean(3), math.round(r.getDouble(2) * 100)))
       rows += ((runId, s"ivfpq-${name(indexDir)}", "drift_rebuilt",
         true, if (r.getBoolean(4)) 1L else 0L))
+    }
+    folds.foreach { case (dir, keyCols, nBuckets, maxDepth) =>
+      val label = s"table-${name(dir)}"
+      // depth from the live manifest alone — one metadata read
+      val depth = EventStreams.tableManifest(spark, dir)
+        .values.map(_.size).maxOption.getOrElse(0)
+      rows += ((runId, label, "delta_backlog", depth <= maxDepth, depth.toLong))
+      val acted = depth > maxDepth
+      if (acted) {
+        val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
+        // honor the table's configured retention when it also runs the
+        // RECLAIM leg — a fold must not narrow the time-travel window
+        val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
+        EventStreams.compactUpsertTable(spark, dir, keyCols, nBuckets, id,
+          retain = retain)
+      }
+      rows += ((runId, label, "fold_compacted", true, if (acted) 1L else 0L))
     }
     // ---- 2. RECLAIM --------------------------------------------------
     tables.foreach { case (dir, retain) =>
@@ -164,10 +219,14 @@ object Maintenance {
         // restore commits under the table's watermark + 1; callers'
         // later batches must use ids above it (the takedown id-window
         // convention). A missing/torn backup reports red, never throws.
+        // The mapping may name a concrete backup dir OR a rotation root
+        // ([[resolveBackup]]) — roots survive the nightly rotation.
         val restored =
           try {
+            val src = resolveBackup(spark, backupFor(dir)).getOrElse(
+              throw new IllegalArgumentException("no committed backup"))
             val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
-            EventStreams.restoreUpsertTable(spark, backupFor(dir), dir, id,
+            EventStreams.restoreUpsertTable(spark, src, dir, id,
               retain)
             Some(id)
           } catch { case _: Exception => None }
@@ -215,28 +274,39 @@ object Maintenance {
     }
     // ---- 4. BACKUP + ROTATE + VERIFY the backups ----------------------
     backups.foreach { case (dir, backupRoot, keepLast) =>
-      require(keepLast >= 1, s"backup keepLast must be >= 1, got $keepLast")
       val label = s"table-${name(dir)}"
       val dest = f"$backupRoot/b$runId%020d"
       // single-shot dirs keyed by runId: a crashed pass's replay finds
       // the committed backup and returns its id without re-copying
       val backedUp = EventStreams.backupUpsertTable(spark, dir, dest)
       rows += ((runId, label, "backup_committed", true, backedUp))
+      // fsck the JUST-COMMITTED backup BEFORE pruning anything (ADVICE
+      // r13): rotation ran unconditionally, so with keepLast = 1 a torn
+      // or rotted fresh backup could delete the only known-good older
+      // one and leave ZERO usable backups. A red fresh backup now SKIPS
+      // the rotation (backup_rotated ok = false, n = 0) and keeps every
+      // older dir until a green backup lands.
+      val newFsck = EventStreams.fsckUpsertTable(spark, dest).collect()
+      val newGreen = newFsck.forall(_.getBoolean(1))
       val root = new org.apache.hadoop.fs.Path(backupRoot)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dirs = fs.listStatus(root).filter(_.isDirectory)
         .map(_.getPath).sortBy(_.getName).toSeq
-      val prune = dirs.dropRight(keepLast)
+      val prune = if (newGreen) dirs.dropRight(keepLast) else Seq.empty
       prune.foreach(p => fs.delete(p, true))
-      rows += ((runId, label, "backup_rotated", true, prune.size.toLong))
+      rows += ((runId, label, "backup_rotated", newGreen, prune.size.toLong))
       // every retained backup is itself a single-snapshot table — fsck
-      // them all, aggregated per check (all green or the red n sums)
-      val retainedFsck = dirs.drop(prune.size).flatMap(b =>
-        EventStreams.fsckUpsertTable(spark, b.toString).collect())
-      retainedFsck.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      // them all, aggregated per check (all green or the red n sums);
+      // the fresh backup's rows are reused, not re-fscked
+      val retainedFsck = newFsck.map(r =>
+          (r.getString(0), r.getBoolean(1), r.getLong(2))) ++
+        dirs.drop(prune.size).filter(_.getName != dest.split('/').last)
+          .flatMap(b => EventStreams.fsckUpsertTable(spark, b.toString)
+            .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))))
+      retainedFsck.groupBy(_._1).toSeq.sortBy(_._1)
         .foreach { case (check, rs) =>
           rows += ((runId, label, s"fsck_backup_$check",
-            rs.forall(_.getBoolean(1)), rs.map(_.getLong(2)).sum))
+            rs.forall(_._2), rs.map(_._3).sum))
         }
     }
     val report = rows.toSeq
@@ -249,6 +319,36 @@ object Maintenance {
       nBuckets = reportNBuckets, batchId = runId, retain = 2)
     releaseRunLock(spark, reportDir)
     report
+    } catch {
+      case e: Throwable =>
+        try releaseRunLock(spark, reportDir)
+        catch { case _: Exception => () } // the original error wins
+        throw e
+    }
+  }
+
+  /** Resolve a heal mapping target to a concrete committed backup dir:
+    * a dir that itself holds a committed backup manifest passes
+    * through; a ROTATION ROOT (the `backups` leg's `backupRoot`)
+    * resolves to its NEWEST committed backup dir. This is the guard
+    * that keeps a `heal` mapping valid across rotation (ADVICE r13):
+    * rotation renames the live backup every pass (`b<runId>`), so a
+    * heal mapping pinned to one fixed dir dangles the night after the
+    * rotation prunes it — map `heal` at the rotation ROOT and the
+    * newest green backup always resolves. None when neither the dir
+    * nor any child holds a committed backup.
+    */
+  def resolveBackup(spark: SparkSession, dirOrRoot: String): Option[String] = {
+    if (EventStreams.latestCommittedBatchId(spark, dirOrRoot).isDefined)
+      return Some(dirOrRoot)
+    val root = new org.apache.hadoop.fs.Path(dirOrRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName).reverseIterator
+      .find(p => EventStreams.latestCommittedBatchId(spark, p.toString).isDefined)
+      // keep the caller's path form (Path.toString would URI-qualify it)
+      .map(p => s"${dirOrRoot.stripSuffix("/")}/${p.getName}")
   }
 
   /** Single-scheduler run lock: one `_maintenance/lock` token inside

@@ -243,4 +243,108 @@ class MaintenanceSpec extends SparkSpec {
     Maintenance.runOnce(spark, 2L, report, tables = Seq((t, 1)))
     assert(!new java.io.File(s"$report/_maintenance/lock").exists())
   }
+
+  test("a failed pass never wedges the lock: bad args refuse pre-lock, mid-pass throws release") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-unwedge").toString
+    val (t, report) = (s"$base/t", s"$base/report")
+    EventStreams.mergeBatchIntoTable(Seq((1L, "a", 0L)).toDF("k", "v", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L)
+    def lockHeld = new java.io.File(s"$report/_maintenance/lock").exists()
+    // deterministic ARGUMENT errors are validated BEFORE the lock: a
+    // retry of the same bad call must not adopt-and-die forever
+    intercept[IllegalArgumentException] {
+      Maintenance.runOnce(spark, 1L, report,
+        backups = Seq((t, s"$base/baks", 0))) // keepLast < 1
+    }
+    assert(!lockHeld, "a pre-lock validation failure must not take the lock")
+    intercept[IllegalArgumentException] {
+      Maintenance.runOnce(spark, 1L, report,
+        tables = Seq((s"$base/x/t", 1), (s"$base/y/t", 1))) // label collision
+    }
+    assert(!lockHeld)
+    // a MID-PASS thrown failure (not a crash) releases on the way out:
+    // backing up a table with no committed snapshot throws inside the
+    // backups leg, well after the lock is taken
+    intercept[IllegalArgumentException] {
+      Maintenance.runOnce(spark, 2L, report,
+        backups = Seq((s"$base/never-written", s"$base/baks", 1)))
+    }
+    assert(!lockHeld, "a thrown pass must release the lock for retries")
+    // the corrected call then runs under a FRESH id with no hand cleanup
+    val r = Maintenance.runOnce(spark, 3L, report,
+      backups = Seq((t, s"$base/baks", 1)))
+    assert(r.count() > 0)
+    assert(!lockHeld)
+  }
+
+  test("rotation never prunes on the strength of a red fresh backup") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-redrot").toString
+    val (t, root, report) = (s"$base/t", s"$base/baks", s"$base/report")
+    def merge(v: Long, id: Long) =
+      EventStreams.mergeBatchIntoTable(Seq((1L, s"p$v", v)).toDF("k", "v", "__v"),
+        t, Seq("k"), "__v", nBuckets = 2, batchId = id, retain = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(2), (r.getBoolean(3), r.getLong(4)))).toMap
+    merge(0L, 0L)
+    asMap(Maintenance.runOnce(spark, 1L, report, backups = Seq((t, root, 1))))
+    merge(1L, 1L)
+    // the next nightly backup commits and is then damaged before the
+    // pass fscks it (the crash-replay window: the replayed pass adopts
+    // the committed-but-rotted dir). With keepLast = 1 the old behavior
+    // would prune b1 — the only good backup — on the strength of b2.
+    val b2 = f"$root/b${2L}%020d"
+    EventStreams.backupUpsertTable(spark, t, b2)
+    val victim = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(b2))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.delete(victim)
+    val r2 = asMap(Maintenance.runOnce(spark, 2L, report,
+      backups = Seq((t, root, 1))))
+    assert(r2("backup_rotated") === ((false, 0L)),
+      "a red fresh backup must skip rotation")
+    assert(!r2("fsck_backup_live_files_exist")._1)
+    assert(new java.io.File(f"$root/b${1L}%020d").exists(),
+      "the last known-good backup must survive a red fresh one")
+    // the next pass commits a GREEN backup and rotation resumes,
+    // pruning b1 and the rotted b2
+    merge(2L, 2L)
+    val r3 = asMap(Maintenance.runOnce(spark, 3L, report,
+      backups = Seq((t, root, 1))))
+    assert(r3("backup_rotated") === ((true, 2L)))
+    assert(new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq === Seq(f"b${3L}%020d"))
+  }
+
+  test("heal mapped at the rotation ROOT resolves the newest committed backup") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-healroot").toString
+    val (t, root, report) = (s"$base/t", s"$base/baks", s"$base/report")
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "v", "__v"),
+        t, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 2)
+    merge((0L until 8L).map(k => (k, s"p$k", 0L)), 0L)
+    // two nightly passes: rotation leaves b1 + b2 under the root
+    Maintenance.runOnce(spark, 1L, report, backups = Seq((t, root, 2)))
+    merge(Seq((1L, "q1", 1L)), 1L)
+    Maintenance.runOnce(spark, 2L, report, backups = Seq((t, root, 2)))
+    assert(Maintenance.resolveBackup(spark, root) ===
+      Some(f"$root/b${2L}%020d"), "a root resolves to its newest backup")
+    assert(Maintenance.resolveBackup(spark, f"$root/b${1L}%020d") ===
+      Some(f"$root/b${1L}%020d"), "a concrete backup dir passes through")
+    assert(Maintenance.resolveBackup(spark, s"$base/nosuch") === None)
+    val expected = EventStreams.readUpsertTable(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // damage the table; heal is mapped at the ROOT (rotation renames the
+    // live backup nightly, so a fixed-dir mapping would dangle)
+    val victim = EventStreams.tableManifest(spark, t).values.flatten.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$t/$victim"))
+    val r = Maintenance.runOnce(spark, 3L, report,
+      tables = Seq((t, 2)), heal = Some(_ => root))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r("heal_restored")._1)
+    assert(r("heal_verified") === ((true, 0L)))
+    assert(EventStreams.readUpsertTable(spark, t)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap === expected)
+  }
 }
