@@ -293,11 +293,37 @@ object SparkEntry {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     val missedPairs = mustCatch.join(sharing, Seq("da", "db"), "left_anti").count()
+    // OPERATOR recall under its documented anchor semantics (ADVICE
+    // r13): the three re-derivations above verify the banding math and
+    // the emitted pairs' precision, but none pins what the operator
+    // CATCHES. Run the production operator ON the capped corpus (the
+    // restriction is algorithm-closed: buckets, anchors and exact
+    // Jaccard are all functions of the capped docs alone) and compare
+    // its emitted (doc_id, rep_id) assignments against the exact
+    // expected set — for every bucket anchor, the members at exact
+    // Jaccard >= 0.9 against it, rep = the smallest such anchor.
+    // Equality BOTH ways: the operator emits exactly the assignments
+    // the anchor semantics promise, no more, no fewer.
+    val opOut = operators.Dedup.minhashNearDups(docs.filter(col("doc_id") < 300))
+      .select(col("doc_id"), col("rep_id"))
+    val expected = banded.join(
+        banded.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("anchor")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor"), col("doc_id")).distinct()
+      .join(capped.select(col("doc_id").as("anchor"), col("ts").as("ta")), Seq("anchor"))
+      .join(capped.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
+      .filter(round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6) >= 0.9)
+      .groupBy(col("doc_id")).agg(min(col("anchor")).as("rep_id"))
+      .select(col("doc_id"), col("rep_id"))
+    val opMatches = opOut.exceptAll(expected).isEmpty &&
+      expected.exceptAll(opOut).isEmpty
     Seq(
       ("assignments_nonempty", n > 0),
       ("rep_precedes_member", repOk),
       ("pairs_verified_exact", precision),
-      ("banding_catches_exact_pairs", missedPairs == 0L))
+      ("banding_catches_exact_pairs", missedPairs == 0L),
+      ("operator_matches_anchor_semantics", opMatches))
       .toDF("check", "ok")
   }
 
@@ -6327,6 +6353,199 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val deltaStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the delta-merge lineages q195 decides its verdicts over:
+    * an EAGER table and three DELTA tables fed the same three batches
+    * (strictly-increasing versions except one deliberate stale-version
+    * arrival and one same-version cross-commit tie), a Maintenance
+    * depth-gated FOLD of one delta table (plus a second pass proving
+    * the monitor idempotent), a committed DELETE on another (every
+    * version of the key must die), and a backup + DR restore of the
+    * deleted one (the commit-order filename marker must survive the
+    * re-home). Only operation outputs commit; the committed manifests,
+    * report table, and readable snapshots decide every verdict
+    * in-query (the debt-5 convention).
+    */
+  private def ensureDelta(spark: SparkSession, dir: String): String =
+    deltaStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-delta-q").toString
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 16).select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      // key 10: v5 arrives FIRST, a stale v3 later (version dominates);
+      // key 11: v1 in two commits (the tie the delta contract pins to
+      // the LATER commit — excluded from eager-twin compares, whose
+      // union max_by leaves the tie unspecified)
+      val b0 = docs.select(col("doc_id"),
+        concat(lit("b0:"), col("text")).as("payload"),
+        when(col("doc_id") === 10, 5L).otherwise(0L).as("__v"))
+      val b1 = docs.filter(col("doc_id") <= 5 || col("doc_id").isin(10, 11))
+        .select(col("doc_id"), concat(lit("b1:"), col("text")).as("payload"),
+          when(col("doc_id") === 10, 3L).otherwise(1L).as("__v"))
+      val b2 = docs.filter(col("doc_id") <= 2 || col("doc_id").isin(11, 12))
+        .select(col("doc_id"), concat(lit("b2:"), col("text")).as("payload"),
+          when(col("doc_id") === 11, 1L).otherwise(2L).as("__v"))
+      def lineage(t: String, delta: Boolean): Unit =
+        Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          streaming.EventStreams.mergeBatchIntoTable(b, t, Seq("doc_id"),
+            "__v", nBuckets = 4, batchId = i.toLong, retain = 3,
+            delta = delta)
+        }
+      lineage(s"$base/e", delta = false)
+      lineage(s"$base/d", delta = true)
+      lineage(s"$base/d2", delta = true)
+      lineage(s"$base/d3", delta = true)
+      // depth-gated fold: deepest bucket holds 3 stacked files > 2
+      def pass(runId: Long) = operators.Maintenance.runOnce(spark, runId,
+        s"$base/report", folds = Seq((s"$base/d2", Seq("doc_id"), 4, 2)))
+      pass(1L)
+      pass(2L) // the folded depth is back under the gate: acts nothing
+      // a takedown on a delta table: all three versions of key 0 die
+      streaming.EventStreams.deleteFromTable(spark, s"$base/d3",
+        Seq(0L).toDF("doc_id"), Seq("doc_id"), nBuckets = 4, batchId = 3L,
+        retain = 3)
+      streaming.EventStreams.backupUpsertTable(spark, s"$base/d3",
+        s"$base/bak")
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
+        s"$base/d3r", batchId = 10L)
+      base
+    })
+
+  /** DELTA MERGES ([[streaming.EventStreams.mergeBatchIntoTable]]
+    * `delta = true`): the write-amplification fix for high-frequency
+    * CDC at 100 TB — an eager merge rewrites every touched bucket
+    * (O(bucket) data per tiny commit); a delta merge appends O(batch)
+    * files and readers reconcile latest-per-key (winner = greatest
+    * (version, commit), the spec recorded in the manifest). Verdicts,
+    * each decided in-query from committed state: the delta table reads
+    * identically to its eager twin; a stale version arriving late
+    * never resurrects; a same-version cross-commit tie pins to the
+    * later commit; the base file stays live across delta commits while
+    * the eager twin's buckets stay depth-1; a delta commit's gen dir
+    * holds exactly the batch's rows; time travel reconciles at the
+    * old boundary; the Maintenance depth-gated fold returns the table
+    * to plain-scan (spec dropped) without changing a row, and its
+    * monitor is idempotent; a delete kills every stacked version of
+    * the key; and a backup + DR restore preserves the reconcile
+    * exactly (commit order survives the re-home via the filename
+    * marker).
+    */
+  def q195DeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureDelta(spark, dir)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    def read(t: String) = streaming.EventStreams
+      .readUpsertTable(spark, s"$base/$t")
+    def noTie(f: DataFrame) = f.filter(col("doc_id") =!= 11)
+    val e = read("e").localCheckpoint()
+    val d = read("d").localCheckpoint()
+    val manD = streaming.EventStreams.tableManifest(spark, s"$base/d")
+    val manE = streaming.EventStreams.tableManifest(spark, s"$base/e")
+    def depth(m: Map[Int, Seq[String]]) = m.values.map(_.size).max
+    val b1Rows = 8L // keys 0-5, 10, 11
+    val deltaGen1 = spark.read.parquet(s"$base/d/gen_1")
+      .count()
+    val eagerGen1 = spark.read.parquet(s"$base/e/gen_1").count()
+    val p10 = d.filter(col("doc_id") === 10).select("payload").head().getString(0)
+    val p11 = d.filter(col("doc_id") === 11).select("payload").head().getString(0)
+    val tt = eq(
+      streaming.EventStreams.readUpsertTableAt(spark, s"$base/d", 1L),
+      streaming.EventStreams.readUpsertTableAt(spark, s"$base/e", 1L))
+    val manD2 = streaming.EventStreams.tableManifest(spark, s"$base/d2")
+    // the fold's commit drops the reconcile spec from the LATEST list;
+    // the chain's earlier (immutable) lists still carry it
+    val d2Lists = new java.io.File(s"$base/d2/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val foldPlain = depth(manD2) == 1 &&
+      d2Lists.init.forall(_.contains("\"reconcile\"")) &&
+      !d2Lists.last.contains("\"reconcile\"") &&
+      eq(noTie(read("d2")), noTie(e))
+    val report = read("report")
+    def rep(runId: Long, check: String) = report
+      .filter(col("run_id") === runId && col("check") === check)
+      .head()
+    val monitor =
+      !rep(1L, "delta_backlog").getBoolean(3) &&
+        rep(1L, "delta_backlog").getLong(4) == 3L &&
+        rep(1L, "fold_compacted").getLong(4) == 1L &&
+        rep(2L, "delta_backlog").getBoolean(3) &&
+        rep(2L, "fold_compacted").getLong(4) == 0L
+    val d3 = read("d3").localCheckpoint()
+    Seq(
+      ("delta_matches_eager", eq(noTie(d), noTie(e)) && d.count() == 16),
+      ("stale_version_never_resurrects", p10.startsWith("b0:")),
+      ("version_tie_later_commit_wins", p11.startsWith("b2:")),
+      ("commit_appends_base_stays_live",
+        manD.values.flatten.exists(_.startsWith("gen_0/")) &&
+          depth(manD) == 3 && depth(manE) == 1),
+      ("write_amp_is_batch_sized",
+        deltaGen1 == b1Rows && eagerGen1 >= deltaGen1),
+      ("time_travel_reconciles", tt),
+      ("fold_returns_plain_scan", foldPlain),
+      ("fold_monitor_idempotent", monitor),
+      ("delete_kills_every_version",
+        d3.filter(col("doc_id") === 0).isEmpty &&
+          eq(noTie(d3), noTie(e).filter(col("doc_id") =!= 0))),
+      ("backup_restore_preserves_reconcile", eq(read("d3r"), d3)))
+      .toDF("check", "ok")
+  }
+
+  /** BUCKET-PRUNED POINT READ
+    * ([[streaming.EventStreams.readUpsertTableForKeys]]): the
+    * audit/spot-check primitive — a handful of keys against a 100 TB
+    * table must read the buckets they hash into, not the table.
+    * Verdicts over [[ensureDelta]]'s committed lineages, decided
+    * in-query: the point read equals a full-scan filter on the eager
+    * table; the executed scan provably touched ONLY the requested
+    * keys' buckets (inputFiles ⊂ the manifest's live set, every file
+    * under a requested bucket); the same read on the DELTA twin
+    * returns the reconciled winners (the stale-version and tie keys
+    * resolve identically to the full reconcile); and absent keys read
+    * empty without widening the scan.
+    */
+  def q196KeyedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureDelta(spark, dir)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val e = streaming.EventStreams.readUpsertTable(spark, s"$base/e")
+    val keys = Seq(3L, 7L).toDF("doc_id")
+    val point = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/e", keys, Seq("doc_id")).localCheckpoint()
+    val matches = eq(point, e.filter(col("doc_id").isin(3L, 7L))) &&
+      point.count() == 2
+    // the scan's pruning, from the executed frame itself: strictly
+    // fewer files than the live set, every one under a requested bucket
+    val live = streaming.EventStreams.tableManifest(spark, s"$base/e")
+    val wantBuckets = keys
+      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val scanned = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/e", keys, Seq("doc_id")).inputFiles
+    val pruned = scanned.nonEmpty &&
+      scanned.length < live.values.map(_.size).sum &&
+      scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
+    val dPoint = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/d", Seq(10L, 11L).toDF("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val deltaReconciled = dPoint.size == 2 &&
+      dPoint(10L).startsWith("b0:") && dPoint(11L).startsWith("b2:")
+    val absent = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/e", Seq(999L).toDF("doc_id"), Seq("doc_id"))
+    Seq(
+      ("point_read_matches_filter", matches),
+      ("scan_pruned_to_key_buckets", pruned),
+      ("delta_point_read_reconciles", deltaReconciled),
+      ("absent_keys_read_empty", absent.isEmpty))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -6519,6 +6738,8 @@ object SparkEntry {
     "q192_maintenance_run" -> (q192MaintenanceRun _),
     "q193_backup_restore" -> (q193BackupRestore _),
     "q194_maintenance_heal" -> (q194MaintenanceHeal _),
+    "q195_delta_merge" -> (q195DeltaMerge _),
+    "q196_keyed_read" -> (q196KeyedRead _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -6575,7 +6796,8 @@ object SparkEntry {
     "q27_minhash_lsh" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('assignments_nonempty'), ('rep_precedes_member'),
-        |  ('pairs_verified_exact'), ('banding_catches_exact_pairs')) t(c)""".stripMargin,
+        |  ('pairs_verified_exact'), ('banding_catches_exact_pairs'),
+        |  ('operator_matches_anchor_semantics')) t(c)""".stripMargin,
     "q28_simhash" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('fingerprints_nonempty'),
@@ -7882,6 +8104,24 @@ object SparkEntry {
         |  ('index_ledger_single_heal_rebuild'),
         |  ('post_heal_fsck_green'),
         |  ('replay_commits_nothing')) t(c)""".stripMargin,
+    "q195_delta_merge" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('delta_matches_eager'),
+        |  ('stale_version_never_resurrects'),
+        |  ('version_tie_later_commit_wins'),
+        |  ('commit_appends_base_stays_live'),
+        |  ('write_amp_is_batch_sized'),
+        |  ('time_travel_reconciles'),
+        |  ('fold_returns_plain_scan'),
+        |  ('fold_monitor_idempotent'),
+        |  ('delete_kills_every_version'),
+        |  ('backup_restore_preserves_reconcile')) t(c)""".stripMargin,
+    "q196_keyed_read" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('point_read_matches_filter'),
+        |  ('scan_pruned_to_key_buckets'),
+        |  ('delta_point_read_reconciles'),
+        |  ('absent_keys_read_empty')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -237,6 +237,25 @@ object EventStreams {
     * merge reads and rewrites ONLY the buckets containing this batch's
     * keys, so per-batch I/O is O(touched buckets), not O(table).
     *
+    * DELTA MODE (`delta = true`, opt-in): even O(touched buckets) is
+    * the wrong order for a high-frequency CDC trickle at 100 TB — a
+    * 100-row merge into a 100 GB bucket rewrites the bucket. A delta
+    * merge instead APPENDS the compacted batch as new files on the
+    * touched buckets' live lists (write = O(batch), the one genuinely
+    * scale-proportional cost) and records a `reconcile` spec
+    * (keyCols, versionCol) in the manifest; every reader resolves
+    * latest-per-key through [[reconcileRows]] — winner = greatest
+    * (version, commit), so a replayed eager history and a delta
+    * history read identically, with version ties pinned to the later
+    * commit. Read cost grows with delta depth until a FOLD:
+    * [[compactUpsertTable]] (or an eager merge of the affected
+    * buckets, or the Maintenance `folds` leg's depth-gated pass)
+    * rewrites buckets unique-keyed and drops the spec. Same commit
+    * protocol, same replay guard, same sweep/pins/time-travel/backup
+    * behavior — the manifest file LISTS simply grow until folded.
+    * Deletes on a delta table reconcile the touched buckets first, so
+    * a takedown still removes every version of a key in one commit.
+    *
     * Exactly-once across foreachBatch replays: the manifest's batchId is
     * the applied-batch watermark (foreachBatch replays only the last
     * uncommitted batch, so one high-water mark is the whole ledger); a
@@ -284,7 +303,8 @@ object EventStreams {
 
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long,
-                          retain: Int = 1, compactEvery: Int = 0): Unit = {
+                          retain: Int = 1, compactEvery: Int = 0,
+                          delta: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -298,6 +318,17 @@ object EventStreams {
     // files may linger in untouched buckets, so readers must merge
     // schemas until the table is rebuilt (conservative, rare)
     val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    // a table with committed delta history carries its reconcile spec
+    // in the manifest; the spec is the table's key contract — a merge
+    // under different keys/version would corrupt every resolution
+    val prevReconcile = manifestList(fs, table).lastOption
+      .flatMap(manifestReconcile(fs, _))
+    prevReconcile.foreach { case (ks, v) =>
+      require(ks == keyCols && v == versionCol,
+        s"$tableDir has delta history keyed (${ks.mkString(",")}) " +
+          s"versioned '$v'; this merge's (${keyCols.mkString(",")})/'" +
+          s"$versionCol' disagrees — one key contract per table")
+    }
     // maintenance cadence (round-11 debt #2): a sink that opted into
     // compaction (`compactEvery > 0`) HEALS a flagged table on its next
     // merge — every live bucket joins the touched set, so the whole
@@ -353,6 +384,10 @@ object EventStreams {
     val touched =
       (if (homogenize) batchTouched ++ live.keys else batchTouched)
         .distinct.sorted
+    // a delta merge APPENDS; but a migration fold (legacy flat files)
+    // or a homogenizing heal must still rewrite, so those merges run
+    // eager even on a delta-opted sink (rare, one-shot by construction)
+    val effectiveDelta = delta && legacyFiles.isEmpty && !homogenize
     val newLive =
       if (touched.isEmpty) live // empty batch: manifest advances the watermark only
       else {
@@ -363,19 +398,24 @@ object EventStreams {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
         val merged =
-          if (currentFiles.isEmpty) {
+          if (effectiveDelta || currentFiles.isEmpty) {
             // a widening merge can still strand narrow files in
-            // UNTOUCHED buckets; probe one live footer (rare branch:
-            // touched buckets empty while others are not)
+            // untouched (or, delta: unread) buckets; probe one live
+            // footer for the sticky-flag decision
             val probe = live.values.flatten.headOption
             if (probe.exists(f => widens(
                 spark.read.parquet(new Path(table, f).toString), toMerge)))
               widenedThisBatch = true
             toMerge
           } else {
-            val current = spark.read
+            val raw = spark.read
               .option("mergeSchema", (mixed || legacyFiles.nonEmpty).toString)
               .parquet(currentFiles: _*)
+            // committed delta history resolves BEFORE the eager fold —
+            // an unreconciled union would let a superseded version
+            // win a (version, ·) tie against its own later commit
+            val current = prevReconcile.map { case (ks, v) =>
+                reconcileRows(raw, ks, v) }.getOrElse(raw)
               .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
             if (widens(current, toMerge)) widenedThisBatch = true
             graft.operators.Load.upsertLatest(
@@ -396,7 +436,13 @@ object EventStreams {
             if (fls.isEmpty) None else Some(b -> fls)
           }
         }.toMap
-        (live -- touched) ++ rewritten
+        if (effectiveDelta)
+          // APPEND on the touched buckets' lists — the bucket's prior
+          // files stay live and the new ones stack on top (commit order
+          // recovered from the gen_<id> path segment at read)
+          live ++ rewritten.map { case (b, fls) =>
+            b -> (live.getOrElse(b, Seq.empty) ++ fls) }
+        else (live -- touched) ++ rewritten
       }
     // a homogenizing merge rewrote EVERY live bucket under the batch's
     // schema — no narrow file can remain (even if this batch widened
@@ -404,8 +450,15 @@ object EventStreams {
     val outMixed =
       if (homogenize && touched.nonEmpty) false
       else mixed || widenedThisBatch
+    // the reconcile spec is sticky like `mixed`: set by a delta merge,
+    // carried while ANY bucket may still hold unfolded deltas, dropped
+    // by the full rewrites (homogenize here, [[compactUpsertTable]])
+    val outReconcile =
+      if (effectiveDelta) Some((keyCols, versionCol))
+      else if (homogenize && touched.nonEmpty) None
+      else prevReconcile
     publishManifest(fs, table, batchId, nBuckets, newLive, outMixed,
-      touched = Some(touched.toSeq))
+      touched = Some(touched.toSeq), reconcile = outReconcile)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -471,6 +524,8 @@ object EventStreams {
       }
     }
     val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    val prevReconcile = manifestList(fs, table).lastOption
+      .flatMap(manifestReconcile(fs, _))
     // barrier: the key frame feeds the touched-bucket collect AND the
     // anti-join (two consumers, the curateShard rule)
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
@@ -484,8 +539,13 @@ object EventStreams {
       else {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
-        val remaining = spark.read.option("mergeSchema", mixed.toString)
+        val raw = spark.read.option("mergeSchema", mixed.toString)
           .parquet(currentFiles: _*)
+        // delta history reconciles FIRST: the delete folds the touched
+        // buckets unique-keyed, so every version of a removed key dies
+        // in this one commit and survivors keep their winning row
+        val remaining = prevReconcile.map { case (ks, v) =>
+            reconcileRows(raw, ks, v) }.getOrElse(raw)
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
           .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
         val genName = s"gen_$batchId"
@@ -519,8 +579,9 @@ object EventStreams {
           Map(b -> fls)
         } else (live -- touched) ++ rewritten
       }
+    // untouched buckets may still hold unfolded deltas — carry the spec
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
-      touched = Some(touched.toSeq))
+      touched = Some(touched.toSeq), reconcile = prevReconcile)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -535,15 +596,57 @@ object EventStreams {
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     manifestList(fs, table).lastOption
-      .map(p => (manifestMixed(fs, p), readManifest(fs, p))) match {
-      case Some((mixed, (_, live))) if live.valuesIterator.exists(_.nonEmpty) =>
-        // mergeSchema only for snapshots the sticky flag marks as
-        // mixing pre- and post-widening files (schema adoption); the
-        // unflagged common case reads one footer
-        spark.read.option("mergeSchema", mixed.toString).parquet(
-          live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+      .map(p => (p, readManifest(fs, p))) match {
+      case Some((p, (_, live))) if live.valuesIterator.exists(_.nonEmpty) =>
+        // mergeSchema only for flagged snapshots; the reconcile spec
+        // (delta tables) resolves latest-per-key — both through
+        // [[readSnapshotFiles]], the one reader funnel
+        readSnapshotFiles(spark, table, fs, p, live.values.flatten.toSeq)
       case _ => spark.read.parquet(tableDir).drop(upsertBucketCol)
     }
+  }
+
+  /** BUCKET-PRUNED POINT READ: the table restricted to `keys`, reading
+    * ONLY the buckets those keys hash into — the audit/point-lookup
+    * primitive. A takedown audit or spot-check against a 100 TB table
+    * asks after a handful of keys; a full scan + filter reads every
+    * bucket to answer it, while the bucketing already knows where the
+    * keys live. Resolution: one manifest read, keys bucket-tagged with
+    * the table's own `pmod(hash(keys), nBuckets)` (so `keys`' column
+    * TYPES must match the table's — the deleteFromTable contract: a
+    * LONG key probed with an INT hashes elsewhere), the at-most-
+    * nBuckets touched bucket ids collected (bounded by contract), and
+    * only their files scanned; a delta table's reconcile spec applies
+    * to the subset (buckets partition keys, so the restriction is
+    * reconcile-closed). The final semi join broadcasts the tiny key
+    * frame. Requires a committed manifest (pre-manifest layouts have
+    * no bucket map to prune by — run one merge first).
+    */
+  def readUpsertTableForKeys(spark: SparkSession, tableDir: String,
+                             keys: DataFrame,
+                             keyCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; the point read prunes by " +
+          "the manifest's bucket map — run one mergeBatchIntoTable first"))
+    val (_, live) = readManifest(fs, manifest)
+    val nBuckets = readNBuckets(fs, manifest)
+    // barrier: the key frame feeds the bucket collect AND the semi probe
+    val k = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+      .localCheckpoint()
+    // bounded collect: at most nBuckets small ints
+    val buckets = k.select(upsertBucketCol).distinct().collect().map(_.getInt(0))
+    val files = buckets.toSeq.flatMap(live.get).flatten
+    if (files.isEmpty)
+      // none of the requested buckets holds files: empty result with
+      // the table's schema, no data scan (limit 0 prunes the read)
+      return readUpsertTable(spark, tableDir).limit(0)
+    readSnapshotFiles(spark, table, fs, manifest, files)
+      .join(broadcast(k.drop(upsertBucketCol)), keyCols, "left_semi")
   }
 
   /** TIME TRAVEL: the table as of the newest committed batchId <= the
@@ -564,8 +667,7 @@ object EventStreams {
       .filter(_._2._1 <= batchId).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot at or before batch $batchId in $tableDir"))
-    spark.read.option("mergeSchema", manifestMixed(fs, snap._1).toString).parquet(
-      snap._2._2.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*)
+    readSnapshotFiles(spark, table, fs, snap._1, snap._2._2.values.flatten.toSeq)
   }
 
   /** The table as of the newest committed manifest STRICTLY BEFORE
@@ -602,8 +704,7 @@ object EventStreams {
       .filter(_._2._1 < batchId).lastOption
       .map {
         case (p, (_, live)) if live.valuesIterator.exists(_.nonEmpty) =>
-          Some(spark.read.option("mergeSchema", manifestMixed(fs, p).toString).parquet(
-            live.values.flatten.map(rel => new Path(table, rel).toString).toSeq: _*))
+          Some(readSnapshotFiles(spark, table, fs, p, live.values.flatten.toSeq))
         case _ => None // committed empty: a snapshot of zero rows
       }
   }
@@ -730,6 +831,90 @@ object EventStreams {
       .map(m => m.group(1).toInt -> m.group(2)).toMap)
   }
 
+  /** The manifest's RECONCILE spec — present iff the snapshot may hold
+    * more than one row per key (DELTA merges committed since the last
+    * full fold): `(key columns, version column)`. Readers resolve the
+    * latest row per key with it ([[reconcileRows]]); its absence is the
+    * contract that every live bucket is unique-keyed and reads are a
+    * plain scan (the eager-merge fast path). Carried manifest-to-
+    * manifest once set; dropped by [[compactUpsertTable]] and by a
+    * homogenizing full rewrite, which fold every delta away.
+    */
+  private def manifestReconcile(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[(Seq[String], String)] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"reconcile":\{"keys":\[([^\]]*)\],"version":"([^"]+)"\}""".r
+      .findFirstMatchIn(s).map { m =>
+        val ks =
+          if (m.group(1).isEmpty) Seq.empty[String]
+          else m.group(1).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+        (ks, m.group(2))
+      }
+  }
+
+  private def reconcileTag(reconcile: Option[(Seq[String], String)]): String =
+    reconcile.map { case (ks, v) =>
+      ""","reconcile":{"keys":[""" +
+        ks.map(k => "\"" + k + "\"").mkString(",") +
+        s"""],"version":"$v"}"""
+    }.getOrElse("")
+
+  /** Latest-row-per-key resolution of a (possibly) delta-holding file
+    * set — the READ half of the delta-merge design. The winner per key
+    * is the row with the greatest `(version, commit)` pair, where the
+    * commit ordinal is recovered from the file path's `gen_<batchId>/`
+    * segment (pre-manifest legacy files rank as commit -1): version
+    * dominates, commit order breaks version ties deterministically in
+    * favor of the later commit — the same winner an eager merge chain
+    * produces, made explicit for ties (max_by over a union leaves a
+    * same-version tie unspecified; the delta contract pins it).
+    *
+    * Scale shape: ONE hash aggregate over the scanned files with
+    * map-side partials — no window over the table, no driver state; at
+    * 100 TB the reconcile rides the same shuffle-free per-bucket read
+    * the plain scan does, costing one combine per key.
+    */
+  private[graft] def reconcileRows(df: org.apache.spark.sql.DataFrame,
+                                   keys: Seq[String],
+                                   version: String): org.apache.spark.sql.DataFrame = {
+    // commit ordinal: a restored file's `g<seq>-` filename marker wins
+    // (restore re-homes files under ITS commit's gen dir — the marker
+    // carries the original), else the `gen_<seq>/` path segment, else
+    // -1 (pre-manifest legacy adoption)
+    val mark = regexp_extract(input_file_name(), "/g(-?\\d+)-[^/]*$", 1)
+    val seq = regexp_extract(input_file_name(), "gen_(-?\\d+)/", 1)
+    val withCommit = df.withColumn("__commit",
+      when(length(mark) > 0, mark.cast("long"))
+        .when(length(seq) > 0, seq.cast("long")).otherwise(lit(-1L)))
+    val others = withCommit.columns
+      .filterNot(c => keys.contains(c) || c == "__commit").toSeq
+    withCommit.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(version), col("__commit"))).as("__r"))
+      .select(keys.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
+  /** Read a manifest's files with its reconcile spec applied when
+    * present — every reader path (latest, time travel, before-opt)
+    * funnels through this so delta snapshots resolve identically
+    * everywhere.
+    */
+  private def readSnapshotFiles(spark: SparkSession,
+                                table: org.apache.hadoop.fs.Path,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                manifest: org.apache.hadoop.fs.Path,
+                                files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val raw = spark.read
+      .option("mergeSchema", manifestMixed(fs, manifest).toString)
+      .parquet(files.map(rel =>
+        new org.apache.hadoop.fs.Path(table, rel).toString): _*)
+    manifestReconcile(fs, manifest) match {
+      case Some((ks, v)) => reconcileRows(raw, ks, v)
+      case None => raw
+    }
+  }
+
   /** Does this manifest mark the table's live set as MIXED-schema —
     * i.e. some committed file pre-dates a schema widening? Set sticky
     * by the first widening merge; readers pay the parquet schema-merge
@@ -768,7 +953,8 @@ object EventStreams {
                               table: org.apache.hadoop.fs.Path, batchId: Long,
                               nBuckets: Int, live: Map[Int, Seq[String]],
                               mixed: Boolean = false,
-                              touched: Option[Seq[Int]] = None): Unit = {
+                              touched: Option[Seq[Int]] = None,
+                              reconcile: Option[(Seq[String], String)] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -798,7 +984,7 @@ object EventStreams {
     }
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag,"shards":{""", ",", "}}")
+      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
@@ -819,11 +1005,12 @@ object EventStreams {
     */
   private def inlineManifestBody(batchId: Long, nBuckets: Int,
                                  live: Map[Int, Seq[String]],
-                                 mixed: Boolean): String = {
+                                 mixed: Boolean,
+                                 reconcile: Option[(Seq[String], String)] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag,"buckets":{""", ",", "}}")
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)},"buckets":{""", ",", "}}")
   }
 
   /** FULL-REWRITE compaction of a keyed upsert table — the maintenance
@@ -861,10 +1048,16 @@ object EventStreams {
     if (live.valuesIterator.forall(_.isEmpty)) return // empty table
     val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
     // leaf-file reads carry no partition column: the bucket is
-    // recomputed from the keys (deterministic, the merge convention)
-    val current = spark.read.option("mergeSchema", mixed.toString)
+    // recomputed from the keys (deterministic, the merge convention).
+    // Delta history folds here — this is THE delta fold: the rewrite
+    // resolves latest-per-key, and the published manifest drops the
+    // reconcile spec, returning reads to the plain-scan fast path
+    val raw = spark.read.option("mergeSchema", mixed.toString)
       .parquet(live.values.flatten
         .map(rel => new Path(table, rel).toString).toSeq: _*)
+    val current = manifestList(fs, table).lastOption
+      .flatMap(manifestReconcile(fs, _))
+      .map { case (ks, v) => reconcileRows(raw, ks, v) }.getOrElse(raw)
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
     val genName = s"gen_$batchId"
     val genDir = new Path(table, genName)
@@ -1105,7 +1298,13 @@ object EventStreams {
     *   - `no_orphan_data`: no data file on disk is unreferenced by
     *     EVERY manifest (n = orphans). Orphans are legal crash litter
     *     mid-protocol; a nonzero count on a quiesced table means a
-    *     sweep/vacuum is due, not corruption.
+    *     sweep/vacuum is due, not corruption;
+    *   - `no_orphan_shards`: no manifest shard file is unreferenced by
+    *     every committed list (same posture as no_orphan_data);
+    *   - `delta_spec_present`: a live bucket stacking files from more
+    *     than one commit (a DELTA bucket) requires the latest list to
+    *     carry its reconcile spec — a lost spec would let plain reads
+    *     return duplicate keys silently (n = multi-commit buckets).
     *
     * Never throws on what it can report (an unparseable manifest or
     * pin fails its check row instead of the call — fsck must run ON
@@ -1179,13 +1378,30 @@ object EventStreams {
             !referenced.contains(s.getPath.getName))
           .map(_.getPath.getName).toSeq
       }
+    // a live bucket stacking files from MORE than one commit is a
+    // delta bucket — readable only through a reconcile spec; a latest
+    // list that names such a bucket but carries no spec is metadata
+    // damage (the spec was lost), and a plain read would return
+    // duplicate keys silently. Pointer/shard reads only, never data.
+    def ordinalOf(rel: String): String = {
+      val name = rel.split('/').last
+      "^g(-?\\d+)-".r.findFirstMatchIn(name).map(_.group(1))
+        .orElse("^gen_(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1)))
+        .getOrElse("-1")
+    }
+    val multiGen = parsed.lastOption
+      .map(_._3.count(_._2.map(ordinalOf).distinct.size > 1)).getOrElse(0)
+    val specOk = multiGen == 0 || manifestPaths.lastOption.exists(p =>
+      try manifestReconcile(fs, p).isDefined
+      catch { case _: Exception => false })
     Seq(
       ("manifests_parseable", manifestsOk, parsed.size.toLong),
       ("live_files_exist", liveMissing.isEmpty, liveMissing.size.toLong),
       ("pins_resolvable", pinsOk, pins.size.toLong),
       ("pinned_files_exist", pinnedMissing.isEmpty, pinnedMissing.size.toLong),
       ("no_orphan_data", orphans.isEmpty, orphans.size.toLong),
-      ("no_orphan_shards", orphanShards.isEmpty, orphanShards.size.toLong))
+      ("no_orphan_shards", orphanShards.isEmpty, orphanShards.size.toLong),
+      ("delta_spec_present", specOk, multiGen.toLong))
       .toDF("check", "ok", "n")
   }
 
@@ -1206,9 +1422,12 @@ object EventStreams {
     * written SELF-CONTAINED (inline shape): a sharded source list
     * points into the source's `_manifests/shards/`, which the backup
     * must not depend on. A backup dir is SINGLE-SHOT: if it already
-    * holds a committed manifest, a prior attempt completed and this
-    * call returns that batchId without re-copying (crash-replay
-    * idempotence); back up a newer snapshot into a fresh dir.
+    * holds a committed manifest OF THE SNAPSHOT THIS CALL RESOLVES, a
+    * prior attempt completed and this call returns that batchId without
+    * re-copying (crash-replay idempotence); a committed manifest of a
+    * DIFFERENT snapshot throws — a reused dir silently reported as
+    * success would hand a later restore the wrong table state. Back a
+    * newer snapshot up into a fresh dir.
     */
   def backupUpsertTable(spark: SparkSession, tableDir: String,
                         backupDir: String,
@@ -1217,15 +1436,28 @@ object EventStreams {
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(backupDir)
-    latestManifest(fs, dest) match {
-      case Some((committed, _)) => return committed // replayed backup
-      case None =>
-    }
     val src = manifestList(fs, table).map(p => (p, readManifest(fs, p)))
       .filter(_._2._1 <= batchId).lastOption.getOrElse(
         throw new IllegalArgumentException(
           s"no committed snapshot at or before batch $batchId in $tableDir; " +
             "nothing to back up"))
+    latestManifest(fs, dest) match {
+      case Some((committed, _)) if committed == src._2._1 =>
+        return committed // replayed backup of the SAME snapshot
+      case Some((committed, _)) =>
+        // replay-vs-caller-bug discrimination (ADVICE r13, the restore
+        // convention): a committed backup of a DIFFERENT snapshot means
+        // the caller reused a single-shot dir — returning its id would
+        // report the stale backup as this call's success, and a later
+        // restore would roll the table back further than intended
+        throw new IllegalStateException(
+          s"$backupDir already holds a committed backup of batch " +
+            s"$committed, but this call resolves batch ${src._2._1} of " +
+            s"$tableDir — a reused backup dir, not a replay. Back the " +
+            "newer snapshot up into a fresh dir (backup dirs are " +
+            "single-shot).")
+      case None =>
+    }
     fs.mkdirs(dest)
     bulkCopy(spark, src._2._2.values.flatten.toSeq.map(rel =>
       (new Path(table, rel).toString, new Path(dest, rel).toString)))
@@ -1237,8 +1469,8 @@ object EventStreams {
     fs.mkdirs(mDest.getParent)
     val tmp = new Path(mDest.getParent, s".${src._1.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(inlineManifestBody(src._2._1, nBuckets, src._2._2, mixed)
-      .getBytes("UTF-8"))
+    try out.write(inlineManifestBody(src._2._1, nBuckets, src._2._2, mixed,
+      manifestReconcile(fs, src._1)).getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
       throw new IllegalStateException(s"backup manifest commit failed at $mDest")
@@ -1325,9 +1557,24 @@ object EventStreams {
           "refusing to restore from it"))
     val genName = s"gen_$batchId"
     def destRel(rel: String): String = {
-      val bucketPart = rel.split('/').dropRight(1).lastOption.getOrElse(
+      val parts = rel.split('/')
+      val bucketPart = parts.dropRight(1).lastOption.getOrElse(
         throw new IllegalStateException(s"unexpected backup path $rel"))
-      s"$genName/$bucketPart/${rel.split('/').last}"
+      // preserve the file's ORIGINAL commit ordinal as a filename
+      // marker: the restore re-homes every file under this commit's
+      // gen dir, and a delta snapshot's reconcile would otherwise lose
+      // the commit order that breaks version ties ([[reconcileRows]]
+      // reads the marker before the gen segment); files restored twice
+      // keep their first marker
+      val last = parts.last
+      val marked =
+        if (last.matches("g-?\\d+-.*")) last
+        else {
+          val orig = parts.find(_.startsWith("gen_"))
+            .map(_.stripPrefix("gen_")).getOrElse("-1")
+          s"g$orig-$last"
+        }
+      s"$genName/$bucketPart/$marked"
     }
     if (latestManifest(fs, table).exists(_._1 >= batchId)) {
       // replay-vs-caller-bug discrimination: a genuine replay left a
@@ -1359,7 +1606,8 @@ object EventStreams {
     bulkCopy(spark, live.values.flatten.toSeq.map(rel =>
       (new Path(backup, rel).toString, new Path(table, destRel(rel)).toString)))
     val restored = live.map { case (b, fls) => b -> fls.map(destRel) }
-    publishManifest(fs, table, batchId, nBuckets, restored, mixed)
+    publishManifest(fs, table, batchId, nBuckets, restored, mixed,
+      reconcile = manifestReconcile(fs, manifestList(fs, backup).last))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }

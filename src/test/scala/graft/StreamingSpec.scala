@@ -1471,4 +1471,116 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did NOT run"))
   }
+
+  test("backup dir reuse for a NEWER snapshot throws; a true replay still no-ops") {
+    val base = Files.createTempDirectory("graft-bak3").toString
+    val tableDir = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 2)
+    merge(Seq((1L, "a", 0L)), 0L)
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak") === 0L)
+    // true replay: same resolved snapshot, committed manifest matches
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak") === 0L)
+    // the table advances; pointing the SAME dir at the newer snapshot is
+    // a caller bug — returning the stale id would hand a later restore
+    // the wrong state (ADVICE r13)
+    merge(Seq((1L, "b", 1L)), 1L)
+    val e = intercept[IllegalStateException] {
+      EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak")
+    }
+    assert(e.getMessage.contains("reused backup dir"))
+    // and the explicit-batchId form still replays the OLD snapshot fine
+    assert(EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak",
+      batchId = 0L) === 0L)
+  }
+
+  test("delta merges: O(batch) appends, replay no-ops, eager merges fold, one key contract") {
+    val tableDir = Files.createTempDirectory("graft-delta").toString + "/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long,
+              delta: Boolean = true) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 8, id, retain = 2, delta = delta)
+    merge((0L until 64L).map(k => (k, s"p$k", 0L)), 0L)
+    def metaFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tableDir/_manifests"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).filter(_.endsWith(".json")).toSet
+    }
+    def rows() = EventStreams.readUpsertTable(spark, tableDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val liveBefore = EventStreams.tableManifest(spark, tableDir)
+    val before = metaFiles()
+    // a 1-key DELTA merge: O(batch) data (no bucket rewrite — the
+    // bucket's base file stays on the list) and still O(changed)
+    // metadata (2 objects: the appended bucket's shard + the list)
+    merge(Seq((1L, "x", 1L)), 1L)
+    assert((metaFiles() -- before).size === 2)
+    val live = EventStreams.tableManifest(spark, tableDir)
+    val bucket1 = live.find(_._2.exists(_.startsWith("gen_1/"))).get._1
+    assert(live(bucket1).size === 2, "delta appends, never rewrites")
+    assert(live(bucket1).head === liveBefore(bucket1).head,
+      "the base file must stay live under its original path")
+    assert((live - bucket1) === (liveBefore - bucket1),
+      "untouched buckets' lists are byte-identical")
+    assert(rows()(1L) === "x" && rows().size === 64)
+    // replayed delta batch: nothing commits
+    val metaAt1 = metaFiles()
+    merge(Seq((1L, "never", 1L)), 1L)
+    assert(metaFiles() === metaAt1)
+    assert(rows()(1L) === "x")
+    // an EAGER merge on the delta table folds its touched buckets
+    // (reconciling first) and CARRIES the spec — other buckets may
+    // still hold deltas
+    merge(Seq((1L, "y", 2L)), 2L, delta = false)
+    val folded = EventStreams.tableManifest(spark, tableDir)
+    assert(folded(bucket1).size === 1, "an eager merge folds the bucket")
+    assert(rows()(1L) === "y" && rows().size === 64)
+    val latestList = new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    assert(new String(java.nio.file.Files.readAllBytes(latestList.toPath),
+      "UTF-8").contains("\"reconcile\""), "the spec carries until a full fold")
+    // the spec IS the table's key contract: a merge under different
+    // keys/version fails loudly before touching anything
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.mergeBatchIntoTable(
+        Seq((9L, "z", 9L)).toDF("k", "payload", "v2"),
+        tableDir, Seq("k"), "v2", 8, 3L, retain = 2, delta = true)
+    }
+    assert(err.getMessage.contains("one key contract"))
+    // full fold: compactUpsertTable drops the spec, reads stay equal
+    val preFold = rows()
+    EventStreams.compactUpsertTable(spark, tableDir, Seq("k"), 8, 4L)
+    val latestAfter = new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    assert(!new String(java.nio.file.Files.readAllBytes(latestAfter.toPath),
+      "UTF-8").contains("\"reconcile\""))
+    assert(rows() === preFold)
+    assert(EventStreams.fsckUpsertTable(spark, tableDir)
+      .collect().forall(_.getBoolean(1)))
+  }
+
+  test("fsck flags a delta snapshot whose reconcile spec was lost") {
+    val tableDir = Files.createTempDirectory("graft-delta-fsck").toString + "/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        tableDir, Seq("k"), "version", 4, id, retain = 2, delta = true)
+    merge((0L until 16L).map(k => (k, s"p$k", 0L)), 0L)
+    merge(Seq((1L, "x", 1L)), 1L)
+    def fsck() = EventStreams.fsckUpsertTable(spark, tableDir)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(fsck()("delta_spec_present") === ((true, 1L))) // 1 delta bucket, spec held
+    // metadata damage: the spec vanishes from the latest list
+    val latest = new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val body = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+    java.nio.file.Files.writeString(latest.toPath,
+      body.replaceAll(""","reconcile":\{[^}]*\}""", ""))
+    new java.io.File(s"$tableDir/_manifests").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val after = fsck()
+    assert(after("delta_spec_present") === ((false, 1L)),
+      "a multi-commit bucket without a spec must flag red")
+  }
 }
