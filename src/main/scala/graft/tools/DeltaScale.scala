@@ -37,8 +37,8 @@ object DeltaScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("| scale | rows | eager merge s | delta merge s | eager/delta | delta read s |")
-    println("| --- | --- | --- | --- | --- | --- |")
+    println("| scale | rows | eager merge s | eager MB written | delta merge s | delta MB written | write amp | delta read s |")
+    println("| --- | --- | --- | --- | --- | --- | --- | --- |")
     for (k <- scales) {
       val dir = ScaleCurve.ensureScaled(spark, outBase, k)
       val base = java.nio.file.Files
@@ -62,12 +62,27 @@ object DeltaScale {
       val deltaS = timed(EventStreams.mergeBatchIntoTable(tiny, s"$base/d",
         Seq("doc_id"), "__v", nBuckets = 16, batchId = 1L, retain = 2,
         delta = true))
+      // BYTES WRITTEN is the claim itself (wall-clock at these test
+      // sizes is fixed-overhead-dominated; at 100 TB the clock follows
+      // the bytes): the eager commit re-encodes every touched bucket,
+      // the delta commit lands the batch
+      def mb(dir: String): Double = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(p)) 0.0
+        else java.nio.file.Files.walk(p).iterator().asScala
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).sum / 1e6
+      }
+      val eagerMb = mb(s"$base/e/gen_1")
+      val deltaMb = mb(s"$base/d/gen_1")
       val rows = EventStreams.readUpsertTable(spark, s"$base/e").count()
       val readS = timed {
         EventStreams.readUpsertTable(spark, s"$base/d").count(); ()
       }
-      println(f"| x$k | $rows | $eagerS%.2f | $deltaS%.2f | " +
-        f"${eagerS / deltaS}%.1fx | $readS%.2f |")
+      println(f"| x$k | $rows | $eagerS%.2f | $eagerMb%.2f | $deltaS%.2f | " +
+        f"$deltaMb%.2f | ${eagerMb / deltaMb}%.1fx | $readS%.2f |")
     }
     spark.stop()
   }
