@@ -287,7 +287,23 @@ object Takedown {
     auditWith(spark, docIds, sequenceTable, keyedTables, ragIndex,
       ivfPqIndex, vecIds, exportProv,
       read = dir => Some(graft.streaming.EventStreams.readUpsertTable(spark, dir)),
-      vecIdsRead = dir => Similarity.indexedVecIds(spark, dir))
+      vecIdsRead = dir => Similarity.indexedVecIds(spark, dir),
+      // BUCKET-PRUNED when provably safe: a table whose manifest
+      // records its key contract as exactly (keyCol) point-reads the
+      // requested ids' buckets instead of scanning the table — at
+      // 100 TB a handful-of-keys audit must not pay a full pass. Any
+      // other contract (multi-column key, partial-key audit, pre-r14
+      // manifest with no record) falls back to scan + filter: the
+      // audit must never under-count on a guessed bucketing.
+      keyedRead = (dir, keyCol) => {
+        import spark.implicits._
+        val es = graft.streaming.EventStreams
+        if (es.tableKeyedBy(spark, dir).contains(Seq(keyCol)))
+          Some(es.readUpsertTableForKeys(spark, dir,
+            docIds.toDF(keyCol), Seq(keyCol)))
+        else Some(es.readUpsertTable(spark, dir)
+          .filter(col(keyCol).isin(docIds: _*)))
+      })
 
   /** PINNED cross-artifact audit — [[auditDocs]] AS OF one batch
     * boundary: every artifact reads its latest snapshot committed
@@ -348,7 +364,16 @@ object Takedown {
       vecIdsRead = dir => pinLabel match {
         case Some(l) => Similarity.indexedVecIdsBeforePinned(spark, dir, l, asOfBatch)
         case None => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch)
-      })
+      },
+      // the pinned audit reads historical snapshots — no point-read
+      // variant exists below a pin, so it stays a scan + filter over
+      // the pinned file set (already bounded by the snapshot)
+      keyedRead = (dir, keyCol) => graft.streaming.EventStreams
+        .readUpsertTableBeforeOpt(spark, dir, asOfBatch)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dir has no committed snapshot before batch $asOfBatch " +
+            "(the pinned audit needs a snapshot below its pin)"))
+        .map(_.filter(col(keyCol).isin(docIds: _*))))
 
   /** DURABLE hold for a pinned audit — the retention-contract upgrade:
     * [[auditDocsAt]]'s pin is readable only while every artifact's
@@ -456,7 +481,8 @@ object Takedown {
                         vecIds: Option[Seq[Long]],
                         exportProv: Option[String],
                         read: String => Option[DataFrame],
-                        vecIdsRead: String => DataFrame): DataFrame = {
+                        vecIdsRead: String => DataFrame,
+                        keyedRead: (String, String) => Option[DataFrame]): DataFrame = {
     import graft.streaming.EventStreams
     val boxed = docIds.map(java.lang.Long.valueOf)
     // `refs` is None for a COMMITTED-EMPTY artifact (the resolving
@@ -490,8 +516,7 @@ object Takedown {
         tbl +: st
       } ++
       keyedTables.map { case (dir, keyCol) =>
-        cnt(s"table-${baseName(dir)}",
-          read(dir).map(_.filter(col(keyCol).isin(docIds: _*))))
+        cnt(s"table-${baseName(dir)}", keyedRead(dir, keyCol))
       } ++
       ragIndex.toSeq.map { dir =>
         cnt(s"rag-${baseName(dir)}",

@@ -200,12 +200,17 @@ object EventStreams {
     */
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
                       versionCol: String, nBuckets: Int = 16,
-                      retain: Int = 1, compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+                      retain: Int = 1, compactEvery: Int = 0,
+                      delta: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // delta = the CDC-trickle posture: each micro-batch commits
+        // O(batch) instead of rewriting its touched buckets; pair with
+        // a Maintenance `folds` leg (or compactEvery) to bound read
+        // depth
         mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId,
-          retain, compactEvery)
+          retain, compactEvery, delta)
       }
       .start()
 
@@ -458,7 +463,8 @@ object EventStreams {
       else if (homogenize && touched.nonEmpty) None
       else prevReconcile
     publishManifest(fs, table, batchId, nBuckets, newLive, outMixed,
-      touched = Some(touched.toSeq), reconcile = outReconcile)
+      touched = Some(touched.toSeq), reconcile = outReconcile,
+      keyedBy = Some(keyCols))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -581,7 +587,8 @@ object EventStreams {
       }
     // untouched buckets may still hold unfolded deltas — carry the spec
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
-      touched = Some(touched.toSeq), reconcile = prevReconcile)
+      touched = Some(touched.toSeq), reconcile = prevReconcile,
+      keyedBy = Some(keyCols))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -611,10 +618,11 @@ object EventStreams {
     * primitive. A takedown audit or spot-check against a 100 TB table
     * asks after a handful of keys; a full scan + filter reads every
     * bucket to answer it, while the bucketing already knows where the
-    * keys live. Resolution: one manifest read, keys bucket-tagged with
-    * the table's own `pmod(hash(keys), nBuckets)` (so `keys`' column
-    * TYPES must match the table's — the deleteFromTable contract: a
-    * LONG key probed with an INT hashes elsewhere), the at-most-
+    * keys live. Resolution: one manifest read, the probe frame CAST to
+    * the table's own key types (one-footer probe — the bucket hash is
+    * type-sensitive) and bucket-tagged with `pmod(hash(keys),
+    * nBuckets)`; when the manifest records its key contract (every
+    * r14+ writer) a partial-key probe fails loudly; the at-most-
     * nBuckets touched bucket ids collected (bounded by contract), and
     * only their files scanned; a delta table's reconcile spec applies
     * to the subset (buckets partition keys, so the restriction is
@@ -634,8 +642,24 @@ object EventStreams {
           "the manifest's bucket map — run one mergeBatchIntoTable first"))
     val (_, live) = readManifest(fs, manifest)
     val nBuckets = readNBuckets(fs, manifest)
+    // probing a PARTIAL key would hash into the wrong buckets and read
+    // empty where rows exist — when the manifest records its key
+    // contract (every r14+ writer), a mismatched probe fails loudly
+    manifestKeyedBy(fs, manifest).foreach(ks =>
+      require(ks == keyCols,
+        s"$tableDir is keyed (${ks.mkString(",")}); a point read on " +
+          s"(${keyCols.mkString(",")}) would hash into the wrong buckets"))
+    val allFiles = live.values.flatten.toSeq
+    if (allFiles.isEmpty) return readUpsertTable(spark, tableDir).limit(0)
+    // one-footer probe: the bucket hash is TYPE-sensitive (a long key
+    // probed as an int hashes elsewhere) — align the probe frame to
+    // the table's own key types before tagging
+    val schema = spark.read
+      .parquet(new Path(table, allFiles.head).toString).schema
     // barrier: the key frame feeds the bucket collect AND the semi probe
-    val k = keys.select(keyCols.map(col): _*).distinct()
+    val k = keys
+      .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+      .distinct()
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
       .localCheckpoint()
     // bounded collect: at most nBuckets small ints
@@ -853,6 +877,39 @@ object EventStreams {
       }
   }
 
+  /** The manifest's KEY CONTRACT — the key columns the table's commits
+    * merge on, recorded by every writer since r14 (`"keyedBy":[...]`).
+    * Distinct from the reconcile spec: `keyedBy` is pure metadata (no
+    * read-path cost — eager tables never reconcile), present so
+    * point-read and audit paths can PROVE a probe key is the table's
+    * whole key instead of guessing; legacy manifests lack it and those
+    * paths fall back to full scans. None for pre-r14 manifests.
+    */
+  private def manifestKeyedBy(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"keyedBy":\[([^\]]*)\]""".r.findFirstMatchIn(s).map { m =>
+      if (m.group(1).isEmpty) Seq.empty[String]
+      else m.group(1).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+  }
+
+  private def keyedTag(keyedBy: Option[Seq[String]]): String =
+    keyedBy.map(ks =>
+      ""","keyedBy":[""" + ks.map(k => "\"" + k + "\"").mkString(",") + "]")
+      .getOrElse("")
+
+  /** The latest committed manifest's key contract, if recorded —
+    * what [[readUpsertTableForKeys]] validates against and what
+    * audits use to decide a table is safely bucket-prunable.
+    */
+  def tableKeyedBy(spark: SparkSession, tableDir: String): Option[Seq[String]] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestKeyedBy(fs, _))
+  }
+
   private def reconcileTag(reconcile: Option[(Seq[String], String)]): String =
     reconcile.map { case (ks, v) =>
       ""","reconcile":{"keys":[""" +
@@ -954,7 +1011,8 @@ object EventStreams {
                               nBuckets: Int, live: Map[Int, Seq[String]],
                               mixed: Boolean = false,
                               touched: Option[Seq[Int]] = None,
-                              reconcile: Option[(Seq[String], String)] = None): Unit = {
+                              reconcile: Option[(Seq[String], String)] = None,
+                              keyedBy: Option[Seq[String]] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -984,7 +1042,7 @@ object EventStreams {
     }
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)},"shards":{""", ",", "}}")
+      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
@@ -1006,11 +1064,12 @@ object EventStreams {
   private def inlineManifestBody(batchId: Long, nBuckets: Int,
                                  live: Map[Int, Seq[String]],
                                  mixed: Boolean,
-                                 reconcile: Option[(Seq[String], String)] = None): String = {
+                                 reconcile: Option[(Seq[String], String)] = None,
+                                 keyedBy: Option[Seq[String]] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)},"buckets":{""", ",", "}}")
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)},"buckets":{""", ",", "}}")
   }
 
   /** FULL-REWRITE compaction of a keyed upsert table — the maintenance
@@ -1075,7 +1134,8 @@ object EventStreams {
         if (fls.isEmpty) None else Some(b -> fls)
       }
     }.toMap
-    publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false)
+    publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
+      keyedBy = Some(keyCols))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -1470,7 +1530,8 @@ object EventStreams {
     val tmp = new Path(mDest.getParent, s".${src._1.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(inlineManifestBody(src._2._1, nBuckets, src._2._2, mixed,
-      manifestReconcile(fs, src._1)).getBytes("UTF-8"))
+      manifestReconcile(fs, src._1), manifestKeyedBy(fs, src._1))
+      .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
       throw new IllegalStateException(s"backup manifest commit failed at $mDest")
@@ -1607,7 +1668,8 @@ object EventStreams {
       (new Path(backup, rel).toString, new Path(table, destRel(rel)).toString)))
     val restored = live.map { case (b, fls) => b -> fls.map(destRel) }
     publishManifest(fs, table, batchId, nBuckets, restored, mixed,
-      reconcile = manifestReconcile(fs, manifestList(fs, backup).last))
+      reconcile = manifestReconcile(fs, manifestList(fs, backup).last),
+      keyedBy = manifestKeyedBy(fs, manifestList(fs, backup).last))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }

@@ -1583,4 +1583,24 @@ class StreamingSpec extends SparkSpec {
     assert(after("delta_spec_present") === ((false, 1L)),
       "a multi-commit bucket without a spec must flag red")
   }
+
+  test("point read validates the key contract and survives probe-type drift") {
+    val tableDir = Files.createTempDirectory("graft-keyed").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, s"p$k", 0L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 8, 0L)
+    assert(EventStreams.tableKeyedBy(spark, tableDir) === Some(Seq("k")))
+    // an INT probe against the LONG key would hash into the wrong
+    // buckets — the one-footer type alignment makes it exact anyway
+    val intProbe = Seq(3, 7).toDF("k") // IntegerType
+    val got = EventStreams.readUpsertTableForKeys(spark, tableDir,
+      intProbe, Seq("k")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(3L, 7L))
+    // a partial/mismatched key probe fails loudly on the contract
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.readUpsertTableForKeys(spark, tableDir,
+        Seq("x").toDF("payload"), Seq("payload"))
+    }
+    assert(e.getMessage.contains("wrong buckets"))
+  }
 }
