@@ -608,7 +608,7 @@ object EventStreams {
         // mergeSchema only for flagged snapshots; the reconcile spec
         // (delta tables) resolves latest-per-key — both through
         // [[readSnapshotFiles]], the one reader funnel
-        readSnapshotFiles(spark, table, fs, p, live.values.flatten.toSeq)
+        readSnapshotFiles(spark, table, fs, p, live)
       case _ => spark.read.parquet(tableDir).drop(upsertBucketCol)
     }
   }
@@ -663,13 +663,14 @@ object EventStreams {
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
       .localCheckpoint()
     // bounded collect: at most nBuckets small ints
-    val buckets = k.select(upsertBucketCol).distinct().collect().map(_.getInt(0))
-    val files = buckets.toSeq.flatMap(live.get).flatten
-    if (files.isEmpty)
+    val buckets = k.select(upsertBucketCol).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val wanted = live.filter(kv => buckets.contains(kv._1) && kv._2.nonEmpty)
+    if (wanted.isEmpty)
       // none of the requested buckets holds files: empty result with
       // the table's schema, no data scan (limit 0 prunes the read)
       return readUpsertTable(spark, tableDir).limit(0)
-    readSnapshotFiles(spark, table, fs, manifest, files)
+    readSnapshotFiles(spark, table, fs, manifest, wanted)
       .join(broadcast(k.drop(upsertBucketCol)), keyCols, "left_semi")
   }
 
@@ -691,7 +692,7 @@ object EventStreams {
       .filter(_._2._1 <= batchId).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot at or before batch $batchId in $tableDir"))
-    readSnapshotFiles(spark, table, fs, snap._1, snap._2._2.values.flatten.toSeq)
+    readSnapshotFiles(spark, table, fs, snap._1, snap._2._2)
   }
 
   /** The table as of the newest committed manifest STRICTLY BEFORE
@@ -728,7 +729,7 @@ object EventStreams {
       .filter(_._2._1 < batchId).lastOption
       .map {
         case (p, (_, live)) if live.valuesIterator.exists(_.nonEmpty) =>
-          Some(readSnapshotFiles(spark, table, fs, p, live.values.flatten.toSeq))
+          Some(readSnapshotFiles(spark, table, fs, p, live))
         case _ => None // committed empty: a snapshot of zero rows
       }
   }
@@ -952,23 +953,58 @@ object EventStreams {
       .select(keys.map(col) ++ others.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
-  /** Read a manifest's files with its reconcile spec applied when
-    * present — every reader path (latest, time travel, before-opt)
-    * funnels through this so delta snapshots resolve identically
-    * everywhere.
+  /** A file's commit ordinal as recorded in its path: the `g<seq>-`
+    * filename marker (restored files) wins over the `gen_<seq>/`
+    * segment; pre-manifest legacy adoption reads as -1. The same
+    * resolution [[reconcileRows]] applies row-side.
+    */
+  private def fileOrdinal(rel: String): String = {
+    val name = rel.split('/').last
+    "^g(-?\\d+)-".r.findFirstMatchIn(name).map(_.group(1))
+      .orElse("gen_(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1)))
+      .getOrElse("-1")
+  }
+
+  /** Read a manifest's live set with its reconcile spec applied when
+    * present — every reader path (latest, time travel, before-opt,
+    * point read) funnels through this so delta snapshots resolve
+    * identically everywhere. The reconcile is PER-BUCKET-PRUNED:
+    * buckets whose files all share one commit ordinal are unique-keyed
+    * by the merge contract and take the plain scan; only buckets
+    * actually stacking deltas pay the latest-per-key aggregate — on a
+    * mostly-folded 1024-bucket table the reconcile cost is O(delta
+    * buckets), not O(table). Buckets partition keys, so unioning the
+    * two reads is exact.
     */
   private def readSnapshotFiles(spark: SparkSession,
                                 table: org.apache.hadoop.fs.Path,
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 manifest: org.apache.hadoop.fs.Path,
-                                files: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val raw = spark.read
-      .option("mergeSchema", manifestMixed(fs, manifest).toString)
+                                live: Map[Int, Seq[String]]): org.apache.spark.sql.DataFrame = {
+    val mixed = manifestMixed(fs, manifest).toString
+    def scan(files: Seq[String]) = spark.read
+      .option("mergeSchema", mixed)
       .parquet(files.map(rel =>
         new org.apache.hadoop.fs.Path(table, rel).toString): _*)
     manifestReconcile(fs, manifest) match {
-      case Some((ks, v)) => reconcileRows(raw, ks, v)
-      case None => raw
+      case Some((ks, v)) =>
+        val (deltaB, plainB) = live.filter(_._2.nonEmpty)
+          .partition(_._2.map(fileOrdinal).distinct.size > 1)
+        val parts = Seq(
+          plainB.values.flatten.toSeq, deltaB.values.flatten.toSeq)
+        (parts(0).nonEmpty, parts(1).nonEmpty) match {
+          case (true, true) =>
+            // unionByName: the reconciled side's columns come out
+            // keys-first; align to the plain scan's file order
+            // allowMissingColumns: under a mixed-schema snapshot one
+            // side's file subset may pre-date a widening — absent
+            // columns fill NULL, the mergeSchema semantic
+            scan(parts(0)).unionByName(
+              reconcileRows(scan(parts(1)), ks, v), allowMissingColumns = true)
+          case (false, true) => reconcileRows(scan(parts(1)), ks, v)
+          case _ => scan(parts(0))
+        }
+      case None => scan(live.values.flatten.toSeq)
     }
   }
 
@@ -1443,14 +1479,8 @@ object EventStreams {
     // list that names such a bucket but carries no spec is metadata
     // damage (the spec was lost), and a plain read would return
     // duplicate keys silently. Pointer/shard reads only, never data.
-    def ordinalOf(rel: String): String = {
-      val name = rel.split('/').last
-      "^g(-?\\d+)-".r.findFirstMatchIn(name).map(_.group(1))
-        .orElse("^gen_(-?\\d+)/".r.findFirstMatchIn(rel).map(_.group(1)))
-        .getOrElse("-1")
-    }
     val multiGen = parsed.lastOption
-      .map(_._3.count(_._2.map(ordinalOf).distinct.size > 1)).getOrElse(0)
+      .map(_._3.count(_._2.map(fileOrdinal).distinct.size > 1)).getOrElse(0)
     val specOk = multiGen == 0 || manifestPaths.lastOption.exists(p =>
       try manifestReconcile(fs, p).isDefined
       catch { case _: Exception => false })
