@@ -6546,6 +6546,147 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val zoneStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the zone-map lineages q197 decides its verdicts over: an
+    * eager table with a stats contract, sort-clustered and file-split
+    * by compaction (the layout that makes per-file ranges tight); a
+    * DELTA table whose later commit moves a key out of the probed
+    * range (the resurrection trap bucket-granular pruning exists for);
+    * a fold of a copy of that delta table under the INHERITED
+    * contract; and a backup + DR restore of the eager table (stats
+    * must survive the re-home).
+    */
+  private def ensureZone(spark: SparkSession, dir: String): String =
+    zoneStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-zone-q").toString
+      val rows = (0L until 32L).map(k =>
+        (k, k * 10L, f"c$k%02d", 0L)).toDF("doc_id", "n", "cat", "__v")
+      streaming.EventStreams.mergeBatchIntoTable(rows, s"$base/z",
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L,
+        statsCols = Some(Seq("n", "cat")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/z",
+        Seq("doc_id"), 4, 1L, sortBy = Seq("n"), maxRecordsPerFile = 4)
+      def deltaLineage(t: String): Unit = {
+        streaming.EventStreams.mergeBatchIntoTable(
+          (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+          t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 2,
+          delta = true, statsCols = Some(Seq("n")))
+        streaming.EventStreams.mergeBatchIntoTable(
+          Seq((3L, 999L, 1L)).toDF("doc_id", "n", "__v"),
+          t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 1L, retain = 2,
+          delta = true)
+      }
+      deltaLineage(s"$base/zd")
+      deltaLineage(s"$base/zdf")
+      // the fold names NO statsCols: the contract must inherit
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zdf",
+        Seq("doc_id"), 2, 2L, sortBy = Seq("n"), maxRecordsPerFile = 2)
+      streaming.EventStreams.backupUpsertTable(spark, s"$base/z",
+        s"$base/bak")
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
+        s"$base/zr", batchId = 5L)
+      base
+    })
+
+  /** ZONE MAPS ([[streaming.EventStreams.readUpsertTableWhere]]): the
+    * commit records each file's column min/max in the manifest shard
+    * it already writes, and a range read opens only the files whose
+    * recorded range can overlap — at 100 TB a one-day slice of a
+    * time-clustered table reads the day's files, not the table.
+    * Sort-clustered compaction (`sortBy` + `maxRecordsPerFile`) is
+    * what makes the ranges tight. Verdicts, each decided in-query
+    * from committed state: stats exist for every live file; the
+    * range read equals the full-scan filter and provably opened only
+    * stats-overlapping files (strictly fewer than the live set);
+    * inclusive boundaries hold; string contracts prune too; a DELTA
+    * table prunes at bucket granularity only — a key whose later
+    * commit moved it out of range never resurrects (the unsound
+    * file-level prune made loud); an out-of-range probe opens ZERO
+    * files; a bound on an uncontracted column stays exact (pruning
+    * is only ever an optimization); a fold under the inherited
+    * contract keeps pruning; and a backup + DR restore carries the
+    * stats across the re-home.
+    */
+  def q197ZonemapRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.ColBound
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val z = s"$base/z"
+    val live = EventStreams.tableManifest(spark, z)
+    val nLive = live.values.map(_.size).sum
+    val stats = EventStreams.tableFileStats(spark, z)
+    val statsEverywhere = live.values.flatten.forall(stats.contains) &&
+      EventStreams.tableStatsCols(spark, z) == Some(Seq("n", "cat"))
+    val full = EventStreams.readUpsertTable(spark, z)
+    val lowRange = EventStreams.readUpsertTableWhere(spark, z,
+      Seq(ColBound("n", Some("0"), Some("35"))))
+    val rangeMatches = eq(lowRange, full.filter(col("n") <= 35))
+    val opened = lowRange.inputFiles.toSeq.flatMap(f =>
+      live.values.flatten.find(rel => f.endsWith("/" + rel)))
+    val openedOnlyOverlapping = opened.nonEmpty && opened.size < nLive &&
+      opened.forall { rel =>
+        stats.get(rel).flatMap(_.get("n")) match {
+          case Some((Some(mn), _)) => BigDecimal(mn) <= 35
+          case _ => false
+        }
+      }
+    val boundary = EventStreams.readUpsertTableWhere(spark, z,
+      Seq(ColBound("n", Some("310"), Some("310"))))
+      .collect().map(_.getLong(0)).toSeq == Seq(31L)
+    val catRead = EventStreams.readUpsertTableWhere(spark, z,
+      Seq(ColBound("cat", Some("c07"), Some("c07"))))
+    val stringPrunes = catRead.collect().map(_.getLong(0)).toSeq == Seq(7L) &&
+      catRead.inputFiles.length < nLive
+    val zd = s"$base/zd"
+    val dFull = EventStreams.readUpsertTable(spark, zd)
+      .filter(col("n").between(25L, 45L))
+    val dRange = EventStreams.readUpsertTableWhere(spark, zd,
+      Seq(ColBound("n", Some("25"), Some("45"))))
+    val dKeys = dRange.collect().map(_.getLong(0)).toSet
+    val deltaSound = eq(dRange, dFull) && dKeys(4L) && !dKeys(3L)
+    val nothing = EventStreams.readUpsertTableWhere(spark, zd,
+      Seq(ColBound("n", Some("5000"), Some("6000"))))
+    val zeroFiles = nothing.isEmpty && nothing.inputFiles.isEmpty
+    val byKey = EventStreams.readUpsertTableWhere(spark, z,
+      Seq(ColBound("doc_id", Some("3"), Some("5"))))
+    val unstatted = byKey.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L)
+    val zdf = s"$base/zdf"
+    val fLive = EventStreams.tableManifest(spark, zdf).values.map(_.size).sum
+    val fRange = EventStreams.readUpsertTableWhere(spark, zdf,
+      Seq(ColBound("n", Some("25"), Some("45"))))
+    val foldKeeps = EventStreams.tableStatsCols(spark, zdf) == Some(Seq("n")) &&
+      eq(fRange, EventStreams.readUpsertTable(spark, zdf)
+        .filter(col("n").between(25L, 45L))) &&
+      fRange.inputFiles.length < fLive
+    val zr = s"$base/zr"
+    val rLive = EventStreams.tableManifest(spark, zr)
+    val rStats = EventStreams.tableFileStats(spark, zr)
+    val rRange = EventStreams.readUpsertTableWhere(spark, zr,
+      Seq(ColBound("n", Some("0"), Some("30"))))
+    val restoreKeeps = rLive.values.flatten.forall(rStats.contains) &&
+      rRange.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L) &&
+      rRange.inputFiles.length < rLive.values.map(_.size).sum
+    Seq(
+      ("stats_recorded_for_every_live_file", statsEverywhere),
+      ("range_read_matches_filter", rangeMatches),
+      ("scan_opens_only_overlapping_files", openedOnlyOverlapping),
+      ("inclusive_boundaries_hold", boundary),
+      ("string_bounds_prune", stringPrunes),
+      ("delta_prunes_buckets_never_resurrects", deltaSound),
+      ("out_of_range_probe_opens_zero_files", zeroFiles),
+      ("uncontracted_column_stays_exact", unstatted),
+      ("fold_inherits_the_contract", foldKeeps),
+      ("backup_restore_keeps_pruning", restoreKeeps))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -6740,6 +6881,7 @@ object SparkEntry {
     "q194_maintenance_heal" -> (q194MaintenanceHeal _),
     "q195_delta_merge" -> (q195DeltaMerge _),
     "q196_keyed_read" -> (q196KeyedRead _),
+    "q197_zonemap_read" -> (q197ZonemapRead _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -8122,6 +8264,18 @@ object SparkEntry {
         |  ('scan_pruned_to_key_buckets'),
         |  ('delta_point_read_reconciles'),
         |  ('absent_keys_read_empty')) t(c)""".stripMargin,
+    "q197_zonemap_read" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('stats_recorded_for_every_live_file'),
+        |  ('range_read_matches_filter'),
+        |  ('scan_opens_only_overlapping_files'),
+        |  ('inclusive_boundaries_hold'),
+        |  ('string_bounds_prune'),
+        |  ('delta_prunes_buckets_never_resurrects'),
+        |  ('out_of_range_probe_opens_zero_files'),
+        |  ('uncontracted_column_stays_exact'),
+        |  ('fold_inherits_the_contract'),
+        |  ('backup_restore_keeps_pruning')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -201,16 +201,18 @@ object EventStreams {
   def upsertToParquet(changes: DataFrame, tableDir: String, keyCols: Seq[String],
                       versionCol: String, nBuckets: Int = 16,
                       retain: Int = 1, compactEvery: Int = 0,
-                      delta: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+                      delta: Boolean = false,
+                      statsCols: Option[Seq[String]] = None): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // delta = the CDC-trickle posture: each micro-batch commits
         // O(batch) instead of rewriting its touched buckets; pair with
         // a Maintenance `folds` leg (or compactEvery) to bound read
-        // depth
+        // depth. statsCols: zone maps per committed file (the range-
+        // read pruning contract, [[readUpsertTableWhere]])
         mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId,
-          retain, compactEvery, delta)
+          retain, compactEvery, delta, statsCols)
       }
       .start()
 
@@ -309,7 +311,8 @@ object EventStreams {
   def mergeBatchIntoTable(batch: DataFrame, tableDir: String, keyCols: Seq[String],
                           versionCol: String, nBuckets: Int, batchId: Long,
                           retain: Int = 1, compactEvery: Int = 0,
-                          delta: Boolean = false): Unit = {
+                          delta: Boolean = false,
+                          statsCols: Option[Seq[String]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -328,6 +331,12 @@ object EventStreams {
     // under different keys/version would corrupt every resolution
     val prevReconcile = manifestList(fs, table).lastOption
       .flatMap(manifestReconcile(fs, _))
+    // stats contract: sticky like the key contract — None inherits the
+    // table's recorded columns, Some(cols) sets/overrides, Some(Nil)
+    // drops zone maps for commits from here on
+    val effStatsCols = statsCols.getOrElse(
+      manifestList(fs, table).lastOption
+        .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty))
     prevReconcile.foreach { case (ks, v) =>
       require(ks == keyCols && v == versionCol,
         s"$tableDir has delta history keyed (${ks.mkString(",")}) " +
@@ -393,8 +402,8 @@ object EventStreams {
     // or a homogenizing heal must still rewrite, so those merges run
     // eager even on a delta-opted sink (rare, one-shot by construction)
     val effectiveDelta = delta && legacyFiles.isEmpty && !homogenize
-    val newLive =
-      if (touched.isEmpty) live // empty batch: manifest advances the watermark only
+    val (newLive, freshFiles) =
+      if (touched.isEmpty) (live, Seq.empty[String]) // empty batch: manifest advances the watermark only
       else {
         // current state of ONLY the touched buckets, by explicit file
         // list from the manifest (never a directory listing); leaf-file
@@ -441,14 +450,21 @@ object EventStreams {
             if (fls.isEmpty) None else Some(b -> fls)
           }
         }.toMap
-        if (effectiveDelta)
-          // APPEND on the touched buckets' lists — the bucket's prior
-          // files stay live and the new ones stack on top (commit order
-          // recovered from the gen_<id> path segment at read)
-          live ++ rewritten.map { case (b, fls) =>
-            b -> (live.getOrElse(b, Seq.empty) ++ fls) }
-        else (live -- touched) ++ rewritten
+        val out =
+          if (effectiveDelta)
+            // APPEND on the touched buckets' lists — the bucket's prior
+            // files stay live and the new ones stack on top (commit order
+            // recovered from the gen_<id> path segment at read)
+            live ++ rewritten.map { case (b, fls) =>
+              b -> (live.getOrElse(b, Seq.empty) ++ fls) }
+          else (live -- touched) ++ rewritten
+        (out, rewritten.values.flatten.toSeq)
       }
+    // zone maps for this commit's new files (one aggregate over exactly
+    // those files; carried files keep their shard-recorded stats)
+    val freshStats: FileStats =
+      if (effStatsCols.isEmpty) Map.empty
+      else computeFileStats(spark, table, freshFiles, effStatsCols)
     // a homogenizing merge rewrote EVERY live bucket under the batch's
     // schema — no narrow file can remain (even if this batch widened
     // again), so the flag drops in this same commit
@@ -464,7 +480,8 @@ object EventStreams {
       else prevReconcile
     publishManifest(fs, table, batchId, nBuckets, newLive, outMixed,
       touched = Some(touched.toSeq), reconcile = outReconcile,
-      keyedBy = Some(keyCols))
+      keyedBy = Some(keyCols), fileStats = freshStats,
+      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -540,8 +557,8 @@ object EventStreams {
     // bounded collect: at most nBuckets small ints
     val touched = delKeys.select(upsertBucketCol).distinct()
       .collect().map(_.getInt(0)).sorted.filter(live.contains)
-    val newLive =
-      if (touched.isEmpty) live
+    val (newLive, delFresh) =
+      if (touched.isEmpty) (live, Seq.empty[String])
       else {
         val currentFiles = touched.toSeq.flatMap(live.get).flatten
           .map(rel => new Path(table, rel).toString)
@@ -569,7 +586,7 @@ object EventStreams {
             if (fls.isEmpty) None else Some(b -> fls)
           }
         }.toMap
-        if ((live -- touched).isEmpty && rewritten.isEmpty) {
+        val out = if ((live -- touched).isEmpty && rewritten.isEmpty) {
           // the delete emptied the whole table: partitionBy writes no
           // file for an empty bucket, and a fileless manifest would
           // strand readers on schema inference — land ONE explicit
@@ -584,11 +601,20 @@ object EventStreams {
             .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
           Map(b -> fls)
         } else (live -- touched) ++ rewritten
+        (out, rewritten.values.flatten.toSeq)
       }
+    // zone maps: a delete inherits the table's stats contract (it must
+    // not silently drop the pruning the table opted into)
+    val delStatsCols = manifestList(fs, table).lastOption
+      .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty)
+    val delStats: FileStats =
+      if (delStatsCols.isEmpty) Map.empty
+      else computeFileStats(spark, table, delFresh, delStatsCols)
     // untouched buckets may still hold unfolded deltas — carry the spec
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
       touched = Some(touched.toSeq), reconcile = prevReconcile,
-      keyedBy = Some(keyCols))
+      keyedBy = Some(keyCols), fileStats = delStats,
+      statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -918,6 +944,288 @@ object EventStreams {
         s"""],"version":"$v"}"""
     }.getOrElse("")
 
+  // --------------------------------------------------------------------
+  // ZONE MAPS: per-file column min/max recorded at commit, range reads
+  // pruned against them before any data file opens
+  // --------------------------------------------------------------------
+
+  /** Per-file column stats: table-relative path -> column -> (min, max)
+    * in the column's CANONICAL STRING form ([[statValue]]); (None, None)
+    * marks an all-null file (no range predicate can match it).
+    */
+  type FileStats = Map[String, Map[String, (Option[String], Option[String])]]
+
+  /** An inclusive range predicate for [[readUpsertTableWhere]]. Bounds
+    * are strings in the column's canonical form: numbers as decimal
+    * literals, dates as `yyyy-MM-dd`, timestamps as
+    * `yyyy-MM-dd HH:mm:ss[.ffffff]`, strings/booleans as themselves.
+    * None = unbounded on that side.
+    */
+  final case class ColBound(column: String, lo: Option[String] = None,
+                            hi: Option[String] = None)
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** The min/max aggregate for a stats column in its canonical string
+    * form — ORDER-PRESERVING per type: the aggregate runs on the native
+    * type (a string min over numerics would rank "10" < "9") and only
+    * the RESULT serializes. Timestamps render fixed-width micros so the
+    * string order matches the instant order ([[canonicalBound]] aligns
+    * the probe side); unsupported types (arrays, structs, binary) fail
+    * loudly at write time rather than producing unsound maps.
+    */
+  private def statValue(agg: org.apache.spark.sql.Column,
+                        dt: DataType, colName: String): org.apache.spark.sql.Column = dt match {
+    case TimestampType => date_format(agg, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    case _: NumericType | StringType | DateType | BooleanType =>
+      agg.cast("string")
+    case other => throw new IllegalArgumentException(
+      s"zone maps support numeric/string/date/timestamp/boolean stats " +
+        s"columns; '$colName' is $other")
+  }
+
+  /** Compare two canonical stat strings under the column's type:
+    * numerics as exact decimals (no double rounding — a shrunk range
+    * would prune files that hold matching rows), everything else
+    * lexicographically (canonical date/timestamp renderings are
+    * order-preserving).
+    */
+  private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
+    case _: NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** A user bound in the column's canonical form. Timestamp bounds
+    * re-render through the fixed-width micros format the stats use —
+    * "2021-05-01 00:00:00" must not lexicographically undercut a file
+    * min of "2021-05-01 00:00:00.000000" holding exactly that instant.
+    */
+  private def canonicalBound(dt: DataType, v: String): String = dt match {
+    case TimestampType =>
+      val t = try java.sql.Timestamp.valueOf(v.trim)
+      catch { case _: IllegalArgumentException =>
+        java.sql.Timestamp.valueOf(v.trim + " 00:00:00") }
+      val micros = f"${t.getNanos / 1000}%06d"
+      new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss").format(t) +
+        s".$micros"
+    case _ => v
+  }
+
+  /** Compute per-file (min, max) for `cols` over freshly written data
+    * files — ONE distributed aggregate over exactly the commit's new
+    * files (O(batch) for a delta merge, O(touched buckets) eager), with
+    * map-side partials; the collect is one row per new file, bounded by
+    * the commit's file count. Columns a file's schema lacks (pre-
+    * widening) get no entry — readers treat missing stats as
+    * unprunable, the conservative direction.
+    */
+  private def computeFileStats(spark: SparkSession,
+                               table: org.apache.hadoop.fs.Path,
+                               rels: Seq[String],
+                               cols: Seq[String]): FileStats = {
+    if (rels.isEmpty || cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(rels.map(rel =>
+      new org.apache.hadoop.fs.Path(table, rel).toString): _*)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap { c =>
+      val dt = df.schema(c).dataType
+      Seq(statValue(min(col(c)), dt, c).as(s"__mn_$c"),
+        statValue(max(col(c)), dt, c).as(s"__mx_$c"))
+    }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val f = r.getString(0)
+      rels.find(rel => f.endsWith("/" + rel)).map { rel =>
+        rel -> present.zipWithIndex.map { case (c, i) =>
+          c -> (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
+        }.toMap
+      }
+    }.toMap
+  }
+
+  /** Serialize a shard/manifest's stats section. Values are base64 of
+    * the canonical string (stat values are arbitrary user data — quotes
+    * and braces must not break the writer-format JSON the regex parsers
+    * rely on); `null` marks an all-null min/max.
+    */
+  private def statsTag(stats: FileStats): String =
+    if (stats.isEmpty) ""
+    else ""","stats":{""" + stats.toSeq.sortBy(_._1).map { case (rel, cs) =>
+      "\"" + rel + "\":{" + cs.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        "\"" + c + "\":[" + Seq(mn, mx).map(
+          _.map(v => "\"" + b64(v) + "\"").getOrElse("null")).mkString(",") + "]"
+      }.mkString(",") + "}"
+    }.mkString(",") + "}"
+
+  /** Parse a stats section out of a shard or inline-manifest body —
+    * everything after the `"stats":{` marker; absent marker = no stats
+    * (legacy bodies), which readers treat as unprunable.
+    */
+  private def parseStats(body: String): FileStats = {
+    val marker = """"stats":{"""
+    val idx = body.indexOf(marker)
+    if (idx < 0) Map.empty
+    else {
+      val sub = body.substring(idx + marker.length - 1)
+      """"([^"]+)":\{([^}]*)\}""".r.findAllMatchIn(sub).map { m =>
+        m.group(1) -> """"([^"]+)":\[([^\]]*)\]""".r
+          .findAllMatchIn(m.group(2)).map { cm =>
+            val vs = cm.group(2).split(",", -1).map(_.trim)
+            def dec(v: String): Option[String] =
+              if (v == "null") None
+              else Some(unb64(v.stripPrefix("\"").stripSuffix("\"")))
+            cm.group(1) -> (dec(vs(0)), dec(vs(1)))
+          }.toMap
+      }.toMap
+    }
+  }
+
+  private def statsColsTag(statsCols: Option[Seq[String]]): String =
+    statsCols.filter(_.nonEmpty).map(cs =>
+      ""","statsCols":[""" + cs.map(c => "\"" + c + "\"").mkString(",") + "]")
+      .getOrElse("")
+
+  /** The manifest's STATS CONTRACT — the columns whose per-file min/max
+    * every commit since the contract was set records. Sticky like the
+    * key contract: merges/deletes/compactions inherit it by default, so
+    * a nightly fold never silently drops the pruning a table opted
+    * into. None for tables that never opted in.
+    */
+  private def manifestStatsCols(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"statsCols":\[([^\]]*)\]""".r.findFirstMatchIn(s).map { m =>
+      if (m.group(1).isEmpty) Seq.empty[String]
+      else m.group(1).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  /** The latest manifest's stats contract, if any. */
+  def tableStatsCols(spark: SparkSession, tableDir: String): Option[Seq[String]] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestStatsCols(fs, _))
+  }
+
+  /** Every live file's recorded stats under a manifest: sharded lists
+    * read each bucket's shard (the same tiny objects a read already
+    * pays), inline lists parse the body. Files committed before the
+    * stats contract (or by legacy writers) simply have no entry.
+    */
+  private def manifestFileStats(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): FileStats =
+    readShardPointers(fs, p) match {
+      case Some(pointers) =>
+        val shardsDir = new org.apache.hadoop.fs.Path(p.getParent, shardsDirName)
+        pointers.values.toSeq.distinct.flatMap { name =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(shardsDir, name))
+          val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          parseStats(s)
+        }.toMap
+      case None =>
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        parseStats(s)
+    }
+
+  /** The latest snapshot's per-file stats — the pruning evidence
+    * surface (what [[readUpsertTableWhere]] decides from, exposed so
+    * audits and specs can verify a scan read only overlapping files).
+    */
+  def tableFileStats(spark: SparkSession, tableDir: String): FileStats = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption
+      .map(manifestFileStats(fs, _)).getOrElse(Map.empty)
+  }
+
+  /** RANGE READ WITH ZONE-MAP PRUNING: the snapshot filtered to
+    * `bounds` (inclusive), opening ONLY the data files whose recorded
+    * min/max can overlap — at 100 TB a one-day slice of a
+    * time-clustered table reads the day's files, not the table. The
+    * predicate ALWAYS applies on the survivors, so the result equals
+    * `readUpsertTable(...).filter(...)` whatever the stats hold;
+    * pruning is only ever an optimization.
+    *
+    * Soundness under deltas: on a table with unfolded delta commits
+    * (reconcile spec present) file-level pruning could DROP a key's
+    * superseded version and resurrect an in-range older one, so
+    * pruning coarsens to BUCKET granularity — a bucket is skipped only
+    * when NO file in it can hold a matching row (any key whose WINNING
+    * row matches lives in some file whose range covers it, so its
+    * bucket survives and reconciles completely; buckets partition
+    * keys). Folding ([[compactUpsertTable]]) restores file-level
+    * pruning — and with `sortBy`, tight disjoint ranges.
+    *
+    * Files without stats (legacy commits, pre-widening schemas) are
+    * always read; an all-null file is always prunable (a range
+    * predicate matches no null).
+    */
+  def readUpsertTableWhere(spark: SparkSession, tableDir: String,
+                           bounds: Seq[ColBound]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(bounds.nonEmpty, "readUpsertTableWhere needs at least one bound")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def applyBounds(df: DataFrame): DataFrame =
+      bounds.foldLeft(df) { (d, b) =>
+        val dt = d.schema(b.column).dataType
+        val lo = b.lo.map(v => col(b.column) >= lit(v).cast(dt))
+        val hi = b.hi.map(v => col(b.column) <= lit(v).cast(dt))
+        (lo.toSeq ++ hi.toSeq).foldLeft(d)((dd, p) => dd.filter(p))
+      }
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      return applyBounds(readUpsertTable(spark, tableDir)))
+    val (_, live) = readManifest(fs, manifest)
+    val allFiles = live.values.flatten.toSeq
+    if (allFiles.isEmpty) return applyBounds(readUpsertTable(spark, tableDir))
+    val schema = spark.read
+      .parquet(new Path(table, allFiles.head).toString).schema
+    val typed = bounds.map { b =>
+      require(schema.fieldNames.contains(b.column),
+        s"$tableDir has no column '${b.column}' to bound on")
+      val dt = schema(b.column).dataType
+      (b.column, dt, b.lo.map(canonicalBound(dt, _)),
+        b.hi.map(canonicalBound(dt, _)))
+    }
+    val stats = manifestFileStats(fs, manifest)
+    def overlaps(rel: String): Boolean = typed.forall { case (c, dt, lo, hi) =>
+      stats.get(rel).flatMap(_.get(c)) match {
+        case None => true // no stats recorded: conservative, read it
+        case Some((None, None)) => false // all-null file: no range match
+        case Some((Some(mn), Some(mx))) =>
+          lo.forall(l => statCompare(dt, mx, l) >= 0) &&
+            hi.forall(h => statCompare(dt, mn, h) <= 0)
+        case Some(_) => true // half-written entry: conservative
+      }
+    }
+    val pruned = manifestReconcile(fs, manifest) match {
+      case Some(_) => // bucket granularity (see scaladoc)
+        live.filter { case (_, fls) => fls.exists(overlaps) }
+      case None =>
+        live.map { case (b, fls) => b -> fls.filter(overlaps) }
+          .filter(_._2.nonEmpty)
+    }
+    if (pruned.isEmpty) {
+      // nothing can match: an empty frame that provably opens NO data
+      // file (inputFiles stays empty — the audit evidence surface);
+      // mixed-schema snapshots fall back to the schema-merging reader
+      // so the empty frame still carries adopted columns
+      if (manifestMixed(fs, manifest))
+        readUpsertTable(spark, tableDir).limit(0)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    else applyBounds(readSnapshotFiles(spark, table, fs, manifest, pruned))
+  }
+
   /** Latest-row-per-key resolution of a (possibly) delta-holding file
     * set — the READ half of the delta-merge design. The winner per key
     * is the row with the greatest `(version, commit)` pair, where the
@@ -1048,7 +1356,9 @@ object EventStreams {
                               mixed: Boolean = false,
                               touched: Option[Seq[Int]] = None,
                               reconcile: Option[(Seq[String], String)] = None,
-                              keyedBy: Option[Seq[String]] = None): Unit = {
+                              keyedBy: Option[Seq[String]] = None,
+                              fileStats: FileStats = Map.empty,
+                              statsCols: Option[Seq[String]] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -1063,8 +1373,26 @@ object EventStreams {
         b -> prev(b)
       else {
         val name = f"s$b-$batchId%020d.json"
+        // a rewritten TOUCHED bucket's shard re-serializes the stats of
+        // any files it CARRIES from the previous shard (a delta append
+        // keeps the bucket's older files live) plus this commit's fresh
+        // ones; untouched buckets reuse pointers, stats and all
+        val carried: FileStats = prev.get(b) match {
+          case Some(prevName) =>
+            val p = new org.apache.hadoop.fs.Path(shardsDir, prevName)
+            if (!fs.exists(p)) Map.empty
+            else {
+              val in = fs.open(p)
+              val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              parseStats(s)
+            }
+          case None => Map.empty
+        }
+        val liveSet = fls.toSet
+        val shardStats = (carried ++ fileStats).filter(kv => liveSet(kv._1))
         val body = s"""{"bucket":$b,"files":[""" +
-          fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]}"
+          fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]" +
+          statsTag(shardStats) + "}"
         val tmp = new org.apache.hadoop.fs.Path(shardsDir, s".$name.tmp")
         val out = fs.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1078,7 +1406,7 @@ object EventStreams {
     }
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)},"shards":{""", ",", "}}")
+      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
@@ -1101,11 +1429,15 @@ object EventStreams {
                                  live: Map[Int, Seq[String]],
                                  mixed: Boolean,
                                  reconcile: Option[(Seq[String], String)] = None,
-                                 keyedBy: Option[Seq[String]] = None): String = {
+                                 keyedBy: Option[Seq[String]] = None,
+                                 fileStats: FileStats = Map.empty,
+                                 statsCols: Option[Seq[String]] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
+    val liveSet = live.values.flatten.toSet
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)},"buckets":{""", ",", "}}")
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"buckets":{""", ",",
+      "}" + statsTag(fileStats.filter(kv => liveSet(kv._1))) + "}")
   }
 
   /** FULL-REWRITE compaction of a keyed upsert table — the maintenance
@@ -1123,10 +1455,21 @@ object EventStreams {
     * read-back equality and the flag drop). Replayed batchIds no-op.
     * `nBuckets` must match the table's bucketing (the deleteFromTable
     * convention); pre-manifest tables migrate via one merge first.
+    *
+    * CLUSTERING: `sortBy` sorts rows within each bucket before the
+    * write and `maxRecordsPerFile` splits a bucket into several files —
+    * together they give each file a TIGHT, near-disjoint range on the
+    * sort columns, which is what makes the zone maps
+    * ([[readUpsertTableWhere]]) prune: a time-sorted 100 TB table
+    * answers a one-day slice from the day's files. `statsCols` follows
+    * the merge convention (None inherits the table's recorded
+    * contract), so a nightly fold keeps the pruning it found.
     */
   def compactUpsertTable(spark: SparkSession, tableDir: String,
                          keyCols: Seq[String], nBuckets: Int, batchId: Long,
-                         retain: Int = 1): Unit = {
+                         retain: Int = 1, sortBy: Seq[String] = Nil,
+                         maxRecordsPerFile: Long = 0,
+                         statsCols: Option[Seq[String]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val table = new Path(tableDir)
@@ -1156,10 +1499,16 @@ object EventStreams {
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
     val genName = s"gen_$batchId"
     val genDir = new Path(table, genName)
-    current
+    val partitioned = current
       .repartition(math.max(1, live.size), col(upsertBucketCol))
-      .write.mode("overwrite").partitionBy(upsertBucketCol)
-      .parquet(genDir.toString)
+    val clustered =
+      if (sortBy.isEmpty) partitioned
+      else partitioned.sortWithinPartitions(
+        (upsertBucketCol +: sortBy).map(col): _*)
+    val writer = clustered.write.mode("overwrite").partitionBy(upsertBucketCol)
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(genDir.toString)
     val rewritten = (0 until nBuckets).flatMap { b =>
       val d = new Path(genDir, s"$upsertBucketCol=$b")
       if (!fs.exists(d)) None
@@ -1170,8 +1519,16 @@ object EventStreams {
         if (fls.isEmpty) None else Some(b -> fls)
       }
     }.toMap
+    val effStatsCols = statsCols.getOrElse(
+      manifestList(fs, table).lastOption
+        .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty))
+    val freshStats: FileStats =
+      if (effStatsCols.isEmpty) Map.empty
+      else computeFileStats(spark, table,
+        rewritten.values.flatten.toSeq, effStatsCols)
     publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
-      keyedBy = Some(keyCols))
+      keyedBy = Some(keyCols), fileStats = freshStats,
+      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -1560,7 +1917,11 @@ object EventStreams {
     val tmp = new Path(mDest.getParent, s".${src._1.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(inlineManifestBody(src._2._1, nBuckets, src._2._2, mixed,
-      manifestReconcile(fs, src._1), manifestKeyedBy(fs, src._1))
+      manifestReconcile(fs, src._1), manifestKeyedBy(fs, src._1),
+      // zone maps travel with the snapshot: a restored table prunes
+      // exactly like the original did
+      fileStats = manifestFileStats(fs, src._1),
+      statsCols = manifestStatsCols(fs, src._1))
       .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
@@ -1697,9 +2058,15 @@ object EventStreams {
     bulkCopy(spark, live.values.flatten.toSeq.map(rel =>
       (new Path(backup, rel).toString, new Path(table, destRel(rel)).toString)))
     val restored = live.map { case (b, fls) => b -> fls.map(destRel) }
+    val backupManifest = manifestList(fs, backup).last
     publishManifest(fs, table, batchId, nBuckets, restored, mixed,
-      reconcile = manifestReconcile(fs, manifestList(fs, backup).last),
-      keyedBy = manifestKeyedBy(fs, manifestList(fs, backup).last))
+      reconcile = manifestReconcile(fs, backupManifest),
+      keyedBy = manifestKeyedBy(fs, backupManifest),
+      // stats re-key to the re-homed paths; the values are the files'
+      // own (bytes are copied, ranges unchanged)
+      fileStats = manifestFileStats(fs, backupManifest)
+        .map { case (rel, cs) => destRel(rel) -> cs },
+      statsCols = manifestStatsCols(fs, backupManifest))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }

@@ -81,8 +81,9 @@ object ScaleCurve {
       "q194_maintenance_heal", "q27_minhash_lsh", "q28_simhash",
       "q43_ivf_ann", "q61_simhash_neardups",
       // round 14: delta merges (write-amp fix; DeltaScale has the
-      // eager-vs-delta merge curve itself) + the pruned point read
-      "q195_delta_merge", "q196_keyed_read")
+      // eager-vs-delta merge curve itself) + the pruned point read +
+      // zone maps (ZoneScale has the files-opened pruning curve)
+      "q195_delta_merge", "q196_keyed_read", "q197_zonemap_read")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

@@ -1603,4 +1603,119 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("wrong buckets"))
   }
+
+  test("zone maps: commits record per-file stats; range reads prune files and stay exact") {
+    import EventStreams.ColBound
+    val tableDir = Files.createTempDirectory("graft-zone").toString + "/t"
+    val rows = (0L until 32L).map(k =>
+      (k, f"p$k%02d", k * 10L, s"2024-01-01 ${10 + k.toInt / 8}:00:00", 0L))
+      .toDF("k", "payload", "n", "ts_s", "version")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    EventStreams.mergeBatchIntoTable(rows, tableDir, Seq("k"), "version",
+      nBuckets = 4, batchId = 0L,
+      statsCols = Some(Seq("n", "payload", "ts")))
+    assert(EventStreams.tableStatsCols(spark, tableDir) ===
+      Some(Seq("n", "payload", "ts")))
+    // cluster by n and split buckets into several files: each file gets
+    // a tight disjoint n-range — the layout zone maps exist for
+    EventStreams.compactUpsertTable(spark, tableDir, Seq("k"), 4, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    val live = EventStreams.tableManifest(spark, tableDir)
+    assert(live.values.forall(_.size >= 2), "maxRecordsPerFile splits buckets")
+    val stats = EventStreams.tableFileStats(spark, tableDir)
+    assert(live.values.flatten.forall(stats.contains),
+      "every live file carries stats after the clustered rewrite")
+    def full() = EventStreams.readUpsertTable(spark, tableDir)
+    def whereN(lo: Long, hi: Long) = EventStreams.readUpsertTableWhere(
+      spark, tableDir, Seq(ColBound("n", Some(lo.toString), Some(hi.toString))))
+    val got = whereN(0, 35)
+    val want = full().filter(col("n") <= 35)
+    assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
+    assert(got.inputFiles.length < live.values.map(_.size).sum,
+      "the narrow range must not open every file")
+    // inclusive boundaries: a file whose max IS the lo bound survives
+    assert(whereN(310, 310).collect().map(_.getLong(0)).toSeq === Seq(31L))
+    // string bounds prune too
+    val one = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("payload", Some("p07"), Some("p07"))))
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(one.inputFiles.length < live.values.map(_.size).sum)
+    // timestamp bounds: fixed-width canonicalization keeps the exact
+    // boundary instant in range
+    val tsGot = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("ts", Some("2024-01-01 11:00:00"), None)))
+    val tsWant = full().filter(col("ts") >= to_timestamp(lit("2024-01-01 11:00:00")))
+    assert(tsGot.exceptAll(tsWant).union(tsWant.exceptAll(tsGot)).isEmpty)
+    // a column with no recorded stats reads unpruned but exact
+    val byK = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("k", Some("3"), Some("5"))))
+    assert(byK.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L, 5L))
+    // unsupported stats column types fail at write time, not read time
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.mergeBatchIntoTable(
+        rows.withColumn("arr", array(col("k"))), tableDir, Seq("k"),
+        "version", 4, 2L, statsCols = Some(Seq("arr")))
+    }
+    assert(err.getMessage.contains("zone maps support"))
+  }
+
+  test("zone maps on delta tables prune whole buckets only — superseded rows never resurrect") {
+    import EventStreams.ColBound
+    val tableDir = Files.createTempDirectory("graft-zoned").toString + "/t"
+    def merge(rs: Seq[(Long, Long, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rs.toDF("k", "n", "version"),
+        tableDir, Seq("k"), "version", nBuckets = 2, batchId = id,
+        retain = 2, delta = true, statsCols = Some(Seq("n")))
+    merge((0L until 8L).map(k => (k, k * 10L, 0L)), 0L)
+    // key 3 moves OUT of the low range in a later delta commit
+    merge(Seq((3L, 999L, 1L)), 1L)
+    // materialized: the fold below sweeps the files this plan names
+    val want = EventStreams.readUpsertTable(spark, tableDir)
+      .filter(col("n").between(25L, 45L)).localCheckpoint()
+    val got = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("n", Some("25"), Some("45"))))
+    // file-level pruning would skip the 999-file, reconcile against
+    // only the v0 file, and resurrect k=3's superseded n=30 row; the
+    // bucket-granular prune reads k=3's whole bucket and reconciles
+    assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
+    val gotKs = got.collect().map(_.getLong(0))
+    assert(gotKs.contains(4L) && !gotKs.contains(3L))
+    // a bucket NONE of whose files can match is skipped entirely
+    val wide = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("n", Some("5000"), Some("6000"))))
+    assert(wide.isEmpty && wide.inputFiles.isEmpty)
+    // the nightly fold inherits the stats contract: file-level pruning
+    // resumes on the folded snapshot
+    EventStreams.compactUpsertTable(spark, tableDir, Seq("k"), 2, 2L,
+      sortBy = Seq("n"), maxRecordsPerFile = 2)
+    assert(EventStreams.tableStatsCols(spark, tableDir) === Some(Seq("n")))
+    val folded = EventStreams.readUpsertTableWhere(spark, tableDir,
+      Seq(ColBound("n", Some("25"), Some("45"))))
+    assert(folded.exceptAll(want).union(want.exceptAll(folded)).isEmpty)
+    val liveN = EventStreams.tableManifest(spark, tableDir)
+      .values.map(_.size).sum
+    assert(folded.inputFiles.length < liveN)
+  }
+
+  test("zone maps travel through backup and restore") {
+    import EventStreams.ColBound
+    val base = Files.createTempDirectory("graft-zoneb").toString
+    val tableDir = s"$base/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "version"),
+      tableDir, Seq("k"), "version", nBuckets = 4, batchId = 0L,
+      statsCols = Some(Seq("n")))
+    EventStreams.backupUpsertTable(spark, tableDir, s"$base/bak")
+    assert(EventStreams.restoreUpsertTable(spark, s"$base/bak",
+      s"$base/dr", batchId = 5L))
+    assert(EventStreams.tableStatsCols(spark, s"$base/dr") === Some(Seq("n")))
+    val live = EventStreams.tableManifest(spark, s"$base/dr")
+    val stats = EventStreams.tableFileStats(spark, s"$base/dr")
+    assert(live.values.flatten.forall(stats.contains),
+      "restored files keep their stats under the re-homed paths")
+    val got = EventStreams.readUpsertTableWhere(spark, s"$base/dr",
+      Seq(ColBound("n", Some("0"), Some("30"))))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.inputFiles.length < live.values.map(_.size).sum)
+  }
 }
