@@ -6398,6 +6398,18 @@ object SparkEntry {
       lineage(s"$base/d", delta = true)
       lineage(s"$base/d2", delta = true)
       lineage(s"$base/d3", delta = true)
+      // sort-clustered eager copy with a stats contract ON THE KEY
+      // (wider than the lineage fixture so every bucket splits into
+      // several id-disjoint files): the q196 zone-map verdict reads it
+      streaming.EventStreams.mergeBatchIntoTable(
+        Tables.documents(spark, dir).filter(col("doc_id") < 64)
+          .select(col("doc_id"),
+            substring(col("text"), 1, 16).as("payload"),
+            lit(0L).as("__v")),
+        s"$base/ec", Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L,
+        statsCols = Some(Seq("doc_id")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/ec",
+        Seq("doc_id"), 4, 1L, sortBy = Seq("doc_id"), maxRecordsPerFile = 4)
       // depth-gated fold: deepest bucket holds 3 stacked files > 2
       def pass(runId: Long) = operators.Maintenance.runOnce(spark, runId,
         s"$base/report", folds = Seq((s"$base/d2", Seq("doc_id"), 4, 2)))
@@ -6538,11 +6550,40 @@ object SparkEntry {
       dPoint(10L).startsWith("b0:") && dPoint(11L).startsWith("b2:")
     val absent = streaming.EventStreams.readUpsertTableForKeys(spark,
       s"$base/e", Seq(999L).toDF("doc_id"), Seq("doc_id"))
+    // zone maps compose with the bucket prune: on the sort-clustered
+    // copy with a stats contract on the key, the executed scan must
+    // open EXACTLY the wanted-bucket files whose recorded key range
+    // covers the probe's [min, max] — predicted from the committed
+    // stats, verified against the executed frame
+    val ecLive = streaming.EventStreams.tableManifest(spark, s"$base/ec")
+    val ecStats = streaming.EventStreams.tableFileStats(spark, s"$base/ec")
+    val ecWantB = Seq(3L, 7L).toDF("doc_id")
+      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val predicted = ecLive.filter(kv => ecWantB(kv._1)).values.flatten
+      .filter { rel =>
+        ecStats.get(rel).flatMap(_.get("doc_id")) match {
+          case Some((Some(mn), Some(mx))) =>
+            BigDecimal(mx) >= 3 && BigDecimal(mn) <= 7
+          case _ => true
+        }
+      }.toSet
+    val ecRead = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/ec", keys, Seq("doc_id")).localCheckpoint()
+    val ecScanned = streaming.EventStreams.readUpsertTableForKeys(spark,
+      s"$base/ec", keys, Seq("doc_id")).inputFiles
+      .flatMap(f => ecLive.values.flatten.find(rel => f.endsWith("/" + rel)))
+      .toSet
+    val zoneComposes = predicted.nonEmpty &&
+      predicted.size < ecLive.values.map(_.size).sum &&
+      ecScanned == predicted &&
+      ecRead.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L)
     Seq(
       ("point_read_matches_filter", matches),
       ("scan_pruned_to_key_buckets", pruned),
       ("delta_point_read_reconciles", deltaReconciled),
-      ("absent_keys_read_empty", absent.isEmpty))
+      ("absent_keys_read_empty", absent.isEmpty),
+      ("point_read_composes_with_zone_maps", zoneComposes))
       .toDF("check", "ok")
   }
 
@@ -8263,7 +8304,8 @@ object SparkEntry {
         |FROM (VALUES ('point_read_matches_filter'),
         |  ('scan_pruned_to_key_buckets'),
         |  ('delta_point_read_reconciles'),
-        |  ('absent_keys_read_empty')) t(c)""".stripMargin,
+        |  ('absent_keys_read_empty'),
+        |  ('point_read_composes_with_zone_maps')) t(c)""".stripMargin,
     "q197_zonemap_read" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stats_recorded_for_every_live_file'),

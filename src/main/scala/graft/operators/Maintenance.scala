@@ -59,7 +59,10 @@ object Maintenance {
     *     path. Rows `delta_backlog` (ok = within depth; n = deepest
     *     bucket) and `fold_compacted` (n = 1 acted / 0 healthy). A
     *     replay sees the folded depth and acts nothing (the
-    *     rebalance-leg idempotence shape);
+    *     rebalance-leg idempotence shape). A `clusterBy` entry
+    *     (tableDir -> (sortBy, maxRecordsPerFile)) makes the fold a
+    *     CLUSTERED rewrite: a CDC trickle dulls sort order and the
+    *     nightly fold re-sharpens the zone maps' per-file ranges;
     *   - `heal`: opt-in HEAL leg (tableDir -> its backup dir, or the
     *     backups leg's rotation ROOT — [[resolveBackup]] picks the
     *     newest committed backup under a root, so the mapping stays
@@ -119,7 +122,8 @@ object Maintenance {
               heal: Option[String => String] = None,
               backups: Seq[(String, String, Int)] = Seq.empty,
               indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None,
-              folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty): DataFrame = {
+              folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty,
+              clusterBy: Map[String, (Seq[String], Long)] = Map.empty): DataFrame = {
     import spark.implicits._
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
@@ -187,8 +191,13 @@ object Maintenance {
         // honor the table's configured retention when it also runs the
         // RECLAIM leg — a fold must not narrow the time-travel window
         val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
+        // a CDC trickle dulls sort clustering (delta files land in
+        // arrival order); a clusterBy entry re-sharpens it on every
+        // fold, so the table's zone maps keep pruning night after
+        // night (statsCols inherit through the manifest contract)
+        val (sortBy, maxRec) = clusterBy.getOrElse(dir, (Nil, 0L))
         EventStreams.compactUpsertTable(spark, dir, keyCols, nBuckets, id,
-          retain = retain)
+          retain = retain, sortBy = sortBy, maxRecordsPerFile = maxRec)
       }
       rows += ((runId, label, "fold_compacted", true, if (acted) 1L else 0L))
     }

@@ -696,7 +696,46 @@ object EventStreams {
       // none of the requested buckets holds files: empty result with
       // the table's schema, no data scan (limit 0 prunes the read)
       return readUpsertTable(spark, tableDir).limit(0)
-    readSnapshotFiles(spark, table, fs, manifest, wanted)
+    // ZONE MAPS compose with the bucket prune: when the table records
+    // stats on every key column and holds no unfolded deltas, files in
+    // the wanted buckets whose key range cannot cover the probe's
+    // [min, max] never open (within-bucket file pruning is only sound
+    // on reconcile-free snapshots — the readUpsertTableWhere rule).
+    // Metadata stays O(wanted buckets): only their shards' stats read.
+    val statCols = manifestStatsCols(fs, manifest).getOrElse(Seq.empty)
+    val zonePrunable = manifestReconcile(fs, manifest).isEmpty &&
+      keyCols.nonEmpty && keyCols.forall(statCols.contains) &&
+      keyCols.forall(c => statSupported(schema(c).dataType))
+    val scanSet =
+      if (!zonePrunable) wanted
+      else {
+        val stats = bucketFileStats(fs, manifest, Some(wanted.keySet))
+        // bounded collect: one row of 2 canonical strings per key col
+        val rangeRow = k.select(keyCols.flatMap { c =>
+          val dt = schema(c).dataType
+          Seq(statValue(min(col(c)), dt, c), statValue(max(col(c)), dt, c))
+        }: _*).head()
+        val ranges = keyCols.zipWithIndex.map { case (c, i) =>
+          (c, schema(c).dataType, rangeRow.getString(2 * i),
+            rangeRow.getString(2 * i + 1))
+        }
+        if (ranges.exists(r => r._3 == null || r._4 == null)) wanted // null keys: skip
+        else {
+          def overlaps(rel: String): Boolean = ranges.forall { case (c, dt, lo, hi) =>
+            stats.get(rel).flatMap(_.get(c)) match {
+              case None => true // no stats recorded: conservative
+              case Some((None, None)) => false // all-null file
+              case Some((Some(mn), Some(mx))) =>
+                statCompare(dt, mx, lo) >= 0 && statCompare(dt, mn, hi) <= 0
+              case Some(_) => true
+            }
+          }
+          wanted.map { case (b, fls) => b -> fls.filter(overlaps) }
+            .filter(_._2.nonEmpty)
+        }
+      }
+    if (scanSet.isEmpty) return readUpsertTable(spark, tableDir).limit(0)
+    readSnapshotFiles(spark, table, fs, manifest, scanSet)
       .join(broadcast(k.drop(upsertBucketCol)), keyCols, "left_semi")
   }
 
@@ -1121,19 +1160,34 @@ object EventStreams {
     */
   private def manifestFileStats(fs: org.apache.hadoop.fs.FileSystem,
                                 p: org.apache.hadoop.fs.Path): FileStats =
+    bucketFileStats(fs, p, None)
+
+  /** [[manifestFileStats]] restricted to `buckets` — a point read must
+    * pay O(wanted buckets) metadata, not O(table).
+    */
+  private def bucketFileStats(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path,
+                              buckets: Option[Set[Int]]): FileStats =
     readShardPointers(fs, p) match {
       case Some(pointers) =>
         val shardsDir = new org.apache.hadoop.fs.Path(p.getParent, shardsDirName)
-        pointers.values.toSeq.distinct.flatMap { name =>
-          val in = fs.open(new org.apache.hadoop.fs.Path(shardsDir, name))
-          val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          parseStats(s)
-        }.toMap
+        pointers.filter(kv => buckets.forall(_.contains(kv._1)))
+          .values.toSeq.distinct.flatMap { name =>
+            val in = fs.open(new org.apache.hadoop.fs.Path(shardsDir, name))
+            val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            parseStats(s)
+          }.toMap
       case None =>
         val in = fs.open(p)
         val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         parseStats(s)
     }
+
+  private def statSupported(dt: DataType): Boolean = dt match {
+    case TimestampType | StringType | DateType | BooleanType => true
+    case _: NumericType => true
+    case _ => false
+  }
 
   /** The latest snapshot's per-file stats — the pruning evidence
     * surface (what [[readUpsertTableWhere]] decides from, exposed so

@@ -16,9 +16,11 @@ import graft.streaming.EventStreams
   *
   * Each scale builds a keyed upsert table over the scaled documents
   * corpus (statsCols on `doc_id`), sort-clusters it
-  * (`compactUpsertTable(sortBy = doc_id, maxRecordsPerFile = 2000)`),
-  * then reads the SAME fixed id range ([0, 1000) — constant matching
-  * rows across scales, the honest slice shape) both ways.
+  * (`compactUpsertTable(sortBy = doc_id, maxRecordsPerFile = 250)` —
+  * sized so every bucket splits into several id-disjoint files at
+  * every scale), then reads the SAME fixed id range ([0, 1000) —
+  * constant matching rows across scales, the honest slice shape)
+  * both ways.
   *
   * Usage: runMain graft.tools.ZoneScale [outBase] [scales]
   * Prints one markdown row per scale.
@@ -51,7 +53,7 @@ object ZoneScale {
       EventStreams.mergeBatchIntoTable(docs, t, Seq("doc_id"), "__v",
         nBuckets = 16, batchId = 0L, statsCols = Some(Seq("doc_id")))
       EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 16, 1L,
-        sortBy = Seq("doc_id"), maxRecordsPerFile = 2000)
+        sortBy = Seq("doc_id"), maxRecordsPerFile = 250)
       val liveFiles = EventStreams.tableManifest(spark, t)
         .values.map(_.size).sum
       val rows = EventStreams.readUpsertTable(spark, t).count()

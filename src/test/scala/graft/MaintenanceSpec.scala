@@ -347,4 +347,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(EventStreams.readUpsertTable(spark, t)
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap === expected)
   }
+
+  test("clusterBy fold: the nightly fold re-clusters and the zone maps keep pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clfold").toString
+    val t = s"$base/t"
+    // a delta trickle in arrival order dulls any clustering
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "version"),
+      t, Seq("k"), "version", 2, 0L, retain = 2, delta = true,
+      statsCols = Some(Seq("n")))
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, 15L, 1L), (9L, 95L, 1L)).toDF("k", "n", "version"),
+      t, Seq("k"), "version", 2, 1L, retain = 2, delta = true)
+    val report = Maintenance.runOnce(spark, 1L, s"$base/report",
+      folds = Seq((t, Seq("k"), 2, 1)),
+      clusterBy = Map(t -> (Seq("n"), 4L)))
+      .collect().map(x => (x.getString(2), x.getLong(4))).toMap
+    assert(report("fold_compacted") === 1L)
+    // the fold both dropped the reconcile spec AND re-clustered: each
+    // bucket splits into sorted files and a narrow range read prunes
+    val live = EventStreams.tableManifest(spark, t)
+    assert(live.values.forall(_.size >= 2))
+    val stats = EventStreams.tableFileStats(spark, t)
+    assert(live.values.flatten.forall(stats.contains))
+    val got = EventStreams.readUpsertTableWhere(spark, t,
+      Seq(EventStreams.ColBound("n", Some("0"), Some("35"))))
+    val want = EventStreams.readUpsertTable(spark, t)
+      .filter(col("n") <= 35)
+    assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
+    assert(got.inputFiles.length < live.values.map(_.size).sum)
+  }
 }

@@ -1604,6 +1604,38 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("wrong buckets"))
   }
 
+  test("point read composes with zone maps: within-bucket files outside the probe's key range never open") {
+    val tableDir = Files.createTempDirectory("graft-keyzone").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 64L).map(k => (k, s"p$k", 0L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 4, 0L, statsCols = Some(Seq("k")))
+    EventStreams.compactUpsertTable(spark, tableDir, Seq("k"), 4, 1L,
+      sortBy = Seq("k"), maxRecordsPerFile = 2)
+    val live = EventStreams.tableManifest(spark, tableDir)
+    val stats = EventStreams.tableFileStats(spark, tableDir)
+    val keys = Seq(3L, 7L).toDF("k")
+    val wantB = keys.withColumn("b", pmod(hash(col("k")), lit(4)))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    // prediction from the committed stats: wanted-bucket files whose
+    // recorded k-range intersects the probe box [3, 7]
+    val predicted = live.filter(kv => wantB(kv._1)).values.flatten.filter { rel =>
+      stats.get(rel).flatMap(_.get("k")) match {
+        case Some((Some(mn), Some(mx))) =>
+          BigDecimal(mx) >= 3 && BigDecimal(mn) <= 7
+        case _ => true
+      }
+    }.toSet
+    val read = EventStreams.readUpsertTableForKeys(spark, tableDir,
+      keys, Seq("k"))
+    assert(read.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 7L))
+    val scanned = EventStreams.readUpsertTableForKeys(spark, tableDir,
+      keys, Seq("k")).inputFiles
+      .flatMap(f => live.values.flatten.find(rel => f.endsWith("/" + rel))).toSet
+    assert(scanned === predicted)
+    assert(predicted.size < live.filter(kv => wantB(kv._1)).values.map(_.size).sum,
+      "zone maps must prune within the wanted buckets, not just across them")
+  }
+
   test("zone maps: commits record per-file stats; range reads prune files and stay exact") {
     import EventStreams.ColBound
     val tableDir = Files.createTempDirectory("graft-zone").toString + "/t"
