@@ -63,6 +63,17 @@ object Maintenance {
     *     (tableDir -> (sortBy, maxRecordsPerFile)) makes the fold a
     *     CLUSTERED rewrite: a CDC trickle dulls sort order and the
     *     nightly fold re-sharpens the zone maps' per-file ranges;
+    *   - `indexFolds`: (indexDir, maxPending) the same monitor-gated
+    *     fold for a serving IVF-PQ index's INCREMENTAL backlog
+    *     ([[Similarity.upsertIntoIvfPqIndex]] defers physical work to
+    *     the fold): pending = appended batch dirs past the first +
+    *     removal tokens still hiding rows at the current watermark
+    *     ([[Similarity.indexBacklog]] — one metadata read); past
+    *     `maxPending` the index consolidates
+    *     ([[Similarity.compactIvfPqIndex]] at the codes watermark + 1
+    *     — removals become physical drops, inert tokens GC). Rows
+    *     `index_backlog` / `index_folded`; a replay sees (1, 0) and
+    *     acts nothing;
     *   - `heal`: opt-in HEAL leg (tableDir -> its backup dir, or the
     *     backups leg's rotation ROOT — [[resolveBackup]] picks the
     *     newest committed backup under a root, so the mapping stays
@@ -123,7 +134,8 @@ object Maintenance {
               backups: Seq[(String, String, Int)] = Seq.empty,
               indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None,
               folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty,
-              clusterBy: Map[String, (Seq[String], Long)] = Map.empty): DataFrame = {
+              clusterBy: Map[String, (Seq[String], Long)] = Map.empty,
+              indexFolds: Seq[(String, Int)] = Seq.empty): DataFrame = {
     import spark.implicits._
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
@@ -152,6 +164,14 @@ object Maintenance {
         "artifact directory basenames unique across the set")
     folds.foreach { case (_, _, _, maxDepth) =>
       require(maxDepth >= 1, s"fold maxDepth must be >= 1, got $maxDepth")
+    }
+    val idxFoldLabels = indexFolds.map(f => s"ivfpq-${name(f._1)}")
+    require(idxFoldLabels.distinct.size == idxFoldLabels.size,
+      s"index-fold labels collide (${idxFoldLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
+    indexFolds.foreach { case (_, maxPending) =>
+      require(maxPending >= 1,
+        s"index-fold maxPending must be >= 1, got $maxPending")
     }
     takeRunLock(spark, reportDir, runId)
     // a THROWN failure in this JVM is not a crash: release the lock on
@@ -200,6 +220,23 @@ object Maintenance {
           retain = retain, sortBy = sortBy, maxRecordsPerFile = maxRec)
       }
       rows += ((runId, label, "fold_compacted", true, if (acted) 1L else 0L))
+    }
+    indexFolds.foreach { case (dir, maxPending) =>
+      val label = s"ivfpq-${name(dir)}"
+      // backlog from metadata alone: incremental batch dirs past the
+      // first + removal tokens still hiding rows at the current
+      // watermark — the serving costs the upsert path defers to the fold
+      val (dirs, hiding) = Similarity.indexBacklog(spark, dir)
+      val pending = math.max(dirs - 1, 0) + hiding
+      rows += ((runId, label, "index_backlog", pending <= maxPending,
+        pending.toLong))
+      val acted = pending > maxPending
+      if (acted) {
+        val id = Similarity.codesHighWater(spark, dir).map(_._1).getOrElse(-1L) + 1
+        val retain = indexes.find(_._1 == dir).map(_._2).getOrElse(1)
+        Similarity.compactIvfPqIndex(spark, dir, id, retain = retain)
+      }
+      rows += ((runId, label, "index_folded", true, if (acted) 1L else 0L))
     }
     // ---- 2. RECLAIM --------------------------------------------------
     tables.foreach { case (dir, retain) =>

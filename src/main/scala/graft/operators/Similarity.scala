@@ -837,9 +837,15 @@ object Similarity {
       return
     }
     val dirs = current.map(_._3).getOrElse(discoverBatchDirs(fs, root))
-    if (dirs.size <= 1) return // nothing to consolidate
-    val merged = spark.read.option("basePath", root.toString)
+    if (dirs.size <= 1 &&
+        current.forall(c => readRemovalTokens(fs, root)
+          .forall(_._1 > c._2))) return // nothing to consolidate or fold away
+    val raw = spark.read.option("basePath", root.toString)
       .parquet(dirs.map(d => new Path(root, d).toString): _*)
+    // consolidate THROUGH the removal rule — the fold is where logical
+    // removals become physical drops, never a resurrection
+    val merged = current.map(c => applyRemovals(spark, fs, root, raw, c._2))
+      .getOrElse(raw)
       .select(col("vec_id"), col("codes"), col("cell"))
     val dest = new Path(root, s"batch=$batchId")
     if (!fs.exists(dest)) {
@@ -891,8 +897,12 @@ object Similarity {
     }
     val dirs = current.map(_._3).getOrElse(discoverBatchDirs(fs, root))
     if (dirs.isEmpty) return // nothing committed: nothing to delete
-    val remaining = spark.read.option("basePath", root.toString)
+    val rawAll = spark.read.option("basePath", root.toString)
       .parquet(dirs.map(d => new Path(root, d).toString): _*)
+    // the takedown consolidates THROUGH the removal rule too: a row an
+    // upsert already hid must not resurrect in the rewritten snapshot
+    val remaining = current.map(c => applyRemovals(spark, fs, root, rawAll, c._2))
+      .getOrElse(rawAll)
       .select(col("vec_id"), col("codes"), col("cell"))
       .filter(!col("vec_id").isin(vecIds: _*))
       // barrier: the emptiness check below and the write are two
@@ -966,8 +976,10 @@ object Similarity {
   /** The codes table of ONE RESOLVED generation root: exactly the
     * batch dirs the latest committed codes manifest names (basePath
     * keeps BOTH partition columns, so cell pruning still skips
-    * non-probed dirs), falling back to whole-root partition discovery
-    * for pre-manifest indexes. Callers resolve the generation first
+    * non-probed dirs), with committed REMOVALS applied
+    * ([[applyRemovals]] — the index-upsert read rule), falling back to
+    * whole-root partition discovery for pre-manifest indexes (which
+    * cannot hold removal tokens). Callers resolve the generation first
     * ([[activeIndexRoot]]).
     */
   private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
@@ -976,11 +988,211 @@ object Similarity {
     val root = new Path(s"$indexDir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestCodesManifest(fs, root) match {
-      case Some((_, _, dirs)) if dirs.nonEmpty =>
-        spark.read.option("basePath", root.toString)
-          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+      case Some((_, maxBatch, dirs)) if dirs.nonEmpty =>
+        applyRemovals(spark, fs, root,
+          spark.read.option("basePath", root.toString)
+            .parquet(dirs.map(d => new Path(root, d).toString): _*), maxBatch)
       case _ => spark.read.parquet(root.toString)
     }
+  }
+
+  // --------------------------------------------------------------------
+  // Index UPSERTS: logical removals + frozen-artifact re-encode
+  // --------------------------------------------------------------------
+
+  private def removalsDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_removals")
+
+  /** Commit one removal token: the ids whose codes from batches BEFORE
+    * `batchId` stop being served once the codes watermark reaches
+    * `batchId`. Tmp + rename; a replayed commit's token already exists
+    * (same batchId ⇒ same window ⇒ same set) and is kept.
+    */
+  private def writeRemovalToken(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                batchId: Long, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    val dir = removalsDir(root)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val name = f"r$batchId%019d.json"
+    val dest = new org.apache.hadoop.fs.Path(dir, name)
+    if (fs.exists(dest)) return
+    val body =
+      s"""{"batchId":$batchId,"ids":[${ids.distinct.sorted.mkString(",")}]}"""
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"failed to commit removal token $dest")
+  }
+
+  /** Every committed removal token: (batchId, ids), commit order.
+    * Bounded by contract: tokens are per-upsert-window change sets
+    * (updates/takedowns, never the corpus) and compaction GCs the
+    * inert ones — the read is O(windows since the last fold).
+    */
+  private def readRemovalTokens(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path, Seq[Long])] = {
+    val dir = removalsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val id = """"batchId":(-?\d+)""".r.findFirstMatchIn(body)
+          .getOrElse(throw new IllegalStateException(
+            s"unparseable removal token ${s.getPath} (tokens commit via " +
+              "tmp+rename, so this is external corruption); restore or " +
+              "remove it ONLY if the removal is no longer needed"))
+          .group(1).toLong
+        val ids = """"ids":\[([^\]]*)\]""".r.findFirstMatchIn(body)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Seq.empty)
+        (id, s.getPath, ids)
+      }.toSeq
+  }
+
+  /** Serve a codes frame MINUS the removals committed at or below this
+    * snapshot's watermark: a removal at batch R hides an id's codes
+    * from batches BEFORE R (its replacement, written AT R or later,
+    * still serves — the upsert semantic; a plain delete simply has no
+    * replacement). One broadcast anti-join against the fold-bounded
+    * removal set; a token above the watermark belongs to an in-flight
+    * or future commit and must not apply (readers see committed state
+    * only). The physical drop happens at the next consolidation
+    * ([[compactIvfPqIndex]]/[[deleteFromIvfPqIndex]] read through this
+    * rule, so a fold can never resurrect a removed row), after which
+    * the tokens are inert and [[sweepUnreferencedCodes]] collects them.
+    */
+  private def applyRemovals(spark: org.apache.spark.sql.SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            codes: DataFrame, watermark: Long): DataFrame = {
+    val rem = readRemovalTokens(fs, root).filter(_._1 <= watermark)
+    if (rem.isEmpty) codes
+    else {
+      val byId = rem.flatMap { case (b, _, ids) => ids.map(_ -> b) }
+        .groupBy(_._1).map { case (id, bs) => (id, bs.map(_._2).max) }.toSeq
+      import spark.implicits._
+      val remDf = byId.toDF("__rid", "__rb")
+      codes.join(broadcast(remDf),
+        codes("vec_id") === remDf("__rid") &&
+          codes("batch").cast("long") < remDf("__rb"), "left_anti")
+    }
+  }
+
+  /** UPSERT into the composed IVF-PQ index WITHOUT an O(index)
+    * rewrite — the serving-index half of CDC. One commit (`batchId`)
+    * does both halves: `removeIds`' existing codes stop being served
+    * (a removal token, logical — O(changed) metadata) and `changed`'s
+    * rows encode under the FROZEN artifacts as an appended batch
+    * (O(changed) data — [[appendToIvfPqIndex]]'s path). An updated id
+    * appears in both: its old code is hidden, its new code (written at
+    * this very batch) serves. Readers below the new watermark keep the
+    * exact old state (tokens apply only once the manifest reaches
+    * them), so time travel and pinned audits are unaffected. The
+    * physical drop and token GC ride the next consolidation; until
+    * then every probe pays one broadcast anti-join against the
+    * fold-bounded removal set — the nightly-fold dial, same shape as
+    * the delta table's reconcile. Replays no-op via the codes
+    * watermark; the append-vs-rebuild race check applies.
+    */
+  def upsertIntoIvfPqIndex(changed: DataFrame, removeIds: Seq[Long],
+                           indexDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = changed.sparkSession
+    val aRoot = activeIndexRoot(spark, indexDir)
+    val root = new Path(s"$aRoot/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestCodesManifest(fs, root)
+    if (current.exists(_._2 >= batchId)) return // replayed commit
+    require(current.isDefined,
+      s"$indexDir has no committed codes manifest; build the index " +
+        "(buildIvfPqIndex) before upserting into it")
+    val hasNew = !changed.isEmpty
+    // token first: it is inert until the manifest below advances to
+    // batchId, so a crash between the two replays cleanly and readers
+    // never see the removal without its commit
+    writeRemovalToken(fs, root, batchId, removeIds)
+    if (hasNew) appendAtRoot(changed, indexDir, aRoot, batchId)
+    else {
+      // removal-only commit: the manifest advance IS the publish
+      val (seq, _, dirs) = current.get
+      publishCodesManifest(fs, root, seq + 1, batchId, dirs)
+      val after = activeIndexRoot(spark, indexDir)
+      if (after != aRoot)
+        throw new IllegalStateException(
+          s"concurrent rebuild re-pointed $indexDir while batch $batchId " +
+            s"was committing (resolved $aRoot, active is now $after): " +
+            "re-run the upsert — the new generation has no record of it.")
+    }
+  }
+
+  /** Metadata-only BACKLOG of the serving index's incremental commits:
+    * (live codes batch dirs, removal tokens still hiding something at
+    * the current watermark — i.e. some live dir holds a batch older
+    * than the token). The nightly-fold monitor's read: one manifest +
+    * one token listing, never a codes file. A folded index reads
+    * (1, 0) — retained-for-time-travel tokens that no longer apply to
+    * the current snapshot do not count (they would re-trigger the fold
+    * every night for nothing).
+    */
+  def indexBacklog(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"${activeIndexRoot(spark, indexDir)}/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestCodesManifest(fs, root) match {
+      case Some((_, wm, dirs)) =>
+        def dirBatch(d: String): Long = d.stripPrefix("batch=").toLong
+        val hiding = readRemovalTokens(fs, root).count { case (tid, _, _) =>
+          tid <= wm && dirs.exists(d => dirBatch(d) < tid)
+        }
+        (dirs.size, hiding)
+      case None => (discoverBatchDirs(fs, root).size, 0)
+    }
+  }
+
+  /** Keep a serving IVF-PQ index synchronized with a keyed upsert
+    * table from its CHANGE FEED
+    * ([[graft.streaming.EventStreams.readChangeFeed]]): pull the net
+    * changes since this consumer's cursor, hide every changed key's
+    * old codes, append the upserted rows' new codes (one commit at the
+    * source watermark), then advance the cursor — the 100 TB serving
+    * loop (CDC in → table → feed → index fresh) with O(changed window)
+    * work per pass, never a table or index scan. EXACTLY-ONCE: the
+    * index commit replays via the codes watermark, the cursor pin
+    * holds the feed's base snapshot, and a crash anywhere re-runs to
+    * the same state. The window's changed keys ride driver-side
+    * (bounded by contract: an update/takedown batch). Returns
+    * (from, to, upserts, deletes), None when already current.
+    */
+  def syncIndexFromFeed(spark: org.apache.spark.sql.SparkSession,
+                        srcDir: String, indexDir: String,
+                        consumer: String): Option[(Long, Long, Long, Long)] = {
+    import graft.streaming.EventStreams
+    val from = EventStreams.feedCursor(spark, srcDir, consumer).getOrElse(
+      throw new IllegalStateException(
+        s"no cursor for consumer '$consumer' on $srcDir; build the index " +
+          "from the current snapshot and bootstrapFeedCursor first"))
+    val to = EventStreams.latestCommittedBatchId(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"$srcDir lost its manifest chain"))
+    if (to == from) return None
+    require(to > from,
+      s"$srcDir's watermark $to is behind the cursor $from — resync")
+    val feed = EventStreams.readChangeFeed(spark, srcDir, from, Some(to))
+      .localCheckpoint()
+    val ups = feed.filter(col(EventStreams.changeTypeCol) === "upsert")
+      .drop(EventStreams.changeTypeCol)
+    // bounded collect: the window's changed keys
+    val touched = feed.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val nDels = feed.filter(col(EventStreams.changeTypeCol) === "delete").count()
+    upsertIntoIvfPqIndex(ups, touched, indexDir, batchId = to)
+    EventStreams.advanceFeedCursor(spark, srcDir, consumer, to)
+    Some((from, to, touched.size - nDels, nDels))
   }
 
   /** The codes manifest's applied-batch high-water mark and live dirs,
@@ -1080,6 +1292,22 @@ object Similarity {
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".inflight-"))
       .foreach(s => fs.delete(s.getPath, true))
+    // GC removal tokens no retained or pinned snapshot can still apply:
+    // a token is live for a snapshot iff its id is at or below that
+    // snapshot's watermark AND the snapshot still serves a batch dir
+    // older than the token (something left to hide). A token above
+    // every watermark belongs to a crashed commit whose replay rewrites
+    // it before re-committing, so sweeping it is safe too.
+    val pinnedManifests = readCodesPins(fs, root).values.toSeq.distinct
+      .flatMap(b => parsed.filter(_._2 < b).lastOption)
+    val snapshots = parsed.takeRight(retain) ++ pinnedManifests
+    def dirBatch(d: String): Long = d.stripPrefix("batch=").toLong
+    readRemovalTokens(fs, root).foreach { case (tid, p, _) =>
+      val live = snapshots.exists { case (_, wm, dirs) =>
+        tid <= wm && dirs.exists(d => dirBatch(d) < tid)
+      }
+      if (!live) fs.delete(p, false)
+    }
     sweep.size
   }
 
@@ -1349,12 +1577,15 @@ object Similarity {
     val codes =
       if (manifests.isEmpty) spark.read.parquet(root.toString)
       else {
-        val (_, _, dirs) = manifests.filter(_._2 < batchId).lastOption
+        val (_, wm, dirs) = manifests.filter(_._2 < batchId).lastOption
           .getOrElse(throw new IllegalArgumentException(
             s"$indexDir has no codes commit before batch $batchId " +
               "(the pinned audit needs a snapshot below its pin)"))
-        spark.read.option("basePath", root.toString)
-          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+        // removals apply AT THE RESOLVED WATERMARK: an upsert committed
+        // after the audit boundary must not hide what the boundary saw
+        applyRemovals(spark, fs, root,
+          spark.read.option("basePath", root.toString)
+            .parquet(dirs.map(d => new Path(root, d).toString): _*), wm)
       }
     codes.select(col("vec_id")).distinct()
   }

@@ -481,7 +481,8 @@ object EventStreams {
     publishManifest(fs, table, batchId, nBuckets, newLive, outMixed,
       touched = Some(touched.toSeq), reconcile = outReconcile,
       keyedBy = Some(keyCols), fileStats = freshStats,
-      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None)
+      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
+      base = Some(committed.map(_._1)))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -614,7 +615,8 @@ object EventStreams {
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
       touched = Some(touched.toSeq), reconcile = prevReconcile,
       keyedBy = Some(keyCols), fileStats = delStats,
-      statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None)
+      statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
+      base = Some(committed.map(_._1)))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -895,6 +897,42 @@ object EventStreams {
 
   private val shardedTag = "\"shards\":{"
   private val shardsDirName = "shards"
+
+  /** A manifest's batchId WITHOUT resolving its shard files — one tiny
+    * read. The zero-padded filename also encodes it; the body is the
+    * source of truth.
+    */
+  private def manifestBatchId(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Long = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+      .group(1).toLong
+  }
+
+  /** (batchId, base watermark the commit was computed from, commit
+    * kind) from one manifest body — the metadata triple the change
+    * feed walks the chain with (no shard files touched). `base` is
+    * None for pre-r14 manifests (unrecorded), Some(None) for a commit
+    * onto an empty table; `kind` is Some("fold") for the
+    * row-preserving compaction commits the feed skips for free.
+    */
+  private def manifestCommitMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path): (Long, Option[Option[Long]], Option[String]) = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val id = """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"malformed manifest $p"))
+      .group(1).toLong
+    val base = """"base":(-?\d+)""".r.findFirstMatchIn(s)
+      .map(m => m.group(1).toLong match {
+        case -1L => None
+        case b => Some(b)
+      })
+    val kind = """"kind":"([a-z_]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    (id, base, kind)
+  }
 
   /** One manifest shard: a single bucket's live-file list. */
   private def readShardFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -1403,8 +1441,25 @@ object EventStreams {
     * 1-bucket merge into a million-file table commits exactly 2 tiny
     * objects. `None` (compaction, restore, first commit, migration
     * from a legacy inline list) writes every bucket's shard.
+    *
+    * LOST-UPDATE GUARD: `base` (when supplied) is the watermark the
+    * writer's `live` set was computed FROM (the latest committed id it
+    * read at entry, None for an empty table). Immediately before the
+    * commit rename, the latest committed id is re-read and the publish
+    * FAILS LOUDLY if it moved — a second writer violating the
+    * single-writer contract committed mid-operation, and renaming over
+    * its snapshot would silently drop its files from the live set (the
+    * one data-loss shape the same-batchId rename guard below cannot
+    * see, because concurrent writers carry DIFFERENT ids). This is
+    * detection, not linearizability: the unguarded window shrinks from
+    * the whole merge's duration to the instant between the re-read and
+    * the rename, and a loss that slips through is still repairable
+    * (both batches replay cleanly — each id's files are staged and
+    * idempotent). The base id is also recorded in the manifest
+    * (`"base":N`) so the change feed can tell an exact parent pair
+    * from a pruned-interior gap.
     */
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               table: org.apache.hadoop.fs.Path, batchId: Long,
                               nBuckets: Int, live: Map[Int, Seq[String]],
                               mixed: Boolean = false,
@@ -1412,7 +1467,9 @@ object EventStreams {
                               reconcile: Option[(Seq[String], String)] = None,
                               keyedBy: Option[Seq[String]] = None,
                               fileStats: FileStats = Map.empty,
-                              statsCols: Option[Seq[String]] = None): Unit = {
+                              statsCols: Option[Seq[String]] = None,
+                              base: Option[Option[Long]] = None,
+                              kind: Option[String] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -1459,12 +1516,29 @@ object EventStreams {
       }
     }
     val mixedTag = if (mixed) ""","mixed":1""" else ""
+    val baseTag = base.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
+    val kindTag = kind.map(k => s""","kind":"$k"""").getOrElse("")
     val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"shards":{""", ",", "}}")
+      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    // lost-update guard (see scaladoc): the table must not have moved
+    // past the base this writer computed from
+    base.foreach { b =>
+      val now = manifestList(fs, table).lastOption.map(manifestBatchId(fs, _))
+      if (now != b) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"lost-update guard: $table advanced from base " +
+            s"${b.getOrElse("<empty>")} to ${now.getOrElse("<empty>")} while " +
+            s"batch $batchId was being computed — a concurrent writer " +
+            "committed (the sink contract is one writer per table). " +
+            "Re-drive this batch: its replay will recompute on the new " +
+            "snapshot. Nothing was lost — this publish did not land.")
+      }
+    }
     // the sink is SINGLE-WRITER per table (foreachBatch serializes
     // batches); a failed rename here means another writer published
     // this batchId concurrently — fail loudly rather than lose updates
@@ -1580,9 +1654,14 @@ object EventStreams {
       if (effStatsCols.isEmpty) Map.empty
       else computeFileStats(spark, table,
         rewritten.values.flatten.toSeq, effStatsCols)
+    // "kind":"fold" marks this commit ROW-PRESERVING (the read-back
+    // equality StreamingSpec pins) — the change feed skips it from
+    // metadata alone instead of paying a whole-table diff to learn
+    // nothing changed
     publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
       keyedBy = Some(keyCols), fileStats = freshStats,
-      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None)
+      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
+      base = Some(Some(committed._1)), kind = Some("fold"))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -1626,6 +1705,279 @@ object EventStreams {
       }
     }
     prune.size
+  }
+
+  // --------------------------------------------------------------------
+  // CHANGE FEED: incremental consumption of a keyed upsert table
+  // --------------------------------------------------------------------
+
+  /** Change-type column the feed appends to the table's own schema:
+    * "upsert" rows carry the key's NEW image, "delete" rows the last
+    * image it held at the window's base.
+    */
+  val changeTypeCol = "_change_type"
+
+  private val consumerRe = "^[A-Za-z0-9_-]{1,40}$".r
+
+  private def feedPinPrefix(consumer: String): String = {
+    require(consumerRe.findFirstIn(consumer).isDefined,
+      s"feed consumer '$consumer' must match ${consumerRe.regex} " +
+        "(it becomes a pin-label namespace)")
+    s"feed.$consumer."
+  }
+
+  /** Buckets whose content differs between two committed manifests,
+    * from METADATA alone: sharded lists compare shard POINTERS (shard
+    * names embed the writing batchId, so a bucket rewritten at any
+    * intermediate commit always carries a different pointer — the
+    * comparison is transitive across pruned-interior gaps); any legacy
+    * inline list falls back to comparing the resolved file lists.
+    */
+  private def pointerDiff(fs: org.apache.hadoop.fs.FileSystem,
+                          a: org.apache.hadoop.fs.Path,
+                          b: org.apache.hadoop.fs.Path): Set[Int] =
+    (readShardPointers(fs, a), readShardPointers(fs, b)) match {
+      case (Some(pa), Some(pb)) =>
+        (pa.keySet ++ pb.keySet).filter(k => pa.get(k) != pb.get(k))
+      case _ =>
+        val la = readManifest(fs, a)._2
+        val lb = readManifest(fs, b)._2
+        (la.keySet ++ lb.keySet).filter(k =>
+          la.getOrElse(k, Seq.empty).toSet != lb.getOrElse(k, Seq.empty).toSet)
+    }
+
+  /** NET-WINDOW CHANGE FEED — what changed between two committed
+    * snapshots, reading only the buckets the window's commits touched.
+    *
+    * The downstream half of CDC: the table ingests O(batch) merges, but
+    * without a feed every consumer (replica, index sync, export,
+    * audit) re-scans the table to find what moved. This read returns
+    * the NET state change over `(fromBatch, toBatch]` — one row per
+    * changed key: its new image tagged `"upsert"`, or its last-held
+    * image tagged `"delete"` when the key vanished. Net semantics (an
+    * upsert-then-delete nets to delete, delete-then-reinsert to
+    * upsert, a write that LOSES its version race to nothing) are
+    * exactly what a synchronizing consumer applies; per-commit replay
+    * theater is deliberately not reconstructed.
+    *
+    * COST, the 100 TB claim: the changed-bucket set is computed from
+    * manifest METADATA alone (shard pointers — tiny objects, no data
+    * file opens), and the diff then reads ONLY those buckets at the two
+    * boundary snapshots — O(touched), never O(table). Commits tagged
+    * `"kind":"fold"` (row-preserving compactions, including the
+    * nightly Maintenance fold) are skipped from metadata alone when
+    * the chain shows their exact parent, so a fold-only window costs
+    * ZERO data reads. Untagged full rewrites (legacy folds, restores)
+    * degrade to a correct whole-table diff — the honest fallback.
+    *
+    * CONTRACTS: `fromBatch` must be a manifest still in the chain (a
+    * consumer whose base was pruned by [[compactManifests]] gets a
+    * LOUD gap error — resync, don't guess), and the base snapshot's
+    * touched files must still exist ([[advanceFeedCursor]] pins the
+    * cursor batch so retention holds exactly that). The table must
+    * record its key contract (`keyedBy`, every r14+ writer) — delete
+    * classification needs the real key.
+    */
+  def readChangeFeed(spark: SparkSession, tableDir: String,
+                     fromBatch: Long,
+                     toBatch: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chain = manifestList(fs, table).map(p => (p, manifestCommitMeta(fs, p)))
+    require(chain.nonEmpty,
+      s"$tableDir has no committed manifest; nothing to feed from")
+    val fromIdx = chain.indexWhere(_._2._1 == fromBatch)
+    if (fromIdx < 0)
+      throw new IllegalStateException(
+        s"change-feed gap on $tableDir: base snapshot (batch $fromBatch) " +
+          "is no longer in the manifest chain (pruned by compactManifests " +
+          "past this consumer's cursor). Resync the consumer: re-seed it " +
+          "from the current snapshot and bootstrapFeedCursor — and pin " +
+          "the cursor (advanceFeedCursor does) so retention waits for it.")
+    val toB = toBatch.getOrElse(chain.last._2._1)
+    val toIdx = chain.indexWhere(_._2._1 == toB)
+    require(toIdx >= 0, s"batch $toB is not a committed snapshot of $tableDir")
+    require(toIdx >= fromIdx,
+      s"feed window runs backwards: from $fromBatch to $toB on $tableDir")
+    val mFrom = chain(fromIdx)._1
+    val mTo = chain(toIdx)._1
+    // changed buckets, metadata only: walk retained adjacent pairs;
+    // skip a fold iff the chain proves it is this pair's exact child
+    // (base == left id) — across a pruned-interior gap the fold's true
+    // parent is unknown and the pointer diff stays conservative
+    var touched = Set.empty[Int]
+    var i = fromIdx
+    while (i < toIdx) {
+      val (pL, (idL, _, _)) = chain(i)
+      val (pR, (_, baseR, kindR)) = chain(i + 1)
+      if (!(kindR.contains("fold") && baseR.contains(Some(idL))))
+        touched ++= pointerDiff(fs, pL, pR)
+      i += 1
+    }
+    val nbFrom = readNBuckets(fs, mFrom)
+    val nbTo = readNBuckets(fs, mTo)
+    require(nbFrom == nbTo,
+      s"$tableDir was re-bucketed mid-window ($nbFrom -> $nbTo); bucket " +
+        "ids are not comparable across the change — resync the consumer")
+    val liveFrom = readManifest(fs, mFrom)._2
+      .filter(kv => touched(kv._1) && kv._2.nonEmpty)
+    val liveTo = readManifest(fs, mTo)._2
+      .filter(kv => touched(kv._1) && kv._2.nonEmpty)
+    def readSide(m: Path, live: Map[Int, Seq[String]]) =
+      if (live.isEmpty) None else Some(readSnapshotFiles(spark, table, fs, m, live))
+    (readSide(mFrom, liveFrom), readSide(mTo, liveTo)) match {
+      case (None, None) =>
+        // nothing to diff (fold-only or empty window): a truly fileless
+        // plan — zero data reads is the fold-skip guarantee
+        val schemaSrc = readManifest(fs, mTo)._2.values.flatten.headOption
+          .orElse(readManifest(fs, mFrom)._2.values.flatten.headOption)
+        val schema = schemaSrc
+          .map(rel => spark.read.parquet(new Path(table, rel).toString).schema)
+          .getOrElse(new org.apache.spark.sql.types.StructType())
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add(changeTypeCol, org.apache.spark.sql.types.StringType))
+      case (prevOpt, curOpt) =>
+        val keyCols = manifestKeyedBy(fs, mTo).getOrElse(
+          throw new IllegalStateException(
+            s"$tableDir's manifest records no key contract (pre-r14 " +
+              "writer); the feed needs it to classify deletes — run one " +
+              "merge so the table adopts it"))
+        val cur = curOpt.getOrElse(prevOpt.get.limit(0))
+        val prev = prevOpt.getOrElse(cur.limit(0))
+        val dropped = prev.columns.filterNot(cur.columns.contains)
+        require(dropped.isEmpty,
+          s"columns ${dropped.mkString(",")} present at batch $fromBatch " +
+            s"vanished by $toB — the table format only widens; resync")
+        require(!cur.columns.contains(changeTypeCol),
+          s"table has a reserved '$changeTypeCol' column; the feed cannot tag it")
+        // align the base snapshot to the current schema (widening adds
+        // NULL-filled columns — the mergeSchema semantic)
+        val prevA = cur.schema.fields.foldLeft(prev) { (df, f) =>
+          if (df.columns.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(cur.columns.map(col).toSeq: _*)
+        val ups = cur.exceptAll(prevA).withColumn(changeTypeCol, lit("upsert"))
+        val dels = prevA
+          .join(cur.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .withColumn(changeTypeCol, lit("delete"))
+        ups.unionByName(dels)
+    }
+  }
+
+  /** The consumer's committed feed position: the highest batch among
+    * its cursor pins (`feed.<consumer>.<batch>` in the table's own pin
+    * namespace). The cursor IS a retention pin, so the base snapshot a
+    * slow consumer still needs outlives every sweep — O(1 token) of
+    * metadata buys the feed's data-availability contract.
+    */
+  def feedCursor(spark: SparkSession, tableDir: String,
+                 consumer: String): Option[Long] = {
+    val prefix = feedPinPrefix(consumer)
+    listPins(spark, tableDir).collect {
+      case (l, b) if l.startsWith(prefix) &&
+        l.stripPrefix(prefix).nonEmpty &&
+        l.stripPrefix(prefix).forall(_.isDigit) => b
+    }.maxOption
+  }
+
+  /** Move the consumer's cursor forward to a COMMITTED batch —
+    * crash-safe by pin-then-release: the new cursor pin lands first
+    * (with [[pinBatch]]'s race re-check), then superseded cursor pins
+    * release. A crash between the two leaves an extra hold, never a
+    * lost place ([[feedCursor]] adopts the newest). Replays (same
+    * batch) no-op; moving backwards fails loudly.
+    */
+  def advanceFeedCursor(spark: SparkSession, tableDir: String,
+                        consumer: String, toBatch: Long,
+                        expiresAtMillis: Long = Long.MaxValue): Long = {
+    val prefix = feedPinPrefix(consumer)
+    val cur = feedCursor(spark, tableDir, consumer)
+    if (cur.contains(toBatch)) return toBatch // replay
+    require(cur.forall(_ < toBatch),
+      s"cursor for '$consumer' on $tableDir is at ${cur.getOrElse(-1L)}; " +
+        s"feeds advance monotonically, got $toBatch")
+    val label = s"$prefix$toBatch"
+    val resolved = pinBatch(spark, tableDir, label, toBatch, expiresAtMillis)
+    if (resolved != toBatch) {
+      unpinBatch(spark, tableDir, label)
+      throw new IllegalArgumentException(
+        s"cursor must land on a COMMITTED batch of $tableDir " +
+          s"(latestCommittedBatchId); $toBatch resolves to snapshot $resolved")
+    }
+    listPins(spark, tableDir).foreach { case (l, b) =>
+      if (l.startsWith(prefix) && l != label &&
+          l.stripPrefix(prefix).forall(_.isDigit) && b < toBatch)
+        unpinBatch(spark, tableDir, l)
+    }
+    toBatch
+  }
+
+  /** Start a consumer at the table's current watermark (it has just
+    * been seeded with — or does not care about — the current snapshot;
+    * the feed delivers everything AFTER this).
+    */
+  def bootstrapFeedCursor(spark: SparkSession, tableDir: String,
+                          consumer: String,
+                          expiresAtMillis: Long = Long.MaxValue): Long = {
+    val to = latestCommittedBatchId(spark, tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir has no committed manifest; commit one batch before " +
+          "bootstrapping a feed consumer"))
+    advanceFeedCursor(spark, tableDir, consumer, to, expiresAtMillis)
+  }
+
+  /** Feed-driven table replication: pull the source's net changes
+    * since this consumer's cursor and commit them to the replica —
+    * deletes then upserts (a net window never holds both for one key,
+    * so the order is free), under batchIds monotone in the source
+    * watermark, then advance the cursor. EXACTLY-ONCE end to end: a
+    * crash anywhere replays — the replica's own watermark absorbs the
+    * re-commits, and the un-advanced cursor re-reads the same window
+    * (whose base snapshot the cursor pin held readable).
+    *
+    * The replica must materially hold the source's snapshot AS OF the
+    * cursor (seed it by backup/restore or by replaying the first batch,
+    * then [[advanceFeedCursor]] to that batch with a seed id at or
+    * below the source's). Per sync the replica converges to the
+    * source's exact logical state — version ties and all, because row
+    * images carry their version column and the replica merge reconciles
+    * with the same semantics. Returns (from, to, upserts, deletes), or
+    * None when the cursor is already at the watermark.
+    */
+  def syncReplicaFromFeed(spark: SparkSession, srcDir: String,
+                          replicaDir: String, consumer: String,
+                          versionCol: String, nBuckets: Int,
+                          delta: Boolean = false,
+                          retain: Int = 1): Option[(Long, Long, Long, Long)] = {
+    val from = feedCursor(spark, srcDir, consumer).getOrElse(
+      throw new IllegalStateException(
+        s"no cursor for consumer '$consumer' on $srcDir; seed the replica " +
+          "from a committed snapshot and advanceFeedCursor to that batch"))
+    val to = latestCommittedBatchId(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"$srcDir lost its manifest chain"))
+    if (to == from) return None
+    require(to > from,
+      s"$srcDir's watermark $to is behind the cursor $from — was the " +
+        "table restored below the cursor? Resync the consumer")
+    val keyCols = tableKeyedBy(spark, srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"$srcDir records no key contract; run one merge to adopt it"))
+    // one bounded materialization: the feed frame feeds two filters
+    // and two counts (the window's changed rows, not the table)
+    val feed = readChangeFeed(spark, srcDir, from, Some(to)).localCheckpoint()
+    val ups = feed.filter(col(changeTypeCol) === "upsert").drop(changeTypeCol)
+    val dels = feed.filter(col(changeTypeCol) === "delete")
+      .select(keyCols.map(col): _*)
+    val nUps = ups.count()
+    val nDels = dels.count()
+    deleteFromTable(spark, replicaDir, dels, keyCols, nBuckets,
+      batchId = 2 * to, retain = retain)
+    mergeBatchIntoTable(ups, replicaDir, keyCols, versionCol, nBuckets,
+      batchId = 2 * to + 1, retain = retain, delta = delta)
+    advanceFeedCursor(spark, srcDir, consumer, to)
+    Some((from, to, nUps, nDels))
   }
 
   // --------------------------------------------------------------------
@@ -2114,6 +2466,8 @@ object EventStreams {
     val restored = live.map { case (b, fls) => b -> fls.map(destRel) }
     val backupManifest = manifestList(fs, backup).last
     publishManifest(fs, table, batchId, nBuckets, restored, mixed,
+      base = Some(manifestList(fs, table).lastOption
+        .map(manifestBatchId(fs, _))),
       reconcile = manifestReconcile(fs, backupManifest),
       keyedBy = manifestKeyedBy(fs, backupManifest),
       // stats re-key to the re-homed paths; the values are the files'
@@ -2277,7 +2631,8 @@ object EventStreams {
     val newFiles = fs.listStatus(new Path(genDir, "sketch"))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => s"$genName/sketch/${f.getPath.getName}").toSeq
-    publishManifest(fs, table, batchId, 1, Map(0 -> newFiles))
+    publishManifest(fs, table, batchId, 1, Map(0 -> newFiles),
+      base = Some(committed.map(_._1)))
     sweepUnreferenced(fs, table, newFiles.toSet)
     if (compactEvery > 0 && manifestList(fs, table).size > compactEvery)
       compactManifests(spark, tableDir, compactEvery)

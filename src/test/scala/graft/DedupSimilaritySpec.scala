@@ -925,4 +925,96 @@ class DedupSimilaritySpec extends SparkSpec {
     val worse = fsck(idx)
     assert(!worse("active_artifacts_complete")._1)
   }
+
+  test("IVF-PQ upsert: old codes hide, replacements serve, time travel keeps the past, fold drops physically") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-ups").toString
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    def ids() = Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(0L, 1L, 2L))
+    // upsert: vec 1 moves to the orthogonal direction; vec 2 is removed
+    val v2dir = (0 until 64).map(i => (if (i % 2 == 0) 1.0f else -1.0f))
+    val moved = Seq((1L, v2dir, 1)).toDF("vec_id", "embedding", "label")
+    Similarity.upsertIntoIvfPqIndex(moved, Seq(1L, 2L), idx, batchId = 1L)
+    assert(ids() === Set(0L, 1L))
+    // the REPLACEMENT serves: vec 1 now encodes like old vec 2 (same
+    // direction => same cell + codes), so a probe along that direction
+    // finds it
+    val pv = v2dir.map(_.toDouble).toArray
+    val got = Similarity.queryIvfPqIndex(spark, idx, Seq((99L, pv)), k = 1,
+      nprobe = 1).collect()
+    assert(got.head.getLong(1) === 1L)
+    // a probe along vec 1's OLD direction no longer returns the stale code
+    val oldDir = (0 until 64).map(i => 1.0 + i * 0.01).toArray
+    val near = Similarity.queryIvfPqIndex(spark, idx, Seq((99L, oldDir)),
+      k = 2, nprobe = 2).collect().map(_.getLong(1)).toSet
+    assert(near === Set(0L, 1L), "only live rows serve")
+    // time travel BELOW the upsert sees the exact old state
+    assert(Similarity.indexedVecIdsBefore(spark, idx, 1L)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    // replayed commit lands nothing new
+    Similarity.upsertIntoIvfPqIndex(moved, Seq(1L, 2L), idx, batchId = 1L)
+    assert(ids() === Set(0L, 1L))
+    // removal-only commit (a takedown window with no replacements)
+    Similarity.upsertIntoIvfPqIndex(moved.limit(0), Seq(0L), idx, batchId = 2L)
+    assert(ids() === Set(1L))
+    // the FOLD makes removals physical and GCs inert tokens; reads equal
+    val preFold = Similarity.queryIvfPqIndex(spark, idx, Seq((99L, pv)),
+      k = 3, nprobe = 2).collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 3L)
+    val postFold = Similarity.queryIvfPqIndex(spark, idx, Seq((99L, pv)),
+      k = 3, nprobe = 2).collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(postFold === preFold)
+    assert(spark.read.parquet(s"$idx/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L),
+      "the fold physically dropped the hidden rows")
+    assert(!new java.io.File(s"$idx/codes/_removals").exists() ||
+      new java.io.File(s"$idx/codes/_removals").listFiles()
+        .count(_.getName.endsWith(".json")) === 0,
+      "inert tokens are collected by the fold's sweep")
+  }
+
+  test("syncIndexFromFeed keeps a serving index fresh from a table's change feed, exactly-once") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-feed").toString
+    val src = s"$base/src"
+    val idx = s"$base/idx"
+    def embRow(id: Long, b: Double) =
+      (id, (0 until 64).map(i => (b + i * 0.01).toFloat), 0, 0L)
+    def merge(rows: Seq[(Long, IndexedSeq[Float], Int, Long)], bid: Long) =
+      EventStreams.mergeBatchIntoTable(
+        rows.toDF("vec_id", "embedding", "label", "__v"), src,
+        Seq("vec_id"), "__v", nBuckets = 4, batchId = bid, retain = 8,
+        delta = true)
+    merge((0L until 6L).map(k => embRow(k, 1.0 + k * 0.3)), 0L)
+    Similarity.buildIvfPqIndex(
+      EventStreams.readUpsertTable(spark, src), idx,
+      nlist = 2, m = 8, codebookSize = 2, dim = 64)
+    EventStreams.bootstrapFeedCursor(spark, src, "idx")
+    // already current: a sync is a no-op
+    assert(Similarity.syncIndexFromFeed(spark, src, idx, "idx") === None)
+    // window: vec 0 moves, vec 6 arrives, vec 3 is taken down
+    merge(Seq(embRow(0L, 9.0).copy(_4 = 1L), embRow(6L, 2.5)), 1L)
+    EventStreams.deleteFromTable(spark, src, Seq(3L).toDF("vec_id"),
+      Seq("vec_id"), nBuckets = 4, batchId = 2L, retain = 8)
+    assert(Similarity.syncIndexFromFeed(spark, src, idx, "idx") ===
+      Some((0L, 2L, 2L, 1L)))
+    def ids() = Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // the index serves the MOVED vector: a probe at its new position
+    // finds vec 0 nearest
+    val pv = (0 until 64).map(i => 9.0 + i * 0.01).toArray
+    val got = Similarity.queryIvfPqIndex(spark, idx, Seq((99L, pv)), k = 1,
+      nprobe = 2).collect()
+    assert(got.head.getLong(1) === 0L)
+    // replayed sync: cursor at the watermark — no-op, index unchanged
+    assert(Similarity.syncIndexFromFeed(spark, src, idx, "idx") === None)
+    assert(ids() === Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // the serving loop composes with the index fold
+    Similarity.compactIvfPqIndex(spark, idx, batchId = 10L)
+    assert(ids() === Set(0L, 1L, 2L, 4L, 5L, 6L))
+  }
 }

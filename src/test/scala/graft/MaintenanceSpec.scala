@@ -377,4 +377,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
     assert(got.inputFiles.length < live.values.map(_.size).sum)
   }
+
+  test("indexFolds leg: a backlogged serving index folds once; the next pass acts nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idxfold").toString
+    val idx = s"$base/idx"
+    val vecs = (0L until 8L).map(i =>
+      (i, (0 until 64).map(j => (1.0 + i * 0.5 + j * 0.01).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, m = 8,
+      codebookSize = 2, dim = 64)
+    // backlog: two upsert windows (a moved vector + a takedown each)
+    Similarity.upsertIntoIvfPqIndex(
+      vecs.filter(col("vec_id") === 0), Seq(0L, 1L), idx, batchId = 1L)
+    Similarity.upsertIntoIvfPqIndex(
+      vecs.filter(col("vec_id") === 2), Seq(2L, 3L), idx, batchId = 2L)
+    assert(Similarity.indexBacklog(spark, idx) === ((3, 2)))
+    val before = Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(before === Set(0L, 2L, 4L, 5L, 6L, 7L))
+    val r1 = Maintenance.runOnce(spark, 1L, s"$base/report",
+      indexFolds = Seq((idx, 2)))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r1("index_backlog") === ((false, 4L)))
+    assert(r1("index_folded") === ((true, 1L)))
+    assert(Similarity.indexBacklog(spark, idx) === ((1, 0)),
+      "the fold consolidates and the tokens stop applying")
+    assert(Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet === before)
+    // second pass: healthy monitor, no action
+    val r2 = Maintenance.runOnce(spark, 2L, s"$base/report",
+      indexFolds = Seq((idx, 2)))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r2("index_backlog") === ((true, 0L)))
+    assert(r2("index_folded") === ((true, 0L)))
+  }
 }

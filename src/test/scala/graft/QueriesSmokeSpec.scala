@@ -16,6 +16,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("every verdict-style query is all-TRUE at sf0.001") {
+    // construction is lazy, so only (check, ok)-shaped queries execute;
+    // their fixture stores are memoized by the per-query smoke runs
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      if (df.columns.toSeq == Seq("check", "ok")) {
+        val bad = df.collect().filterNot(_.getBoolean(1)).map(_.getString(0))
+        assert(bad.isEmpty, s"$name false verdicts: ${bad.mkString(",")}")
+      }
+    }
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without query impl: $orphans")

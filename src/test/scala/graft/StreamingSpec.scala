@@ -1750,4 +1750,194 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
     assert(got.inputFiles.length < live.values.map(_.size).sum)
   }
+
+  test("change feed: net-window diff, stale writes silent, folds free, touched-only reads") {
+    val base = Files.createTempDirectory("graft-feed").toString
+    val t = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        t, Seq("k"), "version", nBuckets = 4, batchId = id, retain = 8,
+        delta = true)
+    // batch 0: 16 keys; key 2 lands at version 5 (the later stale trap)
+    merge((0L until 16L).map(k => (k, s"p$k", if (k == 2L) 5L else 0L)), 0L)
+    // batch 1: keys 0,1 change; key 16 is new; key 2's v3 arrives STALE
+    merge(Seq((0L, "new0", 1L), (1L, "new1", 1L), (16L, "p16", 0L),
+      (2L, "stale", 3L)), 1L)
+    // batch 2: delete key 3
+    EventStreams.deleteFromTable(spark, t, Seq(3L).toDF("k"), Seq("k"),
+      nBuckets = 4, batchId = 2L, retain = 8)
+    val feed = EventStreams.readChangeFeed(spark, t, 0L, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(feed.toSet === Set((0L, "new0", "upsert"), (1L, "new1", "upsert"),
+      (16L, "p16", "upsert"), (3L, "p3", "delete")),
+      "net window: changed images, new keys, delete pre-image — and the " +
+        "losing stale write for key 2 emits NOTHING")
+    // touched-only evidence: the feed plan opens no file of buckets no
+    // window commit touched
+    val touchedBuckets = Seq(0L, 1L, 2L, 3L, 16L)
+      .toDF("k").withColumn("b", pmod(hash(col("k")), lit(4)))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val scanned = EventStreams.readChangeFeed(spark, t, 0L, Some(2L)).inputFiles
+    assert(scanned.nonEmpty && scanned.forall(f =>
+      touchedBuckets.exists(b => f.contains(s"__bucket=$b/"))))
+    // batch 3: a FOLD — the feed over a fold-only window is empty AND
+    // fileless (skipped from metadata alone)
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 4, 3L, retain = 8)
+    val foldFeed = EventStreams.readChangeFeed(spark, t, 2L, Some(3L))
+    assert(foldFeed.isEmpty && foldFeed.inputFiles.isEmpty,
+      "a tagged fold costs the feed zero data reads")
+    // a window SPANNING the fold still carries the real changes
+    merge(Seq((4L, "new4", 1L)), 4L)
+    val spanning = EventStreams.readChangeFeed(spark, t, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(spanning === Set((3L, "delete"), (4L, "upsert")))
+  }
+
+  test("change feed: cursor pins hold the base snapshot; gaps and regressions fail loudly") {
+    val base = Files.createTempDirectory("graft-feedcur").toString
+    val t = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        t, Seq("k"), "version", nBuckets = 2, batchId = id, retain = 1)
+    merge((0L until 8L).map(k => (k, s"p$k", 0L)), 0L)
+    assert(EventStreams.feedCursor(spark, t, "c1") === None)
+    assert(EventStreams.bootstrapFeedCursor(spark, t, "c1") === 0L)
+    assert(EventStreams.feedCursor(spark, t, "c1") === Some(0L))
+    // retain=1 would normally sweep batch 0's files on the next merge;
+    // the cursor pin holds them, so the feed from 0 stays readable
+    merge(Seq((0L, "x", 1L)), 1L)
+    merge(Seq((1L, "y", 1L)), 2L)
+    val feed = EventStreams.readChangeFeed(spark, t, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(feed.toSet === Set((0L, "x", "upsert"), (1L, "y", "upsert")))
+    // advance: replay no-ops, superseded pin releases, backwards throws
+    assert(EventStreams.advanceFeedCursor(spark, t, "c1", 2L) === 2L)
+    assert(EventStreams.advanceFeedCursor(spark, t, "c1", 2L) === 2L)
+    val pins = EventStreams.listPins(spark, t).keySet
+    assert(pins.contains("feed.c1.2") && !pins.contains("feed.c1.0"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.advanceFeedCursor(spark, t, "c1", 1L)
+    }.getMessage.contains("monotonically"))
+    // a cursor may only land on a committed id
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.advanceFeedCursor(spark, t, "c1", 99L)
+    }.getMessage.contains("COMMITTED"))
+    // prune the chain past a second consumer's base: loud gap
+    assert(EventStreams.advanceFeedCursor(spark, t, "c2", 2L) === 2L)
+    merge(Seq((2L, "z", 1L)), 3L)
+    EventStreams.compactManifests(spark, t, keepLast = 1)
+    val gap = intercept[IllegalStateException] {
+      EventStreams.readChangeFeed(spark, t, 0L)
+    }
+    assert(gap.getMessage.contains("change-feed gap"))
+    // ...but the PINNED cursor's manifest survived the same compaction
+    assert(EventStreams.readChangeFeed(spark, t, 2L)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("feed-driven replica sync converges exactly-once, including deletes and re-syncs") {
+    val base = Files.createTempDirectory("graft-replica").toString
+    val src = s"$base/src"
+    val rep = s"$base/rep"
+    def merge(dir: String, rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        dir, Seq("k"), "version", nBuckets = 4, batchId = id, retain = 4)
+    val seed = (0L until 12L).map(k => (k, s"p$k", 0L))
+    merge(src, seed, 0L)
+    // seed the replica with the same snapshot, cursor at that batch
+    merge(rep, seed, 0L)
+    EventStreams.advanceFeedCursor(spark, src, "rep", 0L)
+    // nothing new: sync no-ops
+    assert(EventStreams.syncReplicaFromFeed(spark, src, rep, "rep",
+      "version", 4) === None)
+    merge(src, Seq((0L, "v1", 1L), (12L, "p12", 0L)), 1L)
+    EventStreams.deleteFromTable(spark, src, Seq(5L).toDF("k"), Seq("k"), 4, 2L,
+      retain = 4)
+    val r1 = EventStreams.syncReplicaFromFeed(spark, src, rep, "rep",
+      "version", 4)
+    assert(r1 === Some((0L, 2L, 2L, 1L)))
+    def rows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(rep) === rows(src))
+    // replayed sync call: cursor is at the watermark — no-op
+    assert(EventStreams.syncReplicaFromFeed(spark, src, rep, "rep",
+      "version", 4) === None)
+    // a second window (including a fold on the source) converges again
+    EventStreams.compactUpsertTable(spark, src, Seq("k"), 4, 3L, retain = 4)
+    merge(src, Seq((1L, "v2", 2L)), 4L)
+    val r2 = EventStreams.syncReplicaFromFeed(spark, src, rep, "rep",
+      "version", 4)
+    assert(r2 === Some((2L, 4L, 1L, 0L)))
+    assert(rows(rep) === rows(src))
+  }
+
+  test("the full serving loop: streaming CDC -> delta table -> change feed -> index sync") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-loop").toString
+    val srcDir = s"$base/cdc"
+    val t = s"$base/t"
+    val idx = s"$base/idx"
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType), StructField("__v", LongType)))
+    def emb(b: Double) = (0 until 64).map(i => (b + i * 0.01).toFloat)
+    def land(rows: Seq[(Long, IndexedSeq[Float], Int, Long)]): Unit =
+      rows.toDF("vec_id", "embedding", "label", "__v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    land((0L until 6L).map(k => (k, emb(1.0 + k * 0.4), 0, 0L)))
+    val q = EventStreams.upsertToParquet(
+      spark.readStream.schema(schema).parquet(srcDir), t,
+      Seq("vec_id"), "__v", nBuckets = 4, retain = 8, delta = true)
+    try {
+      q.processAllAvailable()
+      graft.operators.Similarity.buildIvfPqIndex(
+        EventStreams.readUpsertTable(spark, t), idx,
+        nlist = 2, m = 8, codebookSize = 2, dim = 64)
+      EventStreams.bootstrapFeedCursor(spark, t, "serve")
+      // CDC trickle: vec 0 moves, vec 6 arrives — the stream's next
+      // micro-batch commits it as one O(batch) delta merge, and the
+      // sync pulls exactly that window into the serving index
+      land(Seq((0L, emb(9.0), 0, 1L), (6L, emb(3.1), 0, 0L)))
+      q.processAllAvailable()
+      val r = graft.operators.Similarity.syncIndexFromFeed(spark, t, idx, "serve")
+      assert(r.exists(x => x._3 == 2L && x._4 == 0L))
+      val served = graft.operators.Similarity.indexedVecIds(spark, idx)
+        .collect().map(_.getLong(0)).toSet
+      assert(served === (0L to 6L).toSet)
+      val pv = (0 until 64).map(i => 9.0 + i * 0.01).toArray
+      val top = graft.operators.Similarity
+        .queryIvfPqIndex(spark, idx, Seq((99L, pv)), k = 1, nprobe = 2)
+        .collect()
+      assert(top.head.getLong(1) === 0L, "the moved vector serves at its new position")
+      // drained and synced: both halves are replay-clean no-ops
+      q.processAllAvailable()
+      assert(graft.operators.Similarity
+        .syncIndexFromFeed(spark, t, idx, "serve") === None)
+    } finally q.stop()
+  }
+
+  test("lost-update guard: a publish whose base moved fails loudly and lands nothing") {
+    val base = Files.createTempDirectory("graft-occ").toString
+    val t = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        t, Seq("k"), "version", nBuckets = 2, batchId = id, retain = 4)
+    merge(Seq((0L, "a", 0L)), 0L)
+    merge(Seq((1L, "b", 0L)), 1L)
+    // simulate writer interleaving at the publish layer: a writer that
+    // computed its live set from base 0 (the table has since advanced
+    // to 1) must NOT commit — renaming its manifest over the chain
+    // would drop batch 1's files from the live set
+    val table = new org.apache.hadoop.fs.Path(t)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = intercept[IllegalStateException] {
+      EventStreams.publishManifest(fs, table, 2L, 2,
+        Map(0 -> Seq("gen_0/__bucket=0/nope.parquet")),
+        base = Some(Some(0L)))
+    }
+    assert(stale.getMessage.contains("lost-update guard"))
+    assert(EventStreams.latestCommittedBatchId(spark, t) === Some(1L),
+      "the guarded publish must land nothing")
+    assert(EventStreams.readUpsertTable(spark, t).count() === 2L)
+  }
 }
