@@ -6728,6 +6728,275 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  private val feedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the change-feed lineages q198 decides its verdicts over:
+    * a delta source table whose window holds upserts, a new key, a
+    * LOSING stale write, a delete, a tagged fold, and a WIDENING
+    * commit; a replica seeded at batch 0 and feed-synced twice
+    * (spanning the fold); and a pruned-chain twin for the gap
+    * verdict. All effects commit here once; the query only reads.
+    */
+  private def ensureFeed(spark: SparkSession, dir: String): String =
+    feedStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-feed-q").toString
+      val docs = Tables.documents(spark, dir)
+        .filter(col("doc_id") < 18).select(col("doc_id"),
+          substring(col("text"), 1, 24).as("payload"))
+        .localCheckpoint()
+      def pay(tag: String) = concat(lit(s"$tag:"), col("payload")).as("payload")
+      val t = s"$base/t"
+      val rep = s"$base/rep"
+      def merge(dir0: String, b: DataFrame, id: Long): Unit =
+        streaming.EventStreams.mergeBatchIntoTable(b, dir0, Seq("doc_id"),
+          "__v", nBuckets = 4, batchId = id, retain = 8, delta = true)
+      // b0: keys 0-15; key 2 at version 5 (the stale-write trap)
+      val b0 = docs.filter(col("doc_id") < 16).select(col("doc_id"), pay("b0"),
+        when(col("doc_id") === 2, 5L).otherwise(0L).as("__v"))
+      merge(t, b0, 0L)
+      merge(rep, b0, 0L) // replica seeded with the same snapshot
+      streaming.EventStreams.advanceFeedCursor(spark, t, "rep", 0L)
+      // b1: keys 0,1 change; key 16 is new; key 2's v3 arrives STALE
+      val b1 = docs.filter(col("doc_id") <= 1 || col("doc_id") === 16)
+        .select(col("doc_id"), pay("b1"), lit(1L).as("__v"))
+        .unionByName(docs.filter(col("doc_id") === 2)
+          .select(col("doc_id"), pay("stale"), lit(3L).as("__v")))
+      merge(t, b1, 1L)
+      // b2: delete key 3
+      streaming.EventStreams.deleteFromTable(spark, t,
+        Seq(3L).toDF("doc_id"), Seq("doc_id"), nBuckets = 4, batchId = 2L,
+        retain = 8)
+      // first sync: the replica pulls (0 -> 2]
+      streaming.EventStreams.syncReplicaFromFeed(spark, t, rep, "rep",
+        "__v", nBuckets = 4, retain = 8)
+      // b3: a row-preserving FOLD (tagged; the feed skips it for free)
+      streaming.EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 4,
+        batchId = 3L, retain = 8)
+      // b4: a WIDENING commit — adds `lang`, changes key 4, adds key 17
+      val b4 = docs.filter(col("doc_id") === 4 || col("doc_id") === 17)
+        .select(col("doc_id"), pay("b4"), lit(2L).as("__v"),
+          lit("en").as("lang"))
+      merge(t, b4, 4L)
+      // second sync spans the fold
+      streaming.EventStreams.syncReplicaFromFeed(spark, t, rep, "rep",
+        "__v", nBuckets = 4, retain = 8)
+      // gap twin: three commits, then the chain pruned past batch 0
+      val t2 = s"$base/t2"
+      (0L until 3L).foreach(i => streaming.EventStreams.mergeBatchIntoTable(
+        Seq((i, s"x$i", i)).toDF("doc_id", "payload", "__v"), t2,
+        Seq("doc_id"), "__v", nBuckets = 2, batchId = i))
+      streaming.EventStreams.compactManifests(spark, t2, keepLast = 1)
+      base
+    })
+
+  /** CHANGE FEED ([[streaming.EventStreams.readChangeFeed]] + cursor
+    * pins + [[streaming.EventStreams.syncReplicaFromFeed]]): the
+    * downstream half of CDC — consumers read the NET state change of
+    * a window from only the buckets its commits touched, never the
+    * table. Verdicts, each decided in-query from committed state: the
+    * feed equals an independent full-table diff of the boundary
+    * snapshots (time travel re-derivation); a write that LOSES its
+    * version race emits nothing; a delete emits the key's last-held
+    * image; a tagged fold-only window is empty AND fileless (metadata
+    * skip); the feed's executed scan opened only touched buckets'
+    * files; a widening mid-window aligns both sides to the widened
+    * schema; the feed-synced replica equals the source exactly with a
+    * replayed sync a no-op and the cursor pinned at the watermark
+    * (superseded cursor pins released); a cursor moving backwards
+    * fails loudly; and a consumer whose base was pruned gets the loud
+    * gap error, not a guess.
+    */
+  def q198ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureFeed(spark, dir)
+    import streaming.EventStreams
+    val t = s"$base/t"
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val feed = EventStreams.readChangeFeed(spark, t, 0L, Some(4L))
+      .localCheckpoint()
+    // independent re-derivation: full-table diff of the two boundary
+    // snapshots via time travel (the feed must equal it while reading
+    // only touched buckets)
+    val full0 = EventStreams.readUpsertTableAt(spark, t, 0L)
+    val full4 = EventStreams.readUpsertTableAt(spark, t, 4L)
+    val full0A = full4.schema.fields.foldLeft(full0) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(full4.columns.map(col).toSeq: _*)
+    val expected = full4.exceptAll(full0A)
+      .withColumn("_change_type", lit("upsert"))
+      .unionByName(full0A.join(full4.select("doc_id"), Seq("doc_id"),
+        "left_anti").withColumn("_change_type", lit("delete")))
+    val exactDiff = eq(feed, expected)
+    val stale = feed.filter(col("doc_id") === 2).isEmpty
+    val delRow = feed.filter(col("_change_type") === "delete").collect()
+    val delImage = delRow.length == 1 && delRow.head.getLong(0) == 3L &&
+      delRow.head.getString(1).startsWith("b0:") &&
+      delRow.head.isNullAt(delRow.head.fieldIndex("lang"))
+    val foldFeed = EventStreams.readChangeFeed(spark, t, 2L, Some(3L))
+    val foldFree = foldFeed.isEmpty && foldFeed.inputFiles.isEmpty
+    val touchedKeys = Seq(0L, 1L, 2L, 3L, 4L, 16L, 17L)
+    val wantBuckets = touchedKeys.toDF("doc_id")
+      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+      .select("b").distinct().collect().map(_.getInt(0)).toSet
+    val scanned = EventStreams.readChangeFeed(spark, t, 0L, Some(4L)).inputFiles
+    val touchedOnly = scanned.nonEmpty &&
+      scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
+    val widened = feed.filter(col("doc_id") === 17).collect() match {
+      case Array(r) => r.getString(r.fieldIndex("lang")) == "en" &&
+        r.getString(r.fieldIndex("_change_type")) == "upsert"
+      case _ => false
+    }
+    val rep = s"$base/rep"
+    val replicaEq = eq(
+      EventStreams.readUpsertTable(spark, rep),
+      EventStreams.readUpsertTable(spark, t))
+    // a replayed sync commits nothing (cursor already at the watermark)
+    val replay = EventStreams.syncReplicaFromFeed(spark, t, rep, "rep",
+      "__v", nBuckets = 4).isEmpty &&
+      EventStreams.feedCursor(spark, t, "rep").contains(4L)
+    val pins = EventStreams.listPins(spark, t).keySet
+    val pinned = pins.contains("feed.rep.4") &&
+      !pins.exists(l => l.startsWith("feed.rep.") && l != "feed.rep.4")
+    val monotone =
+      try { EventStreams.advanceFeedCursor(spark, t, "rep", 2L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("monotonically") }
+    val gap =
+      try { EventStreams.readChangeFeed(spark, s"$base/t2", 0L); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("change-feed gap") }
+    Seq(
+      ("feed_equals_boundary_diff", exactDiff),
+      ("losing_write_emits_nothing", stale),
+      ("delete_emits_last_image", delImage),
+      ("fold_window_is_free", foldFree),
+      ("feed_reads_only_touched_buckets", touchedOnly),
+      ("widening_window_aligns", widened),
+      ("replica_converges", replicaEq),
+      ("replayed_sync_noops_cursor_pinned", replay && pinned),
+      ("cursor_regression_fails_loudly", monotone),
+      ("pruned_base_fails_loudly", gap))
+      .toDF("check", "ok")
+  }
+
+  private val idxFeedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Commit the feed→index serving-loop lineage q199 reads: an
+    * embeddings upsert table (the corpus of record), an IVF-PQ index
+    * built from its batch-0 snapshot, then two feed-synced windows —
+    * one with a moved vector + a new vector + a takedown, one
+    * takedown-only (the removal-only commit path).
+    */
+  private def ensureIdxFeed(spark: SparkSession, dir: String): String =
+    idxFeedStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-idxfeed-q").toString
+      val src = s"$base/src"
+      val idx = s"$base/idx"
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint()
+      def merge(b: DataFrame, id: Long): Unit =
+        streaming.EventStreams.mergeBatchIntoTable(b, src, Seq("vec_id"),
+          "__v", nBuckets = 4, batchId = id, retain = 8, delta = true)
+      merge(e.filter(col("vec_id") < 24).withColumn("__v", lit(0L)), 0L)
+      operators.Similarity.buildIvfPqIndex(
+        streaming.EventStreams.readUpsertTable(spark, src), idx)
+      streaming.EventStreams.bootstrapFeedCursor(spark, src, "idx")
+      // window 1: vec 0 MOVES onto vec 1's embedding (the frozen-encode
+      // equality q199 asserts), vec 24 arrives with vec 30's embedding,
+      // vec 5 is taken down
+      val emb1 = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val b1 = e.filter(col("vec_id") === 30)
+        .select(lit(24L).as("vec_id"), col("label"), col("embedding"),
+          lit(0L).as("__v"))
+        .unionByName(e.filter(col("vec_id") === 1)
+          .select(lit(0L).as("vec_id"), col("label"), col("embedding"),
+            lit(1L).as("__v")))
+      merge(b1, 1L)
+      streaming.EventStreams.deleteFromTable(spark, src,
+        Seq(5L).toDF("vec_id"), Seq("vec_id"), nBuckets = 4, batchId = 2L,
+        retain = 8)
+      operators.Similarity.syncIndexFromFeed(spark, src, idx, "idx")
+      // window 2: takedown only (no replacements — the manifest-advance
+      // commit branch)
+      streaming.EventStreams.deleteFromTable(spark, src,
+        Seq(7L).toDF("vec_id"), Seq("vec_id"), nBuckets = 4, batchId = 3L,
+        retain = 8)
+      operators.Similarity.syncIndexFromFeed(spark, src, idx, "idx")
+      base
+    })
+
+  /** FEED→INDEX SERVING LOOP
+    * ([[operators.Similarity.syncIndexFromFeed]] over
+    * [[operators.Similarity.upsertIntoIvfPqIndex]]): the 100 TB
+    * freshness story end to end — CDC commits into the corpus table,
+    * the change feed hands the index exactly the changed window, the
+    * index hides the changed keys' old codes (O(changed) removal
+    * token) and appends the replacements encoded under the FROZEN
+    * artifacts (O(changed) data), never rewriting or rescanning
+    * either side. Verdicts, decided in-query from committed state:
+    * the index's served id set equals the table's current keys; both
+    * taken-down vectors never serve; the moved vector's new code
+    * equals its twin's (identical input ⇒ identical ADC distance —
+    * the frozen-artifact equality); a pre-sync audit boundary still
+    * sees the original id set (removals respect the watermark they
+    * committed at); a replayed sync commits nothing with the cursor
+    * pinned at the source watermark; the removal-only window advanced
+    * the codes watermark without a data write; and the appended batch
+    * dir holds exactly the window's upserted rows (physical O(changed)
+    * evidence).
+    */
+  def q199IndexFeedSync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureIdxFeed(spark, dir)
+    import streaming.EventStreams
+    val src = s"$base/src"
+    val idx = s"$base/idx"
+    val tableIds = EventStreams.readUpsertTable(spark, src)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val served = operators.Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    val coverage = served == tableIds && tableIds.contains(24L) &&
+      !tableIds.contains(5L)
+    val takedowns = !served.contains(5L) && !served.contains(7L)
+    // frozen-encode equality: vec 0 moved ONTO vec 1's embedding, so
+    // their served codes — hence their ADC distances to any probe —
+    // must be identical
+    val e = Tables.embeddings(spark, dir)
+    val pv = e.filter(col("vec_id") === 1).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val top = operators.Similarity
+      .queryIvfPqIndex(spark, idx, Seq((999L, pv)), k = 4, nprobe = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val frozen = top.contains(0L) && top.contains(1L) && top(0L) == top(1L)
+    val pastIntact = operators.Similarity
+      .indexedVecIdsBefore(spark, idx, 1L)
+      .collect().map(_.getLong(0)).toSet == (0L until 24L).toSet
+    val replay = operators.Similarity
+      .syncIndexFromFeed(spark, src, idx, "idx").isEmpty &&
+      EventStreams.feedCursor(spark, src, "idx").contains(3L)
+    val wm = operators.Similarity.codesHighWater(spark, idx)
+    val removalOnly = wm.exists(_._1 == 3L) &&
+      wm.exists(!_._2.exists(_ == "batch=3"))
+    val appended = spark.read.parquet(s"$idx/codes/batch=2").count() == 2L
+    Seq(
+      ("index_coverage_tracks_table", coverage),
+      ("takedowns_never_serve", takedowns),
+      ("frozen_encode_identical_codes", frozen),
+      ("presync_audit_boundary_intact", pastIntact),
+      ("replayed_sync_noops_cursor_pinned", replay),
+      ("removal_only_commit_no_data_write", removalOnly),
+      ("appended_batch_is_window_sized", appended))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -6923,6 +7192,8 @@ object SparkEntry {
     "q195_delta_merge" -> (q195DeltaMerge _),
     "q196_keyed_read" -> (q196KeyedRead _),
     "q197_zonemap_read" -> (q197ZonemapRead _),
+    "q198_change_feed" -> (q198ChangeFeed _),
+    "q199_index_feed_sync" -> (q199IndexFeedSync _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -8318,6 +8589,27 @@ object SparkEntry {
         |  ('uncontracted_column_stays_exact'),
         |  ('fold_inherits_the_contract'),
         |  ('backup_restore_keeps_pruning')) t(c)""".stripMargin,
+    "q198_change_feed" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('feed_equals_boundary_diff'),
+        |  ('losing_write_emits_nothing'),
+        |  ('delete_emits_last_image'),
+        |  ('fold_window_is_free'),
+        |  ('feed_reads_only_touched_buckets'),
+        |  ('widening_window_aligns'),
+        |  ('replica_converges'),
+        |  ('replayed_sync_noops_cursor_pinned'),
+        |  ('cursor_regression_fails_loudly'),
+        |  ('pruned_base_fails_loudly')) t(c)""".stripMargin,
+    "q199_index_feed_sync" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('index_coverage_tracks_table'),
+        |  ('takedowns_never_serve'),
+        |  ('frozen_encode_identical_codes'),
+        |  ('presync_audit_boundary_intact'),
+        |  ('replayed_sync_noops_cursor_pinned'),
+        |  ('removal_only_commit_no_data_write'),
+        |  ('appended_batch_is_window_sized')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -83,7 +83,10 @@ object ScaleCurve {
       // round 14: delta merges (write-amp fix; DeltaScale has the
       // eager-vs-delta merge curve itself) + the pruned point read +
       // zone maps (ZoneScale has the files-opened pruning curve)
-      "q195_delta_merge", "q196_keyed_read", "q197_zonemap_read")
+      "q195_delta_merge", "q196_keyed_read", "q197_zonemap_read",
+      // round 14 (cont.): the change feed + the feed→index serving
+      // loop (FeedScale has the feed-vs-full-diff files/time curve)
+      "q198_change_feed", "q199_index_feed_sync")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")
