@@ -6629,6 +6629,35 @@ object SparkEntry {
         s"$base/bak")
       streaming.EventStreams.restoreUpsertTable(spark, s"$base/bak",
         s"$base/zr", batchId = 5L)
+      // metadata-aggregates fixtures (q200): a contracted table that
+      // then DELETES (the metadata count must track the commit), and a
+      // contract-free twin that must refuse
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 40L).map(k => (k, k * 7L, 0L)).toDF("doc_id", "n", "__v"),
+        s"$base/zc", Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L,
+        statsCols = Some(Seq("n")))
+      streaming.EventStreams.deleteFromTable(spark, s"$base/zc",
+        Seq(0L, 39L).toDF("doc_id"), Seq("doc_id"), nBuckets = 4,
+        batchId = 1L)
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 10L).map(k => (k, k, 0L)).toDF("doc_id", "n", "__v"),
+        s"$base/zn", Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L)
+      // z-order fixtures (q201): the SAME two-dimension data folded
+      // z-ordered vs lexicographic — (x, y) are independent grids, so
+      // a lexicographic sort on x leaves y scattered across every file
+      val grid = (0L until 256L).map(k =>
+        (k, (k % 16L) * 10L, (k / 16L) * 10L, 0L))
+        .toDF("doc_id", "x", "y", "__v")
+      Seq("zz", "zlex").foreach { t =>
+        streaming.EventStreams.mergeBatchIntoTable(grid, s"$base/$t",
+          Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L,
+          statsCols = Some(Seq("x", "y")))
+      }
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zz",
+        Seq("doc_id"), 2, 1L, maxRecordsPerFile = 16,
+        zOrderBy = Seq("x", "y"))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zlex",
+        Seq("doc_id"), 2, 1L, sortBy = Seq("x"), maxRecordsPerFile = 16)
       base
     })
 
@@ -6997,6 +7026,126 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** METADATA-ONLY AGGREGATES
+    * ([[streaming.EventStreams.tableRowCountFromStats]] /
+    * [[streaming.EventStreams.tableBoundsFromStats]]): every
+    * stats-bearing commit records each file's row count next to its
+    * column ranges, so `count(*)` and contracted-column `min`/`max`
+    * fold from the manifest — on 100 TB, one tiny-object read instead
+    * of a table scan. Exactness over speed: the API REFUSES (None) on
+    * any snapshot where metadata cannot prove the answer — a
+    * reconcile-bearing delta snapshot (superseded versions would
+    * double-count), an uncontracted column, a table without a stats
+    * contract. Verdicts, decided in-query from committed state: the
+    * metadata count equals the scan count on a table that COMMITTED A
+    * DELETE after its build (counts track commits, not builds); the
+    * metadata bounds equal the scan's min/max exactly; a delta
+    * snapshot refuses; an uncontracted column refuses; a
+    * contract-free table refuses; a FOLDED delta table (contract
+    * inherited through the fold) answers again; and a DR-restored
+    * table carries its counts across the re-home.
+    */
+  def q200MetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    def dec(s: String) = new java.math.BigDecimal(s)
+    val zc = s"$base/zc"
+    val zcFull = EventStreams.readUpsertTable(spark, zc).localCheckpoint()
+    val zcScan = zcFull.agg(count(lit(1)), min(col("n")), max(col("n"))).head()
+    val countsMatch =
+      EventStreams.tableRowCountFromStats(spark, zc).contains(zcScan.getLong(0)) &&
+        zcScan.getLong(0) == 38L // the delete really committed
+    val zcBounds = EventStreams.tableBoundsFromStats(spark, zc, "n")
+    val boundsMatch = zcBounds.exists {
+      case (Some(lo), Some(hi)) =>
+        dec(lo).compareTo(java.math.BigDecimal.valueOf(zcScan.getLong(1))) == 0 &&
+          dec(hi).compareTo(java.math.BigDecimal.valueOf(zcScan.getLong(2))) == 0
+      case _ => false
+    }
+    val deltaRefuses =
+      EventStreams.tableRowCountFromStats(spark, s"$base/zd").isEmpty &&
+        EventStreams.tableBoundsFromStats(spark, s"$base/zd", "n").isEmpty
+    val uncontractedRefuses =
+      EventStreams.tableBoundsFromStats(spark, zc, "doc_id").isEmpty
+    val noContractRefuses =
+      EventStreams.tableRowCountFromStats(spark, s"$base/zn").isEmpty
+    val zdf = s"$base/zdf"
+    val zdfScan = EventStreams.readUpsertTable(spark, zdf)
+      .agg(count(lit(1)), min(col("n")), max(col("n"))).head()
+    val foldAnswers =
+      EventStreams.tableRowCountFromStats(spark, zdf).contains(zdfScan.getLong(0)) &&
+        EventStreams.tableBoundsFromStats(spark, zdf, "n").exists {
+          case (Some(lo), Some(hi)) =>
+            dec(lo).longValueExact() == zdfScan.getLong(1) &&
+              dec(hi).longValueExact() == zdfScan.getLong(2)
+          case _ => false
+        }
+    val zr = s"$base/zr"
+    val restoreCarries = EventStreams.tableRowCountFromStats(spark, zr)
+      .contains(EventStreams.readUpsertTable(spark, zr).count())
+    Seq(
+      ("count_equals_scan_after_delete", countsMatch),
+      ("bounds_equal_scan", boundsMatch),
+      ("delta_snapshot_refuses", deltaRefuses),
+      ("uncontracted_column_refuses", uncontractedRefuses),
+      ("contract_free_table_refuses", noContractRefuses),
+      ("fold_restores_the_answer", foldAnswers),
+      ("restore_carries_counts", restoreCarries))
+      .toDF("check", "ok")
+  }
+
+  /** Z-ORDER CLUSTERING ([[streaming.EventStreams.compactUpsertTable]]
+    * `zOrderBy`): quantile-ranked bit-interleaved fold ordering, so
+    * the zone maps prune range reads on EVERY z-ordered column — the
+    * layout for a 100 TB table sliced by time AND by quality score.
+    * The fixture folds the SAME two-dimension grid z-ordered and
+    * lexicographic-on-x. Verdicts, decided in-query from the committed
+    * layouts and the executed scans' inputFiles: both layouts return
+    * exactly the filter's rows on both dimensions (clustering never
+    * changes answers); the z-ordered read prunes files on x AND on y;
+    * the lexicographic twin prunes on its leading column but opens
+    * MORE files than the z-order for the same y-slice (strictly —
+    * the claim that motivates the feature); and the two folds hold
+    * identical rows (ordering is physical only).
+    */
+  def q201ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.ColBound
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val zz = s"$base/zz"
+    val zlex = s"$base/zlex"
+    def live(t: String) = EventStreams.tableManifest(spark, t)
+      .values.map(_.size).sum
+    def slice(t: String, c: String) = EventStreams.readUpsertTableWhere(
+      spark, t, Seq(ColBound(c, Some("40"), Some("60"))))
+    def opened(t: String, c: String) = slice(t, c).inputFiles.length
+    val full = EventStreams.readUpsertTable(spark, zz)
+    val exact =
+      eq(slice(zz, "x"), full.filter(col("x").between(40L, 60L))) &&
+        eq(slice(zz, "y"), full.filter(col("y").between(40L, 60L))) &&
+        eq(slice(zlex, "x"),
+          EventStreams.readUpsertTable(spark, zlex)
+            .filter(col("x").between(40L, 60L))) &&
+        eq(slice(zlex, "y"),
+          EventStreams.readUpsertTable(spark, zlex)
+            .filter(col("y").between(40L, 60L)))
+    val zPrunesBoth = opened(zz, "x") < live(zz) && opened(zz, "y") < live(zz)
+    val lexLeadingPrunes = opened(zlex, "x") < live(zlex)
+    val zBeatsLexOnSecondDim = opened(zz, "y") < opened(zlex, "y")
+    val samePhysicalRows = eq(full, EventStreams.readUpsertTable(spark, zlex))
+    Seq(
+      ("clustering_never_changes_answers", exact),
+      ("zorder_prunes_on_both_dimensions", zPrunesBoth),
+      ("lex_prunes_on_leading_column", lexLeadingPrunes),
+      ("zorder_beats_lex_on_second_dimension", zBeatsLexOnSecondDim),
+      ("folds_hold_identical_rows", samePhysicalRows))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -7194,6 +7343,8 @@ object SparkEntry {
     "q197_zonemap_read" -> (q197ZonemapRead _),
     "q198_change_feed" -> (q198ChangeFeed _),
     "q199_index_feed_sync" -> (q199IndexFeedSync _),
+    "q200_meta_agg" -> (q200MetaAgg _),
+    "q201_zorder" -> (q201ZOrder _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -8610,6 +8761,22 @@ object SparkEntry {
         |  ('replayed_sync_noops_cursor_pinned'),
         |  ('removal_only_commit_no_data_write'),
         |  ('appended_batch_is_window_sized')) t(c)""".stripMargin,
+    "q200_meta_agg" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('count_equals_scan_after_delete'),
+        |  ('bounds_equal_scan'),
+        |  ('delta_snapshot_refuses'),
+        |  ('uncontracted_column_refuses'),
+        |  ('contract_free_table_refuses'),
+        |  ('fold_restores_the_answer'),
+        |  ('restore_carries_counts')) t(c)""".stripMargin,
+    "q201_zorder" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('clustering_never_changes_answers'),
+        |  ('zorder_prunes_on_both_dimensions'),
+        |  ('lex_prunes_on_leading_column'),
+        |  ('zorder_beats_lex_on_second_dimension'),
+        |  ('folds_hold_identical_rows')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -62,7 +62,10 @@ object Maintenance {
     *     rebalance-leg idempotence shape). A `clusterBy` entry
     *     (tableDir -> (sortBy, maxRecordsPerFile)) makes the fold a
     *     CLUSTERED rewrite: a CDC trickle dulls sort order and the
-    *     nightly fold re-sharpens the zone maps' per-file ranges;
+    *     nightly fold re-sharpens the zone maps' per-file ranges; a
+    *     `zClusterBy` entry (tableDir -> (zOrderBy, maxRecordsPerFile))
+    *     is the multi-dimension variant — the fold Z-ORDERS the
+    *     rewrite so range reads prune on every named column;
     *   - `indexFolds`: (indexDir, maxPending) the same monitor-gated
     *     fold for a serving IVF-PQ index's INCREMENTAL backlog
     *     ([[Similarity.upsertIntoIvfPqIndex]] defers physical work to
@@ -135,7 +138,8 @@ object Maintenance {
               indexHeal: Option[(DataFrame, Int, Int, Int, Int)] = None,
               folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty,
               clusterBy: Map[String, (Seq[String], Long)] = Map.empty,
-              indexFolds: Seq[(String, Int)] = Seq.empty): DataFrame = {
+              indexFolds: Seq[(String, Int)] = Seq.empty,
+              zClusterBy: Map[String, (Seq[String], Long)] = Map.empty): DataFrame = {
     import spark.implicits._
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
@@ -173,6 +177,10 @@ object Maintenance {
       require(maxPending >= 1,
         s"index-fold maxPending must be >= 1, got $maxPending")
     }
+    val bothClustered = clusterBy.keySet.intersect(zClusterBy.keySet)
+    require(bothClustered.isEmpty,
+      s"tables ${bothClustered.mkString(", ")} have both clusterBy and " +
+        "zClusterBy entries; a fold sorts one way — pick one")
     takeRunLock(spark, reportDir, runId)
     // a THROWN failure in this JVM is not a crash: release the lock on
     // the way out so a corrected retry (or another runId) is not wedged
@@ -214,10 +222,15 @@ object Maintenance {
         // a CDC trickle dulls sort clustering (delta files land in
         // arrival order); a clusterBy entry re-sharpens it on every
         // fold, so the table's zone maps keep pruning night after
-        // night (statsCols inherit through the manifest contract)
+        // night (statsCols inherit through the manifest contract).
+        // zClusterBy is the multi-dimension variant (z-ordered fold:
+        // range reads prune on every named column)
         val (sortBy, maxRec) = clusterBy.getOrElse(dir, (Nil, 0L))
+        val (zBy, zMax) = zClusterBy.getOrElse(dir, (Nil, 0L))
         EventStreams.compactUpsertTable(spark, dir, keyCols, nBuckets, id,
-          retain = retain, sortBy = sortBy, maxRecordsPerFile = maxRec)
+          retain = retain, sortBy = sortBy,
+          maxRecordsPerFile = if (zBy.nonEmpty) zMax else maxRec,
+          zOrderBy = zBy)
       }
       rows += ((runId, label, "fold_compacted", true, if (acted) 1L else 0L))
     }

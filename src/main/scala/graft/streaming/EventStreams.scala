@@ -1113,18 +1113,32 @@ object EventStreams {
       val dt = df.schema(c).dataType
       Seq(statValue(min(col(c)), dt, c).as(s"__mn_$c"),
         statValue(max(col(c)), dt, c).as(s"__mx_$c"))
-    }
+    } :+ count(lit(1)).cast("string").as(statsRowsKey)
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
       val f = r.getString(0)
       rels.find(rel => f.endsWith("/" + rel)).map { rel =>
-        rel -> present.zipWithIndex.map { case (c, i) =>
+        rel -> (present.zipWithIndex.map { case (c, i) =>
           c -> (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
         }.toMap
+          // per-file ROW COUNT as a reserved pseudo-column (lo = hi =
+          // count): rides the same shard serialization, pointer-reuse
+          // carry, and backup re-key as the real columns — what the
+          // metadata-only aggregates read
+          + (statsRowsKey -> {
+            val n = Option(r.getString(1 + 2 * present.size))
+            (n, n)
+          }))
       }
     }.toMap
   }
+
+  /** Reserved stats pseudo-column holding each file's row count
+    * (lo = hi = count). Never a probe column — range reads iterate the
+    * PROBE's columns, so the entry is invisible to pruning.
+    */
+  private val statsRowsKey = "__rows"
 
   /** Serialize a shard/manifest's stats section. Values are base64 of
     * the canonical string (stat values are arbitrary user data — quotes
@@ -1236,6 +1250,65 @@ object EventStreams {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     manifestList(fs, table).lastOption
       .map(manifestFileStats(fs, _)).getOrElse(Map.empty)
+  }
+
+  /** METADATA-ONLY ROW COUNT: the table's exact count from the
+    * manifest's per-file row counts (recorded by every stats-bearing
+    * r14+ commit) — `SELECT count(*)` on 100 TB as one manifest read,
+    * zero data files opened. None when the answer cannot be proven
+    * from metadata: no manifest, a reconcile-bearing snapshot (stacked
+    * superseded versions would double-count — fold first), or any live
+    * file without a recorded count (pre-stats commits, tables without
+    * a stats contract). Refusal over guessing: callers fall back to
+    * the scan.
+    */
+  def tableRowCountFromStats(spark: SparkSession,
+                             tableDir: String): Option[Long] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = manifestList(fs, table).lastOption.getOrElse(return None)
+    if (manifestReconcile(fs, m).isDefined) return None
+    val files = readManifest(fs, m)._2.values.flatten.toSeq
+    if (files.isEmpty) return Some(0L) // committed empty: a real zero
+    val stats = manifestFileStats(fs, m)
+    val counts = files.map(rel =>
+      stats.get(rel).flatMap(_.get(statsRowsKey)).flatMap(_._1))
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map(_.toLong).sum)
+  }
+
+  /** METADATA-ONLY MIN/MAX of a contracted column: the table's exact
+    * bounds folded from the manifest's per-file ranges — one manifest
+    * read plus ONE footer (the column's type drives the comparison;
+    * numeric canonical strings must not compare lexicographically).
+    * Some((None, None)) = the column is entirely NULL in a non-empty
+    * table. None = not provable from metadata: no manifest, a
+    * reconcile-bearing snapshot (a superseded version could hold the
+    * extremum), or any live file without a recorded range for this
+    * column (uncontracted column, pre-stats or pre-widening files).
+    * Deletes stay exact: touched buckets re-stat on rewrite, so dead
+    * rows' values never linger in the fold.
+    */
+  def tableBoundsFromStats(spark: SparkSession, tableDir: String,
+                           column: String): Option[(Option[String], Option[String])] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = manifestList(fs, table).lastOption.getOrElse(return None)
+    if (manifestReconcile(fs, m).isDefined) return None
+    val files = readManifest(fs, m)._2.values.flatten.toSeq
+    if (files.isEmpty) return None // empty table: no bounds to state
+    val stats = manifestFileStats(fs, m)
+    val entries = files.map(rel => stats.get(rel).flatMap(_.get(column)))
+    if (entries.exists(_.isEmpty)) return None
+    val dt = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(table, files.head).toString)
+      .schema.find(_.name == column).map(_.dataType).getOrElse(return None)
+    val los = entries.flatten.flatMap(_._1)
+    val his = entries.flatten.flatMap(_._2)
+    if (los.isEmpty || his.isEmpty) Some((None, None)) // entirely null
+    else Some((
+      Some(los.reduce((a, b) => if (statCompare(dt, a, b) <= 0) a else b)),
+      Some(his.reduce((a, b) => if (statCompare(dt, a, b) >= 0) a else b))))
   }
 
   /** RANGE READ WITH ZONE-MAP PRUNING: the snapshot filtered to
@@ -1589,7 +1662,11 @@ object EventStreams {
     * together they give each file a TIGHT, near-disjoint range on the
     * sort columns, which is what makes the zone maps
     * ([[readUpsertTableWhere]]) prune: a time-sorted 100 TB table
-    * answers a one-day slice from the day's files. `statsCols` follows
+    * answers a one-day slice from the day's files. `zOrderBy` is the
+    * MULTI-DIMENSION alternative ([[zOrderValue]]): quantile-ranked
+    * bit-interleaved ordering, so range reads prune on EVERY named
+    * column, not just the lexicographic sort's leading one — the
+    * "slice by time AND by quality score" layout. `statsCols` follows
     * the merge convention (None inherits the table's recorded
     * contract), so a nightly fold keeps the pruning it found.
     */
@@ -1597,7 +1674,8 @@ object EventStreams {
                          keyCols: Seq[String], nBuckets: Int, batchId: Long,
                          retain: Int = 1, sortBy: Seq[String] = Nil,
                          maxRecordsPerFile: Long = 0,
-                         statsCols: Option[Seq[String]] = None): Unit = {
+                         statsCols: Option[Seq[String]] = None,
+                         zOrderBy: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val table = new Path(tableDir)
@@ -1627,10 +1705,15 @@ object EventStreams {
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
     val genName = s"gen_$batchId"
     val genDir = new Path(table, genName)
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "pass sortBy (lexicographic) OR zOrderBy (multi-dimension), not both")
     val partitioned = current
       .repartition(math.max(1, live.size), col(upsertBucketCol))
     val clustered =
-      if (sortBy.isEmpty) partitioned
+      if (zOrderBy.nonEmpty)
+        partitioned.sortWithinPartitions(
+          col(upsertBucketCol), zOrderValue(current, zOrderBy))
+      else if (sortBy.isEmpty) partitioned
       else partitioned.sortWithinPartitions(
         (upsertBucketCol +: sortBy).map(col): _*)
     val writer = clustered.write.mode("overwrite").partitionBy(upsertBucketCol)
@@ -1663,6 +1746,55 @@ object EventStreams {
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
       base = Some(Some(committed._1)), kind = Some("fold"))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
+  /** Z-VALUE of a row over `cols` — the multi-dimension clustering key
+    * ([[compactUpsertTable]] `zOrderBy`): each column ranks into 8 bits
+    * against its own approx-quantile boundaries (equi-DEPTH, so skewed
+    * distributions still spread across ranks; one aggregate computes
+    * all columns' boundaries), and the rank bits INTERLEAVE so no
+    * dimension dominates the sort order. Sorting on this one value
+    * gives every data file a tight recorded range on EVERY z-ordered
+    * column — the zone maps then prune range reads on any of them,
+    * where a lexicographic sort serves only its leading column.
+    * Codegen-friendly: a literal-array rank probe (size∘filter) plus a
+    * shift/or chain — no UDF, no window, no extra shuffle (the sort is
+    * the fold's existing within-partition sort). NULLs rank lowest.
+    */
+  private def zOrderValue(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size <= 7,
+      s"zOrderBy takes 1-7 columns, got ${cols.size}")
+    cols.foreach { c =>
+      require(df.columns.contains(c),
+        s"zOrderBy column '$c' is not in the table")
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt == DateType ||
+        dt == TimestampType,
+        s"zOrderBy column '$c' is $dt; z-ranking needs a " +
+          "numeric/date/timestamp column")
+    }
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    // one aggregate for every column's 255 cut points; the collect is
+    // 255 x |cols| doubles — driver-bounded by contract
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"),
+      typedLit(probs.toSeq), lit(10000)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds: Seq[Seq[Double]] = cols.indices.map { i =>
+      if (row.isNullAt(i)) Seq.empty[Double] else row.getSeq[Double](i)
+    }
+    val k = cols.size
+    val ranks = cols.zip(bounds).map { case (c, bs) =>
+      if (bs.isEmpty) lit(0L) // all-null column: constant rank
+      else {
+        val d = col(c).cast("double")
+        // rank = #boundaries at or below the value (0..255); a NULL
+        // value nulls every predicate, filter drops all, rank 0
+        size(filter(typedLit(bs), b => d.geq(b))).cast("long")
+      }
+    }
+    val terms = for { i <- 0 until 8; j <- 0 until k } yield
+      shiftleft(shiftright(ranks(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
   }
 
   /** Bound the manifest CHAIN: drop manifest files older than the newest

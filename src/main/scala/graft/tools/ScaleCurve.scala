@@ -85,8 +85,10 @@ object ScaleCurve {
       // zone maps (ZoneScale has the files-opened pruning curve)
       "q195_delta_merge", "q196_keyed_read", "q197_zonemap_read",
       // round 14 (cont.): the change feed + the feed→index serving
-      // loop (FeedScale has the feed-vs-full-diff files/time curve)
-      "q198_change_feed", "q199_index_feed_sync")
+      // loop (FeedScale has the feed-vs-full-diff files/time curve),
+      // metadata-only aggregates, z-order clustering
+      "q198_change_feed", "q199_index_feed_sync", "q200_meta_agg",
+      "q201_zorder")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

@@ -1916,6 +1916,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("z-order fold: range reads prune on BOTH z-ordered columns; guards validate") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val t = s"$base/t"
+    val grid = (0L until 64L).map(k => (k, (k % 8L) * 10L, (k / 8L) * 10L, "s", 0L))
+      .toDF("k", "x", "y", "s", "version")
+    EventStreams.mergeBatchIntoTable(grid, t, Seq("k"), "version",
+      nBuckets = 1, batchId = 0L, statsCols = Some(Seq("x", "y")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      maxRecordsPerFile = 8, zOrderBy = Seq("x", "y"))
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live === 8)
+    def slice(c: String) = EventStreams.readUpsertTableWhere(spark, t,
+      Seq(EventStreams.ColBound(c, Some("20"), Some("30"))))
+    val full = EventStreams.readUpsertTable(spark, t)
+    Seq("x", "y").foreach { c =>
+      val got = slice(c)
+      val want = full.filter(col(c).between(20L, 30L))
+      assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
+      assert(got.inputFiles.length < live,
+        s"the $c-slice must prune under the z-order layout")
+    }
+    // a lexicographic x-sort of the SAME data cannot prune on y
+    val t2 = s"$base/t2"
+    EventStreams.mergeBatchIntoTable(grid, t2, Seq("k"), "version",
+      nBuckets = 1, batchId = 0L, statsCols = Some(Seq("x", "y")))
+    EventStreams.compactUpsertTable(spark, t2, Seq("k"), 1, 1L,
+      maxRecordsPerFile = 8, sortBy = Seq("x"))
+    val lexY = EventStreams.readUpsertTableWhere(spark, t2,
+      Seq(EventStreams.ColBound("y", Some("20"), Some("30"))))
+    assert(slice("y").inputFiles.length < lexY.inputFiles.length)
+    // guards: one ordering per fold; z-ranks need an ordered cast
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 2L,
+        sortBy = Seq("x"), zOrderBy = Seq("y"))
+    }.getMessage.contains("not both"))
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 2L,
+        zOrderBy = Seq("s"))
+    }.getMessage.contains("numeric"))
+  }
+
   test("lost-update guard: a publish whose base moved fails loudly and lands nothing") {
     val base = Files.createTempDirectory("graft-occ").toString
     val t = s"$base/t"
