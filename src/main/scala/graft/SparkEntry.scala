@@ -6658,6 +6658,27 @@ object SparkEntry {
         zOrderBy = Seq("x", "y"))
       streaming.EventStreams.compactUpsertTable(spark, s"$base/zlex",
         Seq("doc_id"), 2, 1L, sortBy = Seq("x"), maxRecordsPerFile = 16)
+      // bloom fixtures (q202): a high-cardinality UNSORTED string
+      // column (ranges useless, only the sketch prunes), folded, a
+      // delta twin whose probed value MOVES, and a DR restore
+      val ub = (0L until 128L).map(k =>
+        (k, s"u${(k * 2654435761L) % 100000}", 0L)).toDF("doc_id", "u", "__v")
+      streaming.EventStreams.mergeBatchIntoTable(ub, s"$base/zb",
+        Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L,
+        bloomCols = Some(Seq("u")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zb",
+        Seq("doc_id"), 2, 1L, maxRecordsPerFile = 16)
+      streaming.EventStreams.mergeBatchIntoTable(ub, s"$base/zbd",
+        Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 2,
+        delta = true, bloomCols = Some(Seq("u")))
+      streaming.EventStreams.mergeBatchIntoTable(
+        Seq((77L, "moved", 1L)).toDF("doc_id", "u", "__v"), s"$base/zbd",
+        Seq("doc_id"), "__v", nBuckets = 2, batchId = 1L, retain = 2,
+        delta = true)
+      streaming.EventStreams.backupUpsertTable(spark, s"$base/zb",
+        s"$base/zbbak")
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/zbbak",
+        s"$base/zbr", batchId = 5L)
       base
     })
 
@@ -7146,6 +7167,66 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** BLOOM-FILTER FILE SKIPPING
+    * ([[streaming.EventStreams.mergeBatchIntoTable]] `bloomCols` +
+    * equality bounds in [[streaming.EventStreams.readUpsertTableWhere]]):
+    * per-file membership sketches for the read shape clustering cannot
+    * serve — "find the document with THIS url/hash" on a
+    * high-cardinality UNSORTED column, where every file's min/max
+    * spans the whole domain. Verdicts, decided in-query from committed
+    * state and the executed scans' inputFiles: the equality probe
+    * returns exactly the filter's rows while opening strictly fewer
+    * files than the live set; a value the table never held reads
+    * empty, still pruned; a RANGE probe on the bloom-only column stays
+    * exact (no ranges recorded — conservative full read); on the DELTA
+    * twin a key whose value moved never resurrects under its old value
+    * and serves under the new one (the bucket-granular reconcile
+    * rule); the contract inherits through the fold; and a DR restore
+    * carries the sketches across the re-home.
+    */
+  def q202BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.ColBound
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val zb = s"$base/zb"
+    def live(t: String) = EventStreams.tableManifest(spark, t)
+      .values.map(_.size).sum
+    def probe(t: String, value: String) = EventStreams.readUpsertTableWhere(
+      spark, t, Seq(ColBound("u", Some(value), Some(value))))
+    val v77 = s"u${(77L * 2654435761L) % 100000}"
+    val hit = probe(zb, v77)
+    val full = EventStreams.readUpsertTable(spark, zb)
+    val hitExactAndPruned =
+      eq(hit, full.filter(col("u") === v77)) &&
+        hit.inputFiles.length < live(zb) &&
+        EventStreams.tableBloomCols(spark, zb) == Some(Seq("u"))
+    val miss = probe(zb, "u-nowhere")
+    val missEmptyAndPruned = miss.isEmpty && miss.inputFiles.length < live(zb)
+    val range = EventStreams.readUpsertTableWhere(spark, zb,
+      Seq(ColBound("u", Some("u0"), Some("u99999"))))
+    val rangeExact = eq(range,
+      full.filter(col("u") >= "u0" && col("u") <= "u99999"))
+    val zbd = s"$base/zbd"
+    val deltaSound = probe(zbd, v77).isEmpty &&
+      probe(zbd, "moved").collect().map(_.getLong(0)).toSeq == Seq(77L)
+    val zbr = s"$base/zbr"
+    val rHit = probe(zbr, v77)
+    val restoreCarries =
+      rHit.collect().map(_.getLong(0)).toSeq == Seq(77L) &&
+        rHit.inputFiles.length < live(zbr) &&
+        EventStreams.tableBloomCols(spark, zbr) == Some(Seq("u"))
+    Seq(
+      ("equality_probe_exact_and_pruned", hitExactAndPruned),
+      ("absent_value_reads_empty_pruned", missEmptyAndPruned),
+      ("range_semantics_unaffected", rangeExact),
+      ("moved_value_never_resurrects", deltaSound),
+      ("restore_carries_sketches", restoreCarries))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -7345,6 +7426,7 @@ object SparkEntry {
     "q199_index_feed_sync" -> (q199IndexFeedSync _),
     "q200_meta_agg" -> (q200MetaAgg _),
     "q201_zorder" -> (q201ZOrder _),
+    "q202_bloom_skip" -> (q202BloomSkip _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -8777,6 +8859,13 @@ object SparkEntry {
         |  ('lex_prunes_on_leading_column'),
         |  ('zorder_beats_lex_on_second_dimension'),
         |  ('folds_hold_identical_rows')) t(c)""".stripMargin,
+    "q202_bloom_skip" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('equality_probe_exact_and_pruned'),
+        |  ('absent_value_reads_empty_pruned'),
+        |  ('range_semantics_unaffected'),
+        |  ('moved_value_never_resurrects'),
+        |  ('restore_carries_sketches')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -2009,6 +2009,15 @@ object Similarity {
           if (fs.exists(cr)) fs.listStatus(cr).toSeq.filter(s =>
             s.isDirectory && s.getPath.getName.startsWith(".inflight-"))
           else Seq.empty)
+    // removal tokens (index upserts): a damaged token would fail every
+    // read LOUDLY at probe time — fsck flags it first (the report-not-
+    // throw posture), counting the parseable tokens when healthy
+    val (removalTokens, removalsParseable) = codesRoot match {
+      case Some(cr) =>
+        try (readRemovalTokens(fs, cr).size, true)
+        catch { case _: IllegalStateException => (0, false) }
+      case None => (0, true)
+    }
     Seq(
       ("ledger_parseable", ledgerOk, gens.size.toLong),
       ("generation_dirs_exist", missingGens.isEmpty, missingGens.size.toLong),
@@ -2016,6 +2025,7 @@ object Similarity {
       ("codes_manifests_parseable", codesManifestsOk, codesParsed.size.toLong),
       ("codes_dirs_exist", missingCodes.isEmpty, missingCodes.size.toLong),
       ("pins_resolvable", pinsOk, (genPins.size + codesPins.size).toLong),
+      ("removal_tokens_parseable", removalsParseable, removalTokens.toLong),
       ("no_orphan_codes", orphanCodes.isEmpty, orphanCodes.size.toLong),
       ("no_stale_inflight", inflight.isEmpty, inflight.size.toLong))
       .toDF("check", "ok", "n")

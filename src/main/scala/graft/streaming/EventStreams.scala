@@ -202,7 +202,8 @@ object EventStreams {
                       versionCol: String, nBuckets: Int = 16,
                       retain: Int = 1, compactEvery: Int = 0,
                       delta: Boolean = false,
-                      statsCols: Option[Seq[String]] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                      statsCols: Option[Seq[String]] = None,
+                      bloomCols: Option[Seq[String]] = None): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -210,9 +211,10 @@ object EventStreams {
         // O(batch) instead of rewriting its touched buckets; pair with
         // a Maintenance `folds` leg (or compactEvery) to bound read
         // depth. statsCols: zone maps per committed file (the range-
-        // read pruning contract, [[readUpsertTableWhere]])
+        // read pruning contract, [[readUpsertTableWhere]]); bloomCols:
+        // equality-probe sketches for unsorted high-cardinality columns
         mergeBatchIntoTable(batch, tableDir, keyCols, versionCol, nBuckets, batchId,
-          retain, compactEvery, delta, statsCols)
+          retain, compactEvery, delta, statsCols, bloomCols)
       }
       .start()
 
@@ -312,7 +314,8 @@ object EventStreams {
                           versionCol: String, nBuckets: Int, batchId: Long,
                           retain: Int = 1, compactEvery: Int = 0,
                           delta: Boolean = false,
-                          statsCols: Option[Seq[String]] = None): Unit = {
+                          statsCols: Option[Seq[String]] = None,
+                          bloomCols: Option[Seq[String]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -337,6 +340,10 @@ object EventStreams {
     val effStatsCols = statsCols.getOrElse(
       manifestList(fs, table).lastOption
         .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty))
+    // bloom contract: sticky exactly like statsCols
+    val effBloomCols = bloomCols.getOrElse(
+      manifestList(fs, table).lastOption
+        .flatMap(manifestBloomCols(fs, _)).getOrElse(Seq.empty))
     prevReconcile.foreach { case (ks, v) =>
       require(ks == keyCols && v == versionCol,
         s"$tableDir has delta history keyed (${ks.mkString(",")}) " +
@@ -463,8 +470,9 @@ object EventStreams {
     // zone maps for this commit's new files (one aggregate over exactly
     // those files; carried files keep their shard-recorded stats)
     val freshStats: FileStats =
-      if (effStatsCols.isEmpty) Map.empty
-      else computeFileStats(spark, table, freshFiles, effStatsCols)
+      if (effStatsCols.isEmpty && effBloomCols.isEmpty) Map.empty
+      else computeFileStats(spark, table, freshFiles, effStatsCols,
+        effBloomCols)
     // a homogenizing merge rewrote EVERY live bucket under the batch's
     // schema — no narrow file can remain (even if this batch widened
     // again), so the flag drops in this same commit
@@ -482,6 +490,7 @@ object EventStreams {
       touched = Some(touched.toSeq), reconcile = outReconcile,
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
+      bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
       base = Some(committed.map(_._1)))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
@@ -608,14 +617,18 @@ object EventStreams {
     // not silently drop the pruning the table opted into)
     val delStatsCols = manifestList(fs, table).lastOption
       .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty)
+    val delBloomCols = manifestList(fs, table).lastOption
+      .flatMap(manifestBloomCols(fs, _)).getOrElse(Seq.empty)
     val delStats: FileStats =
-      if (delStatsCols.isEmpty) Map.empty
-      else computeFileStats(spark, table, delFresh, delStatsCols)
+      if (delStatsCols.isEmpty && delBloomCols.isEmpty) Map.empty
+      else computeFileStats(spark, table, delFresh, delStatsCols,
+        delBloomCols)
     // untouched buckets may still hold unfolded deltas — carry the spec
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
       touched = Some(touched.toSeq), reconcile = prevReconcile,
       keyedBy = Some(keyCols), fileStats = delStats,
       statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
+      bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
       base = Some(committed.map(_._1)))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
@@ -1103,22 +1116,45 @@ object EventStreams {
   private def computeFileStats(spark: SparkSession,
                                table: org.apache.hadoop.fs.Path,
                                rels: Seq[String],
-                               cols: Seq[String]): FileStats = {
-    if (rels.isEmpty || cols.isEmpty) return Map.empty
+                               cols: Seq[String],
+                               bloomCols: Seq[String] = Nil): FileStats = {
+    if (rels.isEmpty || (cols.isEmpty && bloomCols.isEmpty)) return Map.empty
     val df = spark.read.parquet(rels.map(rel =>
       new org.apache.hadoop.fs.Path(table, rel).toString): _*)
     val present = cols.filter(df.columns.contains)
-    if (present.isEmpty) return Map.empty
-    val aggs = present.flatMap { c =>
+    val bPresent = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty && bPresent.isEmpty) return Map.empty
+    val rangeAggs = present.flatMap { c =>
       val dt = df.schema(c).dataType
       Seq(statValue(min(col(c)), dt, c).as(s"__mn_$c"),
         statValue(max(col(c)), dt, c).as(s"__mx_$c"))
-    } :+ count(lit(1)).cast("string").as(statsRowsKey)
+    }
+    // blooms ride the SAME per-file aggregate: two xxhash64 probe
+    // positions per value, folded to at most 2 x bloomBits distinct
+    // ints per file (collect_set is the map-side-combining form)
+    val bloomAggs = bPresent.flatMap(c => Seq(
+      collect_set(pmod(xxhash64(col(c)), lit(bloomBits)).cast("int"))
+        .as(s"__b1_$c"),
+      collect_set(pmod(xxhash64(col(c), lit(1L)), lit(bloomBits)).cast("int"))
+        .as(s"__b2_$c")))
+    val aggs = rangeAggs ++
+      Seq(count(lit(1)).cast("string").as(statsRowsKey)) ++ bloomAggs
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val bloomBase = 2 + 2 * present.size // first bloom field index
     rows.flatMap { r =>
       val f = r.getString(0)
       rels.find(rel => f.endsWith("/" + rel)).map { rel =>
+        val blooms = bPresent.zipWithIndex.map { case (c, i) =>
+          val bits = new Array[Byte](bloomBits / 8)
+          (r.getSeq[Int](bloomBase + 2 * i) ++
+            r.getSeq[Int](bloomBase + 2 * i + 1)).foreach { p =>
+            bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+          }
+          bloomKey(c) ->
+            ((Some(java.util.Base64.getEncoder.encodeToString(bits)): Option[String]),
+              (None: Option[String]))
+        }
         rel -> (present.zipWithIndex.map { case (c, i) =>
           c -> (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
         }.toMap
@@ -1129,7 +1165,7 @@ object EventStreams {
           + (statsRowsKey -> {
             val n = Option(r.getString(1 + 2 * present.size))
             (n, n)
-          }))
+          }) ++ blooms)
       }
     }.toMap
   }
@@ -1181,6 +1217,46 @@ object EventStreams {
     statsCols.filter(_.nonEmpty).map(cs =>
       ""","statsCols":[""" + cs.map(c => "\"" + c + "\"").mkString(",") + "]")
       .getOrElse("")
+
+  // --------------------------------------------------------------------
+  // BLOOM FILTERS: per-file membership sketches for equality probes on
+  // columns clustering can't serve (high-cardinality, unsorted)
+  // --------------------------------------------------------------------
+
+  /** Bits per file-column bloom (512 bytes serialized). Two xxhash64
+    * probes ⇒ false-positive rate ~(n/m)² — under 1% for files up to a
+    * few hundred distinct values; a false positive only costs reading
+    * one file that turns out empty.
+    */
+  private val bloomBits = 4096
+
+  private def bloomKey(c: String) = s"__bloom_$c"
+
+  private def bloomColsTag(bloomCols: Option[Seq[String]]): String =
+    bloomCols.filter(_.nonEmpty).map(cs =>
+      ""","bloomCols":[""" + cs.map(c => "\"" + c + "\"").mkString(",") + "]")
+      .getOrElse("")
+
+  private def manifestBloomCols(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"bloomCols":\[([^\]]*)\]""".r.findFirstMatchIn(s).map { m =>
+      if (m.group(1).isEmpty) Seq.empty[String]
+      else m.group(1).split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+  }
+
+  /** The table's recorded BLOOM contract, if any — the columns whose
+    * committed files carry membership sketches for equality-probe
+    * pruning ([[readUpsertTableWhere]] with lo == hi). Sticky like
+    * `statsCols`: None inherits, Some(cols) sets, Some(Nil) drops.
+    */
+  def tableBloomCols(spark: SparkSession, tableDir: String): Option[Seq[String]] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestBloomCols(fs, _))
+  }
 
   /** The manifest's STATS CONTRACT — the columns whose per-file min/max
     * every commit since the contract was set records. Sticky like the
@@ -1361,15 +1437,48 @@ object EventStreams {
         b.hi.map(canonicalBound(dt, _)))
     }
     val stats = manifestFileStats(fs, manifest)
+    // EQUALITY probes (lo == hi) on bloom-contracted columns also test
+    // the files' membership sketches: one local job computes the two
+    // xxhash64 probe positions per bound, typed exactly as the writer
+    // hashed the column (hash equality needs value+type equality)
+    val bloomContracted = manifestBloomCols(fs, manifest)
+      .getOrElse(Seq.empty).toSet
+    val bloomProbes: Map[String, (Int, Int)] = {
+      val eqBounds = typed.filter { case (c, _, lo, hi) =>
+        lo.isDefined && lo == hi && bloomContracted(c) }
+      if (eqBounds.isEmpty) Map.empty
+      else {
+        val exprs = eqBounds.flatMap { case (c, dt, lo, _) =>
+          val v = lit(lo.get).cast(dt)
+          Seq(pmod(xxhash64(v), lit(bloomBits)).cast("int"),
+            pmod(xxhash64(v, lit(1L)), lit(bloomBits)).cast("int"))
+        }
+        val row = spark.range(1).select(exprs: _*).head()
+        eqBounds.zipWithIndex.map { case ((c, _, _, _), i) =>
+          c -> ((row.getInt(2 * i), row.getInt(2 * i + 1)))
+        }.toMap
+      }
+    }
+    def bloomHit(rel: String, c: String): Boolean = bloomProbes.get(c) match {
+      case None => true // not an equality probe / no contract
+      case Some((h1, h2)) =>
+        stats.get(rel).flatMap(_.get(bloomKey(c))).flatMap(_._1) match {
+          case None => true // no sketch recorded: conservative, read it
+          case Some(b64bits) =>
+            val bits = java.util.Base64.getDecoder.decode(b64bits)
+            def has(p: Int) = (bits(p >> 3) & (1 << (p & 7))) != 0
+            has(h1) && has(h2)
+        }
+    }
     def overlaps(rel: String): Boolean = typed.forall { case (c, dt, lo, hi) =>
-      stats.get(rel).flatMap(_.get(c)) match {
+      bloomHit(rel, c) && (stats.get(rel).flatMap(_.get(c)) match {
         case None => true // no stats recorded: conservative, read it
         case Some((None, None)) => false // all-null file: no range match
         case Some((Some(mn), Some(mx))) =>
           lo.forall(l => statCompare(dt, mx, l) >= 0) &&
             hi.forall(h => statCompare(dt, mn, h) <= 0)
         case Some(_) => true // half-written entry: conservative
-      }
+      })
     }
     val pruned = manifestReconcile(fs, manifest) match {
       case Some(_) => // bucket granularity (see scaladoc)
@@ -1542,7 +1651,8 @@ object EventStreams {
                               fileStats: FileStats = Map.empty,
                               statsCols: Option[Seq[String]] = None,
                               base: Option[Option[Long]] = None,
-                              kind: Option[String] = None): Unit = {
+                              kind: Option[String] = None,
+                              bloomCols: Option[Seq[String]] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -1592,7 +1702,7 @@ object EventStreams {
     val baseTag = base.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
     val kindTag = kind.map(k => s""","kind":"$k"""").getOrElse("")
     val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"shards":{""", ",", "}}")
+      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
     val out = fs.create(tmp, true)
@@ -1632,12 +1742,13 @@ object EventStreams {
                                  reconcile: Option[(Seq[String], String)] = None,
                                  keyedBy: Option[Seq[String]] = None,
                                  fileStats: FileStats = Map.empty,
-                                 statsCols: Option[Seq[String]] = None): String = {
+                                 statsCols: Option[Seq[String]] = None,
+                                 bloomCols: Option[Seq[String]] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val liveSet = live.values.flatten.toSet
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)},"buckets":{""", ",",
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"buckets":{""", ",",
       "}" + statsTag(fileStats.filter(kv => liveSet(kv._1))) + "}")
   }
 
@@ -1675,7 +1786,8 @@ object EventStreams {
                          retain: Int = 1, sortBy: Seq[String] = Nil,
                          maxRecordsPerFile: Long = 0,
                          statsCols: Option[Seq[String]] = None,
-                         zOrderBy: Seq[String] = Nil): Unit = {
+                         zOrderBy: Seq[String] = Nil,
+                         bloomCols: Option[Seq[String]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val table = new Path(tableDir)
@@ -1733,10 +1845,13 @@ object EventStreams {
     val effStatsCols = statsCols.getOrElse(
       manifestList(fs, table).lastOption
         .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty))
+    val effBloomCols = bloomCols.getOrElse(
+      manifestList(fs, table).lastOption
+        .flatMap(manifestBloomCols(fs, _)).getOrElse(Seq.empty))
     val freshStats: FileStats =
-      if (effStatsCols.isEmpty) Map.empty
+      if (effStatsCols.isEmpty && effBloomCols.isEmpty) Map.empty
       else computeFileStats(spark, table,
-        rewritten.values.flatten.toSeq, effStatsCols)
+        rewritten.values.flatten.toSeq, effStatsCols, effBloomCols)
     // "kind":"fold" marks this commit ROW-PRESERVING (the read-back
     // equality StreamingSpec pins) — the change feed skips it from
     // metadata alone instead of paying a whole-table diff to learn
@@ -1744,6 +1859,7 @@ object EventStreams {
     publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
+      bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
       base = Some(Some(committed._1)), kind = Some("fold"))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
@@ -2459,7 +2575,8 @@ object EventStreams {
       // zone maps travel with the snapshot: a restored table prunes
       // exactly like the original did
       fileStats = manifestFileStats(fs, src._1),
-      statsCols = manifestStatsCols(fs, src._1))
+      statsCols = manifestStatsCols(fs, src._1),
+      bloomCols = manifestBloomCols(fs, src._1))
       .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
@@ -2606,7 +2723,8 @@ object EventStreams {
       // own (bytes are copied, ranges unchanged)
       fileStats = manifestFileStats(fs, backupManifest)
         .map { case (rel, cs) => destRel(rel) -> cs },
-      statsCols = manifestStatsCols(fs, backupManifest))
+      statsCols = manifestStatsCols(fs, backupManifest),
+      bloomCols = manifestBloomCols(fs, backupManifest))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }

@@ -973,6 +973,20 @@ class DedupSimilaritySpec extends SparkSpec {
       new java.io.File(s"$idx/codes/_removals").listFiles()
         .count(_.getName.endsWith(".json")) === 0,
       "inert tokens are collected by the fold's sweep")
+    // external corruption of a removal token: fsck flags it red (the
+    // report-not-throw posture) and reads fail loudly, never silently
+    // serve rows an upsert had hidden
+    val remDir = new java.io.File(s"$idx/codes/_removals")
+    remDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(remDir, "r0000000000000000004.json").toPath,
+      "garbage".getBytes("UTF-8"))
+    val fsck = Similarity.fsckIndex(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!fsck("removal_tokens_parseable"))
+    assert(intercept[IllegalStateException] {
+      Similarity.indexedVecIds(spark, idx).collect()
+    }.getMessage.contains("unparseable removal token"))
   }
 
   test("syncIndexFromFeed keeps a serving index fresh from a table's change feed, exactly-once") {

@@ -1957,6 +1957,53 @@ class StreamingSpec extends SparkSpec {
     }.getMessage.contains("numeric"))
   }
 
+  test("bloom filters: equality probes skip files that cannot hold the value") {
+    val base = Files.createTempDirectory("graft-bloom").toString
+    val t = s"$base/t"
+    // high-cardinality UNSORTED strings: per-file ranges span the whole
+    // domain, so only the membership sketch can prune
+    val rows = (0L until 128L).map(k =>
+      (k, s"u${(k * 2654435761L) % 100000}", 0L)).toDF("k", "u", "version")
+    EventStreams.mergeBatchIntoTable(rows, t, Seq("k"), "version",
+      nBuckets = 2, batchId = 0L, bloomCols = Some(Seq("u")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 1L,
+      maxRecordsPerFile = 16)
+    assert(EventStreams.tableBloomCols(spark, t) === Some(Seq("u")),
+      "the bloom contract inherits through the fold")
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live >= 8, s"the fold must split each bucket (got $live files)")
+    val v = s"u${(77L * 2654435761L) % 100000}"
+    def probe(value: String) = EventStreams.readUpsertTableWhere(spark, t,
+      Seq(EventStreams.ColBound("u", Some(value), Some(value))))
+    val hit = probe(v)
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(77L))
+    assert(hit.inputFiles.length < live,
+      s"the equality probe must skip files (opened ${hit.inputFiles.length} of $live)")
+    val miss = probe("u-nowhere")
+    assert(miss.isEmpty && miss.inputFiles.length < live)
+    // a RANGE probe on the bloom-only column stays exact (no ranges
+    // recorded: conservative full read, the predicate still applies)
+    val range = EventStreams.readUpsertTableWhere(spark, t,
+      Seq(EventStreams.ColBound("u", Some("u0"), Some("u99999"))))
+    val want = EventStreams.readUpsertTable(spark, t)
+      .filter(col("u") >= "u0" && col("u") <= "u99999")
+    assert(range.exceptAll(want).union(want.exceptAll(range)).isEmpty)
+    // the delta trap, equality flavor: a key whose value MOVED must not
+    // resurrect under its old value (bucket-granular reconcile rule)
+    val td = s"$base/td"
+    EventStreams.mergeBatchIntoTable(rows, td, Seq("k"), "version",
+      nBuckets = 2, batchId = 0L, delta = true, bloomCols = Some(Seq("u")))
+    EventStreams.mergeBatchIntoTable(
+      Seq((77L, "moved", 1L)).toDF("k", "u", "version"), td,
+      Seq("k"), "version", nBuckets = 2, batchId = 1L, delta = true)
+    val stale = EventStreams.readUpsertTableWhere(spark, td,
+      Seq(EventStreams.ColBound("u", Some(v), Some(v))))
+    assert(stale.isEmpty, "the superseded value must not resurrect")
+    assert(EventStreams.readUpsertTableWhere(spark, td,
+      Seq(EventStreams.ColBound("u", Some("moved"), Some("moved"))))
+      .collect().map(_.getLong(0)).toSeq === Seq(77L))
+  }
+
   test("lost-update guard: a publish whose base moved fails loudly and lands nothing") {
     val base = Files.createTempDirectory("graft-occ").toString
     val t = s"$base/t"
