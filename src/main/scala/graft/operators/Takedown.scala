@@ -365,15 +365,28 @@ object Takedown {
         case Some(l) => Similarity.indexedVecIdsBeforePinned(spark, dir, l, asOfBatch)
         case None => Similarity.indexedVecIdsBefore(spark, dir, asOfBatch)
       },
-      // the pinned audit reads historical snapshots — no point-read
-      // variant exists below a pin, so it stays a scan + filter over
-      // the pinned file set (already bounded by the snapshot)
-      keyedRead = (dir, keyCol) => graft.streaming.EventStreams
-        .readUpsertTableBeforeOpt(spark, dir, asOfBatch)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$dir has no committed snapshot before batch $asOfBatch " +
-            "(the pinned audit needs a snapshot below its pin)"))
-        .map(_.filter(col(keyCol).isin(docIds: _*))))
+      // BUCKET-PRUNED below the pin when provably safe (the auditDocs
+      // rule, time-travel flavor): the RESOLVING manifest must record
+      // its key contract as exactly (keyCol) — a contract adopted only
+      // after the pin proves nothing about the pinned layout. Any
+      // other contract falls back to scan + filter over the pinned
+      // file set (already bounded by the snapshot).
+      keyedRead = (dir, keyCol) => {
+        import spark.implicits._
+        val es = graft.streaming.EventStreams
+        if (es.tableKeyedByBefore(spark, dir, asOfBatch).contains(Seq(keyCol)))
+          es.readUpsertTableForKeysBefore(spark, dir,
+            docIds.toDF(keyCol), Seq(keyCol), asOfBatch)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$dir has no committed snapshot before batch $asOfBatch " +
+                "(the pinned audit needs a snapshot below its pin)"))
+        else graft.streaming.EventStreams
+          .readUpsertTableBeforeOpt(spark, dir, asOfBatch)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$dir has no committed snapshot before batch $asOfBatch " +
+              "(the pinned audit needs a snapshot below its pin)"))
+          .map(_.filter(col(keyCol).isin(docIds: _*)))
+      })
 
   /** DURABLE hold for a pinned audit — the retention-contract upgrade:
     * [[auditDocsAt]]'s pin is readable only while every artifact's

@@ -681,6 +681,52 @@ object EventStreams {
       throw new IllegalArgumentException(
         s"$tableDir has no committed manifest; the point read prunes by " +
           "the manifest's bucket map — run one mergeBatchIntoTable first"))
+    pointReadAtManifest(spark, tableDir, table, fs, manifest, keys, keyCols)
+  }
+
+  /** [[readUpsertTableForKeys]] AS OF a batch boundary: the bucket-
+    * pruned point read against the manifest committed STRICTLY BELOW
+    * `batchId` — what a PINNED audit uses so a handful-of-keys check
+    * against a historical snapshot reads the keys' buckets, not the
+    * pinned file set. Mirrors [[readUpsertTableBeforeOpt]]'s shape:
+    * None = no manifest below the boundary; Some(None) = the resolving
+    * snapshot is committed-empty; Some(Some(df)) = the pruned read.
+    */
+  def readUpsertTableForKeysBefore(spark: SparkSession, tableDir: String,
+                                   keys: DataFrame, keyCols: Seq[String],
+                                   batchId: Long): Option[Option[DataFrame]] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).map(p => (p, readManifest(fs, p)))
+      .filter(_._2._1 < batchId).lastOption
+      .map {
+        case (p, (_, live)) if live.valuesIterator.exists(_.nonEmpty) =>
+          Some(pointReadAtManifest(spark, tableDir, table, fs, p, keys, keyCols))
+        case _ => None // committed empty: a snapshot of zero rows
+      }
+  }
+
+  /** The key contract of the manifest resolving STRICTLY BELOW
+    * `batchId` — the record a pinned audit must validate against (the
+    * contract could have been adopted only after the pin).
+    */
+  def tableKeyedByBefore(spark: SparkSession, tableDir: String,
+                         batchId: Long): Option[Seq[String]] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).map(p => (p, manifestBatchId(fs, p)))
+      .filter(_._2 < batchId).lastOption
+      .flatMap(p => manifestKeyedBy(fs, p._1))
+  }
+
+  private def pointReadAtManifest(spark: SparkSession, tableDir: String,
+                                  table: org.apache.hadoop.fs.Path,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  manifest: org.apache.hadoop.fs.Path,
+                                  keys: DataFrame,
+                                  keyCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val (_, live) = readManifest(fs, manifest)
     val nBuckets = readNBuckets(fs, manifest)
     // probing a PARTIAL key would hash into the wrong buckets and read

@@ -2004,6 +2004,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(77L))
   }
 
+  test("point read below a pin: bucket-pruned time travel equals the pinned scan") {
+    val base = Files.createTempDirectory("graft-pointat").toString
+    val t = s"$base/t"
+    def merge(rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        t, Seq("k"), "version", nBuckets = 4, batchId = id, retain = 4)
+    merge((0L until 16L).map(k => (k, s"p$k", 0L)), 0L)
+    merge(Seq((3L, "updated", 1L)), 1L)
+    // the pre-update snapshot, read by key: equals the pinned scan and
+    // provably opens only the key's bucket at the OLD boundary
+    val got = EventStreams.readUpsertTableForKeysBefore(spark, t,
+      Seq(3L).toDF("k"), Seq("k"), batchId = 1L)
+    assert(got.isDefined && got.get.isDefined)
+    val row = got.get.get.collect()
+    assert(row.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "p3")))
+    val oldLive = EventStreams.readUpsertTableAt(spark, t, 0L).inputFiles.length
+    assert(got.get.get.inputFiles.length < oldLive)
+    // contract helpers resolve at the boundary, not the head
+    assert(EventStreams.tableKeyedByBefore(spark, t, 1L) === Some(Seq("k")))
+    // no manifest below the first commit
+    assert(EventStreams.readUpsertTableForKeysBefore(spark, t,
+      Seq(3L).toDF("k"), Seq("k"), batchId = 0L) === None)
+    // committed-empty below the boundary reads as Some(None)
+    EventStreams.deleteFromTable(spark, t,
+      (0L until 16L).toDF("k"), Seq("k"), nBuckets = 4, batchId = 2L,
+      retain = 4)
+    val afterDelete = EventStreams.readUpsertTableForKeysBefore(spark, t,
+      Seq(3L).toDF("k"), Seq("k"), batchId = 3L)
+    assert(afterDelete.isDefined && afterDelete.get.forall(_.isEmpty),
+      "a total takedown below the boundary reads as zero rows, not an error")
+  }
+
   test("lost-update guard: a publish whose base moved fails loudly and lands nothing") {
     val base = Files.createTempDirectory("graft-occ").toString
     val t = s"$base/t"
