@@ -6679,6 +6679,71 @@ object SparkEntry {
         s"$base/zbbak")
       streaming.EventStreams.restoreUpsertTable(spark, s"$base/zbbak",
         s"$base/zbr", batchId = 5L)
+      // predicate-delete fixtures (q203): a sort-clustered table whose
+      // mid-range delete classifies EXACTLY 3 drops / 2 rewrites /
+      // 3 carries against its zone maps; a null-bearing twin (nulls
+      // survive and block drops); a delta twin whose winning version
+      // dies. The classification reports commit as parquet — the
+      // query's evidence surface.
+      import streaming.EventStreams.ColBound
+      val zw = s"$base/zw"
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        zw, Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L, retain = 4,
+        statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, zw, Seq("doc_id"),
+        1, 1L, sortBy = Seq("n"), maxRecordsPerFile = 4, retain = 4)
+      val rw = streaming.EventStreams.deleteUpsertTableWhere(spark, zw,
+        Seq(ColBound("n", Some("100"), Some("250"))), batchId = 2L,
+        retain = 4).get
+      val rwNoop = streaming.EventStreams.deleteUpsertTableWhere(spark, zw,
+        Seq(ColBound("n", Some("5000"), Some("6000"))), batchId = 3L,
+        retain = 4).get
+      val zwn = s"$base/zwn"
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 22L).map(k =>
+          (k, if (k < 6L) None else Some(k * 10L), 0L)).toDF("doc_id", "n", "__v"),
+        zwn, Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L,
+        statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, zwn, Seq("doc_id"),
+        1, 1L, sortBy = Seq("n"), maxRecordsPerFile = 4)
+      val rn = streaming.EventStreams.deleteUpsertTableWhere(spark, zwn,
+        Seq(ColBound("n", Some("0"), Some("120"))), batchId = 2L).get
+      val zwd = s"$base/zwd"
+      deltaLineage(zwd) // k=3: 30 superseded by 999
+      val rd = streaming.EventStreams.deleteUpsertTableWhere(spark, zwd,
+        Seq(ColBound("n", Some("900"), Some("1000"))), batchId = 2L,
+        retain = 4).get
+      Seq(
+        ("zw", rw.filesDropped, rw.filesRewritten, rw.filesCarried),
+        ("zw_noop", rwNoop.filesDropped, rwNoop.filesRewritten,
+          rwNoop.filesCarried),
+        ("zwn", rn.filesDropped, rn.filesRewritten, rn.filesCarried),
+        ("zwd", rd.filesDropped, rd.filesRewritten, rd.filesCarried))
+        .toDF("table", "dropped", "rewritten", "carried")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/zwrep")
+      // retention-maintenance fixtures (q205): three nightly passes
+      // over a clustered table (age-out acts, drained pass measures
+      // zero, a contract-less twin reports red) — the committed report
+      // table is the query's evidence
+      val zret = s"$base/zret"
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        zret, Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L, retain = 4,
+        statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, zret, Seq("doc_id"),
+        1, 1L, sortBy = Seq("n"), maxRecordsPerFile = 4, retain = 4)
+      val zretn = s"$base/zretn"
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        zretn, Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L)
+      val ageOut = Seq(ColBound("n", None, Some("110")))
+      operators.Maintenance.runOnce(spark, 1L, s"$base/zretrep",
+        tables = Seq((zret, 4)), retention = Seq((zret, ageOut)))
+      operators.Maintenance.runOnce(spark, 2L, s"$base/zretrep",
+        retention = Seq((zret, ageOut)))
+      operators.Maintenance.runOnce(spark, 3L, s"$base/zretrep",
+        retention = Seq((zretn, ageOut)))
       base
     })
 
@@ -6838,6 +6903,31 @@ object SparkEntry {
         Seq((i, s"x$i", i)).toDF("doc_id", "payload", "__v"), t2,
         Seq("doc_id"), "__v", nBuckets = 2, batchId = i))
       streaming.EventStreams.compactManifests(spark, t2, keepLast = 1)
+      // rollup-view fixtures (q204): a numeric source whose lineage
+      // updates a measure, MOVES a key between groups, loses a version
+      // race, empties a group, then re-creates it — the rollup
+      // consumer syncs after each window. x values are exact binary
+      // halves, so incremental arithmetic and recompute agree bitwise.
+      val t3 = s"$base/t3"
+      val ru = s"$base/ru"
+      def merge3(rs: Seq[(Long, String, Double, Long)], id: Long): Unit =
+        streaming.EventStreams.mergeBatchIntoTable(
+          rs.toDF("k", "grp", "x", "__v"), t3, Seq("k"), "__v",
+          nBuckets = 4, batchId = id, retain = 8, delta = true)
+      merge3((0L until 12L).map(k => (k, s"g${k % 3}", k * 1.5, 0L)), 0L)
+      val spec3 = streaming.EventStreams.RollupSpec(Seq("grp"), Seq("x"))
+      streaming.EventStreams.seedRollupFromSnapshot(spark, t3, ru, "ru",
+        spec3, nBuckets = 2, retain = 8)
+      merge3(Seq((1L, "g1", 100.0, 1L), (5L, "g0", 7.5, 1L),
+        (12L, "g1", 3.0, 1L), (4L, "g1", 9999.0, -1L)), 1L)
+      streaming.EventStreams.deleteFromTable(spark, t3,
+        Seq(2L, 8L, 11L).toDF("k"), Seq("k"), nBuckets = 4, batchId = 2L,
+        retain = 8)
+      streaming.EventStreams.syncRollupFromFeed(spark, t3, ru, "ru",
+        spec3, nBuckets = 2, retain = 8)
+      merge3(Seq((13L, "g2", 2.0, 0L)), 3L)
+      streaming.EventStreams.syncRollupFromFeed(spark, t3, ru, "ru",
+        spec3, nBuckets = 2, retain = 8)
       base
     })
 
@@ -7227,6 +7317,247 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** PREDICATE DELETE WITH METADATA-ONLY FILE DROPS
+    * ([[streaming.EventStreams.deleteUpsertTableWhere]]): the
+    * retention shape — "delete everything in this range" classifies
+    * each live file against its zone maps + null counts, DROPPING
+    * fully-covered files from the manifest unread, CARRYING disjoint
+    * files pointer-untouched, and rewriting only the boundary. At
+    * 100 TB an age-out on a time-clustered table drops whole months
+    * as metadata. Verdicts, decided in-query from committed state
+    * (the classification reports committed by the fixture, manifests,
+    * time travel): the survivor set equals the time-travel filter
+    * twin; the committed report shows exactly 3 drops / 2 rewrites /
+    * 3 carries for the mid-range delete; the manifest diff agrees
+    * (carried pointers intact, removed files outnumber fresh ones —
+    * whole files left unread); NULL rows survive and a mixed
+    * null-bearing file rewrote rather than dropped; a delta bucket
+    * reconciled first so the superseded version never resurrects; the
+    * metadata-only row count tracks the commit; the pre-delete
+    * snapshot stays readable; a disjoint predicate advanced the
+    * watermark touching nothing; and a replayed delete commits
+    * nothing.
+    */
+  def q203DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.ColBound
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val zw = s"$base/zw"
+    val rep = spark.read.parquet(s"$base/zwrep")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val preDelete = EventStreams.readUpsertTableAt(spark, zw, 1L)
+    val post = EventStreams.readUpsertTable(spark, zw)
+    val matchesTwin = eq(post,
+      preDelete.filter(col("n") < 100L || col("n") > 250L)) &&
+      preDelete.count() == 32L
+    val classified = rep("zw") == ((3, 2, 3)) &&
+      rep("zw_noop") == ((0, 0, 4))
+    def rels(df: DataFrame) = df.inputFiles.map(f =>
+      f.substring(f.indexOf("/zw/") + 4)).toSet
+    val (pre, cur) = (rels(preDelete), rels(post))
+    val manifestAgrees = (pre intersect cur).size == 3 &&
+      (pre diff cur).size == 5 &&
+      (cur diff pre).nonEmpty && (cur diff pre).forall(_.startsWith("gen_2/"))
+    val zwn = EventStreams.readUpsertTable(spark, s"$base/zwn")
+    val nullsSurvive = zwn.filter(col("n").isNull).count() == 6L &&
+      zwn.count() == 15L && rep("zwn") == ((1, 2, 3))
+    val zwd = EventStreams.readUpsertTable(spark, s"$base/zwd")
+    val deltaSound = !zwd.collect().map(_.getLong(0)).toSet.contains(3L) &&
+      zwd.count() == 7L && rep("zwd")._2 >= 1
+    val metaCount = EventStreams.tableRowCountFromStats(spark, zw)
+      .contains(post.count())
+    val watermarkAdvanced =
+      EventStreams.latestCommittedBatchId(spark, zw) == Some(3L) &&
+        eq(EventStreams.readUpsertTableAt(spark, zw, 2L), post)
+    val replayNoops = EventStreams.deleteUpsertTableWhere(spark, zw,
+      Seq(ColBound("n", Some("100"), Some("250"))), batchId = 2L).isEmpty &&
+      EventStreams.latestCommittedBatchId(spark, zw) == Some(3L)
+    Seq(
+      ("survivors_equal_filter_twin", matchesTwin),
+      ("classification_exact", classified),
+      ("manifest_diff_agrees", manifestAgrees),
+      ("nulls_survive_and_block_drops", nullsSurvive),
+      ("delta_winner_never_resurrects", deltaSound),
+      ("metadata_count_tracks_the_delete", metaCount),
+      ("disjoint_predicate_only_advances_watermark", watermarkAdvanced),
+      ("replayed_delete_commits_nothing", replayNoops))
+      .toDF("check", "ok")
+  }
+
+  /** FEED-DRIVEN INCREMENTAL AGGREGATE VIEW
+    * ([[streaming.EventStreams.syncRollupFromFeed]]): a grouped
+    * count/sum rollup of a keyed table kept fresh at O(changed) cost —
+    * per window the sync reads the net change feed plus two
+    * bucket-pruned point reads (pre-images at the pinned cursor
+    * snapshot; the affected groups' current rows), never the corpus.
+    * The rollup is itself a keyed upsert table: time travel, pins,
+    * fsck and backup apply to the VIEW for free. Verdicts, decided
+    * in-query from committed state: the view equals the full
+    * recompute of the source's current snapshot; the MID-LINEAGE view
+    * (time travel on both tables) equals the midpoint recompute — the
+    * sync was right after every window, not just eventually; a group
+    * whose last row died vanished from the view and returned when a
+    * new row arrived; a version-race write the source absorbed never
+    * entered the view (the g1 totals are exactly the winners'); a
+    * replayed sync no-ops with the cursor pinned at the watermark;
+    * and the view records its own key contract (it IS a table).
+    */
+  def q204RollupView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureFeed(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.RollupSpec
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val (t3, ru) = (s"$base/t3", s"$base/ru")
+    val spec = RollupSpec(Seq("grp"), Seq("x"))
+    def viewCols(df: DataFrame) = df.select("grp", "n_rows", "sum_x")
+    val view = EventStreams.readUpsertTable(spark, ru).localCheckpoint()
+    val equalsNow = eq(viewCols(view),
+      EventStreams.rollupAggregate(EventStreams.readUpsertTable(spark, t3), spec))
+    // after window 1 (source batch 2): rollup committed under 2*2+1
+    val midEquals = eq(
+      viewCols(EventStreams.readUpsertTableAt(spark, ru, 5L)),
+      EventStreams.rollupAggregate(
+        EventStreams.readUpsertTableAt(spark, t3, 2L), spec))
+    val g2Cycle = EventStreams.readUpsertTableAt(spark, ru, 5L)
+      .filter(col("grp") === "g2").isEmpty &&
+      view.filter(col("grp") === "g2")
+        .select("n_rows", "sum_x").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 2.0))
+    // g1 winners: k1=100.0 (update won), k4=6.0 (the 9999.0 write
+    // LOST its version race), k7=10.5, k10=15.0, k12=3.0
+    val raceExcluded = view.filter(col("grp") === "g1")
+      .select("n_rows", "sum_x").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 134.5))
+    val replayNoops = EventStreams.syncRollupFromFeed(spark, t3, ru, "ru",
+      spec, nBuckets = 2).isEmpty &&
+      EventStreams.feedCursor(spark, t3, "ru") == Some(3L)
+    val viewIsTable = EventStreams.tableKeyedBy(spark, ru) == Some(Seq("grp"))
+    Seq(
+      ("view_equals_full_recompute", equalsNow),
+      ("mid_lineage_view_equals_midpoint_recompute", midEquals),
+      ("emptied_group_vanished_then_returned", g2Cycle),
+      ("losing_write_never_entered_the_view", raceExcluded),
+      ("replayed_sync_noops_cursor_pinned", replayNoops),
+      ("view_records_its_key_contract", viewIsTable))
+      .toDF("check", "ok")
+  }
+
+  /** NIGHTLY RETENTION LEG ([[operators.Maintenance.runOnce]]
+    * `retention` + [[streaming.EventStreams.retentionBacklog]]): the
+    * monitor-gated age-out — due-ness is measured from METADATA alone
+    * (live files whose recorded stats could hold a matching row), the
+    * pass acts only past zero and only when the table's stats
+    * contract covers the bound columns (an uncovered predicate would
+    * rewrite the same stat-less files night after night — reported
+    * red instead of thrashing), and covered files leave the manifest
+    * UNREAD. Verdicts, decided in-query from the COMMITTED report
+    * table and the table chain: the acting pass's report rows are
+    * exactly (contract green, backlog 3, acted, 3 files dropped
+    * unread); the aged-out table equals its time-travel filter twin;
+    * the drained second pass measured zero and acted nothing; the
+    * contract-less twin reported red and was not touched; and a
+    * replayed pass re-runs idempotently WITHOUT rewriting the
+    * committed report history (the exactly-once merge).
+    */
+  def q205RetentionMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    import EventStreams.ColBound
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    val (zret, zretn, repDir) = (s"$base/zret", s"$base/zretn", s"$base/zretrep")
+    val report = EventStreams.readUpsertTable(spark, repDir)
+      .filter(col("check").startsWith("retention")).localCheckpoint()
+    def runRows(id: Long) = report.filter(col("run_id") === id)
+      .collect().map(r => r.getString(2) -> ((r.getBoolean(3), r.getLong(4))))
+      .toMap
+    val (r1, r2, r3) = (runRows(1L), runRows(2L), runRows(3L))
+    val actingPass = r1("retention_contract") == ((true, 1L)) &&
+      r1("retention_backlog") == ((false, 3L)) &&
+      r1("retention_acted") == ((true, 1L)) &&
+      r1("retention_dropped_unread") == ((true, 3L))
+    val cur = EventStreams.readUpsertTable(spark, zret).localCheckpoint()
+    val agedOut = eq(cur, EventStreams.readUpsertTableAt(spark, zret, 1L)
+      .filter(col("n") > 110L)) && cur.count() == 20L
+    val drained = r2("retention_backlog") == ((true, 0L)) &&
+      r2("retention_acted") == ((true, 0L))
+    val uncovered = r3("retention_contract") == ((false, 1L)) &&
+      r3("retention_acted") == ((true, 0L)) &&
+      EventStreams.readUpsertTable(spark, zretn).count() == 8L
+    // replay run 1 in-query: the pass re-measures (drained now), acts
+    // nothing, and its report merge no-ops — committed history intact
+    val preWm = EventStreams.latestCommittedBatchId(spark, zret)
+    operators.Maintenance.runOnce(spark, 1L, repDir,
+      tables = Seq((zret, 4)), retention = Seq((zret, ColBound("n",
+        None, Some("110")) :: Nil)))
+    // re-READ the committed report after the replay (the checkpointed
+    // frame above would mask a rewrite)
+    val afterReplay = EventStreams.readUpsertTable(spark, repDir)
+      .filter(col("check").startsWith("retention") && col("run_id") === 1L)
+      .collect().map(r => r.getString(2) -> ((r.getBoolean(3), r.getLong(4))))
+      .toMap
+    val replaySafe =
+      EventStreams.latestCommittedBatchId(spark, zret) == preWm &&
+        afterReplay == r1
+    Seq(
+      ("acting_pass_report_exact", actingPass),
+      ("aged_out_equals_filter_twin", agedOut),
+      ("drained_pass_acts_nothing", drained),
+      ("uncovered_contract_red_untouched", uncovered),
+      ("replay_never_rewrites_history", replaySafe))
+      .toDF("check", "ok")
+  }
+
+  /** TABLE HISTORY ([[streaming.EventStreams.tableHistory]]): the
+    * retained manifest chain as a queryable commit log — batch id,
+    * writer kind, parent watermark, file counts, exact row counts
+    * folded from the per-file stats the commits already wrote (null
+    * when any live file lacks one — refusal over guessing), and the
+    * contract flags; all from tiny metadata objects, zero data files.
+    * Verdicts over q203's committed zw lineage (merge → clustered
+    * fold → mid-range delete → no-op delete) and the contract-free
+    * zn table: ids and kinds in chain order; every commit names its
+    * parent; row counts track the delete through the chain
+    * (32, 32, 16, 16); file counts show the classification (8 files
+    * folded, 4 after 3 drops + 2 rewrites landed in 1); the key
+    * contract rides every row; and the stats-less table's counts
+    * read null, never a guess.
+    */
+  def q206TableHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    val hist = EventStreams.tableHistory(spark, s"$base/zw")
+      .orderBy(col("batch_id")).collect()
+    val idsAndKinds = hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L) &&
+      hist.map(_.getString(1)).toSeq == Seq("write", "fold", "write", "write")
+    val parents = hist.drop(1).zip(hist).forall { case (row, parent) =>
+      !row.isNullAt(2) && row.getLong(2) == parent.getLong(0)
+    }
+    val rowCounts = hist.map(r =>
+      if (r.isNullAt(5)) -1L else r.getLong(5)).toSeq == Seq(32L, 32L, 16L, 16L)
+    val fileCounts = hist.map(_.getLong(4)).toSeq == Seq(1L, 8L, 4L, 4L)
+    val contractEverywhere = hist.forall(r =>
+      !r.isNullAt(8) && r.getString(8) == "doc_id")
+    val statlessRefuses = EventStreams.tableHistory(spark, s"$base/zn")
+      .head().isNullAt(5)
+    Seq(
+      ("chain_ids_and_kinds", idsAndKinds),
+      ("every_commit_names_its_parent", parents),
+      ("row_counts_track_the_delete", rowCounts),
+      ("file_counts_show_the_classification", fileCounts),
+      ("key_contract_on_every_row", contractEverywhere),
+      ("statless_counts_read_null", statlessRefuses))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -7427,6 +7758,10 @@ object SparkEntry {
     "q200_meta_agg" -> (q200MetaAgg _),
     "q201_zorder" -> (q201ZOrder _),
     "q202_bloom_skip" -> (q202BloomSkip _),
+    "q203_delete_where" -> (q203DeleteWhere _),
+    "q204_rollup_view" -> (q204RollupView _),
+    "q205_retention_maintenance" -> (q205RetentionMaintenance _),
+    "q206_table_history" -> (q206TableHistory _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -8866,6 +9201,39 @@ object SparkEntry {
         |  ('range_semantics_unaffected'),
         |  ('moved_value_never_resurrects'),
         |  ('restore_carries_sketches')) t(c)""".stripMargin,
+    "q203_delete_where" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('survivors_equal_filter_twin'),
+        |  ('classification_exact'),
+        |  ('manifest_diff_agrees'),
+        |  ('nulls_survive_and_block_drops'),
+        |  ('delta_winner_never_resurrects'),
+        |  ('metadata_count_tracks_the_delete'),
+        |  ('disjoint_predicate_only_advances_watermark'),
+        |  ('replayed_delete_commits_nothing')) t(c)""".stripMargin,
+    "q204_rollup_view" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('view_equals_full_recompute'),
+        |  ('mid_lineage_view_equals_midpoint_recompute'),
+        |  ('emptied_group_vanished_then_returned'),
+        |  ('losing_write_never_entered_the_view'),
+        |  ('replayed_sync_noops_cursor_pinned'),
+        |  ('view_records_its_key_contract')) t(c)""".stripMargin,
+    "q205_retention_maintenance" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('acting_pass_report_exact'),
+        |  ('aged_out_equals_filter_twin'),
+        |  ('drained_pass_acts_nothing'),
+        |  ('uncovered_contract_red_untouched'),
+        |  ('replay_never_rewrites_history')) t(c)""".stripMargin,
+    "q206_table_history" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('chain_ids_and_kinds'),
+        |  ('every_commit_names_its_parent'),
+        |  ('row_counts_track_the_delete'),
+        |  ('file_counts_show_the_classification'),
+        |  ('key_contract_on_every_row'),
+        |  ('statless_counts_read_null')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

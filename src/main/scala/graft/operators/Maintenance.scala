@@ -103,6 +103,23 @@ object Maintenance {
     *     re-fscks; rows `heal_rebuilt` (n = the new generation) and
     *     `heal_verified`. An unreadable ledger reports red instead of
     *     killing the pass;
+    *   - `retention`: (tableDir, bounds) NIGHTLY AGE-OUT — the
+    *     monitor-gated predicate delete: [[EventStreams
+    *     .retentionBacklog]] counts from METADATA alone the live files
+    *     whose recorded stats could hold a matching row; past zero
+    *     (and only when the table's stats contract covers every bound
+    *     column — without it the backlog can never drain and acting
+    *     would rewrite the same stat-less files night after night,
+    *     reported red as `retention_contract` instead of thrashing)
+    *     the pass runs [[EventStreams.deleteUpsertTableWhere]] at the
+    *     watermark + 1: covered files drop from the manifest UNREAD,
+    *     boundaries rewrite. Rows `retention_contract` /
+    *     `retention_backlog` (ok = nothing due) / `retention_acted` /
+    *     `retention_dropped_unread` (n = files aged out without a
+    *     read). A replay sees a drained backlog and acts nothing.
+    *     NOTE: bounds are fixed per call — an age-out horizon
+    *     ("older than 90 days") must be computed by the scheduler
+    *     per night, which also keeps the pass itself deterministic;
     *   - `backups`: (tableDir, backupRoot, keepLast) NIGHTLY BACKUP
     *     ROTATION — after VERIFY/HEAL, back the table's current
     *     snapshot up into `backupRoot/b<runId>`, prune all but the
@@ -139,7 +156,8 @@ object Maintenance {
               folds: Seq[(String, Seq[String], Int, Int)] = Seq.empty,
               clusterBy: Map[String, (Seq[String], Long)] = Map.empty,
               indexFolds: Seq[(String, Int)] = Seq.empty,
-              zClusterBy: Map[String, (Seq[String], Long)] = Map.empty): DataFrame = {
+              zClusterBy: Map[String, (Seq[String], Long)] = Map.empty,
+              retention: Seq[(String, Seq[EventStreams.ColBound])] = Seq.empty): DataFrame = {
     import spark.implicits._
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
@@ -181,6 +199,13 @@ object Maintenance {
     require(bothClustered.isEmpty,
       s"tables ${bothClustered.mkString(", ")} have both clusterBy and " +
         "zClusterBy entries; a fold sorts one way — pick one")
+    val retLabels = retention.map(r => s"table-${name(r._1)}")
+    require(retLabels.distinct.size == retLabels.size,
+      s"retention labels collide (${retLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
+    retention.foreach { case (dir, bounds) =>
+      require(bounds.nonEmpty, s"retention bounds for $dir must be non-empty")
+    }
     takeRunLock(spark, reportDir, runId)
     // a THROWN failure in this JVM is not a crash: release the lock on
     // the way out so a corrected retry (or another runId) is not wedged
@@ -206,6 +231,26 @@ object Maintenance {
         !r.getBoolean(3), math.round(r.getDouble(2) * 100)))
       rows += ((runId, s"ivfpq-${name(indexDir)}", "drift_rebuilt",
         true, if (r.getBoolean(4)) 1L else 0L))
+    }
+    retention.foreach { case (dir, bounds) =>
+      val label = s"table-${name(dir)}"
+      // due-ness from metadata alone (one manifest + shard-stats read);
+      // acting without a covering stats contract would rewrite the same
+      // stat-less files night after night — report red, don't thrash
+      val (backlog, covers) = EventStreams.retentionBacklog(spark, dir, bounds)
+      rows += ((runId, label, "retention_contract", covers, bounds.size.toLong))
+      rows += ((runId, label, "retention_backlog", backlog == 0, backlog.toLong))
+      val acted = covers && backlog > 0
+      var droppedUnread = 0L
+      if (acted) {
+        val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
+        val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
+        val rep = EventStreams.deleteUpsertTableWhere(spark, dir, bounds,
+          id, retain)
+        droppedUnread = rep.map(_.filesDropped.toLong).getOrElse(0L)
+      }
+      rows += ((runId, label, "retention_acted", true, if (acted) 1L else 0L))
+      rows += ((runId, label, "retention_dropped_unread", true, droppedUnread))
     }
     folds.foreach { case (dir, keyCols, nBuckets, maxDepth) =>
       val label = s"table-${name(dir)}"

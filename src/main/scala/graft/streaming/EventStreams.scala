@@ -633,6 +633,299 @@ object EventStreams {
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
+  /** Can a file with these recorded stats hold a row matching every
+    * bound? Missing stats are conservative (yes); an all-null column
+    * matches no range. Shared by the delete classifier and the
+    * retention monitor so they can never disagree.
+    */
+  private def statsOverlap(stats: FileStats,
+                           typed: Seq[(String, DataType, Option[String], Option[String])],
+                           rel: String): Boolean =
+    typed.forall { case (c, dt, lo, hi) =>
+      stats.get(rel).flatMap(_.get(c)) match {
+        case None => true // no stats: conservative, treat as overlapping
+        case Some((None, None)) => false // all-null: no row matches
+        case Some((Some(mn), Some(mx))) =>
+          lo.forall(l => statCompare(dt, mx, l) >= 0) &&
+            hi.forall(h => statCompare(dt, mn, h) <= 0)
+        case Some(_) => true
+      }
+    }
+
+  /** RETENTION MONITOR — is a [[deleteUpsertTableWhere]] due, from
+    * METADATA alone? Returns (overlapping live files, contract
+    * covers): the count of live files whose recorded stats could hold
+    * a matching row (files without stats count — conservative), and
+    * whether the table's stats contract covers every bound column.
+    * The nightly retention leg acts only on (backlog > 0, covers) —
+    * without the contract the backlog can never drain (stat-less
+    * rewrites stay "overlapping" forever) and acting would re-rewrite
+    * the same files night after night; the leg reports that red
+    * instead of thrashing. One manifest + shard-stats read, no data
+    * files.
+    */
+  def retentionBacklog(spark: SparkSession, tableDir: String,
+                       bounds: Seq[ColBound]): (Int, Boolean) = {
+    import org.apache.hadoop.fs.Path
+    require(bounds.nonEmpty, "retentionBacklog needs at least one bound")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      return (0, false))
+    val covers = manifestStatsCols(fs, manifest).exists(cs =>
+      bounds.forall(b => cs.contains(b.column)))
+    val allFiles = readManifest(fs, manifest)._2.values.flatten.toSeq
+    if (allFiles.isEmpty) return (0, covers)
+    val schema = spark.read
+      .parquet(new Path(table, allFiles.head).toString).schema
+    val typed = bounds.map { b =>
+      require(schema.fieldNames.contains(b.column),
+        s"$tableDir has no column '${b.column}' to bound on")
+      val dt = schema(b.column).dataType
+      (b.column, dt, b.lo.map(canonicalBound(dt, _)),
+        b.hi.map(canonicalBound(dt, _)))
+    }
+    val stats = manifestFileStats(fs, manifest)
+    (allFiles.count(statsOverlap(stats, typed, _)), covers)
+  }
+
+  /** COMMIT LOG AS A DATAFRAME — the table's retained manifest chain,
+    * one row per commit, from metadata alone: (batch_id, kind — the
+    * writer's tag, "write" when untagged; base — the parent watermark
+    * the commit was built on, when recorded; n_buckets, n_files,
+    * n_rows — summed from per-file stats when EVERY live file carries
+    * one, else null: refusal over guessing, the
+    * [[tableRowCountFromStats]] rule; mixed / reconcile / keyed_by
+    * contract flags). "What happened to this table and when" is one
+    * bounded scan of tiny objects — the chain is already bounded by
+    * [[compactManifests]], and pinned snapshots stay listed.
+    */
+  def tableHistory(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).map { p =>
+      val (id, live) = readManifest(fs, p)
+      val (_, base, kind) = manifestCommitMeta(fs, p)
+      val files = live.values.flatten.toSeq
+      val stats = manifestFileStats(fs, p)
+      val counts = files.map(rel =>
+        stats.get(rel).flatMap(_.get(statsRowsKey)).flatMap(_._1))
+      val nRows: Option[Long] =
+        if (files.isEmpty) Some(0L)
+        else if (counts.exists(_.isEmpty)) None
+        else Some(counts.flatten.map(_.toLong).sum)
+      (id, kind.getOrElse("write"), base.flatten,
+        readNBuckets(fs, p), files.size.toLong, nRows,
+        manifestMixed(fs, p), manifestReconcile(fs, p).isDefined,
+        manifestKeyedBy(fs, p).map(_.mkString(",")))
+    }.toDF("batch_id", "kind", "base", "n_buckets", "n_files", "n_rows",
+      "mixed", "reconcile", "keyed_by")
+  }
+
+  /** Outcome of one [[deleteUpsertTableWhere]] commit: how the live
+    * files classified. `filesDropped` left the manifest WITHOUT being
+    * read (zone maps + null counts proved every row matched);
+    * `filesCarried` kept their pointers untouched (provably disjoint
+    * from the predicate); only `filesRewritten` paid a read + write.
+    * At 100 TB a retention delete ("everything older than T") on a
+    * time-clustered table drops whole months metadata-only and
+    * rewrites only the boundary files.
+    */
+  final case class DeleteWhereReport(batchId: Long, filesDropped: Int,
+                                     filesRewritten: Int, filesCarried: Int,
+                                     bucketsTouched: Int)
+
+  /** PREDICATE DELETE with metadata-only file drops — the retention
+    * shape: delete every row matching a conjunction of inclusive
+    * [[ColBound]]s (the [[readUpsertTableWhere]] predicate language;
+    * NULL in a bound column never matches, so those rows survive).
+    * The result equals rewriting the table as
+    * `readUpsertTable(...).filter(!pred)` — but the commit classifies
+    * each live file against its recorded zone maps first:
+    *
+    *  - DISJOINT (recorded range cannot overlap any bound, or all-null
+    *    in a bound column): the file CARRIES — pointer, stats and
+    *    bytes untouched;
+    *  - FULLY COVERED (every bound column's recorded min AND max lie
+    *    inside the bound and its recorded null count is zero — every
+    *    row provably matches): the file DROPS from the manifest
+    *    without being read, the metadata-only path;
+    *  - otherwise it REWRITES: read, keep `!coalesce(pred, false)`,
+    *    land under this commit's generation.
+    *
+    * Soundness under deltas rides the per-bucket reconcile rule: in a
+    * bucket stacking multiple commit ordinals a row's visibility is
+    * not per-file (a dropped winner would resurrect a superseded
+    * version), so any OVERLAPPING delta bucket reconciles whole and
+    * rewrites (folding it as a side effect); single-ordinal buckets
+    * are unique-keyed by the merge contract and classify per file.
+    * Files without recorded stats (pre-contract commits) or null
+    * counts (pre-r14 stats) conservatively rewrite — never drop.
+    *
+    * Commit protocol is [[deleteFromTable]]'s: staged generation,
+    * manifest publish naming only CHANGED buckets (untouched buckets
+    * reuse pointers — O(changed) metadata), inherited stats/bloom
+    * contracts with fresh files re-statted, post-commit sweep.
+    * Replayed batchIds return None. Requires a committed manifest and
+    * a recorded key contract (rewritten rows re-bucket by key hash;
+    * run one merge on legacy tables first).
+    */
+  def deleteUpsertTableWhere(spark: SparkSession, tableDir: String,
+                             bounds: Seq[ColBound], batchId: Long,
+                             retain: Int = 1): Option[DeleteWhereReport] = {
+    import org.apache.hadoop.fs.Path
+    require(bounds.nonEmpty, "deleteUpsertTableWhere needs at least one bound")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir has no committed manifest; run one mergeBatchIntoTable " +
+          "(which migrates legacy layouts) before deleteUpsertTableWhere"))
+    val (prevId, live) = readManifest(fs, manifest)
+    if (prevId >= batchId) return None // replayed batch
+    val nBuckets = readNBuckets(fs, manifest)
+    val mixed = manifestMixed(fs, manifest)
+    val prevReconcile = manifestReconcile(fs, manifest)
+    val keyCols = manifestKeyedBy(fs, manifest).getOrElse(
+      throw new IllegalStateException(
+        s"$tableDir's manifest records no key contract (pre-r14 writer); " +
+          "predicate deletes re-bucket rewritten rows by key — run one " +
+          "merge so the table adopts it"))
+    val delStatsCols = manifestStatsCols(fs, manifest).getOrElse(Seq.empty)
+    val delBloomCols = manifestBloomCols(fs, manifest).getOrElse(Seq.empty)
+    val allFiles = live.values.flatten.toSeq
+    val zero = DeleteWhereReport(batchId, 0, 0, allFiles.size, 0)
+    def commit(newLive: Map[Int, Seq[String]], touched: Seq[Int],
+               fresh: Seq[String]): Unit = {
+      val freshStats: FileStats =
+        if (delStatsCols.isEmpty && delBloomCols.isEmpty) Map.empty
+        else computeFileStats(spark, table, fresh, delStatsCols, delBloomCols)
+      publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
+        touched = Some(touched), reconcile = prevReconcile,
+        keyedBy = Some(keyCols), fileStats = freshStats,
+        statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
+        bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
+        base = Some(Some(prevId)))
+      sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+    }
+    if (allFiles.isEmpty) { commit(live, Seq.empty, Seq.empty); return Some(zero) }
+    val schema = spark.read
+      .parquet(new Path(table, allFiles.head).toString).schema
+    val typed = bounds.map { b =>
+      require(schema.fieldNames.contains(b.column),
+        s"$tableDir has no column '${b.column}' to delete on")
+      val dt = schema(b.column).dataType
+      (b.column, dt, b.lo.map(canonicalBound(dt, _)),
+        b.hi.map(canonicalBound(dt, _)))
+    }
+    val stats = manifestFileStats(fs, manifest)
+    // the read-side overlap test: can this file hold a matching row?
+    def overlaps(rel: String): Boolean = statsOverlap(stats, typed, rel)
+    // the drop-side coverage proof: does EVERY row provably match?
+    def fullyCovered(rel: String): Boolean = typed.forall { case (c, dt, lo, hi) =>
+      val noNulls = stats.get(rel).flatMap(_.get(nullKey(c)))
+        .flatMap(_._1).contains("0")
+      noNulls && (stats.get(rel).flatMap(_.get(c)) match {
+        case Some((Some(mn), Some(mx))) =>
+          lo.forall(l => statCompare(dt, mn, l) >= 0) &&
+            hi.forall(h => statCompare(dt, mx, h) <= 0)
+        case _ => false // no/partial range recorded: not provable
+      })
+    }
+    // classify per bucket: (carried, dropped, plain rewrites) at file
+    // granularity; an OVERLAPPING delta-stacking bucket reconciles and
+    // rewrites whole (per-file visibility is unsound there)
+    val deltaBuckets: Set[Int] =
+      if (prevReconcile.isEmpty) Set.empty
+      else live.filter(_._2.map(fileOrdinal).distinct.size > 1).keySet
+    var carried = Map.empty[Int, Seq[String]]
+    var drops = List.empty[String]
+    var plainRewrite = List.empty[String]
+    var deltaRewrite = List.empty[String]
+    live.foreach { case (b, fls) =>
+      if (deltaBuckets(b)) {
+        if (fls.exists(overlaps)) deltaRewrite :::= fls.toList
+        else carried += b -> fls
+      } else {
+        val (hit, miss) = fls.partition(overlaps)
+        val (covered, partial) = hit.partition(fullyCovered)
+        drops :::= covered.toList
+        plainRewrite :::= partial.toList
+        if (miss.nonEmpty) carried += b -> miss
+      }
+    }
+    val touched = live.keySet.filter(b =>
+      carried.get(b).map(_.toSet) != live.get(b).map(_.toSet)).toSeq.sorted
+    if (touched.isEmpty) { // nothing overlaps: a pure watermark advance
+      commit(live, Seq.empty, Seq.empty)
+      return Some(zero.copy(bucketsTouched = 0))
+    }
+    val keep = { // rows where the predicate is NOT true (NULL survives)
+      val pred = bounds.map { b =>
+        val dt = schema(b.column).dataType
+        val lo = b.lo.map(v => col(b.column) >= lit(v).cast(dt))
+        val hi = b.hi.map(v => col(b.column) <= lit(v).cast(dt))
+        (lo.toSeq ++ hi.toSeq).reduce(_ && _)
+      }.reduce(_ && _)
+      !coalesce(pred, lit(false))
+    }
+    def scan(rels: Seq[String]) = spark.read
+      .option("mergeSchema", mixed.toString)
+      .parquet(rels.map(rel => new Path(table, rel).toString): _*)
+    val survivorParts = Seq(
+      if (plainRewrite.isEmpty) None else Some(scan(plainRewrite).filter(keep)),
+      if (deltaRewrite.isEmpty) None
+      else Some(prevReconcile.map { case (ks, v) =>
+        reconcileRows(scan(deltaRewrite), ks, v) }.get.filter(keep))).flatten
+    val rewritten: Map[Int, Seq[String]] =
+      if (survivorParts.isEmpty) Map.empty
+      else {
+        val genName = s"gen_$batchId"
+        val genDir = new Path(table, genName)
+        val survivors = survivorParts
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+        survivors.repartition(touched.length, col(upsertBucketCol))
+          .write.mode("overwrite").partitionBy(upsertBucketCol)
+          .parquet(genDir.toString)
+        touched.flatMap { b =>
+          val d = new Path(genDir, s"$upsertBucketCol=$b")
+          if (!fs.exists(d)) None
+          else {
+            val fls = fs.listStatus(d)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+            if (fls.isEmpty) None else Some(b -> fls)
+          }
+        }.toMap
+      }
+    val merged = (live.keySet ++ rewritten.keySet).flatMap { b =>
+      val fls = carried.getOrElse(b, Seq.empty) ++ rewritten.getOrElse(b, Seq.empty)
+      if (fls.isEmpty) None else Some(b -> fls)
+    }.toMap
+    val newLive = if (merged.isEmpty) {
+      // the delete emptied the table: land ONE explicit schema-carrying
+      // empty file (the deleteFromTable convention — a fileless
+      // manifest strands readers on schema inference)
+      val b = touched.head
+      val genName = s"gen_$batchId"
+      val d = new Path(new Path(table, genName), s"$upsertBucketCol=$b")
+      scan(allFiles.take(1)).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(d.toString)
+      val fls = fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+      Map(b -> fls)
+    } else merged
+    val fresh = newLive.values.flatten.toSeq.filterNot(allFiles.toSet)
+    commit(newLive, touched, fresh)
+    Some(DeleteWhereReport(batchId, drops.size,
+      plainRewrite.size + deltaRewrite.size,
+      allFiles.size - drops.size - plainRewrite.size - deltaRewrite.size,
+      touched.size))
+  }
+
   /** Read back the logical table the upsert sink maintains: exactly the
     * files the latest committed manifest names (a consistent snapshot —
     * an in-flight merge's staged generation is invisible until its
@@ -1175,6 +1468,12 @@ object EventStreams {
       Seq(statValue(min(col(c)), dt, c).as(s"__mn_$c"),
         statValue(max(col(c)), dt, c).as(s"__mx_$c"))
     }
+    // per-column NULL counts ride the same aggregate: full-file
+    // coverage proofs ([[deleteUpsertTableWhere]]) need "no row in
+    // this file can escape the predicate via a NULL" — min/max alone
+    // cannot distinguish a some-nulls file from a none-nulls one
+    val nullAggs = present.map(c =>
+      count(when(col(c).isNull, 1)).cast("string").as(s"__nl_$c"))
     // blooms ride the SAME per-file aggregate: two xxhash64 probe
     // positions per value, folded to at most 2 x bloomBits distinct
     // ints per file (collect_set is the map-side-combining form)
@@ -1184,10 +1483,12 @@ object EventStreams {
       collect_set(pmod(xxhash64(col(c), lit(1L)), lit(bloomBits)).cast("int"))
         .as(s"__b2_$c")))
     val aggs = rangeAggs ++
-      Seq(count(lit(1)).cast("string").as(statsRowsKey)) ++ bloomAggs
+      Seq(count(lit(1)).cast("string").as(statsRowsKey)) ++
+      nullAggs ++ bloomAggs
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val bloomBase = 2 + 2 * present.size // first bloom field index
+    val nullBase = 2 + 2 * present.size // first null-count field index
+    val bloomBase = nullBase + present.size // first bloom field index
     rows.flatMap { r =>
       val f = r.getString(0)
       rels.find(rel => f.endsWith("/" + rel)).map { rel =>
@@ -1211,7 +1512,10 @@ object EventStreams {
           + (statsRowsKey -> {
             val n = Option(r.getString(1 + 2 * present.size))
             (n, n)
-          }) ++ blooms)
+          }) ++ present.zipWithIndex.map { case (c, i) =>
+            val n = Option(r.getString(nullBase + i))
+            nullKey(c) -> ((n, n))
+          } ++ blooms)
       }
     }.toMap
   }
@@ -1221,6 +1525,14 @@ object EventStreams {
     * PROBE's columns, so the entry is invisible to pruning.
     */
   private val statsRowsKey = "__rows"
+
+  /** Reserved stats pseudo-column per contracted column holding the
+    * file's NULL count in it (lo = hi = count) — the full-coverage
+    * evidence [[deleteUpsertTableWhere]]'s metadata-only drops need.
+    * Files from pre-r14 commits have no entry; coverage proofs treat
+    * that as unprovable (rewrite instead of drop), never unsound.
+    */
+  private def nullKey(c: String) = s"__nl_$c"
 
   /** Serialize a shard/manifest's stats section. Values are base64 of
     * the canonical string (stat values are arbitrary user data — quotes
@@ -2272,6 +2584,172 @@ object EventStreams {
       batchId = 2 * to + 1, retain = retain, delta = delta)
     advanceFeedCursor(spark, srcDir, consumer, to)
     Some((from, to, nUps, nDels))
+  }
+
+  /** Spec for an incrementally-maintained AGGREGATE VIEW over a keyed
+    * upsert table: `groupBy` names the view's dimensions (they become
+    * the rollup table's key), `sums` the measures summed per group
+    * (NULL measure values contribute 0 — `sum(coalesce(c, 0))`
+    * semantics, so the incremental arithmetic and the full recompute
+    * agree on all-null groups). The view always carries the exact row
+    * count as `n_rows` and each measure as `sum_<c>`; means derive.
+    * min/max are deliberately NOT offered: under deletes they are not
+    * incrementally maintainable from deltas (a deleted extremum forces
+    * a group re-scan) — an honest scope line, not an oversight.
+    *
+    * `groupBy` columns must be NON-NULL in the source: the keyed-table
+    * layer addresses rows by key equality, and a NULL key cannot be
+    * deleted through an anti-join — [[syncRollupFromFeed]] fails
+    * loudly if a NULL group value enters a window (project a sentinel
+    * upstream if the dimension is nullable).
+    */
+  final case class RollupSpec(groupBy: Seq[String], sums: Seq[String])
+
+  /** The view [[syncRollupFromFeed]] maintains, as one full aggregate
+    * of `src` — the seed AND the equivalence oracle: after any synced
+    * window, the rollup table's rows equal this over the source's
+    * current snapshot.
+    */
+  def rollupAggregate(src: DataFrame, spec: RollupSpec): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      spec.sums.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c"))
+    src.groupBy(spec.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Seed the rollup table with the source's CURRENT snapshot and park
+    * the consumer's cursor at its watermark — the feed then delivers
+    * only what changes after. BatchId `2*wm + 1` keeps later syncs'
+    * ids (`2*to`, `2*to+1`) monotone. Returns the seeded watermark.
+    */
+  def seedRollupFromSnapshot(spark: SparkSession, srcDir: String,
+                             rollupDir: String, consumer: String,
+                             spec: RollupSpec, nBuckets: Int,
+                             retain: Int = 1): Long = {
+    val wm = latestCommittedBatchId(spark, srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"$srcDir has no committed manifest; commit one batch before " +
+          "seeding a rollup"))
+    val agg = rollupAggregate(readUpsertTable(spark, srcDir), spec)
+      .withColumn("__v", lit(wm)).localCheckpoint()
+    require(agg.filter(spec.groupBy.map(col(_).isNull).reduce(_ || _))
+      .isEmpty,
+      s"rollup groupBy (${spec.groupBy.mkString(",")}) holds NULL values " +
+        s"in $srcDir; NULL keys cannot be addressed by the keyed-table " +
+        "layer — coalesce the dimension to a sentinel upstream")
+    mergeBatchIntoTable(agg, rollupDir, spec.groupBy, "__v", nBuckets,
+      batchId = 2 * wm + 1, retain = retain)
+    advanceFeedCursor(spark, srcDir, consumer, wm)
+    wm
+  }
+
+  /** FEED-DRIVEN INCREMENTAL AGGREGATE VIEW — the third consumer of
+    * the change feed (replica [[syncReplicaFromFeed]], ANN index
+    * [[graft.operators.Similarity]]'s feed sync, now rollups): keep a
+    * grouped count/sum view of a 100 TB table fresh at O(changed)
+    * cost per window, never re-aggregating the corpus.
+    *
+    * Mechanics per window `(cursor, watermark]`:
+    *  1. the net feed gives each changed key's NEW image ("upsert")
+    *     or last-held image ("delete");
+    *  2. updated keys' PRE-images come from a bucket-pruned point
+    *     read AT the cursor boundary
+    *     ([[readUpsertTableForKeysBefore]] — the cursor pin holds
+    *     that snapshot readable, so the read never races retention);
+    *  3. signed contributions (+new, -old) aggregate to per-group
+    *     DELTAS — O(changed rows), with map-side combine;
+    *  4. the rollup rows for ONLY the affected groups (bucket-pruned
+    *     point read — the rollup is itself a keyed upsert table) fold
+    *     with the deltas into new totals;
+    *  5. groups hitting n_rows = 0 DELETE; the rest upsert at version
+    *     = the source watermark; the cursor advances last.
+    *
+    * EXACTLY-ONCE by the replica-sync argument: every commit lands
+    * under a batchId monotone in the source watermark, so a crash
+    * anywhere replays — committed halves no-op on their watermark,
+    * recomputed totals from an already-applied window are computed
+    * but never land, and the un-advanced cursor re-reads the same
+    * window. A version race the source absorbed nets to nothing in
+    * the feed and touches no group. Returns
+    * (from, to, groupsUpserted, groupsDeleted); None at watermark.
+    */
+  def syncRollupFromFeed(spark: SparkSession, srcDir: String,
+                         rollupDir: String, consumer: String,
+                         spec: RollupSpec, nBuckets: Int,
+                         retain: Int = 1): Option[(Long, Long, Long, Long)] = {
+    val from = feedCursor(spark, srcDir, consumer).getOrElse(
+      throw new IllegalStateException(
+        s"no cursor for consumer '$consumer' on $srcDir; " +
+          "seedRollupFromSnapshot first"))
+    val to = latestCommittedBatchId(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"$srcDir lost its manifest chain"))
+    if (to == from) return None
+    require(to > from,
+      s"$srcDir's watermark $to is behind the cursor $from — was the " +
+        "table restored below the cursor? Resync the consumer")
+    val keyCols = tableKeyedBy(spark, srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"$srcDir records no key contract; run one merge to adopt it"))
+    // one bounded materialization: the window's changed rows feed the
+    // pre-image probe, both signed projections and the null check
+    val feed = readChangeFeed(spark, srcDir, from, Some(to)).localCheckpoint()
+    val ups = feed.filter(col(changeTypeCol) === "upsert").drop(changeTypeCol)
+    val delPre = feed.filter(col(changeTypeCol) === "delete").drop(changeTypeCol)
+    // pre-images of upserted keys AT the cursor snapshot (absent for
+    // keys new in the window), aligned to the feed's widened schema
+    val upPre0 = readUpsertTableForKeysBefore(spark, srcDir,
+      ups.select(keyCols.map(col): _*), keyCols, from + 1) match {
+      case Some(Some(df)) => df
+      case _ => ups.limit(0)
+    }
+    val upPre = ups.columns.foldLeft(upPre0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(ups.schema(c).dataType))
+    }.select(ups.columns.map(col).toSeq: _*)
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.select(spec.groupBy.map(col) ++
+        (lit(sign.toLong).as("n_rows") +:
+          spec.sums.map(c =>
+            (coalesce(col(c), lit(0)) * sign).as(s"sum_$c"))): _*)
+    val signed = contrib(ups, 1)
+      .unionByName(contrib(upPre, -1))
+      .unionByName(contrib(delPre, -1))
+    require(signed
+      .filter(spec.groupBy.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      s"a NULL value entered rollup dimension (${spec.groupBy.mkString(",")})" +
+        s" in window ($from, $to] of $srcDir — NULL keys cannot be " +
+        "addressed by the keyed-table layer; coalesce upstream")
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      spec.sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    // barrier: deltas feeds the affected-group probe AND the fold
+    val deltas = signed.groupBy(spec.groupBy.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    // fold ONLY the affected groups' current rows with the deltas —
+    // union + re-aggregate, no join (the point read is bucket-pruned;
+    // barrier: totals feeds the zero split, the upsert and the guard)
+    val current = readUpsertTableForKeys(spark, rollupDir,
+      deltas.select(spec.groupBy.map(col): _*), spec.groupBy)
+      .select((spec.groupBy ++ Seq("n_rows") ++
+        spec.sums.map(c => s"sum_$c")).map(col): _*)
+    val totals = current.unionByName(deltas)
+      .groupBy(spec.groupBy.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    require(totals.filter(col("n_rows") < 0).isEmpty,
+      s"rollup over $srcDir went NEGATIVE in window ($from, $to] — the " +
+        "view and the source diverged (was the rollup table mutated " +
+        "out-of-band?); reseed the consumer")
+    val zeros = totals.filter(col("n_rows") === 0)
+      .select(spec.groupBy.map(col): _*)
+    val positives = totals.filter(col("n_rows") > 0)
+      .withColumn("__v", lit(to))
+    val nPos = positives.count()
+    val nZero = zeros.count()
+    deleteFromTable(spark, rollupDir, zeros, spec.groupBy, nBuckets,
+      batchId = 2 * to, retain = retain)
+    mergeBatchIntoTable(positives, rollupDir, spec.groupBy, "__v", nBuckets,
+      batchId = 2 * to + 1, retain = retain)
+    advanceFeedCursor(spark, srcDir, consumer, to)
+    Some((from, to, nPos, nZero))
   }
 
   // --------------------------------------------------------------------

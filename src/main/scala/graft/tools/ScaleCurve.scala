@@ -88,7 +88,10 @@ object ScaleCurve {
       // loop (FeedScale has the feed-vs-full-diff files/time curve),
       // metadata-only aggregates, z-order clustering
       "q198_change_feed", "q199_index_feed_sync", "q200_meta_agg",
-      "q201_zorder", "q202_bloom_skip")
+      "q201_zorder", "q202_bloom_skip",
+      // round 14 (cont.): predicate deletes with metadata-only drops,
+      // the feed-driven incremental rollup view
+      "q203_delete_where", "q204_rollup_view")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

@@ -411,4 +411,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(r2("index_backlog") === ((true, 0L)))
     assert(r2("index_folded") === ((true, 0L)))
   }
+
+  test("retention leg: metadata-gated age-out drops covered files unread; drained backlog acts nothing") {
+    import EventStreams.ColBound
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-ret").toString
+    val t = s"$base/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L, retain = 4,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4, retain = 4)
+    // age out n <= 110: files [0,30],[40,70],[80,110] fully covered
+    val bounds = Seq(ColBound("n", None, Some("110")))
+    assert(EventStreams.retentionBacklog(spark, t, bounds) === ((3, true)))
+    def pass(runId: Long) = Maintenance.runOnce(spark, runId, s"$base/report",
+      tables = Seq((t, 4)), retention = Seq((t, bounds)))
+      .filter(col("check").startsWith("retention"))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    val r1 = pass(1L)
+    assert(r1("retention_contract") === ((true, 1L)))
+    assert(r1("retention_backlog") === ((false, 3L)))
+    assert(r1("retention_acted") === ((true, 1L)))
+    assert(r1("retention_dropped_unread") === ((true, 3L)),
+      "all three covered files must age out without a read")
+    val left = EventStreams.readUpsertTable(spark, t)
+    assert(left.count() === 20L)
+    assert(left.agg(min(col("n"))).head().getLong(0) === 120L)
+    // drained: the next night measures zero and acts nothing
+    val r2 = pass(2L)
+    assert(r2("retention_backlog") === ((true, 0L)))
+    assert(r2("retention_acted") === ((true, 0L)))
+    assert(EventStreams.readUpsertTable(spark, t).count() === 20L)
+    // a table without a covering stats contract reports red and is NOT
+    // acted on — nightly re-rewrites of stat-less files would thrash
+    val tn = s"$base/tn"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      tn, Seq("k"), "__v", nBuckets = 1, batchId = 0L)
+    val r3 = Maintenance.runOnce(spark, 3L, s"$base/report",
+      retention = Seq((tn, bounds)))
+      .filter(col("check").startsWith("retention"))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r3("retention_contract") === ((false, 1L)))
+    assert(r3("retention_acted") === ((true, 0L)))
+    assert(EventStreams.readUpsertTable(spark, tn).count() === 8L,
+      "no contract, no action — the rows stay until the operator opts in")
+  }
 }

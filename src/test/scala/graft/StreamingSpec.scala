@@ -2060,4 +2060,204 @@ class StreamingSpec extends SparkSpec {
       "the guarded publish must land nothing")
     assert(EventStreams.readUpsertTable(spark, t).count() === 2L)
   }
+
+  test("deleteUpsertTableWhere: covered files drop metadata-only, boundaries rewrite, result stays exact") {
+    import EventStreams.ColBound
+    val t = Files.createTempDirectory("graft-delw").toString + "/t"
+    val rows = (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v")
+    EventStreams.mergeBatchIntoTable(rows, t, Seq("k"), "__v",
+      nBuckets = 1, batchId = 0L, retain = 4, statsCols = Some(Seq("n")))
+    // 8 files of 4 rows each, tight disjoint n-ranges
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4, retain = 4)
+    val nLive = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(nLive === 8)
+    val before = EventStreams.readUpsertTable(spark, t).localCheckpoint()
+    // delete n in [100, 250]: files [100..130],[160..190],[200..230]
+    // fully covered (drop unread); [140..150 within 120..150? no —
+    // boundary files overlap partially and must rewrite
+    val rep = EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("100"), Some("250"))), batchId = 2L,
+      retain = 4).get
+    val got = EventStreams.readUpsertTable(spark, t)
+    val want = before.filter(col("n") < 100L || col("n") > 250L)
+    assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty)
+    assert(rep.filesDropped >= 2, s"covered files must drop unread: $rep")
+    assert(rep.filesCarried >= 2, s"disjoint files must carry: $rep")
+    assert(rep.filesDropped + rep.filesRewritten + rep.filesCarried === 8, s"$rep")
+    // metadata-only count still provable and tracks the commit
+    assert(EventStreams.tableRowCountFromStats(spark, t) === Some(want.count()))
+    // time travel: the pre-delete snapshot is intact under retain
+    assert(EventStreams.readUpsertTableAt(spark, t, 1L).count() === 32L)
+    // replay commits nothing
+    assert(EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("100"), Some("250"))), batchId = 2L).isEmpty)
+    assert(EventStreams.latestCommittedBatchId(spark, t) === Some(2L))
+    // a disjoint predicate advances the watermark without touching data
+    val rep2 = EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("5000"), Some("6000"))), batchId = 3L,
+      retain = 4).get
+    assert(rep2.filesDropped === 0 && rep2.filesRewritten === 0)
+    assert(EventStreams.readUpsertTable(spark, t).count() === want.count())
+  }
+
+  test("deleteUpsertTableWhere: NULLs survive the predicate and block metadata-only drops") {
+    import EventStreams.ColBound
+    val t = Files.createTempDirectory("graft-delwn").toString + "/t"
+    // k 0..5 carry NULL n; 6..21 carry n = k*10
+    val rows = (0L until 22L).map(k =>
+      (k, if (k < 6L) None else Some(k * 10L), 0L)).toDF("k", "n", "__v")
+    EventStreams.mergeBatchIntoTable(rows, t, Seq("k"), "__v",
+      nBuckets = 1, batchId = 0L, retain = 4, statsCols = Some(Seq("n")))
+    // nulls sort FIRST: file0 = 4 nulls, file1 = 2 nulls + n=60,70 —
+    // a mixed file the coverage proof must refuse to drop
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4, retain = 4)
+    val rep = EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("0"), Some("120"))), batchId = 2L,
+      retain = 4).get
+    val got = EventStreams.readUpsertTable(spark, t)
+    // survivors: all 6 null rows + n > 120
+    assert(got.filter(col("n").isNull).count() === 6L,
+      "NULL never matches a bound; those rows must survive")
+    assert(got.count() === 6L + 9L)
+    // the all-null file is DISJOINT (carried); the mixed file must
+    // REWRITE, not drop — dropping it would delete its null rows
+    assert(rep.filesRewritten >= 1, s"mixed null file must rewrite: $rep")
+  }
+
+  test("deleteUpsertTableWhere on delta buckets reconciles first — superseded versions never resurrect") {
+    import EventStreams.ColBound
+    val t = Files.createTempDirectory("graft-delwd").toString + "/t"
+    def merge(rs: Seq[(Long, Long, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rs.toDF("k", "n", "__v"),
+        t, Seq("k"), "__v", nBuckets = 2, batchId = id,
+        retain = 4, delta = true, statsCols = Some(Seq("n")))
+    merge((0L until 8L).map(k => (k, k * 10L, 0L)), 0L)
+    merge(Seq((3L, 999L, 1L)), 1L) // k=3 moved: 30 superseded by 999
+    val rep = EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("900"), Some("1000"))), batchId = 2L,
+      retain = 4).get
+    val got = EventStreams.readUpsertTable(spark, t)
+    val ks = got.collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(3L),
+      "deleting the winning version must not resurrect the superseded one")
+    assert(got.count() === 7L)
+    assert(rep.filesRewritten >= 1)
+    // deleting at the OLD value of a dead key touches nothing: k=3's
+    // superseded n=30 is the only value in [25,35] and it is not a
+    // current row — a file-granular classifier that read the stale
+    // file without reconciling would wrongly kill it again or keep it
+    EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", Some("25"), Some("35"))), batchId = 3L, retain = 4)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 7L,
+      "[25,35] matches no CURRENT row; the logical table must not shrink")
+  }
+
+  test("rollup view: feed-driven sync tracks inserts, updates, group moves and deletes exactly") {
+    import EventStreams.RollupSpec
+    val base = Files.createTempDirectory("graft-rollup").toString
+    val (src, ru) = (s"$base/src", s"$base/ru")
+    val spec = RollupSpec(Seq("grp"), Seq("x"))
+    def merge(rs: Seq[(Long, String, Double, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rs.toDF("k", "grp", "x", "__v"),
+        src, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 8,
+        delta = true)
+    def converged(): Unit = {
+      val got = EventStreams.readUpsertTable(spark, ru)
+        .select("grp", "n_rows", "sum_x")
+      val want = EventStreams.rollupAggregate(
+        EventStreams.readUpsertTable(spark, src), spec)
+      assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty,
+        "the incremental view must equal the full recompute")
+    }
+    // seed: 12 keys in 3 groups
+    merge((0L until 12L).map(k => (k, s"g${k % 3}", k * 1.5, 0L)), 0L)
+    EventStreams.seedRollupFromSnapshot(spark, src, ru, "ru", spec,
+      nBuckets = 2, retain = 8)
+    converged()
+    // window 1: update x (k=1), MOVE k=5 g2->g0, new key 12, stale
+    // write on k=2 (version 0 vs existing 0 — loses the commit-order
+    // tie? no: same version, later commit wins under the delta
+    // contract, so make it a real loser: version -1)
+    merge(Seq((1L, "g1", 100.0, 1L), (5L, "g0", 7.5, 1L),
+      (12L, "g1", 3.0, 1L), (2L, "g2", 9999.0, -1L)), 1L)
+    // window 1 continued: delete the rest of g2 (k=2, 8, 11) — the
+    // group empties
+    EventStreams.deleteFromTable(spark, src,
+      Seq(2L, 8L, 11L).toDF("k"), Seq("k"), nBuckets = 4, batchId = 2L,
+      retain = 8)
+    val r1 = EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2, retain = 8).get
+    converged()
+    assert(r1._4 === 1L, s"g2 reached zero and must delete: $r1")
+    assert(EventStreams.readUpsertTable(spark, ru)
+      .filter(col("grp") === "g2").isEmpty)
+    // window 2: g2 reappears
+    merge(Seq((13L, "g2", 2.0, 0L)), 3L)
+    assert(EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2, retain = 8).isDefined)
+    converged()
+    assert(EventStreams.readUpsertTable(spark, ru)
+      .filter(col("grp") === "g2").select("n_rows")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // replay: at the watermark the sync no-ops
+    assert(EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2).isEmpty)
+    assert(EventStreams.feedCursor(spark, src, "ru") === Some(3L))
+    // NULL group values fail loudly, never silently mis-aggregate
+    merge(Seq((14L, null.asInstanceOf[String], 1.0, 0L)), 4L)
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+        nBuckets = 2)
+    }
+    assert(err.getMessage.contains("NULL"))
+  }
+
+  test("tableHistory: the commit log as a DataFrame, from metadata alone") {
+    val t = Files.createTempDirectory("graft-hist").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    EventStreams.deleteFromTable(spark, t, Seq(3L).toDF("k"), Seq("k"),
+      nBuckets = 2, batchId = 1L, retain = 8)
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 2L, retain = 8)
+    val hist = EventStreams.tableHistory(spark, t)
+      .orderBy(col("batch_id")).collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(hist.map(_.getString(1)).toSeq === Seq("write", "write", "fold"))
+    // the fold records its parent; row counts come from the stats the
+    // commits already wrote (15 after the keyed delete)
+    assert(hist.last.getLong(2) === 1L, "fold base = the parent watermark")
+    assert(hist.map(r => Option(r.get(5)).map(_.asInstanceOf[Long]))
+      .toSeq === Seq(Some(16L), Some(15L), Some(15L)))
+    assert(hist.forall(_.getString(8) == "k"), "key contract on every row")
+    // a table that never opted into stats refuses row counts (null),
+    // never guesses
+    val tn = Files.createTempDirectory("graft-histn").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, 0L)).toDF("k", "__v"), tn, Seq("k"), "__v",
+      nBuckets = 1, batchId = 0L)
+    assert(EventStreams.tableHistory(spark, tn).head().isNullAt(5))
+  }
+
+  test("deleteUpsertTableWhere can empty the table; later merges recover it") {
+    import EventStreams.ColBound
+    val t = Files.createTempDirectory("graft-delwe").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 6L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L,
+      statsCols = Some(Seq("n")))
+    EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(ColBound("n", None, Some("1000"))), batchId = 1L)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 0L,
+      "an unbounded-below delete covering every row empties the table")
+    assert(EventStreams.readUpsertTable(spark, t).columns.contains("n"),
+      "the committed-empty table still carries its schema")
+    EventStreams.mergeBatchIntoTable(
+      Seq((9L, 90L, 1L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 2, batchId = 2L)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 1L)
+  }
 }
