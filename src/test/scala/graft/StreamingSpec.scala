@@ -1871,12 +1871,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows(rep) === rows(src))
   }
 
-  test("the full serving loop: streaming CDC -> delta table -> change feed -> index sync") {
+  test("the full serving loop: streaming CDC -> delta table -> change feed -> index sync + rollup view") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft-loop").toString
     val srcDir = s"$base/cdc"
     val t = s"$base/t"
     val idx = s"$base/idx"
+    val ru = s"$base/ru"
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType), StructField("__v", LongType)))
@@ -1884,7 +1885,7 @@ class StreamingSpec extends SparkSpec {
     def land(rows: Seq[(Long, IndexedSeq[Float], Int, Long)]): Unit =
       rows.toDF("vec_id", "embedding", "label", "__v")
         .coalesce(1).write.mode("append").parquet(srcDir)
-    land((0L until 6L).map(k => (k, emb(1.0 + k * 0.4), 0, 0L)))
+    land((0L until 6L).map(k => (k, emb(1.0 + k * 0.4), (k % 2).toInt, 0L)))
     val q = EventStreams.upsertToParquet(
       spark.readStream.schema(schema).parquet(srcDir), t,
       Seq("vec_id"), "__v", nBuckets = 4, retain = 8, delta = true)
@@ -1894,10 +1895,15 @@ class StreamingSpec extends SparkSpec {
         EventStreams.readUpsertTable(spark, t), idx,
         nlist = 2, m = 8, codebookSize = 2, dim = 64)
       EventStreams.bootstrapFeedCursor(spark, t, "serve")
-      // CDC trickle: vec 0 moves, vec 6 arrives — the stream's next
-      // micro-batch commits it as one O(batch) delta merge, and the
-      // sync pulls exactly that window into the serving index
-      land(Seq((0L, emb(9.0), 0, 1L), (6L, emb(3.1), 0, 0L)))
+      // a second, independent consumer of the SAME feed: a per-label
+      // count view (each consumer holds its own cursor pin)
+      val spec = EventStreams.RollupSpec(Seq("label"), Seq.empty)
+      EventStreams.seedRollupFromSnapshot(spark, t, ru, "stats", spec,
+        nBuckets = 2, retain = 8)
+      // CDC trickle: vec 0 moves (position AND label group), vec 6
+      // arrives — the stream's next micro-batch commits it as one
+      // O(batch) delta merge, and each sync pulls exactly that window
+      land(Seq((0L, emb(9.0), 1, 1L), (6L, emb(3.1), 0, 0L)))
       q.processAllAvailable()
       val r = graft.operators.Similarity.syncIndexFromFeed(spark, t, idx, "serve")
       assert(r.exists(x => x._3 == 2L && x._4 == 0L))
@@ -1909,10 +1915,18 @@ class StreamingSpec extends SparkSpec {
         .queryIvfPqIndex(spark, idx, Seq((99L, pv)), k = 1, nprobe = 2)
         .collect()
       assert(top.head.getLong(1) === 0L, "the moved vector serves at its new position")
-      // drained and synced: both halves are replay-clean no-ops
+      assert(EventStreams.syncRollupFromFeed(spark, t, ru, "stats", spec,
+        nBuckets = 2, retain = 8).isDefined)
+      val counts = EventStreams.readUpsertTable(spark, ru)
+        .collect().map(r0 => r0.getInt(0) -> r0.getLong(1)).toMap
+      assert(counts === Map(0 -> 3L, 1 -> 4L),
+        "vec 0 moved label groups and vec 6 arrived: the view tracks both")
+      // drained and synced: every half is a replay-clean no-op
       q.processAllAvailable()
       assert(graft.operators.Similarity
         .syncIndexFromFeed(spark, t, idx, "serve") === None)
+      assert(EventStreams.syncRollupFromFeed(spark, t, ru, "stats", spec,
+        nBuckets = 2) === None)
     } finally q.stop()
   }
 
