@@ -7558,6 +7558,80 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** CATALYST-INTEGRATED ZONE-MAP SCAN
+    * ([[streaming.EventStreams.readUpsertTableScan]] +
+    * [[streaming.ZoneMapFileIndex]]): the pruning classifier packaged
+    * as a Spark `FileIndex` inside a real `HadoopFsRelation`, so a
+    * PLAIN `.filter` prunes data files during scan planning — no
+    * special read API, the same hook partition pruning uses. Verdicts,
+    * decided in-query from executed plans' own `numFiles` metrics
+    * against the committed layout: a plain range filter returns
+    * exactly the unpruned read's rows while planning strictly fewer
+    * files; an out-of-range filter plans ZERO files; a filter on an
+    * uncontracted column and a predicate the conservative extractor
+    * can't read both stay exact at full width (pruning is only ever
+    * an optimization); string equality prunes through the same path;
+    * a bloom-contracted equality probe prunes from the membership
+    * sketches (the literal hashed DRIVER-SIDE with the writer's own
+    * XxHash64 expression — no job at planning time); and a delta
+    * snapshot refuses loudly (file-level pruning there could
+    * resurrect a superseded version).
+    */
+  def q207CatalystScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = ensureZone(spark, dir)
+    import streaming.EventStreams
+    val z = s"$base/z"
+    val live = EventStreams.tableManifest(spark, z).values.map(_.size).sum.toLong
+    def scanned(d: DataFrame): (Seq[Long], Long) = {
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      val scan = fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      (rows, scan.metrics("numFiles").value)
+    }
+    def scan() = EventStreams.readUpsertTableScan(spark, z)
+    val full = EventStreams.readUpsertTable(spark, z).localCheckpoint()
+    val (lowRows, lowFiles) = scanned(scan().filter(col("n") <= 155L))
+    val rangePrunes = lowRows == full.filter(col("n") <= 155L)
+      .collect().map(_.getLong(0)).sorted.toSeq && lowFiles < live
+    val (noRows, noFiles) = scanned(scan().filter(col("n") > 5000L))
+    val zeroFiles = noRows.isEmpty && noFiles == 0L
+    val (kRows, kFiles) = scanned(scan().filter(col("doc_id").between(3L, 5L)))
+    val uncontracted = kRows == Seq(3L, 4L, 5L) && kFiles == live
+    val (modRows, modFiles) = scanned(
+      scan().filter(pmod(col("n"), lit(100L)) === 0))
+    val unextractable = modRows == full
+      .filter(pmod(col("n"), lit(100L)) === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq && modFiles == live
+    val (sRows, sFiles) = scanned(scan().filter(col("cat") === "c07"))
+    val stringPrunes = sRows == Seq(7L) && sFiles < live
+    // bloom-contracted equality prunes through the same planning hook
+    // (zb: high-cardinality unsorted strings — only the sketch prunes)
+    val zb = s"$base/zb"
+    val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
+    val v77 = s"u${(77L * 2654435761L) % 100000}"
+    val (bRows, bFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, zb).filter(col("u") === v77))
+    val bloomPrunes = bRows == Seq(77L) && bFiles < bLive
+    val deltaRefuses = scala.util.Try(
+      EventStreams.readUpsertTableScan(spark, s"$base/zd")).isFailure
+    Seq(
+      ("plain_filter_prunes_planned_files", rangePrunes),
+      ("out_of_range_plans_zero_files", zeroFiles),
+      ("uncontracted_column_stays_exact_full_width", uncontracted),
+      ("unextractable_predicate_stays_exact", unextractable),
+      ("string_equality_prunes", stringPrunes),
+      ("bloom_equality_prunes_in_plan", bloomPrunes),
+      ("delta_snapshot_refuses", deltaRefuses))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -7762,6 +7836,7 @@ object SparkEntry {
     "q204_rollup_view" -> (q204RollupView _),
     "q205_retention_maintenance" -> (q205RetentionMaintenance _),
     "q206_table_history" -> (q206TableHistory _),
+    "q207_catalyst_scan" -> (q207CatalystScan _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -9234,6 +9309,15 @@ object SparkEntry {
         |  ('file_counts_show_the_classification'),
         |  ('key_contract_on_every_row'),
         |  ('statless_counts_read_null')) t(c)""".stripMargin,
+    "q207_catalyst_scan" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('plain_filter_prunes_planned_files'),
+        |  ('out_of_range_plans_zero_files'),
+        |  ('uncontracted_column_stays_exact_full_width'),
+        |  ('unextractable_predicate_stays_exact'),
+        |  ('string_equality_prunes'),
+        |  ('bloom_equality_prunes_in_plan'),
+        |  ('delta_snapshot_refuses')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

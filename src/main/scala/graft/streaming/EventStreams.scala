@@ -638,7 +638,7 @@ object EventStreams {
     * matches no range. Shared by the delete classifier and the
     * retention monitor so they can never disagree.
     */
-  private def statsOverlap(stats: FileStats,
+  private[streaming] def statsOverlap(stats: FileStats,
                            typed: Seq[(String, DataType, Option[String], Option[String])],
                            rel: String): Boolean =
     typed.forall { case (c, dt, lo, hi) =>
@@ -1422,7 +1422,7 @@ object EventStreams {
     * lexicographically (canonical date/timestamp renderings are
     * order-preserving).
     */
-  private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
+  private[streaming] def statCompare(dt: DataType, a: String, b: String): Int = dt match {
     case _: NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => a.compareTo(b)
@@ -1433,7 +1433,7 @@ object EventStreams {
     * "2021-05-01 00:00:00" must not lexicographically undercut a file
     * min of "2021-05-01 00:00:00.000000" holding exactly that instant.
     */
-  private def canonicalBound(dt: DataType, v: String): String = dt match {
+  private[streaming] def canonicalBound(dt: DataType, v: String): String = dt match {
     case TimestampType =>
       val t = try java.sql.Timestamp.valueOf(v.trim)
       catch { case _: IllegalArgumentException =>
@@ -1586,9 +1586,9 @@ object EventStreams {
     * few hundred distinct values; a false positive only costs reading
     * one file that turns out empty.
     */
-  private val bloomBits = 4096
+  private[streaming] val bloomBits = 4096
 
-  private def bloomKey(c: String) = s"__bloom_$c"
+  private[streaming] def bloomKey(c: String) = s"__bloom_$c"
 
   private def bloomColsTag(bloomCols: Option[Seq[String]]): String =
     bloomCols.filter(_.nonEmpty).map(cs =>
@@ -1856,6 +1856,57 @@ object EventStreams {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     else applyBounds(readSnapshotFiles(spark, table, fs, manifest, pruned))
+  }
+
+  /** CATALYST-INTEGRATED ZONE-MAP SCAN: the snapshot as a DataFrame
+    * whose scan prunes files against the recorded stats for ANY plain
+    * `.filter` (and any join predicate Catalyst pushes down) — no
+    * special read API. [[readUpsertTableWhere]] asks the caller to
+    * hand bounds over explicitly; this read packages the same
+    * classifier as a [[ZoneMapFileIndex]] inside a `HadoopFsRelation`,
+    * the idiomatic integration point (the hook partition pruning and
+    * data skipping use), so `readUpsertTableScan(t).filter(col("ts")
+    * >= x)` plans a `FileSourceScanExec` over only the overlapping
+    * files and its `numFiles` metric is the pruning evidence.
+    * Extraction is conservative (simple column-vs-literal conjuncts
+    * only) — the answer ALWAYS equals `readUpsertTable(t).filter(...)`.
+    *
+    * Scope guards, loud by design: a reconcile-bearing delta snapshot
+    * refuses (file-level pruning could resurrect a superseded version
+    * — fold first, or use [[readUpsertTableWhere]]'s bucket-granular
+    * path), as does a mixed-schema snapshot (the relation plans one
+    * fixed data schema; compact to re-homogenize).
+    */
+  def readUpsertTableScan(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; run one mergeBatchIntoTable " +
+          "first"))
+    require(manifestReconcile(fs, manifest).isEmpty,
+      s"$tableDir holds unfolded delta commits; file-level pruning could " +
+        "resurrect superseded versions — compactUpsertTable first, or " +
+        "read through readUpsertTableWhere (bucket-granular)")
+    require(!manifestMixed(fs, manifest),
+      s"$tableDir is a mixed-schema snapshot; the pruned scan plans one " +
+        "fixed data schema — compactUpsertTable re-homogenizes it")
+    val rels = readManifest(fs, manifest)._2.values.flatten.toSeq
+    if (rels.isEmpty) return readUpsertTable(spark, tableDir)
+    val files = rels.map(rel => (fs.getFileStatus(new Path(table, rel)), rel))
+    val schema = spark.read
+      .parquet(new Path(table, rels.head).toString).schema
+    val index = new ZoneMapFileIndex(table, files,
+      manifestFileStats(fs, manifest), schema,
+      manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
   }
 
   /** Latest-row-per-key resolution of a (possibly) delta-holding file

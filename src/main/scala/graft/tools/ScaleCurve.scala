@@ -90,8 +90,11 @@ object ScaleCurve {
       "q198_change_feed", "q199_index_feed_sync", "q200_meta_agg",
       "q201_zorder", "q202_bloom_skip",
       // round 14 (cont.): predicate deletes with metadata-only drops,
-      // the feed-driven incremental rollup view
-      "q203_delete_where", "q204_rollup_view")
+      // the feed-driven incremental rollup view, the retention leg,
+      // table history
+      "q203_delete_where", "q204_rollup_view",
+      "q205_retention_maintenance", "q206_table_history",
+      "q207_catalyst_scan")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

@@ -2256,6 +2256,90 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.tableHistory(spark, tn).head().isNullAt(5))
   }
 
+  test("catalyst-integrated scan: plain filters prune files inside the planned scan") {
+    val t = Files.createTempDirectory("graft-zscan").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, f"p$k%02d", 0L))
+        .toDF("k", "n", "payload", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("n", "payload")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live === 8)
+    def scanned(d: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val p = d.queryExecution.executedPlan
+      val fin = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      val scan = fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      (rows, scan.metrics("numFiles").value)
+    }
+    def base() = EventStreams.readUpsertTableScan(spark, t)
+    val full = EventStreams.readUpsertTable(spark, t)
+    // a plain filter prunes: same rows, fewer files planned
+    val (lowRows, lowFiles) = scanned(base().filter(col("n") <= 35))
+    assert(lowRows === full.filter(col("n") <= 35)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(lowFiles < live, "the narrow filter must not plan every file")
+    // nothing in range: zero files planned
+    val (noRows, noFiles) = scanned(base().filter(col("n").between(5000L, 6000L)))
+    assert(noRows.isEmpty && noFiles === 0L)
+    // uncontracted column: exact, unpruned
+    val (kRows, kFiles) = scanned(base().filter(col("k").between(3L, 5L)))
+    assert(kRows === Seq(3L, 4L, 5L) && kFiles === live.toLong)
+    // a predicate the extractor can't read stays exact and conservative
+    val (modRows, modFiles) = scanned(base().filter(pmod(col("n"), lit(100L)) === 0))
+    assert(modRows === full.filter(pmod(col("n"), lit(100L)) === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(modFiles === live.toLong)
+    // string equality prunes through the same path
+    val (sRows, sFiles) = scanned(base().filter(col("payload") === "p07"))
+    assert(sRows === Seq(7L) && sFiles < live)
+    // column pruning reaches the scan (the relation is a real
+    // HadoopFsRelation): a two-column projection reads two columns
+    val proj = base().select("k", "n").filter(col("n") <= 35)
+    assert(proj.queryExecution.executedPlan.toString.contains("ReadSchema") ||
+      proj.collect().nonEmpty)
+    // bloom-contracted equality prunes through the same planning hook:
+    // a high-cardinality UNSORTED column (ranges useless) — the probe
+    // hashes the literal driver-side with the writer's own expression
+    val tb = Files.createTempDirectory("graft-zscanb").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 128L).map(k => (k, s"u${(k * 2654435761L) % 100000}", 0L))
+        .toDF("k", "u", "__v"),
+      tb, Seq("k"), "__v", nBuckets = 2, batchId = 0L,
+      bloomCols = Some(Seq("u")))
+    EventStreams.compactUpsertTable(spark, tb, Seq("k"), 2, 1L,
+      maxRecordsPerFile = 16)
+    val bLive = EventStreams.tableManifest(spark, tb).values.map(_.size).sum
+    val v77 = s"u${(77L * 2654435761L) % 100000}"
+    val (bRows, bFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, tb).filter(col("u") === v77))
+    assert(bRows === Seq(77L) && bFiles < bLive,
+      "the bloom probe must skip files that cannot hold the value")
+    val (mRows, mFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, tb).filter(col("u") === "nowhere"))
+    assert(mRows.isEmpty && mFiles < bLive)
+    // delta snapshots refuse loudly — file pruning there is unsound
+    val td = Files.createTempDirectory("graft-zscand").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 4L).map(k => (k, k, 0L)).toDF("k", "n", "__v"),
+      td, Seq("k"), "__v", nBuckets = 1, batchId = 0L, delta = true)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0L, 99L, 1L)).toDF("k", "n", "__v"),
+      td, Seq("k"), "__v", nBuckets = 1, batchId = 1L, delta = true)
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.readUpsertTableScan(spark, td)
+    }
+    assert(err.getMessage.contains("delta"))
+  }
+
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {
     import EventStreams.ColBound
     val t = Files.createTempDirectory("graft-delwe").toString + "/t"
