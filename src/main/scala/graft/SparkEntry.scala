@@ -7621,6 +7621,18 @@ object SparkEntry {
     val bloomPrunes = bRows == Seq(77L) && bFiles < bLive
     val deltaRefuses = scala.util.Try(
       EventStreams.readUpsertTableScan(spark, s"$base/zd")).isFailure
+    // the index plans from the manifest's recorded byte lengths —
+    // every live file carries a __bytes entry that equals the real
+    // filesystem length (zero per-file RPCs at planning time)
+    val zPath = new org.apache.hadoop.fs.Path(z)
+    val zFs = zPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zStats = EventStreams.tableFileStats(spark, z)
+    val sizesRecorded = EventStreams.tableManifest(spark, z).values.flatten
+      .forall { rel =>
+        zStats.get(rel).flatMap(_.get("__bytes")).flatMap(_._1).exists(
+          _.toLong == zFs.getFileStatus(
+            new org.apache.hadoop.fs.Path(zPath, rel)).getLen)
+      }
     Seq(
       ("plain_filter_prunes_planned_files", rangePrunes),
       ("out_of_range_plans_zero_files", zeroFiles),
@@ -7628,6 +7640,7 @@ object SparkEntry {
       ("unextractable_predicate_stays_exact", unextractable),
       ("string_equality_prunes", stringPrunes),
       ("bloom_equality_prunes_in_plan", bloomPrunes),
+      ("scan_plans_from_recorded_sizes", sizesRecorded),
       ("delta_snapshot_refuses", deltaRefuses))
       .toDF("check", "ok")
   }
@@ -9317,6 +9330,7 @@ object SparkEntry {
         |  ('unextractable_predicate_stays_exact'),
         |  ('string_equality_prunes'),
         |  ('bloom_equality_prunes_in_plan'),
+        |  ('scan_plans_from_recorded_sizes'),
         |  ('delta_snapshot_refuses')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok

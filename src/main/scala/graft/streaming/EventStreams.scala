@@ -1534,6 +1534,17 @@ object EventStreams {
     */
   private def nullKey(c: String) = s"__nl_$c"
 
+  /** Reserved stats pseudo-column holding each file's BYTE LENGTH
+    * (lo = hi = length), recorded for EVERY file of every rewritten
+    * shard — contract or not — so [[readUpsertTableScan]] plans its
+    * file index from the manifest alone instead of one driver RPC per
+    * live file (at millions of files the per-file getFileStatus IS
+    * the planning bottleneck). Self-healing: a shard written before
+    * this key looks each missing length up once at its next rewrite
+    * and carries it forever after.
+    */
+  private val statsBytesKey = "__bytes"
+
   /** Serialize a shard/manifest's stats section. Values are base64 of
     * the canonical string (stat values are arbitrary user data — quotes
     * and braces must not break the writer-format JSON the regex parsers
@@ -1894,11 +1905,24 @@ object EventStreams {
         "fixed data schema — compactUpsertTable re-homogenizes it")
     val rels = readManifest(fs, manifest)._2.values.flatten.toSeq
     if (rels.isEmpty) return readUpsertTable(spark, tableDir)
-    val files = rels.map(rel => (fs.getFileStatus(new Path(table, rel)), rel))
+    val stats = manifestFileStats(fs, manifest)
+    // file statuses from the manifest's recorded byte lengths (every
+    // r14+ shard carries them) — ZERO per-file driver RPCs at planning
+    // time; files a legacy shard hasn't re-recorded yet fall back to
+    // one lookup each. Synthetic statuses carry mtime 0: the scan
+    // reads length + path only (the `_metadata.file_modification_time`
+    // column is not served by this read).
+    val files = rels.map { rel =>
+      val p = new Path(table, rel)
+      stats.get(rel).flatMap(_.get(statsBytesKey)).flatMap(_._1) match {
+        case Some(len) => (new org.apache.hadoop.fs.FileStatus(
+          len.toLong, false, 1, 134217728L, 0L, p), rel)
+        case None => (fs.getFileStatus(p), rel)
+      }
+    }
     val schema = spark.read
       .parquet(new Path(table, rels.head).toString).schema
-    val index = new ZoneMapFileIndex(table, files,
-      manifestFileStats(fs, manifest), schema,
+    val index = new ZoneMapFileIndex(table, files, stats, schema,
       manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet)
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new StructType(), schema, None,
@@ -2093,9 +2117,26 @@ object EventStreams {
         }
         val liveSet = fls.toSet
         val shardStats = (carried ++ fileStats).filter(kv => liveSet(kv._1))
+        // every file of a rewritten shard records its byte length
+        // ([[statsBytesKey]]): carried entries keep theirs, anything
+        // else (fresh files, pre-__bytes legacy carries) looks it up
+        // ONCE here — O(missing) at commit, zero per-file RPCs at
+        // scan. A failed lookup records nothing rather than failing
+        // the publish: file EXISTENCE is fsck's invariant, not the
+        // publisher's, and the scan falls back per missing entry
+        val withBytes = fls.foldLeft(shardStats) { (m, rel) =>
+          if (m.get(rel).exists(_.contains(statsBytesKey))) m
+          else scala.util.Try(fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(table, rel)).getLen.toString)
+            .toOption match {
+              case Some(len) => m.updated(rel, m.getOrElse(rel, Map.empty) +
+                (statsBytesKey -> ((Some(len), Some(len)))))
+              case None => m
+            }
+        }
         val body = s"""{"bucket":$b,"files":[""" +
           fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]" +
-          statsTag(shardStats) + "}"
+          statsTag(withBytes) + "}"
         val tmp = new org.apache.hadoop.fs.Path(shardsDir, s".$name.tmp")
         val out = fs.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()

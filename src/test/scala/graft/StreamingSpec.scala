@@ -2326,6 +2326,16 @@ class StreamingSpec extends SparkSpec {
     val (mRows, mFiles) = scanned(
       EventStreams.readUpsertTableScan(spark, tb).filter(col("u") === "nowhere"))
     assert(mRows.isEmpty && mFiles < bLive)
+    // the index plans from manifest-recorded byte lengths: every live
+    // file carries a __bytes entry equal to the real filesystem length
+    val tPath = new org.apache.hadoop.fs.Path(t)
+    val tFs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tStats = EventStreams.tableFileStats(spark, t)
+    assert(EventStreams.tableManifest(spark, t).values.flatten.forall { rel =>
+      tStats.get(rel).flatMap(_.get("__bytes")).flatMap(_._1).exists(
+        _.toLong == tFs.getFileStatus(
+          new org.apache.hadoop.fs.Path(tPath, rel)).getLen)
+    }, "every live file must record its byte length in the shard stats")
     // delta snapshots refuse loudly — file pruning there is unsound
     val td = Files.createTempDirectory("graft-zscand").toString + "/t"
     EventStreams.mergeBatchIntoTable(
