@@ -7645,6 +7645,123 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** q208 fixture: the PROVOKED disjoint-writer race, built once —
+    * (table dir, kA, kB, overlap-failure message). The commit hook
+    * ([[streaming.EventStreams.mergeBatchIntoTable]]'s `beforeCommit`)
+    * runs a second full writer between the first writer's staging and
+    * its manifest publish, forcing the publish through the optimistic
+    * rebase (disjoint buckets) or the loud conflict (same bucket).
+    */
+  private val occStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, String)]()
+
+  private def ensureOcc(spark: SparkSession, dir: String): (String, Long, Long, String) =
+    occStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-occ-q").toString
+      val t = s"$base/t"
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L, retain = 8,
+        statsCols = Some(Seq("n")))
+      val bks = (0L until 16L).toDF("doc_id")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val kA = 0L
+      val kB = bks.find(_._2 != bks(kA)).get._1
+      // the race: writer A (id 2, bucket of kA) is interleaved by
+      // writer B (id 1, bucket of kB) — A's publish must rebase and
+      // BOTH rows must land; B's post-commit sweep runs against A's
+      // staged generation, which the in-flight token protects
+      var interleaved = false
+      streaming.EventStreams.mergeBatchIntoTable(
+        Seq((kA, 111L, 1L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 2L, retain = 8,
+        beforeCommit = () => if (!interleaved) {
+          interleaved = true
+          streaming.EventStreams.mergeBatchIntoTable(
+            Seq((kB, 222L, 1L)).toDF("doc_id", "n", "__v"), t,
+            Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 8)
+        })
+      // the overlap: writer C (id 4) and interloper D (id 3) touch the
+      // SAME key — C dies loud on the guard, D's row holds, and the
+      // documented recovery (re-drive the same id on the new snapshot)
+      // lands
+      var overlapRan = false
+      val msg = scala.util.Try {
+        streaming.EventStreams.mergeBatchIntoTable(
+          Seq((kA, 333L, 2L)).toDF("doc_id", "n", "__v"), t,
+          Seq("doc_id"), "__v", nBuckets = 4, batchId = 4L, retain = 8,
+          beforeCommit = () => if (!overlapRan) {
+            overlapRan = true
+            streaming.EventStreams.mergeBatchIntoTable(
+              Seq((kA, 444L, 2L)).toDF("doc_id", "n", "__v"), t,
+              Seq("doc_id"), "__v", nBuckets = 4, batchId = 3L, retain = 8)
+          })
+      }.failed.map(_.getMessage).getOrElse("")
+      streaming.EventStreams.mergeBatchIntoTable(
+        Seq((kA, 333L, 3L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 4L, retain = 8)
+      (t, kA, kB, msg)
+    })
+
+  /** OPTIMISTIC CONCURRENCY FOR DISJOINT-BUCKET WRITERS (q208): the
+    * everyday 100 TB contention — ingest merge vs takedown vs another
+    * merge on different buckets — used to fail-loud at the lost-update
+    * guard and re-drive; now the second writer's publish REBASES onto
+    * the interloper's commit when their touched buckets are provably
+    * disjoint (shard-pointer diff, metadata only) and every table
+    * contract is unchanged. Every verdict below re-derives from the
+    * COMMITTED chain: time travel reads both writers' snapshots, the
+    * manifest's `base` tag names the rebased parent, fsck checks the
+    * end state, and the overlap/fold conflicts stay loud.
+    */
+  def q208OptimisticConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (t, kA, kB, overlapMsg) = ensureOcc(spark, dir)
+    def at(id: Long) = EventStreams.readUpsertTableAt(spark, t, id)
+    def nOf(df: DataFrame, k: Long): Long =
+      df.filter(col("doc_id") === k).select("n").head().getLong(0)
+    // both disjoint writers' rows visible in the rebased snapshot (id 2)
+    val snap2 = at(2L).localCheckpoint()
+    val bothLanded = nOf(snap2, kA) == 111L && nOf(snap2, kB) == 222L &&
+      snap2.count() == 16L
+    // the interleaved writer's own snapshot (id 1) holds its row with
+    // the rebased writer's key still at the base value
+    val snap1 = at(1L)
+    val interleavedFirst = nOf(snap1, kB) == 222L && nOf(snap1, kA) == 0L
+    // the rebased commit RECORDS its true parent: manifest 2's base = 1
+    val hist = EventStreams.tableHistory(spark, t)
+      .select("batch_id", "base").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rebasedParent = hist.get(2L).contains(1L) && hist.get(1L).contains(0L)
+    // overlapping writers stayed loud, the interloper's row held, and
+    // the documented same-id re-drive landed on the new snapshot
+    val overlapLoud = overlapMsg.contains("cannot rebase")
+    val interloperHeld = nOf(at(3L), kA) == 444L
+    val redriveLanded = nOf(at(4L), kA) == 333L
+    // the end state: fsck green, no in-flight staging tokens left
+    val fsckGreen = EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1))
+    val tokPath = new org.apache.hadoop.fs.Path(s"$t/_inflight")
+    val tokFs = tokPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokensReleased = !tokFs.exists(tokPath) ||
+      tokFs.listStatus(tokPath).isEmpty
+    Seq(
+      ("disjoint_writers_both_landed", bothLanded),
+      ("interleaved_commit_not_lost", interleavedFirst),
+      ("rebase_records_true_parent", rebasedParent),
+      ("overlap_conflict_stays_loud", overlapLoud),
+      ("overlap_interloper_row_held", interloperHeld),
+      ("same_id_redrive_lands", redriveLanded),
+      ("fsck_green_after_race", fsckGreen),
+      ("staging_tokens_released", tokensReleased))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -7850,6 +7967,7 @@ object SparkEntry {
     "q205_retention_maintenance" -> (q205RetentionMaintenance _),
     "q206_table_history" -> (q206TableHistory _),
     "q207_catalyst_scan" -> (q207CatalystScan _),
+    "q208_optimistic_concurrency" -> (q208OptimisticConcurrency _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -9332,6 +9450,18 @@ object SparkEntry {
         |  ('bloom_equality_prunes_in_plan'),
         |  ('scan_plans_from_recorded_sizes'),
         |  ('delta_snapshot_refuses')) t(c)""".stripMargin,
+    // the race outcomes are decided in-engine (time travel over the
+    // committed chain, manifest base tags, fsck); the oracle pins them
+    "q208_optimistic_concurrency" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('disjoint_writers_both_landed'),
+        |  ('interleaved_commit_not_lost'),
+        |  ('rebase_records_true_parent'),
+        |  ('overlap_conflict_stays_loud'),
+        |  ('overlap_interloper_row_held'),
+        |  ('same_id_redrive_lands'),
+        |  ('fsck_green_after_race'),
+        |  ('staging_tokens_released')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

@@ -236,21 +236,33 @@ object Maintenance {
       val label = s"table-${name(dir)}"
       // due-ness from metadata alone (one manifest + shard-stats read);
       // acting without a covering stats contract would rewrite the same
-      // stat-less files night after night — report red, don't thrash
-      val (backlog, covers) = EventStreams.retentionBacklog(spark, dir, bounds)
-      rows += ((runId, label, "retention_contract", covers, bounds.size.toLong))
-      rows += ((runId, label, "retention_backlog", backlog == 0, backlog.toLong))
-      val acted = covers && backlog > 0
-      var droppedUnread = 0L
-      if (acted) {
-        val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
-        val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
-        val rep = EventStreams.deleteUpsertTableWhere(spark, dir, bounds,
-          id, retain)
-        droppedUnread = rep.map(_.filesDropped.toLong).getOrElse(0L)
+      // stat-less files night after night — report red, don't thrash.
+      // A probe that THROWS (bound column missing from the schema, no
+      // readable manifest) also reports red and the pass CONTINUES
+      // (ADVICE r14): aborting here would skip every remaining leg and
+      // the report merge — contrary to the pass's own report-and-
+      // continue convention (the unreadable-ledger heal path)
+      scala.util.Try(EventStreams.retentionBacklog(spark, dir, bounds)) match {
+        case scala.util.Failure(_) =>
+          rows += ((runId, label, "retention_contract", false, bounds.size.toLong))
+          rows += ((runId, label, "retention_backlog", true, 0L))
+          rows += ((runId, label, "retention_acted", true, 0L))
+          rows += ((runId, label, "retention_dropped_unread", true, 0L))
+        case scala.util.Success((backlog, covers)) =>
+          rows += ((runId, label, "retention_contract", covers, bounds.size.toLong))
+          rows += ((runId, label, "retention_backlog", backlog == 0, backlog.toLong))
+          val acted = covers && backlog > 0
+          var droppedUnread = 0L
+          if (acted) {
+            val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
+            val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
+            val rep = EventStreams.deleteUpsertTableWhere(spark, dir, bounds,
+              id, retain)
+            droppedUnread = rep.map(_.filesDropped.toLong).getOrElse(0L)
+          }
+          rows += ((runId, label, "retention_acted", true, if (acted) 1L else 0L))
+          rows += ((runId, label, "retention_dropped_unread", true, droppedUnread))
       }
-      rows += ((runId, label, "retention_acted", true, if (acted) 1L else 0L))
-      rows += ((runId, label, "retention_dropped_unread", true, droppedUnread))
     }
     folds.foreach { case (dir, keyCols, nBuckets, maxDepth) =>
       val label = s"table-${name(dir)}"

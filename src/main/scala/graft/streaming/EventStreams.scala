@@ -315,7 +315,8 @@ object EventStreams {
                           retain: Int = 1, compactEvery: Int = 0,
                           delta: Boolean = false,
                           statsCols: Option[Seq[String]] = None,
-                          bloomCols: Option[Seq[String]] = None): Unit = {
+                          bloomCols: Option[Seq[String]] = None,
+                          beforeCommit: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -444,6 +445,7 @@ object EventStreams {
           }
         val genName = s"gen_$batchId"
         val genDir = new Path(table, genName)
+        markInFlight(fs, table, batchId)
         merged
           .repartition(touched.length, col(upsertBucketCol)) // one file per bucket per merge
           .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(genDir.toString)
@@ -486,6 +488,12 @@ object EventStreams {
       if (effectiveDelta) Some((keyCols, versionCol))
       else if (homogenize && touched.nonEmpty) None
       else prevReconcile
+    // COMMIT HOOK: runs after this batch's staging, immediately before
+    // its manifest publish — the coordination/validation seam (and how
+    // the optimistic-concurrency specs provoke a deterministic race:
+    // the hook runs a second writer to completion, forcing this
+    // publish through the rebase path)
+    beforeCommit()
     publishManifest(fs, table, batchId, nBuckets, newLive, outMixed,
       touched = Some(touched.toSeq), reconcile = outReconcile,
       keyedBy = Some(keyCols), fileStats = freshStats,
@@ -522,7 +530,8 @@ object EventStreams {
     */
   def deleteFromTable(spark: SparkSession, tableDir: String, keys: DataFrame,
                       keyCols: Seq[String], nBuckets: Int, batchId: Long,
-                      retain: Int = 1): Unit = {
+                      retain: Int = 1,
+                      beforeCommit: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val table = new Path(tableDir)
@@ -583,6 +592,7 @@ object EventStreams {
           .join(delKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
         val genName = s"gen_$batchId"
         val genDir = new Path(table, genName)
+        markInFlight(fs, table, batchId)
         remaining
           .repartition(touched.length, col(upsertBucketCol))
           .write.mode("overwrite").partitionBy(upsertBucketCol).parquet(genDir.toString)
@@ -623,6 +633,8 @@ object EventStreams {
       if (delStatsCols.isEmpty && delBloomCols.isEmpty) Map.empty
       else computeFileStats(spark, table, delFresh, delStatsCols,
         delBloomCols)
+    // commit hook (the mergeBatchIntoTable seam — see there)
+    beforeCommit()
     // untouched buckets may still hold unfolded deltas — carry the spec
     publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
       touched = Some(touched.toSeq), reconcile = prevReconcile,
@@ -642,7 +654,15 @@ object EventStreams {
                            typed: Seq[(String, DataType, Option[String], Option[String])],
                            rel: String): Boolean =
     typed.forall { case (c, dt, lo, hi) =>
-      stats.get(rel).flatMap(_.get(c)) match {
+      // an EMPTY interval (lo > hi — e.g. contradictory equalities
+      // intersected by the scan extractor) matches no row in ANY file,
+      // whatever its stats say; this is also what keeps the bloom
+      // probe's keep-first-literal shortcut sound (ZoneMapFileIndex
+      // .extractEqualities) — the range path prunes the contradiction
+      // before the bloom layer can decide anything
+      if (lo.isDefined && hi.isDefined && statCompare(dt, lo.get, hi.get) > 0)
+        false
+      else stats.get(rel).flatMap(_.get(c)) match {
         case None => true // no stats: conservative, treat as overlapping
         case Some((None, None)) => false // all-null: no row matches
         case Some((Some(mn), Some(mx))) =>
@@ -883,6 +903,7 @@ object EventStreams {
       else {
         val genName = s"gen_$batchId"
         val genDir = new Path(table, genName)
+        markInFlight(fs, table, batchId)
         val survivors = survivorParts
           .reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
@@ -909,6 +930,7 @@ object EventStreams {
       // empty file (the deleteFromTable convention — a fileless
       // manifest strands readers on schema inference)
       val b = touched.head
+      markInFlight(fs, table, batchId)
       val genName = s"gen_$batchId"
       val d = new Path(new Path(table, genName), s"$upsertBucketCol=$b")
       scan(allFiles.take(1)).limit(0).coalesce(1)
@@ -1223,6 +1245,52 @@ object EventStreams {
     * paths are `gen_<id>/__bucket=<b>/part-*.parquet`), parsed with
     * regexes rather than a JSON dependency.
     */
+  /** IN-FLIGHT STAGING TOKENS (optimistic concurrency): a writer drops
+    * `_inflight/<batchId>` BEFORE staging its generation dir and
+    * [[publishManifest]] removes it after the commit rename, so a
+    * CONCURRENT writer's post-commit sweep can tell an in-flight
+    * staging (token present, id uncommitted — protect it) from
+    * superseded debris. A token whose id IS committed is a crash
+    * leftover (died between rename and token delete) — sweeps collect
+    * it and treat the generation normally (it is manifest-referenced).
+    * A token whose id is never committed nor replayed protects its
+    * staging indefinitely — bounded debris an operator reclaims by
+    * replaying or abandoning the id (delete the token, then vacuum);
+    * the alternative (sweeping a live writer's staging) silently
+    * corrupts its commit.
+    */
+  private def inflightDir(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_inflight")
+
+  private def markInFlight(fs: org.apache.hadoop.fs.FileSystem,
+                           table: org.apache.hadoop.fs.Path,
+                           batchId: Long): Unit = {
+    val d = inflightDir(table)
+    fs.mkdirs(d)
+    val out = fs.create(new org.apache.hadoop.fs.Path(d, f"$batchId%020d"), true)
+    out.close()
+  }
+
+  /** The uncommitted in-flight ids (protected from sweeps); stale
+    * tokens (id already committed) are collected on the way.
+    */
+  private def inflightIds(fs: org.apache.hadoop.fs.FileSystem,
+                          table: org.apache.hadoop.fs.Path): Set[Long] = {
+    val d = inflightDir(table)
+    if (!fs.exists(d)) Set.empty
+    else {
+      val committedIds = manifestList(fs, table)
+        .flatMap(p => p.getName.takeWhile(_ != '.').toLongOption).toSet
+      fs.listStatus(d).filter(_.isFile).flatMap { t =>
+        t.getPath.getName.toLongOption match {
+          case Some(id) if committedIds(id) =>
+            fs.delete(t.getPath, false); None // stale: its publish landed
+          case other => other
+        }
+      }.toSet
+    }
+  }
+
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path): (Long, Map[Int, Seq[String]]) = {
     val in = fs.open(p)
@@ -1423,6 +1491,14 @@ object EventStreams {
     * order-preserving).
     */
   private[streaming] def statCompare(dt: DataType, a: String, b: String): Int = dt match {
+    case FloatType | DoubleType =>
+      // float/double stats can legitimately read "NaN"/"Infinity"
+      // (Spark's cast-to-string of a non-finite min/max) — BigDecimal
+      // would throw at scan PLANNING time; java.lang.Double orders
+      // them the way Spark's min/max did (NaN largest) and parsing a
+      // double's own string rendering back is exact
+      java.lang.Double.compare(
+        java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
     case _: NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => a.compareTo(b)
@@ -2057,22 +2133,31 @@ object EventStreams {
     * objects. `None` (compaction, restore, first commit, migration
     * from a legacy inline list) writes every bucket's shard.
     *
-    * LOST-UPDATE GUARD: `base` (when supplied) is the watermark the
-    * writer's `live` set was computed FROM (the latest committed id it
-    * read at entry, None for an empty table). Immediately before the
-    * commit rename, the latest committed id is re-read and the publish
-    * FAILS LOUDLY if it moved — a second writer violating the
-    * single-writer contract committed mid-operation, and renaming over
-    * its snapshot would silently drop its files from the live set (the
-    * one data-loss shape the same-batchId rename guard below cannot
-    * see, because concurrent writers carry DIFFERENT ids). This is
-    * detection, not linearizability: the unguarded window shrinks from
-    * the whole merge's duration to the instant between the re-read and
-    * the rename, and a loss that slips through is still repairable
-    * (both batches replay cleanly — each id's files are staged and
-    * idempotent). The base id is also recorded in the manifest
-    * (`"base":N`) so the change feed can tell an exact parent pair
-    * from a pruned-interior gap.
+    * LOST-UPDATE GUARD + OPTIMISTIC REBASE: `base` (when supplied) is
+    * the watermark the writer's `live` set was computed FROM (the
+    * latest committed id it read at entry, None for an empty table).
+    * Immediately before the commit rename, the latest committed id is
+    * re-read; if it moved, a concurrent writer committed
+    * mid-operation, and renaming over its snapshot would silently drop
+    * its files from the live set (the one data-loss shape the
+    * same-batchId rename guard cannot see, because concurrent writers
+    * carry DIFFERENT ids). When the interloper's commit provably
+    * touched only DISJOINT buckets (shard-pointer diff between our
+    * base and the new head — metadata only) and the table contracts
+    * are unchanged, the publish REBASES instead of dying: untouched
+    * buckets adopt the head's pointers, our touched shards stand, the
+    * base tag moves to the true parent, and the rename retries
+    * (bounded). Everything else — overlapping buckets, full-rewrite
+    * commits (`touched = None`), re-bucketing, contract drift,
+    * non-increasing ids, a pruned base — FAILS LOUDLY with the
+    * single-writer error. This is optimistic concurrency, not
+    * linearizability: the unguarded window shrinks to the instant
+    * between the re-read and the rename, and a loss that slips through
+    * is still repairable (both batches replay cleanly — each id's
+    * files are staged and idempotent). Concurrent writers must use
+    * DISTINCT batchIds (the scheduler contract); the recorded
+    * `"base":N` lets the change feed tell an exact parent pair from a
+    * pruned-interior gap.
     */
   private[graft] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
                               table: org.apache.hadoop.fs.Path, batchId: Long,
@@ -2148,36 +2233,120 @@ object EventStreams {
         b -> name
       }
     }
-    val mixedTag = if (mixed) ""","mixed":1""" else ""
-    val baseTag = base.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
     val kindTag = kind.map(k => s""","kind":"$k"""").getOrElse("")
-    val body = pointers.map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-      .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    // lost-update guard (see scaladoc): the table must not have moved
-    // past the base this writer computed from
-    base.foreach { b =>
-      val now = manifestList(fs, table).lastOption.map(manifestBatchId(fs, _))
-      if (now != b) {
-        fs.delete(tmp, false)
-        throw new IllegalStateException(
-          s"lost-update guard: $table advanced from base " +
-            s"${b.getOrElse("<empty>")} to ${now.getOrElse("<empty>")} while " +
-            s"batch $batchId was being computed — a concurrent writer " +
-            "committed (the sink contract is one writer per table). " +
-            "Re-drive this batch: its replay will recompute on the new " +
-            "snapshot. Nothing was lost — this publish did not land.")
+    // COMMIT LOOP with OPTIMISTIC REBASE (round 15): the lost-update
+    // guard used to fail loudly whenever the head moved past `base` —
+    // even when the interloper's touched buckets were DISJOINT from
+    // ours (the everyday 100 TB contention: ingest merge vs
+    // maintenance fold vs takedown on different buckets). Now a
+    // guarded publish whose interleaver provably touched only OTHER
+    // buckets REBASES: untouched buckets adopt the head's shard
+    // pointers (their content is the head's by the disjointness
+    // proof), our touched buckets keep the shards written above, the
+    // base tag records the true parent, and the rename retries —
+    // bounded attempts, every legality check failing LOUDLY back to
+    // the single-writer error. Overlapping buckets, full-rewrite
+    // commits (touched = None: folds/restores rewrite everything),
+    // contract drift (nBuckets/keyedBy/reconcile/statsCols/bloomCols),
+    // non-increasing batchIds, a pruned base, or a legacy-inline head
+    // all keep today's loud failure.
+    var pointersNow: Map[Int, String] = pointers.toMap
+    var baseNow: Option[Option[Long]] = base
+    var mixedNow: Boolean = mixed
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val mixedTag = if (mixedNow) ""","mixed":1""" else ""
+      val baseTag = baseNow.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
+      val body = pointersNow.toSeq.sortBy(_._1)
+        .map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
+        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
+      val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      // lost-update guard (see scaladoc): the table must not have moved
+      // past the base this writer computed from — unless the move is a
+      // provably disjoint-bucket commit we can rebase onto
+      val moved = baseNow.flatMap { b =>
+        val head = manifestList(fs, table).lastOption
+        if (head.map(manifestBatchId(fs, _)) != b) Some((b, head)) else None
+      }
+      moved match {
+        case None =>
+          // the sink is SINGLE-WRITER per batchId; a failed rename means
+          // another writer published this exact batchId concurrently —
+          // fail loudly rather than lose updates
+          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
+            s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
+              "concurrent writers must commit under distinct batchIds")
+          // the staging is committed: release its in-flight token so
+          // other writers' sweeps treat the generation normally
+          fs.delete(new org.apache.hadoop.fs.Path(inflightDir(table), f"$batchId%020d"), false)
+          committed = true
+        case Some((b, headOpt)) =>
+          fs.delete(tmp, false)
+          attempts += 1
+          def conflict(why: String): Nothing = throw new IllegalStateException(
+            s"lost-update guard: $table advanced from base " +
+              s"${b.getOrElse("<empty>")} to ${headOpt.map(manifestBatchId(fs, _))
+                .getOrElse("<empty>")} while batch $batchId was being " +
+              s"computed, and the commit cannot rebase ($why). " +
+              "Re-drive this batch: its replay will recompute on the new " +
+              "snapshot. Nothing was lost — this publish did not land.")
+          if (attempts > 8) conflict("the chain is advancing faster than " +
+            "the rebase can catch up after 8 attempts")
+          val head = headOpt.getOrElse(conflict(
+            "the manifest chain vanished mid-publish"))
+          val headId = manifestBatchId(fs, head)
+          if (touched.isEmpty) conflict(
+            "this is a full-rewrite commit (fold/restore/compaction) — " +
+              "it rewrites every bucket and conflicts with any concurrent " +
+              "write")
+          if (batchId <= headId) conflict(
+            s"batchId $batchId is not above the new head $headId — " +
+              "concurrent writers must commit under distinct increasing ids")
+          val baseId = b.getOrElse(conflict(
+            "this writer saw an EMPTY table; a concurrent writer created " +
+              "it — bucket disjointness cannot be established"))
+          val baseManifest = manifestList(fs, table)
+            .find(p => p.getName.takeWhile(_ != '.').toLong == baseId)
+            .getOrElse(conflict(
+              s"the base snapshot $baseId is no longer in the manifest " +
+                "chain (pruned by a concurrent compaction)"))
+          val basePtrs = readShardPointers(fs, baseManifest).getOrElse(
+            conflict("the base manifest is legacy-inline (no shard " +
+              "pointers to diff)"))
+          val headPtrs = readShardPointers(fs, head).getOrElse(
+            conflict("the head manifest is legacy-inline (no shard " +
+              "pointers to diff)"))
+          val othersTouched = (basePtrs.keySet ++ headPtrs.keySet)
+            .filter(bk => basePtrs.get(bk) != headPtrs.get(bk))
+          val overlap = othersTouched.intersect(touchedSet)
+          if (overlap.nonEmpty) conflict(
+            s"the concurrent commit touched bucket(s) ${overlap.toSeq.sorted
+              .mkString(",")} this batch also touches — overlapping " +
+              "writes cannot both hold")
+          if (readNBuckets(fs, head) != nBuckets) conflict(
+            "the concurrent commit re-bucketed the table")
+          if (manifestReconcile(fs, head) != reconcile) conflict(
+            "the concurrent commit changed the reconcile spec")
+          if (manifestKeyedBy(fs, head) != keyedBy) conflict(
+            "the concurrent commit changed the key contract")
+          if (manifestStatsCols(fs, head) != statsCols) conflict(
+            "the concurrent commit changed the stats contract")
+          if (manifestBloomCols(fs, head) != bloomCols) conflict(
+            "the concurrent commit changed the bloom contract")
+          // REBASE: untouched buckets adopt the head's pointers (their
+          // shard content equals the base's by disjointness — and our
+          // touched shards' carried stats came from the base's shards,
+          // which the interloper provably did not change); the base tag
+          // moves to the true parent; mixed is sticky across both
+          pointersNow = pointersNow ++ headPtrs.filter(kv => !touchedSet(kv._1))
+          mixedNow = mixedNow || manifestMixed(fs, head)
+          baseNow = Some(Some(headId))
       }
     }
-    // the sink is SINGLE-WRITER per table (foreachBatch serializes
-    // batches); a failed rename here means another writer published
-    // this batchId concurrently — fail loudly rather than lose updates
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
-      s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
-        "the sink contract is one writer per table")
   }
 
   /** A SELF-CONTAINED (legacy-inline-shape) manifest body — what
@@ -2267,6 +2436,7 @@ object EventStreams {
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
     val genName = s"gen_$batchId"
     val genDir = new Path(table, genName)
+    markInFlight(fs, table, batchId)
     require(sortBy.isEmpty || zOrderBy.isEmpty,
       "pass sortBy (lexicographic) OR zOrderBy (multi-dimension), not both")
     val partitioned = current
@@ -2760,8 +2930,13 @@ object EventStreams {
     * anywhere replays — committed halves no-op on their watermark,
     * recomputed totals from an already-applied window are computed
     * but never land, and the un-advanced cursor re-reads the same
-    * window. A version race the source absorbed nets to nothing in
-    * the feed and touches no group. Returns
+    * window. A replay whose delete half already committed reads the
+    * affected groups at the PRE-window boundary (the rollup's current
+    * rows are mid-window state there — an emptied group's row is
+    * already gone and would read as a spurious negative total); the
+    * two commits' retain floors keep that snapshot readable. A
+    * version race the source absorbed nets to nothing in the feed and
+    * touches no group. Returns
     * (from, to, groupsUpserted, groupsDeleted); None at watermark.
     */
   def syncRollupFromFeed(spark: SparkSession, srcDir: String,
@@ -2817,11 +2992,27 @@ object EventStreams {
       .agg(aggs.head, aggs.tail: _*).localCheckpoint()
     // fold ONLY the affected groups' current rows with the deltas —
     // union + re-aggregate, no join (the point read is bucket-pruned;
-    // barrier: totals feeds the zero split, the upsert and the guard)
-    val current = readUpsertTableForKeys(spark, rollupDir,
-      deltas.select(spec.groupBy.map(col): _*), spec.groupBy)
-      .select((spec.groupBy ++ Seq("n_rows") ++
-        spec.sums.map(c => s"sum_$c")).map(col): _*)
+    // barrier: totals feeds the zero split, the upsert and the guard).
+    // CRASH-REPLAY (ADVICE r14): if this window's delete half (batchId
+    // 2*to) already committed before a crash, the rollup's CURRENT
+    // rows are mid-window state — an emptied group's row is already
+    // gone, and totals computed against it would read NEGATIVE and
+    // wedge the consumer on the divergence guard below. Detect the
+    // replay from the rollup's own watermark and read the affected
+    // groups AT the pre-window boundary instead (the snapshot strictly
+    // below 2*to — held readable by the retain floors on the two
+    // commits below), so replayed totals compute against unmutated
+    // state and both halves no-op or land exactly as the first
+    // attempt would have.
+    val affectedKeys = deltas.select(spec.groupBy.map(col): _*)
+    val replaying = appliedBatch(spark, rollupDir).exists(_ >= 2 * to)
+    val current = (if (!replaying)
+      Some(readUpsertTableForKeys(spark, rollupDir, affectedKeys, spec.groupBy))
+    else readUpsertTableForKeysBefore(spark, rollupDir, affectedKeys,
+      spec.groupBy, 2 * to).flatten)
+      .map(_.select((spec.groupBy ++ Seq("n_rows") ++
+        spec.sums.map(c => s"sum_$c")).map(col): _*))
+      .getOrElse(deltas.limit(0)) // pre-window rollup committed empty
     val totals = current.unionByName(deltas)
       .groupBy(spec.groupBy.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -2836,10 +3027,15 @@ object EventStreams {
       .withColumn("__v", lit(to))
     val nPos = positives.count()
     val nZero = zeros.count()
+    // retain floors: the delete keeps the pre-window snapshot (its
+    // sweep retains [pre, delete]), the merge keeps it one commit
+    // longer ([pre, delete, merge]) — the crash-replay pre-image read
+    // above depends on both; the extra held snapshots are two tiny
+    // rollup generations, reclaimed by the NEXT window's sweeps
     deleteFromTable(spark, rollupDir, zeros, spec.groupBy, nBuckets,
-      batchId = 2 * to, retain = retain)
+      batchId = 2 * to, retain = math.max(retain, 2))
     mergeBatchIntoTable(positives, rollupDir, spec.groupBy, "__v", nBuckets,
-      batchId = 2 * to + 1, retain = retain)
+      batchId = 2 * to + 1, retain = math.max(retain, 3))
     advanceFeedCursor(spark, srcDir, consumer, to)
     Some((from, to, nPos, nZero))
   }
@@ -3278,6 +3474,7 @@ object EventStreams {
       throw new IllegalArgumentException(
         s"$backupDir has no committed backup manifest (torn backup?); " +
           "refusing to restore from it"))
+    markInFlight(fs, table, batchId)
     val genName = s"gen_$batchId"
     def destRel(rel: String): String = {
       val parts = rel.split('/')
@@ -3382,11 +3579,19 @@ object EventStreams {
     * after EVERY commit over the whole table, so a crash between a
     * publish and its sweep self-heals on the next batch. Returns the
     * number of data files deleted (the [[vacuumUpsertTable]] report).
+    *
+    * Generations carrying a live in-flight token ([[markInFlight]])
+    * are a CONCURRENT writer's staging (the optimistic-rebase world of
+    * [[publishManifest]]) and are left alone; the token lands before
+    * the staging's first file, so a racing sweep either sees the token
+    * or sees no files to reclaim. Tokenless orphans (crash debris)
+    * sweep as always — the self-heal contract.
     */
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
                                 table: org.apache.hadoop.fs.Path,
                                 referenced: Set[String]): Int = {
     var deleted = 0
+    val inflight = inflightIds(fs, table)
     fs.listStatus(table).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) {
@@ -3394,6 +3599,9 @@ object EventStreams {
         deleted += 1
       } else if (st.isDirectory && name.startsWith("_staging_")) {
         fs.delete(st.getPath, true) // dir-swap-era staging leftovers
+      } else if (st.isDirectory && name.startsWith("gen_") &&
+          name.stripPrefix("gen_").toLongOption.exists(inflight)) {
+        // a concurrent writer's staged generation: not ours to reclaim
       } else if (st.isDirectory &&
           (name.startsWith("gen_") || name.startsWith(s"$upsertBucketCol="))) {
         val bucketDirs =
@@ -3492,6 +3700,7 @@ object EventStreams {
         batchSketch))
     val genName = s"gen_$batchId"
     val genDir = new Path(table, genName)
+    markInFlight(fs, table, batchId)
     merged.coalesce(1) // depth x width rows — one file IS the right layout
       .write.mode("overwrite").parquet(new Path(genDir, "sketch").toString)
     val newFiles = fs.listStatus(new Path(genDir, "sketch"))

@@ -26,9 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * comparisons (`>=`, `<=`, `>`, `<`, `=`, either operand order)
   * between a bare column and a foldable literal of a stats-supported
   * type become inclusive bounds (strict bounds weaken to inclusive —
-  * sound); everything else (casts, functions, OR trees, UDFs, null
-  * literals) contributes no bound and the file is read. Files without
-  * recorded stats always read; all-null files never match a range.
+  * sound); `IN`/`InSet` lists prune as a union of point ranges with a
+  * bloom probe per element (the point-lookup dashboard shape), `OR`
+  * trees as the union of their branches' predicates (only when every
+  * branch extracts), `starts_with(p)` as the [p, successor(p)) range;
+  * everything else (casts, functions, UDFs, null literals, an OR with
+  * an unextractable branch) contributes no bound and the file is
+  * read. Files without recorded stats always read; all-null files
+  * never match a range.
   */
 final class ZoneMapFileIndex(
     table: Path,
@@ -59,28 +64,24 @@ final class ZoneMapFileIndex(
     val probes: Map[String, (Int, Int)] =
       ZoneMapFileIndex.extractEqualities(dataFilters, schema).collect {
         case (c, l) if bloomCols(c) && schema(c).dataType == l.dataType =>
-          def pmod(x: Long): Int =
-            (((x % EventStreams.bloomBits) + EventStreams.bloomBits) %
-              EventStreams.bloomBits).toInt
-          val h1 = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
-          val h2 = XxHash64(Seq(l, Literal(1L)), 42L).eval(null)
-            .asInstanceOf[Long]
-          c -> ((pmod(h1), pmod(h2)))
+          c -> ZoneMapFileIndex.bloomPositions(l)
       }
-    def bloomPass(rel: String): Boolean = probes.forall { case (c, (h1, h2)) =>
-      stats.get(rel).flatMap(_.get(EventStreams.bloomKey(c)))
-        .flatMap(_._1) match {
-        case None => true // no sketch recorded: conservative, read it
-        case Some(b64) =>
-          val bits = java.util.Base64.getDecoder.decode(b64)
-          def has(p: Int) = (bits(p >> 3) & (1 << (p & 7))) != 0
-          has(h1) && has(h2)
-      }
+    def bloomPass(rel: String): Boolean = probes.forall { case (c, ps) =>
+      ZoneMapFileIndex.bloomHas(stats, rel, c, ps)
     }
+    // IN-lists, OR-of-ranges and starts_with prune per-conjunct: each
+    // extractable conjunct becomes an independent file predicate
+    // (union-of-intervals semantics — a file survives an IN if ANY
+    // element's point range overlaps AND its bloom admits that
+    // element); unextractable conjuncts contribute nothing, keeping
+    // the conservative fallback intact for mixed trees
+    val preds = dataFilters.flatMap(e =>
+      ZoneMapFileIndex.conjunctPred(e, schema, stats, bloomCols))
     val survivors =
-      if (typed.isEmpty && probes.isEmpty) files
+      if (typed.isEmpty && probes.isEmpty && preds.isEmpty) files
       else files.filter { case (_, rel) =>
-        EventStreams.statsOverlap(stats, typed, rel) && bloomPass(rel)
+        EventStreams.statsOverlap(stats, typed, rel) && bloomPass(rel) &&
+          preds.forall(_(rel))
       }
     Seq(PartitionDirectory(InternalRow.empty, survivors.map(_._1).toArray))
   }
@@ -90,7 +91,12 @@ object ZoneMapFileIndex {
 
   /** Canonical-string form of a pushed literal under the column's
     * type, aligned with the writer's stats rendering; None = not a
-    * type the zone maps compare (no bound extracted).
+    * value the zone maps can compare (no bound extracted — the scan
+    * stays exact). Two deliberate Nones beyond unsupported types:
+    * non-finite float/double literals (NaN/Infinity have no BigDecimal
+    * form — `statCompare` would throw during scan PLANNING instead of
+    * just not pruning), and nothing else: a null literal already
+    * extracts nothing via the Option wrap.
     */
   private def canonical(dt: DataType, v: Any): Option[String] =
     Option(v).flatMap { value =>
@@ -98,14 +104,26 @@ object ZoneMapFileIndex {
         case StringType => Some(value.asInstanceOf[UTF8String].toString)
         case ByteType | ShortType | IntegerType | LongType | BooleanType =>
           Some(value.toString)
-        case FloatType | DoubleType => Some(value.toString)
+        case FloatType =>
+          Some(value.asInstanceOf[Float])
+            .filter(f => !f.isNaN && !f.isInfinite).map(_.toString)
+        case DoubleType =>
+          Some(value.asInstanceOf[Double])
+            .filter(d => !d.isNaN && !d.isInfinite).map(_.toString)
         case _: DecimalType => Some(value.toString)
         case DateType => Some(
           java.time.LocalDate.ofEpochDay(value.asInstanceOf[Int].toLong).toString)
         case TimestampType =>
+          // the writer's stats render via date_format(..., micros) in
+          // the SESSION time zone (EventStreams.statValue) — the probe
+          // must render the instant in the SAME zone or a non-UTC
+          // session would compare offset wall clocks and prune files
+          // that hold matching rows (silently wrong results)
           val micros = value.asInstanceOf[Long]
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
           val i = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
-          val dtm = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+          val dtm = java.time.LocalDateTime.ofInstant(i, zone)
           Some(f"${dtm.getYear}%04d-${dtm.getMonthValue}%02d-${dtm.getDayOfMonth}%02d " +
             f"${dtm.getHour}%02d:${dtm.getMinute}%02d:${dtm.getSecond}%02d." +
             f"${dtm.getNano / 1000}%06d")
@@ -166,10 +184,170 @@ object ZoneMapFileIndex {
     }.filter(t => t._3.isDefined || t._4.isDefined)
   }
 
+  /** The two bloom probe positions for a literal — the same XxHash64
+    * pair the writer's per-file aggregate folded
+    * ([[EventStreams.computeFileStats]]).
+    */
+  private def bloomPositions(l: Literal): (Int, Int) = {
+    def pmod(x: Long): Int =
+      (((x % EventStreams.bloomBits) + EventStreams.bloomBits) %
+        EventStreams.bloomBits).toInt
+    val h1 = XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]
+    val h2 = XxHash64(Seq(l, Literal(1L)), 42L).eval(null).asInstanceOf[Long]
+    (pmod(h1), pmod(h2))
+  }
+
+  /** Does `rel`'s membership sketch for column `c` admit the probe
+    * positions? No sketch recorded = conservative true (read it).
+    */
+  private def bloomHas(stats: EventStreams.FileStats, rel: String,
+                       c: String, ps: (Int, Int)): Boolean =
+    stats.get(rel).flatMap(_.get(EventStreams.bloomKey(c)))
+      .flatMap(_._1) match {
+      case None => true
+      case Some(b64) =>
+        val bits = java.util.Base64.getDecoder.decode(b64)
+        def has(p: Int) = (bits(p >> 3) & (1 << (p & 7))) != 0
+        has(ps._1) && has(ps._2)
+    }
+
+  /** Does `rel`'s recorded (min, max) for column `c` overlap the
+    * inclusive-lo interval [lo, hi] (hi exclusive when `hiExcl` — the
+    * starts_with successor bound)? Missing stats = true (read it);
+    * an all-null file matches no comparison.
+    */
+  private def rangePass(stats: EventStreams.FileStats, rel: String,
+                        c: String, dt: DataType,
+                        lo: Option[String], hi: Option[String],
+                        hiExcl: Boolean = false): Boolean =
+    stats.get(rel).flatMap(_.get(c)) match {
+      case None => true
+      case Some((None, None)) => false
+      case Some((Some(mn), Some(mx))) =>
+        lo.forall(l => EventStreams.statCompare(dt, mx, l) >= 0) &&
+          hi.forall(h =>
+            if (hiExcl) EventStreams.statCompare(dt, mn, h) < 0
+            else EventStreams.statCompare(dt, mn, h) <= 0)
+      case Some(_) => true // half-recorded stats: conservative
+    }
+
+  /** The lexicographic successor of a starts_with prefix — the
+    * exclusive upper bound of the range every `p`-prefixed string
+    * falls in. None (no finite successor, prune on the lower bound
+    * alone) when the last char is at or above the surrogate range:
+    * incrementing there could cross UTF-16/UTF-8 order disagreements,
+    * and the writer's stats were min/maxed in UTF8String byte order
+    * while [[EventStreams.statCompare]] compares java Strings — below
+    * the surrogates the two orders agree, so the bound is sound in
+    * both.
+    */
+  private[streaming] def prefixSuccessor(p: String): Option[String] = {
+    val last = p.last
+    if (last < '퟿') Some(p.init + (last + 1).toChar) else None
+  }
+
+  /** One pushed conjunct compiled to a per-file predicate, or None
+    * when any needed leaf is unextractable (the conservative
+    * fallback: the conjunct contributes no pruning). Handles the
+    * shapes [[extractBounds]] deliberately skips — `In`/`InSet`
+    * (union of point ranges, bloom-probed per element), `Or` (union
+    * of its branches' predicates — only when BOTH branches extract),
+    * `StartsWith` (the [prefix, successor) range) — plus plain
+    * comparisons and nested `And`s so those shapes compose inside an
+    * OR tree.
+    */
+  private[streaming] def conjunctPred(
+      e: Expression, schema: StructType,
+      stats: EventStreams.FileStats,
+      bloomCols: Set[String]): Option[String => Boolean] = {
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    def point(ar: AttributeReference, l: Literal): Option[String => Boolean] =
+      dtOf(ar.name).flatMap { dt =>
+        canonical(dt, l.value).map { v =>
+          val probe = if (bloomCols(ar.name) && dt == l.dataType)
+            Some(bloomPositions(l)) else None
+          (rel: String) =>
+            rangePass(stats, rel, ar.name, dt, Some(v), Some(v)) &&
+              probe.forall(ps => bloomHas(stats, rel, ar.name, ps))
+        }
+      }
+    def side(a: Expression, l: Literal, loSide: Boolean): Option[String => Boolean] =
+      a match {
+        case ar: AttributeReference => dtOf(ar.name).flatMap { dt =>
+          canonical(dt, l.value).map { v =>
+            if (loSide) (rel: String) =>
+              rangePass(stats, rel, ar.name, dt, Some(v), None)
+            else (rel: String) =>
+              rangePass(stats, rel, ar.name, dt, None, Some(v))
+          }
+        }
+        case _ => None
+      }
+    e match {
+      case And(lhs, rhs) =>
+        (conjunctPred(lhs, schema, stats, bloomCols),
+          conjunctPred(rhs, schema, stats, bloomCols)) match {
+          case (Some(a), Some(b)) => Some(rel => a(rel) && b(rel))
+          case (a, b) => a.orElse(b) // And: each side alone is sound
+        }
+      case Or(lhs, rhs) =>
+        for {
+          a <- conjunctPred(lhs, schema, stats, bloomCols)
+          b <- conjunctPred(rhs, schema, stats, bloomCols)
+        } yield (rel: String) => a(rel) || b(rel)
+      case In(ar: AttributeReference, elems)
+        if elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>
+        dtOf(ar.name).flatMap { _ =>
+          // NULL elements match no row (IN's three-valued logic never
+          // yields true on them) — they drop; an all-NULL list reads
+          // nothing via the empty union
+          val lits = elems.collect {
+            case l: Literal if l.value != null => l }
+          val pts = lits.map(point(ar, _))
+          if (pts.exists(_.isEmpty)) None
+          else Some((rel: String) => pts.flatten.exists(_(rel)))
+        }
+      case InSet(ar: AttributeReference, hset) =>
+        dtOf(ar.name).flatMap { dt =>
+          val pts = hset.toSeq.filter(_ != null)
+            .map(v => point(ar, Literal.create(v, dt)))
+          if (pts.exists(_.isEmpty)) None
+          else Some((rel: String) => pts.flatten.exists(_(rel)))
+        }
+      case StartsWith(ar: AttributeReference, p: Literal)
+        if p.value != null && dtOf(ar.name).contains(StringType) =>
+        val prefix = p.value.asInstanceOf[UTF8String].toString
+        if (prefix.isEmpty) None // every string matches: no bound
+        else {
+          val next = prefixSuccessor(prefix)
+          Some((rel: String) => rangePass(stats, rel, ar.name, StringType,
+            Some(prefix), next, hiExcl = true))
+        }
+      case EqualTo(ar: AttributeReference, l: Literal) => point(ar, l)
+      case EqualTo(l: Literal, ar: AttributeReference) => point(ar, l)
+      case GreaterThanOrEqual(a, l: Literal) => side(a, l, loSide = true)
+      case GreaterThan(a, l: Literal) => side(a, l, loSide = true)
+      case LessThanOrEqual(a, l: Literal) => side(a, l, loSide = false)
+      case LessThan(a, l: Literal) => side(a, l, loSide = false)
+      case GreaterThanOrEqual(l: Literal, a) => side(a, l, loSide = false)
+      case GreaterThan(l: Literal, a) => side(a, l, loSide = false)
+      case LessThanOrEqual(l: Literal, a) => side(a, l, loSide = true)
+      case LessThan(l: Literal, a) => side(a, l, loSide = true)
+      case _ => None
+    }
+  }
+
   /** Top-level equality conjuncts (bare column = literal, either
     * order, reached through Ands) — the bloom-probe inputs. A column
-    * equated to two DIFFERENT literals keeps the first; the range
-    * bounds already prune that contradiction to nothing.
+    * equated to two DIFFERENT literals keeps the first
+    * (`getOrElseUpdate` below); that is SOUND ONLY BECAUSE
+    * [[extractBounds]] feeds EqualTo into BOTH range sides, so the
+    * contradictory interval [max(a,b), min(a,b)] prunes every file
+    * through the RANGE path before the bloom probe decides anything —
+    * a two-module invariant pinned by the StreamingSpec case
+    * "contradictory equalities prune via the range path". Narrowing
+    * extractBounds' EqualTo handling breaks this.
     */
   private[streaming] def extractEqualities(
       dataFilters: Seq[Expression],

@@ -458,4 +458,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(EventStreams.readUpsertTable(spark, tn).count() === 8L,
       "no contract, no action — the rows stay until the operator opts in")
   }
+
+  test("retention leg: a throwing backlog probe reports red and the pass continues (ADVICE r14)") {
+    import EventStreams.ColBound
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-retx").toString
+    val (bad, good, report) = (s"$base/bad", s"$base/good", s"$base/report")
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      bad, Seq("k"), "__v", nBuckets = 1, batchId = 0L)
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      good, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("n")))
+    // a bound on a column the table does not HAVE makes the backlog
+    // probe throw; the old behavior aborted the whole nightly pass
+    // mid-run — remaining legs unrun, no report committed, lock freed
+    // only by the throw path
+    val r = Maintenance.runOnce(spark, 1L, report,
+      tables = Seq((good, 1)),
+      retention = Seq(
+        (bad, Seq(ColBound("no_such_column", None, Some("10")))),
+        (good, Seq(ColBound("n", None, Some("-1"))))))
+      .collect().map(x => ((x.getString(1), x.getString(2)),
+        (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r(("table-bad", "retention_contract")) === ((false, 1L)),
+      "the throwing probe must report a red contract, not abort")
+    assert(r(("table-bad", "retention_acted")) === ((true, 0L)))
+    // the remaining legs still ran: the good table's retention row,
+    // its vacuum and its fsck all landed in the same report
+    assert(r(("table-good", "retention_backlog")) === ((true, 0L)))
+    assert(r.contains(("table-good", "vacuum_reclaimed")))
+    assert(r(("table-good", "fsck_live_files_exist"))._1)
+    // and the report committed, so the lock released: a second pass runs
+    assert(Maintenance.runOnce(spark, 2L, report, tables = Seq((good, 1)))
+      .count() > 0)
+  }
 }

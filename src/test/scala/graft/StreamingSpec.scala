@@ -2350,6 +2350,327 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("delta"))
   }
 
+  test("zone-map extraction: IN-lists, OR-of-ranges and starts_with prune planned files") {
+    val t = Files.createTempDirectory("graft-zin").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, f"p$k%02d", 0L))
+        .toDF("k", "n", "payload", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("n", "payload")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live === 8)
+    def scanned(d: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+      // collect from d ITSELF (k is the leading column) so the metrics
+      // read from the executed plan, not an unexecuted twin
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      // a plan the optimizer collapsed to an empty relation (e.g. a
+      // contradiction folded to `false`) has no scan: zero files
+      val nf = fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(0L)
+      (rows, nf)
+    }
+    def base() = EventStreams.readUpsertTableScan(spark, t)
+    val full = EventStreams.readUpsertTable(spark, t)
+    def oracle(c: org.apache.spark.sql.Column): Seq[Long] =
+      full.filter(c).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // small IN: union of point ranges — the point-lookup dashboard shape
+    val (inRows, inFiles) = scanned(base().filter(col("n").isin(10L, 20L)))
+    assert(inRows === Seq(1L, 2L) && inFiles < live,
+      s"a 2-element IN must prune (opened $inFiles of $live)")
+    // large IN (past the InSet conversion threshold): same pruning
+    val big = (1L to 12L).map(_ * 10L)
+    val (isRows, isFiles) = scanned(base().filter(col("n").isin(big: _*)))
+    assert(isRows === (1L to 12L).toSeq && isFiles < live)
+    // a NULL element contributes nothing (IN's three-valued logic
+    // never yields true on it) — same rows, still sound
+    val (nnRows, nnFiles) = scanned(base().filter(col("n").isin(10L, 20L, null)))
+    assert(nnRows === Seq(1L, 2L) && nnFiles <= live)
+    // OR of two ranges: the union of the branches' bounds
+    val orPred = col("n") <= 15L || col("n") >= 290L
+    val (orRows, orFiles) = scanned(base().filter(orPred))
+    assert(orRows === oracle(orPred) && orFiles < live,
+      s"an OR of two ranges must prune (opened $orFiles of $live)")
+    // OR with an unextractable branch: conservative, exact, unpruned
+    val mixed = col("n") <= 15L || pmod(col("n"), lit(7L)) === 0L
+    val (mxRows, mxFiles) = scanned(base().filter(mixed))
+    assert(mxRows === oracle(mixed) && mxFiles === live.toLong,
+      "an OR with an unextractable branch must read everything")
+    // starts_with: the [prefix, successor) range
+    val (swRows, swFiles) = scanned(base().filter(col("payload").startsWith("p0")))
+    assert(swRows === (0L to 9L).toSeq && swFiles < live,
+      s"starts_with must prune (opened $swFiles of $live)")
+    // CONTRADICTION PIN (VERDICT r14): col = a AND col = b (a ≠ b) must
+    // read ZERO files via the RANGE path — extractEqualities keeps only
+    // the first literal for the bloom probe, and that is sound only
+    // because extractBounds feeds EqualTo into both range sides so the
+    // empty interval prunes everything before any bloom decision.
+    // End-to-end Catalyst folds the contradiction to `false` itself;
+    // pin the FileIndex-level invariant directly so a future edit
+    // narrowing extractBounds' EqualTo handling fails THIS case even
+    // when blooms (absent here ⇒ conservative pass) admit both values
+    val (cRows, cFiles) = scanned(base().filter(col("n") === 10L && col("n") === 20L))
+    assert(cRows.isEmpty && cFiles === 0L,
+      "contradictory equalities must prune to zero files")
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val p = new org.apache.hadoop.fs.Path(t)
+      val st = new org.apache.hadoop.fs.FileStatus(
+        4L, false, 1, 1L, 0L, new org.apache.hadoop.fs.Path(p, "b0/f0.parquet"))
+      val idx = new graft.streaming.ZoneMapFileIndex(
+        p, Seq((st, "b0/f0.parquet")),
+        Map("b0/f0.parquet" -> Map("n" -> ((Some("0"), Some("100"))))),
+        StructType(Seq(StructField("n", LongType))),
+        bloomCols = Set("n")) // no sketch recorded ⇒ bloom passes everything
+      val n = AttributeReference("n", LongType)()
+      val out = idx.listFiles(Nil,
+        Seq(EqualTo(n, Literal(10L)), EqualTo(n, Literal(20L))))
+      assert(out.head.files.isEmpty,
+        "the RANGE path alone must prune the contradiction — the bloom " +
+          "probe (first-literal-only) must never be the deciding layer")
+    }
+    // IN composes with the bloom contract: each element probes the sketch
+    val tb = Files.createTempDirectory("graft-zinb").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 128L).map(k => (k, s"u${(k * 2654435761L) % 100000}", 0L))
+        .toDF("k", "u", "__v"),
+      tb, Seq("k"), "__v", nBuckets = 2, batchId = 0L,
+      bloomCols = Some(Seq("u")))
+    EventStreams.compactUpsertTable(spark, tb, Seq("k"), 2, 1L,
+      maxRecordsPerFile = 16)
+    val bLive = EventStreams.tableManifest(spark, tb).values.map(_.size).sum
+    val v77 = s"u${(77L * 2654435761L) % 100000}"
+    val (bRows, bFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, tb)
+        .filter(col("u").isin(v77, "nowhere")))
+    assert(bRows === Seq(77L) && bFiles < bLive,
+      s"an IN on a bloom-contracted column must skip files ($bFiles of $bLive)")
+  }
+
+  test("zone maps: timestamp probes render in the session time zone; NaN never throws at planning") {
+    val tzKey = "spark.sql.session.timeZone"
+    val origTz = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val t = Files.createTempDirectory("graft-ztz").toString + "/t"
+      // 48 hourly rows across two days, written with stats rendered via
+      // date_format in the SESSION zone — a UTC-rendered probe would be
+      // offset by 4-5 hours and prune files that hold matching rows
+      EventStreams.mergeBatchIntoTable(
+        (0L until 48L).map(h => (h, 0L)).toDF("k", "__v")
+          .withColumn("ts", expr(
+            "timestampadd(HOUR, k, timestamp'2021-06-01 00:00:00')"))
+          .select("k", "ts", "__v"),
+        t, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+        statsCols = Some(Seq("ts")))
+      EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+        sortBy = Seq("ts"), maxRecordsPerFile = 8)
+      val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+      assert(live === 6)
+      val cut = java.sql.Timestamp.valueOf("2021-06-02 04:00:00")
+      val got = EventStreams.readUpsertTableScan(spark, t)
+        .filter(col("ts") >= lit(cut))
+      val gotRows = got.collect().map(_.getLong(0)).sorted.toSeq
+      val want = EventStreams.readUpsertTable(spark, t)
+        .filter(col("ts") >= lit(cut))
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(gotRows === want,
+        "a non-UTC session must not prune files holding matching rows")
+      val fin = got.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      val nf = fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+      assert(nf < live,
+        s"the timestamp probe must still prune in a non-UTC session ($nf of $live)")
+    } finally spark.conf.set(tzKey, origTz)
+    // NaN/Infinity: a non-finite pushed literal extracts no bound (the
+    // scan stays exact), and NaN VALUES in a stats column never break
+    // statCompare — both paths previously threw NumberFormatException
+    // during scan planning
+    val td = Files.createTempDirectory("graft-znan").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      ((0L until 8L).map(k => (k, k * 1.0)) ++ Seq((8L, Double.NaN)))
+        .toDF("k", "x").withColumn("__v", lit(0L)),
+      td, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("x")))
+    EventStreams.compactUpsertTable(spark, td, Seq("k"), 1, 1L,
+      sortBy = Seq("x"), maxRecordsPerFile = 3)
+    val scan = EventStreams.readUpsertTableScan(spark, td)
+    // Spark's NaN semantics: NaN = NaN is true — row 8 must come back
+    assert(scan.filter(col("x") === Double.NaN)
+      .select("k").collect().map(_.getLong(0)).toSeq === Seq(8L))
+    assert(scan.filter(col("x") === Double.PositiveInfinity).isEmpty)
+    // a finite probe against a file whose recorded max is "NaN"
+    assert(scan.filter(col("x") >= 6.0)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(6L, 7L, 8L))
+  }
+
+  test("rollup view: a crash after the delete half (or after both halves) replays cleanly") {
+    import EventStreams.RollupSpec
+    val base = Files.createTempDirectory("graft-rureplay").toString
+    val (src, ru) = (s"$base/src", s"$base/ru")
+    val spec = RollupSpec(Seq("grp"), Seq("x"))
+    def merge(rs: Seq[(Long, String, Double, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rs.toDF("k", "grp", "x", "__v"),
+        src, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 8)
+    def converged(): Unit = {
+      val got = EventStreams.readUpsertTable(spark, ru)
+        .select("grp", "n_rows", "sum_x")
+      val want = EventStreams.rollupAggregate(
+        EventStreams.readUpsertTable(spark, src), spec)
+      assert(got.exceptAll(want).union(want.exceptAll(got)).isEmpty,
+        "the incremental view must equal the full recompute")
+    }
+    merge((0L until 9L).map(k => (k, s"g${k % 3}", k * 1.0, 0L)), 0L)
+    val from = EventStreams.seedRollupFromSnapshot(spark, src, ru, "ru", spec,
+      nBuckets = 2, retain = 1)
+    // window: g2 empties (keys 2, 5, 8 deleted) and g0 updates
+    merge(Seq((0L, "g0", 50.0, 1L)), 1L)
+    EventStreams.deleteFromTable(spark, src, Seq(2L, 5L, 8L).toDF("k"),
+      Seq("k"), nBuckets = 4, batchId = 2L, retain = 8)
+    val to = EventStreams.latestCommittedBatchId(spark, src).get
+    // SIMULATED CRASH #1 (ADVICE r14): the first attempt committed the
+    // DELETE half (batchId 2*to kills the emptied group's row) and died
+    // before the merge and the cursor advance. The replay used to read
+    // the mid-window rollup state, compute a negative n_rows for g2 and
+    // wedge forever on the divergence guard.
+    EventStreams.deleteFromTable(spark, ru, Seq("g2").toDF("grp"),
+      Seq("grp"), nBuckets = 2, batchId = 2 * to, retain = 2)
+    val r = EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2).get
+    assert(r === ((from, to, 1L, 1L)), s"replayed window verdict: $r")
+    converged()
+    assert(EventStreams.feedCursor(spark, src, "ru") === Some(to))
+    // SIMULATED CRASH #2: both halves committed, crash before the
+    // cursor advance — rewind the cursor pin and replay the window
+    EventStreams.unpinBatch(spark, src, s"feed.ru.$to")
+    EventStreams.pinBatch(spark, src, s"feed.ru.$from", from)
+    val r2 = EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2).get
+    assert(r2 === ((from, to, 1L, 1L)),
+      s"a full replay must recompute the same verdict: $r2")
+    converged()
+    assert(EventStreams.feedCursor(spark, src, "ru") === Some(to))
+    // and the view keeps working after the replays
+    merge(Seq((9L, "g2", 4.0, 0L)), 3L)
+    assert(EventStreams.syncRollupFromFeed(spark, src, ru, "ru", spec,
+      nBuckets = 2).isDefined)
+    converged()
+  }
+
+  test("optimistic concurrency: disjoint-bucket writers both land; overlap and folds stay loud") {
+    val t = Files.createTempDirectory("graft-occ").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 4, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    // two keys provably in different buckets (the writer's own hash)
+    val bks = (0L until 16L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(4)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kA = 0L
+    val kB = bks.find(_._2 != bks(kA)).get._1
+    def rowOf(k: Long): Long = EventStreams.readUpsertTable(spark, t)
+      .filter(col("k") === k).select("n").head().getLong(0)
+    // WRITER A (id 2) updates kA; its commit hook runs WRITER B (id 1,
+    // kB — a different bucket) to completion first, so A's publish
+    // finds the head moved and must REBASE. B's post-commit sweep runs
+    // while A's generation is staged — the in-flight token must
+    // protect it.
+    var interleaved = false
+    EventStreams.mergeBatchIntoTable(
+      Seq((kA, 111L, 1L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 2L, retain = 8,
+      beforeCommit = () => if (!interleaved) {
+        interleaved = true
+        EventStreams.mergeBatchIntoTable(
+          Seq((kB, 222L, 1L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+          nBuckets = 4, batchId = 1L, retain = 8)
+      })
+    assert(interleaved)
+    // BOTH writers' rows landed — neither commit was lost
+    assert(rowOf(kA) === 111L, "the rebased writer's row must land")
+    assert(rowOf(kB) === 222L, "the interleaved writer's row must survive the rebase")
+    assert(EventStreams.readUpsertTable(spark, t).count() === 16L)
+    assert(EventStreams.latestCommittedBatchId(spark, t) === Some(2L))
+    // the staging tokens are all released and fsck is green after the race
+    val fsp = new org.apache.hadoop.fs.Path(s"$t/_inflight")
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(fsp) || fs.listStatus(fsp).isEmpty,
+      "both commits must release their in-flight tokens")
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)),
+      "fsck must be green after the rebased commit")
+    // OVERLAP stays loud: writer C (id 4) and its hook-run interloper D
+    // (id 3) touch the SAME key — C must die on the lost-update guard
+    var overlapRan = false
+    val err = intercept[IllegalStateException] {
+      EventStreams.mergeBatchIntoTable(
+        Seq((kA, 333L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+        nBuckets = 4, batchId = 4L, retain = 8,
+        beforeCommit = () => if (!overlapRan) {
+          overlapRan = true
+          EventStreams.mergeBatchIntoTable(
+            Seq((kA, 444L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+            nBuckets = 4, batchId = 3L, retain = 8)
+        })
+    }
+    assert(err.getMessage.contains("cannot rebase"))
+    assert(rowOf(kA) === 444L, "the interloper's committed row holds")
+    // the documented recovery: RE-DRIVE the same batchId on the new
+    // snapshot — the replay restages (adopting its own leftover
+    // generation + token) and lands cleanly
+    EventStreams.mergeBatchIntoTable(
+      Seq((kA, 333L, 3L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 4L, retain = 8)
+    assert(rowOf(kA) === 333L)
+    assert(!fs.exists(fsp) || fs.listStatus(fsp).isEmpty)
+    // a FOLD rewrites every bucket: a merge racing it can never rebase
+    var foldRan = false
+    val err2 = intercept[IllegalStateException] {
+      EventStreams.mergeBatchIntoTable(
+        Seq((kB, 555L, 4L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+        nBuckets = 4, batchId = 6L, retain = 8,
+        beforeCommit = () => if (!foldRan) {
+          foldRan = true
+          EventStreams.compactUpsertTable(spark, t, Seq("k"), 4, 5L, retain = 8)
+        })
+    }
+    assert(err2.getMessage.contains("cannot rebase"))
+    EventStreams.mergeBatchIntoTable(
+      Seq((kB, 555L, 4L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 6L, retain = 8)
+    assert(rowOf(kB) === 555L)
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // disjoint DELETE rebases the same way: writer E (id 8) deletes kA
+    // while the hook-run F (id 7) merges kB
+    var delRan = false
+    EventStreams.deleteFromTable(spark, t, Seq(kA).toDF("k"), Seq("k"),
+      nBuckets = 4, batchId = 8L, retain = 8,
+      beforeCommit = () => if (!delRan) {
+        delRan = true
+        EventStreams.mergeBatchIntoTable(
+          Seq((kB, 666L, 5L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+          nBuckets = 4, batchId = 7L, retain = 8)
+      })
+    assert(EventStreams.readUpsertTable(spark, t)
+      .filter(col("k") === kA).isEmpty, "the rebased delete must land")
+    assert(rowOf(kB) === 666L, "the interleaved merge must survive the delete's rebase")
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+  }
+
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {
     import EventStreams.ColBound
     val t = Files.createTempDirectory("graft-delwe").toString + "/t"
