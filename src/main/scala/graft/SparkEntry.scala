@@ -7611,6 +7611,23 @@ object SparkEntry {
       .collect().map(_.getLong(0)).sorted.toSeq && modFiles == live
     val (sRows, sFiles) = scanned(scan().filter(col("cat") === "c07"))
     val stringPrunes = sRows == Seq(7L) && sFiles < live
+    // IN-list (the point-lookup dashboard shape): union of point
+    // ranges, planned from executed numFiles
+    val (inRows, inFiles) = scanned(scan().filter(col("n").isin(10L, 20L)))
+    val inListPrunes = inRows == Seq(1L, 2L) && inFiles < live
+    // OR of two ranges: the union of the branches' bounds
+    val orPred = col("n") <= 15L || col("n") >= 290L
+    val (orRows, orFiles) = scanned(scan().filter(orPred))
+    val orOracle = full.filter(orPred).collect().map(_.getLong(0)).sorted.toSeq
+    val orPrunes = orRows == orOracle && orFiles < live
+    // an OR with an unextractable branch stays exact AND conservative
+    val mixedPred = col("n") <= 15L || pmod(col("n"), lit(7L)) === 0L
+    val (mixRows, mixFiles) = scanned(scan().filter(mixedPred))
+    val mixOracle = full.filter(mixedPred).collect().map(_.getLong(0)).sorted.toSeq
+    val orFallback = mixRows == mixOracle && mixFiles == live
+    // starts_with: the [prefix, successor) range
+    val (swRows, swFiles) = scanned(scan().filter(col("cat").startsWith("c0")))
+    val prefixPrunes = swRows == (0L to 9L).toSeq && swFiles < live
     // bloom-contracted equality prunes through the same planning hook
     // (zb: high-cardinality unsorted strings — only the sketch prunes)
     val zb = s"$base/zb"
@@ -7639,6 +7656,10 @@ object SparkEntry {
       ("uncontracted_column_stays_exact_full_width", uncontracted),
       ("unextractable_predicate_stays_exact", unextractable),
       ("string_equality_prunes", stringPrunes),
+      ("in_list_prunes", inListPrunes),
+      ("or_of_ranges_prunes", orPrunes),
+      ("or_with_unextractable_branch_stays_exact", orFallback),
+      ("starts_with_prunes", prefixPrunes),
       ("bloom_equality_prunes_in_plan", bloomPrunes),
       ("scan_plans_from_recorded_sizes", sizesRecorded),
       ("delta_snapshot_refuses", deltaRefuses))
@@ -7759,6 +7780,209 @@ object SparkEntry {
       ("same_id_redrive_lands", redriveLanded),
       ("fsck_green_after_race", fsckGreen),
       ("staging_tokens_released", tokensReleased))
+      .toDF("check", "ok")
+  }
+
+  /** q209 fixture: the CHECKPOINTED feed consumers driven end-to-end —
+    * (src, ru, ru2, rep, restart-noop flag). Two AvailableNow passes
+    * drain two source windows into the streamed rollup + replica; a
+    * TWIN rollup consumes both windows in ONE direct sync (the
+    * two-pass ≡ one-batch oracle); the second pass replays a planted
+    * crash half; an extra pass with nothing new must move nothing.
+    */
+  private val feedStreamStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+
+  private def ensureFeedStream(spark: SparkSession, dir: String): (String, Boolean) =
+    feedStreamStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import streaming.{EventStreams, FeedStream}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-feedq").toString
+      val (src, ru, ru2, rep) = (s"$base/src", s"$base/ru", s"$base/ru2", s"$base/rep")
+      val spec = EventStreams.RollupSpec(Seq("grp"), Seq("x"))
+      def merge(d: String, rows: Seq[(Long, String, Double, Long)], id: Long) =
+        EventStreams.mergeBatchIntoTable(rows.toDF("k", "grp", "x", "__v"),
+          d, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 8)
+      def drainRu(): Unit = {
+        val q = FeedStream.startRollupSync(spark, src, ru, "ru", spec,
+          nBuckets = 2, checkpointDir = s"$base/cp_ru", retain = 8)
+        q.awaitTermination()
+      }
+      def drainRep(): Unit = {
+        val q = FeedStream.startReplicaSync(spark, src, rep, "rep", "__v",
+          nBuckets = 4, checkpointDir = s"$base/cp_rep", retain = 8)
+        q.awaitTermination()
+      }
+      val seed = (0L until 12L).map(k => (k, s"g${k % 3}", k * 1.0, 0L))
+      merge(src, seed, 0L)
+      merge(rep, seed, 0L)
+      EventStreams.advanceFeedCursor(spark, src, "rep", 0L)
+      EventStreams.seedRollupFromSnapshot(spark, src, ru, "ru", spec,
+        nBuckets = 2, retain = 8)
+      EventStreams.seedRollupFromSnapshot(spark, src, ru2, "ru2", spec,
+        nBuckets = 2, retain = 8)
+      // window 1: update, group move, delete — first streamed pass
+      merge(src, Seq((1L, "g1", 100.0, 1L), (5L, "g0", 7.5, 1L)), 1L)
+      EventStreams.deleteFromTable(spark, src, Seq(2L).toDF("k"), Seq("k"),
+        nBuckets = 4, batchId = 2L, retain = 8)
+      drainRu(); drainRep()
+      // window 2: g2 empties; PLANT the crash half (the window's delete
+      // commit already landed when the stream replays it)
+      EventStreams.deleteFromTable(spark, src, Seq(8L, 11L).toDF("k"),
+        Seq("k"), nBuckets = 4, batchId = 3L, retain = 8)
+      val to = EventStreams.latestCommittedBatchId(spark, src).get
+      EventStreams.deleteFromTable(spark, ru, Seq("g2").toDF("grp"),
+        Seq("grp"), nBuckets = 2, batchId = 2 * to, retain = 2)
+      drainRu(); drainRep()
+      // an idle pass moves nothing (the checkpoint remembers the chain)
+      val wmRu = EventStreams.appliedBatch(spark, ru)
+      val wmRep = EventStreams.appliedBatch(spark, rep)
+      drainRu(); drainRep()
+      val noop = EventStreams.appliedBatch(spark, ru) == wmRu &&
+        EventStreams.appliedBatch(spark, rep) == wmRep
+      // the twin consumes BOTH windows in one direct sync
+      EventStreams.syncRollupFromFeed(spark, src, ru2, "ru2", spec,
+        nBuckets = 2, retain = 8)
+      (base, noop)
+    })
+
+  /** CHANGE FEED AS A CHECKPOINTED STREAMING SOURCE (q209): feed
+    * consumers (incremental rollup view, replica) ride Structured
+    * Streaming checkpoints — each source commit wakes one AvailableNow
+    * micro-batch whose body runs the cursor-pinned sync
+    * ([[streaming.FeedStream]]). Verdicts re-derive from committed
+    * state: two streamed passes equal one direct batch diff AND the
+    * full recompute, the replica equals the source, an idle restart
+    * commits nothing, a planted crash-between-halves window replayed
+    * clean, and the cursors ride retention pins at the watermark.
+    */
+  def q209FeedStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (base, noop) = ensureFeedStream(spark, dir)
+    val (src, ru, ru2, rep) = (s"$base/src", s"$base/ru", s"$base/ru2", s"$base/rep")
+    val spec = EventStreams.RollupSpec(Seq("grp"), Seq("x"))
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).union(b.exceptAll(a)).isEmpty
+    val ruRows = EventStreams.readUpsertTable(spark, ru)
+      .select("grp", "n_rows", "sum_x").localCheckpoint()
+    val twoPassEqualsOne = same(ruRows,
+      EventStreams.readUpsertTable(spark, ru2).select("grp", "n_rows", "sum_x"))
+    val equalsRecompute = same(ruRows,
+      EventStreams.rollupAggregate(EventStreams.readUpsertTable(spark, src), spec))
+    val replicaEquals = same(
+      EventStreams.readUpsertTable(spark, rep).select("k", "grp", "x", "__v"),
+      EventStreams.readUpsertTable(spark, src).select("k", "grp", "x", "__v"))
+    val wm = EventStreams.latestCommittedBatchId(spark, src)
+    val crashReplayed = EventStreams.feedCursor(spark, src, "ru") == wm &&
+      EventStreams.readUpsertTable(spark, ru).filter(col("grp") === "g2").isEmpty
+    val pins = EventStreams.listPins(spark, src)
+    val cursorsPinned = wm.exists(w =>
+      pins.get(s"feed.ru.$w").contains(w) && pins.get(s"feed.rep.$w").contains(w))
+    Seq(
+      ("streamed_two_passes_equal_one_batch_diff", twoPassEqualsOne),
+      ("view_equals_full_recompute", equalsRecompute),
+      ("replica_equals_source", replicaEquals),
+      ("idle_checkpoint_restart_noops", noop),
+      ("crash_between_halves_replayed_clean", crashReplayed),
+      ("cursors_ride_retention_pins", cursorsPinned))
+      .toDF("check", "ok")
+  }
+
+  /** q210 fixture: the purge-after-audit lifecycle run once —
+    * (corpus dir, blocked-while-pinned, pinned-audit-saw-pre-world,
+    * stale-backup-flagged, replay-all-green, replay-reclaimed-nothing).
+    * Steps: commit history → pre-delete backup → audit pin → takedown
+    * → purge refused (pin) → release → purge → backup rotation →
+    * replayed purge.
+    */
+  private val purgeStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Boolean, Boolean, Boolean, Boolean, Boolean)]()
+
+  private def ensurePurge(spark: SparkSession, dir: String): (String, Boolean, Boolean, Boolean, Boolean, Boolean) =
+    purgeStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import streaming.EventStreams
+      import operators.Takedown
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-purge-q").toString
+      val (corpus, root, ledger) = (s"$base/corpus", s"$base/bak", s"$base/ledger")
+      val docs = (0L until 12L).map(i =>
+        (i, s"text $i", 0L)).toDF("doc_id", "text", "__v")
+      val deleted = Seq(2L, 5L)
+      EventStreams.mergeBatchIntoTable(docs, corpus, Seq("doc_id"), "__v",
+        nBuckets = 4, batchId = 0L, retain = 8)
+      EventStreams.mergeBatchIntoTable(
+        Seq((0L, "updated", 1L)).toDF("doc_id", "text", "__v"),
+        corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 9L, retain = 8)
+      EventStreams.backupUpsertTable(spark, corpus, s"$root/b1")
+      Takedown.pinForAudit(spark, "aud", asOfBatch = 10L,
+        keyedTables = Seq(corpus))
+      Takedown.deleteDocs(spark, deleted, batchId = 10L, ledgerDir = ledger,
+        keyedTables = Seq((corpus, "doc_id", 4)))
+      def purge() = Takedown.purgeDocs(spark, deleted, purgeBelowBatch = 10L,
+        keyedTables = Seq((corpus, "doc_id")), backups = Seq((root, "doc_id")))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getBoolean(2), r.getLong(3)))).toMap
+      val blockedRows = purge()
+      val blocked = !blockedRows(("table-corpus", "holds_released"))._1 &&
+        !blockedRows(("table-corpus", "purge_acted"))._1 &&
+        !blockedRows(("table-corpus", "below_cut_travel_refuses"))._1
+      val auditPre = Takedown.auditDocsAt(spark, deleted, 10L,
+        keyedTables = Seq((corpus, "doc_id"))).collect()
+        .map(_.getLong(1)).sum == deleted.size.toLong
+      Takedown.releaseAudit(spark, "aud", keyedTables = Seq(corpus))
+      val p = purge()
+      val staleBackupRed = p(("table-corpus", "purge_acted"))._1 &&
+        !p(("backup-bak", "backups_zero_refs"))._1
+      val b1 = new org.apache.hadoop.fs.Path(s"$root/b1")
+      b1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(b1, true)
+      EventStreams.backupUpsertTable(spark, corpus, s"$root/b2")
+      val p2 = purge()
+      val replayGreen = p2.values.forall(_._1)
+      val replayNothing = p2(("table-corpus", "purge_acted"))._2 == 0L
+      (corpus, blocked, auditPre, staleBackupRed, replayGreen, replayNothing)
+    })
+
+  /** PURGE AFTER AUDIT (q210): a takedown's deleted content stays
+    * time-travel-readable for pinned audits — by design — and
+    * [[operators.Takedown.purgeDocs]] is the one-call composition that
+    * closes the window: refuse while holds live, prune the pre-delete
+    * history, and PROVE from committed state that no retained
+    * snapshot, change-feed window, or rotation backup still yields
+    * the docs. The post-purge verdicts re-derive in-query (time
+    * travel below the cut must throw; every readable snapshot must
+    * count zero references); the lifecycle verdicts come from the
+    * fixture's captured purge reports.
+    */
+  def q210PurgeAfterAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (corpus, blocked, auditPre, staleRed, replayGreen, replayNothing) =
+      ensurePurge(spark, dir)
+    val deleted = Seq(2L, 5L)
+    // re-derive the end state from the committed chain
+    val belowRefuses = scala.util.Try(
+      EventStreams.readUpsertTableAt(spark, corpus, 9L)).isFailure
+    val ids = EventStreams.tableHistory(spark, corpus)
+      .select("batch_id").collect().map(_.getLong(0))
+    val retainedRefs = ids.map(id => scala.util.Try(
+      EventStreams.readUpsertTableAt(spark, corpus, id)
+        .filter(col("doc_id").isin(deleted: _*)).count()).getOrElse(0L)).sum
+    val feedRefuses = scala.util.Try(
+      EventStreams.readChangeFeed(spark, corpus, 9L)).isFailure
+    val intact = EventStreams.readUpsertTable(spark, corpus).count() == 10L
+    Seq(
+      ("purge_refused_while_audit_pinned", blocked),
+      ("pinned_audit_reads_pre_delete_world", auditPre),
+      ("below_cut_time_travel_refuses", belowRefuses),
+      ("retained_snapshots_zero_refs", retainedRefs == 0L),
+      ("pre_delete_feed_window_refuses", feedRefuses),
+      ("stale_backup_flagged_red", staleRed),
+      ("rotated_replay_all_green", replayGreen),
+      ("replay_reclaims_nothing", replayNothing),
+      ("post_delete_world_intact", intact))
       .toDF("check", "ok")
   }
 
@@ -7968,6 +8192,8 @@ object SparkEntry {
     "q206_table_history" -> (q206TableHistory _),
     "q207_catalyst_scan" -> (q207CatalystScan _),
     "q208_optimistic_concurrency" -> (q208OptimisticConcurrency _),
+    "q209_feed_stream" -> (q209FeedStream _),
+    "q210_purge_after_audit" -> (q210PurgeAfterAudit _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -9447,6 +9673,10 @@ object SparkEntry {
         |  ('uncontracted_column_stays_exact_full_width'),
         |  ('unextractable_predicate_stays_exact'),
         |  ('string_equality_prunes'),
+        |  ('in_list_prunes'),
+        |  ('or_of_ranges_prunes'),
+        |  ('or_with_unextractable_branch_stays_exact'),
+        |  ('starts_with_prunes'),
         |  ('bloom_equality_prunes_in_plan'),
         |  ('scan_plans_from_recorded_sizes'),
         |  ('delta_snapshot_refuses')) t(c)""".stripMargin,
@@ -9462,6 +9692,25 @@ object SparkEntry {
         |  ('same_id_redrive_lands'),
         |  ('fsck_green_after_race'),
         |  ('staging_tokens_released')) t(c)""".stripMargin,
+    "q209_feed_stream" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('streamed_two_passes_equal_one_batch_diff'),
+        |  ('view_equals_full_recompute'),
+        |  ('replica_equals_source'),
+        |  ('idle_checkpoint_restart_noops'),
+        |  ('crash_between_halves_replayed_clean'),
+        |  ('cursors_ride_retention_pins')) t(c)""".stripMargin,
+    "q210_purge_after_audit" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('purge_refused_while_audit_pinned'),
+        |  ('pinned_audit_reads_pre_delete_world'),
+        |  ('below_cut_time_travel_refuses'),
+        |  ('retained_snapshots_zero_refs'),
+        |  ('pre_delete_feed_window_refuses'),
+        |  ('stale_backup_flagged_red'),
+        |  ('rotated_replay_all_green'),
+        |  ('replay_reclaims_nothing'),
+        |  ('post_delete_world_intact')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

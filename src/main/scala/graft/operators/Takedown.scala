@@ -486,6 +486,144 @@ object Takedown {
     ivfPqIndex.foreach(dir => Similarity.unpinIndexForAudit(spark, dir, label))
   }
 
+  /** PURGE-AFTER-AUDIT (round 15): the one-call composition that
+    * PROVES a takedown's content is gone from everything still
+    * readable. [[deleteDocs]] removes the docs from every artifact's
+    * LATEST snapshot, but — by design, for pinned audits — the
+    * pre-delete snapshots stay readable via time travel until
+    * retention reclaims them. Once the audit window closes (its pins
+    * released), this call, per table-family artifact:
+    *
+    *   1. refuses (reports red, acts nothing) while ANY pin — audit
+    *      hold or feed cursor — still resolves below `purgeBelowBatch`
+    *      (sweeping under a live hold is the bug the pin layer
+    *      exists to prevent);
+    *   2. prunes the manifest chain below the boundary
+    *      ([[graft.streaming.EventStreams.compactManifests]], which
+    *      itself honors pins) and vacuums unreferenced data files;
+    *   3. VERIFIES from committed state: time travel below the cut
+    *      refuses, every snapshot still readable yields ZERO
+    *      references to the docs, and a change-feed window reaching
+    *      below the cut refuses (no consumer can replay the deleted
+    *      content out of the feed).
+    *
+    * Backups are verified, not mutated: every committed backup dir
+    * under each named root must hold zero references — a red row
+    * names the backup that still does (re-run the backup leg and
+    * purge again). The composed ANN index vacuums its superseded
+    * artifacts and must serve zero references. The call is
+    * IDEMPOTENT: a replay re-verifies and reclaims nothing.
+    *
+    * `purgeBelowBatch` is the takedown request's `batchId` — the
+    * first commit of the post-delete world; everything strictly below
+    * it is the pre-delete history being purged. Returns one
+    * (artifact, check, ok, n) row per verdict.
+    */
+  def purgeDocs(spark: SparkSession, docIds: Seq[Long],
+                purgeBelowBatch: Long,
+                sequenceTable: Option[String] = None,
+                keyedTables: Seq[(String, String)] = Seq.empty,
+                ragIndex: Option[String] = None,
+                ivfPqIndex: Option[String] = None,
+                vecIds: Option[Seq[Long]] = None,
+                exportProv: Option[String] = None,
+                backups: Seq[(String, String)] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val boxed = docIds.map(java.lang.Long.valueOf)
+    // table-family artifacts with their reference predicates (the
+    // auditWith shapes, applied per-snapshot here)
+    val arts: Seq[(String, String, DataFrame => DataFrame)] =
+      sequenceTable.toSeq.flatMap { dir =>
+        val spanRefs = (df: DataFrame) => df.filter(exists(col("doc_spans"),
+          s => s.getField("doc_id").isin(boxed: _*)))
+        val state = s"$dir/_tokstate"
+        Seq((s"sequences-${baseName(dir)}", dir, spanRefs)) ++
+          (if (dirExists(spark, state))
+            Seq((s"sequences-state-${baseName(dir)}", state, (df: DataFrame) =>
+              EventStreams.withColumnDefault(df, "carry_spans",
+                expr("cast(array() as array<struct<_1:bigint,_2:bigint,_3:bigint>>)"))
+                .filter(exists(col("carry_spans"),
+                  s => s.getField("_1").isin(boxed: _*)))))
+          else Seq.empty)
+      } ++
+      keyedTables.map { case (dir, keyCol) =>
+        (s"table-${baseName(dir)}", dir,
+          (df: DataFrame) => df.filter(col(keyCol).isin(docIds: _*)))
+      } ++
+      ragIndex.toSeq.map { dir =>
+        (s"rag-${baseName(dir)}", dir,
+          (df: DataFrame) => df.filter(Rag.docIdOf(col("chunk_key")).isin(docIds: _*)))
+      } ++
+      exportProv.toSeq.map { dir =>
+        (s"export-${baseName(dir)}", dir,
+          (df: DataFrame) => df.filter(col("doc_id").isin(docIds: _*)))
+      }
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, Boolean, Long)]()
+    arts.foreach { case (label, dir, refs) =>
+      // 1. live holds below the boundary block the purge for THIS
+      // artifact — audit pins and feed cursors alike (a feed consumer
+      // whose cursor sits below the cut still needs those windows)
+      val holdsBelow = EventStreams.listPins(spark, dir)
+        .count(_._2 < purgeBelowBatch)
+      rows += ((label, "holds_released", holdsBelow == 0, holdsBelow.toLong))
+      var reclaimed = 0L
+      if (holdsBelow == 0) {
+        // 2. prune history below the boundary, then reclaim files
+        val ids = EventStreams.tableHistory(spark, dir)
+          .select("batch_id").collect().map(_.getLong(0)).sorted
+        // keep the whole POST-delete window (the operator's remaining
+        // time-travel history); only the pre-delete world purges
+        val keep = math.max(1, ids.count(_ >= purgeBelowBatch))
+        EventStreams.compactManifests(spark, dir, keep)
+        reclaimed = EventStreams.vacuumUpsertTable(spark, dir, retain = keep).toLong
+      }
+      rows += ((label, "purge_acted", holdsBelow == 0, reclaimed))
+      // 3. verify: below-cut time travel refuses; every snapshot still
+      // readable yields zero references; the feed cannot reach below
+      val belowRefuses = scala.util.Try(
+        EventStreams.readUpsertTableAt(spark, dir, purgeBelowBatch - 1)).isFailure
+      rows += ((label, "below_cut_travel_refuses", belowRefuses, 0L))
+      val ids = EventStreams.tableHistory(spark, dir)
+        .select("batch_id").collect().map(_.getLong(0)).sorted
+      val retainedRefs = ids.map(id => scala.util.Try(
+        refs(EventStreams.readUpsertTableAt(spark, dir, id)).count()
+      ).getOrElse(0L)).sum
+      rows += ((label, "retained_snapshots_zero_refs", retainedRefs == 0L,
+        retainedRefs))
+      val feedRefuses = scala.util.Try(
+        EventStreams.readChangeFeed(spark, dir, purgeBelowBatch - 1)).isFailure
+      rows += ((label, "pre_delete_feed_window_refuses", feedRefuses, 0L))
+    }
+    ivfPqIndex.foreach { dir =>
+      val label = s"ivfpq-${baseName(dir)}"
+      val reclaimed = Similarity.vacuumIndex(spark, dir, retain = 1).toLong
+      rows += ((label, "purge_acted", true, reclaimed))
+      val refs = Similarity.indexedVecIds(spark, dir)
+        .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)).count()
+      rows += ((label, "serving_zero_refs", refs == 0L, refs))
+    }
+    backups.foreach { case (rootOrDir, docIdCol) =>
+      val label = s"backup-${baseName(rootOrDir)}"
+      val root = new org.apache.hadoop.fs.Path(rootOrDir)
+      val fs = fsOf(spark, root)
+      val dirs =
+        if (!fs.exists(root)) Seq.empty
+        else if (graft.streaming.EventStreams
+          .latestCommittedBatchId(spark, rootOrDir).isDefined) Seq(rootOrDir)
+        else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(p => graft.streaming.EventStreams
+            .latestCommittedBatchId(spark, p.toString).isDefined)
+          .map(p => s"${rootOrDir.stripSuffix("/")}/${p.getName}").toSeq
+      val refs = dirs.map(b => graft.streaming.EventStreams
+        .readUpsertTable(spark, b)
+        .filter(col(docIdCol).isin(docIds: _*)).count()).sum
+      rows += ((label, "backups_zero_refs", refs == 0L, refs))
+    }
+    require(rows.nonEmpty, "purge names no artifacts")
+    rows.toSeq.toDF("artifact", "check", "ok", "n")
+  }
+
   private def auditWith(spark: SparkSession, docIds: Seq[Long],
                         sequenceTable: Option[String],
                         keyedTables: Seq[(String, String)],

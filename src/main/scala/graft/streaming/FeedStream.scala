@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CHANGE FEED AS A CHECKPOINTED STREAMING SOURCE — the round-14 gap:
+  * every feed consumer (replica, rollup view, index sync) hand-managed
+  * its cursor and had to be poked by an external scheduler. This
+  * wraps the consumers in the CurationStream/IndexStream convention
+  * (`Trigger.AvailableNow` + `foreachBatch` + idempotent committed
+  * windows) so they ride Structured Streaming's own machinery:
+  *
+  *   - the STREAMED INPUT is the source table's manifest list (the
+  *     `.json` files under `_manifests`, a plain file source): every
+  *     commit lands exactly one new tiny file, so each commit wakes one
+  *     micro-batch and the checkpoint remembers which commits have
+  *     already woken the consumer — an idle table costs a listing,
+  *     never a data read;
+  *   - the BATCH BODY runs the existing cursor-pinned sync
+  *     ([[EventStreams.syncRollupFromFeed]] /
+  *     [[EventStreams.syncReplicaFromFeed]]), which consumes the
+  *     whole `(cursor, watermark]` window at O(changed) cost and
+  *     advances the cursor LAST.
+  *
+  * EXACTLY-ONCE stays where it always was — the cursor pin: the
+  * Spark checkpoint is only the SCHEDULER (which commits have been
+  * seen), the cursor is the source of truth for what has been
+  * APPLIED. A crash anywhere replays the batch; the sync re-reads
+  * the same window (its base snapshot held readable by the cursor
+  * pin), committed halves no-op on their watermarks, and an
+  * already-advanced cursor makes the replay a pure no-op. A batch
+  * that observes commits the PREVIOUS batch's sync already consumed
+  * (the sync always runs to the CURRENT watermark, which may be ahead
+  * of the batch's discovered files) no-ops the same way — the wake-up
+  * and the window are deliberately decoupled.
+  *
+  * One stream per (source, consumer): the sync functions' cursor
+  * monotonicity makes a second concurrent stream fail loudly rather
+  * than double-apply.
+  */
+object FeedStream {
+
+  /** The streamed manifest list of `srcDir` — one line per committed
+    * manifest body; content is ignored (the wake-up signal is the
+    * FILE), so the fixed `text` schema needs no inference.
+    */
+  private def manifestStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.text(s"${srcDir.stripSuffix("/")}/_manifests/*.json")
+
+  /** Drain the source's unconsumed commits into the incremental
+    * AGGREGATE VIEW ([[EventStreams.syncRollupFromFeed]]) and stop
+    * (`Trigger.AvailableNow` — the nightly cadence; run it on a clock
+    * for continuous freshness). Seed the rollup + cursor first
+    * ([[EventStreams.seedRollupFromSnapshot]]).
+    */
+  def startRollupSync(spark: SparkSession, srcDir: String,
+                      rollupDir: String, consumer: String,
+                      spec: EventStreams.RollupSpec, nBuckets: Int,
+                      checkpointDir: String,
+                      retain: Int = 1): StreamingQuery =
+    manifestStream(spark, srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        EventStreams.syncRollupFromFeed(spark, srcDir, rollupDir, consumer,
+          spec, nBuckets, retain)
+        ()
+      }
+      .start()
+
+  /** Drain the source's unconsumed commits into the REPLICA
+    * ([[EventStreams.syncReplicaFromFeed]]) and stop. Seed the
+    * replica + cursor first (backup/restore +
+    * [[EventStreams.advanceFeedCursor]], or
+    * [[EventStreams.bootstrapFeedCursor]] for an empty-start replica
+    * fed from the first commit).
+    */
+  def startReplicaSync(spark: SparkSession, srcDir: String,
+                       replicaDir: String, consumer: String,
+                       versionCol: String, nBuckets: Int,
+                       checkpointDir: String,
+                       delta: Boolean = false,
+                       retain: Int = 1): StreamingQuery =
+    manifestStream(spark, srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        EventStreams.syncReplicaFromFeed(spark, srcDir, replicaDir, consumer,
+          versionCol, nBuckets, delta, retain)
+        ()
+      }
+      .start()
+}

@@ -1930,6 +1930,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FeedStream: checkpointed consumers drain windows, restarts no-op, crash halves replay") {
+    import EventStreams.RollupSpec
+    import graft.streaming.FeedStream
+    val base = Files.createTempDirectory("graft-feedstream").toString
+    val (src, ru, rep) = (s"$base/src", s"$base/ru", s"$base/rep")
+    val (cpRu, cpRep) = (s"$base/cp_ru", s"$base/cp_rep")
+    val spec = RollupSpec(Seq("grp"), Seq("x"))
+    def merge(dir: String, rows: Seq[(Long, String, Double, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "grp", "x", "__v"),
+        dir, Seq("k"), "__v", nBuckets = 4, batchId = id, retain = 8)
+    def drainRollup(): Unit = {
+      val q = FeedStream.startRollupSync(spark, src, ru, "ru", spec,
+        nBuckets = 2, checkpointDir = cpRu, retain = 8)
+      q.awaitTermination()
+    }
+    def drainReplica(): Unit = {
+      val q = FeedStream.startReplicaSync(spark, src, rep, "rep", "__v",
+        nBuckets = 4, checkpointDir = cpRep, retain = 8)
+      q.awaitTermination()
+    }
+    def converged(): Unit = {
+      val gotRu = EventStreams.readUpsertTable(spark, ru)
+        .select("grp", "n_rows", "sum_x")
+      val wantRu = EventStreams.rollupAggregate(
+        EventStreams.readUpsertTable(spark, src), spec)
+      assert(gotRu.exceptAll(wantRu).union(wantRu.exceptAll(gotRu)).isEmpty,
+        "the streamed rollup must equal the full recompute")
+      val srcRows = EventStreams.readUpsertTable(spark, src)
+        .select("k", "grp", "x", "__v")
+      val repRows = EventStreams.readUpsertTable(spark, rep)
+        .select("k", "grp", "x", "__v")
+      assert(repRows.exceptAll(srcRows).union(srcRows.exceptAll(repRows)).isEmpty,
+        "the streamed replica must equal the source")
+    }
+    val seed = (0L until 12L).map(k => (k, s"g${k % 3}", k * 1.0, 0L))
+    merge(src, seed, 0L)
+    merge(rep, seed, 0L) // replica seeded with the same snapshot
+    EventStreams.advanceFeedCursor(spark, src, "rep", 0L)
+    EventStreams.seedRollupFromSnapshot(spark, src, ru, "ru", spec,
+      nBuckets = 2, retain = 8)
+    // window 1: update + group move + delete
+    merge(src, Seq((1L, "g1", 100.0, 1L), (5L, "g0", 7.5, 1L)), 1L)
+    EventStreams.deleteFromTable(spark, src, Seq(2L).toDF("k"), Seq("k"),
+      nBuckets = 4, batchId = 2L, retain = 8)
+    drainRollup(); drainReplica()
+    converged()
+    assert(EventStreams.feedCursor(spark, src, "ru") === Some(2L))
+    assert(EventStreams.feedCursor(spark, src, "rep") === Some(2L))
+    // restart with NOTHING new: the checkpoints wake no batch (or an
+    // empty one) and the consumers commit nothing
+    val wmRu = EventStreams.appliedBatch(spark, ru)
+    val wmRep = EventStreams.appliedBatch(spark, rep)
+    drainRollup(); drainReplica()
+    assert(EventStreams.appliedBatch(spark, ru) === wmRu,
+      "a no-commit restart must not move the rollup")
+    assert(EventStreams.appliedBatch(spark, rep) === wmRep)
+    // window 2 with a SIMULATED CRASH between the rollup's commit
+    // halves: g2 empties; the delete half (2*to) is already committed
+    // when the stream replays the window
+    EventStreams.deleteFromTable(spark, src, Seq(8L, 11L).toDF("k"),
+      Seq("k"), nBuckets = 4, batchId = 3L, retain = 8)
+    val to = EventStreams.latestCommittedBatchId(spark, src).get
+    EventStreams.deleteFromTable(spark, ru, Seq("g2").toDF("grp"),
+      Seq("grp"), nBuckets = 2, batchId = 2 * to, retain = 2)
+    drainRollup(); drainReplica()
+    converged()
+    assert(EventStreams.readUpsertTable(spark, ru)
+      .filter(col("grp") === "g2").isEmpty,
+      "the emptied group must be deleted from the streamed view")
+    assert(EventStreams.feedCursor(spark, src, "ru") === Some(to))
+  }
+
   test("z-order fold: range reads prune on BOTH z-ordered columns; guards validate") {
     val base = Files.createTempDirectory("graft-zorder").toString
     val t = s"$base/t"

@@ -563,4 +563,69 @@ class TakedownSpec extends SparkSpec {
     assert(EventStreams.listPins(spark, t) === Map("aud" -> 1L),
       "the pre-existing hold must survive the failed re-pin")
   }
+
+  test("purgeDocs: after the audit window, deleted content is provably gone from every readable surface") {
+    val base = java.nio.file.Files.createTempDirectory("graft-purge").toString
+    val (corpus, root, ledger) = (s"$base/corpus", s"$base/bak", s"$base/ledger")
+    val docs = mkDocs
+    val deleted = Seq(2L, 5L)
+    EventStreams.mergeBatchIntoTable(docs.withColumn("__v", lit(0L)),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L, retain = 8)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0L, "updated", "en", 1L)).toDF("doc_id", "text", "lang", "__v"),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 9L, retain = 8)
+    // a PRE-delete backup: it still holds the docs until rotated
+    EventStreams.backupUpsertTable(spark, corpus, s"$root/b1")
+    // the audit hold, then the takedown (request id window 10..11)
+    Takedown.pinForAudit(spark, "aud", asOfBatch = 10L,
+      keyedTables = Seq(corpus))
+    Takedown.deleteDocs(spark, deleted, batchId = 10L, ledgerDir = ledger,
+      keyedTables = Seq((corpus, "doc_id", 4)))
+    def purge() = Takedown.purgeDocs(spark, deleted, purgeBelowBatch = 10L,
+      keyedTables = Seq((corpus, "doc_id")),
+      backups = Seq((root, "doc_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getLong(3)))).toMap
+    // while the audit hold lives, the purge refuses and the pre-delete
+    // world is (by design) still fully readable
+    val blocked = purge()
+    assert(blocked(("table-corpus", "holds_released")) === ((false, 1L)))
+    assert(blocked(("table-corpus", "purge_acted"))._1 === false)
+    assert(!blocked(("table-corpus", "retained_snapshots_zero_refs"))._1,
+      "pre-delete snapshots must still yield the docs while pinned")
+    assert(!blocked(("table-corpus", "below_cut_travel_refuses"))._1)
+    assert(!blocked(("table-corpus", "pre_delete_feed_window_refuses"))._1,
+      "the feed can still replay the pre-delete window while history lives")
+    assert(!blocked(("backup-bak", "backups_zero_refs"))._1)
+    // the pinned audit still answers from the pre-delete world
+    assert(Takedown.auditDocsAt(spark, deleted, 10L,
+      keyedTables = Seq((corpus, "doc_id"))).collect()
+      .map(_.getLong(1)).sum === 2L)
+    // audit window closes: release, rotate the backup, purge for real
+    Takedown.releaseAudit(spark, "aud", keyedTables = Seq(corpus))
+    val p = purge()
+    assert(p(("table-corpus", "holds_released")) === ((true, 0L)))
+    assert(p(("table-corpus", "purge_acted"))._1)
+    assert(p(("table-corpus", "below_cut_travel_refuses"))._1,
+      "time travel below the cut must refuse after the purge")
+    assert(p(("table-corpus", "retained_snapshots_zero_refs")) === ((true, 0L)))
+    assert(p(("table-corpus", "pre_delete_feed_window_refuses"))._1)
+    assert(!p(("backup-bak", "backups_zero_refs"))._1,
+      "the pre-delete backup still holds the docs — the red row names it")
+    // rotation: replace the stale backup with a post-delete one
+    val rootPath = new org.apache.hadoop.fs.Path(s"$root/b1")
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
+    EventStreams.backupUpsertTable(spark, corpus, s"$root/b2")
+    // replay: all green, nothing further reclaimed
+    val p2 = purge()
+    assert(p2.values.forall(_._1), s"replayed purge must be all green: $p2")
+    assert(p2(("table-corpus", "purge_acted"))._2 === 0L,
+      "a replayed purge reclaims nothing")
+    // the post-delete world is intact
+    assert(EventStreams.readUpsertTable(spark, corpus).count() === 10L)
+    intercept[Exception] {
+      EventStreams.readUpsertTableAt(spark, corpus, 9L)
+    }
+  }
 }
