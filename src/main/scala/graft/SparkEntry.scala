@@ -7986,6 +7986,116 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** q211 fixture: the clustering-drift lifecycle run once —
+    * (table, report, drift-flagged, healthy-bucket-identical,
+    * rows-preserved). A clustered delta table takes a CDC trickle into
+    * one bucket, the drift monitor flags it from manifest stats alone,
+    * the Maintenance recluster leg re-sorts ONLY that bucket, and a
+    * replay pass measures healthy and acts nothing.
+    */
+  private val reclusterStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Boolean, Boolean, Boolean)]()
+
+  private def ensureRecluster(spark: SparkSession, dir: String): (String, String, Boolean, Boolean, Boolean) =
+    reclusterStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import streaming.EventStreams
+      import operators.Maintenance
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-recluster-q").toString
+      val (t, report) = (s"$base/t", s"$base/report")
+      EventStreams.mergeBatchIntoTable(
+        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+        delta = true, statsCols = Some(Seq("n")))
+      EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 1L,
+        retain = 8, sortBy = Seq("n"), maxRecordsPerFile = 4)
+      // CDC trickle into bucket 0: delta files straddling its n range
+      val b0 = (0L until 32L).toDF("doc_id")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(2)))
+        .collect().collect { case r if r.getInt(1) == 0 => r.getLong(0) }
+        .sorted
+      val (kLo, kMid, kHi) = (b0.head, b0(b0.size / 2), b0.last)
+      EventStreams.mergeBatchIntoTable(
+        Seq((kLo, 1L, 1L), (kHi, 311L, 1L)).toDF("doc_id", "n", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 2L, retain = 8,
+        delta = true)
+      EventStreams.mergeBatchIntoTable(
+        Seq((kMid, 2L, 2L), (kHi, 310L, 2L)).toDF("doc_id", "n", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 3L, retain = 8,
+        delta = true)
+      val drift = EventStreams.clusteringDrift(spark, t, Seq("n")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      val driftOk = drift(0) > 0.3 && drift(1) == 0.0
+      val healthyBefore = EventStreams.tableManifest(spark, t)(1).sorted
+      val expected = EventStreams.readUpsertTable(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Maintenance.runOnce(spark, 1L, report, tables = Seq((t, 8)),
+        reclusters = Seq((t, Seq("n"), 0.3, 4L)))
+      val healthyIdentical =
+        EventStreams.tableManifest(spark, t)(1).sorted == healthyBefore
+      val rowsPreserved = EventStreams.readUpsertTable(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expected
+      // the replay pass: re-sharpened layout measures healthy
+      Maintenance.runOnce(spark, 2L, report, tables = Seq((t, 8)),
+        reclusters = Seq((t, Seq("n"), 0.3, 4L)))
+      (t, report, driftOk, healthyIdentical, rowsPreserved)
+    })
+
+  /** CLUSTERING-DRIFT MONITOR + INCREMENTAL RE-SORT (q211): at 100 TB
+    * you re-cluster the buckets whose file ranges degraded, never the
+    * table. [[streaming.EventStreams.clusteringDrift]] measures
+    * per-bucket range overlap from the manifest's recorded stats
+    * (metadata only); the Maintenance `reclusters` leg re-sorts only
+    * the degraded buckets
+    * ([[streaming.EventStreams.compactUpsertTableBuckets]] — healthy
+    * buckets' shard pointers carry byte-identical), and — having
+    * covered every delta bucket — drops the reconcile spec, returning
+    * the table to the Catalyst scan path whose executed numFiles
+    * proves the clustered floor is back.
+    */
+  def q211ClusterDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (t, report, driftOk, healthyIdentical, rowsPreserved) =
+      ensureRecluster(spark, dir)
+    // the committed report carries the monitor + action rows
+    val rep = EventStreams.readUpsertTable(spark, report)
+      .collect().map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getBoolean(3), r.getLong(4)))).toMap
+    val monitorRows = rep.get((1L, "cluster_contract")).exists(_._1) &&
+      rep.get((1L, "cluster_drift")).exists(!_._1) &&
+      rep.get((1L, "recluster_acted")).exists(_._2 == 1L)
+    val replayNoop = rep.get((2L, "cluster_drift")).exists(_._1) &&
+      rep.get((2L, "recluster_acted")).exists(_._2 == 0L)
+    // the reconcile spec dropped: the whole table is back on the
+    // plain-scan path, and the re-sorted layout prunes range reads
+    val specDropped = !EventStreams.tableHistory(spark, t)
+      .orderBy(col("batch_id").desc).select("reconcile").head().getBoolean(0)
+    val scan = EventStreams.readUpsertTableScan(spark, t)
+      .filter(col("n") <= 35L)
+    scan.collect()
+    val fin = scan.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val nf = fin.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.get
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    Seq(
+      ("drift_flagged_from_metadata_alone", driftOk),
+      ("monitor_rows_in_committed_report", monitorRows),
+      ("healthy_buckets_byte_identical", healthyIdentical),
+      ("rows_preserved_by_the_resort", rowsPreserved),
+      ("reconcile_spec_dropped_when_fully_folded", specDropped),
+      ("range_reads_back_at_clustered_floor", nf < live),
+      ("replay_measures_healthy_acts_nothing", replayNoop))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -8194,6 +8304,7 @@ object SparkEntry {
     "q208_optimistic_concurrency" -> (q208OptimisticConcurrency _),
     "q209_feed_stream" -> (q209FeedStream _),
     "q210_purge_after_audit" -> (q210PurgeAfterAudit _),
+    "q211_cluster_drift" -> (q211ClusterDrift _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -9711,6 +9822,15 @@ object SparkEntry {
         |  ('rotated_replay_all_green'),
         |  ('replay_reclaims_nothing'),
         |  ('post_delete_world_intact')) t(c)""".stripMargin,
+    "q211_cluster_drift" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('drift_flagged_from_metadata_alone'),
+        |  ('monitor_rows_in_committed_report'),
+        |  ('healthy_buckets_byte_identical'),
+        |  ('rows_preserved_by_the_resort'),
+        |  ('reconcile_spec_dropped_when_fully_folded'),
+        |  ('range_reads_back_at_clustered_floor'),
+        |  ('replay_measures_healthy_acts_nothing')) t(c)""".stripMargin,
     "q187_drift_loop" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('stable_shard_monitor_only'),

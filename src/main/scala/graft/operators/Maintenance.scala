@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.streaming.EventStreams
 
 /** ONE SCHEDULED MAINTENANCE PASS over a committed artifact set — the
@@ -36,6 +37,17 @@ import graft.streaming.EventStreams
   */
 object Maintenance {
 
+  /** Default unfolded-delta depth at which the `folds` leg acts
+    * (`maxDepth <= 0` in a fold entry resolves to this). DERIVED FROM
+    * MEASUREMENT, not picked: the DeltaDepth sweep (PLANS.md §r15,
+    * x10 corpus) has the reconciled read at 1.38x the depth-1 cost
+    * through depth 4, 1.63x at 8, then the knee — 2.23x at 16 and
+    * 5.72x at 32. Folding at 8 caps the read tax near 1.6x while
+    * amortizing each fold over 8 O(batch) commits; tables serving
+    * latency-critical reads can pass a smaller explicit depth.
+    */
+  val defaultFoldDepth: Int = 8
+
   /** Run one pass. Parameters name the artifact set:
     *   - `tables`: (tableDir, retain) keyed upsert tables to vacuum +
     *     fsck; `keepManifests` > 0 also compacts each chain (pins are
@@ -56,7 +68,8 @@ object Maintenance {
     *     bucket exceeds `maxDepth` files folds via
     *     [[graft.streaming.EventStreams.compactUpsertTable]] at the
     *     watermark + 1 — reconcile reads return to the plain-scan fast
-    *     path. Rows `delta_backlog` (ok = within depth; n = deepest
+    *     path. `maxDepth <= 0` resolves to [[defaultFoldDepth]] (the
+    *     measured knee of the reconciled-read depth curve). Rows `delta_backlog` (ok = within depth; n = deepest
     *     bucket) and `fold_compacted` (n = 1 acted / 0 healthy). A
     *     replay sees the folded depth and acts nothing (the
     *     rebalance-leg idempotence shape). A `clusterBy` entry
@@ -120,6 +133,16 @@ object Maintenance {
     *     NOTE: bounds are fixed per call — an age-out horizon
     *     ("older than 90 days") must be computed by the scheduler
     *     per night, which also keeps the pass itself deterministic;
+    *   - `reclusters`: (tableDir, sortBy, maxOverlap, maxRecordsPerFile)
+    *     CLUSTERING-DRIFT leg: [[EventStreams.clusteringDrift]] measures
+    *     per-bucket range overlap from the manifest's recorded stats
+    *     (metadata only); buckets past `maxOverlap` re-sort via
+    *     [[EventStreams.compactUpsertTableBuckets]] — O(degraded
+    *     buckets), healthy buckets byte-identical. Rows
+    *     `cluster_contract` (stats cover the sort columns) /
+    *     `cluster_drift` (ok = nothing degraded; n = worst overlap %) /
+    *     `recluster_acted` (n = buckets re-sorted). A replay measures
+    *     the re-sharpened layout and acts nothing;
     *   - `backups`: (tableDir, backupRoot, keepLast) NIGHTLY BACKUP
     *     ROTATION — after VERIFY/HEAL, back the table's current
     *     snapshot up into `backupRoot/b<runId>`, prune all but the
@@ -157,7 +180,8 @@ object Maintenance {
               clusterBy: Map[String, (Seq[String], Long)] = Map.empty,
               indexFolds: Seq[(String, Int)] = Seq.empty,
               zClusterBy: Map[String, (Seq[String], Long)] = Map.empty,
-              retention: Seq[(String, Seq[EventStreams.ColBound])] = Seq.empty): DataFrame = {
+              retention: Seq[(String, Seq[EventStreams.ColBound])] = Seq.empty,
+              reclusters: Seq[(String, Seq[String], Double, Long)] = Seq.empty): DataFrame = {
     import spark.implicits._
     def name(dir: String) = dir.stripSuffix("/").split('/').last
     // ARGUMENT VALIDATION runs BEFORE the lock (ADVICE r13): a
@@ -184,9 +208,7 @@ object Maintenance {
     require(foldLabels.distinct.size == foldLabels.size,
       s"fold labels collide (${foldLabels.mkString(", ")}): keep " +
         "artifact directory basenames unique across the set")
-    folds.foreach { case (_, _, _, maxDepth) =>
-      require(maxDepth >= 1, s"fold maxDepth must be >= 1, got $maxDepth")
-    }
+    // maxDepth <= 0 resolves to the measured default (defaultFoldDepth)
     val idxFoldLabels = indexFolds.map(f => s"ivfpq-${name(f._1)}")
     require(idxFoldLabels.distinct.size == idxFoldLabels.size,
       s"index-fold labels collide (${idxFoldLabels.mkString(", ")}): keep " +
@@ -205,6 +227,15 @@ object Maintenance {
         "artifact directory basenames unique across the set")
     retention.foreach { case (dir, bounds) =>
       require(bounds.nonEmpty, s"retention bounds for $dir must be non-empty")
+    }
+    val recLabels = reclusters.map(r => s"table-${name(r._1)}")
+    require(recLabels.distinct.size == recLabels.size,
+      s"recluster labels collide (${recLabels.mkString(", ")}): keep " +
+        "artifact directory basenames unique across the set")
+    reclusters.foreach { case (dir, sortBy, maxOverlap, _) =>
+      require(sortBy.nonEmpty, s"recluster sortBy for $dir must be non-empty")
+      require(maxOverlap >= 0.0 && maxOverlap < 1.0,
+        s"recluster maxOverlap for $dir must be in [0, 1), got $maxOverlap")
     }
     takeRunLock(spark, reportDir, runId)
     // a THROWN failure in this JVM is not a crash: release the lock on
@@ -264,7 +295,9 @@ object Maintenance {
           rows += ((runId, label, "retention_dropped_unread", true, droppedUnread))
       }
     }
-    folds.foreach { case (dir, keyCols, nBuckets, maxDepth) =>
+    folds.foreach { case (dir, keyCols, nBuckets, maxDepth0) =>
+      // <= 0 opts into the measured default (see [[defaultFoldDepth]])
+      val maxDepth = if (maxDepth0 <= 0) defaultFoldDepth else maxDepth0
       val label = s"table-${name(dir)}"
       // depth from the live manifest alone — one metadata read
       val depth = EventStreams.tableManifest(spark, dir)
@@ -290,6 +323,45 @@ object Maintenance {
           zOrderBy = zBy)
       }
       rows += ((runId, label, "fold_compacted", true, if (acted) 1L else 0L))
+    }
+    reclusters.foreach { case (dir, sortBy, maxOverlap, maxRec) =>
+      val label = s"table-${name(dir)}"
+      // drift from the manifest's recorded ranges alone (one metadata
+      // read); a broken contract (no stats on a sort column, no
+      // manifest) reports red and the pass continues — the retention-
+      // leg convention
+      scala.util.Try(
+        EventStreams.clusteringDrift(spark, dir, sortBy).collect()) match {
+        case scala.util.Failure(_) =>
+          rows += ((runId, label, "cluster_contract", false, sortBy.size.toLong))
+          rows += ((runId, label, "cluster_drift", true, 0L))
+          rows += ((runId, label, "recluster_acted", true, 0L))
+        case scala.util.Success(drift) =>
+          rows += ((runId, label, "cluster_contract", true, sortBy.size.toLong))
+          // single-file buckets cannot overlap themselves — only
+          // multi-file buckets past the threshold are degraded
+          val degraded = drift.filter(r =>
+            r.getInt(1) > 1 && r.getDouble(2) > maxOverlap)
+            .map(_.getInt(0)).toSet
+          val worst = drift.map(_.getDouble(2)).maxOption.getOrElse(0.0)
+          rows += ((runId, label, "cluster_drift", degraded.isEmpty,
+            math.round(worst * 100)))
+          if (degraded.nonEmpty) {
+            val keyCols = EventStreams.tableKeyedBy(spark, dir).getOrElse(
+              throw new IllegalArgumentException(
+                s"$dir records no key contract; run one merge to adopt it"))
+            val nB = EventStreams.tableHistory(spark, dir)
+              .orderBy(col("batch_id").desc).select("n_buckets")
+              .head().getInt(0)
+            val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
+            val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
+            // re-sort ONLY the degraded buckets; healthy buckets'
+            // shard pointers (and files) carry over byte-identical
+            EventStreams.compactUpsertTableBuckets(spark, dir, keyCols,
+              nB, id, degraded, sortBy, maxRec, retain)
+          }
+          rows += ((runId, label, "recluster_acted", true, degraded.size.toLong))
+      }
     }
     indexFolds.foreach { case (dir, maxPending) =>
       val label = s"ivfpq-${name(dir)}"

@@ -597,8 +597,15 @@ object Takedown {
     }
     ivfPqIndex.foreach { dir =>
       val label = s"ivfpq-${baseName(dir)}"
-      val reclaimed = Similarity.vacuumIndex(spark, dir, retain = 1).toLong
-      rows += ((label, "purge_acted", true, reclaimed))
+      // a live generation pin holds a pre-delete epoch readable
+      // (indexedVecIdsBeforePinned can still serve the vecs) — the
+      // purge refuses for this artifact exactly like a table hold
+      val genPins = Similarity.listGenerationPins(spark, dir).size
+      rows += ((label, "holds_released", genPins == 0, genPins.toLong))
+      var reclaimed = 0L
+      if (genPins == 0)
+        reclaimed = Similarity.vacuumIndex(spark, dir, retain = 1).toLong
+      rows += ((label, "purge_acted", genPins == 0, reclaimed))
       val refs = Similarity.indexedVecIds(spark, dir)
         .filter(col("vec_id").isin(vecIds.getOrElse(docIds): _*)).count()
       rows += ((label, "serving_zero_refs", refs == 0L, refs))

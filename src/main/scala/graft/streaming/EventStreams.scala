@@ -423,10 +423,15 @@ object EventStreams {
           if (effectiveDelta || currentFiles.isEmpty) {
             // a widening merge can still strand narrow files in
             // untouched (or, delta: unread) buckets; probe one live
-            // footer for the sticky-flag decision
+            // footer for the sticky-flag decision. Compare WITHOUT the
+            // internal bucket tag — data files never carry it (it is
+            // the partition dir), and including it read every delta
+            // merge as "widening", leaving delta tables permanently
+            // mixed-flagged (round-15 fix, caught by the recluster spec)
             val probe = live.values.flatten.headOption
             if (probe.exists(f => widens(
-                spark.read.parquet(new Path(table, f).toString), toMerge)))
+                spark.read.parquet(new Path(table, f).toString),
+                toMerge.drop(upsertBucketCol))))
               widenedThisBatch = true
             toMerge
           } else {
@@ -2477,6 +2482,155 @@ object EventStreams {
     // metadata alone instead of paying a whole-table diff to learn
     // nothing changed
     publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
+      keyedBy = Some(keyCols), fileStats = freshStats,
+      statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
+      bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
+      base = Some(Some(committed._1)), kind = Some("fold"))
+    sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
+  /** CLUSTERING-DRIFT MONITOR — which buckets' file layouts have
+    * degraded, from METADATA alone: per bucket, the fraction of live
+    * file PAIRS whose recorded ranges on `cols` overlap (in EVERY
+    * named dimension — two files must be separable on at least one
+    * column to count as disjoint). A freshly sort- or z-order-folded
+    * bucket reads near 0 (tight, near-disjoint ranges — the layout
+    * zone maps prune best); a CDC trickle lands arrival-ordered delta
+    * files whose ranges straddle everything, and the fraction climbs
+    * toward 1. Files without recorded stats on a named column count
+    * as overlapping everything (conservative — drift reads HIGHER,
+    * never lower). One manifest + shard-stats read and one footer for
+    * the column types; the per-bucket pair loop is driver-side over
+    * file counts the fold policy already bounds. Returns
+    * (bucket, n_files, overlap) — feed it to a threshold and
+    * [[compactUpsertTableBuckets]] re-sorts ONLY the degraded buckets.
+    */
+  def clusteringDrift(spark: SparkSession, tableDir: String,
+                      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    require(cols.nonEmpty, "clusteringDrift needs at least one column")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestList(fs, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; nothing to measure"))
+    val recorded = manifestStatsCols(fs, manifest).getOrElse(Seq.empty)
+    require(cols.forall(recorded.contains),
+      s"$tableDir records stats on (${recorded.mkString(",")}); the drift " +
+        s"monitor needs every named column (${cols.mkString(",")}) covered " +
+        "— without recorded ranges the metric would be a guess")
+    val (_, live) = readManifest(fs, manifest)
+    val stats = manifestFileStats(fs, manifest)
+    val probe = live.values.flatten.headOption
+    if (probe.isEmpty)
+      return Seq.empty[(Int, Int, Double)].toDF("bucket", "n_files", "overlap")
+    val schema = spark.read.parquet(new Path(table, probe.get).toString).schema
+    val dts = cols.map(c => c -> schema(c).dataType).toMap
+    def overlaps(a: String, b: String): Boolean = cols.forall { c =>
+      (stats.get(a).flatMap(_.get(c)), stats.get(b).flatMap(_.get(c))) match {
+        case (Some((Some(lo1), Some(hi1))), Some((Some(lo2), Some(hi2)))) =>
+          statCompare(dts(c), hi1, lo2) >= 0 && statCompare(dts(c), hi2, lo1) >= 0
+        case _ => true // missing/half/all-null stats: conservative
+      }
+    }
+    live.toSeq.sortBy(_._1).map { case (b, fls) =>
+      val pairs = for {
+        i <- fls.indices; j <- (i + 1) until fls.size
+      } yield overlaps(fls(i), fls(j))
+      val frac = if (pairs.isEmpty) 0.0
+        else pairs.count(identity).toDouble / pairs.size
+      (b, fls.size, frac)
+    }.toDF("bucket", "n_files", "overlap")
+  }
+
+  /** BUCKET-SUBSET sort-compaction — [[compactUpsertTable]] restricted
+    * to the buckets a drift monitor flagged: at 100 TB you re-cluster
+    * the buckets whose file ranges have degraded, never the table.
+    * Only the named buckets' files read and rewrite (sorted within
+    * the bucket, split by `maxRecordsPerFile`); every other bucket's
+    * shard pointer carries over BYTE-IDENTICAL (the untouched-bucket
+    * merge invariant), so the commit costs O(degraded buckets). The
+    * reconcile spec, if any, is CARRIED — untouched buckets may still
+    * stack deltas — but the rewritten buckets fold unique-keyed, so
+    * reads there return to the per-bucket plain-scan path
+    * ([[readSnapshotFiles]]'s ordinal pruning). Row-preserving
+    * (`kind = "fold"` — the change feed skips it from metadata);
+    * replayed batchIds no-op.
+    */
+  def compactUpsertTableBuckets(spark: SparkSession, tableDir: String,
+                                keyCols: Seq[String], nBuckets: Int,
+                                batchId: Long, buckets: Set[Int],
+                                sortBy: Seq[String] = Nil,
+                                maxRecordsPerFile: Long = 0,
+                                retain: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(buckets.nonEmpty, "name at least one bucket to re-cluster")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = latestManifest(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; run one mergeBatchIntoTable " +
+          "before re-clustering"))
+    if (committed._1 >= batchId) { // replayed batch
+      sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+      return
+    }
+    val live = committed._2
+    val touched = buckets.toSeq.sorted.filter(b => live.get(b).exists(_.nonEmpty))
+    if (touched.isEmpty) return // nothing to rewrite: no commit needed
+    val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
+    val prevReconcile = manifestList(fs, table).lastOption
+      .flatMap(manifestReconcile(fs, _))
+    val raw = spark.read.option("mergeSchema", mixed.toString)
+      .parquet(touched.flatMap(live.get).flatten
+        .map(rel => new Path(table, rel).toString): _*)
+    val current = prevReconcile
+      .map { case (ks, v) => reconcileRows(raw, ks, v) }.getOrElse(raw)
+      .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
+    val genName = s"gen_$batchId"
+    val genDir = new Path(table, genName)
+    markInFlight(fs, table, batchId)
+    val partitioned = current
+      .repartition(touched.length, col(upsertBucketCol))
+    val clustered =
+      if (sortBy.isEmpty) partitioned
+      else partitioned.sortWithinPartitions(
+        (upsertBucketCol +: sortBy).map(col): _*)
+    val writer = clustered.write.mode("overwrite").partitionBy(upsertBucketCol)
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(genDir.toString)
+    val rewritten = touched.flatMap { b =>
+      val d = new Path(genDir, s"$upsertBucketCol=$b")
+      if (!fs.exists(d)) None
+      else {
+        val fls = fs.listStatus(d)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$genName/$upsertBucketCol=$b/${f.getPath.getName}").toSeq
+        if (fls.isEmpty) None else Some(b -> fls)
+      }
+    }.toMap
+    val newLive = (live -- touched) ++ rewritten
+    val effStatsCols = manifestList(fs, table).lastOption
+      .flatMap(manifestStatsCols(fs, _)).getOrElse(Seq.empty)
+    val effBloomCols = manifestList(fs, table).lastOption
+      .flatMap(manifestBloomCols(fs, _)).getOrElse(Seq.empty)
+    val freshStats: FileStats =
+      if (effStatsCols.isEmpty && effBloomCols.isEmpty) Map.empty
+      else computeFileStats(spark, table,
+        rewritten.values.flatten.toSeq, effStatsCols, effBloomCols)
+    // the reconcile spec DROPS when this rewrite leaves no bucket
+    // stacking deltas (every live bucket's files share one commit
+    // ordinal — the readSnapshotFiles plain-scan test): a re-cluster
+    // that happened to cover every delta bucket returns the whole
+    // table to the scan-prunable fast path, exactly like a full fold
+    val outReconcile = prevReconcile.filter(_ =>
+      newLive.valuesIterator.exists(fls =>
+        fls.map(fileOrdinal).distinct.size > 1))
+    publishManifest(fs, table, batchId, nBuckets, newLive, mixed,
+      touched = Some(touched), reconcile = outReconcile,
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,

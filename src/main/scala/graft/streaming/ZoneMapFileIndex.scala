@@ -310,8 +310,11 @@ object ZoneMapFileIndex {
         }
       case InSet(ar: AttributeReference, hset) =>
         dtOf(ar.name).flatMap { dt =>
+          // hset holds CATALYST-INTERNAL values (UTF8String, Long, ...)
+          // — the raw Literal constructor takes them verbatim;
+          // Literal.create would re-run the external-type converter
           val pts = hset.toSeq.filter(_ != null)
-            .map(v => point(ar, Literal.create(v, dt)))
+            .map(v => point(ar, Literal(v, dt)))
           if (pts.exists(_.isEmpty)) None
           else Some((rel: String) => pts.flatten.exists(_(rel)))
         }

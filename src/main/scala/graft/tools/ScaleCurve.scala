@@ -94,7 +94,12 @@ object ScaleCurve {
       // table history
       "q203_delete_where", "q204_rollup_view",
       "q205_retention_maintenance", "q206_table_history",
-      "q207_catalyst_scan")
+      "q207_catalyst_scan",
+      // round 15: optimistic concurrency, the checkpointed feed
+      // consumers, purge-after-audit, the clustering-drift leg
+      // (DeltaDepth has the reconciled-read depth curve)
+      "q208_optimistic_concurrency", "q209_feed_stream",
+      "q210_purge_after_audit", "q211_cluster_drift")
     val queries = allQueries.filter(q => only.forall(_.contains(q)))
     println("| query | x1 (=sf0.1) | x5 | x10 | x5/x1 | x10/x1 |")
     println("| --- | --- | --- | --- | --- | --- |")

@@ -9,6 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchGuardSpec extends AnyFunSuite {
 
+  test("probe normalization: history scales to this host's speed; missing probes pass through") {
+    val hist = Seq((0.1, Map("q1" -> 1.0, "q2" -> 3.0)), (0.0, Map("q3" -> 2.0)))
+    // this run's host is 2x SLOWER (probe 0.2 vs the entry's 0.1): the
+    // entry's timings double, so like compares with like
+    val n = Bench.normalizeToProbe(hist, 0.2)
+    assert(n(0) === Map("q1" -> 2.0, "q2" -> 6.0))
+    assert(n(1) === Map("q3" -> 2.0), "entries without a probe stay raw")
+    assert(Bench.parseHistoryProbe("""{"probe":0.1724,"value":9}""") === 0.1724)
+    assert(Bench.parseHistoryProbe("""{"value":9}""") === 0.0)
+    // the committed normalized total divides host speed out: value x
+    // probeRef / probe is invariant when time and probe scale together
+    val (t1, p1) = (100.0, Bench.probeRef * 1.0)
+    val (t2, p2) = (120.0, Bench.probeRef * 1.2) // 20% slower host, same work
+    assert(math.abs(t1 * Bench.probeRef / p1 - t2 * Bench.probeRef / p2) < 1e-9)
+  }
+
   test("parseHistoryQueries reads timings, skips plan hashes and top-level fields") {
     val line = """{"ts":1,"metric":"total","value":94.48,"unit":"sec",""" +
       """"probe":0.186,"queries":{"q01_agg":0.1234,"q181_x":4.89,"q59_props_map":-1},""" +

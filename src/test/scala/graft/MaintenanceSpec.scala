@@ -459,6 +459,76 @@ class MaintenanceSpec extends SparkSpec {
       "no contract, no action — the rows stay until the operator opts in")
   }
 
+  test("recluster leg: metadata drift monitor; degraded buckets re-sort, healthy buckets byte-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-rec").toString
+    val (t, report) = (s"$base/t", s"$base/report")
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      delta = true, statsCols = Some(Seq("n")))
+    // clustered fold: each bucket becomes 4 tight files, spec drops
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 1L, retain = 8,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    // CDC trickle into ONE bucket: delta files whose ranges straddle
+    // the bucket's whole n range (arrival-ordered, the drift shape)
+    val b0keys = (0L until 32L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(2)))
+      .collect().collect { case r if r.getInt(1) == 0 => r.getLong(0) }
+      .sorted
+    val (kLo, kMid, kHi) = (b0keys.head, b0keys(b0keys.size / 2), b0keys.last)
+    EventStreams.mergeBatchIntoTable(
+      Seq((kLo, 1L, 1L), (kHi, 311L, 1L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 2L, retain = 8, delta = true)
+    EventStreams.mergeBatchIntoTable(
+      Seq((kMid, 2L, 2L), (kHi, 310L, 2L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 3L, retain = 8, delta = true)
+    // the monitor reads the manifest stats only: the trickled bucket is
+    // degraded, the untouched one is tight
+    val drift = EventStreams.clusteringDrift(spark, t, Seq("n")).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(drift(0)._2 > 0.3, s"the trickled bucket must read degraded: $drift")
+    assert(drift(1)._2 === 0.0, s"the untouched bucket must read tight: $drift")
+    val healthyBefore = EventStreams.tableManifest(spark, t)(1).sorted
+    val expected = EventStreams.readUpsertTable(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pass(runId: Long) = Maintenance.runOnce(spark, runId, report,
+      tables = Seq((t, 8)),
+      reclusters = Seq((t, Seq("n"), 0.3, 4L)))
+      .filter(col("check").startsWith("cluster") ||
+        col("check").startsWith("recluster"))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    val r1 = pass(1L)
+    assert(r1("cluster_contract")._1)
+    assert(!r1("cluster_drift")._1, "drift must flag the degraded bucket")
+    assert(r1("recluster_acted") === ((true, 1L)),
+      "exactly the one degraded bucket re-sorts")
+    // healthy bucket: same shard-carried files, byte-identical paths
+    assert(EventStreams.tableManifest(spark, t)(1).sorted === healthyBefore,
+      "the healthy bucket's files must carry over untouched")
+    // rows preserved, and the spec dropped (every bucket single-ordinal
+    // again) so the Catalyst scan path — and its zone maps — work
+    assert(EventStreams.readUpsertTable(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    val scan = EventStreams.readUpsertTableScan(spark, t)
+      .filter(col("n") <= 35L)
+    scan.collect()
+    val fin = scan.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val nf = fin.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.get
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(nf < live,
+      s"the re-sorted layout must prune range reads again ($nf of $live)")
+    // idempotent replay: the re-sharpened layout measures healthy
+    val r2 = pass(2L)
+    assert(r2("cluster_drift")._1 && r2("recluster_acted") === ((true, 0L)))
+  }
+
   test("retention leg: a throwing backlog probe reports red and the pass continues (ADVICE r14)") {
     import EventStreams.ColBound
     val base = java.nio.file.Files.createTempDirectory("graft-maint-retx").toString

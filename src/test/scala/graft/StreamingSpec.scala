@@ -2462,6 +2462,12 @@ class StreamingSpec extends SparkSpec {
     val big = (1L to 12L).map(_ * 10L)
     val (isRows, isFiles) = scanned(base().filter(col("n").isin(big: _*)))
     assert(isRows === (1L to 12L).toSeq && isFiles < live)
+    // string InSet: the hset carries CATALYST-INTERNAL UTF8Strings —
+    // the extraction must take them verbatim, not re-convert
+    val bigS = (0 until 12).map(k => f"p$k%02d")
+    val (ssRows, ssFiles) = scanned(base().filter(col("payload").isin(bigS: _*)))
+    assert(ssRows === (0L to 11L).toSeq && ssFiles < live,
+      s"a string InSet must prune (opened $ssFiles of $live)")
     // a NULL element contributes nothing (IN's three-valued logic
     // never yields true on it) — same rows, still sound
     val (nnRows, nnFiles) = scanned(base().filter(col("n").isin(10L, 20L, null)))

@@ -627,5 +627,22 @@ class TakedownSpec extends SparkSpec {
     intercept[Exception] {
       EventStreams.readUpsertTableAt(spark, corpus, 9L)
     }
+    // the composed index refuses the same way while a generation pin
+    // holds a pre-delete epoch readable
+    val idx = s"$base/idx"
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfPqIndex(e, idx, nlist = 2, m = 8, codebookSize = 2,
+      dim = 64)
+    Similarity.pinIndexForAudit(spark, idx, "aud-idx", batchId = 10L)
+    def purgeIdx() = Takedown.purgeDocs(spark, deleted, purgeBelowBatch = 10L,
+      ivfPqIndex = Some(idx), vecIds = Some(Seq(999999L)))
+      .collect().map(r => (r.getString(1), (r.getBoolean(2), r.getLong(3)))).toMap
+    val heldIdx = purgeIdx()
+    assert(!heldIdx("holds_released")._1 && !heldIdx("purge_acted")._1,
+      "a live generation pin must block the index purge")
+    Takedown.releaseAudit(spark, "aud-idx", ivfPqIndex = Some(idx))
+    val freeIdx = purgeIdx()
+    assert(freeIdx("holds_released")._1 && freeIdx("purge_acted")._1)
+    assert(freeIdx("serving_zero_refs") === ((true, 0L)))
   }
 }
