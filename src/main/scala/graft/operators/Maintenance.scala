@@ -138,7 +138,10 @@ object Maintenance {
     *     per-bucket range overlap from the manifest's recorded stats
     *     (metadata only); buckets past `maxOverlap` re-sort via
     *     [[EventStreams.compactUpsertTableBuckets]] — O(degraded
-    *     buckets), healthy buckets byte-identical. Rows
+    *     buckets), healthy buckets byte-identical; a `zClusterBy`
+    *     entry for the table makes the re-sort a z-ordered rewrite
+    *     (drift measures the entry's columns, the rewrite re-sharpens
+    *     every z-ordered dimension). Rows
     *     `cluster_contract` (stats cover the sort columns) /
     *     `cluster_drift` (ok = nothing degraded; n = worst overlap %) /
     *     `recluster_acted` (n = buckets re-sorted). A replay measures
@@ -338,10 +341,13 @@ object Maintenance {
           rows += ((runId, label, "recluster_acted", true, 0L))
         case scala.util.Success(drift) =>
           rows += ((runId, label, "cluster_contract", true, sortBy.size.toLong))
-          // single-file buckets cannot overlap themselves — only
-          // multi-file buckets past the threshold are degraded
+          // single-file buckets cannot overlap themselves, and buckets
+          // UNCHANGED since their last fold (`folded` — one fold-kind
+          // ordinal across every file) re-sort to the same layout, so
+          // acting on them would thrash; only multi-file, post-fold-
+          // mutated buckets past the threshold are degraded
           val degraded = drift.filter(r =>
-            r.getInt(1) > 1 && r.getDouble(2) > maxOverlap)
+            r.getInt(1) > 1 && r.getDouble(2) > maxOverlap && !r.getBoolean(3))
             .map(_.getInt(0)).toSet
           val worst = drift.map(_.getDouble(2)).maxOption.getOrElse(0.0)
           rows += ((runId, label, "cluster_drift", degraded.isEmpty,
@@ -356,9 +362,17 @@ object Maintenance {
             val id = EventStreams.appliedBatch(spark, dir).getOrElse(-1L) + 1
             val retain = tables.find(_._1 == dir).map(_._2).getOrElse(1)
             // re-sort ONLY the degraded buckets; healthy buckets'
-            // shard pointers (and files) carry over byte-identical
+            // shard pointers (and files) carry over byte-identical.
+            // A zClusterBy entry for this table makes the re-sort a
+            // Z-ORDERED rewrite (the folds-leg convention): drift is
+            // measured on the entry's columns, the rewrite re-sharpens
+            // every z-ordered dimension
+            val (zBy, zMax) = zClusterBy.getOrElse(dir, (Nil, 0L))
             EventStreams.compactUpsertTableBuckets(spark, dir, keyCols,
-              nB, id, degraded, sortBy, maxRec, retain)
+              nB, id, degraded,
+              sortBy = if (zBy.nonEmpty) Nil else sortBy,
+              maxRecordsPerFile = if (zBy.nonEmpty) zMax else maxRec,
+              retain = retain, zOrderBy = zBy)
           }
           rows += ((runId, label, "recluster_acted", true, degraded.size.toLong))
       }

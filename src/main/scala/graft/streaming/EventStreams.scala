@@ -2502,8 +2502,17 @@ object EventStreams {
     * never lower). One manifest + shard-stats read and one footer for
     * the column types; the per-bucket pair loop is driver-side over
     * file counts the fold policy already bounds. Returns
-    * (bucket, n_files, overlap) — feed it to a threshold and
+    * (bucket, n_files, overlap, folded) — feed it to a threshold and
     * [[compactUpsertTableBuckets]] re-sorts ONLY the degraded buckets.
+    *
+    * `folded` marks buckets whose files ALL carry one commit ordinal
+    * from a fold-kind commit: UNCHANGED since their last re-sort, so
+    * re-sorting is provably a no-op and a threshold gate must skip
+    * them — a z-ordered layout's INTRINSIC pairwise overlap (adjacent
+    * z-cells share per-dimension ranges) can sit above any useful
+    * threshold, and acting on it would rewrite the same bucket night
+    * after night for nothing (the retention-leg thrash rule). New
+    * commits into the bucket mix ordinals and clear the mark.
     */
   def clusteringDrift(spark: SparkSession, tableDir: String,
                       cols: Seq[String]): DataFrame = {
@@ -2524,9 +2533,15 @@ object EventStreams {
     val stats = manifestFileStats(fs, manifest)
     val probe = live.values.flatten.headOption
     if (probe.isEmpty)
-      return Seq.empty[(Int, Int, Double)].toDF("bucket", "n_files", "overlap")
+      return Seq.empty[(Int, Int, Double, Boolean)]
+        .toDF("bucket", "n_files", "overlap", "folded")
     val schema = spark.read.parquet(new Path(table, probe.get).toString).schema
     val dts = cols.map(c => c -> schema(c).dataType).toMap
+    // which committed ids were row-preserving folds — the "unchanged
+    // since its last re-sort" mark reads from the chain's metadata
+    val foldIds = manifestList(fs, table)
+      .map(p => manifestCommitMeta(fs, p))
+      .collect { case (id, _, Some("fold")) => id }.toSet
     def overlaps(a: String, b: String): Boolean = cols.forall { c =>
       (stats.get(a).flatMap(_.get(c)), stats.get(b).flatMap(_.get(c))) match {
         case (Some((Some(lo1), Some(hi1))), Some((Some(lo2), Some(hi2)))) =>
@@ -2540,8 +2555,11 @@ object EventStreams {
       } yield overlaps(fls(i), fls(j))
       val frac = if (pairs.isEmpty) 0.0
         else pairs.count(identity).toDouble / pairs.size
-      (b, fls.size, frac)
-    }.toDF("bucket", "n_files", "overlap")
+      val ords = fls.map(fileOrdinal).distinct
+      val folded = ords.size == 1 &&
+        ords.headOption.flatMap(_.toLongOption).exists(foldIds)
+      (b, fls.size, frac, folded)
+    }.toDF("bucket", "n_files", "overlap", "folded")
   }
 
   /** BUCKET-SUBSET sort-compaction — [[compactUpsertTable]] restricted
@@ -2563,10 +2581,13 @@ object EventStreams {
                                 batchId: Long, buckets: Set[Int],
                                 sortBy: Seq[String] = Nil,
                                 maxRecordsPerFile: Long = 0,
-                                retain: Int = 1): Unit = {
+                                retain: Int = 1,
+                                zOrderBy: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(buckets.nonEmpty, "name at least one bucket to re-cluster")
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "pass sortBy (lexicographic) OR zOrderBy (multi-dimension), not both")
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = latestManifest(fs, table).getOrElse(
@@ -2595,7 +2616,14 @@ object EventStreams {
     val partitioned = current
       .repartition(touched.length, col(upsertBucketCol))
     val clustered =
-      if (sortBy.isEmpty) partitioned
+      if (zOrderBy.nonEmpty)
+        // the z-value's quantile boundaries derive from the TOUCHED
+        // buckets' rows (not the table) — sound: any monotone
+        // interleave yields tight per-file ranges on every named
+        // column, boundaries only shape the rank distribution
+        partitioned.sortWithinPartitions(
+          col(upsertBucketCol), zOrderValue(current, zOrderBy))
+      else if (sortBy.isEmpty) partitioned
       else partitioned.sortWithinPartitions(
         (upsertBucketCol +: sortBy).map(col): _*)
     val writer = clustered.write.mode("overwrite").partitionBy(upsertBucketCol)

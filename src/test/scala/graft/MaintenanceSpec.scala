@@ -529,6 +529,64 @@ class MaintenanceSpec extends SparkSpec {
     assert(r2("cluster_drift")._1 && r2("recluster_acted") === ((true, 0L)))
   }
 
+  test("recluster leg: a zClusterBy table re-z-orders the degraded bucket; both dimensions prune again") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-zrec").toString
+    val (t, report) = (s"$base/t", s"$base/report")
+    val grid = (0L until 256L).map(k =>
+      (k, (k % 16L) * 10L, (k / 16L) * 10L, 0L)).toDF("k", "x", "y", "__v")
+    EventStreams.mergeBatchIntoTable(grid, t, Seq("k"), "__v",
+      nBuckets = 2, batchId = 0L, retain = 8, delta = true,
+      statsCols = Some(Seq("x", "y")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 1L, retain = 8,
+      zOrderBy = Seq("x", "y"), maxRecordsPerFile = 16)
+    // trickle into bucket 0: delta files straddling BOTH dimensions
+    val b0 = (0L until 256L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(2)))
+      .collect().collect { case r if r.getInt(1) == 0 => r.getLong(0) }
+    EventStreams.mergeBatchIntoTable(
+      Seq((b0.head, 5L, 5L, 1L), (b0.last, 145L, 145L, 1L))
+        .toDF("k", "x", "y", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 2L, retain = 8, delta = true)
+    EventStreams.mergeBatchIntoTable(
+      Seq((b0(1), 2L, 148L, 2L), (b0(b0.size - 2), 148L, 2L, 2L))
+        .toDF("k", "x", "y", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 3L, retain = 8, delta = true)
+    val drift = EventStreams.clusteringDrift(spark, t, Seq("x", "y")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(drift(0) > 0.3, s"the trickled bucket must read degraded: $drift")
+    def pass(runId: Long) = Maintenance.runOnce(spark, runId, report,
+      tables = Seq((t, 8)),
+      reclusters = Seq((t, Seq("x", "y"), 0.3, 16L)),
+      zClusterBy = Map(t -> ((Seq("x", "y"), 16L))))
+      .filter(col("check").startsWith("cluster") ||
+        col("check").startsWith("recluster"))
+      .collect().map(r => (r.getString(2), (r.getBoolean(3), r.getLong(4)))).toMap
+    val r1 = pass(1L)
+    assert(!r1("cluster_drift")._1 && r1("recluster_acted")._2 >= 1L)
+    // the z-ordered rewrite prunes range reads on BOTH dimensions
+    def filesOpened(c: org.apache.spark.sql.Column): Long = {
+      val d = EventStreams.readUpsertTableScan(spark, t).filter(c)
+      d.collect()
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(filesOpened(col("x").between(0L, 25L)) < live,
+      "x-range reads must prune after the z-ordered re-sort")
+    assert(filesOpened(col("y").between(0L, 25L)) < live,
+      "y-range reads must prune after the z-ordered re-sort")
+    // replay: healthy, acts nothing
+    val r2 = pass(2L)
+    assert(r2("cluster_drift")._1 && r2("recluster_acted")._2 === 0L)
+  }
+
   test("retention leg: a throwing backlog probe reports red and the pass continues (ADVICE r14)") {
     import EventStreams.ColBound
     val base = java.nio.file.Files.createTempDirectory("graft-maint-retx").toString
