@@ -7724,6 +7724,21 @@ object SparkEntry {
       streaming.EventStreams.mergeBatchIntoTable(
         Seq((kA, 333L, 3L)).toDF("doc_id", "n", "__v"), t,
         Seq("doc_id"), "__v", nBuckets = 4, batchId = 4L, retain = 8)
+      // the resurrection trap: the interloper (id 5) EMPTIES kB's whole
+      // bucket while writer G (id 6) merges kA — the rebase must mirror
+      // the head's ABSENCE of that bucket, not resurrect it from the
+      // stale base
+      val victims = bks.collect { case (k, b) if b == bks(kB) => k }.toSeq
+      var emptied = false
+      streaming.EventStreams.mergeBatchIntoTable(
+        Seq((kA, 555L, 4L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 6L, retain = 8,
+        beforeCommit = () => if (!emptied) {
+          emptied = true
+          streaming.EventStreams.deleteFromTable(spark, t,
+            victims.toDF("doc_id"), Seq("doc_id"), nBuckets = 4,
+            batchId = 5L, retain = 8)
+        })
       (t, kA, kB, msg)
     })
 
@@ -7764,6 +7779,19 @@ object SparkEntry {
     val overlapLoud = overlapMsg.contains("cannot rebase")
     val interloperHeld = nOf(at(3L), kA) == 444L
     val redriveLanded = nOf(at(4L), kA) == 333L
+    // the resurrection trap's end state: the interloper-emptied bucket
+    // (every key hashing with kB) must STAY empty through the rebase,
+    // with the rebased writer's own row landed
+    val latest = EventStreams.readUpsertTable(spark, t).localCheckpoint()
+    val victimBucket = latest.sparkSession.range(0, 16)
+      .select(col("id").as("doc_id"),
+        pmod(hash(col("doc_id")), lit(4)).as("b"))
+    val kbB = victimBucket.filter(col("doc_id") === kB).head().getInt(1)
+    val victimIds = victimBucket.filter(col("b") === kbB)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val emptiedStays = latest
+      .filter(col("doc_id").isin(victimIds: _*)).isEmpty &&
+      nOf(latest, kA) == 555L
     // the end state: fsck green, no in-flight staging tokens left
     val fsckGreen = EventStreams.fsckUpsertTable(spark, t)
       .collect().forall(_.getBoolean(1))
@@ -7778,6 +7806,7 @@ object SparkEntry {
       ("overlap_conflict_stays_loud", overlapLoud),
       ("overlap_interloper_row_held", interloperHeld),
       ("same_id_redrive_lands", redriveLanded),
+      ("emptied_bucket_stays_empty_through_rebase", emptiedStays),
       ("fsck_green_after_race", fsckGreen),
       ("staging_tokens_released", tokensReleased))
       .toDF("check", "ok")
@@ -9801,6 +9830,7 @@ object SparkEntry {
         |  ('overlap_conflict_stays_loud'),
         |  ('overlap_interloper_row_held'),
         |  ('same_id_redrive_lands'),
+        |  ('emptied_bucket_stays_empty_through_rebase'),
         |  ('fsck_green_after_race'),
         |  ('staging_tokens_released')) t(c)""".stripMargin,
     "q209_feed_stream" ->

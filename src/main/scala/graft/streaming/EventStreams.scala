@@ -2185,11 +2185,17 @@ object EventStreams {
       case None => Map.empty
     }
     val touchedSet = touched.map(_.toSet).getOrElse(Set.empty)
+    // shard files THIS publish writes (vs pointers it reuses) — the
+    // rebase can drop some of them (an untouched bucket the interloper
+    // emptied), and a dropped self-written shard must be collected
+    // post-commit or it lingers as an fsck-red orphan
+    val selfWritten = scala.collection.mutable.Map.empty[Int, String]
     val pointers = live.toSeq.sortBy(_._1).map { case (b, fls) =>
       if (touched.isDefined && !touchedSet.contains(b) && prev.contains(b))
         b -> prev(b)
       else {
         val name = f"s$b-$batchId%020d.json"
+        selfWritten(b) = name
         // a rewritten TOUCHED bucket's shard re-serializes the stats of
         // any files it CARRIES from the previous shard (a delta append
         // keeps the bucket's older files live) plus this commit's fresh
@@ -2288,6 +2294,12 @@ object EventStreams {
           // the staging is committed: release its in-flight token so
           // other writers' sweeps treat the generation normally
           fs.delete(new org.apache.hadoop.fs.Path(inflightDir(table), f"$batchId%020d"), false)
+          // collect self-written shards the rebase dropped (the list
+          // no longer names them; nothing else ever will)
+          selfWritten.foreach { case (b, name) =>
+            if (!pointersNow.get(b).contains(name))
+              fs.delete(new org.apache.hadoop.fs.Path(shardsDir, name), false)
+          }
           committed = true
         case Some((b, headOpt)) =>
           fs.delete(tmp, false)
@@ -2342,12 +2354,16 @@ object EventStreams {
             "the concurrent commit changed the stats contract")
           if (manifestBloomCols(fs, head) != bloomCols) conflict(
             "the concurrent commit changed the bloom contract")
-          // REBASE: untouched buckets adopt the head's pointers (their
-          // shard content equals the base's by disjointness — and our
-          // touched shards' carried stats came from the base's shards,
-          // which the interloper provably did not change); the base tag
-          // moves to the true parent; mixed is sticky across both
-          pointersNow = pointersNow ++ headPtrs.filter(kv => !touchedSet(kv._1))
+          // REBASE: untouched buckets become EXACTLY the head's view —
+          // pointer values AND absences (an interloper's delete that
+          // emptied a bucket removed its entry; overlaying our stale
+          // base pointer on top would RESURRECT the deleted bucket).
+          // Our touched buckets keep the shards written above: their
+          // carried stats came from the base's shards, which the
+          // interloper provably did not change. The base tag moves to
+          // the true parent; mixed is sticky across both.
+          pointersNow = headPtrs.filter(kv => !touchedSet(kv._1)) ++
+            pointersNow.filter(kv => touchedSet(kv._1))
           mixedNow = mixedNow || manifestMixed(fs, head)
           baseNow = Some(Some(headId))
       }

@@ -2747,6 +2747,29 @@ class StreamingSpec extends SparkSpec {
       .filter(col("k") === kA).isEmpty, "the rebased delete must land")
     assert(rowOf(kB) === 666L, "the interleaved merge must survive the delete's rebase")
     assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // RESURRECTION PIN: the interloper EMPTIES a whole bucket (its
+    // manifest entry vanishes) while our merge rebases onto it — the
+    // rebase must mirror the head's ABSENCE, not overlay our stale
+    // base pointer and resurrect the deleted rows
+    val bVictim = bks(kB)
+    val victims = bks.collect { case (k, b) if b == bVictim => k }.toSeq
+    var emptyRan = false
+    EventStreams.mergeBatchIntoTable(
+      Seq((kA, 777L, 6L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 10L, retain = 8,
+      beforeCommit = () => if (!emptyRan) {
+        emptyRan = true
+        EventStreams.deleteFromTable(spark, t, victims.toDF("k"), Seq("k"),
+          nBuckets = 4, batchId = 9L, retain = 8)
+      })
+    assert(emptyRan)
+    assert(rowOf(kA) === 777L)
+    assert(EventStreams.readUpsertTable(spark, t)
+      .filter(col("k").isin(victims: _*)).isEmpty,
+      "the interloper's emptied bucket must STAY empty through the rebase")
+    val fsckRows = EventStreams.fsckUpsertTable(spark, t).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+    assert(fsckRows.forall(_._2), s"fsck after the rebase: $fsckRows")
   }
 
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {
