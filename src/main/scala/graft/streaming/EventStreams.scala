@@ -504,7 +504,9 @@ object EventStreams {
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
-      base = Some(committed.map(_._1)))
+      base = Some(committed.map(_._1)),
+      statsTz = resolveStatsTz(spark, fs, table,
+        effStatsCols.nonEmpty || effBloomCols.nonEmpty))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -646,7 +648,9 @@ object EventStreams {
       keyedBy = Some(keyCols), fileStats = delStats,
       statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
       bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
-      base = Some(committed.map(_._1)))
+      base = Some(committed.map(_._1)),
+      statsTz = resolveStatsTz(spark, fs, table,
+        delStatsCols.nonEmpty || delBloomCols.nonEmpty))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -831,7 +835,9 @@ object EventStreams {
         keyedBy = Some(keyCols), fileStats = freshStats,
         statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
         bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
-        base = Some(Some(prevId)))
+        base = Some(Some(prevId)),
+        statsTz = resolveStatsTz(spark, fs, table,
+          delStatsCols.nonEmpty || delBloomCols.nonEmpty))
       sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     }
     if (allFiles.isEmpty) { commit(live, Seq.empty, Seq.empty); return Some(zero) }
@@ -1668,6 +1674,60 @@ object EventStreams {
       ""","statsCols":[""" + cs.map(c => "\"" + c + "\"").mkString(",") + "]")
       .getOrElse("")
 
+  private def statsTzTag(tz: Option[String]): String =
+    tz.map(z => s""","statsTz":"$z"""").getOrElse("")
+
+  /** The TIME ZONE the table's zone-map stats render in — recorded by
+    * every stats-bearing commit since r15, because timestamp stats are
+    * `date_format`-rendered WALL CLOCKS: a probe rendered in a
+    * different zone compares offset strings and can prune files that
+    * hold matching rows (silently wrong results). The contract is ONE
+    * zone per table: writers require their session zone to match the
+    * recorded one (a full [[compactUpsertTable]] recomputes every
+    * file's stats and may ADOPT a new zone); readers render timestamp
+    * probes in the RECORDED zone, so reads are exact from any session.
+    * None for pre-r15 manifests (readers fall back to the session
+    * zone — the pre-r15 behavior).
+    */
+  private def manifestStatsTz(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Option[String] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"statsTz":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+  }
+
+  /** The latest manifest's recorded stats time zone, if any. */
+  def tableStatsTz(spark: SparkSession, tableDir: String): Option[String] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestStatsTz(fs, _))
+  }
+
+  /** The stats time zone an incremental stats-bearing commit writes
+    * under: the recorded zone when present (REQUIRING the session to
+    * match — carried per-file stats rendered in the old zone cannot
+    * mix with fresh ones in a new zone), else the session zone when
+    * this commit records stats at all.
+    */
+  private def resolveStatsTz(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path,
+                             recordsStats: Boolean): Option[String] = {
+    val session = spark.sessionState.conf.sessionLocalTimeZone
+    manifestList(fs, table).lastOption.flatMap(manifestStatsTz(fs, _)) match {
+      case Some(z) =>
+        require(z == session,
+          s"$table records its zone-map stats in time zone '$z' but this " +
+            s"session runs '$session' — stats stay in ONE zone per table " +
+            "(timestamp min/max are wall-clock strings; mixing zones makes " +
+            s"pruning wrong). Set spark.sql.session.timeZone to '$z', or " +
+            "fold the table (compactUpsertTable recomputes every file's " +
+            "stats and adopts the new zone).")
+        Some(z)
+      case None => if (recordsStats) Some(session) else None
+    }
+  }
+
   // --------------------------------------------------------------------
   // BLOOM FILTERS: per-file membership sketches for equality probes on
   // columns clustering can't serve (high-cardinality, unsorted)
@@ -2004,7 +2064,8 @@ object EventStreams {
     val schema = spark.read
       .parquet(new Path(table, rels.head).toString).schema
     val index = new ZoneMapFileIndex(table, files, stats, schema,
-      manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet)
+      manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet,
+      statsTz = manifestStatsTz(fs, manifest))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -2175,7 +2236,8 @@ object EventStreams {
                               statsCols: Option[Seq[String]] = None,
                               base: Option[Option[Long]] = None,
                               kind: Option[String] = None,
-                              bloomCols: Option[Seq[String]] = None): Unit = {
+                              bloomCols: Option[Seq[String]] = None,
+                              statsTz: Option[String] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -2272,7 +2334,7 @@ object EventStreams {
       val baseTag = baseNow.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
       val body = pointersNow.toSeq.sortBy(_._1)
         .map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
+        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
       val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -2354,6 +2416,8 @@ object EventStreams {
             "the concurrent commit changed the stats contract")
           if (manifestBloomCols(fs, head) != bloomCols) conflict(
             "the concurrent commit changed the bloom contract")
+          if (manifestStatsTz(fs, head) != statsTz) conflict(
+            "the concurrent commit changed the stats time zone")
           // REBASE: untouched buckets become EXACTLY the head's view —
           // pointer values AND absences (an interloper's delete that
           // emptied a bucket removed its entry; overlaying our stale
@@ -2383,12 +2447,13 @@ object EventStreams {
                                  keyedBy: Option[Seq[String]] = None,
                                  fileStats: FileStats = Map.empty,
                                  statsCols: Option[Seq[String]] = None,
-                                 bloomCols: Option[Seq[String]] = None): String = {
+                                 bloomCols: Option[Seq[String]] = None,
+                                 statsTz: Option[String] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val liveSet = live.values.flatten.toSet
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${bloomColsTag(bloomCols)},"buckets":{""", ",",
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)},"buckets":{""", ",",
       "}" + statsTag(fileStats.filter(kv => liveSet(kv._1))) + "}")
   }
 
@@ -2497,11 +2562,15 @@ object EventStreams {
     // equality StreamingSpec pins) — the change feed skips it from
     // metadata alone instead of paying a whole-table diff to learn
     // nothing changed
+    // the full rewrite recomputed EVERY file's stats under this
+    // session's zone — it may ADOPT a new stats time zone
     publishManifest(fs, table, batchId, nBuckets, rewritten, mixed = false,
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
-      base = Some(Some(committed._1)), kind = Some("fold"))
+      base = Some(Some(committed._1)), kind = Some("fold"),
+      statsTz = if (effStatsCols.nonEmpty || effBloomCols.nonEmpty)
+        Some(spark.sessionState.conf.sessionLocalTimeZone) else None)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -2678,7 +2747,9 @@ object EventStreams {
       keyedBy = Some(keyCols), fileStats = freshStats,
       statsCols = if (effStatsCols.nonEmpty) Some(effStatsCols) else None,
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
-      base = Some(Some(committed._1)), kind = Some("fold"))
+      base = Some(Some(committed._1)), kind = Some("fold"),
+      statsTz = resolveStatsTz(spark, fs, table,
+        effStatsCols.nonEmpty || effBloomCols.nonEmpty))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -3586,7 +3657,8 @@ object EventStreams {
       // exactly like the original did
       fileStats = manifestFileStats(fs, src._1),
       statsCols = manifestStatsCols(fs, src._1),
-      bloomCols = manifestBloomCols(fs, src._1))
+      bloomCols = manifestBloomCols(fs, src._1),
+      statsTz = manifestStatsTz(fs, src._1))
       .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
@@ -3735,7 +3807,10 @@ object EventStreams {
       fileStats = manifestFileStats(fs, backupManifest)
         .map { case (rel, cs) => destRel(rel) -> cs },
       statsCols = manifestStatsCols(fs, backupManifest),
-      bloomCols = manifestBloomCols(fs, backupManifest))
+      bloomCols = manifestBloomCols(fs, backupManifest),
+      // the restored stats are the backup's rendered strings: the
+      // recorded zone travels with them
+      statsTz = manifestStatsTz(fs, backupManifest))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }
@@ -3781,9 +3856,11 @@ object EventStreams {
     * Generations carrying a live in-flight token ([[markInFlight]])
     * are a CONCURRENT writer's staging (the optimistic-rebase world of
     * [[publishManifest]]) and are left alone; the token lands before
-    * the staging's first file, so a racing sweep either sees the token
-    * or sees no files to reclaim. Tokenless orphans (crash debris)
-    * sweep as always — the self-heal contract.
+    * the staging's first file, and each candidate generation's token
+    * is RE-CHECKED at decision time, so the unprotected window is the
+    * instant between that recheck and the deletes (detection, not
+    * linearizability — the lost-update-guard honesty). Tokenless
+    * orphans (crash debris) sweep as always — the self-heal contract.
     */
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
                                 table: org.apache.hadoop.fs.Path,
@@ -3798,7 +3875,16 @@ object EventStreams {
       } else if (st.isDirectory && name.startsWith("_staging_")) {
         fs.delete(st.getPath, true) // dir-swap-era staging leftovers
       } else if (st.isDirectory && name.startsWith("gen_") &&
-          name.stripPrefix("gen_").toLongOption.exists(inflight)) {
+          name.stripPrefix("gen_").toLongOption.exists(id =>
+            inflight(id) ||
+              // RE-CHECK at decision time: this sweep's token listing
+              // ran at entry, and a writer may have tokened + staged
+              // since — the recheck narrows the unprotected window to
+              // the instant between it and the deletes below (the
+              // lost-update-guard honesty: detection, not
+              // linearizability)
+              fs.exists(new org.apache.hadoop.fs.Path(inflightDir(table),
+                f"$id%020d")))) {
         // a concurrent writer's staged generation: not ours to reclaim
       } else if (st.isDirectory &&
           (name.startsWith("gen_") || name.startsWith(s"$upsertBucketCol="))) {

@@ -40,7 +40,8 @@ final class ZoneMapFileIndex(
     files: Seq[(FileStatus, String)], // (status, table-relative path)
     stats: EventStreams.FileStats,
     schema: StructType,
-    bloomCols: Set[String] = Set.empty) extends FileIndex {
+    bloomCols: Set[String] = Set.empty,
+    statsTz: Option[String] = None) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(table)
 
@@ -55,7 +56,7 @@ final class ZoneMapFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val typed = ZoneMapFileIndex.extractBounds(dataFilters, schema)
+    val typed = ZoneMapFileIndex.extractBounds(dataFilters, schema, statsTz)
     // equality conjuncts on bloom-contracted columns also test the
     // files' membership sketches — the probe positions come from a
     // DRIVER-SIDE eval of the same XxHash64 expression the writer
@@ -76,7 +77,7 @@ final class ZoneMapFileIndex(
     // element); unextractable conjuncts contribute nothing, keeping
     // the conservative fallback intact for mixed trees
     val preds = dataFilters.flatMap(e =>
-      ZoneMapFileIndex.conjunctPred(e, schema, stats, bloomCols))
+      ZoneMapFileIndex.conjunctPred(e, schema, stats, bloomCols, statsTz))
     val survivors =
       if (typed.isEmpty && probes.isEmpty && preds.isEmpty) files
       else files.filter { case (_, rel) =>
@@ -98,7 +99,8 @@ object ZoneMapFileIndex {
     * just not pruning), and nothing else: a null literal already
     * extracts nothing via the Option wrap.
     */
-  private def canonical(dt: DataType, v: Any): Option[String] =
+  private def canonical(dt: DataType, v: Any,
+                        statsTz: Option[String]): Option[String] =
     Option(v).flatMap { value =>
       dt match {
         case StringType => Some(value.asInstanceOf[UTF8String].toString)
@@ -114,14 +116,18 @@ object ZoneMapFileIndex {
         case DateType => Some(
           java.time.LocalDate.ofEpochDay(value.asInstanceOf[Int].toLong).toString)
         case TimestampType =>
-          // the writer's stats render via date_format(..., micros) in
-          // the SESSION time zone (EventStreams.statValue) — the probe
-          // must render the instant in the SAME zone or a non-UTC
-          // session would compare offset wall clocks and prune files
-          // that hold matching rows (silently wrong results)
+          // the writer's stats render via date_format(..., micros) as
+          // WALL CLOCKS in the table's RECORDED stats time zone
+          // (EventStreams.statValue at write; the statsTz manifest
+          // contract) — the probe must render the instant in that same
+          // zone or the comparison is between offset wall clocks and
+          // can prune files that hold matching rows (silently wrong
+          // results). Pre-r15 tables record no zone: fall back to the
+          // session zone (exact when write and read sessions match —
+          // the pre-r15 behavior).
           val micros = value.asInstanceOf[Long]
-          val zone = java.time.ZoneId.of(
-            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          val zone = java.time.ZoneId.of(statsTz.getOrElse(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
           val i = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
           val dtm = java.time.LocalDateTime.ofInstant(i, zone)
           Some(f"${dtm.getYear}%04d-${dtm.getMonthValue}%02d-${dtm.getDayOfMonth}%02d " +
@@ -138,7 +144,8 @@ object ZoneMapFileIndex {
     */
   private[streaming] def extractBounds(
       dataFilters: Seq[Expression],
-      schema: StructType): Seq[(String, DataType, Option[String], Option[String])] = {
+      schema: StructType,
+      statsTz: Option[String] = None): Seq[(String, DataType, Option[String], Option[String])] = {
     val perCol = scala.collection.mutable.Map
       .empty[String, (Option[String], Option[String])]
     def dtOf(name: String): Option[DataType] =
@@ -155,7 +162,7 @@ object ZoneMapFileIndex {
     def bound(a: Expression, l: Literal, loSide: Boolean): Unit = a match {
       case ar: AttributeReference =>
         dtOf(ar.name).foreach { dt =>
-          canonical(dt, l.value).foreach { v =>
+          canonical(dt, l.value, statsTz).foreach { v =>
             if (loSide) tighten(ar.name, dt, Some(v), None)
             else tighten(ar.name, dt, None, Some(v))
           }
@@ -259,12 +266,13 @@ object ZoneMapFileIndex {
   private[streaming] def conjunctPred(
       e: Expression, schema: StructType,
       stats: EventStreams.FileStats,
-      bloomCols: Set[String]): Option[String => Boolean] = {
+      bloomCols: Set[String],
+      statsTz: Option[String] = None): Option[String => Boolean] = {
     def dtOf(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
     def point(ar: AttributeReference, l: Literal): Option[String => Boolean] =
       dtOf(ar.name).flatMap { dt =>
-        canonical(dt, l.value).map { v =>
+        canonical(dt, l.value, statsTz).map { v =>
           val probe = if (bloomCols(ar.name) && dt == l.dataType)
             Some(bloomPositions(l)) else None
           (rel: String) =>
@@ -275,7 +283,7 @@ object ZoneMapFileIndex {
     def side(a: Expression, l: Literal, loSide: Boolean): Option[String => Boolean] =
       a match {
         case ar: AttributeReference => dtOf(ar.name).flatMap { dt =>
-          canonical(dt, l.value).map { v =>
+          canonical(dt, l.value, statsTz).map { v =>
             if (loSide) (rel: String) =>
               rangePass(stats, rel, ar.name, dt, Some(v), None)
             else (rel: String) =>
@@ -286,15 +294,15 @@ object ZoneMapFileIndex {
       }
     e match {
       case And(lhs, rhs) =>
-        (conjunctPred(lhs, schema, stats, bloomCols),
-          conjunctPred(rhs, schema, stats, bloomCols)) match {
+        (conjunctPred(lhs, schema, stats, bloomCols, statsTz),
+          conjunctPred(rhs, schema, stats, bloomCols, statsTz)) match {
           case (Some(a), Some(b)) => Some(rel => a(rel) && b(rel))
           case (a, b) => a.orElse(b) // And: each side alone is sound
         }
       case Or(lhs, rhs) =>
         for {
-          a <- conjunctPred(lhs, schema, stats, bloomCols)
-          b <- conjunctPred(rhs, schema, stats, bloomCols)
+          a <- conjunctPred(lhs, schema, stats, bloomCols, statsTz)
+          b <- conjunctPred(rhs, schema, stats, bloomCols, statsTz)
         } yield (rel: String) => a(rel) || b(rel)
       case In(ar: AttributeReference, elems)
         if elems.nonEmpty && elems.forall(_.isInstanceOf[Literal]) =>

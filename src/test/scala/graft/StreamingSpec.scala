@@ -2573,6 +2573,36 @@ class StreamingSpec extends SparkSpec {
       }.get.metrics("numFiles").value
       assert(nf < live,
         s"the timestamp probe must still prune in a non-UTC session ($nf of $live)")
+      // the stats TIME ZONE is a recorded manifest contract: a session
+      // under a DIFFERENT zone still reads exactly (probes render in
+      // the RECORDED zone), a stats-bearing WRITE under it fails
+      // loudly, and a full fold ADOPTS the new zone
+      assert(EventStreams.tableStatsTz(spark, t) === Some("America/New_York"))
+      spark.conf.set(tzKey, "UTC")
+      val crossRows = EventStreams.readUpsertTableScan(spark, t)
+        .filter(col("ts") >= lit(cut))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(crossRows === want,
+        "a session in a different zone must still read exactly — the " +
+          "probe renders in the table's RECORDED stats zone")
+      val tzErr = intercept[IllegalArgumentException] {
+        EventStreams.mergeBatchIntoTable(
+          Seq((99L, 0L)).toDF("k", "__v")
+            .withColumn("ts", expr("timestamp'2021-06-03 00:00:00'"))
+            .select("k", "ts", "__v"),
+          t, Seq("k"), "__v", nBuckets = 1, batchId = 2L)
+      }
+      assert(tzErr.getMessage.contains("ONE zone"))
+      EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 2L,
+        sortBy = Seq("ts"), maxRecordsPerFile = 8)
+      assert(EventStreams.tableStatsTz(spark, t) === Some("UTC"),
+        "a full fold recomputes every file's stats and adopts the session zone")
+      EventStreams.mergeBatchIntoTable(
+        Seq((99L, 0L)).toDF("k", "__v")
+          .withColumn("ts", expr("timestamp'2021-06-03 00:00:00'"))
+          .select("k", "ts", "__v"),
+        t, Seq("k"), "__v", nBuckets = 1, batchId = 3L)
+      assert(EventStreams.readUpsertTable(spark, t).count() === 49L)
     } finally spark.conf.set(tzKey, origTz)
     // NaN/Infinity: a non-finite pushed literal extracts no bound (the
     // scan stays exact), and NaN VALUES in a stats column never break
