@@ -6642,6 +6642,17 @@ object SparkEntry {
       streaming.EventStreams.mergeBatchIntoTable(
         (0L until 10L).map(k => (k, k, 0L)).toDF("doc_id", "n", "__v"),
         s"$base/zn", Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L)
+      // null-pruning fixture (q207): a sorted layout where the NULLs
+      // land in their own file (nulls-first sort), so IS NOT NULL can
+      // skip it and IS NULL can skip the others via the null counts
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 8L).map(k =>
+          (k, if (k < 3) None else Some(k * 10L), 0L))
+          .toDF("doc_id", "n", "__v"),
+        s"$base/znl", Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L,
+        statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/znl",
+        Seq("doc_id"), 1, 1L, sortBy = Seq("n"), maxRecordsPerFile = 3)
       // z-order fixtures (q201): the SAME two-dimension data folded
       // z-ordered vs lexicographic — (x, y) are independent grids, so
       // a lexicographic sort on x leaves y scattered across every file
@@ -7628,6 +7639,28 @@ object SparkEntry {
     // starts_with: the [prefix, successor) range
     val (swRows, swFiles) = scanned(scan().filter(col("cat").startsWith("c0")))
     val prefixPrunes = swRows == (0L to 9L).toSeq && swFiles < live
+    // NULL pruning from the recorded null counts: IS NOT NULL skips
+    // the all-null file, IS NULL skips the zero-null files
+    val znl = s"$base/znl"
+    val znlLive = EventStreams.tableManifest(spark, znl).values.map(_.size).sum.toLong
+    def scannedCount(d: DataFrame): (Long, Long) = {
+      val n = d.count()
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      (n, fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(0L))
+    }
+    val (nnRows2, nnFiles2) = scannedCount(
+      EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNotNull))
+    val notNullPrunes = nnRows2 == 5L && nnFiles2 < znlLive
+    val (nlRows2, nlFiles2) = scannedCount(
+      EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNull))
+    val isNullPrunes = nlRows2 == 3L && nlFiles2 < znlLive
     // bloom-contracted equality prunes through the same planning hook
     // (zb: high-cardinality unsorted strings — only the sketch prunes)
     val zb = s"$base/zb"
@@ -7660,6 +7693,8 @@ object SparkEntry {
       ("or_of_ranges_prunes", orPrunes),
       ("or_with_unextractable_branch_stays_exact", orFallback),
       ("starts_with_prunes", prefixPrunes),
+      ("is_not_null_skips_all_null_files", notNullPrunes),
+      ("is_null_skips_zero_null_files", isNullPrunes),
       ("bloom_equality_prunes_in_plan", bloomPrunes),
       ("scan_plans_from_recorded_sizes", sizesRecorded),
       ("delta_snapshot_refuses", deltaRefuses))
@@ -9817,6 +9852,8 @@ object SparkEntry {
         |  ('or_of_ranges_prunes'),
         |  ('or_with_unextractable_branch_stays_exact'),
         |  ('starts_with_prunes'),
+        |  ('is_not_null_skips_all_null_files'),
+        |  ('is_null_skips_zero_null_files'),
         |  ('bloom_equality_prunes_in_plan'),
         |  ('scan_plans_from_recorded_sizes'),
         |  ('delta_snapshot_refuses')) t(c)""".stripMargin,

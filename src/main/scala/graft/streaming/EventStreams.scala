@@ -1619,7 +1619,7 @@ object EventStreams {
     * Files from pre-r14 commits have no entry; coverage proofs treat
     * that as unprovable (rewrite instead of drop), never unsound.
     */
-  private def nullKey(c: String) = s"__nl_$c"
+  private[streaming] def nullKey(c: String) = s"__nl_$c"
 
   /** Reserved stats pseudo-column holding each file's BYTE LENGTH
     * (lo = hi = length), recorded for EVERY file of every rewritten

@@ -92,4 +92,25 @@ object FeedStream {
         ()
       }
       .start()
+
+  /** Drain the source's unconsumed commits into the composed IVF-PQ
+    * serving index ([[graft.operators.Similarity.syncIndexFromFeed]]
+    * — O(changed window) upserts/removals, never a table re-scan) and
+    * stop. Build the index from the current snapshot and
+    * [[EventStreams.bootstrapFeedCursor]] first. Completes the
+    * consumer trio: replica, rollup view, index.
+    */
+  def startIndexSync(spark: SparkSession, srcDir: String,
+                     indexDir: String, consumer: String,
+                     checkpointDir: String): StreamingQuery =
+    manifestStream(spark, srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.Similarity.syncIndexFromFeed(spark, srcDir,
+          indexDir, consumer)
+        ()
+      }
+      .start()
 }

@@ -29,11 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * sound); `IN`/`InSet` lists prune as a union of point ranges with a
   * bloom probe per element (the point-lookup dashboard shape), `OR`
   * trees as the union of their branches' predicates (only when every
-  * branch extracts), `starts_with(p)` as the [p, successor(p)) range;
-  * everything else (casts, functions, UDFs, null literals, an OR with
-  * an unextractable branch) contributes no bound and the file is
-  * read. Files without recorded stats always read; all-null files
-  * never match a range.
+  * branch extracts), `starts_with(p)` as the [p, successor(p)) range,
+  * `IS NOT NULL` skips all-null files and `IS NULL` skips files whose
+  * recorded null count is zero; everything else (casts, functions,
+  * UDFs, null literals, an OR with an unextractable branch)
+  * contributes no bound and the file is read. Files without recorded
+  * stats always read; all-null files never match a range.
   */
 final class ZoneMapFileIndex(
     table: Path,
@@ -335,6 +336,24 @@ object ZoneMapFileIndex {
           Some((rel: String) => rangePass(stats, rel, ar.name, StringType,
             Some(prefix), next, hiExcl = true))
         }
+      case IsNotNull(ar: AttributeReference) if dtOf(ar.name).isDefined =>
+        // an ALL-NULL file records (None, None) range stats — no row
+        // in it can satisfy IS NOT NULL; anything else reads
+        Some((rel: String) =>
+          stats.get(rel).flatMap(_.get(ar.name)) match {
+            case Some((None, None)) => false
+            case _ => true
+          })
+      case IsNull(ar: AttributeReference) if dtOf(ar.name).isDefined =>
+        // a file whose recorded NULL COUNT (the __nl_<c> pseudo-column
+        // every stats-bearing commit records) is zero has no row
+        // satisfying IS NULL; missing counts read (conservative)
+        Some((rel: String) =>
+          stats.get(rel).flatMap(_.get(EventStreams.nullKey(ar.name)))
+            .flatMap(_._1) match {
+            case Some("0") => false
+            case _ => true
+          })
       case EqualTo(ar: AttributeReference, l: Literal) => point(ar, l)
       case EqualTo(l: Literal, ar: AttributeReference) => point(ar, l)
       case GreaterThanOrEqual(a, l: Literal) => side(a, l, loSide = true)

@@ -1921,8 +1921,17 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r0 => r0.getInt(0) -> r0.getLong(1)).toMap
       assert(counts === Map(0 -> 3L, 1 -> 4L),
         "vec 0 moved label groups and vec 6 arrived: the view tracks both")
-      // drained and synced: every half is a replay-clean no-op
+      // drained and synced: every half is a replay-clean no-op — the
+      // index replay rides the CHECKPOINTED stream wrapper (the
+      // FeedStream consumer trio's third member)
       q.processAllAvailable()
+      val served0 = served
+      val iq = graft.streaming.FeedStream.startIndexSync(spark, t, idx,
+        "serve", s"$base/cp_idx")
+      iq.awaitTermination()
+      assert(graft.operators.Similarity.indexedVecIds(spark, idx)
+        .collect().map(_.getLong(0)).toSet === served0,
+        "a drained streamed index sync must change nothing")
       assert(graft.operators.Similarity
         .syncIndexFromFeed(spark, t, idx, "serve") === None)
       assert(EventStreams.syncRollupFromFeed(spark, t, ru, "stats", spec,
@@ -2516,6 +2525,39 @@ class StreamingSpec extends SparkSpec {
         "the RANGE path alone must prune the contradiction — the bloom " +
           "probe (first-literal-only) must never be the deciding layer")
     }
+    // NULL-count pruning: IS NULL skips zero-null files, IS NOT NULL
+    // skips all-null files — both from the stats already recorded
+    val tn = Files.createTempDirectory("graft-znull").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k =>
+        (k, if (k < 3) None else Some(k * 10L), 0L))
+        .toDF("k", "n", "__v"),
+      tn, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, tn, Seq("k"), 1, 1L,
+      sortBy = Seq("n"), maxRecordsPerFile = 3)
+    val tnLive = EventStreams.tableManifest(spark, tn).values.map(_.size).sum
+    assert(tnLive === 3)
+    def scannedN(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = d.count()
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      (n, fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(0L))
+    }
+    val (nnlRows, nnlFiles) = scannedN(
+      EventStreams.readUpsertTableScan(spark, tn).filter(col("n").isNotNull))
+    assert(nnlRows === 5L && nnlFiles < tnLive,
+      s"IS NOT NULL must skip the all-null file ($nnlFiles of $tnLive)")
+    val (nlRows, nlFiles) = scannedN(
+      EventStreams.readUpsertTableScan(spark, tn).filter(col("n").isNull))
+    assert(nlRows === 3L && nlFiles < tnLive,
+      s"IS NULL must skip zero-null files ($nlFiles of $tnLive)")
     // IN composes with the bloom contract: each element probes the sketch
     val tb = Files.createTempDirectory("graft-zinb").toString + "/t"
     EventStreams.mergeBatchIntoTable(
