@@ -2576,7 +2576,7 @@ class StreamingSpec extends SparkSpec {
       s"an IN on a bloom-contracted column must skip files ($bFiles of $bLive)")
   }
 
-  test("zone maps: timestamp probes render in the session time zone; NaN never throws at planning") {
+  test("zone maps: timestamp probes render in the recorded stats time zone; NaN never throws at planning") {
     val tzKey = "spark.sql.session.timeZone"
     val origTz = spark.conf.get(tzKey)
     try {
