@@ -90,6 +90,23 @@ object Bench {
     """"probe":([0-9.]+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toDouble).getOrElse(0.0)
 
+  /** One history line's NORMALIZATION BASIS: the MIN of its recorded
+    * pre/post probes (round 16, hardening the r15 drift flag). The
+    * probe measures fixed work, so CONTENTION can only ever INFLATE a
+    * reading — the min of the available samples is the closest
+    * estimate of the host's intrinsic speed, where a single pre-probe
+    * is one contention-exposed draw (the r15 close's pre-probe read
+    * 2x its own post-probe and manufactured an unresolved
+    * `history_total_drift` the per-query data refuted). Lines
+    * predating `probe_post` fall back to the pre-probe.
+    */
+  private[graft] def parseHistoryProbeBasis(line: String): Double = {
+    val post = """"probe_post":([0-9.]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    Seq(parseHistoryProbe(line), post).filter(_ > 0)
+      .minOption.getOrElse(0.0)
+  }
+
   /** Last recorded probe value in the history file, if any —
     * same-sf-dir lines only (the probe is data-independent but scales
     * with the configured core count, and sf is the recorded proxy for
@@ -134,7 +151,9 @@ object Bench {
       else scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(p)).asScala.toSeq
         .filter(_.contains(s""""sf":"$sfDir""""))
-        .map(l => (parseHistoryProbe(l), parseHistoryQueries(l)))
+        // min-of-probes basis on the HISTORY side too — least-contended
+        // vs least-contended is the like-with-like comparison
+        .map(l => (parseHistoryProbeBasis(l), parseHistoryQueries(l)))
         .filter(_._2.nonEmpty).takeRight(n)
     } catch { case _: Throwable => Seq.empty }
 
@@ -336,23 +355,32 @@ object Bench {
     // like-with-like even when the guard triggers a second sweep
     val probe = hostProbe(spark)
     val prevProbe = lastHistoryProbe(histPath, sfDir)
-    // NORMALIZED drift basis (round 15): history timings scale to this
-    // run's host speed via the probes, so signal 3 fires on unexplained
-    // slowdown, never on host drift the probe already explains
-    val histEntries = normalizeToProbe(lastHistoryEntries(histPath, 5, sfDir),
-      probe)
+    // NORMALIZED drift basis (round 15; HARDENED round 16): history
+    // timings scale to this run's host speed via the probes, so signal
+    // 3 fires on unexplained slowdown, never on host drift the probe
+    // already explains. The basis on BOTH sides is the MIN of a run's
+    // pre/post probes — a probe can only read SLOWER under contention,
+    // so the min is each run's least-contended measurement of the same
+    // fixed work (the r15 close's single pre-probe read 2x its own
+    // post-probe and manufactured an unresolved drift flag the
+    // per-query data refuted). Computed at CHECK time because probePost
+    // moves with every guard re-sweep.
+    val histRaw = lastHistoryEntries(histPath, 5, sfDir)
     var results = sweep()
     var probePost = hostProbe(spark)
     var resweeps = 0
     var reasons = List.empty[String]
     val maxResweeps = 2
+    def probeBasis: Double =
+      Seq(probe, probePost).filter(_ > 0).minOption.getOrElse(0.0)
     def driftReason(): Option[String] = {
       val curTimes = results.map { case (k, v) => k -> v._1 }
       if (resweeps == 0 && prevProbe.exists(p => math.abs(probe / p - 1.0) > 0.15))
         Some("probe_prev_drift")
       else if (probePost / probe - 1.0 > 0.20)
         Some("probe_post_drift")
-      else historyDriftRatio(curTimes, histEntries) match {
+      else historyDriftRatio(curTimes,
+        normalizeToProbe(histRaw, probeBasis)) match {
         case Some(r) if r > 1.20 => Some("history_total_drift")
         case _ => None
       }
@@ -424,10 +452,13 @@ object Bench {
         .mkString("{", ",", "}")
       val t = if (res.nonEmpty) res.values.map(_._1).filter(_ > 0).sum else 0.0
       // the probe-normalized total divides host speed OUT of the
-      // committed number (value x probeRef / probe): cross-round close
-      // comparisons use THIS basis, the raw value stays for absolutes
-      val tn = if (probe > 0) t * probeRef / probe else t
-      s"""{"metric":"total","value":${r4(t)},"value_normalized":${r4(tn)},"probe_ref":${r4(probeRef)},"unit":"sec","probe":${r4(probe)},"probe_post":${r4(probePost)},"probe_rerun":$probeRerun,"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved","cpus":$cpus$extra,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+      // committed number (value x probeRef / probe_basis): cross-round
+      // close comparisons use THIS basis, the raw value stays for
+      // absolutes. probe_basis = min(pre, post) — round 16; the
+      // recorded probe/probe_post/probe_basis triple makes the basis
+      // choice reconstructable from the artifact alone
+      val tn = if (probeBasis > 0) t * probeRef / probeBasis else t
+      s"""{"metric":"total","value":${r4(t)},"value_normalized":${r4(tn)},"probe_ref":${r4(probeRef)},"unit":"sec","probe":${r4(probe)},"probe_post":${r4(probePost)},"probe_basis":${r4(probeBasis)},"drift_basis":"min_pre_post","probe_rerun":$probeRerun,"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved","cpus":$cpus$extra,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
     }
     val total = if (committed.nonEmpty) committed.values.map(_._1).filter(_ > 0).sum else 0.0
     val json = jsonOf(committed,
@@ -474,8 +505,8 @@ object Bench {
     // the full line is truncated (the full data still lands in
     // BENCH_LATEST.json / BENCH_HISTORY.jsonl above).
     val nOk = committed.values.count(_._1 > 0)
-    val totalNorm = if (probe > 0) total * probeRef / probe else total
-    println(s"""{"metric":"total","value":${r4(total)},"value_normalized":${r4(totalNorm)},"probe_ref":${r4(probeRef)},"unit":"sec","n":$nOk,"probe":${r4(probe)},"probe_post":${r4(probePost)},"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved","history_min":$historyMin,"sf":"$sfDir"}""")
+    val totalNorm = if (probeBasis > 0) total * probeRef / probeBasis else total
+    println(s"""{"metric":"total","value":${r4(total)},"value_normalized":${r4(totalNorm)},"probe_ref":${r4(probeRef)},"unit":"sec","n":$nOk,"probe":${r4(probe)},"probe_post":${r4(probePost)},"probe_basis":${r4(probeBasis)},"rerun_reason":"$rerunReason","drift_unresolved":"$unresolved","history_min":$historyMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6653,6 +6653,21 @@ object SparkEntry {
         statsCols = Some(Seq("n")))
       streaming.EventStreams.compactUpsertTable(spark, s"$base/znl",
         Seq("doc_id"), 1, 1L, sortBy = Seq("n"), maxRecordsPerFile = 3)
+      // cast-probe fixture (q207 round 16): a DATE column probed by
+      // timestamp literals and a TIMESTAMP column probed by date
+      // literals — both arrive in the plan as Cast(col) OP lit, the
+      // dashboard shape that used to read everything
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 24L).map(k => (k, 0L)).toDF("doc_id", "__v")
+          .withColumn("d",
+            expr("date_add(date'2021-06-01', cast(doc_id as int))"))
+          .withColumn("ts", expr("timestampadd(HOUR, " +
+            "cast(doc_id * 6 as int), timestamp'2021-06-01 00:00:00')"))
+          .select("doc_id", "d", "ts", "__v"),
+        s"$base/zdt", Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L,
+        statsCols = Some(Seq("d", "ts")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zdt",
+        Seq("doc_id"), 1, 1L, sortBy = Seq("doc_id"), maxRecordsPerFile = 4)
       // z-order fixtures (q201): the SAME two-dimension data folded
       // z-ordered vs lexicographic — (x, y) are independent grids, so
       // a lexicographic sort on x leaves y scattered across every file
@@ -7669,6 +7684,33 @@ object SparkEntry {
     val (bRows, bFiles) = scanned(
       EventStreams.readUpsertTableScan(spark, zb).filter(col("u") === v77))
     val bloomPrunes = bRows == Seq(77L) && bFiles < bLive
+    // CAST probes (round 16): a DATE column compared to a TIMESTAMP
+    // literal arrives as Cast(d, timestamp) >= lit and used to read
+    // everything; extraction now renders the literal back in the
+    // column's type with direction-aware rounding. Same for the
+    // narrowing twin cast(ts as date) = date-literal.
+    val zdt = s"$base/zdt"
+    val zdtLive = EventStreams.tableManifest(spark, zdt).values.map(_.size).sum.toLong
+    val zdtFull = EventStreams.readUpsertTable(spark, zdt).localCheckpoint()
+    val cut = java.sql.Timestamp.valueOf("2021-06-20 12:00:00")
+    val (cdRows, cdFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, zdt).filter(col("d") >= lit(cut)))
+    val cdOracle = zdtFull.filter(col("d") >= lit(cut))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val dateCastPrunes = cdRows == cdOracle && cdRows.nonEmpty &&
+      cdFiles < zdtLive
+    val dlit = java.sql.Date.valueOf("2021-06-03")
+    val (ctRows, ctFiles) = scanned(
+      EventStreams.readUpsertTableScan(spark, zdt)
+        .filter(col("ts").cast("date") === lit(dlit)))
+    val ctOracle = zdtFull.filter(col("ts").cast("date") === lit(dlit))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val tsCastPrunes = ctRows == ctOracle && ctRows.nonEmpty &&
+      ctFiles < zdtLive
+    // EqualNullSafe prunes like EqualTo (a NULL row never <=> a value)
+    val (ensRows, ensFiles) = scannedCount(
+      EventStreams.readUpsertTableScan(spark, znl).filter(col("n") <=> 70L))
+    val eqNullSafePrunes = ensRows == 1L && ensFiles < znlLive
     val deltaRefuses = scala.util.Try(
       EventStreams.readUpsertTableScan(spark, s"$base/zd")).isFailure
     // the index plans from the manifest's recorded byte lengths —
@@ -7695,6 +7737,9 @@ object SparkEntry {
       ("starts_with_prunes", prefixPrunes),
       ("is_not_null_skips_all_null_files", notNullPrunes),
       ("is_null_skips_zero_null_files", isNullPrunes),
+      ("date_cast_probe_prunes", dateCastPrunes),
+      ("ts_to_date_cast_probe_prunes", tsCastPrunes),
+      ("equal_null_safe_prunes", eqNullSafePrunes),
       ("bloom_equality_prunes_in_plan", bloomPrunes),
       ("scan_plans_from_recorded_sizes", sizesRecorded),
       ("delta_snapshot_refuses", deltaRefuses))
@@ -8160,6 +8205,137 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** q212 fixture: the DOUBLE-PASS commit race provoked once —
+    * (table, kA, kB, raced flag, contended-failure message). Writer A
+    * (id 2) is interleaved by writer B (id 1, disjoint bucket) via the
+    * `beforeRename` seam, which fires AFTER A's publish passed the
+    * head re-check — the exact instant round 15's rebase loop left
+    * unguarded (two writers could both pass and the later rename
+    * silently dropped the earlier's buckets). The commit sequencer's
+    * parent token + under-token re-check must push A through the
+    * rebase. Then the crashed-holder discipline: a planted stale
+    * pre-rename token (holder id 3, never committed) fails writer 4
+    * loudly; the holder's replay (id 3) ADOPTS the token and lands;
+    * the failed id re-drives.
+    */
+  private val seqStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, Boolean, String)]()
+
+  private def ensureSequencer(spark: SparkSession, dir: String): (String, Long, Long, Boolean, String) =
+    seqStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import streaming.EventStreams
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-seq-q").toString
+      val t = s"$base/t"
+      EventStreams.mergeBatchIntoTable(
+        (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L, retain = 8)
+      val bks = (0L until 16L).toDF("doc_id")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val kA = 0L
+      val kB = bks.find(_._2 != bks(kA)).get._1
+      var raced = false
+      EventStreams.mergeBatchIntoTable(
+        Seq((kA, 111L, 1L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 2L, retain = 8,
+        beforeRename = () => if (!raced) {
+          raced = true
+          EventStreams.mergeBatchIntoTable(
+            Seq((kB, 222L, 1L)).toDF("doc_id", "n", "__v"), t,
+            Seq("doc_id"), "__v", nBuckets = 4, batchId = 1L, retain = 8)
+        })
+      // crashed PRE-RENAME holder: its token names the current head
+      // (2) and carries an uncommitted id (3)
+      val tokDir = new org.apache.hadoop.fs.Path(s"$t/_manifests/_commit")
+      val fs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(tokDir)
+      val stale = new org.apache.hadoop.fs.Path(tokDir, f"${2L}%020d")
+      val o = fs.create(stale, false)
+      o.write("3".getBytes("UTF-8")); o.close()
+      val msg = scala.util.Try {
+        EventStreams.mergeBatchIntoTable(
+          Seq((kA, 333L, 2L)).toDF("doc_id", "n", "__v"), t,
+          Seq("doc_id"), "__v", nBuckets = 4, batchId = 4L, retain = 8)
+      }.failed.map(_.getMessage).getOrElse("")
+      EventStreams.mergeBatchIntoTable( // the holder's replay adopts
+        Seq((kB, 444L, 2L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 3L, retain = 8)
+      EventStreams.mergeBatchIntoTable( // the failed id's re-drive
+        Seq((kA, 333L, 2L)).toDF("doc_id", "n", "__v"), t,
+        Seq("doc_id"), "__v", nBuckets = 4, batchId = 4L, retain = 8)
+      (t, kA, kB, raced, msg)
+    })
+
+  /** ATOMIC COMMIT SEQUENCER (q212): round 15's optimistic rebase left
+    * one unguarded instant — between a publish's head re-check and its
+    * rename — where two writers racing the SAME parent could both pass
+    * and the later-listed commit silently omitted the earlier's
+    * buckets until fsck. Guarded commits now rename only while holding
+    * a create-exclusive parent token (`_manifests/_commit/<headId>`)
+    * and re-check the head UNDER the token; the loser re-enters the
+    * rebase loop and lands on the winner's head. Every verdict
+    * re-derives from the committed chain: time travel reads both raced
+    * snapshots, base tags name true parents, the crashed-holder
+    * discipline (loud failure naming the remediation; the holder's
+    * replay adopts; committed-holder litter is collected) is provoked
+    * and proven, and the end state is fsck-green with zero tokens.
+    */
+  def q212CommitSequencer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (t, kA, kB, raced, msg) = ensureSequencer(spark, dir)
+    def at(id: Long) = EventStreams.readUpsertTableAt(spark, t, id)
+    def nOf(df: DataFrame, k: Long): Long =
+      df.filter(col("doc_id") === k).select("n").head().getLong(0)
+    val latest = EventStreams.readUpsertTable(spark, t).localCheckpoint()
+    // the double-pass race: NEITHER commit dropped from the end state
+    val neitherDropped = nOf(latest, kA) == 333L && nOf(latest, kB) == 444L &&
+      latest.count() == 16L
+    // the raced writer's own snapshot carries the winner's bucket — no
+    // commit's buckets were omitted from any listed manifest
+    val snap2 = at(2L).localCheckpoint()
+    val winnerCarried = nOf(snap2, kB) == 222L && nOf(snap2, kA) == 111L
+    // the winner's snapshot pre-dates the raced write
+    val winnerFirst = nOf(at(1L), kB) == 222L && nOf(at(1L), kA) == 0L
+    // base tags prove the rebase chain: 2 onto 1, 3 onto 2, 4 onto 3
+    val hist = EventStreams.tableHistory(spark, t)
+      .select("batch_id", "base").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    val rebasedChain = hist.get(2L).contains(1L) &&
+      hist.get(3L).contains(2L) && hist.get(4L).contains(3L)
+    // crashed-holder discipline, from the captured failure + the chain
+    val contendedLoud = msg.contains("commit sequencer") &&
+      msg.contains("Replay the holder's batch")
+    val holderAdopted = nOf(at(3L), kB) == 444L
+    val redriveLanded = nOf(at(4L), kA) == 333L
+    // end state: fsck green (incl. the in-flight staging the failed
+    // attempt left, adopted by its re-drive), zero commit tokens
+    val fsckGreen = EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1))
+    val tokDir = new org.apache.hadoop.fs.Path(s"$t/_manifests/_commit")
+    val fs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokensReleased = !fs.exists(tokDir) || fs.listStatus(tokDir).isEmpty
+    val inflight = new org.apache.hadoop.fs.Path(s"$t/_inflight")
+    val stagingReleased = !fs.exists(inflight) ||
+      fs.listStatus(inflight).isEmpty
+    Seq(
+      ("double_pass_race_provoked", raced),
+      ("neither_commit_dropped", neitherDropped),
+      ("raced_commit_carries_winner_buckets", winnerCarried),
+      ("winner_snapshot_pre_dates_race", winnerFirst),
+      ("base_tags_prove_rebase_chain", rebasedChain),
+      ("contended_writer_fails_loud", contendedLoud),
+      ("holder_replay_adopts_token", holderAdopted),
+      ("failed_id_redrive_lands", redriveLanded),
+      ("fsck_green_after_races", fsckGreen),
+      ("commit_tokens_released", tokensReleased),
+      ("staging_tokens_released", stagingReleased))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -8369,6 +8545,7 @@ object SparkEntry {
     "q209_feed_stream" -> (q209FeedStream _),
     "q210_purge_after_audit" -> (q210PurgeAfterAudit _),
     "q211_cluster_drift" -> (q211ClusterDrift _),
+    "q212_commit_sequencer" -> (q212CommitSequencer _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -9854,6 +10031,9 @@ object SparkEntry {
         |  ('starts_with_prunes'),
         |  ('is_not_null_skips_all_null_files'),
         |  ('is_null_skips_zero_null_files'),
+        |  ('date_cast_probe_prunes'),
+        |  ('ts_to_date_cast_probe_prunes'),
+        |  ('equal_null_safe_prunes'),
         |  ('bloom_equality_prunes_in_plan'),
         |  ('scan_plans_from_recorded_sizes'),
         |  ('delta_snapshot_refuses')) t(c)""".stripMargin,
@@ -9869,6 +10049,21 @@ object SparkEntry {
         |  ('same_id_redrive_lands'),
         |  ('emptied_bucket_stays_empty_through_rebase'),
         |  ('fsck_green_after_race'),
+        |  ('staging_tokens_released')) t(c)""".stripMargin,
+    // the sequencer race outcomes are decided in-engine (time travel
+    // over the committed chain, base tags, fsck); the oracle pins them
+    "q212_commit_sequencer" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('double_pass_race_provoked'),
+        |  ('neither_commit_dropped'),
+        |  ('raced_commit_carries_winner_buckets'),
+        |  ('winner_snapshot_pre_dates_race'),
+        |  ('base_tags_prove_rebase_chain'),
+        |  ('contended_writer_fails_loud'),
+        |  ('holder_replay_adopts_token'),
+        |  ('failed_id_redrive_lands'),
+        |  ('fsck_green_after_races'),
+        |  ('commit_tokens_released'),
         |  ('staging_tokens_released')) t(c)""".stripMargin,
     "q209_feed_stream" ->
       """SELECT c AS "check", TRUE AS ok

@@ -37,6 +37,8 @@ import graft.streaming.EventStreams
   */
 object Maintenance {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Default unfolded-delta depth at which the `folds` leg acts
     * (`maxDepth <= 0` in a fold entry resolves to this). DERIVED FROM
     * MEASUREMENT, not picked: the DeltaDepth sweep (PLANS.md §r15,
@@ -277,7 +279,14 @@ object Maintenance {
       // the report merge — contrary to the pass's own report-and-
       // continue convention (the unreadable-ledger heal path)
       scala.util.Try(EventStreams.retentionBacklog(spark, dir, bounds)) match {
-        case scala.util.Failure(_) =>
+        case scala.util.Failure(e) =>
+          // the report row schema has no message column — LOG the
+          // failure (class + message) so a genuinely broken probe
+          // (missing column, unreadable manifest, a real bug) stays
+          // diagnosable from the pass output while the report keeps
+          // its report-and-continue posture (ADVICE r15)
+          log.warn(s"maintenance run $runId: retention probe failed for " +
+            s"$dir — reporting retention_contract red and continuing", e)
           rows += ((runId, label, "retention_contract", false, bounds.size.toLong))
           rows += ((runId, label, "retention_backlog", true, 0L))
           rows += ((runId, label, "retention_acted", true, 0L))
@@ -335,7 +344,9 @@ object Maintenance {
       // leg convention
       scala.util.Try(
         EventStreams.clusteringDrift(spark, dir, sortBy).collect()) match {
-        case scala.util.Failure(_) =>
+        case scala.util.Failure(e) =>
+          log.warn(s"maintenance run $runId: clustering-drift probe failed " +
+            s"for $dir — reporting cluster_contract red and continuing", e)
           rows += ((runId, label, "cluster_contract", false, sortBy.size.toLong))
           rows += ((runId, label, "cluster_drift", true, 0L))
           rows += ((runId, label, "recluster_acted", true, 0L))

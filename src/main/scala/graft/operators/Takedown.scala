@@ -586,9 +586,16 @@ object Takedown {
       rows += ((label, "below_cut_travel_refuses", belowRefuses, 0L))
       val ids = EventStreams.tableHistory(spark, dir)
         .select("batch_id").collect().map(_.getLong(0)).sorted
-      val retainedRefs = ids.map(id => scala.util.Try(
-        refs(EventStreams.readUpsertTableAt(spark, dir, id)).count()
-      ).getOrElse(0L)).sum
+      // a snapshot that FAILS to read must not count as zero references
+      // (ADVICE r15): coercing a transient IO failure to 0 would let a
+      // proof-of-deletion report green when verification never ran —
+      // failed reads report red under their own check instead
+      val reads = ids.map(id => scala.util.Try(
+        refs(EventStreams.readUpsertTableAt(spark, dir, id)).count()))
+      val unreadable = reads.count(_.isFailure).toLong
+      val retainedRefs = reads.collect {
+        case scala.util.Success(n) => n }.sum
+      rows += ((label, "snapshots_unreadable", unreadable == 0L, unreadable))
       rows += ((label, "retained_snapshots_zero_refs", retainedRefs == 0L,
         retainedRefs))
       val feedRefuses = scala.util.Try(

@@ -316,7 +316,8 @@ object EventStreams {
                           delta: Boolean = false,
                           statsCols: Option[Seq[String]] = None,
                           bloomCols: Option[Seq[String]] = None,
-                          beforeCommit: () => Unit = () => ()): Unit = {
+                          beforeCommit: () => Unit = () => (),
+                          beforeRename: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -506,7 +507,8 @@ object EventStreams {
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
       base = Some(committed.map(_._1)),
       statsTz = resolveStatsTz(spark, fs, table,
-        effStatsCols.nonEmpty || effBloomCols.nonEmpty))
+        effStatsCols.nonEmpty || effBloomCols.nonEmpty),
+      beforeRename = beforeRename)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -538,7 +540,8 @@ object EventStreams {
   def deleteFromTable(spark: SparkSession, tableDir: String, keys: DataFrame,
                       keyCols: Seq[String], nBuckets: Int, batchId: Long,
                       retain: Int = 1,
-                      beforeCommit: () => Unit = () => ()): Unit = {
+                      beforeCommit: () => Unit = () => (),
+                      beforeRename: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val table = new Path(tableDir)
@@ -650,7 +653,8 @@ object EventStreams {
       bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
       base = Some(committed.map(_._1)),
       statsTz = resolveStatsTz(spark, fs, table,
-        delStatsCols.nonEmpty || delBloomCols.nonEmpty))
+        delStatsCols.nonEmpty || delBloomCols.nonEmpty),
+      beforeRename = beforeRename)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -1512,7 +1516,38 @@ object EventStreams {
         java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
     case _: NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b)
+    case StringType =>
+      // CODE-POINT order, NOT String.compareTo (ADVICE r15): the
+      // writer's min/max aggregated in UTF8String BINARY order, which
+      // is UTF-8 byte order == code-point order. UTF-16 code-unit
+      // order disagrees exactly where supplementary-plane characters
+      // (surrogate pairs, units 0xD800–0xDFFF) meet high-BMP
+      // characters in [0xE000, 0xFFFF] — e.g. "�" < "\u{1F600}"
+      // by code point but > by code unit — and a probe comparing in
+      // the wrong order can prune a file that HOLDS matching rows.
+      // Canonicalizing here keeps every caller (zone maps, retention
+      // coverage, clustering drift) in the writer's order.
+      codePointCompare(a, b)
+    case _ => a.compareTo(b) // canonical date/bool renderings are ASCII
+  }
+
+  /** Compare two strings by Unicode CODE POINT — the order
+    * `UTF8String`'s binary comparison (and therefore the writer's
+    * recorded string min/max) sorts in. Identical to
+    * `String.compareTo` for BMP-only data; differs only when
+    * supplementary-plane characters are involved.
+    */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** A user bound in the column's canonical form. Timestamp bounds
@@ -2030,6 +2065,27 @@ object EventStreams {
     * fixed data schema; compact to re-homogenize).
     */
   def readUpsertTableScan(spark: SparkSession, tableDir: String): DataFrame = {
+    val (index, schema) = zoneMapIndexFor(spark, tableDir)
+    if (index.inputFiles.isEmpty) return readUpsertTable(spark, tableDir)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+
+  /** The zone-map [[ZoneMapFileIndex]] + data schema of the LATEST
+    * committed snapshot — the one classifier both read surfaces plan
+    * from: [[readUpsertTableScan]] (V1 `HadoopFsRelation`) and the
+    * DataSourceV2 `graft` format ([[graft.sources.GraftTable]] wraps
+    * it for plain-SQL users), so the two can never prune differently.
+    * Loud scope guards as documented on [[readUpsertTableScan]]:
+    * unfolded delta snapshots and mixed-schema snapshots refuse.
+    */
+  private[graft] def zoneMapIndexFor(spark: SparkSession,
+                                     tableDir: String): (ZoneMapFileIndex, StructType) = {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2045,7 +2101,6 @@ object EventStreams {
       s"$tableDir is a mixed-schema snapshot; the pruned scan plans one " +
         "fixed data schema — compactUpsertTable re-homogenizes it")
     val rels = readManifest(fs, manifest)._2.values.flatten.toSeq
-    if (rels.isEmpty) return readUpsertTable(spark, tableDir)
     val stats = manifestFileStats(fs, manifest)
     // file statuses from the manifest's recorded byte lengths (every
     // r14+ shard carries them) — ZERO per-file driver RPCs at planning
@@ -2061,18 +2116,15 @@ object EventStreams {
         case None => (fs.getFileStatus(p), rel)
       }
     }
-    val schema = spark.read
-      .parquet(new Path(table, rels.head).toString).schema
-    val index = new ZoneMapFileIndex(table, files, stats, schema,
+    // a committed-EMPTY snapshot has no file to infer from — the
+    // schema-carrying read serves it (and the scan surfaces fall back
+    // to that read anyway)
+    val schema =
+      if (rels.isEmpty) readUpsertTable(spark, tableDir).schema
+      else spark.read.parquet(new Path(table, rels.head).toString).schema
+    (new ZoneMapFileIndex(table, files, stats, schema,
       manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet,
-      statsTz = manifestStatsTz(fs, manifest))
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, new StructType(), schema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
+      statsTz = manifestStatsTz(fs, manifest)), schema)
   }
 
   /** Latest-row-per-key resolution of a (possibly) delta-holding file
@@ -2216,12 +2268,16 @@ object EventStreams {
     * (bounded). Everything else — overlapping buckets, full-rewrite
     * commits (`touched = None`), re-bucketing, contract drift,
     * non-increasing ids, a pruned base — FAILS LOUDLY with the
-    * single-writer error. This is optimistic concurrency, not
-    * linearizability: the unguarded window shrinks to the instant
-    * between the re-read and the rename, and a loss that slips through
-    * is still repairable (both batches replay cleanly — each id's
-    * files are staged and idempotent). Concurrent writers must use
-    * DISTINCT batchIds (the scheduler contract); the recorded
+    * single-writer error. Since round 16 the re-read → rename window
+    * itself is SEQUENCED: a guarded commit renames only while holding
+    * a create-exclusive parent token (`_manifests/_commit/<headId>`)
+    * and re-checks the head under it, so two writers passing the head
+    * check together can no longer both land on the same parent — the
+    * token loser re-enters the rebase loop and commits on the winner's
+    * head. Guarded concurrent disjoint-bucket writers are therefore
+    * LINEARIZED at the commit point; what remains optimistic is only
+    * the work between snapshot read and publish. Concurrent writers
+    * must use DISTINCT batchIds (the scheduler contract); the recorded
     * `"base":N` lets the change feed tell an exact parent pair from a
     * pruned-interior gap.
     */
@@ -2237,7 +2293,8 @@ object EventStreams {
                               base: Option[Option[Long]] = None,
                               kind: Option[String] = None,
                               bloomCols: Option[Seq[String]] = None,
-                              statsTz: Option[String] = None): Unit = {
+                              statsTz: Option[String] = None,
+                              beforeRename: () => Unit = () => ()): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -2347,22 +2404,80 @@ object EventStreams {
       }
       moved match {
         case None =>
-          // the sink is SINGLE-WRITER per batchId; a failed rename means
-          // another writer published this exact batchId concurrently —
-          // fail loudly rather than lose updates
-          require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
-            s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
-              "concurrent writers must commit under distinct batchIds")
-          // the staging is committed: release its in-flight token so
-          // other writers' sweeps treat the generation normally
-          fs.delete(new org.apache.hadoop.fs.Path(inflightDir(table), f"$batchId%020d"), false)
-          // collect self-written shards the rebase dropped (the list
-          // no longer names them; nothing else ever will)
-          selfWritten.foreach { case (b, name) =>
-            if (!pointersNow.get(b).contains(name))
-              fs.delete(new org.apache.hadoop.fs.Path(shardsDir, name), false)
+          // RACE SEAM: the head re-check above has PASSED — this is
+          // exactly the r15 TOCTOU instant. The specs' hook runs a
+          // full interloper commit here; the sequencer below must
+          // catch it (token re-check) and push this publish through
+          // the rebase instead of renaming over the interloper.
+          beforeRename()
+          // COMMIT SEQUENCER (round 16, closing the r15 TOCTOU): the
+          // re-read above and the rename below used to be the one
+          // unguarded window — two guarded writers could both pass the
+          // head check on the SAME parent before either renamed, and
+          // the later-listed id's pointer list silently omitted the
+          // earlier's buckets until fsck. A guarded commit now takes a
+          // create-exclusive PARENT TOKEN (`_manifests/_commit/<headId>`
+          // — the run-lock primitive) before renaming, and RE-CHECKS
+          // the head under the token: the loser of the token race (or
+          // of the re-check) re-enters the rebase loop and lands on the
+          // winner's head. Crash discipline mirrors the run lock: a
+          // token whose holder's id IS committed is post-rename litter
+          // (collected by the next contender); a replay of the holder's
+          // own batchId ADOPTS the token; a token from a crashed,
+          // unreplayed id fails contenders loudly with the remediation.
+          // Unguarded commits (base = None: legacy single-writer
+          // callers) keep the bare rename — they declared no parent to
+          // sequence on.
+          val tokenHeld = baseNow match {
+            case None => true // unguarded: no parent, no token
+            case Some(parent) =>
+              if (!acquireCommitToken(fs, table, parent, batchId)) false
+              else {
+                // re-check under the token: a winner may have committed
+                // between our head read and our token acquisition
+                val headNow = manifestList(fs, table).lastOption
+                  .map(manifestBatchId(fs, _))
+                if (baseNow.contains(headNow)) true
+                else {
+                  releaseCommitToken(fs, table, parent)
+                  false // head moved: next iteration rebases onto it
+                }
+              }
           }
-          committed = true
+          if (!tokenHeld) {
+            fs.delete(tmp, false)
+            attempts += 1
+            if (attempts > 8) {
+              val parent = baseNow.flatten
+                .map(id => f"$id%020d").getOrElse("empty")
+              throw new IllegalStateException(
+                s"commit sequencer: the parent token _manifests/_commit/" +
+                  s"$parent on $table stayed contended for 8 attempts — a " +
+                  "concurrent writer is racing this parent, or a crashed " +
+                  "writer left its token. Replay the holder's batch to " +
+                  "completion (it adopts the token), or remove the token " +
+                  "after verifying nothing is running. Nothing was lost — " +
+                  s"batch $batchId did not land.")
+            }
+          } else {
+            // the sink is SINGLE-WRITER per batchId; a failed rename means
+            // another writer published this exact batchId concurrently —
+            // fail loudly rather than lose updates
+            require(fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"$batchId%020d.json")),
+              s"manifest publish of batch $batchId failed — concurrent writer on $table? " +
+                "concurrent writers must commit under distinct batchIds")
+            // the staging is committed: release its in-flight token so
+            // other writers' sweeps treat the generation normally
+            fs.delete(new org.apache.hadoop.fs.Path(inflightDir(table), f"$batchId%020d"), false)
+            // collect self-written shards the rebase dropped (the list
+            // no longer names them; nothing else ever will)
+            selfWritten.foreach { case (b, name) =>
+              if (!pointersNow.get(b).contains(name))
+                fs.delete(new org.apache.hadoop.fs.Path(shardsDir, name), false)
+            }
+            baseNow.foreach(parent => releaseCommitToken(fs, table, parent))
+            committed = true
+          }
         case Some((b, headOpt)) =>
           fs.delete(tmp, false)
           attempts += 1
@@ -2432,6 +2547,67 @@ object EventStreams {
           baseNow = Some(Some(headId))
       }
     }
+  }
+
+  /** The commit-sequencer token path for one parent snapshot: a
+    * create-exclusive file under `_manifests/_commit` named by the
+    * parent's zero-padded batchId (`empty` for a first commit). Naming
+    * the PARENT — not a single global lock — means a crashed writer's
+    * token only ever contends commits of that one parent: as soon as
+    * any commit lands, every later writer sequences on a NEW name and
+    * the stale token is dead weight, not a wedge.
+    */
+  private def commitTokenPath(table: org.apache.hadoop.fs.Path,
+                              parent: Option[Long]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      manifestsDir(table), "_commit"),
+      parent.map(id => f"$id%020d").getOrElse("empty"))
+
+  /** Try to take the parent token (atomic create-exclusive, content =
+    * the taker's batchId). True = held (including ADOPTING our own
+    * crashed attempt's token — the run-lock replay contract). False =
+    * contended: a LIVE concurrent writer holds it (back off briefly and
+    * let the caller retry), or a crashed POST-RENAME holder left it
+    * (its id is committed — collect the stale token on the way out, the
+    * inflight-token convention). A crashed PRE-RENAME holder's token
+    * (id never committed) stays until its batch is replayed or an
+    * operator removes it — the caller's bounded retries fail loudly
+    * naming it.
+    */
+  private def acquireCommitToken(fs: org.apache.hadoop.fs.FileSystem,
+                                 table: org.apache.hadoop.fs.Path,
+                                 parent: Option[Long],
+                                 batchId: Long): Boolean = {
+    val token = commitTokenPath(table, parent)
+    fs.mkdirs(token.getParent)
+    try {
+      val out = fs.create(token, false) // atomic create-exclusive
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException =>
+        val holder =
+          try {
+            val in = fs.open(token)
+            try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          } catch { case _: Exception => "" }
+        if (holder == batchId.toString) true // our crashed attempt: adopt
+        else {
+          val holderCommitted = holder.toLongOption.exists(id =>
+            fs.exists(new org.apache.hadoop.fs.Path(
+              manifestsDir(table), f"$id%020d.json")))
+          if (holderCommitted) fs.delete(token, false) // post-rename litter
+          else Thread.sleep(20) // live holder mid-rename: let it finish
+          false
+        }
+    }
+  }
+
+  private def releaseCommitToken(fs: org.apache.hadoop.fs.FileSystem,
+                                 table: org.apache.hadoop.fs.Path,
+                                 parent: Option[Long]): Unit = {
+    fs.delete(commitTokenPath(table, parent), false)
+    ()
   }
 
   /** A SELF-CONTAINED (legacy-inline-shape) manifest body — what
@@ -3486,9 +3662,20 @@ object EventStreams {
     *   - `no_orphan_data`: no data file on disk is unreferenced by
     *     EVERY manifest (n = orphans). Orphans are legal crash litter
     *     mid-protocol; a nonzero count on a quiesced table means a
-    *     sweep/vacuum is due, not corruption;
+    *     sweep/vacuum is due, not corruption. Staged generations whose
+    *     batchId carries a LIVE `_inflight` token are a concurrent
+    *     writer's protected staging, NOT orphans (ADVICE r15 — the
+    *     sweeps deliberately skip them, and fsck must agree with the
+    *     sweeps about reclaimability): they report under the separate
+    *     `in_flight_staging` row instead;
+    *   - `in_flight_staging`: informational (always ok) count of
+    *     staged generation dirs protected by a live in-flight token —
+    *     a live concurrent writer, or an abandoned id an operator
+    *     reclaims by deleting the token and vacuuming;
     *   - `no_orphan_shards`: no manifest shard file is unreferenced by
     *     every committed list (same posture as no_orphan_data);
+    *     shards named by a live in-flight batchId are likewise the
+    *     concurrent writer's pending publish, not orphans;
     *   - `delta_spec_present`: a live bucket stacking files from more
     *     than one commit (a DELTA bucket) requires the latest list to
     *     carry its reconcile spec — a lost spec would let plain reads
@@ -3527,13 +3714,32 @@ object EventStreams {
     val pinsOk = pinsParseable && resolving.forall(_._2.isDefined)
     val pinnedMissing = resolving.flatMap(_._2).flatMap(m => missing(m._3)).distinct
     val referencedEver = parsed.flatMap(_._3.values).flatten.toSet
+    // LIVE in-flight tokens, read WITHOUT the sweep helper's stale-token
+    // collection (fsck never mutates): ids tokened under `_inflight`
+    // that no committed manifest carries — a concurrent writer's
+    // protected staging (or an abandoned id). Their gen dirs and
+    // pending shards are deliberately NOT orphans (ADVICE r15): the
+    // sweeps skip them forever, and fsck disagreeing would flag a
+    // healthy concurrent write as red debris.
+    val committedIds = parsed.map(_._2).toSet
+    val inflightLive: Set[Long] = {
+      val d = new Path(table, "_inflight")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).filter(_.isFile)
+        .flatMap(_.getPath.getName.toLongOption)
+        .filterNot(committedIds).toSet
+    }
+    var inflightStaged = 0L
     val orphans = scala.collection.mutable.ArrayBuffer[String]()
     // pre-manifest (legacy flat / bucket-dir) tables have no committed
     // reference set — their unmigrated files are live data, not orphans
     if (parsed.nonEmpty && fs.exists(table)) fs.listStatus(table).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) orphans += name
-      else if (st.isDirectory &&
+      else if (st.isDirectory && name.startsWith("gen_") &&
+          name.stripPrefix("gen_").toLongOption.exists(inflightLive)) {
+        inflightStaged += 1 // a protected staging, reported, never red
+      } else if (st.isDirectory &&
           (name.startsWith("gen_") || name.startsWith(s"$upsertBucketCol="))) {
         val bucketDirs =
           if (name.startsWith("gen_")) fs.listStatus(st.getPath).filter(_.isDirectory).toSeq
@@ -3561,9 +3767,17 @@ object EventStreams {
           try readShardPointers(fs, p).map(_.values.toSeq).getOrElse(Seq.empty)
           catch { case _: Exception => Seq.empty }
         }.toSet
+        // a shard named by a LIVE in-flight batchId is a concurrent
+        // writer's pending publish (shards write before the list
+        // renames) — not crash litter
+        val shardId = """s\d+-(\d+)\.json""".r
         fs.listStatus(shardsDir)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
-            !referenced.contains(s.getPath.getName))
+            !referenced.contains(s.getPath.getName) &&
+            !(s.getPath.getName match {
+              case shardId(id) => id.toLongOption.exists(inflightLive)
+              case _ => false
+            }))
           .map(_.getPath.getName).toSeq
       }
     // a live bucket stacking files from MORE than one commit is a
@@ -3582,6 +3796,7 @@ object EventStreams {
       ("pins_resolvable", pinsOk, pins.size.toLong),
       ("pinned_files_exist", pinnedMissing.isEmpty, pinnedMissing.size.toLong),
       ("no_orphan_data", orphans.isEmpty, orphans.size.toLong),
+      ("in_flight_staging", true, inflightStaged),
       ("no_orphan_shards", orphanShards.isEmpty, orphanShards.size.toLong),
       ("delta_spec_present", specOk, multiGen.toLong))
       .toDF("check", "ok", "n")

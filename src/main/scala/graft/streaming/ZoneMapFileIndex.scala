@@ -57,14 +57,22 @@ final class ZoneMapFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val typed = ZoneMapFileIndex.extractBounds(dataFilters, schema, statsTz)
+    // normalize pushed shapes the extractors would otherwise skip —
+    // comparisons through safe casts (DATE column vs timestamp
+    // literal and the reverse, integral/float widenings),
+    // EqualNullSafe, Not(IsNull)/Not(IsNotNull) — into the plain
+    // column-vs-literal forms below, with SOUND (weakened-inclusive,
+    // direction-aware rounded) bounds. Unrewritable shapes pass
+    // through untouched and extract nothing, as before.
+    val dataFiltersN = dataFilters.map(ZoneMapFileIndex.desugar)
+    val typed = ZoneMapFileIndex.extractBounds(dataFiltersN, schema, statsTz)
     // equality conjuncts on bloom-contracted columns also test the
     // files' membership sketches — the probe positions come from a
     // DRIVER-SIDE eval of the same XxHash64 expression the writer
     // aggregated with (type-guarded: hash equality needs value+type
     // equality), no job at planning time
     val probes: Map[String, (Int, Int)] =
-      ZoneMapFileIndex.extractEqualities(dataFilters, schema).collect {
+      ZoneMapFileIndex.extractEqualities(dataFiltersN, schema).collect {
         case (c, l) if bloomCols(c) && schema(c).dataType == l.dataType =>
           c -> ZoneMapFileIndex.bloomPositions(l)
       }
@@ -77,7 +85,7 @@ final class ZoneMapFileIndex(
     // element's point range overlaps AND its bloom admits that
     // element); unextractable conjuncts contribute nothing, keeping
     // the conservative fallback intact for mixed trees
-    val preds = dataFilters.flatMap(e =>
+    val preds = dataFiltersN.flatMap(e =>
       ZoneMapFileIndex.conjunctPred(e, schema, stats, bloomCols, statsTz))
     val survivors =
       if (typed.isEmpty && probes.isEmpty && preds.isEmpty) files
@@ -90,6 +98,184 @@ final class ZoneMapFileIndex(
 }
 
 object ZoneMapFileIndex {
+
+  /** Normalize one pushed conjunct into the extractable
+    * column-vs-literal shapes (round 16, the r15 "What's missing" #5):
+    *
+    *   - comparisons THROUGH A SAFE CAST — `Cast(col, wider) OP lit`,
+    *     the shape every dashboard hits comparing a DATE column to a
+    *     timestamp literal (or an INT to a LONG) — rewrite to the bare
+    *     column with the literal rendered back in the COLUMN's type,
+    *     rounded AWAY from the kept side ([[castBound]]) so the
+    *     rewritten bound is implied by the original predicate (weaker,
+    *     never wrong). Strict bounds weaken to inclusive — the
+    *     extractors do that anyway. A cast equality whose literal is
+    *     not exactly representable becomes an EMPTY interval (no row
+    *     can match), which the range path prunes to zero files;
+    *   - `EqualNullSafe(col, lit)` — EqualTo for a non-null literal
+    *     (a NULL row never <=> a value), IsNull for a null literal;
+    *   - `Not(IsNull)` / `Not(IsNotNull)` — the unnegated twins.
+    *     `Not` of anything else extracts nothing, as before;
+    *   - recursion through And/Or so the shapes compose inside trees.
+    *
+    * Anything unrewritable passes through untouched (and extracts
+    * nothing downstream — the conservative fallback).
+    */
+  private[streaming] def desugar(e: Expression): Expression = e match {
+    case And(l, r) => And(desugar(l), desugar(r))
+    case Or(l, r) => Or(desugar(l), desugar(r))
+    case Not(IsNull(a)) => IsNotNull(a)
+    case Not(IsNotNull(a)) => IsNull(a)
+    case EqualNullSafe(ar: AttributeReference, l: Literal) =>
+      if (l.value == null) IsNull(ar) else EqualTo(ar, l)
+    case EqualNullSafe(l: Literal, ar: AttributeReference) =>
+      if (l.value == null) IsNull(ar) else EqualTo(ar, l)
+    // --- comparisons through a cast: col side first, then mirrored ---
+    case GreaterThanOrEqual(CastOf(ar, tz), l: Literal) => castLo(e, ar, l, tz)
+    case GreaterThan(CastOf(ar, tz), l: Literal) => castLo(e, ar, l, tz)
+    case LessThanOrEqual(CastOf(ar, tz), l: Literal) => castHi(e, ar, l, tz)
+    case LessThan(CastOf(ar, tz), l: Literal) => castHi(e, ar, l, tz)
+    case GreaterThanOrEqual(l: Literal, CastOf(ar, tz)) => castHi(e, ar, l, tz)
+    case GreaterThan(l: Literal, CastOf(ar, tz)) => castHi(e, ar, l, tz)
+    case LessThanOrEqual(l: Literal, CastOf(ar, tz)) => castLo(e, ar, l, tz)
+    case LessThan(l: Literal, CastOf(ar, tz)) => castLo(e, ar, l, tz)
+    case EqualTo(CastOf(ar, tz), l: Literal) => castEq(e, ar, l, tz)
+    case EqualTo(l: Literal, CastOf(ar, tz)) => castEq(e, ar, l, tz)
+    case EqualNullSafe(CastOf(ar, tz), l: Literal) if l.value != null =>
+      castEq(e, ar, l, tz)
+    case EqualNullSafe(l: Literal, CastOf(ar, tz)) if l.value != null =>
+      castEq(e, ar, l, tz)
+    case other => other
+  }
+
+  /** Matches `Cast(col, _)` and yields the column + the cast's zone. */
+  private object CastOf {
+    def unapply(e: Expression): Option[(AttributeReference, Option[String])] =
+      e match {
+        case c: Cast => c.child match {
+          case ar: AttributeReference => Some((ar, c.timeZoneId))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  private def castLo(orig: Expression, ar: AttributeReference, l: Literal,
+                     tz: Option[String]): Expression =
+    castBound(ar.dataType, l, ceil = true, tz)
+      .map(b => GreaterThanOrEqual(ar, b): Expression).getOrElse(orig)
+
+  private def castHi(orig: Expression, ar: AttributeReference, l: Literal,
+                     tz: Option[String]): Expression =
+    castBound(ar.dataType, l, ceil = false, tz)
+      .map(b => LessThanOrEqual(ar, b): Expression).getOrElse(orig)
+
+  private def castEq(orig: Expression, ar: AttributeReference, l: Literal,
+                     tz: Option[String]): Expression =
+    (castBound(ar.dataType, l, ceil = true, tz),
+      castBound(ar.dataType, l, ceil = false, tz)) match {
+      // ALWAYS the interval form, never a point EqualTo: range-edge
+      // CLAMPING can collapse an unrepresentable literal onto the type
+      // edge (ceil == floor at Int.MaxValue for `= 5e9`), and an
+      // EqualTo would then bloom-probe a value the user never asked
+      // for. The interval [ceil, floor] prunes identically through the
+      // range path — empty (lo > hi) when the literal is between
+      // representable values, a point when it is one.
+      case (Some(lo), Some(hi)) =>
+        And(GreaterThanOrEqual(ar, lo), LessThanOrEqual(ar, hi))
+      case _ => orig
+    }
+
+  /** The pushed literal `l` (typed as the CAST's wider/other type)
+    * rendered back in the column's type, rounded toward `ceil` (up for
+    * lower bounds, down for upper) and clamped to the type's range —
+    * every rounding direction chosen so the rewritten inclusive bound
+    * is IMPLIED by the original comparison. None = not a cast pair
+    * this understands (no rewrite — conservative).
+    *
+    * Supported pairs (column ← literal): integral ← wider
+    * integral/float/double/decimal; float ← double; DATE ← TIMESTAMP
+    * (midnight semantics in the cast's zone: `cast(d as ts) >= t` ⟺
+    * `d >= ceilDate(t)`); TIMESTAMP ← DATE (`cast(ts as date) >= d` ⟺
+    * `ts >= midnight(d)`; upper bounds widen to midnight(d+1) —
+    * inclusive, sound).
+    */
+  private def castBound(colDt: DataType, l: Literal, ceil: Boolean,
+                        tz: Option[String]): Option[Literal] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def zone = java.time.ZoneId.of(tz.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    def asBd: Option[JBD] = l.value match {
+      case null => None
+      case b: Byte => Some(JBD.valueOf(b.toLong))
+      case s: Short => Some(JBD.valueOf(s.toLong))
+      case i: Int => Some(JBD.valueOf(i.toLong))
+      case j: Long => Some(JBD.valueOf(j))
+      case f: Float if !f.isNaN && !f.isInfinite => Some(new JBD(f.toString))
+      case d: Double if !d.isNaN && !d.isInfinite => Some(new JBD(d.toString))
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _ => None
+    }
+    def clampedIntegral(lo: Long, hi: Long): Option[Long] = asBd.map { bd =>
+      val r = bd.setScale(0, if (ceil) RoundingMode.CEILING else RoundingMode.FLOOR)
+      if (r.compareTo(JBD.valueOf(lo)) < 0) lo
+      else if (r.compareTo(JBD.valueOf(hi)) > 0) hi
+      else r.longValueExact
+    }
+    (colDt, l.dataType) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType |
+                      DoubleType | _: DecimalType) =>
+        clampedIntegral(Byte.MinValue, Byte.MaxValue)
+          .map(v => Literal(v.toByte, ByteType))
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType |
+                       _: DecimalType) =>
+        clampedIntegral(Short.MinValue, Short.MaxValue)
+          .map(v => Literal(v.toShort, ShortType))
+      case (IntegerType, LongType | FloatType | DoubleType | _: DecimalType) =>
+        clampedIntegral(Int.MinValue, Int.MaxValue)
+          .map(v => Literal(v.toInt, IntegerType))
+      case (LongType, FloatType | DoubleType | _: DecimalType) =>
+        // float/double above 2^53 no longer distinguishes adjacent
+        // longs — the BigDecimal of the literal's DECIMAL RENDERING is
+        // still exact for the value the plan actually carries, and
+        // rounding toward the kept side keeps the bound implied
+        clampedIntegral(Long.MinValue, Long.MaxValue)
+          .map(v => Literal(v, LongType))
+      case (FloatType, DoubleType) => l.value match {
+        case d: Double if !d.isNaN && !d.isInfinite =>
+          val f = d.toFloat // nearest float; nudge to the implied side
+          val b =
+            if (ceil) { if (f.toDouble < d) Math.nextUp(f) else f }
+            else { if (f.toDouble > d) Math.nextDown(f) else f }
+          Some(Literal(b, FloatType))
+        case _ => None
+      }
+      case (DateType, TimestampType) => l.value match {
+        case micros: Long =>
+          // cast(d as timestamp) = midnight of d in the cast's zone:
+          // >= t ⟺ d >= the first date whose midnight is at/after t
+          val i = java.time.Instant.EPOCH.plusNanos(micros * 1000L)
+          val dtm = java.time.LocalDateTime.ofInstant(i, zone)
+          val d0 = dtm.toLocalDate
+          val d = if (ceil && !dtm.toLocalTime.equals(java.time.LocalTime.MIDNIGHT))
+            d0.plusDays(1) else d0
+          Some(Literal(d.toEpochDay.toInt, DateType))
+        case _ => None
+      }
+      case (TimestampType, DateType) => l.value match {
+        case days: Int =>
+          // cast(ts as date) >= d ⟺ ts >= midnight(d); <= d widens to
+          // ts <= midnight(d+1) (inclusive of the boundary instant —
+          // one extra representable instant, sound)
+          val d = java.time.LocalDate.ofEpochDay(
+            days.toLong + (if (ceil) 0L else 1L))
+          val micros = d.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
+          Some(Literal(micros, TimestampType))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   /** Canonical-string form of a pushed literal under the column's
     * type, aligned with the writer's stats rendering; None = not a

@@ -25,6 +25,36 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(math.abs(t1 * Bench.probeRef / p1 - t2 * Bench.probeRef / p2) < 1e-9)
   }
 
+  test("probe basis: min of pre/post probes on both sides resolves the r15 false drift flag") {
+    // the basis parser: min of the line's recorded probes; pre-only
+    // lines fall back; probe_ref must not match the "probe": regex
+    assert(Bench.parseHistoryProbeBasis(
+      """{"probe":0.2332,"probe_ref":0.20,"probe_post":0.0800,"value":9}""") === 0.08)
+    assert(Bench.parseHistoryProbeBasis("""{"probe":0.1724,"value":9}""") === 0.1724)
+    assert(Bench.parseHistoryProbeBasis("""{"value":9}""") === 0.0)
+    // the r15 probe-disagreement shape end-to-end: the same host reads
+    // intrinsic ~0.08 in idle instants and 0.16-0.23 under transient
+    // contention. History recorded pre 0.2332 (contended) / post 0.08;
+    // this run read pre 0.1657 / post 0.0812; the sweeps themselves ran
+    // at the SAME speed (raw totals equal — the flat round the judge
+    // adjudicated from per-query data).
+    val qs = (1 to 25).map(i => s"q$i" -> 1.0).toMap
+    // OLD basis (single pre-probe both sides): history scales DOWN by
+    // 0.1657/0.2332 and the equal raw sweep reads as a >1.2 regression
+    val flagged = Bench.historyDriftRatio(qs,
+      Bench.normalizeToProbe(Seq((0.2332, qs)), 0.1657))
+    assert(flagged.exists(_ > 1.20),
+      "the single-pre-probe basis manufactures the drift flag")
+    // HARDENED basis: min(pre, post) each side — 0.08 vs 0.0812 —
+    // compares least-contended to least-contended, factor ~1, resolved
+    val histBasis = Bench.parseHistoryProbeBasis(
+      """{"probe":0.2332,"probe_post":0.0800,"value":9}""")
+    val resolved = Bench.historyDriftRatio(qs,
+      Bench.normalizeToProbe(Seq((histBasis, qs)), math.min(0.1657, 0.0812)))
+    assert(resolved.exists(r => r > 0.9 && r <= 1.20),
+      s"the min basis must resolve the flat round: $resolved")
+  }
+
   test("parseHistoryQueries reads timings, skips plan hashes and top-level fields") {
     val line = """{"ts":1,"metric":"total","value":94.48,"unit":"sec",""" +
       """"probe":0.186,"queries":{"q01_agg":0.1234,"q181_x":4.89,"q59_props_map":-1},""" +

@@ -1366,6 +1366,44 @@ class StreamingSpec extends SparkSpec {
     assert(!fsck()("pinned_files_exist")._1)
   }
 
+  test("fsck agrees with the sweeps about in-flight stagings (ADVICE r15)") {
+    val tableDir = Files.createTempDirectory("graft-fsck-if").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      Seq((1L, "p", 0L)).toDF("k", "payload", "version"),
+      tableDir, Seq("k"), "version", 2, 0L, retain = 2)
+    // a concurrent writer's protected staging: live token + staged gen
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tableDir/_inflight"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/_inflight/00000000000000000007"), "")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tableDir/gen_7/__bucket=0"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tableDir/gen_7/__bucket=0/part-0.parquet"),
+      "staged")
+    def fsck() = EventStreams.fsckUpsertTable(spark, tableDir)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val live = fsck()
+    assert(live("no_orphan_data")._1,
+      "a token-protected staging is a live writer, not orphan debris — " +
+        "fsck must agree with sweepUnreferenced about reclaimability")
+    assert(live("in_flight_staging") === ((true, 1L)),
+      "the protected staging reports under its own informational row")
+    // the vacuum sweep also leaves it alone — fsck and sweep agree
+    EventStreams.vacuumUpsertTable(spark, tableDir, retain = 2)
+    assert(new java.io.File(s"$tableDir/gen_7/__bucket=0/part-0.parquet").exists())
+    // abandon the id (operator removes the token): the staging becomes
+    // ordinary crash litter — orphan-red, and the sweep reclaims it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tableDir/_inflight/00000000000000000007"))
+    val abandoned = fsck()
+    assert(!abandoned("no_orphan_data")._1 && abandoned("no_orphan_data")._2 === 1L)
+    assert(abandoned("in_flight_staging") === ((true, 0L)))
+    EventStreams.vacuumUpsertTable(spark, tableDir, retain = 2)
+    assert(!new java.io.File(s"$tableDir/gen_7").exists())
+    assert(fsck()("no_orphan_data")._1)
+  }
+
   test("sharded manifests: a 1-bucket merge commits O(1) metadata; legacy inline lists adopt on read") {
     val tableDir = Files.createTempDirectory("graft-shardman").toString + "/t"
     def merge(rows: Seq[(Long, String, Long)], id: Long) =
@@ -2576,6 +2614,174 @@ class StreamingSpec extends SparkSpec {
       s"an IN on a bloom-contracted column must skip files ($bFiles of $bLive)")
   }
 
+  test("zone maps: supplementary-plane strings compare in the writer's code-point order") {
+    // "�" (U+FFFD, high BMP) sorts BELOW U+1F600 (a surrogate
+    // pair) in code-point/UTF-8 order — the order the writer's
+    // UTF8String min/max aggregated in — but ABOVE it under
+    // String.compareTo's UTF-16 code-unit order. A probe comparing in
+    // the wrong order would prune a file that HOLDS matching rows
+    // (ADVICE r15): this pins statCompare's code-point canonicalization
+    // end-to-end and at the FileIndex level.
+    val hi = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    val t = Files.createTempDirectory("graft-zsupp").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      Seq((0L, "apple", 0L), (1L, "banana", 0L), (2L, hi, 0L),
+        (3L, emoji + "grin", 0L)).toDF("k", "s", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("s")))
+    // sort by s (UTF8String binary order: apple, banana, hi, emoji…) at
+    // 2 rows/file — the second file's recorded range is [hi, emoji…]
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("s"), maxRecordsPerFile = 2)
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live === 2)
+    def run(c: org.apache.spark.sql.Column): (Seq[Long], Long) = {
+      val d = EventStreams.readUpsertTableScan(spark, t).filter(c)
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      (rows, fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(0L))
+    }
+    // s >= U+FFFD: under UTF-16 comparison the file max (the emoji
+    // string) reads BELOW the bound and the holding file prunes —
+    // silently dropping both rows
+    val (geRows, _) = run(col("s") >= hi)
+    assert(geRows === Seq(2L, 3L),
+      "a >= probe at U+FFFD must keep the file whose max is a " +
+        "supplementary-plane string")
+    // equality on the supplementary string itself
+    val (eqRows, _) = run(col("s") === (emoji + "grin"))
+    assert(eqRows === Seq(3L))
+    // starts_with on the supplementary prefix (successor undefined —
+    // lower bound only, still must not lose the row)
+    val (swRows, _) = run(col("s").startsWith(emoji))
+    assert(swRows === Seq(3L))
+    // ASCII-prefix starts_with still PRUNES the supplementary file
+    val (apRows, apFiles) = run(col("s").startsWith("a"))
+    assert(apRows === Seq(0L) && apFiles < live,
+      s"plain prefixes must still prune (opened $apFiles of $live)")
+    // FileIndex-level pin, independent of how compaction laid files out
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, Literal}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val p = new org.apache.hadoop.fs.Path(t)
+      val st = new org.apache.hadoop.fs.FileStatus(
+        4L, false, 1, 1L, 0L, new org.apache.hadoop.fs.Path(p, "b0/f0.parquet"))
+      val idx = new graft.streaming.ZoneMapFileIndex(
+        p, Seq((st, "b0/f0.parquet")),
+        Map("b0/f0.parquet" -> Map("s" -> ((Some(hi), Some(emoji + "grin"))))),
+        StructType(Seq(StructField("s", StringType))))
+      val out = idx.listFiles(Nil, Seq(GreaterThanOrEqual(
+        AttributeReference("s", StringType)(),
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(hi), StringType))))
+      assert(out.head.files.nonEmpty,
+        "[U+FFFD, U+1F600…] must overlap a >= U+FFFD probe — code-point " +
+          "order, not UTF-16 code-unit order")
+    }
+  }
+
+  test("zone maps: probes through safe casts prune; lossy shapes stay conservative") {
+    val t = Files.createTempDirectory("graft-zcast").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 24L).map(k => (k, 0L)).toDF("k", "__v")
+        .withColumn("d", expr("date_add(date'2021-06-01', cast(k as int))"))
+        .withColumn("ts", expr("timestampadd(HOUR, cast(k * 6 as int), " +
+          "timestamp'2021-06-01 00:00:00')"))
+        .select("k", "d", "ts", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("d", "ts")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L,
+      sortBy = Seq("k"), maxRecordsPerFile = 4)
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(live === 6)
+    val full = EventStreams.readUpsertTable(spark, t).localCheckpoint()
+    def run(c: org.apache.spark.sql.Column): (Seq[Long], Long) = {
+      val d = EventStreams.readUpsertTableScan(spark, t).filter(c)
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      (rows, fin.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(0L))
+    }
+    def oracle(c: org.apache.spark.sql.Column): Seq[Long] =
+      full.filter(c).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // DATE column vs TIMESTAMP literal — arrives as Cast(d, ts) >= lit;
+    // mid-day cut: the ceil must round UP to the next date (a floor
+    // would wrongly include 06-20's midnight and a raw reinterpretation
+    // would read everything)
+    val cut = lit(java.sql.Timestamp.valueOf("2021-06-20 12:00:00"))
+    val (geRows, geFiles) = run(col("d") >= cut)
+    assert(geRows === oracle(col("d") >= cut) && geRows.nonEmpty)
+    assert(geFiles < live, s"date-vs-timestamp must prune ($geFiles of $live)")
+    // exact-midnight boundary: inclusive on the boundary date
+    val mid = lit(java.sql.Timestamp.valueOf("2021-06-21 00:00:00"))
+    assert(run(col("d") >= mid)._1 === oracle(col("d") >= mid))
+    assert(run(col("d") <= mid)._1 === oracle(col("d") <= mid))
+    // TIMESTAMP column vs DATE literal — cast(ts as date) = d covers
+    // the whole day's instants
+    val day = lit(java.sql.Date.valueOf("2021-06-03"))
+    val (eqRows, eqFiles) = run(col("ts").cast("date") === day)
+    assert(eqRows === oracle(col("ts").cast("date") === day) && eqRows.nonEmpty)
+    assert(eqFiles < live, s"ts-vs-date must prune ($eqFiles of $live)")
+    val (deRows, _) = run(col("ts").cast("date") >= day)
+    assert(deRows === oracle(col("ts").cast("date") >= day))
+    // FileIndex-level pins (independent of what Catalyst unwraps):
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualNullSafe, EqualTo, GreaterThanOrEqual, IsNull, Literal, Not}
+      import org.apache.spark.sql.types._
+      val p = new org.apache.hadoop.fs.Path(t)
+      def idx(stats: Map[String, (Option[String], Option[String])],
+              dt: DataType) = {
+        val st = new org.apache.hadoop.fs.FileStatus(
+          4L, false, 1, 1L, 0L, new org.apache.hadoop.fs.Path(p, "b0/f0.parquet"))
+        new graft.streaming.ZoneMapFileIndex(
+          p, Seq((st, "b0/f0.parquet")),
+          Map("b0/f0.parquet" -> stats.map { case (k, v) => k -> v }),
+          StructType(Seq(StructField("c", dt))))
+      }
+      def kept(i: graft.streaming.ZoneMapFileIndex,
+               e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        i.listFiles(Nil, Seq(e)).head.files.nonEmpty
+      val intIdx = idx(Map("c" -> ((Some("0"), Some("100"))),
+        "__nl_c" -> ((Some("0"), Some("0")))), // the null-count pseudo-column
+        IntegerType)
+      val c = AttributeReference("c", IntegerType)()
+      // widening-cast range: bigint literal above the recorded max
+      // prunes; clamping an over-range literal stays sound (no int can
+      // satisfy >= 5e9, so pruning the file is correct)
+      assert(!kept(intIdx, GreaterThanOrEqual(
+        Cast(c, LongType), Literal(5000000000L))))
+      assert(kept(intIdx, GreaterThanOrEqual(
+        Cast(c, LongType), Literal(50L))))
+      // cast equality on an unrepresentable literal: EMPTY interval
+      assert(!kept(intIdx, EqualTo(Cast(c, DoubleType), Literal(3.5))))
+      assert(kept(intIdx, EqualTo(Cast(c, DoubleType), Literal(3.0))))
+      // Not(IsNull) = IsNotNull semantics; EqualNullSafe = EqualTo
+      assert(kept(intIdx, Not(IsNull(c))))
+      assert(!kept(intIdx, EqualNullSafe(c, Literal(500, IntegerType))))
+      assert(!kept(intIdx, EqualNullSafe(c, Literal(null, IntegerType))),
+        "c <=> NULL is IS NULL — a zero-null-count file prunes")
+      // LOSSY cast (string column read as int): unsupported pair, the
+      // conservative fallback keeps the file
+      val sIdx = idx(Map("c" -> ((Some("0"), Some("100")))), StringType)
+      val sc = AttributeReference("c", StringType)()
+      assert(kept(sIdx, GreaterThanOrEqual(
+        Cast(sc, IntegerType), Literal(5000))))
+    }
+  }
+
   test("zone maps: timestamp probes render in the recorded stats time zone; NaN never throws at planning") {
     val tzKey = "spark.sql.session.timeZone"
     val origTz = spark.conf.get(tzKey)
@@ -2842,6 +3048,93 @@ class StreamingSpec extends SparkSpec {
     val fsckRows = EventStreams.fsckUpsertTable(spark, t).collect()
       .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
     assert(fsckRows.forall(_._2), s"fsck after the rebase: $fsckRows")
+  }
+
+  test("commit sequencer: the double-pass race cannot silently drop a commit (r15 TOCTOU closed)") {
+    val t = Files.createTempDirectory("graft-seq").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 4, batchId = 0L, retain = 8)
+    val bks = (0L until 16L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(4)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kA = 0L
+    val kB = bks.find(_._2 != bks(kA)).get._1
+    def rowOf(k: Long): Long = EventStreams.readUpsertTable(spark, t)
+      .filter(col("k") === k).select("n").head().getLong(0)
+    // WRITER A (id 2): the beforeRename seam fires AFTER A's publish
+    // passed the head re-check — the exact instant the r15 rebase loop
+    // left unguarded. The seam runs WRITER B (id 1, disjoint bucket) to
+    // FULL completion on the SAME base: pre-sequencer, A's rename would
+    // land over B's commit and B's bucket pointers would silently
+    // vanish from the latest snapshot until fsck. The parent token's
+    // under-token re-check must push A through the rebase instead.
+    var raced = false
+    EventStreams.mergeBatchIntoTable(
+      Seq((kA, 111L, 1L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 2L, retain = 8,
+      beforeRename = () => if (!raced) {
+        raced = true
+        EventStreams.mergeBatchIntoTable(
+          Seq((kB, 222L, 1L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+          nBuckets = 4, batchId = 1L, retain = 8)
+      })
+    assert(raced, "the race seam must have provoked the interleaving")
+    assert(rowOf(kA) === 111L && rowOf(kB) === 222L,
+      "NEITHER double-pass writer's commit may be dropped")
+    assert(EventStreams.readUpsertTable(spark, t).count() === 16L)
+    // A's own committed snapshot carries B's bucket — nothing omitted —
+    // and records the TRUE parent (B's id), proving A went through the
+    // rebase rather than renaming over B
+    val snapA = EventStreams.readUpsertTableAt(spark, t, 2L)
+    assert(snapA.filter(col("k") === kB).select("n").head().getLong(0) === 222L)
+    val baseTags = EventStreams.tableHistory(spark, t)
+      .select("batch_id", "base").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(baseTags(2L) === 1L, "the raced writer must have rebased onto the winner")
+    // end state: fsck green, no commit tokens left behind
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    val tokDir = new org.apache.hadoop.fs.Path(s"$t/_manifests/_commit")
+    val fs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(tokDir) || fs.listStatus(tokDir).isEmpty,
+      "every commit must release its parent token")
+    // CRASHED-HOLDER discipline (the run-lock convention): a stale
+    // PRE-RENAME token (holder id never committed) fails a different
+    // writer loudly with the remediation; the holder's own replay
+    // ADOPTS the token and lands; the failed id re-drives cleanly.
+    fs.mkdirs(tokDir)
+    val stale = new org.apache.hadoop.fs.Path(tokDir, f"${2L}%020d")
+    val out = fs.create(stale, false)
+    out.write("3".getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalStateException] {
+      EventStreams.mergeBatchIntoTable(
+        Seq((kA, 333L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+        nBuckets = 4, batchId = 4L, retain = 8)
+    }
+    assert(err.getMessage.contains("commit sequencer") &&
+      err.getMessage.contains("Replay the holder's batch"),
+      s"contended writers must fail loudly with the remediation: ${err.getMessage}")
+    EventStreams.mergeBatchIntoTable( // the holder's replay adopts
+      Seq((kB, 444L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 3L, retain = 8)
+    assert(rowOf(kB) === 444L)
+    assert(!fs.exists(stale), "the adopted token must release on commit")
+    EventStreams.mergeBatchIntoTable( // the failed id's re-drive lands
+      Seq((kA, 333L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 4L, retain = 8)
+    assert(rowOf(kA) === 333L)
+    // a stale POST-RENAME token (holder's id IS committed) is litter —
+    // the next contender collects it and commits
+    val litter = new org.apache.hadoop.fs.Path(tokDir, f"${4L}%020d")
+    val out2 = fs.create(litter, false)
+    out2.write("3".getBytes("UTF-8")); out2.close() // 3 already committed
+    EventStreams.mergeBatchIntoTable(
+      Seq((kA, 555L, 3L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
+      nBuckets = 4, batchId = 5L, retain = 8)
+    assert(rowOf(kA) === 555L)
+    assert(!fs.exists(litter), "a committed holder's token is collected")
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    assert(!fs.exists(tokDir) || fs.listStatus(tokDir).isEmpty)
   }
 
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {

@@ -644,5 +644,28 @@ class TakedownSpec extends SparkSpec {
     val freeIdx = purgeIdx()
     assert(freeIdx("holds_released")._1 && freeIdx("purge_acted")._1)
     assert(freeIdx("serving_zero_refs") === ((true, 0L)))
+    // the healthy purge proves every snapshot READ, not just counted
+    assert(p2(("table-corpus", "snapshots_unreadable")) === ((true, 0L)))
+  }
+
+  test("purgeDocs: a snapshot that fails to read reports red, never counts as zero refs (ADVICE r15)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-purge-ur").toString
+    val corpus = s"$base/corpus"
+    val docs = (0L until 8L).map(i => (i, s"text $i", 0L))
+      .toDF("doc_id", "text", "__v")
+    EventStreams.mergeBatchIntoTable(docs, corpus, Seq("doc_id"), "__v",
+      nBuckets = 2, batchId = 0L, retain = 4)
+    Takedown.deleteDocs(spark, Seq(2L), batchId = 10L,
+      ledgerDir = s"$base/ledger", keyedTables = Seq((corpus, "doc_id", 2)))
+    // damage a RETAINED (post-cut) snapshot out-of-band: its read now
+    // throws — the proof-of-deletion must surface that as red instead
+    // of silently coercing the count to zero
+    val victim = EventStreams.tableManifest(spark, corpus).values.flatten.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$corpus/$victim"))
+    val p = Takedown.purgeDocs(spark, Seq(2L), purgeBelowBatch = 10L,
+      keyedTables = Seq((corpus, "doc_id")))
+      .collect().map(r => (r.getString(1), (r.getBoolean(2), r.getLong(3)))).toMap
+    assert(!p("snapshots_unreadable")._1 && p("snapshots_unreadable")._2 >= 1L,
+      "an unreadable retained snapshot must flag red — verification never ran")
   }
 }
