@@ -5180,12 +5180,53 @@ object SparkEntry {
         dim = 16, nPlanes = 4, batchId = 0L)
       operators.Similarity.buildIvfPqIndex(
         Tables.embeddings(spark, dir), s"$base/idx")
+      // RACE THE WALK (round 16): a disjoint-bucket ingest merge lands
+      // between the corpus delete leg's staging and its publish — the
+      // takedown's own commit must REBASE, and the composed request's
+      // verdicts (all-clean audits, stable pinned audit, sealed ledger)
+      // must hold with BOTH writers' rows in the committed chain
+      val bks = streaming.EventStreams.readUpsertTable(spark, s"$base/corpus")
+        .select(col("doc_id"), pmod(hash(col("doc_id")), lit(8)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val delBuckets = q185DeletedIds.map(bks).toSet
+      val kIngest = bks.collect {
+        case (k, b) if !delBuckets(b) && !q185DeletedIds.contains(k) => k
+      }.min
+      var raced = false
       operators.Takedown.deleteDocs(spark, q185DeletedIds, batchId = 10L,
         ledgerDir = s"$base/ledger",
         sequences = Some((toks, s"$base/seqs", 128, 1000)),
         keyedTables = Seq((s"$base/corpus", "doc_id", 8),
           (s"$base/sigstore", "doc_id", 8)),
-        ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"))
+        ragIndex = Some(s"$base/rag"), ivfPqIndex = Some(s"$base/idx"),
+        beforeCommit = () => if (!raced) {
+          raced = true
+          streaming.EventStreams.mergeBatchIntoTable(
+            spark.range(1).select(lit(kIngest).as("doc_id"),
+              lit("raced-ingest").as("text"), lit("en").as("lang"),
+              lit(1L).as("__v")),
+            s"$base/corpus", Seq("doc_id"), "__v", nBuckets = 8,
+            batchId = 9L)
+        })
+      // the race outcomes gate the fixture loudly: the interleaved
+      // ingest survived the takedown's rebase, the delete leg recorded
+      // its true parent, and fsck is green after the race
+      require(raced, "the q185 race hook must have fired")
+      val postRows = streaming.EventStreams
+        .readUpsertTable(spark, s"$base/corpus")
+        .filter(col("doc_id") === kIngest).select("text")
+        .collect().map(_.getString(0)).toSeq
+      require(postRows == Seq("raced-ingest"),
+        s"the interleaved ingest's row must survive the takedown rebase: $postRows")
+      val corpusBase = streaming.EventStreams
+        .tableHistory(spark, s"$base/corpus")
+        .filter(col("batch_id") === 10L).select("base")
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+      require(corpusBase == Seq(9L),
+        s"the takedown's delete leg must have rebased onto the ingest: $corpusBase")
+      require(streaming.EventStreams.fsckUpsertTable(spark, s"$base/corpus")
+        .collect().forall(_.getBoolean(1)),
+        "fsck must be green after the raced takedown")
       base
     })
 
@@ -5205,9 +5246,14 @@ object SparkEntry {
     * [[operators.Takedown.auditDocsAt]] — the batch-pinned audit whose
     * per-artifact time-travel reads stay stable racing a concurrent
     * walk (the mixed-answer race the latest-snapshot audit loses;
-    * TakedownSpec proves the mid-walk stability). Crash-replay
-    * semantics are TakedownSpec's job (mid-walk crash + same-args
-    * replay == from-scratch-without-docs on every artifact).
+    * TakedownSpec proves the mid-walk stability). Since round 16 the
+    * fixture also RACES the walk: a disjoint-bucket ingest merge lands
+    * mid-commit inside the corpus delete leg, the leg rebases (base
+    * tag 10 -> 9, require-gated in the fixture with fsck green), and
+    * every verdict below must still hold with both writers' rows in
+    * the committed chain. Crash-replay semantics are TakedownSpec's
+    * job (mid-walk crash + same-args replay == from-scratch-without-
+    * docs on every artifact).
     */
   def q185TakedownOrchestration(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureTakedownAll(spark, dir)
@@ -8336,6 +8382,257 @@ object SparkEntry {
       .toDF("check", "ok")
   }
 
+  /** PLAIN-SQL DATASOURCE (q213): the DataSourceV2 `graft` format —
+    * `spark.read.format("graft").load(dir)` and
+    * `CREATE TABLE ... USING graft` followed by plain `SELECT ...
+    * WHERE ...` — must reach the SAME zone-map/bloom file pruning the
+    * Scala API scan plans, because both surfaces build their file
+    * index from the one classifier. Verdicts decided in-query from
+    * executed plans: the V2 `BatchScan`'s planned-file count equals
+    * the V1 API scan's executed `numFiles` (strictly under the live
+    * count), full reads agree row-for-row, the bloom probe prunes
+    * through SQL, SQL INSERT refuses (both the V2 write builder and
+    * Spark's V1 fallback path), and an unfolded delta snapshot keeps
+    * its loud read guard.
+    */
+  def q213SqlDataSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val base = ensureZone(spark, dir)
+    val z = s"$base/z"
+    val live = EventStreams.tableManifest(spark, z).values.map(_.size).sum.toLong
+    def finOf(d: DataFrame) = d.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    // a V2 scan's PLANNED file count (its FilePartitions' members) —
+    // the pruning evidence surface, read from the executed plan
+    def v2Scanned(d: DataFrame): (Seq[Long], Long) = {
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val files = finOf(d).collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.map {
+            case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+              f.files.length
+            case _ => 0
+          }.sum.toLong
+      }.getOrElse(-1L)
+      (rows, files)
+    }
+    def v1Scanned(d: DataFrame): (Seq[Long], Long) = {
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      (rows, finOf(d).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(-1L))
+    }
+    val sqlFull = spark.read.format("graft").load(z)
+    val apiFull = EventStreams.readUpsertTable(spark, z)
+    val fullEqual = sqlFull.exceptAll(apiFull).isEmpty &&
+      apiFull.exceptAll(sqlFull).isEmpty
+    val (sRows, sFiles) = v2Scanned(
+      spark.read.format("graft").load(z).filter(col("n") <= 155L))
+    val (aRows, aFiles) = v1Scanned(
+      EventStreams.readUpsertTableScan(spark, z).filter(col("n") <= 155L))
+    val prunedParity = sRows == aRows && sFiles == aFiles && sFiles < live &&
+      sFiles > 0
+    // pure SQL over a registered catalog table, plus the write guards
+    spark.sql("DROP TABLE IF EXISTS graft_q213")
+    spark.sql(s"CREATE TABLE graft_q213 USING graft OPTIONS (path '$z')")
+    val (catalogSql, insertRefuses) =
+      try {
+        val (cRows, cFiles) = v2Scanned(
+          spark.sql("SELECT doc_id FROM graft_q213 WHERE n <= 155"))
+        val ins = scala.util.Try(
+          spark.sql("INSERT INTO graft_q213 VALUES (99, 990, 'c99', 1)"))
+          .failed.toOption.exists { e =>
+            (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+              .contains("merge")
+          }
+        (cRows == aRows && cFiles == aFiles, ins)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_q213")
+    val zb = s"$base/zb"
+    val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
+    val v77 = s"u${(77L * 2654435761L) % 100000}"
+    val (bRows, bFiles) = v2Scanned(
+      spark.read.format("graft").load(zb).filter(col("u") === v77))
+    val bloomThruSql = bRows == Seq(77L) && bFiles < bLive && bFiles > 0
+    val deltaRefuses = scala.util.Try(
+      spark.read.format("graft").load(s"$base/zd").collect()).failed.toOption
+      .exists { e =>
+        (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+          .contains("delta")
+      }
+    Seq(
+      ("sql_read_equals_api_read", fullEqual),
+      ("sql_filter_plans_apis_pruned_files", prunedParity),
+      ("catalog_table_select_prunes_identically", catalogSql),
+      ("sql_insert_refuses_loudly", insertRefuses),
+      ("bloom_probe_prunes_through_sql", bloomThruSql),
+      ("delta_snapshot_refuses_through_sql", deltaRefuses))
+      .toDF("check", "ok")
+  }
+
+  /** q214 fixture: the column-rename lifecycle — (unfolded dir, folded
+    * dir). Both tables: 32 sorted stats-bearing rows, folded tight,
+    * then a METADATA-ONLY rename n -> metric, then a one-bucket merge
+    * under the new name (old-era files stay live in the other bucket).
+    * The folded twin additionally runs the materializing fold.
+    */
+  private val renameStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def ensureRename(spark: SparkSession, dir: String): (String, String) =
+    renameStores.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      import streaming.EventStreams
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-rename-q").toString
+      val bks = (0L until 200L).toDF("doc_id")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(2)))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val kNew = (100L until 200L).find(k => bks(k) == bks(7L)).get
+      def build(t: String, fold: Boolean): Unit = {
+        EventStreams.mergeBatchIntoTable(
+          (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+          t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+          statsCols = Some(Seq("n")))
+        EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 1L,
+          retain = 8, sortBy = Seq("n"), maxRecordsPerFile = 4)
+        EventStreams.renameColumn(spark, t, "n", "metric", 2L)
+        EventStreams.renameColumn(spark, t, "n", "metric", 2L) // replay no-ops
+        EventStreams.mergeBatchIntoTable(
+          Seq((kNew, 9999L, 1L), (7L, 71L, 1L)).toDF("doc_id", "metric", "__v"),
+          t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 3L, retain = 8)
+        if (fold)
+          EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 4L,
+            retain = 8, sortBy = Seq("metric"), maxRecordsPerFile = 4)
+      }
+      build(s"$base/t", fold = false)
+      build(s"$base/tf", fold = true)
+      // the DROP twin: aux tombstones at batch 2 (metadata-only), a
+      // narrowed merge lands at 3, the fold at 4 sheds the tombstone
+      val td = s"$base/td"
+      EventStreams.mergeBatchIntoTable(
+        (0L until 16L).map(k => (k, k * 10L, s"aux$k", 0L))
+          .toDF("doc_id", "n", "aux", "__v"),
+        td, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+        statsCols = Some(Seq("n", "aux")))
+      EventStreams.compactUpsertTable(spark, td, Seq("doc_id"), 2, 1L,
+        retain = 8, sortBy = Seq("n"), maxRecordsPerFile = 4)
+      EventStreams.dropColumn(spark, td, "aux", 2L)
+      EventStreams.mergeBatchIntoTable(
+        Seq((100L, 5L, 1L)).toDF("doc_id", "n", "__v"),
+        td, Seq("doc_id"), "__v", nBuckets = 2, batchId = 3L, retain = 8)
+      (s"$base/t", s"$base/tf")
+    })
+
+  /** COLUMN RENAME VIA STABLE COLUMN IDS (q214): the manifest's
+    * `colIds` contract maps immutable ids to name histories, so a
+    * rename is a METADATA-ONLY commit — zero data movement at 100 TB —
+    * while every reader translates old-era files to current names and
+    * TIME TRAVEL below the rename serves the old name (history is
+    * immutable, schema included). Verdicts re-derived from the
+    * committed chains and executed plans: the rename commit reuses
+    * every data file (its feed window diffs to zero rows), reads and
+    * scans serve the new name with the old files' zone maps still
+    * pruning (the per-era projection pushes the probe down under the
+    * recorded name), the V2/SQL surface refuses the unmaterialized
+    * rename loudly, and the materializing fold truncates the histories
+    * and returns every fast path — SQL included — with fsck green
+    * throughout.
+    */
+  def q214RenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import streaming.EventStreams
+    val (t, tf) = ensureRename(spark, dir)
+    // metadata-only: the rename commit's feed window carries NOTHING
+    val renameNoop = EventStreams.readChangeFeed(spark, t, 1L, Some(2L))
+      .isEmpty
+    val kinds = EventStreams.tableHistory(spark, t)
+      .select("batch_id", "kind").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "" else r.getString(1)))
+      .toMap
+    val renameKind = kinds.get(2L).contains("rename")
+    // replayed rename committed nothing extra (ids 0,1,2,3 only)
+    val replayNoop = kinds.keySet == Set(0L, 1L, 2L, 3L)
+    val latest = EventStreams.readUpsertTable(spark, t).localCheckpoint()
+    val newName = latest.columns.toSeq == Seq("doc_id", "metric", "__v") &&
+      latest.filter(col("doc_id") === 7L)
+        .select("metric").head().getLong(0) == 71L &&
+      latest.count() == 33L
+    def scanned(d: DataFrame): (Seq[Long], Long) = {
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      (rows, fin.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum)
+    }
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
+    val (xr, xf) = scanned(
+      EventStreams.readUpsertTableScan(spark, t).filter(col("metric") <= 155L))
+    val scanPrunes = xr == (0L to 15L).toSeq && xf < live
+    // time travel below the rename: the OLD name, the old value
+    val at1 = EventStreams.readUpsertTableAt(spark, t, 1L)
+    val oldBelow = at1.columns.toSeq == Seq("doc_id", "n", "__v") &&
+      at1.filter(col("doc_id") === 7L).select("n").head().getLong(0) == 70L
+    // the one-relation V2 surface refuses the unmaterialized rename
+    val sqlRefuses = scala.util.Try(
+      spark.read.format("graft").load(t).collect()).failed.toOption
+      .exists(e => (e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("unmaterialized"))
+    val fsckT = EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1))
+    // the folded twin: histories truncated, SQL serves it, still prunes
+    val truncated = EventStreams.tableColIds(spark, tf)
+      .exists(_.values.forall(_.size == 1))
+    val sqlServes = spark.read.format("graft").load(tf).count() == 33L
+    val liveF = EventStreams.tableManifest(spark, tf).values.map(_.size).sum.toLong
+    val (fr, ff) = scanned(
+      EventStreams.readUpsertTableScan(spark, tf).filter(col("metric") <= 155L))
+    val foldPrunes = fr == (0L to 15L).toSeq && ff < liveF
+    val fsckF = EventStreams.fsckUpsertTable(spark, tf)
+      .collect().forall(_.getBoolean(1))
+    // the DROP twin: metadata-only tombstone, reads project the column
+    // away, the narrowed merge lands, time travel below still serves it,
+    // and key-column drops refuse
+    val td = t.stripSuffix("/t") + "/td"
+    val dropNoop = EventStreams.readChangeFeed(spark, td, 1L, Some(2L)).isEmpty
+    val tdRead = EventStreams.readUpsertTable(spark, td).localCheckpoint()
+    val dropProjects = tdRead.columns.toSeq == Seq("doc_id", "n", "__v") &&
+      tdRead.count() == 17L &&
+      EventStreams.tableStatsCols(spark, td) == Some(Seq("n"))
+    val dropBelow = EventStreams.readUpsertTableAt(spark, td, 1L)
+      .columns.contains("aux")
+    val keyDropRefuses = scala.util.Try(
+      EventStreams.dropColumn(spark, td, "doc_id", 9L)).failed.toOption
+      .exists(_.getMessage.contains("key"))
+    Seq(
+      ("drop_commit_moves_zero_data", dropNoop),
+      ("drop_projects_column_away", dropProjects),
+      ("time_travel_below_drop_serves_column", dropBelow),
+      ("key_column_drop_refuses", keyDropRefuses),
+      ("rename_commit_moves_zero_data", renameNoop && renameKind),
+      ("replayed_rename_noops", replayNoop),
+      ("reads_serve_new_name", newName),
+      ("pruned_scan_prunes_through_rename", scanPrunes),
+      ("time_travel_below_reads_old_name", oldBelow),
+      ("sql_surface_refuses_unmaterialized_rename", sqlRefuses),
+      ("fsck_green_with_rename_pending", fsckT),
+      ("fold_materializes_and_truncates_histories", truncated),
+      ("sql_serves_materialized_table", sqlServes),
+      ("materialized_scan_still_prunes", foldPrunes),
+      ("fsck_green_after_materializing_fold", fsckF))
+      .toDF("check", "ok")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_daily_agg" -> (q01DailyAgg _),
@@ -8546,6 +8843,8 @@ object SparkEntry {
     "q210_purge_after_audit" -> (q210PurgeAfterAudit _),
     "q211_cluster_drift" -> (q211ClusterDrift _),
     "q212_commit_sequencer" -> (q212CommitSequencer _),
+    "q213_sql_datasource" -> (q213SqlDataSource _),
+    "q214_rename_column" -> (q214RenameColumn _),
     "q170_threshold_decontam" -> (q170ThresholdDecontam _),
     "q171_canonical_selection" -> (q171CanonicalSelection _),
     "q172_token_budget_mix" -> (q172TokenBudgetMix _),
@@ -10065,6 +10364,35 @@ object SparkEntry {
         |  ('fsck_green_after_races'),
         |  ('commit_tokens_released'),
         |  ('staging_tokens_released')) t(c)""".stripMargin,
+    // SQL-vs-API parity is decided in-engine from executed plans'
+    // planned-file counts; the oracle pins the verdicts
+    "q213_sql_datasource" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('sql_read_equals_api_read'),
+        |  ('sql_filter_plans_apis_pruned_files'),
+        |  ('catalog_table_select_prunes_identically'),
+        |  ('sql_insert_refuses_loudly'),
+        |  ('bloom_probe_prunes_through_sql'),
+        |  ('delta_snapshot_refuses_through_sql')) t(c)""".stripMargin,
+    // rename-lifecycle verdicts are decided in-engine (committed
+    // chains, executed plans, refusal messages); the oracle pins them
+    "q214_rename_column" ->
+      """SELECT c AS "check", TRUE AS ok
+        |FROM (VALUES ('drop_commit_moves_zero_data'),
+        |  ('drop_projects_column_away'),
+        |  ('time_travel_below_drop_serves_column'),
+        |  ('key_column_drop_refuses'),
+        |  ('rename_commit_moves_zero_data'),
+        |  ('replayed_rename_noops'),
+        |  ('reads_serve_new_name'),
+        |  ('pruned_scan_prunes_through_rename'),
+        |  ('time_travel_below_reads_old_name'),
+        |  ('sql_surface_refuses_unmaterialized_rename'),
+        |  ('fsck_green_with_rename_pending'),
+        |  ('fold_materializes_and_truncates_histories'),
+        |  ('sql_serves_materialized_table'),
+        |  ('materialized_scan_still_prunes'),
+        |  ('fsck_green_after_materializing_fold')) t(c)""".stripMargin,
     "q209_feed_stream" ->
       """SELECT c AS "check", TRUE AS ok
         |FROM (VALUES ('streamed_two_passes_equal_one_batch_diff'),

@@ -327,7 +327,20 @@ object Maintenance {
         // night (statsCols inherit through the manifest contract).
         // zClusterBy is the multi-dimension variant (z-ordered fold:
         // range reads prune on every named column)
-        val (sortBy, maxRec) = clusterBy.getOrElse(dir, (Nil, 0L))
+        val (sortBy0, maxRec0) = clusterBy.getOrElse(dir, (Nil, 0L))
+        // FOLD x RECLUSTER COALESCING (round 16): a delta table due
+        // for BOTH a fold (depth) and a re-sort (drift) must rewrite
+        // each bucket ONCE, sorted — not folded unsorted here and then
+        // re-sorted by the recluster leg (or worse, folded unsorted
+        // and left degraded behind the recluster leg's since-fold
+        // thrash guard). A table with a reclusters entry but no
+        // clusterBy adopts the recluster's sort spec for the fold; the
+        // recluster leg then measures the fresh sorted layout and acts
+        // nothing.
+        val rec = reclusters.find(_._1 == dir)
+        val (sortBy, maxRec) =
+          if (sortBy0.nonEmpty || zClusterBy.contains(dir)) (sortBy0, maxRec0)
+          else rec.map(r => (r._2, r._4)).getOrElse((sortBy0, maxRec0))
         val (zBy, zMax) = zClusterBy.getOrElse(dir, (Nil, 0L))
         EventStreams.compactUpsertTable(spark, dir, keyCols, nBuckets, id,
           retain = retain, sortBy = sortBy,

@@ -117,7 +117,8 @@ object Takedown {
                  concurrency: Int = 1,
                  export: Option[(String, String, String)] = None,
                  rebalance: Option[(Int, Double)] = None,
-                 exportNBuckets: Int = 8): Unit = {
+                 exportNBuckets: Int = 8,
+                 beforeCommit: () => Unit = () => ()): Unit = {
     import spark.implicits._
     val steps: Seq[(String, () => Unit)] =
       sequences.toSeq.map { case (toks, dir, seqLen, sepId) =>
@@ -129,10 +130,16 @@ object Takedown {
       // readable through (and after) the walk, so [[auditDocsAt]] pinned
       // at this request's batchId has its snapshots to read — the
       // audit-window contract
+      // `beforeCommit` threads into each keyed-table delete leg — the
+      // coordination seam (the mergeBatchIntoTable convention): the OCC
+      // specs run a full disjoint-bucket ingest merge there, forcing
+      // the takedown's OWN commit through the optimistic rebase
+      // mid-walk, and prove neither writer's rows are lost
       keyedTables.map { case (dir, keyCol, nBuckets) =>
         (s"table-${baseName(dir)}", () =>
           graft.streaming.EventStreams.deleteFromTable(spark, dir,
-            docIds.toDF(keyCol), Seq(keyCol), nBuckets, batchId, retain = 2))
+            docIds.toDF(keyCol), Seq(keyCol), nBuckets, batchId, retain = 2,
+            beforeCommit = beforeCommit))
       } ++
       ragIndex.toSeq.map { dir =>
         (s"rag-${baseName(dir)}", () =>

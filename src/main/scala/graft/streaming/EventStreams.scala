@@ -346,6 +346,10 @@ object EventStreams {
     val effBloomCols = bloomCols.getOrElse(
       manifestList(fs, table).lastOption
         .flatMap(manifestBloomCols(fs, _)).getOrElse(Seq.empty))
+    // column-id contract: carried verbatim (only renameColumn and the
+    // materializing fold rewrite it); old-era bucket reads translate
+    val prevColIds = manifestList(fs, table).lastOption
+      .flatMap(manifestColIds(fs, _))
     prevReconcile.foreach { case (ks, v) =>
       require(ks == keyCols && v == versionCol,
         s"$tableDir has delta history keyed (${ks.mkString(",")}) " +
@@ -418,7 +422,8 @@ object EventStreams {
         // list from the manifest (never a directory listing); leaf-file
         // reads carry no partition column, so the bucket is recomputed
         // from the keys (deterministic)
-        val currentFiles = touched.toSeq.flatMap(live.get).flatten
+        val currentRels = touched.toSeq.flatMap(live.get).flatten
+        val currentFiles = currentRels
           .map(rel => new Path(table, rel).toString)
         val merged =
           if (effectiveDelta || currentFiles.isEmpty) {
@@ -430,15 +435,18 @@ object EventStreams {
             // merge as "widening", leaving delta tables permanently
             // mixed-flagged (round-15 fix, caught by the recluster spec)
             val probe = live.values.flatten.headOption
+            // probe through the era translation: an old-era file read
+            // raw would compare the OLD name against the batch's new
+            // one and flag every post-rename delta merge as "widening"
             if (probe.exists(f => widens(
-                spark.read.parquet(new Path(table, f).toString),
+                readFilesTranslated(spark, table, prevColIds, Seq(f),
+                  mergeSchema = false),
                 toMerge.drop(upsertBucketCol))))
               widenedThisBatch = true
             toMerge
           } else {
-            val raw = spark.read
-              .option("mergeSchema", (mixed || legacyFiles.nonEmpty).toString)
-              .parquet(currentFiles: _*)
+            val raw = readFilesTranslated(spark, table, prevColIds,
+              currentRels, mergeSchema = mixed || legacyFiles.nonEmpty)
             // committed delta history resolves BEFORE the eager fold —
             // an unreconciled union would let a superseded version
             // win a (version, ·) tie against its own later commit
@@ -508,7 +516,8 @@ object EventStreams {
       base = Some(committed.map(_._1)),
       statsTz = resolveStatsTz(spark, fs, table,
         effStatsCols.nonEmpty || effBloomCols.nonEmpty),
-      beforeRename = beforeRename)
+      beforeRename = beforeRename,
+      colIds = prevColIds)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -589,10 +598,10 @@ object EventStreams {
     val (newLive, delFresh) =
       if (touched.isEmpty) (live, Seq.empty[String])
       else {
-        val currentFiles = touched.toSeq.flatMap(live.get).flatten
-          .map(rel => new Path(table, rel).toString)
-        val raw = spark.read.option("mergeSchema", mixed.toString)
-          .parquet(currentFiles: _*)
+        val delColIds = manifestList(fs, table).lastOption
+          .flatMap(manifestColIds(fs, _))
+        val raw = readFilesTranslated(spark, table, delColIds,
+          touched.toSeq.flatMap(live.get).flatten, mergeSchema = mixed)
         // delta history reconciles FIRST: the delete folds the touched
         // buckets unique-keyed, so every version of a removed key dies
         // in this one commit and survivors keep their winning row
@@ -654,7 +663,9 @@ object EventStreams {
       base = Some(committed.map(_._1)),
       statsTz = resolveStatsTz(spark, fs, table,
         delStatsCols.nonEmpty || delBloomCols.nonEmpty),
-      beforeRename = beforeRename)
+      beforeRename = beforeRename,
+      colIds = manifestList(fs, table).lastOption
+        .flatMap(manifestColIds(fs, _)))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -1704,6 +1715,109 @@ object EventStreams {
     }
   }
 
+  /** STABLE COLUMN IDS (round 16): the manifest's `colIds` contract
+    * maps an immutable numeric column id to that column's NAME HISTORY
+    * — `[(name, sinceOrdinal), ...]` ascending, last = current. A
+    * file written at commit ordinal `o` physically carries, for each
+    * id, the last name whose `since <= o`; a RENAME is therefore a
+    * METADATA-ONLY commit (append `(newName, renameBatchId)` to one
+    * id's history — zero data movement at any scale), readers
+    * translate old-era files to current names per snapshot, and a full
+    * [[compactUpsertTable]] MATERIALIZES the rename (every file
+    * rewritten under current names, histories truncated). Stats,
+    * bloom and null-count entries stay keyed by the name current at
+    * their file's commit — sound, because the scan path pushes
+    * predicates through the per-era rename projection, so an old
+    * file's stats are probed under exactly the name they were
+    * recorded with. Sticky like `keyedBy`; absent on tables that
+    * never renamed (the zero-cost common case).
+    */
+  private[graft] type ColIds = Map[Int, Seq[(String, Long)]]
+
+  private def colIdsTag(colIds: Option[ColIds]): String =
+    colIds.filter(_.nonEmpty).map { m =>
+      ""","colIds":{""" + m.toSeq.sortBy(_._1).map { case (id, hist) =>
+        "\"" + id + "\":[" + hist.map { case (n, s) =>
+          "[\"" + n + "\"," + s + "]" }.mkString(",") + "]"
+      }.mkString(",") + "}"
+    }.getOrElse("")
+
+  private def manifestColIds(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Option[ColIds] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val start = s.indexOf(""""colIds":{""")
+    if (start < 0) None
+    else {
+      val open = s.indexOf('{', start)
+      var depth = 0; var i = open; var end = -1
+      while (i < s.length && end < 0) {
+        s(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      val body = s.substring(open, if (end < 0) s.length else end + 1)
+      val entry = """"(\d+)":\[((?:\[[^\]]*\],?)*)\]""".r
+      val pair = """\["([^"]*)",(-?\d+)\]""".r
+      val m = entry.findAllMatchIn(body).map { e =>
+        e.group(1).toInt -> pair.findAllMatchIn(e.group(2))
+          .map(p => (p.group(1), p.group(2).toLong)).toSeq
+      }.toMap
+      if (m.isEmpty) None else Some(m)
+    }
+  }
+
+  /** The latest manifest's column-id contract, if any. */
+  def tableColIds(spark: SparkSession, tableDir: String): Option[ColIds] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestColIds(fs, _))
+  }
+
+  /** Per-era rename map for one file ordinal: physical name -> current
+    * name, only for ids whose name at `ord` differs from the current.
+    * A DROPPED id (empty current name — the [[dropColumn]] tombstone)
+    * maps its physical name to "" — the translation DROPS it.
+    */
+  private def eraRenames(colIds: ColIds, ord: Long): Map[String, String] =
+    colIds.values.flatMap { hist =>
+      val phys = hist.filter(_._2 <= ord).lastOption
+        .map(_._1).getOrElse(hist.head._1)
+      val cur = hist.last._1
+      if (phys != cur && phys.nonEmpty) Some(phys -> cur) else None
+    }.toMap
+
+  /** Read live files with PER-ERA column-name translation: files are
+    * grouped by the rename map their commit ordinal implies, each
+    * group reads under its own physical names and projects to the
+    * CURRENT names, and the groups union. Tables without a multi-name
+    * id take the plain one-group read (zero cost). The group count is
+    * bounded by the number of renames, not files.
+    */
+  private def readFilesTranslated(spark: SparkSession,
+                                  table: org.apache.hadoop.fs.Path,
+                                  colIds: Option[ColIds],
+                                  rels: Seq[String],
+                                  mergeSchema: Boolean): org.apache.spark.sql.DataFrame = {
+    def scanRaw(fls: Seq[String]) = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(fls.map(rel =>
+        new org.apache.hadoop.fs.Path(table, rel).toString): _*)
+    val multi = colIds.getOrElse(Map.empty).filter(_._2.size > 1)
+    if (multi.isEmpty) scanRaw(rels)
+    else rels.groupBy(rel => eraRenames(multi, fileOrdinal(rel).toLong))
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (renames, fls) =>
+        renames.foldLeft(scanRaw(fls)) { case (d, (p, c)) =>
+          if (!d.columns.contains(p)) d
+          else if (c.isEmpty) d.drop(p) // dropped id: project it away
+          else d.withColumnRenamed(p, c) }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def statsColsTag(statsCols: Option[Seq[String]]): String =
     statsCols.filter(_.nonEmpty).map(cs =>
       ""","statsCols":[""" + cs.map(c => "\"" + c + "\"").mkString(",") + "]")
@@ -2065,15 +2179,29 @@ object EventStreams {
     * fixed data schema; compact to re-homogenize).
     */
   def readUpsertTableScan(spark: SparkSession, tableDir: String): DataFrame = {
-    val (index, schema) = zoneMapIndexFor(spark, tableDir)
-    if (index.inputFiles.isEmpty) return readUpsertTable(spark, tableDir)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, new StructType(), schema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
+    val groups = zoneMapIndexGroups(spark, tableDir)
+    if (groups.forall(_._1.inputFiles.isEmpty))
+      return readUpsertTable(spark, tableDir)
+    def relate(index: ZoneMapFileIndex, schema: StructType): DataFrame = {
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, new StructType(), schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)
+    }
+    // one relation per rename era, projected to CURRENT names and
+    // unioned: Catalyst pushes a filter on a current name through the
+    // rename projection, so the old era's scan receives the predicate
+    // under the OLD name — exactly the name its zone-map stats were
+    // recorded with. Single-era tables (no rename, or folded) take the
+    // plain one-relation path.
+    groups.map { case (index, physSchema, renames) =>
+      renames.foldLeft(relate(index, physSchema)) { case (d, (p, c)) =>
+        if (c.isEmpty) d.drop(p) else d.withColumnRenamed(p, c)
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The zone-map [[ZoneMapFileIndex]] + data schema of the LATEST
@@ -2082,10 +2210,29 @@ object EventStreams {
     * DataSourceV2 `graft` format ([[graft.sources.GraftTable]] wraps
     * it for plain-SQL users), so the two can never prune differently.
     * Loud scope guards as documented on [[readUpsertTableScan]]:
-    * unfolded delta snapshots and mixed-schema snapshots refuse.
+    * unfolded delta snapshots and mixed-schema snapshots refuse; so
+    * does an unmaterialized rename HERE (one relation, one schema —
+    * the V2 surface), while [[readUpsertTableScan]] serves it via the
+    * per-era union.
     */
   private[graft] def zoneMapIndexFor(spark: SparkSession,
                                      tableDir: String): (ZoneMapFileIndex, StructType) = {
+    val groups = zoneMapIndexGroups(spark, tableDir)
+    require(groups.size == 1,
+      s"$tableDir holds an unmaterialized column rename (files from " +
+        "before and after the rename are both live); compactUpsertTable " +
+        "materializes it — until then read through readUpsertTableScan " +
+        "(which unions the eras)")
+    (groups.head._1, groups.head._2)
+  }
+
+  /** Per-era zone-map index groups of the latest committed snapshot:
+    * (index, PHYSICAL schema, physical -> current renames). Tables
+    * that never renamed (or folded since) are exactly one group with
+    * an empty rename map.
+    */
+  private[graft] def zoneMapIndexGroups(spark: SparkSession,
+                                        tableDir: String): Seq[(ZoneMapFileIndex, StructType, Map[String, String])] = {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2102,13 +2249,15 @@ object EventStreams {
         "fixed data schema — compactUpsertTable re-homogenizes it")
     val rels = readManifest(fs, manifest)._2.values.flatten.toSeq
     val stats = manifestFileStats(fs, manifest)
+    val bloom = manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet
+    val tz = manifestStatsTz(fs, manifest)
     // file statuses from the manifest's recorded byte lengths (every
     // r14+ shard carries them) — ZERO per-file driver RPCs at planning
     // time; files a legacy shard hasn't re-recorded yet fall back to
     // one lookup each. Synthetic statuses carry mtime 0: the scan
     // reads length + path only (the `_metadata.file_modification_time`
     // column is not served by this read).
-    val files = rels.map { rel =>
+    def statuses(group: Seq[String]) = group.map { rel =>
       val p = new Path(table, rel)
       stats.get(rel).flatMap(_.get(statsBytesKey)).flatMap(_._1) match {
         case Some(len) => (new org.apache.hadoop.fs.FileStatus(
@@ -2119,12 +2268,23 @@ object EventStreams {
     // a committed-EMPTY snapshot has no file to infer from — the
     // schema-carrying read serves it (and the scan surfaces fall back
     // to that read anyway)
-    val schema =
-      if (rels.isEmpty) readUpsertTable(spark, tableDir).schema
-      else spark.read.parquet(new Path(table, rels.head).toString).schema
-    (new ZoneMapFileIndex(table, files, stats, schema,
-      manifestBloomCols(fs, manifest).getOrElse(Seq.empty).toSet,
-      statsTz = manifestStatsTz(fs, manifest)), schema)
+    if (rels.isEmpty) {
+      val schema = readUpsertTable(spark, tableDir).schema
+      return Seq((new ZoneMapFileIndex(table, Seq.empty, stats, schema,
+        bloom, statsTz = tz), schema, Map.empty))
+    }
+    val multi = manifestColIds(fs, manifest)
+      .getOrElse(Map.empty: ColIds).filter(_._2.size > 1)
+    val eras: Seq[(Map[String, String], Seq[String])] =
+      if (multi.isEmpty) Seq((Map.empty[String, String], rels))
+      else rels.groupBy(rel => eraRenames(multi, fileOrdinal(rel).toLong))
+        .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+    eras.map { case (renames, group) =>
+      val physSchema = spark.read
+        .parquet(new Path(table, group.head).toString).schema
+      (new ZoneMapFileIndex(table, statuses(group), stats, physSchema,
+        bloom, statsTz = tz), physSchema, renames)
+    }
   }
 
   /** Latest-row-per-key resolution of a (possibly) delta-holding file
@@ -2190,11 +2350,15 @@ object EventStreams {
                                 fs: org.apache.hadoop.fs.FileSystem,
                                 manifest: org.apache.hadoop.fs.Path,
                                 live: Map[Int, Seq[String]]): org.apache.spark.sql.DataFrame = {
-    val mixed = manifestMixed(fs, manifest).toString
-    def scan(files: Seq[String]) = spark.read
-      .option("mergeSchema", mixed)
-      .parquet(files.map(rel =>
-        new org.apache.hadoop.fs.Path(table, rel).toString): _*)
+    val mixed = manifestMixed(fs, manifest)
+    // per-era column-name translation (round 16): THIS manifest's
+    // colIds contract — a time-travel read below a rename resolves the
+    // pre-rename manifest, whose contract has no second name, so it
+    // serves the OLD name untranslated (the rename is invisible to
+    // history, by design)
+    val colIds = manifestColIds(fs, manifest)
+    def scan(files: Seq[String]) =
+      readFilesTranslated(spark, table, colIds, files, mergeSchema = mixed)
     manifestReconcile(fs, manifest) match {
       case Some((ks, v)) =>
         val (deltaB, plainB) = live.filter(_._2.nonEmpty)
@@ -2294,7 +2458,8 @@ object EventStreams {
                               kind: Option[String] = None,
                               bloomCols: Option[Seq[String]] = None,
                               statsTz: Option[String] = None,
-                              beforeRename: () => Unit = () => ()): Unit = {
+                              beforeRename: () => Unit = () => (),
+                              colIds: Option[ColIds] = None): Unit = {
     val dir = manifestsDir(table)
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
@@ -2391,7 +2556,7 @@ object EventStreams {
       val baseTag = baseNow.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
       val body = pointersNow.toSeq.sortBy(_._1)
         .map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)},"shards":{""", ",", "}}")
+        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)}${colIdsTag(colIds)},"shards":{""", ",", "}}")
       val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -2533,6 +2698,9 @@ object EventStreams {
             "the concurrent commit changed the bloom contract")
           if (manifestStatsTz(fs, head) != statsTz) conflict(
             "the concurrent commit changed the stats time zone")
+          if (manifestColIds(fs, head) != colIds) conflict(
+            "the concurrent commit changed the column-id contract " +
+              "(a rename raced this write)")
           // REBASE: untouched buckets become EXACTLY the head's view —
           // pointer values AND absences (an interloper's delete that
           // emptied a bucket removed its entry; overlaying our stale
@@ -2624,12 +2792,13 @@ object EventStreams {
                                  fileStats: FileStats = Map.empty,
                                  statsCols: Option[Seq[String]] = None,
                                  bloomCols: Option[Seq[String]] = None,
-                                 statsTz: Option[String] = None): String = {
+                                 statsTz: Option[String] = None,
+                                 colIds: Option[ColIds] = None): String = {
     val mixedTag = if (mixed) ""","mixed":1""" else ""
     val liveSet = live.values.flatten.toSet
     live.toSeq.sortBy(_._1).map { case (b, fls) =>
       "\"" + b + "\":[" + fls.sorted.map(f => "\"" + f + "\"").mkString(",") + "]"
-    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)},"buckets":{""", ",",
+    }.mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)}${colIdsTag(colIds)},"buckets":{""", ",",
       "}" + statsTag(fileStats.filter(kv => liveSet(kv._1))) + "}")
   }
 
@@ -2689,9 +2858,13 @@ object EventStreams {
     // Delta history folds here — this is THE delta fold: the rewrite
     // resolves latest-per-key, and the published manifest drops the
     // reconcile spec, returning reads to the plain-scan fast path
-    val raw = spark.read.option("mergeSchema", mixed.toString)
-      .parquet(live.values.flatten
-        .map(rel => new Path(table, rel).toString).toSeq: _*)
+    // the fold MATERIALIZES renames: old-era files read translated and
+    // rewrite under current names; the published contract truncates to
+    // single-name histories (everything physical is current again)
+    val prevColIds = manifestList(fs, table).lastOption
+      .flatMap(manifestColIds(fs, _))
+    val raw = readFilesTranslated(spark, table, prevColIds,
+      live.values.flatten.toSeq, mergeSchema = mixed)
     val current = manifestList(fs, table).lastOption
       .flatMap(manifestReconcile(fs, _))
       .map { case (ks, v) => reconcileRows(raw, ks, v) }.getOrElse(raw)
@@ -2746,8 +2919,143 @@ object EventStreams {
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
       base = Some(Some(committed._1)), kind = Some("fold"),
       statsTz = if (effStatsCols.nonEmpty || effBloomCols.nonEmpty)
-        Some(spark.sessionState.conf.sessionLocalTimeZone) else None)
+        Some(spark.sessionState.conf.sessionLocalTimeZone) else None,
+      // histories truncate to the current name at ordinal 0: every
+      // file this fold leaves live is physically current-named;
+      // DROPPED ids (empty-name tombstones) leave the contract — their
+      // column no longer exists in any rewritten file
+      colIds = prevColIds.map(_.collect {
+        case (id, hist) if hist.last._1.nonEmpty =>
+          id -> Seq((hist.last._1, 0L)) }))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
+  }
+
+  /** METADATA-ONLY COLUMN RENAME (round 16): commit a new manifest in
+    * which column id of `oldName` now answers to `newName` — ZERO data
+    * movement at any scale (the commit reuses every bucket's shard
+    * pointer verbatim; `touched = Nil`). Every name-bearing contract
+    * the manifest carries (key contract, reconcile spec, stats, bloom
+    * columns) renames with it, so merges/deletes/probes from here on
+    * use the new name. Readers translate: files written BEFORE the
+    * rename physically carry the old name and every read path groups
+    * by era and projects to current names
+    * ([[readFilesTranslated]] / the scan's per-era union); TIME TRAVEL
+    * below the rename resolves the pre-rename manifest — whose
+    * contract has no second name — and serves the OLD name untouched
+    * (history is immutable, including its schema). A later full
+    * [[compactUpsertTable]] MATERIALIZES the rename: every file
+    * rewrites under current names and the histories truncate, so reads
+    * return to the single-era fast path (the DataSourceV2 surface
+    * requires that — one relation, one schema). Change-feed windows
+    * that CROSS a rename fail loudly with the resync remediation (a
+    * renamed column reads as vanished to the diff) — advance consumers
+    * to the rename boundary first. Replays (committed id at or above
+    * `batchId`) no-op.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   oldName: String, newName: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(oldName != newName, "rename to the same name is a no-op request")
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"'$newName' is not a portable column name ([A-Za-z_][A-Za-z0-9_]*) " +
+        "— the manifest's writer-format JSON records names verbatim")
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = latestManifest(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; nothing to rename"))
+    if (committed._1 >= batchId) return // replayed rename
+    val manifest = manifestList(fs, table).last
+    // logical (translated) schema — renames compose
+    val schema = readUpsertTable(spark, tableDir).schema
+    require(schema.fieldNames.contains(oldName),
+      s"$tableDir has no column '$oldName' " +
+        s"(columns: ${schema.fieldNames.mkString(",")})")
+    require(!schema.fieldNames.contains(newName),
+      s"$tableDir already has a column '$newName' — renames never merge " +
+        "columns")
+    // the contract: adopt lazily (ids in schema order) on first rename
+    val base0: ColIds = manifestColIds(fs, manifest).getOrElse(
+      schema.fieldNames.zipWithIndex
+        .map { case (n, i) => i -> Seq((n, 0L)) }.toMap)
+    val id = base0.collectFirst {
+      case (i, hist) if hist.last._1 == oldName => i
+    }.getOrElse {
+      // a column widened in after the contract was adopted gets its id
+      // at rename time
+      if (base0.isEmpty) 0 else base0.keys.max + 1
+    }
+    val hist = base0.getOrElse(id, Seq((oldName, 0L)))
+    val colIds = base0.updated(id, hist :+ ((newName, batchId)))
+    def ren(s: String) = if (s == oldName) newName else s
+    publishManifest(fs, table, batchId, readNBuckets(fs, manifest),
+      committed._2, manifestMixed(fs, manifest),
+      touched = Some(Nil), // METADATA ONLY: every pointer reused
+      reconcile = manifestReconcile(fs, manifest)
+        .map { case (ks, v) => (ks.map(ren), ren(v)) },
+      keyedBy = manifestKeyedBy(fs, manifest).map(_.map(ren)),
+      statsCols = manifestStatsCols(fs, manifest).map(_.map(ren)),
+      bloomCols = manifestBloomCols(fs, manifest).map(_.map(ren)),
+      base = Some(Some(committed._1)), kind = Some("rename"),
+      statsTz = manifestStatsTz(fs, manifest),
+      colIds = Some(colIds))
+  }
+
+  /** METADATA-ONLY COLUMN DROP — [[renameColumn]]'s sibling: the
+    * column's id gets an empty-name TOMBSTONE in its history, every
+    * reader projects the column away per era, and the name-bearing
+    * contracts shed it (stats/bloom entries for it stop being probed —
+    * their recorded per-file stats become dead weight until the fold).
+    * Key and version columns refuse (dropping either would orphan the
+    * table's addressing/merge semantics). TIME TRAVEL below the drop
+    * still serves the column; the full fold materializes (files
+    * rewrite without it, the tombstoned id leaves the contract). A
+    * later merge may re-ADD the name as a NEW column (fresh id on its
+    * next rename): old rows read NULL for it — the widening semantic.
+    */
+  def dropColumn(spark: SparkSession, tableDir: String,
+                 name: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = latestManifest(fs, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableDir has no committed manifest; nothing to drop"))
+    if (committed._1 >= batchId) return // replayed drop
+    val manifest = manifestList(fs, table).last
+    val schema = readUpsertTable(spark, tableDir).schema
+    require(schema.fieldNames.contains(name),
+      s"$tableDir has no column '$name' " +
+        s"(columns: ${schema.fieldNames.mkString(",")})")
+    val keyed = manifestKeyedBy(fs, manifest)
+    require(!keyed.exists(_.contains(name)),
+      s"'$name' is part of $tableDir's key contract — dropping a key " +
+        "column would orphan the table's addressing; re-key via a full " +
+        "rewrite instead")
+    require(!manifestReconcile(fs, manifest).exists { case (ks, v) =>
+      ks.contains(name) || v == name },
+      s"'$name' carries $tableDir's delta reconcile semantics (key or " +
+        "version); fold the deltas first")
+    val base0: ColIds = manifestColIds(fs, manifest).getOrElse(
+      schema.fieldNames.zipWithIndex
+        .map { case (n, i) => i -> Seq((n, 0L)) }.toMap)
+    val id = base0.collectFirst {
+      case (i, hist) if hist.last._1 == name => i
+    }.getOrElse(if (base0.isEmpty) 0 else base0.keys.max + 1)
+    val hist = base0.getOrElse(id, Seq((name, 0L)))
+    val colIds = base0.updated(id, hist :+ (("", batchId)))
+    publishManifest(fs, table, batchId, readNBuckets(fs, manifest),
+      committed._2, manifestMixed(fs, manifest),
+      touched = Some(Nil), // METADATA ONLY
+      reconcile = manifestReconcile(fs, manifest),
+      keyedBy = keyed,
+      statsCols = manifestStatsCols(fs, manifest)
+        .map(_.filterNot(_ == name)).filter(_.nonEmpty),
+      bloomCols = manifestBloomCols(fs, manifest)
+        .map(_.filterNot(_ == name)).filter(_.nonEmpty),
+      base = Some(Some(committed._1)), kind = Some("rename"),
+      statsTz = manifestStatsTz(fs, manifest),
+      colIds = Some(colIds))
   }
 
   /** CLUSTERING-DRIFT MONITOR — which buckets' file layouts have
@@ -2865,9 +3173,13 @@ object EventStreams {
     val mixed = manifestList(fs, table).lastOption.exists(manifestMixed(fs, _))
     val prevReconcile = manifestList(fs, table).lastOption
       .flatMap(manifestReconcile(fs, _))
-    val raw = spark.read.option("mergeSchema", mixed.toString)
-      .parquet(touched.flatMap(live.get).flatten
-        .map(rel => new Path(table, rel).toString): _*)
+    // colIds carried VERBATIM (untouched buckets may still hold
+    // old-era files); the rewritten buckets' fresh files carry this
+    // commit's ordinal, which resolves to current names
+    val bColIds = manifestList(fs, table).lastOption
+      .flatMap(manifestColIds(fs, _))
+    val raw = readFilesTranslated(spark, table, bColIds,
+      touched.flatMap(live.get).flatten, mergeSchema = mixed)
     val current = prevReconcile
       .map { case (ks, v) => reconcileRows(raw, ks, v) }.getOrElse(raw)
       .withColumn(upsertBucketCol, pmod(hash(keyCols.map(col): _*), lit(nBuckets)))
@@ -2925,7 +3237,8 @@ object EventStreams {
       bloomCols = if (effBloomCols.nonEmpty) Some(effBloomCols) else None,
       base = Some(Some(committed._1)), kind = Some("fold"),
       statsTz = resolveStatsTz(spark, fs, table,
-        effStatsCols.nonEmpty || effBloomCols.nonEmpty))
+        effStatsCols.nonEmpty || effBloomCols.nonEmpty),
+      colIds = bColIds)
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
   }
 
@@ -3179,6 +3492,27 @@ object EventStreams {
     }
   }
 
+  /** The bounded sync target (round 16, continuous feeds): with
+    * `maxCommits > 0` a sync consumes at most that many COMMITS above
+    * the cursor per call — the maxCommits-th committed id above
+    * `from`, or the watermark when the backlog is smaller. Bounding by
+    * commit COUNT, not id arithmetic: ids are sparse under the 2*wm
+    * convention, and the point is that one giant backlog never becomes
+    * one giant window.
+    */
+  private def boundedFeedTarget(spark: SparkSession, srcDir: String,
+                                from: Long, watermark: Long,
+                                maxCommits: Int): Long =
+    if (maxCommits <= 0) watermark
+    else {
+      val table = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      manifestList(fs, table)
+        .flatMap(_.getName.takeWhile(_ != '.').toLongOption)
+        .filter(id => id > from && id <= watermark)
+        .take(maxCommits).lastOption.getOrElse(watermark)
+    }
+
   /** The consumer's committed feed position: the highest batch among
     * its cursor pins (`feed.<consumer>.<batch>` in the table's own pin
     * namespace). The cursor IS a retention pin, so the base snapshot a
@@ -3263,17 +3597,22 @@ object EventStreams {
                           replicaDir: String, consumer: String,
                           versionCol: String, nBuckets: Int,
                           delta: Boolean = false,
-                          retain: Int = 1): Option[(Long, Long, Long, Long)] = {
+                          retain: Int = 1,
+                          maxCommits: Int = 0): Option[(Long, Long, Long, Long)] = {
     val from = feedCursor(spark, srcDir, consumer).getOrElse(
       throw new IllegalStateException(
         s"no cursor for consumer '$consumer' on $srcDir; seed the replica " +
           "from a committed snapshot and advanceFeedCursor to that batch"))
-    val to = latestCommittedBatchId(spark, srcDir).getOrElse(
+    val wm = latestCommittedBatchId(spark, srcDir).getOrElse(
       throw new IllegalStateException(s"$srcDir lost its manifest chain"))
-    if (to == from) return None
-    require(to > from,
-      s"$srcDir's watermark $to is behind the cursor $from — was the " +
+    if (wm == from) return None
+    require(wm > from,
+      s"$srcDir's watermark $wm is behind the cursor $from — was the " +
         "table restored below the cursor? Resync the consumer")
+    // bounded window (round 16, continuous feeds): consume at most
+    // maxCommits commits per call — a standing consumer facing a giant
+    // backlog drains it in bounded slices instead of one giant window
+    val to = boundedFeedTarget(spark, srcDir, from, wm, maxCommits)
     val keyCols = tableKeyedBy(spark, srcDir).getOrElse(
       throw new IllegalStateException(
         s"$srcDir records no key contract; run one merge to adopt it"))
@@ -3387,17 +3726,20 @@ object EventStreams {
   def syncRollupFromFeed(spark: SparkSession, srcDir: String,
                          rollupDir: String, consumer: String,
                          spec: RollupSpec, nBuckets: Int,
-                         retain: Int = 1): Option[(Long, Long, Long, Long)] = {
+                         retain: Int = 1,
+                         maxCommits: Int = 0): Option[(Long, Long, Long, Long)] = {
     val from = feedCursor(spark, srcDir, consumer).getOrElse(
       throw new IllegalStateException(
         s"no cursor for consumer '$consumer' on $srcDir; " +
           "seedRollupFromSnapshot first"))
-    val to = latestCommittedBatchId(spark, srcDir).getOrElse(
+    val wm = latestCommittedBatchId(spark, srcDir).getOrElse(
       throw new IllegalStateException(s"$srcDir lost its manifest chain"))
-    if (to == from) return None
-    require(to > from,
-      s"$srcDir's watermark $to is behind the cursor $from — was the " +
+    if (wm == from) return None
+    require(wm > from,
+      s"$srcDir's watermark $wm is behind the cursor $from — was the " +
         "table restored below the cursor? Resync the consumer")
+    // bounded window (round 16): see syncReplicaFromFeed
+    val to = boundedFeedTarget(spark, srcDir, from, wm, maxCommits)
     val keyCols = tableKeyedBy(spark, srcDir).getOrElse(
       throw new IllegalStateException(
         s"$srcDir records no key contract; run one merge to adopt it"))
@@ -3873,7 +4215,8 @@ object EventStreams {
       fileStats = manifestFileStats(fs, src._1),
       statsCols = manifestStatsCols(fs, src._1),
       bloomCols = manifestBloomCols(fs, src._1),
-      statsTz = manifestStatsTz(fs, src._1))
+      statsTz = manifestStatsTz(fs, src._1),
+      colIds = manifestColIds(fs, src._1))
       .getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, mDest))
@@ -4025,7 +4368,12 @@ object EventStreams {
       bloomCols = manifestBloomCols(fs, backupManifest),
       // the restored stats are the backup's rendered strings: the
       // recorded zone travels with them
-      statsTz = manifestStatsTz(fs, backupManifest))
+      statsTz = manifestStatsTz(fs, backupManifest),
+      // the column-id contract travels too: restored files keep their
+      // ORIGINAL ordinals (the g<orig>- filename marker, which
+      // fileOrdinal reads first), so era translation resolves exactly
+      // as it did on the source
+      colIds = manifestColIds(fs, backupManifest))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     true
   }

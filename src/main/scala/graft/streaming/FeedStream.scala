@@ -43,9 +43,17 @@ object FeedStream {
   /** The streamed manifest list of `srcDir` — one line per committed
     * manifest body; content is ignored (the wake-up signal is the
     * FILE), so the fixed `text` schema needs no inference.
+    * `maxFilesPerTrigger` paces the SCHEDULER for continuous mode:
+    * each micro-batch wakes on at most that many new commit files, so
+    * a giant backlog drains across many batches instead of one.
     */
-  private def manifestStream(spark: SparkSession, srcDir: String): DataFrame =
-    spark.readStream.text(s"${srcDir.stripSuffix("/")}/_manifests/*.json")
+  private def manifestStream(spark: SparkSession, srcDir: String,
+                             maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.text(s"${srcDir.stripSuffix("/")}/_manifests/*.json")
+  }
 
   /** Drain the source's unconsumed commits into the incremental
     * AGGREGATE VIEW ([[EventStreams.syncRollupFromFeed]]) and stop
@@ -92,6 +100,68 @@ object FeedStream {
         ()
       }
       .start()
+
+  /** CONTINUOUS replica sync (round 16): a STANDING
+    * `Trigger.ProcessingTime` stream for a replica that must stay
+    * fresh without an external scheduler poking AvailableNow runs.
+    * Rate-limited on BOTH sides so one giant backlog never becomes one
+    * giant window: `maxCommitsPerBatch` caps the file source's wake-up
+    * batch (maxFilesPerTrigger) AND the sync's own window
+    * ([[EventStreams.syncReplicaFromFeed]]'s `maxCommits` — offsets
+    * are commit ids, each micro-batch advances the cursor at most that
+    * many commits). A backlog bigger than the cap drains across
+    * consecutive micro-batches; a crash mid-drain replays clean (the
+    * cursor-pin exactly-once argument is per-window and unchanged); an
+    * IDLE tick costs the file source's listing only — no batch body
+    * runs, no data file opens. Stop with `query.stop()`; the same
+    * checkpoint resumes either trigger mode.
+    */
+  def startReplicaSyncContinuous(spark: SparkSession, srcDir: String,
+                                 replicaDir: String, consumer: String,
+                                 versionCol: String, nBuckets: Int,
+                                 checkpointDir: String,
+                                 intervalMs: Long = 500,
+                                 maxCommitsPerBatch: Int = 16,
+                                 delta: Boolean = false,
+                                 retain: Int = 1): StreamingQuery = {
+    require(maxCommitsPerBatch >= 1,
+      s"maxCommitsPerBatch must be >= 1, got $maxCommitsPerBatch")
+    manifestStream(spark, srcDir, maxCommitsPerBatch)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        EventStreams.syncReplicaFromFeed(spark, srcDir, replicaDir, consumer,
+          versionCol, nBuckets, delta, retain,
+          maxCommits = maxCommitsPerBatch)
+        ()
+      }
+      .start()
+  }
+
+  /** CONTINUOUS rollup sync — the [[startReplicaSyncContinuous]]
+    * contract for the incremental aggregate view.
+    */
+  def startRollupSyncContinuous(spark: SparkSession, srcDir: String,
+                                rollupDir: String, consumer: String,
+                                spec: EventStreams.RollupSpec, nBuckets: Int,
+                                checkpointDir: String,
+                                intervalMs: Long = 500,
+                                maxCommitsPerBatch: Int = 16,
+                                retain: Int = 1): StreamingQuery = {
+    require(maxCommitsPerBatch >= 1,
+      s"maxCommitsPerBatch must be >= 1, got $maxCommitsPerBatch")
+    manifestStream(spark, srcDir, maxCommitsPerBatch)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        EventStreams.syncRollupFromFeed(spark, srcDir, rollupDir, consumer,
+          spec, nBuckets, retain, maxCommits = maxCommitsPerBatch)
+        ()
+      }
+      .start()
+  }
 
   /** Drain the source's unconsumed commits into the composed IVF-PQ
     * serving index ([[graft.operators.Similarity.syncIndexFromFeed]]

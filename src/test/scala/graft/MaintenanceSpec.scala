@@ -529,6 +529,68 @@ class MaintenanceSpec extends SparkSpec {
     assert(r2("cluster_drift")._1 && r2("recluster_acted") === ((true, 0L)))
   }
 
+  test("fold x recluster coalescing: a bucket due for both rewrites ONCE, sorted (round 16)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-maint-coal").toString
+    val (t, report) = (s"$base/t", s"$base/report")
+    // a delta table with BOTH a reconcile backlog (depth > maxDepth)
+    // and degraded clustering (arrival-ordered delta ranges straddle),
+    // and NO clusterBy entry of its own — pre-coalescing the fold would
+    // rewrite unsorted, then either the recluster leg rewrote AGAIN or
+    // its since-fold thrash guard left the layout degraded forever
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      delta = true, statsCols = Some(Seq("n")))
+    (1L to 3L).foreach { i =>
+      EventStreams.mergeBatchIntoTable(
+        Seq((i, 320L - i, i), (i + 8, i, i)).toDF("k", "n", "__v"),
+        t, Seq("k"), "__v", nBuckets = 2, batchId = i, retain = 8,
+        delta = true)
+    }
+    val depth = EventStreams.tableManifest(spark, t).values.map(_.size).max
+    assert(depth > 2, s"fixture must exceed the fold depth, got $depth")
+    val commitsBefore = EventStreams.tableHistory(spark, t).count()
+    val expected = EventStreams.readUpsertTable(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = Maintenance.runOnce(spark, 1L, report,
+      tables = Seq((t, 8)),
+      folds = Seq((t, Seq("k"), 2, 2)), // maxDepth 2: the fold is due
+      reclusters = Seq((t, Seq("n"), 0.3, 4L)))
+      .filter(col("check").startsWith("fold") ||
+        col("check").startsWith("cluster") ||
+        col("check").startsWith("recluster") ||
+        col("check").startsWith("delta"))
+      .collect().map(x => (x.getString(2), (x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r("fold_compacted") === ((true, 1L)), "the fold must act")
+    assert(r("recluster_acted") === ((true, 0L)),
+      "the recluster leg must NOT rewrite again — the fold already sorted")
+    // exactly ONE rewrite commit landed on the table
+    assert(EventStreams.tableHistory(spark, t).count() === commitsBefore + 1,
+      "both backlogs must clear in a single rewrite commit")
+    // the single fold adopted the recluster's sort: the fresh layout's
+    // per-bucket overlap is zero EVEN IGNORING the since-fold guard
+    val drift = EventStreams.clusteringDrift(spark, t, Seq("n")).collect()
+    assert(drift.forall(_.getDouble(2) === 0.0),
+      s"the coalesced fold must have sorted the rewrite: " +
+        drift.map(x => (x.getInt(0), x.getDouble(2))).mkString(","))
+    assert(EventStreams.readUpsertTable(spark, t)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap === expected)
+    // and the sorted layout prunes range reads
+    val scan = EventStreams.readUpsertTableScan(spark, t).filter(col("n") <= 35L)
+    scan.collect()
+    val fin = scan.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val nf = fin.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.get
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum
+    assert(nf < live, s"the coalesced rewrite must prune ($nf of $live)")
+  }
+
   test("recluster leg: a zClusterBy table re-z-orders the degraded bucket; both dimensions prune again") {
     val base = java.nio.file.Files.createTempDirectory("graft-maint-zrec").toString
     val (t, report) = (s"$base/t", s"$base/report")

@@ -650,4 +650,32 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name: tiny-key window over a non-aggregated input")
     }
   }
+
+  test("q213 SQL read plans a V2 BatchScan of the graft format (vectorized parquet, pushed filters)") {
+    // the DataSourceV2 surface must stay Spark's own columnar parquet
+    // scan — a row-based reader here would be a silent 10x at 100 TB
+    val base = java.nio.file.Files.createTempDirectory("graft-plan-dsv2").toString
+    val t = s"$base/t"
+    import spark.implicits._
+    graft.streaming.EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 1, batchId = 0L,
+      statsCols = Some(Seq("n")))
+    val d = spark.read.format("graft").load(t)
+      .filter(org.apache.spark.sql.functions.col("n") <= 30L)
+    d.collect()
+    val fin = d.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val scan = fin.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, s"expected a BatchScanExec:\n$fin")
+    assert(scan.get.toString.contains("graft"),
+      "the scan must identify as the graft format")
+    assert(fin.toString.contains("ColumnarToRow"),
+      "the V2 read must stay columnar (vectorized parquet)")
+  }
 }

@@ -1909,6 +1909,77 @@ class StreamingSpec extends SparkSpec {
     assert(rows(rep) === rows(src))
   }
 
+  test("continuous feed stream: a backlog drains in bounded windows; crash-resume replays; idle ticks move nothing") {
+    import graft.streaming.FeedStream
+    val base = Files.createTempDirectory("graft-cont").toString
+    val (src, rep, rep2) = (s"$base/src", s"$base/rep", s"$base/rep2")
+    def merge(dir: String, rows: Seq[(Long, String, Long)], id: Long) =
+      EventStreams.mergeBatchIntoTable(rows.toDF("k", "payload", "version"),
+        dir, Seq("k"), "version", nBuckets = 2, batchId = id, retain = 8)
+    val seed = (0L until 8L).map(k => (k, s"p$k", 0L))
+    merge(src, seed, 0L); merge(rep, seed, 0L); merge(rep2, seed, 0L)
+    EventStreams.advanceFeedCursor(spark, src, "c", 0L)
+    EventStreams.advanceFeedCursor(spark, src, "b", 0L)
+    // a 6-commit backlog BEFORE the stream starts — one AvailableNow
+    // window would swallow it whole; the continuous stream must drain
+    // it in bounded (maxCommitsPerBatch = 2) windows
+    (1L to 6L).foreach(i => merge(src, Seq((i % 8, s"v$i", i)), i))
+    def cursor(c: String) = EventStreams.feedCursor(spark, src, c)
+    def await(c: String, target: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cursor(c).contains(target) &&
+             System.currentTimeMillis() - t0 < 120000) Thread.sleep(100)
+      assert(cursor(c).contains(target),
+        s"cursor '$c' stuck at ${cursor(c)}, wanted $target")
+    }
+    val q = FeedStream.startReplicaSyncContinuous(spark, src, rep, "c",
+      "version", 2, s"$base/ckpt", intervalMs = 100, maxCommitsPerBatch = 2)
+    try await("c", 6L) finally q.stop()
+    // bounded-window evidence from the replica's own committed chain:
+    // windows ended at source ids 2, 4, 6 → merge commits 5, 9, 13
+    // (the 2*to+1 convention); a single giant window would have
+    // committed only 13
+    val repIds = EventStreams.tableHistory(spark, rep)
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    assert(Set(5L, 9L, 13L).subsetOf(repIds),
+      s"the backlog must drain in >1 bounded windows, got commits $repIds")
+    // ≡ the one-window batch sync on the twin
+    EventStreams.syncReplicaFromFeed(spark, src, rep2, "b", "version", 2)
+    def rows(dir: String) = EventStreams.readUpsertTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows(rep) === rows(src) && rows(rep2) === rows(src),
+      "bounded continuous windows must converge to the batch sync's state")
+    // IDLE: restart on the same checkpoint with nothing new — several
+    // tick intervals later the cursor and the replica chain are both
+    // untouched (an idle tick costs the manifest listing, never a sync)
+    val q2 = FeedStream.startReplicaSyncContinuous(spark, src, rep, "c",
+      "version", 2, s"$base/ckpt", intervalMs = 100, maxCommitsPerBatch = 2)
+    try {
+      Thread.sleep(1200)
+      assert(cursor("c").contains(6L))
+      assert(EventStreams.tableHistory(spark, rep)
+        .select("batch_id").collect().map(_.getLong(0)).toSet === repIds,
+        "idle ticks must commit nothing to the replica")
+    } finally q2.stop()
+    // CRASH-RESUME: a fresh backlog, stop the stream mid-drain (or
+    // after — timing-free either way), restart on the same checkpoint:
+    // the drain completes and converges; nothing double-applies
+    (7L to 10L).foreach(i => merge(src, Seq((i % 8, s"w$i", i)), i))
+    val q3 = FeedStream.startReplicaSyncContinuous(spark, src, rep, "c",
+      "version", 2, s"$base/ckpt", intervalMs = 100, maxCommitsPerBatch = 2)
+    try {
+      val t0 = System.currentTimeMillis()
+      while (cursor("c").exists(_ < 8L) &&
+             System.currentTimeMillis() - t0 < 120000) Thread.sleep(50)
+    } finally q3.stop() // the "crash": stop somewhere mid-or-post drain
+    val q4 = FeedStream.startReplicaSyncContinuous(spark, src, rep, "c",
+      "version", 2, s"$base/ckpt", intervalMs = 100, maxCommitsPerBatch = 2)
+    try await("c", 10L) finally q4.stop()
+    EventStreams.syncReplicaFromFeed(spark, src, rep2, "b", "version", 2)
+    assert(rows(rep) === rows(src) && rows(rep2) === rows(src),
+      "a crash-resumed continuous drain must converge exactly-once")
+  }
+
   test("the full serving loop: streaming CDC -> delta table -> change feed -> index sync + rollup view") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft-loop").toString
@@ -3135,6 +3206,151 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(litter), "a committed holder's token is collected")
     assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
     assert(!fs.exists(tokDir) || fs.listStatus(tokDir).isEmpty)
+  }
+
+  test("column rename via stable ids: metadata-only commit; reads translate; time travel keeps the old name; the fold materializes") {
+    val t = Files.createTempDirectory("graft-ren").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 1L, retain = 8,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    val filesBefore = EventStreams.tableManifest(spark, t).values.flatten.toSet
+    // the rename is METADATA ONLY: same live files, new logical name
+    EventStreams.renameColumn(spark, t, "n", "metric", 2L)
+    assert(EventStreams.tableManifest(spark, t).values.flatten.toSet ===
+      filesBefore, "a rename must move zero data")
+    val renamed = EventStreams.readUpsertTable(spark, t)
+    assert(renamed.columns.toSeq === Seq("k", "metric", "__v"))
+    assert(renamed.filter(col("k") === 7L).select("metric").head().getLong(0) === 70L)
+    // replayed rename no-ops
+    EventStreams.renameColumn(spark, t, "n", "metric", 2L)
+    assert(EventStreams.latestCommittedBatchId(spark, t) === Some(2L))
+    def scanned(c: org.apache.spark.sql.Column): (Seq[Long], Long) = {
+      val d = EventStreams.readUpsertTableScan(spark, t).filter(c)
+      val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+      val fin = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      // SUM across scan nodes: a renamed-unfolded table plans one scan
+      // per era
+      (rows, fin.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum)
+    }
+    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
+    // pruned reads prune THROUGH the rename: the probe arrives on the
+    // new name, the old files' stats are recorded under the old one —
+    // the per-era projection pushdown reconciles them
+    val (pr, pf) = scanned(col("metric") <= 155L)
+    assert(pr === (0L to 15L).toSeq)
+    assert(pf < live, s"the renamed probe must still prune ($pf of $live)")
+    // a post-rename merge writes NEW-era files into ONE bucket — the
+    // other bucket's old-era files stay live, so the read and the scan
+    // must union the eras. (An eager merge rewrites whole touched
+    // buckets, so keys are chosen to share k=7's bucket.)
+    val bks = (0L until 200L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(2)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kNew = (100L until 200L).find(k => bks(k) == bks(7L)).get
+    EventStreams.mergeBatchIntoTable(
+      Seq((kNew, 9999L, 1L), (7L, 71L, 1L)).toDF("k", "metric", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 3L, retain = 8)
+    val both = EventStreams.readUpsertTable(spark, t)
+    assert(both.count() === 33L)
+    assert(both.filter(col("k") === 7L).select("metric").head().getLong(0) === 71L)
+    val (xr, xf) = scanned(col("metric") <= 155L)
+    assert(xr === (0L to 15L).toSeq, s"cross-era scan rows: $xr")
+    assert(xr.contains(7L) && !xr.contains(kNew))
+    val liveNow = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
+    assert(xf < liveNow, s"cross-era scan must prune ($xf of $liveNow)")
+    // TIME TRAVEL below the rename reads the OLD name — history is
+    // immutable, schema included
+    val at1 = EventStreams.readUpsertTableAt(spark, t, 1L)
+    assert(at1.columns.toSeq === Seq("k", "n", "__v"),
+      "the pre-rename snapshot must serve the old name")
+    assert(at1.filter(col("k") === 7L).select("n").head().getLong(0) === 70L)
+    // the V2/SQL surface refuses the unmaterialized rename loudly
+    val sqlErr = intercept[Exception] {
+      spark.read.format("graft").load(t).collect()
+    }
+    assert((sqlErr.getMessage +
+      Option(sqlErr.getCause).map(_.getMessage).getOrElse(""))
+      .contains("unmaterialized"),
+      s"DSv2 must name the remediation: ${sqlErr.getMessage}")
+    // fsck green with the rename pending
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // the FOLD MATERIALIZES: files rewrite under current names,
+    // histories truncate, single-era fast paths return (including SQL)
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 4L, retain = 8,
+      sortBy = Seq("metric"), maxRecordsPerFile = 4)
+    assert(EventStreams.tableColIds(spark, t).get.values.forall(_.size == 1),
+      "the fold must truncate the name histories")
+    val (fr, ff) = scanned(col("metric") <= 155L)
+    val liveF = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
+    assert(fr === xr && ff < liveF)
+    assert(spark.read.format("graft").load(t).count() === 33L,
+      "SQL serves the materialized table")
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // KEY columns rename too: contracts follow, later merges use the
+    // new key name
+    EventStreams.renameColumn(spark, t, "k", "doc_key", 5L)
+    assert(EventStreams.tableKeyedBy(spark, t) === Some(Seq("doc_key")))
+    EventStreams.mergeBatchIntoTable(
+      Seq((200L, 1L, 2L)).toDF("doc_key", "metric", "__v"),
+      t, Seq("doc_key"), "__v", nBuckets = 2, batchId = 6L, retain = 8)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 34L)
+    assert(EventStreams.readUpsertTable(spark, t)
+      .filter(col("doc_key") === 7L).select("metric").head().getLong(0) === 71L)
+  }
+
+  test("column drop via stable ids: metadata-only; reads project away; time travel keeps it; fold materializes") {
+    val t = Files.createTempDirectory("graft-drop").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(k => (k, k * 10L, s"aux$k", 0L))
+        .toDF("k", "n", "aux", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n", "aux")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 1L, retain = 8,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    val filesBefore = EventStreams.tableManifest(spark, t).values.flatten.toSet
+    EventStreams.dropColumn(spark, t, "aux", 2L)
+    assert(EventStreams.tableManifest(spark, t).values.flatten.toSet ===
+      filesBefore, "a drop must move zero data")
+    assert(EventStreams.readUpsertTable(spark, t).columns.toSeq ===
+      Seq("k", "n", "__v"))
+    // the stats contract shed the dropped column
+    assert(EventStreams.tableStatsCols(spark, t) === Some(Seq("n")))
+    // time travel below the drop still serves it
+    assert(EventStreams.readUpsertTableAt(spark, t, 1L)
+      .columns.contains("aux"))
+    // merges continue under the narrowed schema; the union read and
+    // the pruned scan both stay exact across the eras
+    EventStreams.mergeBatchIntoTable(
+      Seq((100L, 5L, 1L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 3L, retain = 8)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 17L)
+    val d = EventStreams.readUpsertTableScan(spark, t).filter(col("n") <= 35L)
+    val rows = d.collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(0L, 1L, 2L, 3L, 100L))
+    assert(!d.columns.contains("aux"))
+    // guards: key columns refuse
+    val keyErr = intercept[IllegalArgumentException] {
+      EventStreams.dropColumn(spark, t, "k", 4L)
+    }
+    assert(keyErr.getMessage.contains("key"))
+    // the fold materializes: tombstone leaves the contract, SQL serves
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 4L, retain = 8,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    assert(EventStreams.tableColIds(spark, t)
+      .forall(_.values.forall(h => h.size == 1 && h.head._1.nonEmpty)))
+    assert(spark.read.format("graft").load(t).columns.toSeq ===
+      Seq("k", "n", "__v"))
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
   }
 
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {

@@ -648,6 +648,61 @@ class TakedownSpec extends SparkSpec {
     assert(p2(("table-corpus", "snapshots_unreadable")) === ((true, 0L)))
   }
 
+  test("takedown x OCC: a disjoint ingest merge interleaving the walk — both land, pinned audit stable, ledger sealed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-td-occ").toString
+    val (corpus, ledger) = (s"$base/corpus", s"$base/ledger")
+    EventStreams.mergeBatchIntoTable(
+      (0L until 16L).map(i => (i, s"text $i", 0L)).toDF("doc_id", "text", "__v"),
+      corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 0L, retain = 8)
+    val bks = (0L until 16L).toDF("doc_id")
+      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kDel = 0L
+    val kIngest = bks.find { case (k, b) => b != bks(kDel) && k != kDel }.get._1
+    Takedown.pinForAudit(spark, "aud", asOfBatch = 10L,
+      keyedTables = Seq(corpus))
+    def auditAt(pin: Long): Long = Takedown.auditDocsAt(spark, Seq(kDel), pin,
+      keyedTables = Seq((corpus, "doc_id"))).collect().map(_.getLong(1)).sum
+    // the ingest merge (id 9, a DIFFERENT bucket) lands between the
+    // takedown delete leg's staging and its publish — the walk's own
+    // commit must rebase, and NEITHER writer's rows may be lost
+    var raced = false
+    Takedown.deleteDocs(spark, Seq(kDel), batchId = 10L, ledgerDir = ledger,
+      keyedTables = Seq((corpus, "doc_id", 4)),
+      beforeCommit = () => if (!raced) {
+        raced = true
+        EventStreams.mergeBatchIntoTable(
+          Seq((kIngest, "ingested", 1L)).toDF("doc_id", "text", "__v"),
+          corpus, Seq("doc_id"), "__v", nBuckets = 4, batchId = 9L,
+          retain = 8)
+      })
+    assert(raced)
+    val rows = EventStreams.readUpsertTable(spark, corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(kDel), "the takedown's delete must land")
+    assert(rows(kIngest) === "ingested",
+      "the interleaved ingest must survive the takedown's rebase")
+    assert(rows.size === 15)
+    // the delete leg recorded its TRUE parent — it rebased, it did not
+    // rename over the ingest
+    val baseTag = EventStreams.tableHistory(spark, corpus)
+      .filter(col("batch_id") === 10L).select("base").head().getLong(0)
+    assert(baseTag === 9L)
+    // the PINNED audit stays stable: the asOf-10 boundary now resolves
+    // to the interloper's snapshot (9), which still holds the doc —
+    // the pre-delete world, race or no race
+    assert(auditAt(10L) === 1L)
+    // ledger sealed + replay is a no-op that changes nothing
+    val before = EventStreams.latestCommittedBatchId(spark, corpus)
+    Takedown.deleteDocs(spark, Seq(kDel), batchId = 10L, ledgerDir = ledger,
+      keyedTables = Seq((corpus, "doc_id", 4)))
+    assert(EventStreams.latestCommittedBatchId(spark, corpus) === before)
+    assert(Takedown.auditDocs(spark, Seq(kDel),
+      keyedTables = Seq((corpus, "doc_id"))).collect().map(_.getLong(1)).sum === 0L)
+    assert(EventStreams.fsckUpsertTable(spark, corpus)
+      .collect().forall(_.getBoolean(1)), "fsck green after the raced walk")
+  }
+
   test("purgeDocs: a snapshot that fails to read reports red, never counts as zero refs (ADVICE r15)") {
     val base = java.nio.file.Files.createTempDirectory("graft-purge-ur").toString
     val corpus = s"$base/corpus"
