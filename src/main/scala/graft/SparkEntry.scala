@@ -6714,6 +6714,18 @@ object SparkEntry {
         statsCols = Some(Seq("d", "ts")))
       streaming.EventStreams.compactUpsertTable(spark, s"$base/zdt",
         Seq("doc_id"), 1, 1L, sortBy = Seq("doc_id"), maxRecordsPerFile = 4)
+      // SQL time-travel fixture (q213 round 16): a retained history the
+      // asOf option can resolve below the latest
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        s"$base/zat", Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L,
+        retain = 8, statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zat",
+        Seq("doc_id"), 2, 1L, retain = 8, sortBy = Seq("n"),
+        maxRecordsPerFile = 4)
+      streaming.EventStreams.mergeBatchIntoTable(
+        Seq((0L, 999L, 1L)).toDF("doc_id", "n", "__v"), s"$base/zat",
+        Seq("doc_id"), "__v", nBuckets = 2, batchId = 2L, retain = 8)
       // z-order fixtures (q201): the SAME two-dimension data folded
       // z-ordered vs lexicographic — (x, y) are independent grids, so
       // a lexicographic sort on x leaves y scattered across every file
@@ -8464,13 +8476,31 @@ object SparkEntry {
         (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
           .contains("delta")
       }
+    // SQL TIME TRAVEL (round 16): the asOf option resolves the
+    // readUpsertTableAt snapshot WITH file pruning (which the plain
+    // time-travel read never plans)
+    val zat = s"$base/zat"
+    val sqlAt = spark.read.format("graft").option("asOf", "1").load(zat)
+    val apiAt = EventStreams.readUpsertTableAt(spark, zat, 1L)
+    val asOfEqual = sqlAt.exceptAll(apiAt).isEmpty &&
+      apiAt.exceptAll(sqlAt).isEmpty &&
+      sqlAt.filter(col("doc_id") === 0L).select("n").head().getLong(0) == 0L &&
+      spark.read.format("graft").load(zat)
+        .filter(col("doc_id") === 0L).select("n").head().getLong(0) == 999L
+    val (atRows, atFiles) = v2Scanned(
+      spark.read.format("graft").option("asOf", "1").load(zat)
+        .filter(col("n") <= 35L))
+    val asOfPrunes = atRows == Seq(0L, 1L, 2L, 3L) && atFiles > 0 &&
+      atFiles < 8L // 32 rows at 4/file after the fold
     Seq(
       ("sql_read_equals_api_read", fullEqual),
       ("sql_filter_plans_apis_pruned_files", prunedParity),
       ("catalog_table_select_prunes_identically", catalogSql),
       ("sql_insert_refuses_loudly", insertRefuses),
       ("bloom_probe_prunes_through_sql", bloomThruSql),
-      ("delta_snapshot_refuses_through_sql", deltaRefuses))
+      ("delta_snapshot_refuses_through_sql", deltaRefuses),
+      ("sql_as_of_equals_api_time_travel", asOfEqual),
+      ("sql_as_of_scan_prunes", asOfPrunes))
       .toDF("check", "ok")
   }
 
@@ -10373,7 +10403,9 @@ object SparkEntry {
         |  ('catalog_table_select_prunes_identically'),
         |  ('sql_insert_refuses_loudly'),
         |  ('bloom_probe_prunes_through_sql'),
-        |  ('delta_snapshot_refuses_through_sql')) t(c)""".stripMargin,
+        |  ('delta_snapshot_refuses_through_sql'),
+        |  ('sql_as_of_equals_api_time_travel'),
+        |  ('sql_as_of_scan_prunes')) t(c)""".stripMargin,
     // rename-lifecycle verdicts are decided in-engine (committed
     // chains, executed plans, refusal messages); the oracle pins them
     "q214_rename_column" ->

@@ -58,7 +58,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         "OPTIONS (path '<dir>')"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EventStreams.zoneMapIndexFor(SparkSession.active, pathOf(options))._2
+    EventStreams.zoneMapIndexFor(SparkSession.active, pathOf(options),
+      GraftDataSource.asOfOption(options))._2
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
@@ -68,9 +69,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object GraftDataSource {
+  /** SQL TIME TRAVEL: `.option("asOf", <batchId>)` resolves the newest
+    * committed snapshot at or below the id — the
+    * `EventStreams.readUpsertTableAt` resolution, WITH the scan's file
+    * pruning (which the plain time-travel read does not plan).
+    */
+  private[sources] def asOfOption(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asOf")).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"asOf must be a committed batch id (a long); got '$v'"))
+    }
+}
+
 /** One committed graft upsert table as a V2 `FileTable` — see
   * [[GraftDataSource]]. The `fileIndex` is the zone-map index over the
-  * LATEST committed snapshot, resolved lazily at scan planning.
+  * LATEST committed snapshot (or the `asOf` option's snapshot),
+  * resolved lazily at scan planning.
   */
 class GraftTable(sparkSession: SparkSession,
                  options: CaseInsensitiveStringMap,
@@ -81,8 +96,11 @@ class GraftTable(sparkSession: SparkSession,
   require(paths.size == 1,
     s"a graft table is ONE committed table dir; got ${paths.size} paths")
 
+  // the asOf option rides the table's own options (CREATE TABLE ...
+  // OPTIONS or DataFrameReader options both land here)
   private lazy val parts: (ZoneMapFileIndex, StructType) =
-    EventStreams.zoneMapIndexFor(sparkSession, paths.head)
+    EventStreams.zoneMapIndexFor(sparkSession, paths.head,
+      GraftDataSource.asOfOption(options))
 
   override def name(): String = s"graft.`${paths.head}`"
 

@@ -2178,10 +2178,12 @@ object EventStreams {
     * path), as does a mixed-schema snapshot (the relation plans one
     * fixed data schema; compact to re-homogenize).
     */
-  def readUpsertTableScan(spark: SparkSession, tableDir: String): DataFrame = {
-    val groups = zoneMapIndexGroups(spark, tableDir)
+  def readUpsertTableScan(spark: SparkSession, tableDir: String,
+                          asOf: Option[Long] = None): DataFrame = {
+    val groups = zoneMapIndexGroups(spark, tableDir, asOf)
     if (groups.forall(_._1.inputFiles.isEmpty))
-      return readUpsertTable(spark, tableDir)
+      return asOf.map(readUpsertTableAt(spark, tableDir, _))
+        .getOrElse(readUpsertTable(spark, tableDir))
     def relate(index: ZoneMapFileIndex, schema: StructType): DataFrame = {
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, new StructType(), schema, None,
@@ -2216,8 +2218,9 @@ object EventStreams {
     * per-era union.
     */
   private[graft] def zoneMapIndexFor(spark: SparkSession,
-                                     tableDir: String): (ZoneMapFileIndex, StructType) = {
-    val groups = zoneMapIndexGroups(spark, tableDir)
+                                     tableDir: String,
+                                     asOf: Option[Long] = None): (ZoneMapFileIndex, StructType) = {
+    val groups = zoneMapIndexGroups(spark, tableDir, asOf)
     require(groups.size == 1,
       s"$tableDir holds an unmaterialized column rename (files from " +
         "before and after the rename are both live); compactUpsertTable " +
@@ -2226,20 +2229,33 @@ object EventStreams {
     (groups.head._1, groups.head._2)
   }
 
-  /** Per-era zone-map index groups of the latest committed snapshot:
-    * (index, PHYSICAL schema, physical -> current renames). Tables
-    * that never renamed (or folded since) are exactly one group with
-    * an empty rename map.
+  /** Per-era zone-map index groups of one committed snapshot — the
+    * LATEST by default, or the newest at-or-below `asOf` (pruned TIME
+    * TRAVEL: the same resolution [[readUpsertTableAt]] uses, with the
+    * scan's file skipping — what the SQL surface's `asOf` option
+    * serves). Each group is (index, PHYSICAL schema, physical ->
+    * current renames); tables that never renamed (or folded since) are
+    * exactly one group with an empty rename map.
     */
   private[graft] def zoneMapIndexGroups(spark: SparkSession,
-                                        tableDir: String): Seq[(ZoneMapFileIndex, StructType, Map[String, String])] = {
+                                        tableDir: String,
+                                        asOf: Option[Long] = None): Seq[(ZoneMapFileIndex, StructType, Map[String, String])] = {
     import org.apache.hadoop.fs.Path
     val table = new Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = manifestList(fs, table).lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"$tableDir has no committed manifest; run one mergeBatchIntoTable " +
-          "first"))
+    val chain = manifestList(fs, table)
+    val manifest = asOf match {
+      case None => chain.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableDir has no committed manifest; run one " +
+            "mergeBatchIntoTable first"))
+      case Some(b) => chain
+        .filter(_.getName.takeWhile(_ != '.').toLongOption.exists(_ <= b))
+        .lastOption.getOrElse(throw new IllegalArgumentException(
+          s"$tableDir has no committed snapshot at or before batch $b " +
+            "(pruned by retention, or never committed); pin snapshots " +
+            "an audit must outlive"))
+    }
     require(manifestReconcile(fs, manifest).isEmpty,
       s"$tableDir holds unfolded delta commits; file-level pruning could " +
         "resurrect superseded versions — compactUpsertTable first, or " +
@@ -2269,7 +2285,8 @@ object EventStreams {
     // schema-carrying read serves it (and the scan surfaces fall back
     // to that read anyway)
     if (rels.isEmpty) {
-      val schema = readUpsertTable(spark, tableDir).schema
+      val schema = asOf.map(readUpsertTableAt(spark, tableDir, _).schema)
+        .getOrElse(readUpsertTable(spark, tableDir).schema)
       return Seq((new ZoneMapFileIndex(table, Seq.empty, stats, schema,
         bloom, statsTz = tz), schema, Map.empty))
     }

@@ -106,6 +106,40 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 
+  test("asOf option: pruned SQL time travel resolves like readUpsertTableAt") {
+    val t = Files.createTempDirectory("graft-dsv2at").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 1L,
+      retain = 8, sortBy = Seq("n"), maxRecordsPerFile = 4)
+    EventStreams.mergeBatchIntoTable(
+      Seq((0L, 999L, 1L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 2L, retain = 8)
+    // the asOf read equals the API's time travel, row for row
+    val sqlAt = spark.read.format("graft").option("asOf", "1").load(t)
+    val apiAt = EventStreams.readUpsertTableAt(spark, t, 1L)
+    assert(sqlAt.exceptAll(apiAt).isEmpty && apiAt.exceptAll(sqlAt).isEmpty)
+    assert(sqlAt.filter(col("doc_id") === 0L).select("n").head().getLong(0) === 0L)
+    assert(spark.read.format("graft").load(t)
+      .filter(col("doc_id") === 0L).select("n").head().getLong(0) === 999L)
+    // and it PRUNES — which the plain time-travel read never plans
+    val (atRows, atFiles) = v2Scanned(
+      spark.read.format("graft").option("asOf", "1").load(t)
+        .filter(col("n") <= 35L))
+    assert(atRows === Seq(0L, 1L, 2L, 3L))
+    val liveAt1 = 8L // 32 rows, 4/file after the fold
+    assert(atFiles > 0 && atFiles < liveAt1,
+      s"asOf scan must prune ($atFiles of $liveAt1)")
+    // below the chain: loud, with the pin remediation
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("asOf", "-5").load(t).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage)
+      .getOrElse("")).contains("at or before"))
+  }
+
   test("graft format: bloom equality prunes; delta and mixed snapshots refuse") {
     // bloom-contracted high-cardinality strings: only the sketch prunes
     val tb = Files.createTempDirectory("graft-dsv2b").toString + "/t"
