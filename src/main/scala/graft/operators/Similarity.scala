@@ -1171,17 +1171,21 @@ object Similarity {
     */
   def syncIndexFromFeed(spark: org.apache.spark.sql.SparkSession,
                         srcDir: String, indexDir: String,
-                        consumer: String): Option[(Long, Long, Long, Long)] = {
+                        consumer: String,
+                        maxCommits: Int = 0): Option[(Long, Long, Long, Long)] = {
     import graft.streaming.EventStreams
     val from = EventStreams.feedCursor(spark, srcDir, consumer).getOrElse(
       throw new IllegalStateException(
         s"no cursor for consumer '$consumer' on $srcDir; build the index " +
           "from the current snapshot and bootstrapFeedCursor first"))
-    val to = EventStreams.latestCommittedBatchId(spark, srcDir).getOrElse(
+    val wm = EventStreams.latestCommittedBatchId(spark, srcDir).getOrElse(
       throw new IllegalStateException(s"$srcDir lost its manifest chain"))
-    if (to == from) return None
-    require(to > from,
-      s"$srcDir's watermark $to is behind the cursor $from — resync")
+    if (wm == from) return None
+    require(wm > from,
+      s"$srcDir's watermark $wm is behind the cursor $from — resync")
+    // bounded window for continuous serving (round 16): see
+    // EventStreams.syncReplicaFromFeed
+    val to = EventStreams.boundedFeedTarget(spark, srcDir, from, wm, maxCommits)
     val feed = EventStreams.readChangeFeed(spark, srcDir, from, Some(to))
       .localCheckpoint()
     val ups = feed.filter(col(EventStreams.changeTypeCol) === "upsert")

@@ -3517,9 +3517,9 @@ object EventStreams {
     * convention, and the point is that one giant backlog never becomes
     * one giant window.
     */
-  private def boundedFeedTarget(spark: SparkSession, srcDir: String,
-                                from: Long, watermark: Long,
-                                maxCommits: Int): Long =
+  private[graft] def boundedFeedTarget(spark: SparkSession, srcDir: String,
+                                       from: Long, watermark: Long,
+                                       maxCommits: Int): Long =
     if (maxCommits <= 0) watermark
     else {
       val table = new org.apache.hadoop.fs.Path(srcDir)
@@ -4031,6 +4031,10 @@ object EventStreams {
     *     staged generation dirs protected by a live in-flight token —
     *     a live concurrent writer, or an abandoned id an operator
     *     reclaims by deleting the token and vacuuming;
+    *   - `commit_tokens`: informational count of commit-sequencer
+    *     parent tokens under `_manifests/_commit` — post-rename litter
+    *     (collected by the next contender) or a live/crashed writer
+    *     (adopted by its replay, named loudly by contenders);
     *   - `no_orphan_shards`: no manifest shard file is unreferenced by
     *     every committed list (same posture as no_orphan_data);
     *     shards named by a live in-flight batchId are likewise the
@@ -4149,6 +4153,16 @@ object EventStreams {
     val specOk = multiGen == 0 || manifestPaths.lastOption.exists(p =>
       try manifestReconcile(fs, p).isDefined
       catch { case _: Exception => false })
+    // commit-sequencer parent tokens (round 16): a token whose holder
+    // id IS committed is post-rename litter the next contender
+    // collects; an UNCOMMITTED holder marks a live (or crashed,
+    // unreplayed) writer the contenders will name loudly —
+    // informational either way, mirroring in_flight_staging: fsck
+    // reports what the commit path itself collects or adopts
+    val commitDir = new Path(manifestsDir(table), "_commit")
+    val commitTokens =
+      if (!fs.exists(commitDir)) 0L
+      else fs.listStatus(commitDir).count(_.isFile).toLong
     Seq(
       ("manifests_parseable", manifestsOk, parsed.size.toLong),
       ("live_files_exist", liveMissing.isEmpty, liveMissing.size.toLong),
@@ -4156,6 +4170,7 @@ object EventStreams {
       ("pinned_files_exist", pinnedMissing.isEmpty, pinnedMissing.size.toLong),
       ("no_orphan_data", orphans.isEmpty, orphans.size.toLong),
       ("in_flight_staging", true, inflightStaged),
+      ("commit_tokens", true, commitTokens),
       ("no_orphan_shards", orphanShards.isEmpty, orphanShards.size.toLong),
       ("delta_spec_present", specOk, multiGen.toLong))
       .toDF("check", "ok", "n")

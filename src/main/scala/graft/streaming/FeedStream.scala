@@ -183,4 +183,27 @@ object FeedStream {
         ()
       }
       .start()
+
+  /** CONTINUOUS index sync — the [[startReplicaSyncContinuous]]
+    * contract for the composed IVF-PQ serving index, completing the
+    * standing-consumer trio (replica, rollup view, index).
+    */
+  def startIndexSyncContinuous(spark: SparkSession, srcDir: String,
+                               indexDir: String, consumer: String,
+                               checkpointDir: String,
+                               intervalMs: Long = 500,
+                               maxCommitsPerBatch: Int = 16): StreamingQuery = {
+    require(maxCommitsPerBatch >= 1,
+      s"maxCommitsPerBatch must be >= 1, got $maxCommitsPerBatch")
+    manifestStream(spark, srcDir, maxCommitsPerBatch)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.operators.Similarity.syncIndexFromFeed(spark, srcDir,
+          indexDir, consumer, maxCommits = maxCommitsPerBatch)
+        ()
+      }
+      .start()
+  }
 }

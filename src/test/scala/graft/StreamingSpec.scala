@@ -3177,6 +3177,11 @@ class StreamingSpec extends SparkSpec {
     val stale = new org.apache.hadoop.fs.Path(tokDir, f"${2L}%020d")
     val out = fs.create(stale, false)
     out.write("3".getBytes("UTF-8")); out.close()
+    // fsck SEES the pending token (informational, never red)
+    val withToken = EventStreams.fsckUpsertTable(spark, t).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(withToken("commit_tokens") === ((true, 1L)))
+    assert(withToken.values.forall(_._1))
     val err = intercept[IllegalStateException] {
       EventStreams.mergeBatchIntoTable(
         Seq((kA, 333L, 2L)).toDF("k", "n", "__v"), t, Seq("k"), "__v",
