@@ -140,6 +140,31 @@ class GraftSqlSpec extends SparkSpec {
       .getOrElse("")).contains("at or before"))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer from parquet footers through the graft format") {
+    // the V2 scan builder the graft table hands Spark implements
+    // SupportsPushDownAggregates: with the conf on, a bare
+    // count(*)/min/max never reads data pages — footer statistics
+    // answer it (the SQL twin of the API's metadata-only aggregates)
+    val t = mkTable()
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val orig = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      val d = spark.read.format("graft").load(t)
+        .agg(count(lit(1)).as("n"), min(col("n")).as("mn"),
+          max(col("n")).as("mx"))
+      val row = d.head()
+      assert(row.getLong(0) === 32L && row.getLong(1) === 0L &&
+        row.getLong(2) === 310L)
+      assert(d.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        s"the aggregate must push to the scan:\n${d.queryExecution.executedPlan}")
+    } finally orig match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graft format: bloom equality prunes; delta and mixed snapshots refuse") {
     // bloom-contracted high-cardinality strings: only the sketch prunes
     val tb = Files.createTempDirectory("graft-dsv2b").toString + "/t"

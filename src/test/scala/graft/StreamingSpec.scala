@@ -3313,6 +3313,39 @@ class StreamingSpec extends SparkSpec {
       .filter(col("doc_key") === 7L).select("metric").head().getLong(0) === 71L)
   }
 
+  test("rename on a DELTA table: the reconcile spec renames with the column; reads stay exact") {
+    val t = Files.createTempDirectory("graft-rendelta").toString + "/t"
+    def merge(rows: Seq[(Long, Long, Long)], id: Long, cols: (String, String, String)) =
+      EventStreams.mergeBatchIntoTable(
+        rows.toDF(cols._1, cols._2, cols._3), t,
+        Seq(cols._1), cols._3, nBuckets = 2, batchId = id, retain = 8,
+        delta = true)
+    merge((0L until 8L).map(k => (k, k * 10L, 0L)), 0L, ("k", "n", "__v"))
+    merge(Seq((3L, 999L, 1L)), 1L, ("k", "n", "__v")) // delta update
+    // rename BOTH a value column and the VERSION column mid-delta
+    EventStreams.renameColumn(spark, t, "n", "metric", 2L)
+    EventStreams.renameColumn(spark, t, "__v", "rev", 3L)
+    assert(EventStreams.tableKeyedBy(spark, t) === Some(Seq("k")))
+    val reconciled = EventStreams.readUpsertTable(spark, t)
+    assert(reconciled.columns.toSeq === Seq("k", "metric", "rev"))
+    assert(reconciled.count() === 8L)
+    assert(reconciled.filter(col("k") === 3L)
+      .select("metric").head().getLong(0) === 999L,
+      "the delta winner must survive the renames")
+    // a post-rename delta merge under the NEW names stacks and wins
+    merge(Seq((3L, 1234L, 2L)), 4L, ("k", "metric", "rev"))
+    assert(EventStreams.readUpsertTable(spark, t).filter(col("k") === 3L)
+      .select("metric").head().getLong(0) === 1234L)
+    // the fold materializes: plain scan path returns, values intact
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 5L, retain = 8)
+    val folded = EventStreams.readUpsertTable(spark, t)
+    assert(folded.columns.toSeq === Seq("k", "metric", "rev"))
+    assert(folded.filter(col("k") === 3L)
+      .select("metric").head().getLong(0) === 1234L)
+    assert(EventStreams.tableColIds(spark, t).get.values.forall(_.size == 1))
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+  }
+
   test("column drop via stable ids: metadata-only; reads project away; time travel keeps it; fold materializes") {
     val t = Files.createTempDirectory("graft-drop").toString + "/t"
     EventStreams.mergeBatchIntoTable(
