@@ -7620,8 +7620,11 @@ object SparkEntry {
     import streaming.EventStreams
     val hist = EventStreams.tableHistory(spark, s"$base/zw")
       .orderBy(col("batch_id")).collect()
+    // classified predicate deletes record "delete" since round 16 —
+    // the kind is how fsck tells their legal carry+rewrite bucket mix
+    // from a lost reconcile spec
     val idsAndKinds = hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L) &&
-      hist.map(_.getString(1)).toSeq == Seq("write", "fold", "write", "write")
+      hist.map(_.getString(1)).toSeq == Seq("write", "fold", "delete", "delete")
     val parents = hist.drop(1).zip(hist).forall { case (row, parent) =>
       !row.isNullAt(2) && row.getLong(2) == parent.getLong(0)
     }

@@ -91,7 +91,8 @@ class GraftTable(sparkSession: SparkSession,
                  options: CaseInsensitiveStringMap,
                  paths: Seq[String],
                  userSpecifiedSchema: Option[StructType])
-  extends FileTable(sparkSession, options, paths, userSpecifiedSchema) {
+  extends FileTable(sparkSession, options, paths, userSpecifiedSchema)
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   require(paths.size == 1,
     s"a graft table is ONE committed table dir; got ${paths.size} paths")
@@ -132,6 +133,67 @@ class GraftTable(sparkSession: SparkSession,
         "deleteFromTable / compactUpsertTable) — a SQL INSERT would " +
         "bypass the manifest commit protocol and its exactly-once, " +
         "concurrency and retention guarantees")
+
+  // ---- SQL DELETE (round 16): `DELETE FROM t WHERE <bounds>` routes
+  // to the COMMITTED predicate delete (EventStreams
+  // .deleteUpsertTableWhere) — zone-map classification included, so
+  // provably-covered files drop from the manifest UNREAD and disjoint
+  // files carry untouched, exactly like the Scala API. Only
+  // conjunctions of INCLUSIVE bounds (>=, <=, =) on bare columns
+  // translate: a ColBound is inclusive, so a strict `<`/`>` cannot be
+  // rendered without a type-aware predecessor and deleting one extra
+  // boundary row would be silent data loss — untranslatable
+  // predicates refuse at analysis (canDeleteWhere), loudly. ----
+
+  private def boundsOf(filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[EventStreams.ColBound]] = {
+    import org.apache.spark.sql.sources._
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case _: java.lang.Number | _: String | _: java.lang.Boolean =>
+        Some(v.toString)
+      case t: java.sql.Timestamp => Some(t.toString)
+      case i: java.time.Instant =>
+        Some(java.sql.Timestamp.from(i).toString)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    def walk(f: Filter): Option[Seq[EventStreams.ColBound]] = f match {
+      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case GreaterThanOrEqual(c, v) =>
+        render(v).map(s => Seq(EventStreams.ColBound(c, Some(s), None)))
+      case LessThanOrEqual(c, v) =>
+        render(v).map(s => Seq(EventStreams.ColBound(c, None, Some(s))))
+      case EqualTo(c, v) =>
+        render(v).map(s => Seq(EventStreams.ColBound(c, Some(s), Some(s))))
+      case _ => None
+    }
+    if (filters.isEmpty) None // unbounded DELETE: use the API, loudly
+    else {
+      val parts = filters.toSeq.map(walk)
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    boundsOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val bounds = boundsOf(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "graft SQL DELETE supports conjunctions of inclusive bounds " +
+          "(>=, <=, =) on bare columns; rewrite the predicate or use " +
+          "EventStreams.deleteUpsertTableWhere / deleteFromTable"))
+    val id = EventStreams.latestCommittedBatchId(sparkSession, paths.head)
+      .getOrElse(-1L) + 1
+    // retain = 2: the pre-delete snapshot stays readable through the
+    // commit (the takedown legs' audit-window convention) — a SQL
+    // DELETE must not be the first writer that silently narrows the
+    // table's time-travel window below one commit
+    EventStreams.deleteUpsertTableWhere(sparkSession, paths.head, bounds, id,
+      retain = 2)
+    ()
+  }
 }
 
 /** The V1-fallback "format" for graft writes: every write entry point

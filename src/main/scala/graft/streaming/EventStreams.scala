@@ -851,13 +851,21 @@ object EventStreams {
         statsCols = if (delStatsCols.nonEmpty) Some(delStatsCols) else None,
         bloomCols = if (delBloomCols.nonEmpty) Some(delBloomCols) else None,
         base = Some(Some(prevId)),
+        // "kind":"delete" marks this commit's carry+rewrite bucket mix
+        // as UNIQUE-KEYED BY CONSTRUCTION (carried and rewritten files
+        // partition the bucket's rows) — fsck's delta_spec_present
+        // reads it to tell the legal mix from a lost reconcile spec
+        kind = Some("delete"),
         statsTz = resolveStatsTz(spark, fs, table,
-          delStatsCols.nonEmpty || delBloomCols.nonEmpty))
+          delStatsCols.nonEmpty || delBloomCols.nonEmpty),
+        colIds = manifestColIds(fs, manifest))
       sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     }
     if (allFiles.isEmpty) { commit(live, Seq.empty, Seq.empty); return Some(zero) }
-    val schema = spark.read
-      .parquet(new Path(table, allFiles.head).toString).schema
+    // LOGICAL schema (era-translated): bounds name current columns
+    val schema = readFilesTranslated(spark, table,
+      manifestColIds(fs, manifest), Seq(allFiles.head),
+      mergeSchema = false).schema
     val typed = bounds.map { b =>
       require(schema.fieldNames.contains(b.column),
         s"$tableDir has no column '${b.column}' to delete on")
@@ -916,9 +924,13 @@ object EventStreams {
       }.reduce(_ && _)
       !coalesce(pred, lit(false))
     }
-    def scan(rels: Seq[String]) = spark.read
-      .option("mergeSchema", mixed.toString)
-      .parquet(rels.map(rel => new Path(table, rel).toString): _*)
+    // era translation (round 16): boundary files written before a
+    // rename read under their physical names and project to current —
+    // the keep-predicate and the re-bucket hash reference current
+    // names, and the survivors land current-named under this commit's
+    // ordinal
+    def scan(rels: Seq[String]) = readFilesTranslated(spark, table,
+      manifestColIds(fs, manifest), rels, mergeSchema = mixed)
     val survivorParts = Seq(
       if (plainRewrite.isEmpty) None else Some(scan(plainRewrite).filter(keep)),
       if (deltaRewrite.isEmpty) None
@@ -4143,16 +4155,54 @@ object EventStreams {
             }))
           .map(_.getPath.getName).toSeq
       }
-    // a live bucket stacking files from MORE than one commit is a
-    // delta bucket — readable only through a reconcile spec; a latest
-    // list that names such a bucket but carries no spec is metadata
-    // damage (the spec was lost), and a plain read would return
-    // duplicate keys silently. Pointer/shard reads only, never data.
-    val multiGen = parsed.lastOption
-      .map(_._3.count(_._2.map(fileOrdinal).distinct.size > 1)).getOrElse(0)
-    val specOk = multiGen == 0 || manifestPaths.lastOption.exists(p =>
+    // a live bucket stacking files from MORE than one commit is EITHER
+    // an unfolded delta bucket (readable only through a reconcile
+    // spec — a latest list naming one without the spec would let plain
+    // reads return duplicate keys silently) OR the LEGAL carry+rewrite
+    // mix a classified predicate delete leaves on a unique-keyed table
+    // (round 16: disjoint files carry pointer-untouched next to the
+    // rewrite's fresh files). Discriminate from the chain, metadata
+    // only: with no spec on the latest list, a multi-ordinal bucket is
+    // damage-suspicious only if its shard POINTER is unchanged since
+    // the last retained spec-bearing manifest (the spec vanished under
+    // it without a rewrite); buckets rewritten by spec-less commits
+    // since (folds, classified deletes) are unique-keyed by those
+    // commits' own contracts, and tables that never carried a spec
+    // cannot be hiding deltas at all. Pointer/shard reads only.
+    val multiBuckets = parsed.lastOption
+      .map(_._3.filter(_._2.map(fileOrdinal).distinct.size > 1).keySet)
+      .getOrElse(Set.empty[Int])
+    val multiGen = multiBuckets.size
+    val latestHasSpec = manifestPaths.lastOption.exists(p =>
       try manifestReconcile(fs, p).isDefined
       catch { case _: Exception => false })
+    val specOk = multiGen == 0 || latestHasSpec || {
+      // the commit that CREATED a bucket's newest layer is named by
+      // its max file ordinal; its recorded kind discriminates:
+      // "delete" = the classified predicate delete's unique-keyed
+      // carry+rewrite mix (legal without a spec); anything else
+      // stacked files some other way — only a delta append does that,
+      // and it must carry the spec (red = the spec was lost). A pruned
+      // creator (compacted chain) is legal only if no retained
+      // manifest ever carried a spec (a never-delta table cannot be
+      // hiding duplicates).
+      val metaById = manifestPaths.flatMap { p =>
+        try { val (id, _, kind) = manifestCommitMeta(fs, p); Some(id -> kind) }
+        catch { case _: Exception => None }
+      }.toMap
+      val everSpec = parsed.nonEmpty && manifestPaths.exists(p =>
+        try manifestReconcile(fs, p).isDefined
+        catch { case _: Exception => false })
+      val latestLive = parsed.last._3
+      multiBuckets.forall { b =>
+        latestLive(b).map(fileOrdinal).flatMap(_.toLongOption)
+          .maxOption.flatMap(metaById.get) match {
+          case Some(Some("delete")) => true
+          case Some(_) => false
+          case None => !everSpec
+        }
+      }
+    }
     // commit-sequencer parent tokens (round 16): a token whose holder
     // id IS committed is post-rename litter the next contender
     // collects; an UNCOMMITTED holder marks a live (or crashed,

@@ -140,6 +140,49 @@ class GraftSqlSpec extends SparkSpec {
       .getOrElse("")).contains("at or before"))
   }
 
+  test("SQL DELETE routes to the committed predicate delete (zone-map classified)") {
+    val t = Files.createTempDirectory("graft-dsv2del").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 1L,
+      retain = 8, sortBy = Seq("n"), maxRecordsPerFile = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_del")
+    spark.sql(s"CREATE TABLE graft_sql_del USING graft OPTIONS (path '$t')")
+    try {
+      spark.sql("DELETE FROM graft_sql_del WHERE n >= 200")
+      // the delete COMMITTED: both surfaces serve the post-delete world
+      assert(EventStreams.readUpsertTable(spark, t).count() === 20L)
+      assert(EventStreams.readUpsertTable(spark, t)
+        .agg(max(col("n"))).head().getLong(0) === 190L)
+      // it is a real manifest commit with the classification (some
+      // provably-covered sorted files DROPPED unread)
+      val hist = EventStreams.tableHistory(spark, t)
+        .orderBy(col("batch_id").desc).head()
+      assert(hist.getLong(0) === 2L)
+      // time travel below the SQL delete still reads everything
+      assert(EventStreams.readUpsertTableAt(spark, t, 1L).count() === 32L)
+      // bounded conjunction + equality both translate
+      spark.sql("DELETE FROM graft_sql_del WHERE n >= 100 AND n <= 120")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 17L)
+      spark.sql("DELETE FROM graft_sql_del WHERE n = 0")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 16L)
+      // a STRICT bound cannot render as an inclusive ColBound — it
+      // must refuse at analysis, never silently delete a boundary row
+      val err = intercept[Exception] {
+        spark.sql("DELETE FROM graft_sql_del WHERE n > 50")
+      }
+      assert(err.getMessage.toLowerCase.contains("delete"),
+        s"strict bounds must refuse: ${err.getMessage}")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 16L,
+        "the refused delete must not have removed anything")
+      val fsckRows = EventStreams.fsckUpsertTable(spark, t).collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+      assert(fsckRows.forall(_._2), s"fsck after SQL deletes: $fsckRows")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_del")
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX answer from parquet footers through the graft format") {
     // the V2 scan builder the graft table hands Spark implements
     // SupportsPushDownAggregates: with the conf on, a bare

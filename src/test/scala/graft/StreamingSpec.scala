@@ -3346,6 +3346,38 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
   }
 
+  test("predicate delete on a renamed-unfolded table: colIds survives, boundaries translate, fsck green") {
+    val t = Files.createTempDirectory("graft-rendel").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 1, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 1L, retain = 8,
+      sortBy = Seq("n"), maxRecordsPerFile = 4)
+    EventStreams.renameColumn(spark, t, "n", "metric", 2L)
+    // the delete bounds the NEW name over OLD-era files: stats under
+    // the old name give no coverage proof (conservative rewrite), the
+    // boundary read must translate, and the colIds contract must ride
+    // the delete commit — before round 16's fix the commit DROPPED it
+    // and every later read reverted to physical names
+    val rep = EventStreams.deleteUpsertTableWhere(spark, t,
+      Seq(EventStreams.ColBound("metric", Some("200"), None)),
+      batchId = 3L, retain = 8)
+    assert(rep.isDefined)
+    val after = EventStreams.readUpsertTable(spark, t)
+    assert(after.columns.toSeq === Seq("k", "metric", "__v"),
+      "the rename contract must survive the predicate delete")
+    assert(after.count() === 20L)
+    assert(after.agg(max(col("metric"))).head().getLong(0) === 190L)
+    assert(EventStreams.tableColIds(spark, t).exists(_.values.exists(_.size > 1)))
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // and the materializing fold still works afterwards
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 1, 4L, retain = 8,
+      sortBy = Seq("metric"), maxRecordsPerFile = 4)
+    assert(EventStreams.readUpsertTable(spark, t).count() === 20L)
+    assert(EventStreams.tableColIds(spark, t).get.values.forall(_.size == 1))
+  }
+
   test("column drop via stable ids: metadata-only; reads project away; time travel keeps it; fold materializes") {
     val t = Files.createTempDirectory("graft-drop").toString + "/t"
     EventStreams.mergeBatchIntoTable(
