@@ -6726,6 +6726,27 @@ object SparkEntry {
       streaming.EventStreams.mergeBatchIntoTable(
         Seq((0L, 999L, 1L)).toDF("doc_id", "n", "__v"), s"$base/zat",
         Seq("doc_id"), "__v", nBuckets = 2, batchId = 2L, retain = 8)
+      // SQL DELETE fixture (q213 round 16): a pure-SQL bounded delete
+      // lands ONCE per JVM through the catalog; the strict-bound
+      // refusal message is captured for the verdict
+      streaming.EventStreams.mergeBatchIntoTable(
+        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        s"$base/zdel", Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L,
+        retain = 8, statsCols = Some(Seq("n")))
+      streaming.EventStreams.compactUpsertTable(spark, s"$base/zdel",
+        Seq("doc_id"), 2, 1L, retain = 8, sortBy = Seq("n"),
+        maxRecordsPerFile = 4)
+      spark.sql("DROP TABLE IF EXISTS graft_q213_del")
+      spark.sql(
+        s"CREATE TABLE graft_q213_del USING graft OPTIONS (path '$base/zdel')")
+      try {
+        spark.sql("DELETE FROM graft_q213_del WHERE n >= 200")
+        val strictMsg = scala.util.Try(
+          spark.sql("DELETE FROM graft_q213_del WHERE n > 50"))
+          .failed.map(_.getMessage).getOrElse("")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/zdel_strict_msg"), strictMsg)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_q213_del")
       // z-order fixtures (q201): the SAME two-dimension data folded
       // z-ordered vs lexicographic — (x, y) are independent grids, so
       // a lexicographic sort on x leaves y scattered across every file
@@ -8495,6 +8516,27 @@ object SparkEntry {
         .filter(col("n") <= 35L))
     val asOfPrunes = atRows == Seq(0L, 1L, 2L, 3L) && atFiles > 0 &&
       atFiles < 8L // 32 rows at 4/file after the fold
+    // SQL DELETE (round 16): the fixture's pure-SQL bounded delete
+    // committed through the classified predicate delete — verdicts
+    // re-derive from the committed chain: survivors exact, the commit
+    // records kind "delete", time travel below it reads the pre-delete
+    // world, fsck green; and the strict-bound refusal stayed loud
+    // (inclusive ColBounds cannot render `>` without deleting a
+    // boundary row)
+    val zdel = s"$base/zdel"
+    val delRead = EventStreams.readUpsertTable(spark, zdel).localCheckpoint()
+    val delKinds = EventStreams.tableHistory(spark, zdel)
+      .select("batch_id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sqlDeleteCommits = delRead.count() == 20L &&
+      delRead.agg(max(col("n"))).head().getLong(0) == 190L &&
+      delKinds.get(2L).contains("delete") &&
+      EventStreams.readUpsertTableAt(spark, zdel, 1L).count() == 32L &&
+      EventStreams.fsckUpsertTable(spark, zdel).collect()
+        .forall(_.getBoolean(1))
+    val strictRefused = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/zdel_strict_msg")), "UTF-8")
+      .toLowerCase.contains("delete") && delRead.count() == 20L
     Seq(
       ("sql_read_equals_api_read", fullEqual),
       ("sql_filter_plans_apis_pruned_files", prunedParity),
@@ -8503,7 +8545,9 @@ object SparkEntry {
       ("bloom_probe_prunes_through_sql", bloomThruSql),
       ("delta_snapshot_refuses_through_sql", deltaRefuses),
       ("sql_as_of_equals_api_time_travel", asOfEqual),
-      ("sql_as_of_scan_prunes", asOfPrunes))
+      ("sql_as_of_scan_prunes", asOfPrunes),
+      ("sql_delete_commits_classified", sqlDeleteCommits),
+      ("sql_delete_strict_bound_refuses", strictRefused))
       .toDF("check", "ok")
   }
 
@@ -10408,7 +10452,9 @@ object SparkEntry {
         |  ('bloom_probe_prunes_through_sql'),
         |  ('delta_snapshot_refuses_through_sql'),
         |  ('sql_as_of_equals_api_time_travel'),
-        |  ('sql_as_of_scan_prunes')) t(c)""".stripMargin,
+        |  ('sql_as_of_scan_prunes'),
+        |  ('sql_delete_commits_classified'),
+        |  ('sql_delete_strict_bound_refuses')) t(c)""".stripMargin,
     // rename-lifecycle verdicts are decided in-engine (committed
     // chains, executed plans, refusal messages); the oracle pins them
     "q214_rename_column" ->
