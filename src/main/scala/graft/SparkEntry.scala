@@ -6726,11 +6726,15 @@ object SparkEntry {
       streaming.EventStreams.mergeBatchIntoTable(
         Seq((0L, 999L, 1L)).toDF("doc_id", "n", "__v"), s"$base/zat",
         Seq("doc_id"), "__v", nBuckets = 2, batchId = 2L, retain = 8)
-      // SQL DELETE fixture (q213 round 16): a pure-SQL bounded delete
-      // lands ONCE per JVM through the catalog; the strict-bound
-      // refusal message is captured for the verdict
+      // SQL DELETE fixture (q213 round 16, extended r17): a pure-SQL
+      // bounded delete lands ONCE per JVM through the catalog; a
+      // STRICT bound on a discrete type now translates to the exact
+      // adjacent inclusive bound (the boundary row must SURVIVE `>`),
+      // while a strict bound on a CONTINUOUS (double) column still
+      // refuses — its message is captured for the verdict
       streaming.EventStreams.mergeBatchIntoTable(
-        (0L until 32L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        (0L until 32L).map(k => (k, k * 10L, k * 0.5, 0L))
+          .toDF("doc_id", "n", "score", "__v"),
         s"$base/zdel", Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L,
         retain = 8, statsCols = Some(Seq("n")))
       streaming.EventStreams.compactUpsertTable(spark, s"$base/zdel",
@@ -6741,12 +6745,51 @@ object SparkEntry {
         s"CREATE TABLE graft_q213_del USING graft OPTIONS (path '$base/zdel')")
       try {
         spark.sql("DELETE FROM graft_q213_del WHERE n >= 200")
+        // strict discrete: deletes 180,190 — the boundary row n=170
+        // survives (an unsound inclusive rendering would take it too)
+        spark.sql("DELETE FROM graft_q213_del WHERE n > 170")
         val strictMsg = scala.util.Try(
-          spark.sql("DELETE FROM graft_q213_del WHERE n > 50"))
+          spark.sql("DELETE FROM graft_q213_del WHERE score > 1.5"))
           .failed.map(_.getMessage).getOrElse("")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$base/zdel_strict_msg"), strictMsg)
       } finally spark.sql("DROP TABLE IF EXISTS graft_q213_del")
+      // SQL timestamp-bound delete under a SHIFTED JVM default zone
+      // (r17, ADVICE r16): twin tables — one deleted through SQL with
+      // the JVM default pinned to a +5:30 zone while the session stays
+      // UTC, one through the API with the same wall-clock bound. Rows
+      // sit every 6 hours and the bound sits 1h below a row, so a
+      // JVM-default rendering would pull one extra row into the window.
+      def mkTzTable(t: String): Unit = {
+        streaming.EventStreams.mergeBatchIntoTable(
+          (0L until 24L).map(k => (k, 0L)).toDF("doc_id", "__v")
+            .withColumn("ts", expr("timestampadd(HOUR, " +
+              "cast(doc_id * 6 as int), timestamp'2021-06-01 00:00:00')"))
+            .select("doc_id", "ts", "__v"),
+          t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+          statsCols = Some(Seq("ts")))
+        streaming.EventStreams.compactUpsertTable(spark, t,
+          Seq("doc_id"), 2, 1L, retain = 8, sortBy = Seq("ts"),
+          maxRecordsPerFile = 4)
+      }
+      mkTzTable(s"$base/ztzs")
+      mkTzTable(s"$base/ztza")
+      spark.sql("DROP TABLE IF EXISTS graft_q213_tz")
+      spark.sql(
+        s"CREATE TABLE graft_q213_tz USING graft OPTIONS (path '$base/ztzs')")
+      val origTz = java.util.TimeZone.getDefault
+      try {
+        java.util.TimeZone.setDefault(
+          java.util.TimeZone.getTimeZone("Asia/Kolkata"))
+        spark.sql("DELETE FROM graft_q213_tz WHERE " +
+          "ts <= TIMESTAMP'2021-06-02 23:00:00'")
+      } finally {
+        java.util.TimeZone.setDefault(origTz)
+        spark.sql("DROP TABLE IF EXISTS graft_q213_tz")
+      }
+      streaming.EventStreams.deleteUpsertTableWhere(spark, s"$base/ztza",
+        Seq(streaming.EventStreams.ColBound("ts", None,
+          Some("2021-06-02 23:00:00"))), batchId = 2L, retain = 2)
       // z-order fixtures (q201): the SAME two-dimension data folded
       // z-ordered vs lexicographic — (x, y) are independent grids, so
       // a lexicographic sort on x leaves y scattered across every file
@@ -8528,15 +8571,34 @@ object SparkEntry {
     val delKinds = EventStreams.tableHistory(spark, zdel)
       .select("batch_id", "kind").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val sqlDeleteCommits = delRead.count() == 20L &&
-      delRead.agg(max(col("n"))).head().getLong(0) == 190L &&
+    // time travel reads BETWEEN the deletes (batch 2): each SQL delete
+    // retains 2 snapshots, so after the second one batch 1's dropped
+    // files are legitimately swept — the audit window is per-commit
+    val sqlDeleteCommits = delRead.count() == 18L &&
       delKinds.get(2L).contains("delete") &&
-      EventStreams.readUpsertTableAt(spark, zdel, 1L).count() == 32L &&
+      delKinds.get(3L).contains("delete") &&
+      EventStreams.readUpsertTableAt(spark, zdel, 2L).count() == 20L &&
       EventStreams.fsckUpsertTable(spark, zdel).collect()
         .forall(_.getBoolean(1))
+    // strict `> 170` on a LONG translated to the exact successor: the
+    // boundary row n=170 SURVIVES (max of survivors), 180/190 died —
+    // re-derived from the committed chain, with the pre-strict
+    // snapshot (batch 2) still holding max 190
+    val strictTranslates =
+      delRead.agg(max(col("n"))).head().getLong(0) == 170L &&
+      EventStreams.readUpsertTableAt(spark, zdel, 2L)
+        .agg(max(col("n"))).head().getLong(0) == 190L
+    // strict on a CONTINUOUS double still refuses loudly
     val strictRefused = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/zdel_strict_msg")), "UTF-8")
-      .toLowerCase.contains("delete") && delRead.count() == 20L
+      .toLowerCase.contains("delete") && delRead.count() == 18L
+    // the SQL delete under a +5:30 JVM default zone removed EXACTLY
+    // the rows the API twin removed with the same wall-clock bound
+    val sqlTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztzs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val apiTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztza")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val tzExact = sqlTzLeft == apiTzLeft && sqlTzLeft == (8L until 24L).toSeq
     Seq(
       ("sql_read_equals_api_read", fullEqual),
       ("sql_filter_plans_apis_pruned_files", prunedParity),
@@ -8547,7 +8609,9 @@ object SparkEntry {
       ("sql_as_of_equals_api_time_travel", asOfEqual),
       ("sql_as_of_scan_prunes", asOfPrunes),
       ("sql_delete_commits_classified", sqlDeleteCommits),
-      ("sql_delete_strict_bound_refuses", strictRefused))
+      ("sql_delete_strict_discrete_translates", strictTranslates),
+      ("sql_delete_strict_continuous_refuses", strictRefused),
+      ("sql_delete_tz_window_exact", tzExact))
       .toDF("check", "ok")
   }
 
@@ -10454,7 +10518,9 @@ object SparkEntry {
         |  ('sql_as_of_equals_api_time_travel'),
         |  ('sql_as_of_scan_prunes'),
         |  ('sql_delete_commits_classified'),
-        |  ('sql_delete_strict_bound_refuses')) t(c)""".stripMargin,
+        |  ('sql_delete_strict_discrete_translates'),
+        |  ('sql_delete_strict_continuous_refuses'),
+        |  ('sql_delete_tz_window_exact')) t(c)""".stripMargin,
     // rename-lifecycle verdicts are decided in-engine (committed
     // chains, executed plans, refusal messages); the oracle pins them
     "q214_rename_column" ->

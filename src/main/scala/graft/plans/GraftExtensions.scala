@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => CollapseRound)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL MERGE INTO / UPDATE on graft tables (round 17): claim the
+    // resolved nodes after the Resolution batch — Spark's own
+    // row-level rewrite only claims SupportsRowLevelOperations tables,
+    // and post-hoc runs before CheckAnalysis would reject the rest
+    ext.injectPostHocResolutionRule(s => graft.sources.GraftSqlWrites(s))
+    ext.injectPlannerStrategy(_ => graft.sources.GraftSqlWriteStrategy)
   }
 }
 
@@ -88,5 +94,13 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies
+        .contains(graft.sources.GraftSqlWriteStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.sources.GraftSqlWriteStrategy
+    // NOTE: the SQL MERGE/UPDATE post-hoc resolution rule has no
+    // runtime injection point — sessions that need the SQL write
+    // surface must carry spark.sql.extensions=graft.plans.GraftExtensions
+    // (Verify/Bench/SharedSpark all do)
   }
 }

@@ -57,9 +57,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       "the graft format needs a table dir: .load(dir) or " +
         "OPTIONS (path '<dir>')"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EventStreams.zoneMapIndexFor(SparkSession.active, pathOf(options),
-      GraftDataSource.asOfOption(options))._2
+  // the LOGICAL schema (translated, reconcile-agnostic): registering a
+  // catalog table over a delta-postured or renamed-unfolded snapshot is
+  // legal — writes (MERGE/UPDATE/DELETE) work there; only the pruned
+  // SCAN refuses, at scan planning, where the guard belongs (r17 — the
+  // zoneMapIndexFor guard here blocked CREATE TABLE over delta tables)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    GraftDataSource.asOfOption(options) match {
+      case Some(at) => EventStreams.readUpsertTableAt(spark, pathOf(options), at).schema
+      case None => EventStreams.readUpsertTable(spark, pathOf(options)).schema
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
@@ -80,6 +89,18 @@ object GraftDataSource {
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"asOf must be a committed batch id (a long); got '$v'"))
     }
+
+  /** The session-pinned SQL commit id (`SET graft.sql.batchId = <n>`),
+    * if any — the exactly-once handle for scheduled SQL writers: a
+    * replayed statement under the same pinned id no-ops (the manifest
+    * watermark), and a scheduler hands concurrent writers DISTINCT ids
+    * so auto-assigned head+1 ids cannot collide.
+    */
+  private[graft] def sqlBatchId(spark: SparkSession): Option[Long] =
+    spark.conf.getOption("graft.sql.batchId").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft.sql.batchId must be a long; got '$v'"))
+    }
 }
 
 /** One committed graft upsert table as a V2 `FileTable` — see
@@ -96,6 +117,12 @@ class GraftTable(sparkSession: SparkSession,
 
   require(paths.size == 1,
     s"a graft table is ONE committed table dir; got ${paths.size} paths")
+
+  /** The committed table dir — what the SQL write surface routes to. */
+  def tableDir: String = paths.head
+
+  /** The time-travel pin, if this handle was opened with one. */
+  def asOfOpt: Option[Long] = GraftDataSource.asOfOption(options)
 
   // the asOf option rides the table's own options (CREATE TABLE ...
   // OPTIONS or DataFrameReader options both land here)
@@ -115,6 +142,25 @@ class GraftTable(sparkSession: SparkSession,
   // format refuses at prepareWrite with the same remediation.
   override def fallbackFileFormat: Class[_ <: FileFormat] =
     classOf[GraftWriteRefusingFormat]
+
+  // the LOGICAL schema, without touching the scan's file index:
+  // FileTable.dataSchema otherwise resolves through `fileIndex`, whose
+  // single-era/no-delta guards must fire at SCAN planning, not at
+  // table resolution (a catalog table over a delta snapshot is legal
+  // to WRITE to — r17)
+  override lazy val dataSchema: StructType = userSpecifiedSchema.getOrElse {
+    GraftDataSource.asOfOption(options) match {
+      case Some(at) =>
+        EventStreams.readUpsertTableAt(sparkSession, paths.head, at).schema
+      case None => EventStreams.readUpsertTable(sparkSession, paths.head).schema
+    }
+  }
+
+  // FileTable.schema appends the file index's partition schema — a
+  // graft table has none (layout keys live in the manifest), so the
+  // logical schema IS the table schema, again without forcing the
+  // scan guards at resolution
+  override lazy val schema: StructType = dataSchema
 
   override lazy val fileIndex: PartitioningAwareFileIndex =
     new GraftV2Index(sparkSession, parts._1, parts._2)
@@ -138,26 +184,83 @@ class GraftTable(sparkSession: SparkSession,
   // to the COMMITTED predicate delete (EventStreams
   // .deleteUpsertTableWhere) — zone-map classification included, so
   // provably-covered files drop from the manifest UNREAD and disjoint
-  // files carry untouched, exactly like the Scala API. Only
-  // conjunctions of INCLUSIVE bounds (>=, <=, =) on bare columns
-  // translate: a ColBound is inclusive, so a strict `<`/`>` cannot be
-  // rendered without a type-aware predecessor and deleting one extra
-  // boundary row would be silent data loss — untranslatable
-  // predicates refuse at analysis (canDeleteWhere), loudly. ----
+  // files carry untouched, exactly like the Scala API. Conjunctions of
+  // INCLUSIVE bounds (>=, <=, =) on bare columns translate directly; a
+  // STRICT `<`/`>` translates only on DISCRETE types (integral, date,
+  // timestamp-micros, fixed-scale decimal) where the adjacent value is
+  // exact — `ts < '2026-01-01'` becomes `ts <= predecessor-micro`, the
+  // retention idiom (round 17). Continuous types (float/double/string)
+  // have no safe adjacent value: rendering one would silently delete or
+  // retain a boundary row, so those strict bounds — and every other
+  // untranslatable predicate — refuse at analysis (canDeleteWhere),
+  // loudly. ----
+
+  /** A pushed filter value in the column's canonical bound form.
+    * TIMESTAMP values arrive as an INSTANT; the bound string is
+    * interpreted as a SESSION-zone wall clock downstream
+    * (`deleteUpsertTableWhere`'s `lit(v).cast` row predicate, and the
+    * stats proofs whose statsTz the commit requires to MATCH the
+    * session) — so the instant renders through the session zone, never
+    * `Timestamp.toString`'s JVM-default zone (ADVICE r16: a JVM whose
+    * default differed from the session silently SHIFTED the delete
+    * window). Dates are zone-free day values; their canonical
+    * renderings are exact as-is.
+    */
+  private def render(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Number | _: String | _: java.lang.Boolean =>
+      Some(v.toString)
+    case t: java.sql.Timestamp => Some(renderInstant(t.toInstant))
+    case i: java.time.Instant => Some(renderInstant(i))
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  private def renderInstant(i: java.time.Instant): String =
+    java.time.ZonedDateTime.ofInstant(i, java.time.ZoneId.of(
+      sparkSession.sessionState.conf.sessionLocalTimeZone))
+      .format(GraftTable.microsFormat)
+
+  /** The exact SUCCESSOR of a strict-`>` bound value (inclusive lo), or
+    * None when the column's type is not discrete. An integral successor
+    * past the type's range renders anyway — it overlaps nothing, so the
+    * delete correctly no-ops (x > MaxValue matches no row).
+    */
+  private def succOf(column: String, v: Any): Option[String] =
+    adjacentOf(column, v, +1)
+
+  /** The exact PREDECESSOR of a strict-`<` bound value (inclusive hi). */
+  private def predOf(column: String, v: Any): Option[String] =
+    adjacentOf(column, v, -1)
+
+  private def adjacentOf(column: String, v: Any, dir: Int): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (v == null || !schema.fieldNames.contains(column)) return None
+    schema(column).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        render(v).map(s => (BigInt(s) + dir).toString)
+      case DateType =>
+        render(v).map(s => java.time.LocalDate.parse(s).plusDays(dir).toString)
+      case TimestampType => (v match {
+        case t: java.sql.Timestamp => Some(t.toInstant)
+        case i: java.time.Instant => Some(i)
+        case _ => None
+      }).map(i => renderInstant(i.plusNanos(1000L * dir))) // micros: the
+        // storage (and stats-string) resolution — the adjacent value is exact
+      case d: DecimalType => v match {
+        case b: java.math.BigDecimal =>
+          // fixed-scale decimals step in exact units of 10^-scale
+          Some(b.add(java.math.BigDecimal.valueOf(dir)
+            .movePointLeft(d.scale)).toPlainString)
+        case _ => None
+      }
+      case _ => None // float/double/string/boolean: no safe adjacent value
+    }
+  }
 
   private def boundsOf(filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[EventStreams.ColBound]] = {
     import org.apache.spark.sql.sources._
-    def render(v: Any): Option[String] = v match {
-      case null => None
-      case _: java.lang.Number | _: String | _: java.lang.Boolean =>
-        Some(v.toString)
-      case t: java.sql.Timestamp => Some(t.toString)
-      case i: java.time.Instant =>
-        Some(java.sql.Timestamp.from(i).toString)
-      case d: java.sql.Date => Some(d.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case _ => None
-    }
     def walk(f: Filter): Option[Seq[EventStreams.ColBound]] = f match {
       case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
       case GreaterThanOrEqual(c, v) =>
@@ -166,6 +269,10 @@ class GraftTable(sparkSession: SparkSession,
         render(v).map(s => Seq(EventStreams.ColBound(c, None, Some(s))))
       case EqualTo(c, v) =>
         render(v).map(s => Seq(EventStreams.ColBound(c, Some(s), Some(s))))
+      case GreaterThan(c, v) =>
+        succOf(c, v).map(s => Seq(EventStreams.ColBound(c, Some(s), None)))
+      case LessThan(c, v) =>
+        predOf(c, v).map(s => Seq(EventStreams.ColBound(c, None, Some(s))))
       case _ => None
     }
     if (filters.isEmpty) None // unbounded DELETE: use the API, loudly
@@ -179,13 +286,29 @@ class GraftTable(sparkSession: SparkSession,
     boundsOf(filters).isDefined
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // a time-travel handle reads batch `asOf` but a delete can only
+    // target the LATEST snapshot — mutating a different world than the
+    // handle's SELECTs show would be silent (ADVICE r16); refuse loudly
+    GraftDataSource.asOfOption(options).foreach { at =>
+      throw new UnsupportedOperationException(
+        s"graft table ${paths.head} was opened with asOf=$at (time " +
+          "travel): its SELECTs serve that snapshot but a DELETE would " +
+          "mutate the LATEST one — open the table without asOf to delete")
+    }
     val bounds = boundsOf(filters).getOrElse(
       throw new UnsupportedOperationException(
-        "graft SQL DELETE supports conjunctions of inclusive bounds " +
-          "(>=, <=, =) on bare columns; rewrite the predicate or use " +
+        "graft SQL DELETE supports conjunctions of bounds on bare " +
+          "columns (inclusive >=/<=/= on any type; strict </> only on " +
+          "discrete types — integral, date, timestamp, decimal); " +
+          "rewrite the predicate or use " +
           "EventStreams.deleteUpsertTableWhere / deleteFromTable"))
-    val id = EventStreams.latestCommittedBatchId(sparkSession, paths.head)
-      .getOrElse(-1L) + 1
+    // the commit id: `graft.sql.batchId` when the session pins one (a
+    // scheduler's exactly-once handle — a replayed pinned id no-ops,
+    // and concurrent SQL writers can be handed distinct ids), else
+    // head+1 (the single-statement convenience)
+    val id = GraftDataSource.sqlBatchId(sparkSession).getOrElse(
+      EventStreams.latestCommittedBatchId(sparkSession, paths.head)
+        .getOrElse(-1L) + 1)
     // retain = 2: the pre-delete snapshot stays readable through the
     // commit (the takedown legs' audit-window convention) — a SQL
     // DELETE must not be the first writer that silently narrows the
@@ -194,6 +317,16 @@ class GraftTable(sparkSession: SparkSession,
       retain = 2)
     ()
   }
+}
+
+object GraftTable {
+  /** The fixed-width micros wall-clock rendering the zone-map stats use
+    * (`statValue`'s `date_format` pattern) — bound strings must align
+    * with it or a bound like "...00:00:00" lexicographically undercuts
+    * a file min of "...00:00:00.000000" holding exactly that instant.
+    */
+  private[sources] val microsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 }
 
 /** The V1-fallback "format" for graft writes: every write entry point

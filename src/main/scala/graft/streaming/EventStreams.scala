@@ -356,6 +356,16 @@ object EventStreams {
           s"versioned '$v'; this merge's (${keyCols.mkString(",")})/'" +
           s"$versionCol' disagrees — one key contract per table")
     }
+    // version contract (round 17): sticky like keyedBy — adopted by the
+    // first r17+ merge, required to match afterwards (same-key upserts
+    // arbitrate on ONE column for the table's whole life; the SQL write
+    // surface builds its batches from the recorded name)
+    manifestList(fs, table).lastOption
+      .flatMap(manifestVersionedBy(fs, _)).foreach { v =>
+        require(v == versionCol,
+          s"$tableDir records version contract '$v'; this merge's " +
+            s"'$versionCol' disagrees — one version contract per table")
+      }
     // maintenance cadence (round-11 debt #2): a sink that opted into
     // compaction (`compactEvery > 0`) HEALS a flagged table on its next
     // merge — every live bucket joins the touched set, so the whole
@@ -517,7 +527,8 @@ object EventStreams {
       statsTz = resolveStatsTz(spark, fs, table,
         effStatsCols.nonEmpty || effBloomCols.nonEmpty),
       beforeRename = beforeRename,
-      colIds = prevColIds)
+      colIds = prevColIds,
+      versionedBy = Some(versionCol))
     sweepUnreferenced(fs, table, retainedFiles(fs, table, retain))
     // bound the manifest chain (every manifest is a full snapshot; see
     // compactManifests) — keeps `_manifests/` listing O(compactEvery)
@@ -1462,6 +1473,48 @@ object EventStreams {
       ""","keyedBy":[""" + ks.map(k => "\"" + k + "\"").mkString(",") + "]")
       .getOrElse("")
 
+  /** VERSION CONTRACT (round 17): which column arbitrates same-key
+    * upserts — recorded sticky like `keyedBy`, adopted by the first
+    * r17+ merge and REQUIRED to match from then on (one version
+    * contract per table; delta tables additionally carry it in the
+    * reconcile spec). What the plain-SQL write surface
+    * ([[graft.sources]] MERGE INTO / UPDATE) reads to build
+    * version-arbitrated batches on EAGER tables, whose manifests never
+    * recorded a reconcile spec.
+    */
+  private def versionedTag(versionedBy: Option[String]): String =
+    versionedBy.map(v => s""","versionedBy":"$v"""").getOrElse("")
+
+  private def manifestVersionedBy(fs: org.apache.hadoop.fs.FileSystem,
+                                  p: org.apache.hadoop.fs.Path): Option[String] = {
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"versionedBy":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+  }
+
+  /** The latest manifest's recorded version contract, if any. */
+  def tableVersionedBy(spark: SparkSession, tableDir: String): Option[String] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestVersionedBy(fs, _))
+  }
+
+  /** The latest manifest's reconcile spec (delta tables), if any. */
+  private[graft] def tableReconcileSpec(spark: SparkSession,
+                                        tableDir: String): Option[(Seq[String], String)] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.flatMap(manifestReconcile(fs, _))
+  }
+
+  /** The latest manifest's bucket count, if the table is committed. */
+  private[graft] def tableNBuckets(spark: SparkSession,
+                                   tableDir: String): Option[Int] = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestList(fs, table).lastOption.map(readNBuckets(fs, _))
+  }
+
   /** The latest committed manifest's key contract, if recorded —
     * what [[readUpsertTableForKeys]] validates against and what
     * audits use to decide a table is safely bucket-prunable.
@@ -1794,13 +1847,25 @@ object EventStreams {
     * A DROPPED id (empty current name — the [[dropColumn]] tombstone)
     * maps its physical name to "" — the translation DROPS it.
     */
-  private def eraRenames(colIds: ColIds, ord: Long): Map[String, String] =
-    colIds.values.flatMap { hist =>
+  private def eraRenames(colIds: ColIds, ord: Long): Map[String, String] = {
+    val pairs = colIds.values.flatMap { hist =>
       val phys = hist.filter(_._2 <= ord).lastOption
         .map(_._1).getOrElse(hist.head._1)
       val cur = hist.last._1
       if (phys != cur && phys.nonEmpty) Some(phys -> cur) else None
-    }.toMap
+    }.toSeq
+    // one era, one owner per physical name: two ids claiming the same
+    // physical column at one ordinal cannot be disambiguated from
+    // metadata (ADVICE r16 — the drop-then-re-add-then-rename shape;
+    // renameColumn/dropColumn refuse the allocating step, so this is a
+    // defense against contracts committed before that guard)
+    val dup = pairs.groupBy(_._1).collect { case (p, vs) if vs.size > 1 => p }
+    require(dup.isEmpty,
+      s"column-id contract is ambiguous at ordinal $ord: physical " +
+        s"column(s) ${dup.mkString(",")} are claimed by more than one " +
+        "id — compactUpsertTable materializes the histories; fold first")
+    pairs.toMap
+  }
 
   /** Read live files with PER-ERA column-name translation: files are
     * grouped by the rename map their commit ordinal implies, each
@@ -1823,12 +1888,29 @@ object EventStreams {
     else rels.groupBy(rel => eraRenames(multi, fileOrdinal(rel).toLong))
       .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (renames, fls) =>
-        renames.foldLeft(scanRaw(fls)) { case (d, (p, c)) =>
-          if (!d.columns.contains(p)) d
-          else if (c.isEmpty) d.drop(p) // dropped id: project it away
-          else d.withColumnRenamed(p, c) }
+        val d = scanRaw(fls)
+        translateEra(d, d.columns.toIndexedSeq, renames)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Project one era's frame to CURRENT column names as a SINGLE
+    * select — each physical column resolves to exactly one target
+    * (renamed, dropped, or passed through). Sequential
+    * `withColumnRenamed` steps were order-dependent when one era
+    * chains renames through a reused name (ADVICE r16: with
+    * {a->b, b->c} live in one map, applying a->b first renamed the
+    * freshly-made b again, yielding duplicate columns or data under
+    * the wrong name depending on map iteration order).
+    */
+  private def translateEra(d: DataFrame, physCols: Seq[String],
+                           renames: Map[String, String]): DataFrame =
+    d.select(physCols.flatMap { p =>
+      renames.get(p) match {
+        case Some("") => None // dropped id: project it away
+        case Some(cur) => Some(col(p).as(cur))
+        case None => Some(col(p))
+      }
+    }: _*)
 
   private def statsColsTag(statsCols: Option[Seq[String]]): String =
     statsCols.filter(_.nonEmpty).map(cs =>
@@ -2212,9 +2294,10 @@ object EventStreams {
     // recorded with. Single-era tables (no rename, or folded) take the
     // plain one-relation path.
     groups.map { case (index, physSchema, renames) =>
-      renames.foldLeft(relate(index, physSchema)) { case (d, (p, c)) =>
-        if (c.isEmpty) d.drop(p) else d.withColumnRenamed(p, c)
-      }
+      // single-select era projection — see [[translateEra]] (a rename
+      // chain through a reused name must not double-apply)
+      translateEra(relate(index, physSchema),
+        physSchema.fieldNames.toIndexedSeq, renames)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -2233,11 +2316,15 @@ object EventStreams {
                                      tableDir: String,
                                      asOf: Option[Long] = None): (ZoneMapFileIndex, StructType) = {
     val groups = zoneMapIndexGroups(spark, tableDir, asOf)
-    require(groups.size == 1,
-      s"$tableDir holds an unmaterialized column rename (files from " +
-        "before and after the rename are both live); compactUpsertTable " +
+    // ALSO require the lone group's rename map empty (ADVICE r16): after
+    // a rename with no subsequent merge, EVERY live file is old-era —
+    // one group, but its physical names are not the current schema, and
+    // serving them would silently answer under pre-rename names
+    require(groups.size == 1 && groups.head._3.isEmpty,
+      s"$tableDir holds an unmaterialized column rename (live files " +
+        "still carry pre-rename physical names); compactUpsertTable " +
         "materializes it — until then read through readUpsertTableScan " +
-        "(which unions the eras)")
+        "(which projects each era to current names)")
     (groups.head._1, groups.head._2)
   }
 
@@ -2488,8 +2575,15 @@ object EventStreams {
                               bloomCols: Option[Seq[String]] = None,
                               statsTz: Option[String] = None,
                               beforeRename: () => Unit = () => (),
-                              colIds: Option[ColIds] = None): Unit = {
+                              colIds: Option[ColIds] = None,
+                              versionedBy: Option[String] = None): Unit = {
     val dir = manifestsDir(table)
+    // the version contract is STICKY inside the publish itself: callers
+    // that neither adopt nor translate it (folds, deletes, restores)
+    // carry the recorded one without naming it — one read, no call-site
+    // churn, and a contract can never silently drop off the chain
+    val effVersionedBy = versionedBy.orElse(
+      manifestList(fs, table).lastOption.flatMap(manifestVersionedBy(fs, _)))
     val shardsDir = new org.apache.hadoop.fs.Path(dir, shardsDirName)
     fs.mkdirs(shardsDir)
     val prev: Map[Int, String] = touched match {
@@ -2585,7 +2679,7 @@ object EventStreams {
       val baseTag = baseNow.map(b => s""","base":${b.getOrElse(-1L)}""").getOrElse("")
       val body = pointersNow.toSeq.sortBy(_._1)
         .map { case (b, n) => "\"" + b + "\":\"" + n + "\"" }
-        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)}${colIdsTag(colIds)},"shards":{""", ",", "}}")
+        .mkString(s"""{"batchId":$batchId,"nBuckets":$nBuckets$mixedTag$baseTag$kindTag${reconcileTag(reconcile)}${keyedTag(keyedBy)}${versionedTag(effVersionedBy)}${statsColsTag(statsCols)}${statsTzTag(statsTz)}${bloomColsTag(bloomCols)}${colIdsTag(colIds)},"shards":{""", ",", "}}")
       val tmp = new org.apache.hadoop.fs.Path(dir, f".tmp_$batchId%020d")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -2633,7 +2727,7 @@ object EventStreams {
                   .map(manifestBatchId(fs, _))
                 if (baseNow.contains(headNow)) true
                 else {
-                  releaseCommitToken(fs, table, parent)
+                  releaseCommitToken(fs, table, parent, batchId)
                   false // head moved: next iteration rebases onto it
                 }
               }
@@ -2669,7 +2763,8 @@ object EventStreams {
               if (!pointersNow.get(b).contains(name))
                 fs.delete(new org.apache.hadoop.fs.Path(shardsDir, name), false)
             }
-            baseNow.foreach(parent => releaseCommitToken(fs, table, parent))
+            baseNow.foreach(parent =>
+              releaseCommitToken(fs, table, parent, batchId))
             committed = true
           }
         case Some((b, headOpt)) =>
@@ -2721,6 +2816,8 @@ object EventStreams {
             "the concurrent commit changed the reconcile spec")
           if (manifestKeyedBy(fs, head) != keyedBy) conflict(
             "the concurrent commit changed the key contract")
+          if (manifestVersionedBy(fs, head) != effVersionedBy) conflict(
+            "the concurrent commit changed the version contract")
           if (manifestStatsCols(fs, head) != statsCols) conflict(
             "the concurrent commit changed the stats contract")
           if (manifestBloomCols(fs, head) != bloomCols) conflict(
@@ -2793,17 +2890,56 @@ object EventStreams {
           val holderCommitted = holder.toLongOption.exists(id =>
             fs.exists(new org.apache.hadoop.fs.Path(
               manifestsDir(table), f"$id%020d.json")))
-          if (holderCommitted) fs.delete(token, false) // post-rename litter
+          if (holderCommitted) {
+            // POST-RENAME LITTER — collect by ATOMIC RENAME + VERIFY,
+            // not a bare delete (ADVICE r16): between our read above
+            // and a delete, the committed holder's own release can
+            // remove the token and a FRESH writer re-create it, and a
+            // bare delete would then strip the live writer's token.
+            // The rename is single-winner; if the moved file is not
+            // the token we read, put it back (or, if yet another token
+            // already replaced it at the name, drop the moved one —
+            // its writer is past this parent's commit and fails the
+            // under-token head re-check before renaming, so no rename
+            // can proceed unprotected).
+            val trash = new org.apache.hadoop.fs.Path(token.getParent,
+              s".collect-${token.getName}-$batchId")
+            if (fs.rename(token, trash)) {
+              val moved = try {
+                val in = fs.open(trash)
+                try new String(in.readAllBytes(), "UTF-8").trim
+                finally in.close()
+              } catch { case _: Exception => holder }
+              if (moved == holder) fs.delete(trash, false) // collected
+              else if (!fs.rename(trash, token)) fs.delete(trash, false)
+            }
+          }
           else Thread.sleep(20) // live holder mid-rename: let it finish
           false
         }
     }
   }
 
+  /** Release the parent token — CONTENT-GUARDED (ADVICE r16): only the
+    * token this writer wrote is deleted. After a winner's rename its
+    * token is litter a contender may have already collected and a
+    * fresh writer re-created under the same parent name; a blind
+    * delete here would strip that writer's token. (A token replaced
+    * between the guard read and the delete belongs to a writer whose
+    * parent is already below the head — its head re-check refuses
+    * before any rename, so the residual race cannot unprotect a
+    * rename.)
+    */
   private def releaseCommitToken(fs: org.apache.hadoop.fs.FileSystem,
                                  table: org.apache.hadoop.fs.Path,
-                                 parent: Option[Long]): Unit = {
-    fs.delete(commitTokenPath(table, parent), false)
+                                 parent: Option[Long],
+                                 batchId: Long): Unit = {
+    val token = commitTokenPath(table, parent)
+    val holder = try {
+      val in = fs.open(token)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    } catch { case _: Exception => return }
+    if (holder == batchId.toString) fs.delete(token, false)
     ()
   }
 
@@ -3011,7 +3147,17 @@ object EventStreams {
       case (i, hist) if hist.last._1 == oldName => i
     }.getOrElse {
       // a column widened in after the contract was adopted gets its id
-      // at rename time
+      // at rename time — but ONLY if the name never belonged to another
+      // id (ADVICE r16): a fresh id's history starts at ordinal 0, so
+      // if some OLD era's '<oldName>' column belongs to a tombstoned or
+      // previously-renamed id, the two claims collide and old files
+      // cannot be attributed from metadata. The fold truncates
+      // histories and clears the ambiguity.
+      require(!base0.values.exists(_.exists(_._1 == oldName)),
+        s"'$oldName' was previously a DIFFERENT column of $tableDir " +
+          "(renamed away or dropped, then re-added) — old-era files' " +
+          s"'$oldName' cannot be told apart from the new column's; " +
+          "compactUpsertTable materializes the histories, then rename")
       if (base0.isEmpty) 0 else base0.keys.max + 1
     }
     val hist = base0.getOrElse(id, Seq((oldName, 0L)))
@@ -3027,7 +3173,8 @@ object EventStreams {
       bloomCols = manifestBloomCols(fs, manifest).map(_.map(ren)),
       base = Some(Some(committed._1)), kind = Some("rename"),
       statsTz = manifestStatsTz(fs, manifest),
-      colIds = Some(colIds))
+      colIds = Some(colIds),
+      versionedBy = manifestVersionedBy(fs, manifest).map(ren))
   }
 
   /** METADATA-ONLY COLUMN DROP — [[renameColumn]]'s sibling: the
@@ -3065,12 +3212,24 @@ object EventStreams {
       ks.contains(name) || v == name },
       s"'$name' carries $tableDir's delta reconcile semantics (key or " +
         "version); fold the deltas first")
+    require(!manifestVersionedBy(fs, manifest).contains(name),
+      s"'$name' is $tableDir's recorded version contract — dropping it " +
+        "would orphan same-key upsert arbitration; re-version via a " +
+        "full rewrite instead")
     val base0: ColIds = manifestColIds(fs, manifest).getOrElse(
       schema.fieldNames.zipWithIndex
         .map { case (n, i) => i -> Seq((n, 0L)) }.toMap)
     val id = base0.collectFirst {
       case (i, hist) if hist.last._1 == name => i
-    }.getOrElse(if (base0.isEmpty) 0 else base0.keys.max + 1)
+    }.getOrElse {
+      // same fresh-id ambiguity guard as [[renameColumn]] (ADVICE r16)
+      require(!base0.values.exists(_.exists(_._1 == name)),
+        s"'$name' was previously a DIFFERENT column of $tableDir " +
+          "(renamed away or dropped, then re-added) — old-era files' " +
+          s"'$name' cannot be told apart from the new column's; " +
+          "compactUpsertTable materializes the histories, then drop")
+      if (base0.isEmpty) 0 else base0.keys.max + 1
+    }
     val hist = base0.getOrElse(id, Seq((name, 0L)))
     val colIds = base0.updated(id, hist :+ (("", batchId)))
     publishManifest(fs, table, batchId, readNBuckets(fs, manifest),

@@ -168,19 +168,100 @@ class GraftSqlSpec extends SparkSpec {
       assert(EventStreams.readUpsertTable(spark, t).count() === 17L)
       spark.sql("DELETE FROM graft_sql_del WHERE n = 0")
       assert(EventStreams.readUpsertTable(spark, t).count() === 16L)
-      // a STRICT bound cannot render as an inclusive ColBound — it
-      // must refuse at analysis, never silently delete a boundary row
-      val err = intercept[Exception] {
-        spark.sql("DELETE FROM graft_sql_del WHERE n > 50")
-      }
-      assert(err.getMessage.toLowerCase.contains("delete"),
-        s"strict bounds must refuse: ${err.getMessage}")
-      assert(EventStreams.readUpsertTable(spark, t).count() === 16L,
-        "the refused delete must not have removed anything")
+      // a STRICT bound on a DISCRETE type translates to the exact
+      // adjacent inclusive bound (round 17) — the boundary row itself
+      // must SURVIVE `>` (survivors here: 10..50,60..90,130..190 →
+      // after `> 130`: 10..50,60..90,130)
+      spark.sql("DELETE FROM graft_sql_del WHERE n > 130")
+      val left = EventStreams.readUpsertTable(spark, t)
+        .select("n").collect().map(_.getLong(0)).sorted.toSeq
+      assert(left === ((1L to 5L) ++ (6L to 9L) :+ 13L).map(_ * 10L)
+        .sorted.toSeq, s"boundary row must survive a strict >: $left")
       val fsckRows = EventStreams.fsckUpsertTable(spark, t).collect()
         .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
       assert(fsckRows.forall(_._2), s"fsck after SQL deletes: $fsckRows")
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_del")
+  }
+
+  test("SQL DELETE: strict bounds on continuous types refuse; asOf handles refuse") {
+    val t = Files.createTempDirectory("graft-dsv2del2").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 0.5, 0L)).toDF("doc_id", "score", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("score")))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_del2")
+    spark.sql(s"CREATE TABLE graft_sql_del2 USING graft OPTIONS (path '$t')")
+    try {
+      // doubles have no exact adjacent value — the strict bound must
+      // refuse at analysis, never silently shave a boundary row
+      val err = intercept[Exception] {
+        spark.sql("DELETE FROM graft_sql_del2 WHERE score > 1.5")
+      }
+      assert(err.getMessage.toLowerCase.contains("delete"),
+        s"strict double bounds must refuse: ${err.getMessage}")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 8L)
+      // a TIME-TRAVEL handle must not delete: its SELECTs serve the
+      // asOf snapshot but the delete would mutate the latest one
+      spark.sql("DROP TABLE IF EXISTS graft_sql_del2_at")
+      spark.sql("CREATE TABLE graft_sql_del2_at USING graft " +
+        s"OPTIONS (path '$t', asOf '0')")
+      val atErr = intercept[Exception] {
+        spark.sql("DELETE FROM graft_sql_del2_at WHERE doc_id >= 0")
+      }
+      assert((atErr.getMessage +
+        Option(atErr.getCause).map(_.getMessage).getOrElse(""))
+        .contains("asOf"), s"asOf delete must refuse: ${atErr.getMessage}")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 8L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sql_del2")
+      spark.sql("DROP TABLE IF EXISTS graft_sql_del2_at")
+    }
+  }
+
+  test("SQL DELETE timestamp bounds render in the session zone, not the JVM default (non-UTC JVM)") {
+    // twin tables: one deleted through SQL under a SHIFTED JVM default
+    // zone, one through the API with the same wall-clock bound — the
+    // survivors must agree exactly (ADVICE r16: Timestamp.toString
+    // rendered the pushed instant in the JVM default zone while the
+    // delete interprets bounds as session-zone wall clocks, silently
+    // shifting the window on any non-UTC host)
+    val base = Files.createTempDirectory("graft-dsv2tz").toString
+    def mk(t: String): Unit = {
+      EventStreams.mergeBatchIntoTable(
+        (0L until 24L).map(k => (k, 0L)).toDF("doc_id", "__v")
+          .withColumn("ts", expr("timestampadd(HOUR, " +
+            "cast(doc_id * 6 as int), timestamp'2021-06-01 00:00:00')"))
+          .select("doc_id", "ts", "__v"),
+        t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+        statsCols = Some(Seq("ts")))
+      EventStreams.compactUpsertTable(spark, t, Seq("doc_id"), 2, 1L,
+        retain = 8, sortBy = Seq("ts"), maxRecordsPerFile = 4)
+    }
+    mk(s"$base/sql"); mk(s"$base/api")
+    spark.sql("DROP TABLE IF EXISTS graft_sql_tz")
+    spark.sql(s"CREATE TABLE graft_sql_tz USING graft OPTIONS (path '$base/sql')")
+    val origTz = java.util.TimeZone.getDefault
+    try {
+      // half-hour offset catches both sign and sub-hour rendering bugs
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Kolkata"))
+      // rows sit every 6 hours; 47h is 1h below row k=8 (48h), so the
+      // +5:30 JVM-default shift would pull k=8 into the buggy window
+      spark.sql("DELETE FROM graft_sql_tz WHERE " +
+        "ts <= TIMESTAMP'2021-06-02 23:00:00'")
+    } finally {
+      java.util.TimeZone.setDefault(origTz)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_tz")
+    }
+    EventStreams.deleteUpsertTableWhere(spark, s"$base/api",
+      Seq(EventStreams.ColBound("ts", None, Some("2021-06-02 23:00:00"))),
+      batchId = 2L, retain = 2)
+    val sqlLeft = EventStreams.readUpsertTable(spark, s"$base/sql")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val apiLeft = EventStreams.readUpsertTable(spark, s"$base/api")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sqlLeft === apiLeft && sqlLeft === (8L until 24L).toSeq,
+      s"sql=$sqlLeft api=$apiLeft — the SQL window must not shift")
   }
 
   test("aggregate pushdown: COUNT/MIN/MAX answer from parquet footers through the graft format") {
@@ -237,5 +318,133 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("delta") ||
       Option(err.getCause).exists(_.getMessage.contains("delta")),
       s"delta snapshots must refuse loudly: ${err.getMessage}")
+  }
+
+  test("MERGE INTO: matched update + unmatched insert route to the committed merge; API twin parity") {
+    val base = Files.createTempDirectory("graft-sqlmerge").toString
+    def seed(t: String): Unit = EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    seed(s"$base/t"); seed(s"$base/twin")
+    // the r17 merge ADOPTED the version contract
+    assert(EventStreams.tableVersionedBy(spark, s"$base/t") === Some("__v"))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_m")
+    spark.sql(s"CREATE TABLE graft_sql_m USING graft OPTIONS (path '$base/t')")
+    try {
+      Seq((3L, 333L, 1L), (100L, 1000L, 1L)).toDF("doc_id", "n", "__v")
+        .createOrReplaceTempView("graft_sql_m_src")
+      val rep = spark.sql(
+        "MERGE INTO graft_sql_m t USING graft_sql_m_src s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET n = s.n, __v = s.__v " +
+          "WHEN NOT MATCHED THEN INSERT (doc_id, n, __v) " +
+          "VALUES (s.doc_id, s.n, s.__v)").head()
+      assert(rep.getString(0) === "merge" && rep.getLong(1) === 1L &&
+        rep.getLong(2) === 1L && rep.getLong(3) === 1L && rep.getBoolean(4),
+        s"report: $rep")
+      // the API twin commits the same upsert; tables must agree exactly
+      EventStreams.mergeBatchIntoTable(
+        Seq((3L, 333L, 1L), (100L, 1000L, 1L)).toDF("doc_id", "n", "__v"),
+        s"$base/twin", Seq("doc_id"), "__v", nBuckets = 2, batchId = 1L,
+        retain = 8)
+      val viaSql = EventStreams.readUpsertTable(spark, s"$base/t")
+      val viaApi = EventStreams.readUpsertTable(spark, s"$base/twin")
+      assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+      assert(viaSql.count() === 9L)
+      // STALE source rows (version at/below current) SKIP — the
+      // idempotent-CDC shape; nothing commits as changed rows
+      Seq((3L, 999L, 0L)).toDF("doc_id", "n", "__v")
+        .createOrReplaceTempView("graft_sql_m_src")
+      val stale = spark.sql(
+        "MERGE INTO graft_sql_m t USING graft_sql_m_src s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET n = s.n, __v = s.__v").head()
+      assert(stale.getLong(2) === 0L && stale.getLong(3) === 0L)
+      assert(EventStreams.readUpsertTable(spark, s"$base/t")
+        .filter(col("doc_id") === 3L).select("n").head().getLong(0) === 333L)
+      // a PINNED batch id replays as a no-op (exactly-once for
+      // schedulers): the statement re-runs but applied = false
+      Seq((5L, 555L, 7L)).toDF("doc_id", "n", "__v")
+        .createOrReplaceTempView("graft_sql_m_src")
+      val mergeSql = "MERGE INTO graft_sql_m t USING graft_sql_m_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET n = s.n, __v = s.__v"
+      try {
+        spark.conf.set("graft.sql.batchId", "7")
+        assert(spark.sql(mergeSql).head().getBoolean(4))
+        val replay = spark.sql(mergeSql).head()
+        assert(!replay.getBoolean(4), "a pinned-id replay must no-op")
+      } finally spark.conf.unset("graft.sql.batchId")
+      assert(EventStreams.latestCommittedBatchId(spark, s"$base/t") === Some(7L))
+      // the commit chain is the guarded one: every commit records its
+      // base parent; fsck green
+      assert(EventStreams.fsckUpsertTable(spark, s"$base/t").collect()
+        .forall(_.getBoolean(1)))
+      // MERGE refusals stay loud: duplicate source keys; reassigned key
+      Seq((3L, 1L, 9L), (3L, 2L, 9L)).toDF("doc_id", "n", "__v")
+        .createOrReplaceTempView("graft_sql_m_src")
+      val dupErr = intercept[Exception] { spark.sql(mergeSql).collect() }
+      assert(dupErr.getMessage.contains("unique source keys"),
+        s"duplicate source keys must refuse: ${dupErr.getMessage}")
+      Seq((3L, 1L, 9L)).toDF("doc_id", "n", "__v")
+        .createOrReplaceTempView("graft_sql_m_src")
+      val keyErr = intercept[Exception] {
+        spark.sql("MERGE INTO graft_sql_m t USING graft_sql_m_src s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id + 1").collect()
+      }
+      assert(keyErr.getMessage.contains("key"),
+        s"key reassignment must refuse: ${keyErr.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_m")
+  }
+
+  test("UPDATE: the degenerate matched-only merge; auto-bumped version wins arbitration") {
+    val base = Files.createTempDirectory("graft-sqlupd").toString
+    val t = s"$base/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+      t, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("n")))
+    spark.sql("DROP TABLE IF EXISTS graft_sql_u")
+    spark.sql(s"CREATE TABLE graft_sql_u USING graft OPTIONS (path '$t')")
+    try {
+      val rep = spark.sql(
+        "UPDATE graft_sql_u SET n = n + 1 WHERE doc_id <= 2").head()
+      assert(rep.getString(0) === "update" && rep.getLong(2) === 3L &&
+        rep.getBoolean(4), s"report: $rep")
+      val after = EventStreams.readUpsertTable(spark, t)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq === (0L until 8L).map(k =>
+        (k, if (k <= 2) k * 10L + 1 else k * 10L)),
+        s"exactly the matched rows update: ${after.toSeq}")
+      // the auto-bump recorded __v = 1 on the touched rows (the
+      // rewrite must WIN version arbitration against what it replaced)
+      assert(EventStreams.readUpsertTable(spark, t)
+        .filter(col("doc_id") === 0L).select("__v").head().getLong(0) === 1L)
+      // key reassignment refuses
+      val keyErr = intercept[Exception] {
+        spark.sql("UPDATE graft_sql_u SET doc_id = doc_id + 10").collect()
+      }
+      assert(keyErr.getMessage.contains("key"),
+        s"key reassignment must refuse: ${keyErr.getMessage}")
+      // UPDATE on a DELTA-postured table rides the O(batch) delta path
+      val td = s"$base/td"
+      EventStreams.mergeBatchIntoTable(
+        (0L until 6L).map(k => (k, k * 10L, 0L)).toDF("doc_id", "n", "__v"),
+        td, Seq("doc_id"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+        delta = true)
+      spark.sql("DROP TABLE IF EXISTS graft_sql_ud")
+      spark.sql(s"CREATE TABLE graft_sql_ud USING graft OPTIONS (path '$td')")
+      try {
+        val drep = spark.sql(
+          "UPDATE graft_sql_ud SET n = 777 WHERE doc_id = 1").head()
+        assert(drep.getLong(2) === 1L)
+        assert(EventStreams.readUpsertTable(spark, td)
+          .filter(col("doc_id") === 1L).select("n").head().getLong(0) === 777L)
+        // still delta-postured (the SQL write appended, not folded)
+        assert(EventStreams.tableReconcileSpec(spark, td).isDefined)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_sql_ud")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_u")
   }
 }

@@ -11,6 +11,9 @@ object SharedSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // full engine surface incl. the post-hoc SQL-write rule (which
+      // has no runtime injection point, unlike functions/strategies)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -3423,6 +3423,67 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
   }
 
+  test("rename chains through a reused name translate as ONE projection; fresh-name ambiguity refuses") {
+    // rename b -> c, then a -> b: one old era's map is {a->b, b->c} —
+    // the sequential withColumnRenamed application was order-dependent
+    // (a->b first made the fresh b eligible for b->c, duplicating
+    // columns); the single-select projection resolves each physical
+    // column exactly once (ADVICE r16)
+    val t = Files.createTempDirectory("graft-renchain").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, k * 100L, 0L))
+        .toDF("k", "a", "b", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8,
+      statsCols = Some(Seq("a", "b")))
+    EventStreams.renameColumn(spark, t, "b", "c", 1L)
+    EventStreams.renameColumn(spark, t, "a", "b", 2L)
+    val r = EventStreams.readUpsertTable(spark, t)
+    assert(r.columns.toSeq.sorted === Seq("__v", "b", "c", "k"))
+    val row7 = r.filter(col("k") === 7L).select("b", "c").head()
+    assert(row7.getLong(0) === 70L && row7.getLong(1) === 700L,
+      "b must carry a's data and c must carry b's — exactly once each")
+    // the scan surface unions/translates identically
+    val s = EventStreams.readUpsertTableScan(spark, t)
+      .filter(col("k") === 7L).select("b", "c").head()
+    assert(s.getLong(0) === 70L && s.getLong(1) === 700L)
+    // ALL live files are old-era: one group, nonempty rename map — the
+    // one-relation V2 surface must refuse, not serve physical names
+    val err = intercept[Exception] {
+      spark.read.format("graft").load(t).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage)
+      .getOrElse("")).contains("unmaterialized"),
+      s"a pending one-era rename must refuse on the V2 surface: " +
+        s"${err.getMessage}")
+    // the fold materializes the chain; V2 then serves current names
+    EventStreams.compactUpsertTable(spark, t, Seq("k"), 2, 3L, retain = 8,
+      sortBy = Seq("b"), maxRecordsPerFile = 4)
+    val v2 = spark.read.format("graft").load(t)
+    assert(v2.columns.toSeq.sorted === Seq("__v", "b", "c", "k"))
+    assert(v2.filter(col("k") === 7L).select("b").head().getLong(0) === 70L)
+    assert(EventStreams.fsckUpsertTable(spark, t).collect().forall(_.getBoolean(1)))
+    // drop-then-re-add-then-rename: the re-added name's old-era files
+    // belonged to a DIFFERENT (tombstoned) id — renaming it would make
+    // the era attribution ambiguous; refuse until a fold truncates
+    val td = Files.createTempDirectory("graft-renamb").toString + "/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 4L).map(k => (k, s"x$k", 0L)).toDF("k", "aux", "__v"),
+      td, Seq("k"), "__v", nBuckets = 1, batchId = 0L, retain = 8)
+    EventStreams.dropColumn(spark, td, "aux", 1L)
+    EventStreams.mergeBatchIntoTable(
+      (0L until 4L).map(k => (k, s"y$k", 1L)).toDF("k", "aux", "__v"),
+      td, Seq("k"), "__v", nBuckets = 1, batchId = 2L, retain = 8)
+    val ambErr = intercept[IllegalArgumentException] {
+      EventStreams.renameColumn(spark, td, "aux", "score", 3L)
+    }
+    assert(ambErr.getMessage.contains("DIFFERENT column"),
+      s"re-added-name rename must refuse: ${ambErr.getMessage}")
+    EventStreams.compactUpsertTable(spark, td, Seq("k"), 1, 3L, retain = 8)
+    EventStreams.renameColumn(spark, td, "aux", "score", 4L)
+    assert(EventStreams.readUpsertTable(spark, td)
+      .filter(col("k") === 2L).select("score").head().getString(0) === "y2")
+  }
+
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {
     import EventStreams.ColBound
     val t = Files.createTempDirectory("graft-delwe").toString + "/t"
