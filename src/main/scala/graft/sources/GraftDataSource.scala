@@ -64,7 +64,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   // zoneMapIndexFor guard here blocked CREATE TABLE over delta tables)
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    GraftDataSource.asOfOption(options) match {
+    if (GraftDataSource.isChangeFeed(options))
+      GraftChangeFeedTable.feedSchemaOf(spark, pathOf(options))
+    else GraftDataSource.asOfOption(options) match {
       case Some(at) => EventStreams.readUpsertTableAt(spark, pathOf(options), at).schema
       case None => EventStreams.readUpsertTable(spark, pathOf(options)).schema
     }
@@ -73,8 +75,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftTable(SparkSession.active, options, Seq(pathOf(options)),
-      Option(schema))
+    if (GraftDataSource.isChangeFeed(options)) {
+      require(GraftDataSource.asOfOption(options).isEmpty,
+        "the change feed streams the LIVE chain; asOf does not compose " +
+          "with feed=changes (seed the cursor with startingBatchId)")
+      new GraftChangeFeedTable(SparkSession.active, pathOf(options), options)
+    } else
+      new GraftTable(SparkSession.active, options, Seq(pathOf(options)),
+        Option(schema))
   }
 }
 
@@ -100,6 +108,21 @@ object GraftDataSource {
     spark.conf.getOption("graft.sql.batchId").map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft.sql.batchId must be a long; got '$v'"))
+    }
+
+  /** `.option("feed", "changes")` selects the STREAMING change-feed
+    * handle ([[GraftChangeFeedTable]]) instead of the batch table — an
+    * explicit shape, because the feed's schema carries `_change_type`
+    * and its delete rows must never be silently dropped into an
+    * upsert-only stream.
+    */
+  private[sources] def isChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("feed")) match {
+      case None => false
+      case Some("changes") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown feed shape '$other'; the graft format streams " +
+          "feed=changes (the net-change feed)")
     }
 }
 

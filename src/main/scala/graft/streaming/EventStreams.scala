@@ -356,15 +356,42 @@ object EventStreams {
           s"versioned '$v'; this merge's (${keyCols.mkString(",")})/'" +
           s"$versionCol' disagrees — one key contract per table")
     }
+    // bucket-count guard (round 17, the re-bucket contract): a merge's
+    // nBuckets must MATCH the committed manifest's — an incremental
+    // write under a different count would hash this batch's keys into a
+    // layout the untouched buckets don't share, silently stranding rows
+    // where point reads never look. Only the FULL rewrite
+    // ([[compactUpsertTable]], which re-hashes every row) may change
+    // the count.
+    manifestList(fs, table).lastOption.map(readNBuckets(fs, _)).foreach { rec =>
+      require(rec == nBuckets,
+        s"$tableDir is committed with nBuckets=$rec; this merge passed " +
+          s"$nBuckets — incremental writes cannot re-bucket (touched " +
+          "buckets would hash differently than untouched ones). " +
+          "compactUpsertTable re-buckets the whole table in one commit.")
+    }
     // version contract (round 17): sticky like keyedBy — adopted by the
     // first r17+ merge, required to match afterwards (same-key upserts
-    // arbitrate on ONE column for the table's whole life; the SQL write
-    // surface builds its batches from the recorded name)
+    // arbitrate on ONE column; the SQL write surface builds its batches
+    // from the recorded name). ONE legal migration: re-versioning onto
+    // a column the table does not yet have (the widened-version shape
+    // the ADVICE-r10 cuts tables use — adopted rows take version -1 and
+    // lose ties to any real batch); re-versioning onto an EXISTING
+    // column stays refused (that is the accident this guard exists for).
     manifestList(fs, table).lastOption
       .flatMap(manifestVersionedBy(fs, _)).foreach { v =>
-        require(v == versionCol,
-          s"$tableDir records version contract '$v'; this merge's " +
-            s"'$versionCol' disagrees — one version contract per table")
+        if (v != versionCol) {
+          val onDisk = committed.map(_._2).getOrElse(Map.empty)
+            .values.flatten.headOption.map { f =>
+              readFilesTranslated(spark, table, prevColIds, Seq(f),
+                mergeSchema = false).schema.fieldNames.toSet
+            }.getOrElse(Set.empty[String])
+          require(!onDisk.contains(versionCol),
+            s"$tableDir records version contract '$v'; this merge's " +
+              s"'$versionCol' is an existing column — one version " +
+              "contract per table (re-version onto a NEW column, or " +
+              "rebuild)")
+        }
       }
     // maintenance cadence (round-11 debt #2): a sink that opted into
     // compaction (`compactEvery > 0`) HEALS a flagged table on its next
@@ -569,6 +596,14 @@ object EventStreams {
     if (fs.exists(new Path(new Path(table, "_commits"), batchId.toString))) return
     val committed = latestManifest(fs, table)
     if (committed.exists(_._1 >= batchId)) return // replayed batch
+    // same bucket-count guard as the merge (round 17): an incremental
+    // delete under a different count would probe the wrong buckets
+    manifestList(fs, table).lastOption.map(readNBuckets(fs, _)).foreach { rec =>
+      require(rec == nBuckets,
+        s"$tableDir is committed with nBuckets=$rec; this delete passed " +
+          s"$nBuckets — incremental writes cannot re-bucket; " +
+          "compactUpsertTable re-buckets the whole table in one commit.")
+    }
     // pre-manifest tables: adopt __bucket=* dirs as the live set (the
     // mergeBatchIntoTable migration convention). Root-level FLAT legacy
     // files cannot be adopted without a full rewrite — and publishing a

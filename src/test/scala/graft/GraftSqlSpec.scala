@@ -320,6 +320,70 @@ class GraftSqlSpec extends SparkSpec {
       s"delta snapshots must refuse loudly: ${err.getMessage}")
   }
 
+  test("GraftCatalog: pointers persist on disk, list, resolve with identical pruning; CTAS and drop stay safe") {
+    val wh = Files.createTempDirectory("graft-cat-wh").toString
+    val t = mkTable()
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.graftcat2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat2.warehouse", wh)
+    try {
+      spark.sql(s"CREATE TABLE graftcat.default.zt USING graft " +
+        s"OPTIONS (path '$t')")
+      assert(spark.sql("SHOW TABLES IN graftcat.default").collect()
+        .map(_.getString(1)).contains("zt"))
+      // catalog-resolved reads prune exactly like the API scan
+      val (cRows, cFiles) = v2Scanned(spark.sql(
+        "SELECT doc_id FROM graftcat.default.zt WHERE n <= 155"))
+      val (aRows, aFiles) = v1Scanned(
+        EventStreams.readUpsertTableScan(spark, t).filter(col("n") <= 155L))
+      assert(cRows === aRows && cFiles === aFiles && cFiles > 0)
+      // a SECOND catalog instance over the SAME warehouse sees the
+      // table: the registry is disk-backed, not session state
+      assert(spark.sql("SELECT count(*) FROM graftcat2.default.zt")
+        .head().getLong(0) === 32L)
+      // DML resolves through the catalog: the committed delete
+      spark.sql("DELETE FROM graftcat.default.zt WHERE n >= 300")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 30L)
+      // and the committed merge
+      import spark.implicits._
+      Seq((500L, 5000L, "c99", 1L)).toDF("doc_id", "n", "cat", "__v")
+        .createOrReplaceTempView("graft_cat_src")
+      spark.sql("MERGE INTO graftcat.default.zt t USING graft_cat_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN NOT MATCHED THEN INSERT (doc_id, n, cat, __v) " +
+        "VALUES (s.doc_id, s.n, s.cat, s.__v)")
+      assert(EventStreams.readUpsertTable(spark, t).count() === 31L)
+      // CTAS refuses: the catalog never creates table STATE (data
+      // lands through the committed merge API, then registers)
+      val ctasErr = intercept[Exception] {
+        spark.sql("CREATE TABLE graftcat.default.zz USING graft " +
+          "AS SELECT 1 AS doc_id")
+      }
+      assert(ctasErr.getMessage.contains("committed") ||
+        Option(ctasErr.getCause).exists(_.getMessage.contains("committed")),
+        s"CTAS must refuse with the remediation: ${ctasErr.getMessage}")
+      // registering a dir with no committed manifest refuses
+      val emptyErr = intercept[Exception] {
+        spark.sql("CREATE TABLE graftcat.default.zempty USING graft " +
+          s"OPTIONS (path '$wh/nothing-here')")
+      }
+      assert(emptyErr.getMessage.contains("manifest"),
+        s"uncommitted dirs must refuse: ${emptyErr.getMessage}")
+      // DROP removes the POINTER only; committed data survives
+      spark.sql("DROP TABLE graftcat.default.zt")
+      assert(spark.sql("SHOW TABLES IN graftcat.default").collect()
+        .forall(_.getString(1) != "zt"))
+      assert(EventStreams.readUpsertTable(spark, t).count() === 31L,
+        "dropping the catalog pointer must never touch committed data")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftcat")
+      spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+      spark.conf.unset("spark.sql.catalog.graftcat2")
+      spark.conf.unset("spark.sql.catalog.graftcat2.warehouse")
+    }
+  }
+
   test("MERGE INTO: matched update + unmatched insert route to the committed merge; API twin parity") {
     val base = Files.createTempDirectory("graft-sqlmerge").toString
     def seed(t: String): Unit = EventStreams.mergeBatchIntoTable(

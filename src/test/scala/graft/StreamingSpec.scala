@@ -3484,6 +3484,78 @@ class StreamingSpec extends SparkSpec {
       .filter(col("k") === 2L).select("score").head().getString(0) === "y2")
   }
 
+  test("readStream.format(graft): the change feed streams in bounded commit windows, resumes from the cursor") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-feedstream").toString
+    val t = s"$base/t"
+    EventStreams.mergeBatchIntoTable(
+      (0L until 8L).map(k => (k, k * 10L, 0L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 0L, retain = 8)
+    EventStreams.mergeBatchIntoTable(
+      Seq((3L, 333L, 1L), (100L, 1000L, 1L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 1L, retain = 8)
+    EventStreams.deleteFromTable(spark, t, Seq(5L).toDF("k"), Seq("k"),
+      nBuckets = 2, batchId = 2L, retain = 8)
+    val ckpt = s"$base/ckpt"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, String)])]
+    def drain(): Int = {
+      val before = got.size
+      val q = spark.readStream.format("graft")
+        .option("feed", "changes")
+        .option("startingBatchId", "0")
+        .option("maxCommitsPerTrigger", "1")
+        .load(t)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          got += id -> df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(3))).sorted.toSeq
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.size - before
+    }
+    // the backlog (commits 1 and 2 above base 0) drains in BOUNDED
+    // one-commit windows, each equal to the batch-diff of that window
+    assert(drain() === 2, s"2 one-commit windows expected: $got")
+    def windowDiff(from: Long, to: Long): Seq[(Long, Long, String)] =
+      EventStreams.readChangeFeed(spark, t, from, Some(to))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+        .sorted.toSeq
+    assert(got(0)._2 === windowDiff(0L, 1L),
+      "first window must equal the batch diff (0,1]")
+    assert(got(1)._2 === windowDiff(1L, 2L))
+    assert(got(1)._2.exists(_._3 == "delete"),
+      "the delete commit's window must carry the tagged delete row")
+    // idle drain: nothing new committed — zero batches (a listing only)
+    assert(drain() === 0, s"idle tick must process nothing: $got")
+    // the cursor survives restarts: a new commit streams alone
+    EventStreams.mergeBatchIntoTable(
+      Seq((0L, 7L, 2L)).toDF("k", "n", "__v"),
+      t, Seq("k"), "__v", nBuckets = 2, batchId = 3L, retain = 8)
+    assert(drain() === 1)
+    assert(got(2)._2 === windowDiff(2L, 3L))
+    // the feed handle is streaming-only; the plain handle is batch-only
+    val batchErr = intercept[Exception] {
+      spark.read.format("graft").option("feed", "changes").load(t).collect()
+    }
+    assert(batchErr.getMessage.toLowerCase.contains("batch"),
+      s"batch read of the feed handle must refuse: ${batchErr.getMessage}")
+    val streamErr = intercept[Exception] {
+      spark.readStream.format("graft").load(t)
+        .writeStream.option("checkpointLocation", s"$base/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => ())
+        .start().awaitTermination()
+    }
+    assert(streamErr.getMessage.toLowerCase.contains("stream") ||
+      Option(streamErr.getCause).exists(_.getMessage.toLowerCase
+        .contains("stream")),
+      s"streaming the plain handle must refuse: ${streamErr.getMessage}")
+  }
+
   test("deleteUpsertTableWhere can empty the table; later merges recover it") {
     import EventStreams.ColBound
     val t = Files.createTempDirectory("graft-delwe").toString + "/t"
