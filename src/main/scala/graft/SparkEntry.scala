@@ -256,21 +256,30 @@ object SparkEntry {
   def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val out = operators.Dedup.minhashNearDups(docs).localCheckpoint()
-    val toks = docs.select(col("doc_id"),
+    // the three checkpoint barriers are independent materializations —
+    // overlap them (guide §2.6), then fork the verdict aggregates
+    val fOut = VerdictOps.fork(
+      operators.Dedup.minhashNearDups(docs).localCheckpoint())
+    val fToks = VerdictOps.fork(docs.select(col("doc_id"),
         array_distinct(functions.Texts.shingles(col("text"), 1)).as("ts"))
-      .filter(size(col("ts")) > 0).localCheckpoint()
-    val n = out.count()
-    val repOk = out.filter(col("rep_id") >= col("doc_id")).count() == 0
+      .filter(size(col("ts")) > 0).localCheckpoint())
+    val fCapped = VerdictOps.fork(docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(functions.Texts.shingles(col("text"), 1)).as("ts"))
+      .filter(size(col("ts")) > 0).localCheckpoint())
+    val out = VerdictOps.join(fOut)
+    val toks = VerdictOps.join(fToks)
+    // one pass for (n, rep-precedes violations) instead of two counts
+    val fOutStats = VerdictOps.fork(
+      out.agg(count(lit(1)), count_if(col("rep_id") >= col("doc_id"))).head())
     val re = out
       .join(toks.select(col("doc_id").as("rep_id"), col("ts").as("ta")), Seq("rep_id"))
       .join(toks.select(col("doc_id"), col("ts").as("tb")), Seq("doc_id"))
       .withColumn("j", round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6))
-    val precision = re.filter(col("j") < 0.9).count() == 0 && re.count() == n
-    val capped = docs.filter(col("doc_id") < 300)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(functions.Texts.shingles(col("text"), 1)).as("ts"))
-      .filter(size(col("ts")) > 0).localCheckpoint()
+    // one pass for (re-verified count, below-threshold violations)
+    val fReStats = VerdictOps.fork(
+      re.agg(count(lit(1)), count_if(col("j") < 0.9)).head())
+    val capped = VerdictOps.join(fCapped)
     val mustCatch = capped
       .select(col("doc_id").as("da"), col("lang"), col("ts").as("ta"))
       .join(capped.select(col("doc_id").as("db"), col("lang"), col("ts").as("tb")),
@@ -292,7 +301,8 @@ object SparkEntry {
         Seq("band", "bkey"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val missedPairs = mustCatch.join(sharing, Seq("da", "db"), "left_anti").count()
+    val fMissedPairs = VerdictOps.fork(
+      mustCatch.join(sharing, Seq("da", "db"), "left_anti").count())
     // OPERATOR recall under its documented anchor semantics (ADVICE
     // r13): the three re-derivations above verify the banding math and
     // the emitted pairs' precision, but none pins what the operator
@@ -316,14 +326,17 @@ object SparkEntry {
       .filter(round(functions.Hashes.jaccardSet(col("ta"), col("tb")), 6) >= 0.9)
       .groupBy(col("doc_id")).agg(min(col("anchor")).as("rep_id"))
       .select(col("doc_id"), col("rep_id"))
-    val opMatches = opOut.exceptAll(expected).isEmpty &&
-      expected.exceptAll(opOut).isEmpty
+    val fOpMatches = VerdictOps.fork(VerdictOps.multisetEq(opOut, expected))
+    val outStats = VerdictOps.join(fOutStats)
+    val n = outStats.getLong(0)
+    val reStats = VerdictOps.join(fReStats)
     Seq(
       ("assignments_nonempty", n > 0),
-      ("rep_precedes_member", repOk),
-      ("pairs_verified_exact", precision),
-      ("banding_catches_exact_pairs", missedPairs == 0L),
-      ("operator_matches_anchor_semantics", opMatches))
+      ("rep_precedes_member", outStats.getLong(1) == 0L),
+      ("pairs_verified_exact",
+        reStats.getLong(1) == 0L && reStats.getLong(0) == n),
+      ("banding_catches_exact_pairs", VerdictOps.join(fMissedPairs) == 0L),
+      ("operator_matches_anchor_semantics", VerdictOps.join(fOpMatches)))
       .toDF("check", "ok")
   }
 
@@ -919,8 +932,7 @@ object SparkEntry {
       .select(col("doc_id"), col("rep_id"), col("hamming"))
     val restricted = out.filter(col("doc_id") < 300)
       .select(col("doc_id"), col("rep_id"), col("hamming"))
-    val equal = restricted.exceptAll(assignC)
-      .unionByName(assignC.exceptAll(restricted)).count() == 0
+    val equal = VerdictOps.multisetEq(restricted, assignC)
     Seq(
       ("assignments_nonempty", n > 0),
       ("rep_precedes_member", repOk),
@@ -2703,28 +2715,29 @@ object SparkEntry {
     */
   def q113NearDupDecontam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // tokenize and md5-hash ONCE: the token sets feed the exact-Jaccard
-    // verify join and the hash arrays feed the signatures; the
-    // checkpoint is the projection barrier that stops CollapseProject
-    // re-inlining the md5 into every permutation slot (8x md5 per token)
+    // tokenize ONCE: the token sets feed the exact-Jaccard verify join
+    // and the signature kernel; the checkpoint is the projection
+    // barrier that stops CollapseProject re-inlining the tokenizer
     val tsets = docs.select(col("doc_id"),
         array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
-      .withColumn("th", transform(col("ts"),
-        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
       .localCheckpoint()
-    // signatures as pure NARROW array_min over the hash array — no
-    // explode blowup, no groupBy(doc_id) shuffle (the q89 explode+agg
-    // form shuffles tokens x docs rows; this shuffles nothing).
-    // Empty-token docs are dropped BEFORE signing (the q89 explode form
-    // drops them implicitly — explode of an empty array emits no rows);
-    // without this filter they'd produce all-null signature slots, and
-    // null struct fields compare EQUAL in the banded join, so every
-    // empty doc would band-match every other empty doc
-    val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("th"),
-        x => (lit(a) * x + lit(b)) % lit(minhashPrime))).as(s"s$i")
-    }
-    val sig = tsets.filter(size(col("ts")) > 0).select(col("doc_id") +: slots: _*)
+    // signatures via the native one-pass kernel (optimization r17):
+    // the previous narrow form ran 8 interpreted transform+array_min
+    // passes over a per-row md5 hash array — graft.plans.MinHashAffine
+    // computes the identical slot values (same md5-derived 32-bit
+    // hash, same affine constants, same Java long arithmetic) in one
+    // codegen'd pass. Empty-token docs are dropped BEFORE signing
+    // (the q89 explode form drops them implicitly); without this
+    // filter they'd produce all-null signature slots, and null struct
+    // fields compare EQUAL in the banded join, so every empty doc
+    // would band-match every other empty doc
+    val sig = tsets.filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        graft.plans.MinHashAffine.minhashAffine(col("ts"), minhashPerms,
+          minhashPrime).as("__sig"))
+      .select(col("doc_id") +:
+        minhashPerms.indices.map(i =>
+          element_at(col("__sig"), i + 1).as(s"s$i")): _*)
     def bandKey(cols: Seq[String]) =
       struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") }: _*)
     // materialize the banded signatures ONCE: the eval/corpus split
@@ -4469,9 +4482,7 @@ object SparkEntry {
       .select(col("probe_id"), col("vec_id"), col("dist"), col("rn"))
     val pre = spark.read.parquet(s"$base/pre")
       .select(col("probe_id"), col("vec_id"), col("dist"), col("rn"))
-    val diff = post.exceptAll(pre).select(col("probe_id"))
-      .unionByName(pre.exceptAll(post).select(col("probe_id")))
-      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_diff"))
+    val diff = VerdictOps.perKeyDiffCount(post, pre, "probe_id", "n_diff")
     val files = spark.read.parquet(s"$base/files")
     pre.select(col("probe_id")).distinct()
       .join(diff, Seq("probe_id"), "left")
@@ -4502,9 +4513,24 @@ object SparkEntry {
     val merges = operators.TextAnalysis.bpeTrainMerges(docs, nMerges = 6)
       .collect().sortBy(_.getInt(0)) // bounded by contract: nMerges rows
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val vocab = operators.TextAnalysis.bpeIdVocab(docs, merges)
-    val ids = operators.TextAnalysis.bpeEncodeIds(
-      docs, merges, vocab.zipWithIndex.toMap)
+    // ENCODE ONCE (optimization r17, guide §1.2 "don't compute things
+    // you throw away"): bpeIdVocab + bpeEncodeIds each ran the full
+    // corpus encode, and the packing below consumed the id stream from
+    // two subtrees (cost aggregate + piece join) — the BPE kernel ran
+    // up to 4x per sweep. One checkpointed encode feeds the vocab
+    // collect AND both packing consumers; values are identical (same
+    // kernel, same merges, same lexicographic vocab ids).
+    val encoded = docs
+      .select(col("doc_id"), functions.Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        graft.plans.BpeEncodeTokens.bpeEncodeTokens(col("ws"), merges).as("enc"))
+      .localCheckpoint()
+    val vocab = encoded.select(explode(col("enc")).as("subword"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val vocabMap = vocab.zipWithIndex.toMap
+    val ids = encoded.select(col("doc_id"),
+      transform(col("enc"), s => element_at(typedLit(vocabMap), s)).as("toks"))
     val seqs = operators.Packing.materializeTokenSequences(
       ids, seqLen = 128, sepId = vocab.size,
       withSpans = true, padId = Some(vocab.size + 1))
@@ -4999,9 +5025,8 @@ object SparkEntry {
     val preSurvivors = spark.read.parquet(s"$base/pre")
       .filter(!col("vec_id").isin(q181DeletedVecs: _*))
       .select(col("probe_id"), col("vec_id"), col("dist"))
-    val diff = post.exceptAll(preSurvivors).select(col("probe_id"))
-      .unionByName(preSurvivors.exceptAll(post).select(col("probe_id")))
-      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_diff"))
+    val diff = VerdictOps.perKeyDiffCount(post, preSurvivors, "probe_id",
+      "n_diff")
     val leaked = post.filter(col("vec_id").isin(q181DeletedVecs: _*))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_leaked"))
     preSurvivors.select(col("probe_id")).distinct()
@@ -5131,9 +5156,7 @@ object SparkEntry {
       .queryIvfPqIndexAt(spark, s"$base/idx", 0L, probes, 50, nprobe = 3))
     val pre = ps(spark.read.parquet(s"$base/pre"))
     def diff(a: DataFrame, b: DataFrame, name: String) =
-      a.exceptAll(b).select(col("probe_id"))
-        .unionByName(b.exceptAll(a).select(col("probe_id")))
-        .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+      VerdictOps.perKeyDiffCount(a, b, "probe_id", name)
     val dScratch = diff(post, scratch, "n_scratch_diff")
     val dOld = diff(oldGen, pre, "n_old_diff")
     val drift = operators.Similarity
@@ -5436,8 +5459,6 @@ object SparkEntry {
     def untouched(df: DataFrame) = df.filter(
       !regexp_extract(col("file"), "shard_id=(\\d+)/", 1).cast("long")
         .isin(touched.toSeq: _*))
-    val untouchedDiff = untouched(pre).exceptAll(untouched(post))
-      .unionByName(untouched(post).exceptAll(untouched(pre))).count() == 0
     val seqs = streaming.EventStreams
       .readUpsertTable(spark, s"$base/seqs")
     val expected = seqs
@@ -5447,49 +5468,54 @@ object SparkEntry {
     val got = spark.read.parquet(export)
       .select(col("seq_id"), col("tokens"), col("rank"),
         col("shard_id").cast("long").as("shard_id"))
-    val exportMatches = got.exceptAll(expected)
-      .unionByName(expected.exceptAll(got)).count() == 0
     val deleted = spark.read.parquet(s"$base/deleted")
       .collect().map(_.getLong(0)).toSeq
     val prov = streaming.EventStreams.readUpsertTable(spark, s"$base/prov")
       .select(col("seq_id"), col("doc_id"), col("start"), col("len"))
-    val provClean = prov.filter(col("doc_id").isin(deleted: _*))
-      .count() == 0
     val provExpected = seqs
       .select(col("seq_id"), explode(col("doc_spans")).as("sp"))
       .select(col("seq_id"), col("sp.doc_id").as("doc_id"),
         col("sp.start").as("start"), col("sp.len").as("len"))
-    val provMatches = prov.exceptAll(provExpected)
-      .unionByName(provExpected.exceptAll(prov)).count() == 0
-    val nUntouched = untouched(pre).count()
     // crash-replay twin (debt 5): the second lineage's re-export
     // crashed between its commit halves and was replayed — its
     // committed export and shard table must equal the clean lineage's,
-    // compared IN-QUERY over the committed artifacts (exceptAll both
-    // ways), not as a build-time boolean
+    // compared IN-QUERY over the committed artifacts, not as a
+    // build-time boolean
     val exportRows = (e: String) => spark.read.parquet(e)
       .select(col("seq_id"), col("tokens"), col("rank"),
         col("shard_id").cast("long").as("shard_id"))
     val gotB = exportRows(s"$base/export2")
-    val crashExportEq = gotB.exceptAll(got)
-      .unionByName(got.exceptAll(gotB)).count() == 0
     val tblRows = (d: String) => streaming.EventStreams
       .readUpsertTable(spark, d)
       .select(col("seq_id"), col("rank"), col("shard_id"))
     val tblB = tblRows(s"$base/shards2")
     val tblA = tblRows(s"$base/shards")
-    val crashTableEq = tblB.exceptAll(tblA)
-      .unionByName(tblA.exceptAll(tblB)).count() == 0
+    // every verdict below reads only committed artifacts — independent
+    // actions, overlapped on the scheduler (guide §2.6); the booleans
+    // are unchanged
+    val fUntouchedDiff = VerdictOps.fork(
+      VerdictOps.multisetEq(untouched(pre), untouched(post)))
+    val fExportMatches = VerdictOps.fork(VerdictOps.multisetEq(got, expected))
+    val fProvClean = VerdictOps.fork(
+      prov.filter(col("doc_id").isin(deleted: _*)).count() == 0)
+    val fProvMatches = VerdictOps.fork(VerdictOps.multisetEq(prov, provExpected))
+    val fNUntouched = VerdictOps.fork(untouched(pre).count())
+    val fCrashExportEq = VerdictOps.fork(VerdictOps.multisetEq(gotB, got))
+    val fCrashTableEq = VerdictOps.fork(VerdictOps.multisetEq(tblB, tblA))
+    val fGotN = VerdictOps.fork(got.count())
+    val fGotBN = VerdictOps.fork(gotB.count())
     import spark.implicits._
     Seq(
-      ("untouched_files_identical", untouchedDiff && nUntouched > 0),
-      ("export_matches_frozen_map", exportMatches && got.count() > 0),
-      ("prov_no_deleted_docs", provClean),
-      ("prov_matches_layout", provMatches),
+      ("untouched_files_identical",
+        VerdictOps.join(fUntouchedDiff) && VerdictOps.join(fNUntouched) > 0),
+      ("export_matches_frozen_map",
+        VerdictOps.join(fExportMatches) && VerdictOps.join(fGotN) > 0),
+      ("prov_no_deleted_docs", VerdictOps.join(fProvClean)),
+      ("prov_matches_layout", VerdictOps.join(fProvMatches)),
       ("touch_set_selective", touched.nonEmpty),
       ("crash_replay_export_equals_clean",
-        crashExportEq && gotB.count() > 0),
-      ("crash_replay_table_equals_clean", crashTableEq))
+        VerdictOps.join(fCrashExportEq) && VerdictOps.join(fGotBN) > 0),
+      ("crash_replay_table_equals_clean", VerdictOps.join(fCrashTableEq)))
       .toDF("check", "ok")
   }
 
@@ -5682,21 +5708,10 @@ object SparkEntry {
     val hadHoles = stats.getLong(0) < stats.getLong(1) + 1
     val table = streaming.EventStreams
       .readUpsertTable(spark, s"$base/shards").localCheckpoint()
-    val post = table.agg(count(lit(1)), max(col("rank")), min(col("rank")))
-      .head()
-    val denseAfter = post.getLong(0) == post.getLong(1) + 1 &&
-      post.getLong(2) == 0L
-    val maxShard = table.agg(max(col("shard_id"))).head().getLong(0)
-    val shortShards = table.groupBy(col("shard_id")).count()
-      .filter(col("shard_id") =!= maxShard && col("count") =!= 8L).count()
     val expectedRank = operators.Sampling.denseGlobalIndex(
       spark.read.parquet(s"$base/order_pre")
         .select(col("seq_id"), col("rank").as("rank_old")),
       "expected_rank", Seq(col("rank_old")), 8)
-    val orderMismatches = table.select(col("seq_id"), col("rank"))
-      .join(expectedRank, Seq("seq_id"), "full_outer")
-      .filter(col("rank").isNull || col("expected_rank").isNull ||
-        col("rank") =!= col("expected_rank")).count()
     val touched = spark.read.parquet(s"$base/touched")
       .collect().map(_.getLong(0)).toSet
     import scala.jdk.CollectionConverters._
@@ -5716,17 +5731,11 @@ object SparkEntry {
       !regexp_extract(col("file"), "shard_id=(\\d+)/", 1).cast("long")
         .isin(touched.toSeq: _*))
     val pre = spark.read.parquet(s"$base/files_pre")
-    val untouchedDiff = untouched(pre).exceptAll(untouched(filesNow))
-      .unionByName(untouched(filesNow).exceptAll(untouched(pre)))
-      .count() == 0
-    val nUntouched = untouched(pre).count()
     val expected = table.select(col("seq_id"), col("tokens"),
       col("rank"), col("shard_id"))
     val got = spark.read.parquet(s"$base/export")
       .select(col("seq_id"), col("tokens"), col("rank"),
         col("shard_id").cast("long").as("shard_id"))
-    val exportMatches = got.exceptAll(expected)
-      .unionByName(expected.exceptAll(got)).count() == 0
     val provRows = streaming.EventStreams.readUpsertTable(spark, s"$base/prov")
       .select(col("seq_id"), col("doc_id"), col("start"), col("len"),
         col("shard_id"))
@@ -5736,20 +5745,43 @@ object SparkEntry {
       .select(col("seq_id"), col("sp.doc_id").as("doc_id"),
         col("sp.start").as("start"), col("sp.len").as("len"),
         col("shard_id"))
-    val provMatches = provRows.exceptAll(provExpected)
-      .unionByName(provExpected.exceptAll(provRows)).count() == 0
-    val secondNoop = spark.read.parquet(s"$base/second")
-      .head().getBoolean(0)
+    // independent verdict actions over the committed artifacts (and the
+    // checkpointed table), overlapped on the scheduler (guide §2.6)
+    val fPost = VerdictOps.fork(
+      table.agg(count(lit(1)), max(col("rank")), min(col("rank"))).head())
+    val fShortShards = VerdictOps.fork {
+      val maxShard = table.agg(max(col("shard_id"))).head().getLong(0)
+      table.groupBy(col("shard_id")).count()
+        .filter(col("shard_id") =!= maxShard && col("count") =!= 8L).count()
+    }
+    val fOrderMismatches = VerdictOps.fork(
+      table.select(col("seq_id"), col("rank"))
+        .join(expectedRank, Seq("seq_id"), "full_outer")
+        .filter(col("rank").isNull || col("expected_rank").isNull ||
+          col("rank") =!= col("expected_rank")).count())
+    val fUntouchedDiff = VerdictOps.fork(
+      VerdictOps.multisetEq(untouched(pre), untouched(filesNow)))
+    val fNUntouched = VerdictOps.fork(untouched(pre).count())
+    val fExportMatches = VerdictOps.fork(VerdictOps.multisetEq(got, expected))
+    val fProvMatches = VerdictOps.fork(
+      VerdictOps.multisetEq(provRows, provExpected))
+    val fSecondNoop = VerdictOps.fork(
+      spark.read.parquet(s"$base/second").head().getBoolean(0))
+    val post = VerdictOps.join(fPost)
+    val denseAfter = post.getLong(0) == post.getLong(1) + 1 &&
+      post.getLong(2) == 0L
     import spark.implicits._
     Seq(
       ("fixture_had_holes", hadHoles),
       ("ranks_dense_after", denseAfter),
-      ("non_final_shards_full", shortShards == 0L),
-      ("streaming_order_preserved", orderMismatches == 0L),
-      ("untouched_prefix_identical", untouchedDiff && nUntouched > 0),
-      ("export_matches_table", exportMatches && post.getLong(0) > 0),
-      ("prov_matches_table", provMatches),
-      ("second_rebalance_noop", secondNoop))
+      ("non_final_shards_full", VerdictOps.join(fShortShards) == 0L),
+      ("streaming_order_preserved", VerdictOps.join(fOrderMismatches) == 0L),
+      ("untouched_prefix_identical",
+        VerdictOps.join(fUntouchedDiff) && VerdictOps.join(fNUntouched) > 0),
+      ("export_matches_table",
+        VerdictOps.join(fExportMatches) && post.getLong(0) > 0),
+      ("prov_matches_table", VerdictOps.join(fProvMatches)),
+      ("second_rebalance_noop", VerdictOps.join(fSecondNoop)))
       .toDF("check", "ok")
   }
 
@@ -5865,7 +5897,7 @@ object SparkEntry {
     import spark.implicits._
     val base = ensureRetentionPins(spark, dir)
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     def fails(f: => Unit): Boolean =
       try { f; false } catch { case _: Exception => true }
     def parquetCount(d: String): Long = {
@@ -5879,7 +5911,8 @@ object SparkEntry {
     val snap = spark.read.parquet(s"$base/snap_b1")
     val pinnedTT = streaming.EventStreams
       .readUpsertTableAt(spark, s"$base/t", 1L)
-    val ttExact = eq(pinnedTT, snap) && snap.count() > 0
+    // independent read-only verdicts, overlapped (guide §2.6)
+    val fTtExact = VerdictOps.fork(eq(pinnedTT, snap) && snap.count() > 0)
     // manifest chain after keepLast=1 compaction: exactly the pin's
     // resolving manifest and the latest survive
     val manifestIds = new java.io.File(s"$base/t/_manifests").listFiles()
@@ -5887,17 +5920,17 @@ object SparkEntry {
       .map(_.getName.takeWhile(_ != '.').toLong).sorted.toSeq
     val compactionKept = manifestIds == Seq(1L, 3L) &&
       streaming.EventStreams.listPins(spark, s"$base/t") == Map("audit" -> 1L)
-    val twinSwept = fails(
-      streaming.EventStreams.readUpsertTableAt(spark, s"$base/u", 1L).count())
-    val latestUnaffected = eq(
+    val fTwinSwept = VerdictOps.fork(fails(
+      streaming.EventStreams.readUpsertTableAt(spark, s"$base/u", 1L).count()))
+    val fLatestUnaffected = VerdictOps.fork(eq(
       streaming.EventStreams.readUpsertTable(spark, s"$base/t"),
-      streaming.EventStreams.readUpsertTable(spark, s"$base/u"))
-    val vacuumed = fails(
+      streaming.EventStreams.readUpsertTable(spark, s"$base/u")))
+    val fVacuumed = VerdictOps.fork(fails(
         streaming.EventStreams.readUpsertTableAt(spark, s"$base/v", 1L).count()) &&
       eq(streaming.EventStreams.readUpsertTable(spark, s"$base/v"),
         streaming.EventStreams.readUpsertTable(spark, s"$base/t")) &&
       streaming.EventStreams.listPins(spark, s"$base/v").isEmpty &&
-      parquetCount(s"$base/v") < parquetCount(s"$base/t")
+      parquetCount(s"$base/v") < parquetCount(s"$base/t"))
     // the generation verdicts read the COMMITTED ledger, not build-time
     // state: pinned ledger retains gen 1 + the active gen 3 and retired
     // gen 2; the unpinned twin retains gen 3 alone and gen 1 is gone
@@ -5912,19 +5945,19 @@ object SparkEntry {
       latestDirs(s"$base/gidx2") == Set("gen=3") &&
       !new java.io.File(s"$base/gidx2/gen=1").exists()
     val codesPre = spark.read.parquet(s"$base/codes_pre")
-    val codesPinned = eq(
+    val fCodesPinned = VerdictOps.fork(eq(
         operators.Similarity.indexedVecIdsBefore(spark, s"$base/cidx", 2L),
         codesPre) && codesPre.count() > 0 &&
       fails(operators.Similarity
-        .indexedVecIdsBefore(spark, s"$base/cidx2", 2L).count())
+        .indexedVecIdsBefore(spark, s"$base/cidx2", 2L).count()))
     Seq(
-      ("pinned_time_travel_exact", ttExact),
+      ("pinned_time_travel_exact", VerdictOps.join(fTtExact)),
       ("pin_survives_manifest_compaction", compactionKept),
-      ("unpinned_twin_swept", twinSwept),
-      ("latest_snapshots_unaffected", latestUnaffected),
-      ("vacuum_reclaims_after_release", vacuumed),
+      ("unpinned_twin_swept", VerdictOps.join(fTwinSwept)),
+      ("latest_snapshots_unaffected", VerdictOps.join(fLatestUnaffected)),
+      ("vacuum_reclaims_after_release", VerdictOps.join(fVacuumed)),
       ("pinned_generation_retained", genPinned),
-      ("codes_pin_holds_audit_read", codesPinned))
+      ("codes_pin_holds_audit_read", VerdictOps.join(fCodesPinned)))
       .toDF("check", "ok")
   }
 
@@ -6144,13 +6177,19 @@ object SparkEntry {
       m2(("ivfpq-idx", "drift_rebuilt"))._2 == 1L
     val fsckGreen = (m1 ++ m2).view
       .filterKeys(_._2.startsWith("fsck_")).values.forall(_._1)
-    val t = streaming.EventStreams.readUpsertTable(spark, s"$base/shards")
-      .agg(count(lit(1)), max(col("rank"))).head()
-    val dense = t.getLong(0) == t.getLong(1) + 1
-    val expected = spark.read.parquet(s"$base/run1")
-      .unionByName(spark.read.parquet(s"$base/run2"))
-    val replayNoop = report.exceptAll(expected)
-      .unionByName(expected.exceptAll(report)).count() == 0
+    // independent read-only verdicts, overlapped (guide §2.6)
+    val fDense = VerdictOps.fork {
+      val t = streaming.EventStreams.readUpsertTable(spark, s"$base/shards")
+        .agg(count(lit(1)), max(col("rank"))).head()
+      t.getLong(0) == t.getLong(1) + 1
+    }
+    val fReplayNoop = VerdictOps.fork {
+      val expected = spark.read.parquet(s"$base/run1")
+        .unionByName(spark.read.parquet(s"$base/run2"))
+      VerdictOps.multisetEq(report, expected)
+    }
+    val dense = VerdictOps.join(fDense)
+    val replayNoop = VerdictOps.join(fReplayNoop)
     // rotation: run 1 had nothing to prune, run 2 pruned run 1's dir,
     // and exactly keepLast(=1) backup dir remains on disk
     val rotated = m1(("table-corpus", "backup_rotated"))._2 == 0L &&
@@ -6242,7 +6281,7 @@ object SparkEntry {
     import spark.implicits._
     val base = ensureBackup(spark, dir)
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     def fails(f: => Unit): Boolean =
       try { f; false } catch { case _: Exception => true }
     val snap = spark.read.parquet(s"$base/snap")
@@ -6250,23 +6289,32 @@ object SparkEntry {
     val t = streaming.EventStreams.readUpsertTable(spark, s"$base/t")
     def fsck(d: String) = streaming.EventStreams.fsckUpsertTable(spark, d)
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-    val fsckT = fsck(s"$base/t")
-    val fsckU = fsck(s"$base/u")
+    // independent read-only verdicts, overlapped (guide §2.6)
+    val fBackupMatches = VerdictOps.fork(eq(bak, snap) && snap.count() > 0)
+    val fDamageDetected = VerdictOps.fork {
+      val fsckU = fsck(s"$base/u")
+      !fsckU("live_files_exist") && fsckU("manifests_parseable")
+    }
+    val fRestoreHeals = VerdictOps.fork {
+      val fsckT = fsck(s"$base/t")
+      fsckT.values.forall(identity) && eq(t, snap)
+    }
+    val fDrCloneExact = VerdictOps.fork(eq(
+      streaming.EventStreams.readUpsertTable(spark, s"$base/clone"), snap))
+    val fTornRefused = VerdictOps.fork(fails(
+      streaming.EventStreams.restoreUpsertTable(spark, s"$base/torn",
+        s"$base/never", batchId = 1L)))
     val manifests = new java.io.File(s"$base/t/_manifests")
       .listFiles().count(_.getName.endsWith(".json"))
     Seq(
-      ("backup_matches_snapshot", eq(bak, snap) && snap.count() > 0),
-      ("damage_detected",
-        !fsckU("live_files_exist") && fsckU("manifests_parseable")),
-      ("restore_heals", fsckT.values.forall(identity) && eq(t, snap)),
+      ("backup_matches_snapshot", VerdictOps.join(fBackupMatches)),
+      ("damage_detected", VerdictOps.join(fDamageDetected)),
+      ("restore_heals", VerdictOps.join(fRestoreHeals)),
       ("history_preserved", manifests == 3 &&
         streaming.EventStreams.latestCommittedBatchId(spark, s"$base/t")
           .contains(5L)),
-      ("dr_clone_exact", eq(
-        streaming.EventStreams.readUpsertTable(spark, s"$base/clone"), snap)),
-      ("torn_backup_refused", fails(
-        streaming.EventStreams.restoreUpsertTable(spark, s"$base/torn",
-          s"$base/never", batchId = 1L))))
+      ("dr_clone_exact", VerdictOps.join(fDrCloneExact)),
+      ("torn_backup_refused", VerdictOps.join(fTornRefused)))
       .toDF("check", "ok")
   }
 
@@ -6358,7 +6406,7 @@ object SparkEntry {
     val m1 = m(1L)
     val m2 = m(2L)
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val noHealRows = !m1.keys.exists(_._2.startsWith("heal_")) &&
       m1(("table-t", "fsck_live_files_exist"))._1 &&
       m1(("ivfpq-idx", "fsck_codes_dirs_exist"))._1
@@ -6368,25 +6416,35 @@ object SparkEntry {
       m2(("table-t", "heal_verified")) == ((true, 0L))
     val indexHealed = m2(("ivfpq-idx", "heal_rebuilt")) == ((true, 1L)) &&
       m2(("ivfpq-idx", "heal_verified")) == ((true, 0L))
-    val rowsMatch = eq(
+    // independent read-only verdicts, overlapped (guide §2.6)
+    val fRowsMatch = VerdictOps.fork(eq(
       streaming.EventStreams.readUpsertTable(spark, s"$base/t"),
-      spark.read.parquet(s"$base/snap"))
+      spark.read.parquet(s"$base/snap")))
     // the healed index's membership is the full corpus again, and the
     // committed ledger shows exactly the one heal rebuild (gen 0
     // adopted flat root superseded by the rebuilt generation 1)
-    val membership = operators.Similarity.indexedVecIds(spark, s"$base/idx")
-      .count() == Tables.embeddings(spark, dir).count()
-    val ledger = operators.Similarity.generationLedger(spark, s"$base/idx")
-      .select(col("seq"), col("active")).collect().map(r =>
-        (r.getLong(0), r.getLong(1))).toSeq
-    val oneRebuild = ledger == Seq((0L, 1L)) && membership
-    val fsckNow = streaming.EventStreams.fsckUpsertTable(spark, s"$base/t")
-      .collect().forall(_.getBoolean(1)) &&
+    val fOneRebuild = VerdictOps.fork {
+      val membership = operators.Similarity.indexedVecIds(spark, s"$base/idx")
+        .count() == Tables.embeddings(spark, dir).count()
+      val ledger = operators.Similarity.generationLedger(spark, s"$base/idx")
+        .select(col("seq"), col("active")).collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq
+      ledger == Seq((0L, 1L)) && membership
+    }
+    val fFsckNow = VerdictOps.fork(
+      streaming.EventStreams.fsckUpsertTable(spark, s"$base/t")
+        .collect().forall(_.getBoolean(1)) &&
       operators.Similarity.fsckIndex(spark, s"$base/idx")
-        .collect().forall(_.getBoolean(1))
-    val expected = spark.read.parquet(s"$base/run1")
-      .unionByName(spark.read.parquet(s"$base/run2"))
-    val replayNoop = eq(report, expected)
+        .collect().forall(_.getBoolean(1)))
+    val fReplayNoop = VerdictOps.fork {
+      val expected = spark.read.parquet(s"$base/run1")
+        .unionByName(spark.read.parquet(s"$base/run2"))
+      eq(report, expected)
+    }
+    val rowsMatch = VerdictOps.join(fRowsMatch)
+    val oneRebuild = VerdictOps.join(fOneRebuild)
+    val fsckNow = VerdictOps.join(fFsckNow)
+    val replayNoop = VerdictOps.join(fReplayNoop)
     Seq(
       ("healthy_pass_no_heal_rows", noHealRows),
       ("verify_recorded_damage", damageRecorded),
@@ -6495,61 +6553,76 @@ object SparkEntry {
     import spark.implicits._
     val base = ensureDelta(spark, dir)
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     def read(t: String) = streaming.EventStreams
       .readUpsertTable(spark, s"$base/$t")
     def noTie(f: DataFrame) = f.filter(col("doc_id") =!= 11)
-    val e = read("e").localCheckpoint()
-    val d = read("d").localCheckpoint()
+    // the three checkpoint barriers are independent — overlap them,
+    // then fork the verdict actions over committed state (guide §2.6)
+    val fE = VerdictOps.fork(read("e").localCheckpoint())
+    val fD = VerdictOps.fork(read("d").localCheckpoint())
+    val fD3 = VerdictOps.fork(read("d3").localCheckpoint())
+    val e = VerdictOps.join(fE)
+    val d = VerdictOps.join(fD)
     val manD = streaming.EventStreams.tableManifest(spark, s"$base/d")
     val manE = streaming.EventStreams.tableManifest(spark, s"$base/e")
     def depth(m: Map[Int, Seq[String]]) = m.values.map(_.size).max
     val b1Rows = 8L // keys 0-5, 10, 11
-    val deltaGen1 = spark.read.parquet(s"$base/d/gen_1")
-      .count()
-    val eagerGen1 = spark.read.parquet(s"$base/e/gen_1").count()
-    val p10 = d.filter(col("doc_id") === 10).select("payload").head().getString(0)
-    val p11 = d.filter(col("doc_id") === 11).select("payload").head().getString(0)
-    val tt = eq(
+    val fDeltaGen1 = VerdictOps.fork(
+      spark.read.parquet(s"$base/d/gen_1").count())
+    val fEagerGen1 = VerdictOps.fork(
+      spark.read.parquet(s"$base/e/gen_1").count())
+    // one pass for both reconciled payloads instead of two point heads
+    val fP = VerdictOps.fork(
+      d.filter(col("doc_id").isin(10L, 11L)).select("doc_id", "payload")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val fTt = VerdictOps.fork(eq(
       streaming.EventStreams.readUpsertTableAt(spark, s"$base/d", 1L),
-      streaming.EventStreams.readUpsertTableAt(spark, s"$base/e", 1L))
+      streaming.EventStreams.readUpsertTableAt(spark, s"$base/e", 1L)))
     val manD2 = streaming.EventStreams.tableManifest(spark, s"$base/d2")
     // the fold's commit drops the reconcile spec from the LATEST list;
     // the chain's earlier (immutable) lists still carry it
     val d2Lists = new java.io.File(s"$base/d2/_manifests").listFiles()
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
       .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    val foldPlain = depth(manD2) == 1 &&
+    val fFoldPlain = VerdictOps.fork(depth(manD2) == 1 &&
       d2Lists.init.forall(_.contains("\"reconcile\"")) &&
       !d2Lists.last.contains("\"reconcile\"") &&
-      eq(noTie(read("d2")), noTie(e))
-    val report = read("report")
-    def rep(runId: Long, check: String) = report
-      .filter(col("run_id") === runId && col("check") === check)
-      .head()
-    val monitor =
-      !rep(1L, "delta_backlog").getBoolean(3) &&
-        rep(1L, "delta_backlog").getLong(4) == 3L &&
-        rep(1L, "fold_compacted").getLong(4) == 1L &&
-        rep(2L, "delta_backlog").getBoolean(3) &&
-        rep(2L, "fold_compacted").getLong(4) == 0L
-    val d3 = read("d3").localCheckpoint()
+      eq(noTie(read("d2")), noTie(e)))
+    // the report is a bounded per-run ledger: ONE collect, indexed
+    // in-memory, instead of five filtered head() jobs
+    val fMonitor = VerdictOps.fork {
+      val rep = read("report").collect()
+        .map(r => (r.getLong(0), r.getString(2)) -> r).toMap
+      !rep((1L, "delta_backlog")).getBoolean(3) &&
+        rep((1L, "delta_backlog")).getLong(4) == 3L &&
+        rep((1L, "fold_compacted")).getLong(4) == 1L &&
+        rep((2L, "delta_backlog")).getBoolean(3) &&
+        rep((2L, "fold_compacted")).getLong(4) == 0L
+    }
+    val d3 = VerdictOps.join(fD3)
+    val fDeltaMatches = VerdictOps.fork(
+      eq(noTie(d), noTie(e)) && d.count() == 16)
+    val fDeleteKills = VerdictOps.fork(
+      d3.filter(col("doc_id") === 0).isEmpty &&
+        eq(noTie(d3), noTie(e).filter(col("doc_id") =!= 0)))
+    val fBackup = VerdictOps.fork(eq(read("d3r"), d3))
+    val p = VerdictOps.join(fP)
     Seq(
-      ("delta_matches_eager", eq(noTie(d), noTie(e)) && d.count() == 16),
-      ("stale_version_never_resurrects", p10.startsWith("b0:")),
-      ("version_tie_later_commit_wins", p11.startsWith("b2:")),
+      ("delta_matches_eager", VerdictOps.join(fDeltaMatches)),
+      ("stale_version_never_resurrects", p(10L).startsWith("b0:")),
+      ("version_tie_later_commit_wins", p(11L).startsWith("b2:")),
       ("commit_appends_base_stays_live",
         manD.values.flatten.exists(_.startsWith("gen_0/")) &&
           depth(manD) == 3 && depth(manE) == 1),
       ("write_amp_is_batch_sized",
-        deltaGen1 == b1Rows && eagerGen1 >= deltaGen1),
-      ("time_travel_reconciles", tt),
-      ("fold_returns_plain_scan", foldPlain),
-      ("fold_monitor_idempotent", monitor),
-      ("delete_kills_every_version",
-        d3.filter(col("doc_id") === 0).isEmpty &&
-          eq(noTie(d3), noTie(e).filter(col("doc_id") =!= 0))),
-      ("backup_restore_preserves_reconcile", eq(read("d3r"), d3)))
+        VerdictOps.join(fDeltaGen1) == b1Rows &&
+          VerdictOps.join(fEagerGen1) >= VerdictOps.join(fDeltaGen1)),
+      ("time_travel_reconciles", VerdictOps.join(fTt)),
+      ("fold_returns_plain_scan", VerdictOps.join(fFoldPlain)),
+      ("fold_monitor_idempotent", VerdictOps.join(fMonitor)),
+      ("delete_kills_every_version", VerdictOps.join(fDeleteKills)),
+      ("backup_restore_preserves_reconcile", VerdictOps.join(fBackup)))
       .toDF("check", "ok")
   }
 
@@ -6570,32 +6643,39 @@ object SparkEntry {
     import spark.implicits._
     val base = ensureDelta(spark, dir)
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val e = streaming.EventStreams.readUpsertTable(spark, s"$base/e")
     val keys = Seq(3L, 7L).toDF("doc_id")
-    val point = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/e", keys, Seq("doc_id")).localCheckpoint()
-    val matches = eq(point, e.filter(col("doc_id").isin(3L, 7L))) &&
-      point.count() == 2
+    // independent read-only verdicts, overlapped (guide §2.6)
+    val fMatches = VerdictOps.fork {
+      val point = streaming.EventStreams.readUpsertTableForKeys(spark,
+        s"$base/e", keys, Seq("doc_id")).localCheckpoint()
+      eq(point, e.filter(col("doc_id").isin(3L, 7L))) && point.count() == 2
+    }
     // the scan's pruning, from the executed frame itself: strictly
     // fewer files than the live set, every one under a requested bucket
-    val live = streaming.EventStreams.tableManifest(spark, s"$base/e")
-    val wantBuckets = keys
-      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
-      .select("b").distinct().collect().map(_.getInt(0)).toSet
-    val scanned = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/e", keys, Seq("doc_id")).inputFiles
-    val pruned = scanned.nonEmpty &&
-      scanned.length < live.values.map(_.size).sum &&
-      scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
-    val dPoint = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/d", Seq(10L, 11L).toDF("doc_id"), Seq("doc_id"))
-      .select(col("doc_id"), col("payload")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val deltaReconciled = dPoint.size == 2 &&
-      dPoint(10L).startsWith("b0:") && dPoint(11L).startsWith("b2:")
-    val absent = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/e", Seq(999L).toDF("doc_id"), Seq("doc_id"))
+    val fPruned = VerdictOps.fork {
+      val live = streaming.EventStreams.tableManifest(spark, s"$base/e")
+      val wantBuckets = keys
+        .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+        .select("b").distinct().collect().map(_.getInt(0)).toSet
+      val scanned = streaming.EventStreams.readUpsertTableForKeys(spark,
+        s"$base/e", keys, Seq("doc_id")).inputFiles
+      scanned.nonEmpty &&
+        scanned.length < live.values.map(_.size).sum &&
+        scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
+    }
+    val fDeltaReconciled = VerdictOps.fork {
+      val dPoint = streaming.EventStreams.readUpsertTableForKeys(spark,
+        s"$base/d", Seq(10L, 11L).toDF("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("payload")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      dPoint.size == 2 &&
+        dPoint(10L).startsWith("b0:") && dPoint(11L).startsWith("b2:")
+    }
+    val fAbsentEmpty = VerdictOps.fork(
+      streaming.EventStreams.readUpsertTableForKeys(spark,
+        s"$base/e", Seq(999L).toDF("doc_id"), Seq("doc_id")).isEmpty)
     // zone maps compose with the bucket prune: on the sort-clustered
     // copy with a stats contract on the key, the executed scan must
     // open EXACTLY the wanted-bucket files whose recorded key range
@@ -6614,22 +6694,23 @@ object SparkEntry {
           case _ => true
         }
       }.toSet
-    val ecRead = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/ec", keys, Seq("doc_id")).localCheckpoint()
-    val ecScanned = streaming.EventStreams.readUpsertTableForKeys(spark,
-      s"$base/ec", keys, Seq("doc_id")).inputFiles
-      .flatMap(f => ecLive.values.flatten.find(rel => f.endsWith("/" + rel)))
-      .toSet
-    val zoneComposes = predicted.nonEmpty &&
-      predicted.size < ecLive.values.map(_.size).sum &&
-      ecScanned == predicted &&
-      ecRead.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L)
+    val fZoneComposes = VerdictOps.fork {
+      val ecRead = streaming.EventStreams.readUpsertTableForKeys(spark,
+        s"$base/ec", keys, Seq("doc_id"))
+      val ecScanned = ecRead.inputFiles
+        .flatMap(f => ecLive.values.flatten.find(rel => f.endsWith("/" + rel)))
+        .toSet
+      predicted.nonEmpty &&
+        predicted.size < ecLive.values.map(_.size).sum &&
+        ecScanned == predicted &&
+        ecRead.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 7L)
+    }
     Seq(
-      ("point_read_matches_filter", matches),
-      ("scan_pruned_to_key_buckets", pruned),
-      ("delta_point_read_reconciles", deltaReconciled),
-      ("absent_keys_read_empty", absent.isEmpty),
-      ("point_read_composes_with_zone_maps", zoneComposes))
+      ("point_read_matches_filter", VerdictOps.join(fMatches)),
+      ("scan_pruned_to_key_buckets", VerdictOps.join(fPruned)),
+      ("delta_point_read_reconciles", VerdictOps.join(fDeltaReconciled)),
+      ("absent_keys_read_empty", VerdictOps.join(fAbsentEmpty)),
+      ("point_read_composes_with_zone_maps", VerdictOps.join(fZoneComposes)))
       .toDF("check", "ok")
   }
 
@@ -6920,7 +7001,7 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.ColBound
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val z = s"$base/z"
     val live = EventStreams.tableManifest(spark, z)
     val nLive = live.values.map(_.size).sum
@@ -6930,64 +7011,81 @@ object SparkEntry {
     val full = EventStreams.readUpsertTable(spark, z)
     val lowRange = EventStreams.readUpsertTableWhere(spark, z,
       Seq(ColBound("n", Some("0"), Some("35"))))
-    val rangeMatches = eq(lowRange, full.filter(col("n") <= 35))
-    val opened = lowRange.inputFiles.toSeq.flatMap(f =>
-      live.values.flatten.find(rel => f.endsWith("/" + rel)))
-    val openedOnlyOverlapping = opened.nonEmpty && opened.size < nLive &&
-      opened.forall { rel =>
-        stats.get(rel).flatMap(_.get("n")) match {
-          case Some((Some(mn), _)) => BigDecimal(mn) <= 35
-          case _ => false
+    // independent verdict actions over committed state, overlapped on
+    // the scheduler (guide §2.6); booleans unchanged
+    val fRangeMatches = VerdictOps.fork(
+      eq(lowRange, full.filter(col("n") <= 35)))
+    val fOpenedOnlyOverlapping = VerdictOps.fork {
+      val opened = lowRange.inputFiles.toSeq.flatMap(f =>
+        live.values.flatten.find(rel => f.endsWith("/" + rel)))
+      opened.nonEmpty && opened.size < nLive &&
+        opened.forall { rel =>
+          stats.get(rel).flatMap(_.get("n")) match {
+            case Some((Some(mn), _)) => BigDecimal(mn) <= 35
+            case _ => false
+          }
         }
-      }
-    val boundary = EventStreams.readUpsertTableWhere(spark, z,
-      Seq(ColBound("n", Some("310"), Some("310"))))
-      .collect().map(_.getLong(0)).toSeq == Seq(31L)
-    val catRead = EventStreams.readUpsertTableWhere(spark, z,
-      Seq(ColBound("cat", Some("c07"), Some("c07"))))
-    val stringPrunes = catRead.collect().map(_.getLong(0)).toSeq == Seq(7L) &&
-      catRead.inputFiles.length < nLive
+    }
+    val fBoundary = VerdictOps.fork(
+      EventStreams.readUpsertTableWhere(spark, z,
+        Seq(ColBound("n", Some("310"), Some("310"))))
+        .collect().map(_.getLong(0)).toSeq == Seq(31L))
+    val fStringPrunes = VerdictOps.fork {
+      val catRead = EventStreams.readUpsertTableWhere(spark, z,
+        Seq(ColBound("cat", Some("c07"), Some("c07"))))
+      catRead.collect().map(_.getLong(0)).toSeq == Seq(7L) &&
+        catRead.inputFiles.length < nLive
+    }
     val zd = s"$base/zd"
-    val dFull = EventStreams.readUpsertTable(spark, zd)
-      .filter(col("n").between(25L, 45L))
-    val dRange = EventStreams.readUpsertTableWhere(spark, zd,
-      Seq(ColBound("n", Some("25"), Some("45"))))
-    val dKeys = dRange.collect().map(_.getLong(0)).toSet
-    val deltaSound = eq(dRange, dFull) && dKeys(4L) && !dKeys(3L)
-    val nothing = EventStreams.readUpsertTableWhere(spark, zd,
-      Seq(ColBound("n", Some("5000"), Some("6000"))))
-    val zeroFiles = nothing.isEmpty && nothing.inputFiles.isEmpty
-    val byKey = EventStreams.readUpsertTableWhere(spark, z,
-      Seq(ColBound("doc_id", Some("3"), Some("5"))))
-    val unstatted = byKey.collect().map(_.getLong(0)).sorted.toSeq ==
-      Seq(3L, 4L, 5L)
+    val fDeltaSound = VerdictOps.fork {
+      val dFull = EventStreams.readUpsertTable(spark, zd)
+        .filter(col("n").between(25L, 45L))
+      val dRange = EventStreams.readUpsertTableWhere(spark, zd,
+        Seq(ColBound("n", Some("25"), Some("45"))))
+      val dKeys = dRange.collect().map(_.getLong(0)).toSet
+      eq(dRange, dFull) && dKeys(4L) && !dKeys(3L)
+    }
+    val fZeroFiles = VerdictOps.fork {
+      val nothing = EventStreams.readUpsertTableWhere(spark, zd,
+        Seq(ColBound("n", Some("5000"), Some("6000"))))
+      nothing.isEmpty && nothing.inputFiles.isEmpty
+    }
+    val fUnstatted = VerdictOps.fork(
+      EventStreams.readUpsertTableWhere(spark, z,
+        Seq(ColBound("doc_id", Some("3"), Some("5"))))
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
     val zdf = s"$base/zdf"
-    val fLive = EventStreams.tableManifest(spark, zdf).values.map(_.size).sum
-    val fRange = EventStreams.readUpsertTableWhere(spark, zdf,
-      Seq(ColBound("n", Some("25"), Some("45"))))
-    val foldKeeps = EventStreams.tableStatsCols(spark, zdf) == Some(Seq("n")) &&
-      eq(fRange, EventStreams.readUpsertTable(spark, zdf)
-        .filter(col("n").between(25L, 45L))) &&
-      fRange.inputFiles.length < fLive
+    val fFoldKeeps = VerdictOps.fork {
+      val fLive = EventStreams.tableManifest(spark, zdf).values.map(_.size).sum
+      val fRange = EventStreams.readUpsertTableWhere(spark, zdf,
+        Seq(ColBound("n", Some("25"), Some("45"))))
+      EventStreams.tableStatsCols(spark, zdf) == Some(Seq("n")) &&
+        eq(fRange, EventStreams.readUpsertTable(spark, zdf)
+          .filter(col("n").between(25L, 45L))) &&
+        fRange.inputFiles.length < fLive
+    }
     val zr = s"$base/zr"
-    val rLive = EventStreams.tableManifest(spark, zr)
-    val rStats = EventStreams.tableFileStats(spark, zr)
-    val rRange = EventStreams.readUpsertTableWhere(spark, zr,
-      Seq(ColBound("n", Some("0"), Some("30"))))
-    val restoreKeeps = rLive.values.flatten.forall(rStats.contains) &&
-      rRange.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L) &&
-      rRange.inputFiles.length < rLive.values.map(_.size).sum
+    val fRestoreKeeps = VerdictOps.fork {
+      val rLive = EventStreams.tableManifest(spark, zr)
+      val rStats = EventStreams.tableFileStats(spark, zr)
+      val rRange = EventStreams.readUpsertTableWhere(spark, zr,
+        Seq(ColBound("n", Some("0"), Some("30"))))
+      rLive.values.flatten.forall(rStats.contains) &&
+        rRange.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L) &&
+        rRange.inputFiles.length < rLive.values.map(_.size).sum
+    }
     Seq(
       ("stats_recorded_for_every_live_file", statsEverywhere),
-      ("range_read_matches_filter", rangeMatches),
-      ("scan_opens_only_overlapping_files", openedOnlyOverlapping),
-      ("inclusive_boundaries_hold", boundary),
-      ("string_bounds_prune", stringPrunes),
-      ("delta_prunes_buckets_never_resurrects", deltaSound),
-      ("out_of_range_probe_opens_zero_files", zeroFiles),
-      ("uncontracted_column_stays_exact", unstatted),
-      ("fold_inherits_the_contract", foldKeeps),
-      ("backup_restore_keeps_pruning", restoreKeeps))
+      ("range_read_matches_filter", VerdictOps.join(fRangeMatches)),
+      ("scan_opens_only_overlapping_files",
+        VerdictOps.join(fOpenedOnlyOverlapping)),
+      ("inclusive_boundaries_hold", VerdictOps.join(fBoundary)),
+      ("string_bounds_prune", VerdictOps.join(fStringPrunes)),
+      ("delta_prunes_buckets_never_resurrects", VerdictOps.join(fDeltaSound)),
+      ("out_of_range_probe_opens_zero_files", VerdictOps.join(fZeroFiles)),
+      ("uncontracted_column_stays_exact", VerdictOps.join(fUnstatted)),
+      ("fold_inherits_the_contract", VerdictOps.join(fFoldKeeps)),
+      ("backup_restore_keeps_pruning", VerdictOps.join(fRestoreKeeps)))
       .toDF("check", "ok")
   }
 
@@ -7102,7 +7200,7 @@ object SparkEntry {
     import streaming.EventStreams
     val t = s"$base/t"
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val feed = EventStreams.readChangeFeed(spark, t, 0L, Some(4L))
       .localCheckpoint()
     // independent re-derivation: full-table diff of the two boundary
@@ -7118,30 +7216,40 @@ object SparkEntry {
       .withColumn("_change_type", lit("upsert"))
       .unionByName(full0A.join(full4.select("doc_id"), Seq("doc_id"),
         "left_anti").withColumn("_change_type", lit("delete")))
-    val exactDiff = eq(feed, expected)
-    val stale = feed.filter(col("doc_id") === 2).isEmpty
-    val delRow = feed.filter(col("_change_type") === "delete").collect()
-    val delImage = delRow.length == 1 && delRow.head.getLong(0) == 3L &&
-      delRow.head.getString(1).startsWith("b0:") &&
-      delRow.head.isNullAt(delRow.head.fieldIndex("lang"))
-    val foldFeed = EventStreams.readChangeFeed(spark, t, 2L, Some(3L))
-    val foldFree = foldFeed.isEmpty && foldFeed.inputFiles.isEmpty
-    val touchedKeys = Seq(0L, 1L, 2L, 3L, 4L, 16L, 17L)
-    val wantBuckets = touchedKeys.toDF("doc_id")
-      .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
-      .select("b").distinct().collect().map(_.getInt(0)).toSet
-    val scanned = EventStreams.readChangeFeed(spark, t, 0L, Some(4L)).inputFiles
-    val touchedOnly = scanned.nonEmpty &&
-      scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
-    val widened = feed.filter(col("doc_id") === 17).collect() match {
-      case Array(r) => r.getString(r.fieldIndex("lang")) == "en" &&
-        r.getString(r.fieldIndex("_change_type")) == "upsert"
-      case _ => false
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // side-effecting replay/cursor checks below keep their order
+    val fExactDiff = VerdictOps.fork(eq(feed, expected))
+    val fStale = VerdictOps.fork(feed.filter(col("doc_id") === 2).isEmpty)
+    val fDelImage = VerdictOps.fork {
+      val delRow = feed.filter(col("_change_type") === "delete").collect()
+      delRow.length == 1 && delRow.head.getLong(0) == 3L &&
+        delRow.head.getString(1).startsWith("b0:") &&
+        delRow.head.isNullAt(delRow.head.fieldIndex("lang"))
+    }
+    val fFoldFree = VerdictOps.fork {
+      val foldFeed = EventStreams.readChangeFeed(spark, t, 2L, Some(3L))
+      foldFeed.isEmpty && foldFeed.inputFiles.isEmpty
+    }
+    val fTouchedOnly = VerdictOps.fork {
+      val touchedKeys = Seq(0L, 1L, 2L, 3L, 4L, 16L, 17L)
+      val wantBuckets = touchedKeys.toDF("doc_id")
+        .withColumn("b", pmod(hash(col("doc_id")), lit(4)))
+        .select("b").distinct().collect().map(_.getInt(0)).toSet
+      val scanned = EventStreams.readChangeFeed(spark, t, 0L, Some(4L)).inputFiles
+      scanned.nonEmpty &&
+        scanned.forall(f => wantBuckets.exists(b => f.contains(s"__bucket=$b/")))
+    }
+    val fWidened = VerdictOps.fork {
+      feed.filter(col("doc_id") === 17).collect() match {
+        case Array(r) => r.getString(r.fieldIndex("lang")) == "en" &&
+          r.getString(r.fieldIndex("_change_type")) == "upsert"
+        case _ => false
+      }
     }
     val rep = s"$base/rep"
-    val replicaEq = eq(
+    val fReplicaEq = VerdictOps.fork(eq(
       EventStreams.readUpsertTable(spark, rep),
-      EventStreams.readUpsertTable(spark, t))
+      EventStreams.readUpsertTable(spark, t)))
     // a replayed sync commits nothing (cursor already at the watermark)
     val replay = EventStreams.syncReplicaFromFeed(spark, t, rep, "rep",
       "__v", nBuckets = 4).isEmpty &&
@@ -7158,13 +7266,13 @@ object SparkEntry {
       catch { case e: IllegalStateException =>
         e.getMessage.contains("change-feed gap") }
     Seq(
-      ("feed_equals_boundary_diff", exactDiff),
-      ("losing_write_emits_nothing", stale),
-      ("delete_emits_last_image", delImage),
-      ("fold_window_is_free", foldFree),
-      ("feed_reads_only_touched_buckets", touchedOnly),
-      ("widening_window_aligns", widened),
-      ("replica_converges", replicaEq),
+      ("feed_equals_boundary_diff", VerdictOps.join(fExactDiff)),
+      ("losing_write_emits_nothing", VerdictOps.join(fStale)),
+      ("delete_emits_last_image", VerdictOps.join(fDelImage)),
+      ("fold_window_is_free", VerdictOps.join(fFoldFree)),
+      ("feed_reads_only_touched_buckets", VerdictOps.join(fTouchedOnly)),
+      ("widening_window_aligns", VerdictOps.join(fWidened)),
+      ("replica_converges", VerdictOps.join(fReplicaEq)),
       ("replayed_sync_noops_cursor_pinned", replay && pinned),
       ("cursor_regression_fails_loudly", monotone),
       ("pruned_base_fails_loudly", gap))
@@ -7374,7 +7482,7 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.ColBound
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val zz = s"$base/zz"
     val zlex = s"$base/zlex"
     def live(t: String) = EventStreams.tableManifest(spark, t)
@@ -7383,25 +7491,32 @@ object SparkEntry {
       spark, t, Seq(ColBound(c, Some("40"), Some("60"))))
     def opened(t: String, c: String) = slice(t, c).inputFiles.length
     val full = EventStreams.readUpsertTable(spark, zz)
-    val exact =
-      eq(slice(zz, "x"), full.filter(col("x").between(40L, 60L))) &&
-        eq(slice(zz, "y"), full.filter(col("y").between(40L, 60L))) &&
-        eq(slice(zlex, "x"),
-          EventStreams.readUpsertTable(spark, zlex)
-            .filter(col("x").between(40L, 60L))) &&
-        eq(slice(zlex, "y"),
-          EventStreams.readUpsertTable(spark, zlex)
-            .filter(col("y").between(40L, 60L)))
-    val zPrunesBoth = opened(zz, "x") < live(zz) && opened(zz, "y") < live(zz)
-    val lexLeadingPrunes = opened(zlex, "x") < live(zlex)
-    val zBeatsLexOnSecondDim = opened(zz, "y") < opened(zlex, "y")
-    val samePhysicalRows = eq(full, EventStreams.readUpsertTable(spark, zlex))
+    // the four slice-equality proofs and the pruning counts are
+    // independent reads — overlapped (guide §2.6)
+    val fExact = Seq(
+      VerdictOps.fork(
+        eq(slice(zz, "x"), full.filter(col("x").between(40L, 60L)))),
+      VerdictOps.fork(
+        eq(slice(zz, "y"), full.filter(col("y").between(40L, 60L)))),
+      VerdictOps.fork(eq(slice(zlex, "x"),
+        EventStreams.readUpsertTable(spark, zlex)
+          .filter(col("x").between(40L, 60L)))),
+      VerdictOps.fork(eq(slice(zlex, "y"),
+        EventStreams.readUpsertTable(spark, zlex)
+          .filter(col("y").between(40L, 60L)))))
+    val fZPrunesBoth = VerdictOps.fork(
+      opened(zz, "x") < live(zz) && opened(zz, "y") < live(zz))
+    val fLexLeadingPrunes = VerdictOps.fork(opened(zlex, "x") < live(zlex))
+    val fZBeatsLex = VerdictOps.fork(opened(zz, "y") < opened(zlex, "y"))
+    val fSamePhysicalRows = VerdictOps.fork(
+      eq(full, EventStreams.readUpsertTable(spark, zlex)))
     Seq(
-      ("clustering_never_changes_answers", exact),
-      ("zorder_prunes_on_both_dimensions", zPrunesBoth),
-      ("lex_prunes_on_leading_column", lexLeadingPrunes),
-      ("zorder_beats_lex_on_second_dimension", zBeatsLexOnSecondDim),
-      ("folds_hold_identical_rows", samePhysicalRows))
+      ("clustering_never_changes_answers",
+        fExact.forall(VerdictOps.join(_))),
+      ("zorder_prunes_on_both_dimensions", VerdictOps.join(fZPrunesBoth)),
+      ("lex_prunes_on_leading_column", VerdictOps.join(fLexLeadingPrunes)),
+      ("zorder_beats_lex_on_second_dimension", VerdictOps.join(fZBeatsLex)),
+      ("folds_hold_identical_rows", VerdictOps.join(fSamePhysicalRows)))
       .toDF("check", "ok")
   }
 
@@ -7428,40 +7543,46 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.ColBound
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val zb = s"$base/zb"
     def live(t: String) = EventStreams.tableManifest(spark, t)
       .values.map(_.size).sum
     def probe(t: String, value: String) = EventStreams.readUpsertTableWhere(
       spark, t, Seq(ColBound("u", Some(value), Some(value))))
     val v77 = s"u${(77L * 2654435761L) % 100000}"
-    val hit = probe(zb, v77)
     val full = EventStreams.readUpsertTable(spark, zb)
-    val hitExactAndPruned =
+    // independent probe verdicts, overlapped (guide §2.6)
+    val fHitExactAndPruned = VerdictOps.fork {
+      val hit = probe(zb, v77)
       eq(hit, full.filter(col("u") === v77)) &&
         hit.inputFiles.length < live(zb) &&
         EventStreams.tableBloomCols(spark, zb) == Some(Seq("u"))
-    val miss = probe(zb, "u-nowhere")
-    val missEmptyAndPruned = miss.isEmpty && miss.inputFiles.length < live(zb)
-    val range = EventStreams.readUpsertTableWhere(spark, zb,
-      Seq(ColBound("u", Some("u0"), Some("u99999"))))
-    val rangeExact = eq(range,
-      full.filter(col("u") >= "u0" && col("u") <= "u99999"))
+    }
+    val fMissEmptyAndPruned = VerdictOps.fork {
+      val miss = probe(zb, "u-nowhere")
+      miss.isEmpty && miss.inputFiles.length < live(zb)
+    }
+    val fRangeExact = VerdictOps.fork {
+      val range = EventStreams.readUpsertTableWhere(spark, zb,
+        Seq(ColBound("u", Some("u0"), Some("u99999"))))
+      eq(range, full.filter(col("u") >= "u0" && col("u") <= "u99999"))
+    }
     val zbd = s"$base/zbd"
-    val deltaSound = probe(zbd, v77).isEmpty &&
-      probe(zbd, "moved").collect().map(_.getLong(0)).toSeq == Seq(77L)
+    val fDeltaSound = VerdictOps.fork(probe(zbd, v77).isEmpty &&
+      probe(zbd, "moved").collect().map(_.getLong(0)).toSeq == Seq(77L))
     val zbr = s"$base/zbr"
-    val rHit = probe(zbr, v77)
-    val restoreCarries =
+    val fRestoreCarries = VerdictOps.fork {
+      val rHit = probe(zbr, v77)
       rHit.collect().map(_.getLong(0)).toSeq == Seq(77L) &&
         rHit.inputFiles.length < live(zbr) &&
         EventStreams.tableBloomCols(spark, zbr) == Some(Seq("u"))
+    }
     Seq(
-      ("equality_probe_exact_and_pruned", hitExactAndPruned),
-      ("absent_value_reads_empty_pruned", missEmptyAndPruned),
-      ("range_semantics_unaffected", rangeExact),
-      ("moved_value_never_resurrects", deltaSound),
-      ("restore_carries_sketches", restoreCarries))
+      ("equality_probe_exact_and_pruned", VerdictOps.join(fHitExactAndPruned)),
+      ("absent_value_reads_empty_pruned", VerdictOps.join(fMissEmptyAndPruned)),
+      ("range_semantics_unaffected", VerdictOps.join(fRangeExact)),
+      ("moved_value_never_resurrects", VerdictOps.join(fDeltaSound)),
+      ("restore_carries_sketches", VerdictOps.join(fRestoreCarries)))
       .toDF("check", "ok")
   }
 
@@ -7492,45 +7613,55 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.ColBound
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val zw = s"$base/zw"
     val rep = spark.read.parquet(s"$base/zwrep")
       .collect().map(r => r.getString(0) ->
         ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     val preDelete = EventStreams.readUpsertTableAt(spark, zw, 1L)
     val post = EventStreams.readUpsertTable(spark, zw)
-    val matchesTwin = eq(post,
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // side-effecting replay check keeps its place at the end
+    val fMatchesTwin = VerdictOps.fork(eq(post,
       preDelete.filter(col("n") < 100L || col("n") > 250L)) &&
-      preDelete.count() == 32L
+      preDelete.count() == 32L)
     val classified = rep("zw") == ((3, 2, 3)) &&
       rep("zw_noop") == ((0, 0, 4))
     def rels(df: DataFrame) = df.inputFiles.map(f =>
       f.substring(f.indexOf("/zw/") + 4)).toSet
-    val (pre, cur) = (rels(preDelete), rels(post))
-    val manifestAgrees = (pre intersect cur).size == 3 &&
-      (pre diff cur).size == 5 &&
-      (cur diff pre).nonEmpty && (cur diff pre).forall(_.startsWith("gen_2/"))
-    val zwn = EventStreams.readUpsertTable(spark, s"$base/zwn")
-    val nullsSurvive = zwn.filter(col("n").isNull).count() == 6L &&
-      zwn.count() == 15L && rep("zwn") == ((1, 2, 3))
-    val zwd = EventStreams.readUpsertTable(spark, s"$base/zwd")
-    val deltaSound = !zwd.collect().map(_.getLong(0)).toSet.contains(3L) &&
-      zwd.count() == 7L && rep("zwd")._2 >= 1
-    val metaCount = EventStreams.tableRowCountFromStats(spark, zw)
-      .contains(post.count())
-    val watermarkAdvanced =
+    val fManifestAgrees = VerdictOps.fork {
+      val (pre, cur) = (rels(preDelete), rels(post))
+      (pre intersect cur).size == 3 &&
+        (pre diff cur).size == 5 &&
+        (cur diff pre).nonEmpty && (cur diff pre).forall(_.startsWith("gen_2/"))
+    }
+    val fNullsSurvive = VerdictOps.fork {
+      val zwn = EventStreams.readUpsertTable(spark, s"$base/zwn")
+      // one pass for (null rows, total) instead of two counts
+      val c = zwn.agg(count_if(col("n").isNull), count(lit(1))).head()
+      c.getLong(0) == 6L && c.getLong(1) == 15L && rep("zwn") == ((1, 2, 3))
+    }
+    val fDeltaSound = VerdictOps.fork {
+      val zwd = EventStreams.readUpsertTable(spark, s"$base/zwd")
+      val keys = zwd.collect().map(_.getLong(0))
+      !keys.toSet.contains(3L) && keys.length == 7 && rep("zwd")._2 >= 1
+    }
+    val fMetaCount = VerdictOps.fork(
+      EventStreams.tableRowCountFromStats(spark, zw).contains(post.count()))
+    val fWatermarkAdvanced = VerdictOps.fork(
       EventStreams.latestCommittedBatchId(spark, zw) == Some(3L) &&
-        eq(EventStreams.readUpsertTableAt(spark, zw, 2L), post)
+        eq(EventStreams.readUpsertTableAt(spark, zw, 2L), post))
+    val watermarkAdvanced = VerdictOps.join(fWatermarkAdvanced)
     val replayNoops = EventStreams.deleteUpsertTableWhere(spark, zw,
       Seq(ColBound("n", Some("100"), Some("250"))), batchId = 2L).isEmpty &&
       EventStreams.latestCommittedBatchId(spark, zw) == Some(3L)
     Seq(
-      ("survivors_equal_filter_twin", matchesTwin),
+      ("survivors_equal_filter_twin", VerdictOps.join(fMatchesTwin)),
       ("classification_exact", classified),
-      ("manifest_diff_agrees", manifestAgrees),
-      ("nulls_survive_and_block_drops", nullsSurvive),
-      ("delta_winner_never_resurrects", deltaSound),
-      ("metadata_count_tracks_the_delete", metaCount),
+      ("manifest_diff_agrees", VerdictOps.join(fManifestAgrees)),
+      ("nulls_survive_and_block_drops", VerdictOps.join(fNullsSurvive)),
+      ("delta_winner_never_resurrects", VerdictOps.join(fDeltaSound)),
+      ("metadata_count_tracks_the_delete", VerdictOps.join(fMetaCount)),
       ("disjoint_predicate_only_advances_watermark", watermarkAdvanced),
       ("replayed_delete_commits_nothing", replayNoops))
       .toDF("check", "ok")
@@ -7560,37 +7691,40 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.RollupSpec
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val (t3, ru) = (s"$base/t3", s"$base/ru")
     val spec = RollupSpec(Seq("grp"), Seq("x"))
     def viewCols(df: DataFrame) = df.select("grp", "n_rows", "sum_x")
     val view = EventStreams.readUpsertTable(spark, ru).localCheckpoint()
-    val equalsNow = eq(viewCols(view),
-      EventStreams.rollupAggregate(EventStreams.readUpsertTable(spark, t3), spec))
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // side-effecting replay check keeps its place
+    val fEqualsNow = VerdictOps.fork(eq(viewCols(view),
+      EventStreams.rollupAggregate(EventStreams.readUpsertTable(spark, t3), spec)))
     // after window 1 (source batch 2): rollup committed under 2*2+1
-    val midEquals = eq(
+    val fMidEquals = VerdictOps.fork(eq(
       viewCols(EventStreams.readUpsertTableAt(spark, ru, 5L)),
       EventStreams.rollupAggregate(
-        EventStreams.readUpsertTableAt(spark, t3, 2L), spec))
-    val g2Cycle = EventStreams.readUpsertTableAt(spark, ru, 5L)
-      .filter(col("grp") === "g2").isEmpty &&
+        EventStreams.readUpsertTableAt(spark, t3, 2L), spec)))
+    val fG2Cycle = VerdictOps.fork(
+      EventStreams.readUpsertTableAt(spark, ru, 5L)
+        .filter(col("grp") === "g2").isEmpty &&
       view.filter(col("grp") === "g2")
         .select("n_rows", "sum_x").collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 2.0))
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 2.0)))
     // g1 winners: k1=100.0 (update won), k4=6.0 (the 9999.0 write
     // LOST its version race), k7=10.5, k10=15.0, k12=3.0
-    val raceExcluded = view.filter(col("grp") === "g1")
+    val fRaceExcluded = VerdictOps.fork(view.filter(col("grp") === "g1")
       .select("n_rows", "sum_x").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 134.5))
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((5L, 134.5)))
     val replayNoops = EventStreams.syncRollupFromFeed(spark, t3, ru, "ru",
       spec, nBuckets = 2).isEmpty &&
       EventStreams.feedCursor(spark, t3, "ru") == Some(3L)
     val viewIsTable = EventStreams.tableKeyedBy(spark, ru) == Some(Seq("grp"))
     Seq(
-      ("view_equals_full_recompute", equalsNow),
-      ("mid_lineage_view_equals_midpoint_recompute", midEquals),
-      ("emptied_group_vanished_then_returned", g2Cycle),
-      ("losing_write_never_entered_the_view", raceExcluded),
+      ("view_equals_full_recompute", VerdictOps.join(fEqualsNow)),
+      ("mid_lineage_view_equals_midpoint_recompute", VerdictOps.join(fMidEquals)),
+      ("emptied_group_vanished_then_returned", VerdictOps.join(fG2Cycle)),
+      ("losing_write_never_entered_the_view", VerdictOps.join(fRaceExcluded)),
       ("replayed_sync_noops_cursor_pinned", replayNoops),
       ("view_records_its_key_contract", viewIsTable))
       .toDF("check", "ok")
@@ -7619,7 +7753,7 @@ object SparkEntry {
     import streaming.EventStreams
     import EventStreams.ColBound
     def eq(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val (zret, zretn, repDir) = (s"$base/zret", s"$base/zretn", s"$base/zretrep")
     val report = EventStreams.readUpsertTable(spark, repDir)
       .filter(col("check").startsWith("retention")).localCheckpoint()
@@ -7632,13 +7766,17 @@ object SparkEntry {
       r1("retention_acted") == ((true, 1L)) &&
       r1("retention_dropped_unread") == ((true, 3L))
     val cur = EventStreams.readUpsertTable(spark, zret).localCheckpoint()
-    val agedOut = eq(cur, EventStreams.readUpsertTableAt(spark, zret, 1L)
-      .filter(col("n") > 110L)) && cur.count() == 20L
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // replay pass below is side-effecting and keeps its place
+    val fAgedOut = VerdictOps.fork(
+      eq(cur, EventStreams.readUpsertTableAt(spark, zret, 1L)
+        .filter(col("n") > 110L)) && cur.count() == 20L)
     val drained = r2("retention_backlog") == ((true, 0L)) &&
       r2("retention_acted") == ((true, 0L))
-    val uncovered = r3("retention_contract") == ((false, 1L)) &&
+    val fUncovered = VerdictOps.fork(
+      r3("retention_contract") == ((false, 1L)) &&
       r3("retention_acted") == ((true, 0L)) &&
-      EventStreams.readUpsertTable(spark, zretn).count() == 8L
+      EventStreams.readUpsertTable(spark, zretn).count() == 8L)
     // replay run 1 in-query: the pass re-measures (drained now), acts
     // nothing, and its report merge no-ops — committed history intact
     val preWm = EventStreams.latestCommittedBatchId(spark, zret)
@@ -7656,9 +7794,9 @@ object SparkEntry {
         afterReplay == r1
     Seq(
       ("acting_pass_report_exact", actingPass),
-      ("aged_out_equals_filter_twin", agedOut),
+      ("aged_out_equals_filter_twin", VerdictOps.join(fAgedOut)),
       ("drained_pass_acts_nothing", drained),
-      ("uncovered_contract_red_untouched", uncovered),
+      ("uncovered_contract_red_untouched", VerdictOps.join(fUncovered)),
       ("replay_never_rewrites_history", replaySafe))
       .toDF("check", "ok")
   }
@@ -7748,37 +7886,57 @@ object SparkEntry {
     }
     def scan() = EventStreams.readUpsertTableScan(spark, z)
     val full = EventStreams.readUpsertTable(spark, z).localCheckpoint()
-    val (lowRows, lowFiles) = scanned(scan().filter(col("n") <= 155L))
-    val rangePrunes = lowRows == full.filter(col("n") <= 155L)
-      .collect().map(_.getLong(0)).sorted.toSeq && lowFiles < live
-    val (noRows, noFiles) = scanned(scan().filter(col("n") > 5000L))
-    val zeroFiles = noRows.isEmpty && noFiles == 0L
-    val (kRows, kFiles) = scanned(scan().filter(col("doc_id").between(3L, 5L)))
-    val uncontracted = kRows == Seq(3L, 4L, 5L) && kFiles == live
-    val (modRows, modFiles) = scanned(
-      scan().filter(pmod(col("n"), lit(100L)) === 0))
-    val unextractable = modRows == full
-      .filter(pmod(col("n"), lit(100L)) === 0)
-      .collect().map(_.getLong(0)).sorted.toSeq && modFiles == live
-    val (sRows, sFiles) = scanned(scan().filter(col("cat") === "c07"))
-    val stringPrunes = sRows == Seq(7L) && sFiles < live
+    // every pruning proof is an independent read of committed state —
+    // overlapped on the scheduler (guide §2.6); booleans unchanged
+    val fRangePrunes = VerdictOps.fork {
+      val (lowRows, lowFiles) = scanned(scan().filter(col("n") <= 155L))
+      lowRows == full.filter(col("n") <= 155L)
+        .collect().map(_.getLong(0)).sorted.toSeq && lowFiles < live
+    }
+    val fZeroFiles = VerdictOps.fork {
+      val (noRows, noFiles) = scanned(scan().filter(col("n") > 5000L))
+      noRows.isEmpty && noFiles == 0L
+    }
+    val fUncontracted = VerdictOps.fork {
+      val (kRows, kFiles) = scanned(scan().filter(col("doc_id").between(3L, 5L)))
+      kRows == Seq(3L, 4L, 5L) && kFiles == live
+    }
+    val fUnextractable = VerdictOps.fork {
+      val (modRows, modFiles) = scanned(
+        scan().filter(pmod(col("n"), lit(100L)) === 0))
+      modRows == full
+        .filter(pmod(col("n"), lit(100L)) === 0)
+        .collect().map(_.getLong(0)).sorted.toSeq && modFiles == live
+    }
+    val fStringPrunes = VerdictOps.fork {
+      val (sRows, sFiles) = scanned(scan().filter(col("cat") === "c07"))
+      sRows == Seq(7L) && sFiles < live
+    }
     // IN-list (the point-lookup dashboard shape): union of point
     // ranges, planned from executed numFiles
-    val (inRows, inFiles) = scanned(scan().filter(col("n").isin(10L, 20L)))
-    val inListPrunes = inRows == Seq(1L, 2L) && inFiles < live
+    val fInListPrunes = VerdictOps.fork {
+      val (inRows, inFiles) = scanned(scan().filter(col("n").isin(10L, 20L)))
+      inRows == Seq(1L, 2L) && inFiles < live
+    }
     // OR of two ranges: the union of the branches' bounds
-    val orPred = col("n") <= 15L || col("n") >= 290L
-    val (orRows, orFiles) = scanned(scan().filter(orPred))
-    val orOracle = full.filter(orPred).collect().map(_.getLong(0)).sorted.toSeq
-    val orPrunes = orRows == orOracle && orFiles < live
+    val fOrPrunes = VerdictOps.fork {
+      val orPred = col("n") <= 15L || col("n") >= 290L
+      val (orRows, orFiles) = scanned(scan().filter(orPred))
+      val orOracle = full.filter(orPred).collect().map(_.getLong(0)).sorted.toSeq
+      orRows == orOracle && orFiles < live
+    }
     // an OR with an unextractable branch stays exact AND conservative
-    val mixedPred = col("n") <= 15L || pmod(col("n"), lit(7L)) === 0L
-    val (mixRows, mixFiles) = scanned(scan().filter(mixedPred))
-    val mixOracle = full.filter(mixedPred).collect().map(_.getLong(0)).sorted.toSeq
-    val orFallback = mixRows == mixOracle && mixFiles == live
+    val fOrFallback = VerdictOps.fork {
+      val mixedPred = col("n") <= 15L || pmod(col("n"), lit(7L)) === 0L
+      val (mixRows, mixFiles) = scanned(scan().filter(mixedPred))
+      val mixOracle = full.filter(mixedPred).collect().map(_.getLong(0)).sorted.toSeq
+      mixRows == mixOracle && mixFiles == live
+    }
     // starts_with: the [prefix, successor) range
-    val (swRows, swFiles) = scanned(scan().filter(col("cat").startsWith("c0")))
-    val prefixPrunes = swRows == (0L to 9L).toSeq && swFiles < live
+    val fPrefixPrunes = VerdictOps.fork {
+      val (swRows, swFiles) = scanned(scan().filter(col("cat").startsWith("c0")))
+      swRows == (0L to 9L).toSeq && swFiles < live
+    }
     // NULL pruning from the recorded null counts: IS NOT NULL skips
     // the all-null file, IS NULL skips the zero-null files
     val znl = s"$base/znl"
@@ -7795,20 +7953,26 @@ object SparkEntry {
           s.metrics("numFiles").value
       }.getOrElse(0L))
     }
-    val (nnRows2, nnFiles2) = scannedCount(
-      EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNotNull))
-    val notNullPrunes = nnRows2 == 5L && nnFiles2 < znlLive
-    val (nlRows2, nlFiles2) = scannedCount(
-      EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNull))
-    val isNullPrunes = nlRows2 == 3L && nlFiles2 < znlLive
+    val fNotNullPrunes = VerdictOps.fork {
+      val (nnRows2, nnFiles2) = scannedCount(
+        EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNotNull))
+      nnRows2 == 5L && nnFiles2 < znlLive
+    }
+    val fIsNullPrunes = VerdictOps.fork {
+      val (nlRows2, nlFiles2) = scannedCount(
+        EventStreams.readUpsertTableScan(spark, znl).filter(col("n").isNull))
+      nlRows2 == 3L && nlFiles2 < znlLive
+    }
     // bloom-contracted equality prunes through the same planning hook
     // (zb: high-cardinality unsorted strings — only the sketch prunes)
     val zb = s"$base/zb"
-    val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
-    val v77 = s"u${(77L * 2654435761L) % 100000}"
-    val (bRows, bFiles) = scanned(
-      EventStreams.readUpsertTableScan(spark, zb).filter(col("u") === v77))
-    val bloomPrunes = bRows == Seq(77L) && bFiles < bLive
+    val fBloomPrunes = VerdictOps.fork {
+      val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
+      val v77 = s"u${(77L * 2654435761L) % 100000}"
+      val (bRows, bFiles) = scanned(
+        EventStreams.readUpsertTableScan(spark, zb).filter(col("u") === v77))
+      bRows == Seq(77L) && bFiles < bLive
+    }
     // CAST probes (round 16): a DATE column compared to a TIMESTAMP
     // literal arrives as Cast(d, timestamp) >= lit and used to read
     // everything; extraction now renders the literal back in the
@@ -7817,25 +7981,29 @@ object SparkEntry {
     val zdt = s"$base/zdt"
     val zdtLive = EventStreams.tableManifest(spark, zdt).values.map(_.size).sum.toLong
     val zdtFull = EventStreams.readUpsertTable(spark, zdt).localCheckpoint()
-    val cut = java.sql.Timestamp.valueOf("2021-06-20 12:00:00")
-    val (cdRows, cdFiles) = scanned(
-      EventStreams.readUpsertTableScan(spark, zdt).filter(col("d") >= lit(cut)))
-    val cdOracle = zdtFull.filter(col("d") >= lit(cut))
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    val dateCastPrunes = cdRows == cdOracle && cdRows.nonEmpty &&
-      cdFiles < zdtLive
-    val dlit = java.sql.Date.valueOf("2021-06-03")
-    val (ctRows, ctFiles) = scanned(
-      EventStreams.readUpsertTableScan(spark, zdt)
-        .filter(col("ts").cast("date") === lit(dlit)))
-    val ctOracle = zdtFull.filter(col("ts").cast("date") === lit(dlit))
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    val tsCastPrunes = ctRows == ctOracle && ctRows.nonEmpty &&
-      ctFiles < zdtLive
+    val fDateCastPrunes = VerdictOps.fork {
+      val cut = java.sql.Timestamp.valueOf("2021-06-20 12:00:00")
+      val (cdRows, cdFiles) = scanned(
+        EventStreams.readUpsertTableScan(spark, zdt).filter(col("d") >= lit(cut)))
+      val cdOracle = zdtFull.filter(col("d") >= lit(cut))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      cdRows == cdOracle && cdRows.nonEmpty && cdFiles < zdtLive
+    }
+    val fTsCastPrunes = VerdictOps.fork {
+      val dlit = java.sql.Date.valueOf("2021-06-03")
+      val (ctRows, ctFiles) = scanned(
+        EventStreams.readUpsertTableScan(spark, zdt)
+          .filter(col("ts").cast("date") === lit(dlit)))
+      val ctOracle = zdtFull.filter(col("ts").cast("date") === lit(dlit))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      ctRows == ctOracle && ctRows.nonEmpty && ctFiles < zdtLive
+    }
     // EqualNullSafe prunes like EqualTo (a NULL row never <=> a value)
-    val (ensRows, ensFiles) = scannedCount(
-      EventStreams.readUpsertTableScan(spark, znl).filter(col("n") <=> 70L))
-    val eqNullSafePrunes = ensRows == 1L && ensFiles < znlLive
+    val fEqNullSafePrunes = VerdictOps.fork {
+      val (ensRows, ensFiles) = scannedCount(
+        EventStreams.readUpsertTableScan(spark, znl).filter(col("n") <=> 70L))
+      ensRows == 1L && ensFiles < znlLive
+    }
     val deltaRefuses = scala.util.Try(
       EventStreams.readUpsertTableScan(spark, s"$base/zd")).isFailure
     // the index plans from the manifest's recorded byte lengths —
@@ -7851,21 +8019,22 @@ object SparkEntry {
             new org.apache.hadoop.fs.Path(zPath, rel)).getLen)
       }
     Seq(
-      ("plain_filter_prunes_planned_files", rangePrunes),
-      ("out_of_range_plans_zero_files", zeroFiles),
-      ("uncontracted_column_stays_exact_full_width", uncontracted),
-      ("unextractable_predicate_stays_exact", unextractable),
-      ("string_equality_prunes", stringPrunes),
-      ("in_list_prunes", inListPrunes),
-      ("or_of_ranges_prunes", orPrunes),
-      ("or_with_unextractable_branch_stays_exact", orFallback),
-      ("starts_with_prunes", prefixPrunes),
-      ("is_not_null_skips_all_null_files", notNullPrunes),
-      ("is_null_skips_zero_null_files", isNullPrunes),
-      ("date_cast_probe_prunes", dateCastPrunes),
-      ("ts_to_date_cast_probe_prunes", tsCastPrunes),
-      ("equal_null_safe_prunes", eqNullSafePrunes),
-      ("bloom_equality_prunes_in_plan", bloomPrunes),
+      ("plain_filter_prunes_planned_files", VerdictOps.join(fRangePrunes)),
+      ("out_of_range_plans_zero_files", VerdictOps.join(fZeroFiles)),
+      ("uncontracted_column_stays_exact_full_width",
+        VerdictOps.join(fUncontracted)),
+      ("unextractable_predicate_stays_exact", VerdictOps.join(fUnextractable)),
+      ("string_equality_prunes", VerdictOps.join(fStringPrunes)),
+      ("in_list_prunes", VerdictOps.join(fInListPrunes)),
+      ("or_of_ranges_prunes", VerdictOps.join(fOrPrunes)),
+      ("or_with_unextractable_branch_stays_exact", VerdictOps.join(fOrFallback)),
+      ("starts_with_prunes", VerdictOps.join(fPrefixPrunes)),
+      ("is_not_null_skips_all_null_files", VerdictOps.join(fNotNullPrunes)),
+      ("is_null_skips_zero_null_files", VerdictOps.join(fIsNullPrunes)),
+      ("date_cast_probe_prunes", VerdictOps.join(fDateCastPrunes)),
+      ("ts_to_date_cast_probe_prunes", VerdictOps.join(fTsCastPrunes)),
+      ("equal_null_safe_prunes", VerdictOps.join(fEqNullSafePrunes)),
+      ("bloom_equality_prunes_in_plan", VerdictOps.join(fBloomPrunes)),
       ("scan_plans_from_recorded_sizes", sizesRecorded),
       ("delta_snapshot_refuses", deltaRefuses))
       .toDF("check", "ok")
@@ -8098,7 +8267,7 @@ object SparkEntry {
     val (src, ru, ru2, rep) = (s"$base/src", s"$base/ru", s"$base/ru2", s"$base/rep")
     val spec = EventStreams.RollupSpec(Seq("grp"), Seq("x"))
     def same(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).union(b.exceptAll(a)).isEmpty
+      VerdictOps.multisetEq(a, b) // one union+agg pass (guide §2.4)
     val ruRows = EventStreams.readUpsertTable(spark, ru)
       .select("grp", "n_rows", "sum_x").localCheckpoint()
     val twoPassEqualsOne = same(ruRows,
@@ -8414,16 +8583,30 @@ object SparkEntry {
     def at(id: Long) = EventStreams.readUpsertTableAt(spark, t, id)
     def nOf(df: DataFrame, k: Long): Long =
       df.filter(col("doc_id") === k).select("n").head().getLong(0)
-    val latest = EventStreams.readUpsertTable(spark, t).localCheckpoint()
-    // the double-pass race: NEITHER commit dropped from the end state
-    val neitherDropped = nOf(latest, kA) == 333L && nOf(latest, kB) == 444L &&
-      latest.count() == 16L
+    // independent read-only verdicts over committed snapshots,
+    // overlapped (guide §2.6); each snapshot's point probes collapse to
+    // ONE collect instead of per-key head() jobs
+    def probe2(df: DataFrame): Map[Long, Long] =
+      df.filter(col("doc_id").isin(kA, kB)).select("doc_id", "n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fNeitherDropped = VerdictOps.fork {
+      val latest = EventStreams.readUpsertTable(spark, t)
+      val a = latest.agg(count(lit(1)),
+        max(when(col("doc_id") === kA, col("n"))),
+        max(when(col("doc_id") === kB, col("n")))).head()
+      a.getLong(1) == 333L && a.getLong(2) == 444L && a.getLong(0) == 16L
+    }
     // the raced writer's own snapshot carries the winner's bucket — no
     // commit's buckets were omitted from any listed manifest
-    val snap2 = at(2L).localCheckpoint()
-    val winnerCarried = nOf(snap2, kB) == 222L && nOf(snap2, kA) == 111L
+    val fWinnerCarried = VerdictOps.fork {
+      val p = probe2(at(2L))
+      p(kB) == 222L && p(kA) == 111L
+    }
     // the winner's snapshot pre-dates the raced write
-    val winnerFirst = nOf(at(1L), kB) == 222L && nOf(at(1L), kA) == 0L
+    val fWinnerFirst = VerdictOps.fork {
+      val p = probe2(at(1L))
+      p(kB) == 222L && p(kA) == 0L
+    }
     // base tags prove the rebase chain: 2 onto 1, 3 onto 2, 4 onto 3
     val hist = EventStreams.tableHistory(spark, t)
       .select("batch_id", "base").collect()
@@ -8434,12 +8617,12 @@ object SparkEntry {
     // crashed-holder discipline, from the captured failure + the chain
     val contendedLoud = msg.contains("commit sequencer") &&
       msg.contains("Replay the holder's batch")
-    val holderAdopted = nOf(at(3L), kB) == 444L
-    val redriveLanded = nOf(at(4L), kA) == 333L
+    val fHolderAdopted = VerdictOps.fork(nOf(at(3L), kB) == 444L)
+    val fRedriveLanded = VerdictOps.fork(nOf(at(4L), kA) == 333L)
     // end state: fsck green (incl. the in-flight staging the failed
     // attempt left, adopted by its re-drive), zero commit tokens
-    val fsckGreen = EventStreams.fsckUpsertTable(spark, t)
-      .collect().forall(_.getBoolean(1))
+    val fFsckGreen = VerdictOps.fork(EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1)))
     val tokDir = new org.apache.hadoop.fs.Path(s"$t/_manifests/_commit")
     val fs = tokDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tokensReleased = !fs.exists(tokDir) || fs.listStatus(tokDir).isEmpty
@@ -8448,14 +8631,14 @@ object SparkEntry {
       fs.listStatus(inflight).isEmpty
     Seq(
       ("double_pass_race_provoked", raced),
-      ("neither_commit_dropped", neitherDropped),
-      ("raced_commit_carries_winner_buckets", winnerCarried),
-      ("winner_snapshot_pre_dates_race", winnerFirst),
+      ("neither_commit_dropped", VerdictOps.join(fNeitherDropped)),
+      ("raced_commit_carries_winner_buckets", VerdictOps.join(fWinnerCarried)),
+      ("winner_snapshot_pre_dates_race", VerdictOps.join(fWinnerFirst)),
       ("base_tags_prove_rebase_chain", rebasedChain),
       ("contended_writer_fails_loud", contendedLoud),
-      ("holder_replay_adopts_token", holderAdopted),
-      ("failed_id_redrive_lands", redriveLanded),
-      ("fsck_green_after_races", fsckGreen),
+      ("holder_replay_adopts_token", VerdictOps.join(fHolderAdopted)),
+      ("failed_id_redrive_lands", VerdictOps.join(fRedriveLanded)),
+      ("fsck_green_after_races", VerdictOps.join(fFsckGreen)),
       ("commit_tokens_released", tokensReleased),
       ("staging_tokens_released", stagingReleased))
       .toDF("check", "ok")
@@ -8506,10 +8689,14 @@ object SparkEntry {
           s.metrics("numFiles").value
       }.getOrElse(-1L))
     }
-    val sqlFull = spark.read.format("graft").load(z)
-    val apiFull = EventStreams.readUpsertTable(spark, z)
-    val fullEqual = sqlFull.exceptAll(apiFull).isEmpty &&
-      apiFull.exceptAll(sqlFull).isEmpty
+    // independent read-only verdicts over committed state, overlapped
+    // (guide §2.6); the session-catalog DDL blocks stay sequential on
+    // this thread and overlap with the forked scans for free
+    val fFullEqual = VerdictOps.fork {
+      val sqlFull = spark.read.format("graft").load(z)
+      val apiFull = EventStreams.readUpsertTable(spark, z)
+      VerdictOps.multisetEq(sqlFull, apiFull)
+    }
     val (sRows, sFiles) = v2Scanned(
       spark.read.format("graft").load(z).filter(col("n") <= 155L))
     val (aRows, aFiles) = v1Scanned(
@@ -8548,33 +8735,38 @@ object SparkEntry {
       spark.sql("SHOW TABLES IN graft_whB.default").collect()
         .map(_.getString(1)).contains("z")
     val zb = s"$base/zb"
-    val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
-    val v77 = s"u${(77L * 2654435761L) % 100000}"
-    val (bRows, bFiles) = v2Scanned(
-      spark.read.format("graft").load(zb).filter(col("u") === v77))
-    val bloomThruSql = bRows == Seq(77L) && bFiles < bLive && bFiles > 0
-    val deltaRefuses = scala.util.Try(
+    val fBloomThruSql = VerdictOps.fork {
+      val bLive = EventStreams.tableManifest(spark, zb).values.map(_.size).sum.toLong
+      val v77 = s"u${(77L * 2654435761L) % 100000}"
+      val (bRows, bFiles) = v2Scanned(
+        spark.read.format("graft").load(zb).filter(col("u") === v77))
+      bRows == Seq(77L) && bFiles < bLive && bFiles > 0
+    }
+    val fDeltaRefuses = VerdictOps.fork(scala.util.Try(
       spark.read.format("graft").load(s"$base/zd").collect()).failed.toOption
       .exists { e =>
         (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
           .contains("delta")
-      }
+      })
     // SQL TIME TRAVEL (round 16): the asOf option resolves the
     // readUpsertTableAt snapshot WITH file pruning (which the plain
     // time-travel read never plans)
     val zat = s"$base/zat"
-    val sqlAt = spark.read.format("graft").option("asOf", "1").load(zat)
-    val apiAt = EventStreams.readUpsertTableAt(spark, zat, 1L)
-    val asOfEqual = sqlAt.exceptAll(apiAt).isEmpty &&
-      apiAt.exceptAll(sqlAt).isEmpty &&
-      sqlAt.filter(col("doc_id") === 0L).select("n").head().getLong(0) == 0L &&
-      spark.read.format("graft").load(zat)
-        .filter(col("doc_id") === 0L).select("n").head().getLong(0) == 999L
-    val (atRows, atFiles) = v2Scanned(
-      spark.read.format("graft").option("asOf", "1").load(zat)
-        .filter(col("n") <= 35L))
-    val asOfPrunes = atRows == Seq(0L, 1L, 2L, 3L) && atFiles > 0 &&
-      atFiles < 8L // 32 rows at 4/file after the fold
+    val fAsOfEqual = VerdictOps.fork {
+      val sqlAt = spark.read.format("graft").option("asOf", "1").load(zat)
+      val apiAt = EventStreams.readUpsertTableAt(spark, zat, 1L)
+      VerdictOps.multisetEq(sqlAt, apiAt) &&
+        sqlAt.filter(col("doc_id") === 0L).select("n").head().getLong(0) == 0L &&
+        spark.read.format("graft").load(zat)
+          .filter(col("doc_id") === 0L).select("n").head().getLong(0) == 999L
+    }
+    val fAsOfPrunes = VerdictOps.fork {
+      val (atRows, atFiles) = v2Scanned(
+        spark.read.format("graft").option("asOf", "1").load(zat)
+          .filter(col("n") <= 35L))
+      atRows == Seq(0L, 1L, 2L, 3L) && atFiles > 0 &&
+        atFiles < 8L // 32 rows at 4/file after the fold
+    }
     // SQL DELETE (round 16): the fixture's pure-SQL bounded delete
     // committed through the classified predicate delete — verdicts
     // re-derive from the committed chain: survivors exact, the commit
@@ -8584,51 +8776,64 @@ object SparkEntry {
     // boundary row)
     val zdel = s"$base/zdel"
     val delRead = EventStreams.readUpsertTable(spark, zdel).localCheckpoint()
-    val delKinds = EventStreams.tableHistory(spark, zdel)
-      .select("batch_id", "kind").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one pass for (survivor count, survivor max) — feeds three checks
+    val fDelStats = VerdictOps.fork(
+      delRead.agg(count(lit(1)), max(col("n"))).head())
+    // one pass for the between-deletes snapshot's (count, max)
+    val fAt2Stats = VerdictOps.fork(
+      EventStreams.readUpsertTableAt(spark, zdel, 2L)
+        .agg(count(lit(1)), max(col("n"))).head())
+    val fDelKindsOk = VerdictOps.fork {
+      val delKinds = EventStreams.tableHistory(spark, zdel)
+        .select("batch_id", "kind").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      delKinds.get(2L).contains("delete") && delKinds.get(3L).contains("delete")
+    }
+    val fFsckOk = VerdictOps.fork(
+      EventStreams.fsckUpsertTable(spark, zdel).collect()
+        .forall(_.getBoolean(1)))
+    // the SQL delete under a +5:30 JVM default zone removed EXACTLY
+    // the rows the API twin removed with the same wall-clock bound
+    val fTzExact = VerdictOps.fork {
+      val sqlTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztzs")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val apiTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztza")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      sqlTzLeft == apiTzLeft && sqlTzLeft == (8L until 24L).toSeq
+    }
+    val delStats = VerdictOps.join(fDelStats)
+    val at2Stats = VerdictOps.join(fAt2Stats)
     // time travel reads BETWEEN the deletes (batch 2): each SQL delete
     // retains 2 snapshots, so after the second one batch 1's dropped
     // files are legitimately swept — the audit window is per-commit
-    val sqlDeleteCommits = delRead.count() == 18L &&
-      delKinds.get(2L).contains("delete") &&
-      delKinds.get(3L).contains("delete") &&
-      EventStreams.readUpsertTableAt(spark, zdel, 2L).count() == 20L &&
-      EventStreams.fsckUpsertTable(spark, zdel).collect()
-        .forall(_.getBoolean(1))
+    val sqlDeleteCommits = delStats.getLong(0) == 18L &&
+      VerdictOps.join(fDelKindsOk) &&
+      at2Stats.getLong(0) == 20L &&
+      VerdictOps.join(fFsckOk)
     // strict `> 170` on a LONG translated to the exact successor: the
     // boundary row n=170 SURVIVES (max of survivors), 180/190 died —
     // re-derived from the committed chain, with the pre-strict
     // snapshot (batch 2) still holding max 190
     val strictTranslates =
-      delRead.agg(max(col("n"))).head().getLong(0) == 170L &&
-      EventStreams.readUpsertTableAt(spark, zdel, 2L)
-        .agg(max(col("n"))).head().getLong(0) == 190L
+      delStats.getLong(1) == 170L && at2Stats.getLong(1) == 190L
     // strict on a CONTINUOUS double still refuses loudly
     val strictRefused = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$base/zdel_strict_msg")), "UTF-8")
-      .toLowerCase.contains("delete") && delRead.count() == 18L
-    // the SQL delete under a +5:30 JVM default zone removed EXACTLY
-    // the rows the API twin removed with the same wall-clock bound
-    val sqlTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztzs")
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    val apiTzLeft = EventStreams.readUpsertTable(spark, s"$base/ztza")
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    val tzExact = sqlTzLeft == apiTzLeft && sqlTzLeft == (8L until 24L).toSeq
+      .toLowerCase.contains("delete") && delStats.getLong(0) == 18L
     Seq(
-      ("sql_read_equals_api_read", fullEqual),
+      ("sql_read_equals_api_read", VerdictOps.join(fFullEqual)),
       ("sql_filter_plans_apis_pruned_files", prunedParity),
       ("catalog_table_select_prunes_identically", catalogSql),
       ("catalog_pointer_persists_on_disk", catalogPersists),
       ("sql_insert_refuses_loudly", insertRefuses),
-      ("bloom_probe_prunes_through_sql", bloomThruSql),
-      ("delta_snapshot_refuses_through_sql", deltaRefuses),
-      ("sql_as_of_equals_api_time_travel", asOfEqual),
-      ("sql_as_of_scan_prunes", asOfPrunes),
+      ("bloom_probe_prunes_through_sql", VerdictOps.join(fBloomThruSql)),
+      ("delta_snapshot_refuses_through_sql", VerdictOps.join(fDeltaRefuses)),
+      ("sql_as_of_equals_api_time_travel", VerdictOps.join(fAsOfEqual)),
+      ("sql_as_of_scan_prunes", VerdictOps.join(fAsOfPrunes)),
       ("sql_delete_commits_classified", sqlDeleteCommits),
       ("sql_delete_strict_discrete_translates", strictTranslates),
       ("sql_delete_strict_continuous_refuses", strictRefused),
-      ("sql_delete_tz_window_exact", tzExact))
+      ("sql_delete_tz_window_exact", VerdictOps.join(fTzExact)))
       .toDF("check", "ok")
   }
 
@@ -8705,9 +8910,11 @@ object SparkEntry {
     import spark.implicits._
     import streaming.EventStreams
     val (t, tf) = ensureRename(spark, dir)
+    // independent read-only verdicts over committed state, overlapped
+    // (guide §2.6); the one side-effecting refusal probe keeps its place
     // metadata-only: the rename commit's feed window carries NOTHING
-    val renameNoop = EventStreams.readChangeFeed(spark, t, 1L, Some(2L))
-      .isEmpty
+    val fRenameNoop = VerdictOps.fork(
+      EventStreams.readChangeFeed(spark, t, 1L, Some(2L)).isEmpty)
     val kinds = EventStreams.tableHistory(spark, t)
       .select("batch_id", "kind").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) "" else r.getString(1)))
@@ -8716,10 +8923,13 @@ object SparkEntry {
     // replayed rename committed nothing extra (ids 0,1,2,3 only)
     val replayNoop = kinds.keySet == Set(0L, 1L, 2L, 3L)
     val latest = EventStreams.readUpsertTable(spark, t).localCheckpoint()
-    val newName = latest.columns.toSeq == Seq("doc_id", "metric", "__v") &&
-      latest.filter(col("doc_id") === 7L)
-        .select("metric").head().getLong(0) == 71L &&
-      latest.count() == 33L
+    val fNewName = VerdictOps.fork {
+      // one pass for (row count, doc 7's metric) instead of head+count
+      val a = latest.agg(count(lit(1)),
+        max(when(col("doc_id") === 7L, col("metric")))).head()
+      latest.columns.toSeq == Seq("doc_id", "metric", "__v") &&
+        a.getLong(1) == 71L && a.getLong(0) == 33L
+    }
     def scanned(d: DataFrame): (Seq[Long], Long) = {
       val rows = d.collect().map(_.getLong(0)).sorted.toSeq
       val fin = d.queryExecution.executedPlan match {
@@ -8732,62 +8942,73 @@ object SparkEntry {
           s.metrics("numFiles").value
       }.sum)
     }
-    val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
-    val (xr, xf) = scanned(
-      EventStreams.readUpsertTableScan(spark, t).filter(col("metric") <= 155L))
-    val scanPrunes = xr == (0L to 15L).toSeq && xf < live
+    val fScanPrunes = VerdictOps.fork {
+      val live = EventStreams.tableManifest(spark, t).values.map(_.size).sum.toLong
+      val (xr, xf) = scanned(
+        EventStreams.readUpsertTableScan(spark, t).filter(col("metric") <= 155L))
+      xr == (0L to 15L).toSeq && xf < live
+    }
     // time travel below the rename: the OLD name, the old value
-    val at1 = EventStreams.readUpsertTableAt(spark, t, 1L)
-    val oldBelow = at1.columns.toSeq == Seq("doc_id", "n", "__v") &&
-      at1.filter(col("doc_id") === 7L).select("n").head().getLong(0) == 70L
+    val fOldBelow = VerdictOps.fork {
+      val at1 = EventStreams.readUpsertTableAt(spark, t, 1L)
+      at1.columns.toSeq == Seq("doc_id", "n", "__v") &&
+        at1.filter(col("doc_id") === 7L).select("n").head().getLong(0) == 70L
+    }
     // the one-relation V2 surface refuses the unmaterialized rename
-    val sqlRefuses = scala.util.Try(
+    val fSqlRefuses = VerdictOps.fork(scala.util.Try(
       spark.read.format("graft").load(t).collect()).failed.toOption
       .exists(e => (e.getMessage +
         Option(e.getCause).map(_.getMessage).getOrElse(""))
-        .contains("unmaterialized"))
-    val fsckT = EventStreams.fsckUpsertTable(spark, t)
-      .collect().forall(_.getBoolean(1))
+        .contains("unmaterialized")))
+    val fFsckT = VerdictOps.fork(EventStreams.fsckUpsertTable(spark, t)
+      .collect().forall(_.getBoolean(1)))
     // the folded twin: histories truncated, SQL serves it, still prunes
     val truncated = EventStreams.tableColIds(spark, tf)
       .exists(_.values.forall(_.size == 1))
-    val sqlServes = spark.read.format("graft").load(tf).count() == 33L
-    val liveF = EventStreams.tableManifest(spark, tf).values.map(_.size).sum.toLong
-    val (fr, ff) = scanned(
-      EventStreams.readUpsertTableScan(spark, tf).filter(col("metric") <= 155L))
-    val foldPrunes = fr == (0L to 15L).toSeq && ff < liveF
-    val fsckF = EventStreams.fsckUpsertTable(spark, tf)
-      .collect().forall(_.getBoolean(1))
+    val fSqlServes = VerdictOps.fork(
+      spark.read.format("graft").load(tf).count() == 33L)
+    val fFoldPrunes = VerdictOps.fork {
+      val liveF = EventStreams.tableManifest(spark, tf).values.map(_.size).sum.toLong
+      val (fr, ff) = scanned(
+        EventStreams.readUpsertTableScan(spark, tf).filter(col("metric") <= 155L))
+      fr == (0L to 15L).toSeq && ff < liveF
+    }
+    val fFsckF = VerdictOps.fork(EventStreams.fsckUpsertTable(spark, tf)
+      .collect().forall(_.getBoolean(1)))
     // the DROP twin: metadata-only tombstone, reads project the column
     // away, the narrowed merge lands, time travel below still serves it,
     // and key-column drops refuse
     val td = t.stripSuffix("/t") + "/td"
-    val dropNoop = EventStreams.readChangeFeed(spark, td, 1L, Some(2L)).isEmpty
-    val tdRead = EventStreams.readUpsertTable(spark, td).localCheckpoint()
-    val dropProjects = tdRead.columns.toSeq == Seq("doc_id", "n", "__v") &&
-      tdRead.count() == 17L &&
-      EventStreams.tableStatsCols(spark, td) == Some(Seq("n"))
-    val dropBelow = EventStreams.readUpsertTableAt(spark, td, 1L)
-      .columns.contains("aux")
+    val fDropNoop = VerdictOps.fork(
+      EventStreams.readChangeFeed(spark, td, 1L, Some(2L)).isEmpty)
+    val fDropProjects = VerdictOps.fork {
+      val tdRead = EventStreams.readUpsertTable(spark, td)
+      tdRead.columns.toSeq == Seq("doc_id", "n", "__v") &&
+        tdRead.count() == 17L &&
+        EventStreams.tableStatsCols(spark, td) == Some(Seq("n"))
+    }
+    val fDropBelow = VerdictOps.fork(
+      EventStreams.readUpsertTableAt(spark, td, 1L).columns.contains("aux"))
     val keyDropRefuses = scala.util.Try(
       EventStreams.dropColumn(spark, td, "doc_id", 9L)).failed.toOption
       .exists(_.getMessage.contains("key"))
     Seq(
-      ("drop_commit_moves_zero_data", dropNoop),
-      ("drop_projects_column_away", dropProjects),
-      ("time_travel_below_drop_serves_column", dropBelow),
+      ("drop_commit_moves_zero_data", VerdictOps.join(fDropNoop)),
+      ("drop_projects_column_away", VerdictOps.join(fDropProjects)),
+      ("time_travel_below_drop_serves_column", VerdictOps.join(fDropBelow)),
       ("key_column_drop_refuses", keyDropRefuses),
-      ("rename_commit_moves_zero_data", renameNoop && renameKind),
+      ("rename_commit_moves_zero_data",
+        VerdictOps.join(fRenameNoop) && renameKind),
       ("replayed_rename_noops", replayNoop),
-      ("reads_serve_new_name", newName),
-      ("pruned_scan_prunes_through_rename", scanPrunes),
-      ("time_travel_below_reads_old_name", oldBelow),
-      ("sql_surface_refuses_unmaterialized_rename", sqlRefuses),
-      ("fsck_green_with_rename_pending", fsckT),
+      ("reads_serve_new_name", VerdictOps.join(fNewName)),
+      ("pruned_scan_prunes_through_rename", VerdictOps.join(fScanPrunes)),
+      ("time_travel_below_reads_old_name", VerdictOps.join(fOldBelow)),
+      ("sql_surface_refuses_unmaterialized_rename", VerdictOps.join(fSqlRefuses)),
+      ("fsck_green_with_rename_pending", VerdictOps.join(fFsckT)),
       ("fold_materializes_and_truncates_histories", truncated),
-      ("sql_serves_materialized_table", sqlServes),
-      ("materialized_scan_still_prunes", foldPrunes),
-      ("fsck_green_after_materializing_fold", fsckF))
+      ("sql_serves_materialized_table", VerdictOps.join(fSqlServes)),
+      ("materialized_scan_still_prunes", VerdictOps.join(fFoldPrunes)),
+      ("fsck_green_after_materializing_fold", VerdictOps.join(fFsckF)))
       .toDF("check", "ok")
   }
 
@@ -8893,8 +9114,7 @@ object SparkEntry {
     val t = s"$base/t"
     val viaSql = EventStreams.readUpsertTable(spark, t).localCheckpoint()
     val viaApi = EventStreams.readUpsertTable(spark, s"$base/twin")
-    val hashMatches = viaSql.exceptAll(viaApi).isEmpty &&
-      viaApi.exceptAll(viaSql).isEmpty && viaSql.count() == 9L &&
+    val hashMatches = VerdictOps.multisetEq(viaSql, viaApi) && viaSql.count() == 9L &&
       viaSql.filter(col("doc_id") === 3L).select("n").head().getLong(0) == 333L
     val rep = reports.head
     val reportExact = rep.getString(0) == "merge" && rep.getLong(1) == 1L &&
@@ -9035,9 +9255,14 @@ object SparkEntry {
       got(1).exists(p => p._1 == 5L && p._3 == "delete")
     val resumed = boundedDrain && got(2) == windowDiff(2L, 3L) &&
       got(2).forall(_._1 == 0L)
-    // applying every streamed window to an empty replica rebuilds the
-    // table exactly (the net-semantics composition the feed guarantees)
-    val applied = got.flatten.foldLeft(Map.empty[Long, (Long, Long)]) {
+    // applying every streamed window ON TOP OF the startingBatchId
+    // snapshot (the documented consumer base — offsets are exclusive-
+    // from, so commit 0's own rows are the seed, not a window) rebuilds
+    // the table exactly (the net-semantics composition the feed
+    // guarantees)
+    val seed = EventStreams.readUpsertTableAt(spark, t, 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), 0L)).toMap
+    val applied = got.flatten.foldLeft(seed) {
       case (m, (k, n, "delete")) => m - k
       case (m, (k, n, _)) => m.updated(k, (n, 0L))
     }
@@ -9115,26 +9340,32 @@ object SparkEntry {
     val rebucketCommits = EventStreams.tableNBuckets(spark, t).contains(8) &&
       kinds.get(2L).flatten.contains("fold") &&
       live.keySet.size > 2 // keys actually spread across the new layout
-    val before = EventStreams.readUpsertTableAt(spark, t, 1L).localCheckpoint()
-    val after = EventStreams.readUpsertTableAt(spark, t, 2L)
-    val rowPreserving = before.count() == 32L &&
-      before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty &&
-      EventStreams.readUpsertTable(spark, t).count() == 33L
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // refusal probes never commit (loud-failure contract) so they fork
+    val fRowPreserving = VerdictOps.fork {
+      val before = EventStreams.readUpsertTableAt(spark, t, 1L).localCheckpoint()
+      val after = EventStreams.readUpsertTableAt(spark, t, 2L)
+      before.count() == 32L &&
+        VerdictOps.multisetEq(before, after) &&
+        EventStreams.readUpsertTable(spark, t).count() == 33L
+    }
     // point reads prune against the NEW count: only the wanted
     // hash-mod-8 buckets' files open
-    val keys = Seq(3L, 7L).toDF("doc_id")
-    val wantB = keys.withColumn("b", pmod(hash(col("doc_id")), lit(8)))
-      .select("b").distinct().collect().map(_.getInt(0)).toSet
-    val wantedFiles = live.filter(kv => wantB(kv._1)).values.flatten.toSet
-    val scanned = EventStreams.readUpsertTableForKeys(spark, t, keys,
-      Seq("doc_id")).inputFiles
-      .flatMap(f => live.values.flatten.find(rel => f.endsWith("/" + rel)))
-      .toSet
-    val got = EventStreams.readUpsertTableForKeys(spark, t, keys,
-      Seq("doc_id")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val prunesNew = scanned.nonEmpty && scanned.subsetOf(wantedFiles) &&
-      scanned.size < live.values.map(_.size).sum &&
-      got == Map(3L -> 30L, 7L -> 70L)
+    val fPrunesNew = VerdictOps.fork {
+      val keys = Seq(3L, 7L).toDF("doc_id")
+      val wantB = keys.withColumn("b", pmod(hash(col("doc_id")), lit(8)))
+        .select("b").distinct().collect().map(_.getInt(0)).toSet
+      val wantedFiles = live.filter(kv => wantB(kv._1)).values.flatten.toSet
+      val read = EventStreams.readUpsertTableForKeys(spark, t, keys,
+        Seq("doc_id"))
+      val scanned = read.inputFiles
+        .flatMap(f => live.values.flatten.find(rel => f.endsWith("/" + rel)))
+        .toSet
+      val got = read.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      scanned.nonEmpty && scanned.subsetOf(wantedFiles) &&
+        scanned.size < live.values.map(_.size).sum &&
+        got == Map(3L -> 30L, 7L -> 70L)
+    }
     val feedRefuses = scala.util.Try(
       EventStreams.readChangeFeed(spark, t, 1L, Some(2L)).collect())
       .failed.toOption.exists(_.getMessage.contains("re-bucket"))
@@ -9151,8 +9382,8 @@ object SparkEntry {
       .forall(_.getBoolean(1))
     Seq(
       ("rebucket_is_one_fold_commit", rebucketCommits),
-      ("fold_row_preserving_across_counts", rowPreserving),
-      ("point_reads_prune_against_new_count", prunesNew),
+      ("fold_row_preserving_across_counts", VerdictOps.join(fRowPreserving)),
+      ("point_reads_prune_against_new_count", VerdictOps.join(fPrunesNew)),
       ("feed_across_rebucket_refuses", feedRefuses),
       ("stale_count_merge_refuses", staleMergeRefuses),
       ("stale_count_delete_refuses", staleDeleteRefuses),

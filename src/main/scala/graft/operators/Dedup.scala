@@ -479,6 +479,34 @@ object Dedup {
     * row (no null-slot signatures to band-collide).
     */
   def portableMinhashSignatures(docs: DataFrame): DataFrame = {
+    // NARROW per-row kernel (optimization r17, guide §2.4 — remove
+    // shuffles outright): the original explode(tokens) + groupBy(doc)
+    // shape materialized |tokens| rows and ran a hash aggregate per doc
+    // just to take 8 running minima; graft.plans.MinHashAffine computes
+    // the identical slot values (same md5 hash, same affine constants,
+    // same Java long arithmetic — DedupSimilaritySpec pins kernel ≡
+    // explode+agg, slot for slot) in one pass over the token array with
+    // NO explode and NO shuffle. Empty-token docs are filtered first,
+    // matching the explode form's no-row contract. The staged select
+    // keeps the kernel evaluated once per row (a non-cheap alias
+    // referenced 8 times survives CollapseProject un-inlined).
+    docs
+      .select(col("doc_id"),
+        graft.plans.MinHashAffine.minhashAffine(
+          array_distinct(Texts.tokens(col("text"))), minhashPerms,
+          minhashPrime).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        minhashPerms.indices.map(i =>
+          element_at(col("__sig"), i + 1).as(s"s$i")): _*)
+  }
+
+  /** The original explode + groupBy formulation — kept as the
+    * executable parity reference for [[graft.plans.MinHashAffine]]
+    * (DedupSimilaritySpec replays both over real corpus text and
+    * asserts identical signatures). Not the production path.
+    */
+  private[graft] def portableMinhashSignaturesExplode(docs: DataFrame): DataFrame = {
     val slots = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % lit(minhashPrime)).as(s"s$i")
     }

@@ -52,15 +52,33 @@ object Rag {
     * codegen'd expression, no UDF, no shuffle; nonzero for any
     * non-empty token array, so downstream cosine is well-defined.
     *
-    * Shape matters here: the md5 rides as the INPUT array of the fold
-    * (`transform` first, evaluated once per row), and the fold lambda
-    * sees each bucket as a BOUND VARIABLE — so the hash runs once per
-    * token. The tempting `transform(0..dim, i -> count tokens with
-    * bucket i)` recomputes md5 per token × per slot (HOF lambdas get
-    * no common-subexpression elimination): dim=64 made that 64× the
-    * hashing work and benched 22.6 s at sf0.1 vs ~2 s for this form.
+    * Runs as the native kernel [[graft.plans.HashedBow]] (optimization
+    * round 17): the declarative fold below ([[hashedBowHof]], kept as
+    * the parity reference RagSpec replays) allocates a fresh
+    * `dim`-element array per token inside an interpreted lambda —
+    * hashing + histogram were ~60% of q156's chunk-embed stage at
+    * sf0.1. Same values bit-for-bit (integer counts as doubles; the
+    * kernel documents the null/empty equivalences).
     */
   def hashedBow(toks: Column, dim: Int): Column =
+    graft.plans.HashedBow.hashedBow(toks, dim)
+
+  /** The declarative higher-order-function form of [[hashedBow]] —
+    * same bucket family and fold, kept as the executable parity
+    * reference for the native kernel (RagSpec runs both over real
+    * corpus chunks and asserts identical vectors). Not the production
+    * path: the fold re-allocates the accumulator array per token.
+    *
+    * Shape note that still matters for any HOF variant: the md5 rides
+    * as the INPUT array of the fold (`transform` first, evaluated once
+    * per row), and the fold lambda sees each bucket as a BOUND
+    * VARIABLE — so the hash runs once per token. The tempting
+    * `transform(0..dim, i -> count tokens with bucket i)` recomputes
+    * md5 per token × per slot (HOF lambdas get no common-subexpression
+    * elimination): dim=64 made that 64× the hashing work and benched
+    * 22.6 s at sf0.1 vs ~2 s for this form.
+    */
+  private[graft] def hashedBowHof(toks: Column, dim: Int): Column =
     aggregate(
       transform(toks, t =>
         pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),

@@ -495,8 +495,46 @@ object Sampling {
     * score-only serving consumes it once and skips the
     * materialization).
     */
-  private[operators] def lrFeatures(labeled: DataFrame, idCol: String,
-                                    nBuckets: Int, barrier: Boolean): DataFrame = {
+  private[graft] def lrFeatures(labeled: DataFrame, idCol: String,
+                                nBuckets: Int, barrier: Boolean): DataFrame = {
+    import graft.functions.Texts
+    // NARROW per-row histogram (optimization r17, guide §2.4 — remove
+    // shuffles outright): the original explode(tokens) + two groupBys
+    // shuffled token-count rows twice just to build a per-doc sparse
+    // (bucket, tf) list. The md5-bucket histogram is a per-row fact —
+    // graft.plans.HashedBow computes it in one codegen'd pass (same md5
+    // family, integer counts as exact doubles), and the sparse (bs, xs)
+    // arrays fall out of a bounded O(nBuckets) scan. Value-identical:
+    // nonzero buckets ascending == sort_array of the grouped counts
+    // (buckets are unique per doc); n = Σ counts is an exact integer
+    // sum either way; the division is the same c / n. Zero-token docs
+    // produce no row in either form (explode emitted nothing; here the
+    // n > 0 filter drops them). SamplingSpec pins narrow ≡ explode+agg.
+    val feats = labeled
+      .select(col(idCol), col("y"),
+        graft.plans.HashedBow.hashedBow(Texts.tokens(col("t")), nBuckets)
+          .as("h"))
+      .withColumn("n", aggregate(col("h"), lit(0.0), (a, v) => a + v))
+      .filter(col("n") > 0.0)
+      .select(col(idCol), col("y"),
+        concat(array(lit(-1L)),
+          filter(transform(col("h"),
+            (v, i) => when(v > 0.0, i.cast("long"))), x => x.isNotNull))
+          .as("bs"),
+        concat(array(lit(1.0)),
+          filter(transform(col("h"),
+            v => when(v > 0.0, v / col("n"))), x => x.isNotNull))
+          .as("xs"))
+    if (barrier) feats.localCheckpoint() else feats
+  }
+
+  /** The original explode + two-groupBy formulation — kept as the
+    * executable parity reference for the narrow HashedBow form above
+    * (SamplingSpec replays both over real corpus text and asserts
+    * identical feature frames). Not the production path.
+    */
+  private[graft] def lrFeaturesExplode(labeled: DataFrame, idCol: String,
+                                       nBuckets: Int): DataFrame = {
     import graft.functions.Texts
     val bc = labeled
       .select(col(idCol), col("y"), explode(Texts.tokens(col("t"))).as("w"))
@@ -505,7 +543,7 @@ object Sampling {
           lit(nBuckets.toLong)))
       .groupBy(col(idCol), col("y"), col("b"))
       .agg(count(lit(1)).cast("double").as("c"))
-    val feats = bc
+    bc
       .groupBy(col(idCol), col("y"))
       .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("bcs"),
         sum(col("c")).as("n"))
@@ -514,7 +552,6 @@ object Sampling {
           transform(col("bcs"), e => e.getField("b"))).as("bs"),
         concat(array(lit(1.0)),
           transform(col("bcs"), e => e.getField("c") / col("n"))).as("xs"))
-    if (barrier) feats.localCheckpoint() else feats
   }
 
   /** The sigmoid scoring expression over (bs, xs) feature columns —

@@ -88,6 +88,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc === Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("portableMinhashSignatures kernel matches the explode+agg form on real corpus text") {
+    // parity proof for graft.plans.MinHashAffine (the r17 kernel): both
+    // forms over the sf0.001 documents — real tokens, real multi-byte
+    // text — must agree slot for slot (same md5 hash family, same
+    // affine constants, same Java long arithmetic), same row set
+    // (empty-token docs produce no row in either form).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (0 until 8).map(i => r.getLong(i + 1))).toMap
+    val kernel = sigMap(Dedup.portableMinhashSignatures(docs))
+    val explode = sigMap(Dedup.portableMinhashSignaturesExplode(docs))
+    assert(kernel.nonEmpty)
+    assert(kernel === explode)
+  }
+
   test("signatureAgreementDedup: shard dup of a STORED doc is flagged from signatures alone") {
     // history: doc 0; its text never reaches the dedup call — only sigs
     val store = Dedup.portableMinhashSignatures(

@@ -329,4 +329,27 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(again === kept.map(_.getAs[Long]("doc_id")).sorted)
   }
+
+  test("lrFeatures narrow histogram form matches the explode+agg reference on real text") {
+    import org.apache.spark.sql.functions._
+    // parity proof for the r17 HashedBow-based feature builder: both
+    // forms over real corpus documents must agree row for row — same
+    // (bs, xs) arrays in the same bucket order, same doc set.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val labeled = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), lit(1.0).as("y"), col("text").as("t"))
+      .unionByName(docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"), lit(0.0).as("y"), col("text").as("t")))
+    def featMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Long](2), r.getSeq[Double](3)))).toMap
+    val narrow = featMap(
+      Sampling.lrFeatures(labeled, "doc_id", 64, barrier = false)
+        .select("doc_id", "y", "bs", "xs"))
+    val reference = featMap(
+      Sampling.lrFeaturesExplode(labeled, "doc_id", 64)
+        .select("doc_id", "y", "bs", "xs"))
+    assert(narrow.nonEmpty)
+    assert(narrow === reference)
+  }
 }

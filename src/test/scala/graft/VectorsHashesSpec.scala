@@ -46,4 +46,39 @@ class VectorsHashesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // same sets {a,b}
     assert(r.isNullAt(1)) // 0/0 -> null via try_divide
   }
+
+  test("hashedBow native kernel matches the HOF fold on real corpus chunks") {
+    // parity proof for graft.plans.HashedBow (the r17 kernel): both
+    // forms over the sf0.001 documents' sliding chunks — real token
+    // distributions, real multi-byte text — plus null/empty edges.
+    // Vector-for-vector identical (counts are exact doubles, so ===).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = docs
+      .select(col("doc_id"), graft.functions.Texts.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val both = chunks.select(col("doc_id"),
+        graft.operators.Rag.hashedBow(col("ws"), 64).as("k"),
+        graft.operators.Rag.hashedBowHof(col("ws"), 64).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"doc ${r.getLong(0)} kernel != HOF")
+    }
+    val edges = Seq(
+      (0L, Seq("a", "b", "a")),
+      (1L, Seq.empty[String]),
+      (2L, null.asInstanceOf[Seq[String]])).toDF("id", "ws")
+    val er = edges.select(col("id"),
+        graft.operators.Rag.hashedBow(col("ws"), 8).as("k"),
+        graft.operators.Rag.hashedBowHof(col("ws"), 8).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1),
+          if (r.isNullAt(2)) null else r.getSeq[Double](2))).toMap
+    assert(er(0L)._1 === er(0L)._2)
+    assert(er(0L)._1.asInstanceOf[Seq[Double]].sum === 3.0)
+    assert(er(1L)._1 === Seq.fill(8)(0.0))
+    assert(er(1L)._1 === er(1L)._2)
+    assert(er(2L)._1 === null && er(2L)._2 === null)
+  }
 }
