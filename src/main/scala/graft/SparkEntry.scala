@@ -2715,26 +2715,25 @@ object SparkEntry {
     */
   def q113NearDupDecontam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // tokenize ONCE: the token sets feed the exact-Jaccard verify join
-    // and the signature kernel; the checkpoint is the projection
-    // barrier that stops CollapseProject re-inlining the tokenizer
+    // tokenize AND sign once: the token sets feed the exact-Jaccard
+    // verify join, and the signature rides in the SAME checkpoint (the
+    // kernel's md5 work must not re-run per downstream consumer — the
+    // banded frame reads sig twice). graft.plans.MinHashAffine
+    // (optimization r17) computes the identical slot values the 8
+    // interpreted transform+array_min passes did (same md5-derived
+    // 32-bit hash, same affine constants, same Java long arithmetic)
+    // in one codegen'd pass.
     val tsets = docs.select(col("doc_id"),
         array_distinct(functions.Texts.tokens(col("text"))).as("ts"))
+      .withColumn("__sig", graft.plans.MinHashAffine.minhashAffine(
+        col("ts"), minhashPerms, minhashPrime))
       .localCheckpoint()
-    // signatures via the native one-pass kernel (optimization r17):
-    // the previous narrow form ran 8 interpreted transform+array_min
-    // passes over a per-row md5 hash array — graft.plans.MinHashAffine
-    // computes the identical slot values (same md5-derived 32-bit
-    // hash, same affine constants, same Java long arithmetic) in one
-    // codegen'd pass. Empty-token docs are dropped BEFORE signing
-    // (the q89 explode form drops them implicitly); without this
+    // Empty-token docs are dropped BEFORE banding (the q89 explode form
+    // drops them implicitly; the kernel signs them null); without this
     // filter they'd produce all-null signature slots, and null struct
     // fields compare EQUAL in the banded join, so every empty doc
     // would band-match every other empty doc
     val sig = tsets.filter(size(col("ts")) > 0)
-      .select(col("doc_id"),
-        graft.plans.MinHashAffine.minhashAffine(col("ts"), minhashPerms,
-          minhashPrime).as("__sig"))
       .select(col("doc_id") +:
         minhashPerms.indices.map(i =>
           element_at(col("__sig"), i + 1).as(s"s$i")): _*)
@@ -7355,33 +7354,43 @@ object SparkEntry {
     import streaming.EventStreams
     val src = s"$base/src"
     val idx = s"$base/idx"
-    val tableIds = EventStreams.readUpsertTable(spark, src)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val served = operators.Similarity.indexedVecIds(spark, idx)
-      .collect().map(_.getLong(0)).toSet
-    val coverage = served == tableIds && tableIds.contains(24L) &&
-      !tableIds.contains(5L)
-    val takedowns = !served.contains(5L) && !served.contains(7L)
+    // independent read-only verdicts, overlapped (guide §2.6); the
+    // side-effecting replayed sync keeps its place
+    val fTableIds = VerdictOps.fork(EventStreams.readUpsertTable(spark, src)
+      .select("vec_id").collect().map(_.getLong(0)).toSet)
+    val fServed = VerdictOps.fork(operators.Similarity.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet)
     // frozen-encode equality: vec 0 moved ONTO vec 1's embedding, so
     // their served codes — hence their ADC distances to any probe —
     // must be identical
-    val e = Tables.embeddings(spark, dir)
-    val pv = e.filter(col("vec_id") === 1).select(col("embedding"))
-      .head().getSeq[Float](0).map(_.toDouble).toArray
-    val top = operators.Similarity
-      .queryIvfPqIndex(spark, idx, Seq((999L, pv)), k = 4, nprobe = 2)
-      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
-    val frozen = top.contains(0L) && top.contains(1L) && top(0L) == top(1L)
-    val pastIntact = operators.Similarity
+    val fFrozen = VerdictOps.fork {
+      val e = Tables.embeddings(spark, dir)
+      val pv = e.filter(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val top = operators.Similarity
+        .queryIvfPqIndex(spark, idx, Seq((999L, pv)), k = 4, nprobe = 2)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      top.contains(0L) && top.contains(1L) && top(0L) == top(1L)
+    }
+    val fPastIntact = VerdictOps.fork(operators.Similarity
       .indexedVecIdsBefore(spark, idx, 1L)
-      .collect().map(_.getLong(0)).toSet == (0L until 24L).toSet
+      .collect().map(_.getLong(0)).toSet == (0L until 24L).toSet)
+    val fAppended = VerdictOps.fork(
+      spark.read.parquet(s"$idx/codes/batch=2").count() == 2L)
+    val tableIds = VerdictOps.join(fTableIds)
+    val served = VerdictOps.join(fServed)
+    val coverage = served == tableIds && tableIds.contains(24L) &&
+      !tableIds.contains(5L)
+    val takedowns = !served.contains(5L) && !served.contains(7L)
+    val frozen = VerdictOps.join(fFrozen)
+    val pastIntact = VerdictOps.join(fPastIntact)
     val replay = operators.Similarity
       .syncIndexFromFeed(spark, src, idx, "idx").isEmpty &&
       EventStreams.feedCursor(spark, src, "idx").contains(3L)
     val wm = operators.Similarity.codesHighWater(spark, idx)
     val removalOnly = wm.exists(_._1 == 3L) &&
       wm.exists(!_._2.exists(_ == "batch=3"))
-    val appended = spark.read.parquet(s"$idx/codes/batch=2").count() == 2L
+    val appended = VerdictOps.join(fAppended)
     Seq(
       ("index_coverage_tracks_table", coverage),
       ("takedowns_never_serve", takedowns),

@@ -535,9 +535,22 @@ object Dedup {
     val rows = nSlots / bands
     def bandKey(b: Int) =
       struct((0 until rows).map(i => col(s"s${b * rows + i}").as(s"k$i")): _*)
-    val banded = (0 until bands).map(b =>
-        sigs.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("bk")))
-      .reduce(_ unionByName _)
+    // ONE pass over sigs (optimization r17): the per-band select+union
+    // evaluated the signature subtree `bands` times; a single explode
+    // of the per-band structs reads it once. The repartition is an
+    // explicit exchange boundary (the q27 minhashNearDups pattern):
+    // `banded` feeds BOTH the anchor aggregate and the join back, and
+    // identical subplans below an exchange are computed once
+    // (ReuseExchange) — without it the narrow kernel-built signatures
+    // re-derive per consumer (the old explode+agg form got this dedup
+    // for free from its aggregate exchange). Both consumers are keyed
+    // (band, bk), so the one shuffle also serves them as their own
+    // partitioning.
+    val banded = sigs
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+      .repartition(col("band"), col("bk"))
     val anchors = banded.groupBy(col("band"), col("bk"))
       .agg(min(col("doc_id")).as("anchor"))
     banded.join(anchors, Seq("band", "bk"))
@@ -597,8 +610,14 @@ object Dedup {
       s"minAgree $minAgree must exceed rows-per-band ${nSlots / bands} — " +
         "a shared band already guarantees that many agreeing slots")
     val slotCols = (0 until nSlots).map(i => s"s$i")
+    // explicit exchange boundary (optimization r17): `all` feeds three
+    // consumers (the banding, and both sides of the agreement join) —
+    // below an exchange the signature derivation runs once
+    // (ReuseExchange) instead of per consumer; sig rows are 9 numbers,
+    // so the shuffle is tiny
     val all = storeSigs.select(col("doc_id") +: slotCols.map(col): _*)
       .unionByName(shardSigs.select(col("doc_id") +: slotCols.map(col): _*))
+      .repartition(col("doc_id"))
     val cand = bandedAnchorCandidates(all, nSlots, bands)
       // decisions are for the NEW shard only; store-internal dups were
       // settled when those docs entered the store

@@ -338,9 +338,15 @@ object Models {
       .select(col("lang"),
         histBucket(col("lm_score"), -10.0, 0.0, nB).as("lmb"),
         histBucket(col("lr_quality"), 0.0, 1.0, nB).as("lrb"))
-    b.select(col("lang"), lit("lm").as("signal"), col("lmb").as("b"))
-      .unionByName(
-        b.select(col("lang"), lit("lr").as("signal"), col("lrb").as("b")))
+    // ONE pass (optimization r17): the select+unionByName evaluated the
+    // whole scoring chain TWICE (once per signal) — q179 doubled when
+    // the LR features went narrow (no aggregate exchange left for
+    // ReuseExchange to dedup). One explode of the two per-signal
+    // structs reads the scored frame once; same rows.
+    b.select(col("lang"), explode(array(
+        struct(lit("lm").as("signal"), col("lmb").as("b")),
+        struct(lit("lr").as("signal"), col("lrb").as("b")))).as("e"))
+      .select(col("lang"), col("e.signal").as("signal"), col("e.b").as("b"))
   }
 
   /** Commit the CALIBRATION score histograms — the reference
